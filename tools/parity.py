@@ -1,0 +1,132 @@
+"""Local oracle-parity harness — mimics the driver's correctness gate.
+
+Runs every registered query on Spark and its oracle SQL on DuckDB over the
+same parquet fixture, then compares row count, schema (column names + dtype
+kind), and order-insensitive values EXACTLY (bit-equal floats). Exact float
+equality locally implies the driver's value-hash will match regardless of its
+hashing scheme.
+
+Usage:
+    python tools/parity.py [--sf-dir /root/testdata/sf0.01] [--only q1,q2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+import traceback
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from usw_big_data_analysis_spark.session import get_spark  # noqa: E402
+from usw_big_data_analysis_spark.sources.tables import TABLES  # noqa: E402
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    if len(df):
+        df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems: list[str] = []
+    s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if s_cols != d_cols:
+        return [f"SCHEMA cols spark={s_cols} duck={d_cols}"]
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"ROWS spark={len(spark_pdf)} duck={len(duck_pdf)}")
+        return problems
+    s, d = _canon(spark_pdf), _canon(duck_pdf)
+    for c in s.columns:
+        sk, dk = s[c].dtype.kind, d[c].dtype.kind
+        if (sk, dk) not in {(x, x) for x in "ifbOMsU"} and {sk, dk} != {"i", "f"}:
+            if sk != dk:
+                problems.append(f"DTYPE {c}: spark={s[c].dtype} duck={d[c].dtype}")
+        sv, dv = s[c].to_numpy(), d[c].to_numpy()
+        if sk in "fc" or dk in "fc":
+            sv = sv.astype(float)
+            dv = dv.astype(float)
+            both_nan = np.isnan(sv) & np.isnan(dv)
+            eq = (sv == dv) | both_nan
+        else:
+            eq = sv == dv
+        if not np.all(eq):
+            bad = np.nonzero(~eq)[0][:3]
+            ex = [(c, int(i), sv[i], dv[i]) for i in bad]
+            problems.append(f"VALUES {c}: {int((~eq).sum())}/{len(eq)} differ, e.g. {ex}")
+    return problems
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    only = set(args.only.split(",")) if args.only else None
+
+    spark = get_spark("parity")
+    con = duck_con(args.sf_dir)
+
+    n_pass = n_fail = n_err = n_rows_only = 0
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, args.sf_dir)
+            spdf = sdf.toPandas()
+        except Exception:
+            print(f"ERROR {name} (spark):\n{traceback.format_exc()}")
+            n_err += 1
+            continue
+        if name not in oracles:
+            print(f"rows-only  {name}: {len(spdf)} rows [{time.time()-t0:.1f}s]")
+            n_rows_only += 1
+            continue
+        try:
+            dpdf = con.execute(oracles[name]).fetchdf()
+        except Exception:
+            print(f"ERROR {name} (duckdb):\n{traceback.format_exc()}")
+            n_err += 1
+            continue
+        problems = compare(name, spdf, dpdf)
+        if problems:
+            print(f"FAIL {name} [{time.time()-t0:.1f}s]")
+            for p in problems:
+                print(f"   {p}")
+            n_fail += 1
+        else:
+            print(f"ok   {name}: {len(spdf)} rows [{time.time()-t0:.1f}s]")
+            n_pass += 1
+    print(f"\n== {n_pass} ok, {n_fail} fail, {n_err} error, {n_rows_only} rows-only ==")
+    spark.stop()
+    return 1 if (n_fail or n_err) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,30 @@
+"""Driver-checked query registry modules.
+
+Importing this package registers every query (side effect of the
+``@query(...)`` decorators). Keep ALL_MODULES in sync as modules are added.
+"""
+
+from . import flagship  # noqa: F401
+
+ALL_MODULES = [flagship]
+
+for _mod_name in (
+    "relational",
+    "joins_unions",
+    "aggregates",
+    "windows_sorts",
+    "scalar_funcs",
+    "metrics",
+    "stats_tests",
+    "mlprep",
+    "text_ops",
+    "dedup",
+    "similarity",
+    "streaming_batch",
+):
+    try:
+        _mod = __import__(f"{__name__}.{_mod_name}", fromlist=[_mod_name])
+        ALL_MODULES.append(_mod)
+    except ModuleNotFoundError as e:  # module not written yet in this round
+        if _mod_name not in str(e):
+            raise

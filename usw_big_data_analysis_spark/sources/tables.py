@@ -1,0 +1,39 @@
+"""Fixture-table scans.
+
+The driver fixture (TESTDATA.md) is a TPC-H-ish star schema plus events /
+documents / embeddings, one parquet file per table per scale factor.
+
+Parquet is the canonical scan path: columnar, predicate/column pushdown via
+Catalyst (``PushedFilters`` / ``ReadSchema`` in the physical plan), and
+splittable at 100 TB. CSV/SAS/Excel ingest from the reference (SURVEY.md
+§2.1 S1-S3) maps to ``io.read_csv`` / pre-conversion to parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql queries."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
