@@ -51,15 +51,25 @@ def davg(c: Column | str) -> Column:
     return sx / n
 
 
+# Derived statistics combine exact sums with compound double arithmetic;
+# compilers may contract those expressions differently (FMA), so the final
+# value is rounded to 6 decimals on both engines to stay hash-identical.
+_STAT_SCALE = 6
+
+
 def dvar(c: Column | str, ddof: int = 1) -> Column:
     """Sample (ddof=1) or population (ddof=0) variance from exact sums."""
     col = F.col(c) if isinstance(c, str) else c
     n, sx, sxx = _sums(col)
-    return (sxx - sx * sx / n) / (n - float(ddof))
+    return F.round((sxx - sx * sx / n) / (n - float(ddof)), _STAT_SCALE)
 
 
 def dstd(c: Column | str, ddof: int = 1) -> Column:
-    return F.sqrt(dvar(c, ddof))
+    col = F.col(c) if isinstance(c, str) else c
+    n, sx, sxx = _sums(col)
+    return F.round(
+        F.sqrt((sxx - sx * sx / n) / (n - float(ddof))), _STAT_SCALE
+    )
 
 
 def dcorr(x: Column | str, y: Column | str) -> Column:
@@ -72,7 +82,10 @@ def dcorr(x: Column | str, y: Column | str) -> Column:
     sxx = F.sum((cx.cast(_DEC_X) * cx.cast(_DEC_X)).cast(_DEC_XX)).cast("double")
     syy = F.sum((cy.cast(_DEC_X) * cy.cast(_DEC_X)).cast(_DEC_XX)).cast("double")
     sxy = F.sum((cx.cast(_DEC_X) * cy.cast(_DEC_X)).cast(_DEC_XX)).cast("double")
-    return (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return F.round(
+        (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+        _STAT_SCALE,
+    )
 
 
 def dround(c: Column, scale: int = 6) -> Column:
@@ -100,11 +113,12 @@ def _sql_sums(expr: str):
 
 def sql_dvar(expr: str, ddof: int = 1) -> str:
     n, sx, sxx = _sql_sums(expr)
-    return f"(({sxx} - {sx} * {sx} / {n}) / ({n} - {float(ddof)}))"
+    return f"round((({sxx} - {sx} * {sx} / {n}) / ({n} - {float(ddof)})), {_STAT_SCALE})"
 
 
 def sql_dstd(expr: str, ddof: int = 1) -> str:
-    return f"sqrt({sql_dvar(expr, ddof)})"
+    n, sx, sxx = _sql_sums(expr)
+    return f"round(sqrt((({sxx} - {sx} * {sx} / {n}) / ({n} - {float(ddof)}))), {_STAT_SCALE})"
 
 
 def sql_dcorr(x: str, y: str) -> str:
@@ -115,6 +129,6 @@ def sql_dcorr(x: str, y: str) -> str:
     syy = f"CAST(sum(CAST(CAST({y} AS {_DEC_X}) * CAST({y} AS {_DEC_X}) AS {_DEC_XX})) AS DOUBLE)"
     sxy = f"CAST(sum(CAST(CAST({x} AS {_DEC_X}) * CAST({y} AS {_DEC_X}) AS {_DEC_XX})) AS DOUBLE)"
     return (
-        f"(({n} * {sxy} - {sx} * {sy}) / "
-        f"sqrt(({n} * {sxx} - {sx} * {sx}) * ({n} * {syy} - {sy} * {sy})))"
+        f"round((({n} * {sxy} - {sx} * {sy}) / "
+        f"sqrt(({n} * {sxx} - {sx} * {sx}) * ({n} * {syy} - {sy} * {sy}))), {_STAT_SCALE})"
     )

@@ -1,0 +1,447 @@
+"""Aggregations (SURVEY.md §2.5 A1-A13).
+
+The reference's EDA aggregate surface: value_counts, multi-stat group-bys,
+describe, crosstab with margins+normalize, pivot tables, null profiling,
+correlation matrices, IQR outlier counts, whole-matrix stats, word count,
+class-balance checks. Reference sites cited per query.
+
+Scale notes: every query is one shuffle (partial aggregation map-side);
+the "melt" pattern (stack) runs BEFORE aggregation but multiplies rows by
+#columns — acceptable because it feeds a partial agg, and at 100 TB you'd
+instead run one agg with per-column expressions (same plan shape as
+`_describe_` here). Exact percentiles sort within group partitions; at
+extreme scale swap for percentile_approx (documented per query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import numeric as N
+from ..registry import query
+from ..sources import load_table
+
+_NUM_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _melt_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(col_name, x) long form of lineitem's numeric columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stack = ", ".join(f"'{c}', {c}" for c in _NUM_COLS)
+    return li.selectExpr(f"stack({len(_NUM_COLS)}, {stack}) AS (col_name, x)")
+
+
+_MELT_SQL = " UNION ALL ".join(
+    f"SELECT '{c}' AS col_name, {c} AS x FROM lineitem" for c in _NUM_COLS
+)
+
+
+# --- A1: value_counts incl. normalize (wine…03….ipynb:1248) -----------------
+@query(
+    "value_counts",
+    oracle="""
+    SELECT l_returnflag AS value, count(*) AS cnt,
+           CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS frac
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_returnflag").alias("value")).agg(
+        F.count("*").alias("cnt")
+    )
+    total = F.sum("cnt").over(Window.partitionBy())
+    return counts.withColumn("frac", F.col("cnt").cast("double") / total)
+
+
+# --- A2: group-by multi-agg mean/std/median (experiments/target_eda.py:72) --
+@query(
+    "groupby_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           {N.sql_davg('l_quantity')} AS mean_qty,
+           {N.sql_dstd('l_quantity')} AS std_qty,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        N.davg("l_quantity").alias("mean_qty"),
+        N.dstd("l_quantity").alias("std_qty"),
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+# --- A3: group means over many columns + sem (teamProject/eda.ipynb:1332) ---
+@query(
+    "groupby_mean_multi",
+    oracle=f"""
+    SELECT l_linestatus,
+           {N.sql_davg('l_quantity')} AS mean_quantity,
+           {N.sql_davg('l_extendedprice')} AS mean_extendedprice,
+           {N.sql_davg('l_discount')} AS mean_discount,
+           {N.sql_davg('l_tax')} AS mean_tax,
+           {N.sql_dstd('l_quantity')} / sqrt(CAST(count(*) AS DOUBLE)) AS sem_quantity
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def groupby_mean_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [N.davg(c).alias(f"mean_{c[2:]}") for c in _NUM_COLS]
+    aggs.append(
+        (N.dstd("l_quantity") / F.sqrt(F.count("*").cast("double"))).alias(
+            "sem_quantity"
+        )
+    )
+    return li.groupBy("l_linestatus").agg(*aggs)
+
+
+# --- A4: describe().T + zero counts (teamProject/eda.ipynb:430-445) ---------
+@query(
+    "describe",
+    oracle=f"""
+    WITH melted AS ({_MELT_SQL})
+    SELECT col_name, count(*) AS n,
+           {N.sql_davg('x')} AS mean, {N.sql_dstd('x')} AS std,
+           min(x) AS min_x,
+           quantile_cont(x, 0.25) AS q25,
+           quantile_cont(x, 0.5) AS median,
+           quantile_cont(x, 0.75) AS q75,
+           max(x) AS max_x,
+           sum(CAST(x = 0.0 AS BIGINT)) AS n_zero
+    FROM melted GROUP BY col_name
+    """,
+)
+def describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transposed describe: one row per column with count/mean/std/quartiles,
+    plus the reference's extra zero-count column. Exact percentiles (the
+    reference's pandas describe is exact); at 100 TB use percentile_approx."""
+    melted = _melt_lineitem(spark, sf_dir)
+    return melted.groupBy("col_name").agg(
+        F.count("*").alias("n"),
+        N.davg("x").alias("mean"),
+        N.dstd("x").alias("std"),
+        F.min("x").alias("min_x"),
+        F.expr("percentile(x, 0.25)").alias("q25"),
+        F.expr("percentile(x, 0.5)").alias("median"),
+        F.expr("percentile(x, 0.75)").alias("q75"),
+        F.max("x").alias("max_x"),
+        F.sum((F.col("x") == 0.0).cast("bigint")).alias("n_zero"),
+    )
+
+
+# --- A5: crosstab with margins + row-normalize ------------------------------
+# (1-2.labeling_XYdataset.ipynb:492-497; experiments/target_eda.py:39-53)
+_BUCKET_SQL = """
+  CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 3000 THEN 'low'
+       WHEN c_acctbal < 7000 THEN 'mid' ELSE 'high' END
+"""
+_XTAB_BODY = f"""
+  SELECT c_mktsegment AS seg, {_BUCKET_SQL} AS bal_bucket,
+         CAST(c_nationkey % 3 AS INT) AS cls
+  FROM customer
+"""
+
+
+@query(
+    "crosstab_margins",
+    oracle=f"""
+    WITH base AS ({_XTAB_BODY}),
+    cells AS (
+      SELECT seg, bal_bucket,
+             sum(CAST(cls = 0 AS BIGINT)) AS n_0,
+             sum(CAST(cls = 1 AS BIGINT)) AS n_1,
+             sum(CAST(cls = 2 AS BIGINT)) AS n_2,
+             count(*) AS row_total
+      FROM base GROUP BY seg, bal_bucket
+      UNION ALL
+      SELECT 'All', 'All',
+             sum(CAST(cls = 0 AS BIGINT)), sum(CAST(cls = 1 AS BIGINT)),
+             sum(CAST(cls = 2 AS BIGINT)), count(*)
+      FROM base
+    )
+    SELECT seg, bal_bucket, n_0, n_1, n_2, row_total,
+           CAST(n_0 AS DOUBLE) / row_total AS p_0,
+           CAST(n_1 AS DOUBLE) / row_total AS p_1,
+           CAST(n_2 AS DOUBLE) / row_total AS p_2
+    FROM cells
+    """,
+)
+def crosstab_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pd.crosstab([k1,k2], cls, margins=True, normalize='index') as a
+    conditional-count aggregate + an All-margin union + row normalization."""
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+        .alias("bal_bucket"),
+        (F.col("c_nationkey") % 3).cast("int").alias("cls"),
+    )
+    aggs = [
+        F.sum((F.col("cls") == k).cast("bigint")).alias(f"n_{k}") for k in range(3)
+    ] + [F.count("*").alias("row_total")]
+    cells = base.groupBy("seg", "bal_bucket").agg(*aggs)
+    margin = base.agg(*aggs).select(
+        F.lit("All").alias("seg"), F.lit("All").alias("bal_bucket"), "*"
+    )
+    out = cells.unionByName(margin)
+    for k in range(3):
+        out = out.withColumn(
+            f"p_{k}", F.col(f"n_{k}").cast("double") / F.col("row_total")
+        )
+    return out
+
+
+# --- A6: pivot_table with agg + fillna(0) (wine…11….ipynb:5871-5878) --------
+@query(
+    "pivot_table",
+    oracle=f"""
+    SELECT l_returnflag,
+           coalesce({N.sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")}
+                    / CAST(nullif(count(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0) AS DOUBLE), 0.0) AS avg_F,
+           coalesce({N.sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")}
+                    / CAST(nullif(count(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0) AS DOUBLE), 0.0) AS avg_O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot().agg(avg) with explicit pivot values (never let Spark
+    scan for distinct pivot values at scale) + fillna(0); conditional-agg form
+    so column naming matches the oracle exactly."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def _davg_when(status: str) -> F.Column:
+        x = F.when(F.col("l_linestatus") == status, F.col("l_quantity"))
+        return F.coalesce(
+            F.sum(x.cast("decimal(25,6)")).cast("double")
+            / F.nullif(F.count(x), F.lit(0)).cast("double"),
+            F.lit(0.0),
+        )
+
+    return li.groupBy("l_returnflag").agg(
+        _davg_when("F").alias("avg_F"), _davg_when("O").alias("avg_O")
+    )
+
+
+# --- A7: null profile per column (1-1.data_processing.ipynb:2485) -----------
+@query(
+    "null_profile",
+    oracle="""
+    WITH injected AS (
+      SELECT CASE WHEN l_linenumber % 3 = 0 THEN NULL ELSE l_quantity END AS c_quantity,
+             CASE WHEN l_linenumber % 7 = 0 THEN NULL ELSE l_extendedprice END AS c_extendedprice,
+             CASE WHEN l_orderkey % 11 = 0 THEN NULL ELSE l_discount END AS c_discount
+      FROM lineitem
+    ), s AS (
+      SELECT count(*) AS total,
+             count(*) - count(c_quantity) AS z_quantity,
+             count(*) - count(c_extendedprice) AS z_extendedprice,
+             count(*) - count(c_discount) AS z_discount
+      FROM injected
+    )
+    SELECT col_name, n_null, CAST(n_null AS DOUBLE) / total AS null_frac FROM (
+      SELECT 'c_quantity' AS col_name, z_quantity AS n_null, total FROM s
+      UNION ALL SELECT 'c_extendedprice', z_extendedprice, total FROM s
+      UNION ALL SELECT 'c_discount', z_discount, total FROM s
+    )
+    """,
+)
+def null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    injected = li.select(
+        F.when(F.col("l_linenumber") % 3 == 0, None).otherwise(F.col("l_quantity")).alias("c_quantity"),
+        F.when(F.col("l_linenumber") % 7 == 0, None).otherwise(F.col("l_extendedprice")).alias("c_extendedprice"),
+        F.when(F.col("l_orderkey") % 11 == 0, None).otherwise(F.col("l_discount")).alias("c_discount"),
+    )
+    cols = injected.columns
+    stats = injected.agg(
+        F.count("*").alias("total"),
+        *[(F.count("*") - F.count(c)).alias(f"z_{c}") for c in cols],
+    )
+    stack = ", ".join(f"'{c}', z_{c}" for c in cols)
+    return stats.selectExpr(
+        "total", f"stack({len(cols)}, {stack}) AS (col_name, n_null)"
+    ).select(
+        "col_name",
+        "n_null",
+        (F.col("n_null").cast("double") / F.col("total")).alias("null_frac"),
+    )
+
+
+# --- A8: correlation matrix (teamProject/sap.py:48; eda.ipynb:1154) ---------
+def _corr_pairs():
+    return [
+        (a, b) for i, a in enumerate(_NUM_COLS) for b in _NUM_COLS[i + 1 :]
+    ]
+
+
+@query(
+    "corr_matrix",
+    oracle="WITH s AS (SELECT "
+    + ", ".join(
+        f"{N.sql_dcorr(a, b)} AS c_{i}" for i, (a, b) in enumerate(_corr_pairs())
+    )
+    + " FROM lineitem) SELECT col_x, col_y, corr_xy FROM ("
+    + " UNION ALL ".join(
+        f"SELECT '{a}' AS col_x, '{b}' AS col_y, c_{i} AS corr_xy FROM s"
+        for i, (a, b) in enumerate(_corr_pairs())
+    )
+    + ")",
+)
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle Pearson matrix in ONE aggregation pass (all pairwise
+    sufficient statistics in a single shuffle-free partial agg), emitted in
+    long form. The ml.stat.Correlation alternative assembles a vector column;
+    this form stays pure-SQL and feeds prune_corr (M10)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = _corr_pairs()
+    agg = li.agg(
+        *[N.dcorr(a, b).alias(f"c_{i}") for i, (a, b) in enumerate(pairs)]
+    )
+    stack = ", ".join(f"'{a}', '{b}', c_{i}" for i, (a, b) in enumerate(pairs))
+    return agg.selectExpr(f"stack({len(pairs)}, {stack}) AS (col_x, col_y, corr_xy)")
+
+
+# --- A9: per-column correlation with target (eda.ipynb:1200-1215) -----------
+@query(
+    "corr_target",
+    oracle="WITH s AS (SELECT "
+    + ", ".join(
+        f"{N.sql_dcorr(c, 'l_extendedprice')} AS c_{i}"
+        for i, c in enumerate(("l_quantity", "l_discount", "l_tax"))
+    )
+    + " FROM lineitem) SELECT col_name, corr_t, abs(corr_t) AS abs_corr FROM ("
+    + " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, c_{i} AS corr_t FROM s"
+        for i, c in enumerate(("l_quantity", "l_discount", "l_tax"))
+    )
+    + ")",
+)
+def corr_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ("l_quantity", "l_discount", "l_tax")
+    agg = li.agg(
+        *[N.dcorr(c, "l_extendedprice").alias(f"c_{i}") for i, c in enumerate(cols)]
+    )
+    stack = ", ".join(f"'{c}', c_{i}" for i, c in enumerate(cols))
+    return agg.selectExpr(f"stack({len(cols)}, {stack}) AS (col_name, corr_t)").select(
+        "col_name", "corr_t", F.abs("corr_t").alias("abs_corr")
+    )
+
+
+# --- A10: quartiles + IQR outlier counts (teamProject/eda.ipynb:1083-1090) --
+@query(
+    "quantiles_iqr",
+    oracle=f"""
+    WITH melted AS ({_MELT_SQL}),
+    q AS (
+      SELECT col_name, quantile_cont(x, 0.25) AS q1, quantile_cont(x, 0.75) AS q3
+      FROM melted GROUP BY col_name
+    )
+    SELECT m.col_name, q.q1, q.q3, q.q3 - q.q1 AS iqr,
+           sum(CAST(m.x < q.q1 - 1.5 * (q.q3 - q.q1)
+                 OR m.x > q.q3 + 1.5 * (q.q3 - q.q1) AS BIGINT)) AS n_outliers
+    FROM melted m JOIN q ON m.col_name = q.col_name
+    GROUP BY m.col_name, q.q1, q.q3
+    """,
+)
+def quantiles_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inherently two-pass (quartiles, then outlier counts); pass 2 joins the
+    tiny quartile table back (broadcast) — no second shuffle of the fact."""
+    melted = _melt_lineitem(spark, sf_dir)
+    q = melted.groupBy("col_name").agg(
+        F.expr("percentile(x, 0.25)").alias("q1"),
+        F.expr("percentile(x, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    joined = melted.join(F.broadcast(q), "col_name")
+    return joined.groupBy("col_name", "q1", "q3").agg(
+        F.sum(
+            (
+                (F.col("x") < F.col("q1") - 1.5 * iqr)
+                | (F.col("x") > F.col("q3") + 1.5 * iqr)
+            ).cast("bigint")
+        ).alias("n_outliers")
+    ).select("col_name", "q1", "q3", iqr.alias("iqr"), "n_outliers")
+
+
+# --- A11: whole-matrix global stats (1-1.data_processing.ipynb:2050-2080) ---
+@query(
+    "global_stats",
+    oracle=f"""
+    WITH melted AS ({_MELT_SQL})
+    SELECT count(*) AS n, min(x) AS min_x, max(x) AS max_x,
+           {N.sql_davg('x')} AS mean_x,
+           quantile_cont(x, 0.5) AS median_x,
+           sum(CAST(x < 0 AS BIGINT)) AS n_negative
+    FROM melted
+    """,
+)
+def global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    melted = _melt_lineitem(spark, sf_dir)
+    return melted.agg(
+        F.count("*").alias("n"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        N.davg("x").alias("mean_x"),
+        F.expr("percentile(x, 0.5)").alias("median_x"),
+        F.sum((F.col("x") < 0).cast("bigint")).alias("n_negative"),
+    )
+
+
+# --- A12: word count top-10 (computer-structure.ipynb:33-47) ----------------
+@query(
+    "wordcount",
+    oracle="""
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY cnt DESC, word
+    LIMIT 10
+    """,
+)
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split → explode → groupBy → count → top-k; ties broken by word so the
+    LIMIT is deterministic. At scale this is a map-side-combined single
+    shuffle; the final top-10 is a TakeOrdered, not a full sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(10)
+    )
+
+
+# --- A13: class balance check (teamProject/eda.ipynb:345-360) ---------------
+@query(
+    "class_distribution_check",
+    oracle="""
+    WITH per_class AS (
+      SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT count(*) AS n_classes, min(cnt) AS min_cnt, max(cnt) AS max_cnt,
+           CAST(min(cnt) AS DOUBLE) / max(cnt) AS balance_ratio
+    FROM per_class
+    """,
+)
+def class_distribution_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_class = li.groupBy("l_returnflag").agg(F.count("*").alias("cnt"))
+    return per_class.agg(
+        F.count("*").alias("n_classes"),
+        F.min("cnt").alias("min_cnt"),
+        F.max("cnt").alias("max_cnt"),
+        (F.min("cnt").cast("double") / F.max("cnt")).alias("balance_ratio"),
+    )

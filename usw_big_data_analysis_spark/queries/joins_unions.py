@@ -1,0 +1,221 @@
+"""Joins + set operations (SURVEY.md §2.3 J1-J4, §2.4 U1-U4).
+
+All reference joins are ID-keyed equi-joins (`legacy/modeling.py:77-79`,
+`experiments/utils/test.py:31-33`); positional alignment patterns (J4) are
+re-keyed on explicit keys — Spark guarantees no row order.
+
+Scale notes: dimension sides (customer vs orders at TPC-H ratios) are
+broadcast — verified in tests/test_plans.py that the plan shows
+BroadcastHashJoin, not SortMergeJoin, so the big fact side never shuffles.
+Unions are metadata-only (no shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+
+# --- J1: X ⋈ y on ID (legacy/modeling.py:77-79) -----------------------------
+@query(
+    "join_xy",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment,
+           c.c_acctbal, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner"
+    ).select("o_orderkey", "o_custkey", "c_name", "c_mktsegment", "c_acctbal", "o_totalprice")
+
+
+# Derived truth/pred frames reused by J2/J4 and the metrics module: a
+# deterministic pseudo-probability from the key (same arithmetic both
+# engines) plays the reference's submission column
+# (experiments/utils/test.py:25-33).
+def truth_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        (F.col("o_totalprice") > 150000.0).cast("int").alias("label"),
+    )
+
+
+def pred_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prob = ((F.col("o_orderkey") * F.lit(2654435761)) % 1000).cast("double") / 1000.0
+    return load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        prob.alias("prob"),
+        (prob >= 0.5).cast("int").alias("pred"),
+    )
+
+
+_TRUTH_SQL = """
+  SELECT o_orderkey AS id,
+         CAST(o_totalprice > 150000.0 AS INT) AS label
+  FROM orders
+"""
+_PRED_SQL = """
+  SELECT o_orderkey AS id,
+         CAST((o_orderkey * 2654435761) % 1000 AS DOUBLE) / 1000.0 AS prob,
+         CAST(CAST((o_orderkey * 2654435761) % 1000 AS DOUBLE) / 1000.0 >= 0.5 AS INT) AS pred
+  FROM orders
+"""
+
+
+# --- J2: predictions ⋈ truth with suffixes (experiments/utils/test.py:31-33) -
+@query(
+    "join_pred_truth",
+    oracle=f"""
+    WITH t AS ({_TRUTH_SQL}), p AS ({_PRED_SQL})
+    SELECT t.id, t.label AS label_true, p.pred AS label_pred, p.prob
+    FROM t JOIN p ON t.id = p.id
+    """,
+)
+def join_pred_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = truth_frame(spark, sf_dir).withColumnRenamed("label", "label_true")
+    p = pred_frame(spark, sf_dir).withColumnRenamed("pred", "label_pred")
+    return t.join(p, "id").select("id", "label_true", "label_pred", "prob")
+
+
+# --- J3: row alignment via inner join + explicit order (legacy:211-212) -----
+@query(
+    "align_inner",
+    oracle="""
+    SELECT c.c_custkey, c.c_acctbal, o.n_orders
+    FROM customer c
+    JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) o
+      ON c.c_custkey = o.o_custkey
+    ORDER BY c.c_custkey
+    """,
+)
+def align_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return (
+        customer.join(per_cust, customer.c_custkey == per_cust.o_custkey, "inner")
+        .select("c_custkey", "c_acctbal", "n_orders")
+        .orderBy("c_custkey")
+    )
+
+
+# --- J4: sort-then-positional match, re-keyed (experiments/utils/test.py:25-29)
+@query(
+    "sorted_zip",
+    oracle=f"""
+    WITH t AS ({_TRUTH_SQL}), p AS ({_PRED_SQL})
+    SELECT count(*) AS n_total,
+           sum(CAST(t.label = p.pred AS BIGINT)) AS n_equal
+    FROM t JOIN p ON t.id = p.id
+    """,
+)
+def sorted_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference zips two ID-sorted frames positionally; keyed join here."""
+    t = truth_frame(spark, sf_dir)
+    p = pred_frame(spark, sf_dir)
+    j = t.join(p, "id")
+    return j.agg(
+        F.count("*").alias("n_total"),
+        F.sum((F.col("label") == F.col("pred")).cast("bigint")).alias("n_equal"),
+    )
+
+
+# --- U1: union over schema intersection (1-1.data_processing.ipynb:1240-1249)
+@query(
+    "union_rows",
+    oracle="""
+    WITH y22 AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+             CAST(year(o_orderdate) AS INT) AS o_year
+      FROM orders WHERE year(o_orderdate) <= 1998
+    ), y23 AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+             CAST(year(o_orderdate) AS INT) AS o_year
+      FROM orders WHERE year(o_orderdate) > 1998
+    )
+    SELECT * FROM y22 UNION ALL SELECT * FROM y23
+    """,
+)
+def union_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two 'yearly extracts' with differing extra columns, unioned over the
+    intersection of their schemas preserving the first side's column order."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    )
+    df22 = orders.filter(F.col("o_year") <= 1998).drop("o_orderpriority", "o_orderdate")
+    df23 = orders.filter(F.col("o_year") > 1998).drop("o_orderdate").withColumn(
+        "extra_col", F.lit(1)
+    )
+    common = [c for c in df22.columns if c in set(df23.columns)]
+    return df22.select(*common).unionByName(df23.select(*common))
+
+
+# --- U2: union with provenance column (legacy/modeling.py:77-82) ------------
+@query(
+    "union_labeled",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, 'train' AS split
+    FROM orders WHERE o_orderkey % 5 <> 4
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'test' AS split
+    FROM orders WHERE o_orderkey % 5 = 4
+    """,
+)
+def union_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    train = orders.filter(F.col("o_orderkey") % 5 != 4).withColumn("split", F.lit("train"))
+    test = orders.filter(F.col("o_orderkey") % 5 == 4).withColumn("split", F.lit("test"))
+    return train.unionByName(test)
+
+
+# --- U3: horizontal concat re-keyed as a join (src/ensemble/stacking.py:86-87)
+@query(
+    "concat_cols",
+    oracle="""
+    SELECT a.l_orderkey, a.l_linenumber, a.l_quantity, b.l_extendedprice, b.l_discount
+    FROM (SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem) a
+    JOIN (SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber
+    """,
+)
+def concat_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """np.column_stack semantics: meta-feature columns joined on the row key
+    (never positional — Spark has no stable row order)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", "l_linenumber", "l_quantity")
+    b = li.select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    return a.join(b, ["l_orderkey", "l_linenumber"])
+
+
+# --- U4: column-name intersection (basecode.ipynb cell 1; legacy:89) --------
+@query(
+    "intersect_names",
+    oracle="""
+    SELECT col FROM (
+      SELECT 'o_custkey' AS col UNION ALL SELECT 'o_orderkey'
+      UNION ALL SELECT 'o_orderstatus' UNION ALL SELECT 'o_totalprice'
+    ) ORDER BY col
+    """,
+)
+def intersect_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-level set algebra: shared column names of two projections.
+
+    Driver-side over df.columns (schemas are driver metadata); the oracle
+    enumerates the deterministic expected set for the fixture schema.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.drop("o_orderpriority", "o_orderdate")
+    b = orders.drop("o_orderdate").withColumn("extra", F.lit(1)).drop("o_orderpriority")
+    b = b.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "extra")
+    common = sorted(set(a.columns) & set(b.columns))
+    return spark.createDataFrame([(c,) for c in common], "col string").orderBy("col")

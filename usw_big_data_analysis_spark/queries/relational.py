@@ -1,0 +1,278 @@
+"""Scans/sinks + projections/filters (SURVEY.md §2.1 S1-S7, §2.2 P1-P8).
+
+Reference sites cited per query. Null-handling queries inject nulls
+deterministically in-query (fixture has none; see FIXTURES.md §3 note) with
+the same expression on both engines.
+
+Scale notes: every filter/projection here reaches the parquet scan as
+PushedFilters/ReadSchema (verified in tests/test_plans.py); the null-ratio
+column prune (P7) is the one inherently 2-pass operator (schema depends on
+data) — implemented as a single agg pass over conditional counts, then a
+driver-side select of surviving columns.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import query
+from ..sources import load_table
+from ..sources.io import read_csv
+
+_TMP = tempfile.gettempdir()
+
+
+# --- S1: CSV scan (legacy/modeling.py:63-66; teamProject/sap.py:31-32) ------
+@query(
+    "scan_csv",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip `nation` through a CSV sink+scan with explicit schema."""
+    path = os.path.join(_TMP, "usw_q_scan_csv")
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").option(
+        "header", True
+    ).csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return read_csv(spark, path, schema=schema)
+
+
+# --- S4: line-oriented text scan (computer-structure.ipynb:31-38) -----------
+@query(
+    "scan_text",
+    oracle="""
+    SELECT count(*) AS n_lines, sum(length(text)) AS total_chars
+    FROM documents
+    """,
+)
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink document text as raw lines, scan back, count lines/chars."""
+    path = os.path.join(_TMP, "usw_q_scan_text")
+    load_table(spark, sf_dir, "documents").select("text").write.mode(
+        "overwrite"
+    ).text(path)
+    lines = spark.read.text(path)
+    return lines.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+    )
+
+
+# --- S5: CSV sink (teamProject/sap.py:158; legacy/modeling.py:199-200) ------
+_REV_ORACLE = """
+SELECT l_returnflag,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def _revenue_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(25,6)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n")
+    )
+
+
+@query("sink_csv", oracle=_REV_ORACLE)
+def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate → CSV sink → scan back (lossless: Java double repr round-trips)."""
+    path = os.path.join(_TMP, "usw_q_sink_csv")
+    _revenue_by_flag(spark, sf_dir).write.mode("overwrite").option("header", True).csv(path)
+    schema = "l_returnflag string, revenue double, n bigint"
+    return read_csv(spark, path, schema=schema)
+
+
+# --- S7: JSON sink (experiments/overfitting_experiment.py:379-381) ----------
+@query("sink_json", oracle=_REV_ORACLE)
+def sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(_TMP, "usw_q_sink_json")
+    _revenue_by_flag(spark, sf_dir).write.mode("overwrite").json(path)
+    return spark.read.schema("l_returnflag string, revenue double, n bigint").json(path)
+
+
+# --- P1: drop columns (teamProject/sap.py:39-42) ----------------------------
+@query(
+    "project_drop",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+           l_extendedprice, l_discount, l_returnflag, l_linestatus
+    FROM lineitem
+    """,
+)
+def project_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").drop("l_tax", "l_shipdate")
+
+
+# --- P2: select by name convention (teamProject/utils/preprocessing.py:49) --
+@query("project_prefix", oracle="SELECT event_id, event_type FROM events")
+def project_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "events")
+    cols = [c for c in df.columns if c.startswith("event")]
+    return df.select(*cols)
+
+
+# --- P3: select by dtype (wine…03….ipynb:1380) ------------------------------
+@query(
+    "project_dtype",
+    oracle="SELECT l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem",
+)
+def project_dtype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "lineitem")
+    cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.DoubleType)]
+    return df.select(*cols)
+
+
+# --- P4: numeric range filter (1-1.data_processing.ipynb age>=19) -----------
+@query(
+    "filter_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_quantity >= 30.0
+    """,
+)
+def filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 30.0)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+# --- P5: null-predicate filter (1-2.labeling_XYdataset.ipynb:522-529) -------
+@query(
+    "filter_notnull",
+    oracle="""
+    WITH injected AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_linenumber % 7 = 0 THEN NULL
+                  WHEN l_linenumber % 5 = 0 THEN -1.0
+                  ELSE l_quantity END AS q
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, q
+    FROM injected WHERE q IS NOT NULL AND q <> -1.0
+    """,
+)
+def filter_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter rows where a sentinel-coded column is valid (not NULL, not -1)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = (
+        F.when(F.col("l_linenumber") % 7 == 0, F.lit(None))
+        .when(F.col("l_linenumber") % 5 == 0, F.lit(-1.0))
+        .otherwise(F.col("l_quantity"))
+    )
+    return (
+        li.select("l_orderkey", "l_linenumber", q.alias("q"))
+        .filter(F.col("q").isNotNull() & (F.col("q") != -1.0))
+    )
+
+
+# --- P6: set-membership filter (experiments/target_eda.py:90-101) -----------
+@query(
+    "filter_isin",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag
+    FROM lineitem WHERE l_returnflag IN ('A', 'R')
+    """,
+)
+def filter_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag").isin("A", "R"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+    )
+
+
+# --- P7: column pruning by null ratio (1-1.data_processing.ipynb:2485-2488) -
+@query(
+    "filter_mask_cols",
+    oracle="""
+    WITH injected AS (
+      SELECT CASE WHEN l_linenumber % 2 = 0 THEN NULL ELSE l_quantity END AS c_quantity,
+             CASE WHEN l_linenumber % 7 = 0 THEN NULL ELSE l_extendedprice END AS c_extendedprice,
+             CASE WHEN l_orderkey % 100 < 90 THEN NULL ELSE l_discount END AS c_discount,
+             l_tax AS c_tax
+      FROM lineitem
+    ), stats AS (
+      SELECT count(*) AS total,
+             count(c_quantity) AS n_quantity,
+             count(c_extendedprice) AS n_extendedprice,
+             count(c_discount) AS n_discount,
+             count(c_tax) AS n_tax
+      FROM injected
+    )
+    SELECT col_name,
+           1.0 - CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS null_frac,
+           (1.0 - CAST(n AS DOUBLE) / CAST(total AS DOUBLE)) < 0.8 AS kept
+    FROM (
+      SELECT 'c_quantity' AS col_name, n_quantity AS n, total FROM stats
+      UNION ALL SELECT 'c_extendedprice', n_extendedprice, total FROM stats
+      UNION ALL SELECT 'c_discount', n_discount, total FROM stats
+      UNION ALL SELECT 'c_tax', n_tax, total FROM stats
+    )
+    """,
+)
+def filter_mask_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-ratio column-prune decision table (keep cols with <80% nulls).
+
+    One aggregation pass computes every column's non-null count; the
+    keep/drop decision is then a tiny unpivot — the pattern that replaces
+    `df.loc[:, nan_pct < 0.8]` without materializing intermediates.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    injected = li.select(
+        F.when(F.col("l_linenumber") % 2 == 0, None)
+        .otherwise(F.col("l_quantity"))
+        .alias("c_quantity"),
+        F.when(F.col("l_linenumber") % 7 == 0, None)
+        .otherwise(F.col("l_extendedprice"))
+        .alias("c_extendedprice"),
+        F.when(F.col("l_orderkey") % 100 < 90, None)
+        .otherwise(F.col("l_discount"))
+        .alias("c_discount"),
+        F.col("l_tax").alias("c_tax"),
+    )
+    cols = injected.columns
+    stats = injected.agg(
+        F.count("*").alias("total"),
+        *[F.count(c).alias(f"n_{c}") for c in cols],
+    )
+    stack_expr = ", ".join(f"'{c}', n_{c}" for c in cols)
+    unpivoted = stats.selectExpr(
+        "total", f"stack({len(cols)}, {stack_expr}) AS (col_name, n)"
+    )
+    null_frac = 1.0 - F.col("n").cast("double") / F.col("total").cast("double")
+    return unpivoted.select(
+        "col_name",
+        null_frac.alias("null_frac"),
+        (null_frac < 0.8).alias("kept"),
+    )
+
+
+# --- P8: per-group subset (teamProject/eda.ipynb:1396-1407) -----------------
+@query(
+    "filter_class",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def filter_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
