@@ -1,0 +1,396 @@
+"""Evaluation metrics + splits/CV + model selection (SURVEY.md §2.10).
+
+Exact-SQL implementations of the reference's sklearn metrics
+(`src/utils/metrics.py:11-48`, `teamProject/utils/evaluation.py:26-92`,
+`error_analysis.ipynb:454-470`) over a deterministic derived
+prediction table (see joins_unions.truth_frame/pred_frame). Everything here
+is integer-count arithmetic + single divisions, so results are exact;
+compound formulas (F1, t-style) are rounded to 6dp against FMA contraction.
+
+Scale notes: each metric is one aggregation over the scored table — a single
+shuffle-free partial agg. AUROC uses a global rank, which is a total sort: at
+100 TB replace with a fixed binning of scores (the threshold_sweep pattern)
+or range-partitioned two-pass ranking; exact ranking is fine at test scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import numeric as N
+from ..registry import query
+from ..sources import load_table
+from .joins_unions import _PRED_SQL, _TRUTH_SQL, pred_frame, truth_frame
+
+_SCORED_SQL = f"""
+  SELECT t.id, t.label, p.prob, p.pred
+  FROM ({_TRUTH_SQL}) t JOIN ({_PRED_SQL}) p ON t.id = p.id
+"""
+
+
+def scored_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return truth_frame(spark, sf_dir).join(pred_frame(spark, sf_dir), "id")
+
+
+# --- E8: accuracy (cross-validation/wine_analysis.py:109) -------------------
+@query(
+    "metric_accuracy",
+    oracle=f"""
+    SELECT CAST(sum(CAST(pred = label AS BIGINT)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS accuracy,
+           count(*) AS n
+    FROM ({_SCORED_SQL})
+    """,
+)
+def metric_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = scored_frame(spark, sf_dir)
+    return s.agg(
+        (
+            F.sum((F.col("pred") == F.col("label")).cast("bigint")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("accuracy"),
+        F.count("*").alias("n"),
+    )
+
+
+# --- E9: F1 binary/per-class/macro (src/utils/metrics.py:15) ----------------
+_CONF_SQL = f"""
+  SELECT sum(CAST(label = 1 AND pred = 1 AS BIGINT)) AS tp,
+         sum(CAST(label = 0 AND pred = 1 AS BIGINT)) AS fp,
+         sum(CAST(label = 1 AND pred = 0 AS BIGINT)) AS fn,
+         sum(CAST(label = 0 AND pred = 0 AS BIGINT)) AS tn
+  FROM ({_SCORED_SQL})
+"""
+
+
+@query(
+    "metric_f1",
+    oracle=f"""
+    WITH c AS ({_CONF_SQL})
+    SELECT round(2.0 * tp / nullif(2.0 * tp + fp + fn, 0), 6) AS f1_pos,
+           round(2.0 * tn / nullif(2.0 * tn + fn + fp, 0), 6) AS f1_neg,
+           round((2.0 * tp / nullif(2.0 * tp + fp + fn, 0)
+                + 2.0 * tn / nullif(2.0 * tn + fn + fp, 0)) / 2.0, 6) AS macro_f1
+    FROM c
+    """,
+)
+def metric_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sklearn-matching F1: per-class from confusion counts, macro = mean.
+    (2TP/(2TP+FP+FN) form avoids the precision/recall intermediate and its
+    division-by-zero conventions.)"""
+    s = scored_frame(spark, sf_dir)
+    c = s.agg(
+        F.sum(((F.col("label") == 1) & (F.col("pred") == 1)).cast("bigint")).alias("tp"),
+        F.sum(((F.col("label") == 0) & (F.col("pred") == 1)).cast("bigint")).alias("fp"),
+        F.sum(((F.col("label") == 1) & (F.col("pred") == 0)).cast("bigint")).alias("fn"),
+        F.sum(((F.col("label") == 0) & (F.col("pred") == 0)).cast("bigint")).alias("tn"),
+    )
+    f1_pos = 2.0 * F.col("tp") / F.nullif(2.0 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(0))
+    f1_neg = 2.0 * F.col("tn") / F.nullif(2.0 * F.col("tn") + F.col("fn") + F.col("fp"), F.lit(0))
+    return c.select(
+        F.round(f1_pos, 6).alias("f1_pos"),
+        F.round(f1_neg, 6).alias("f1_neg"),
+        F.round((f1_pos + f1_neg) / 2.0, 6).alias("macro_f1"),
+    )
+
+
+# --- E10: ROC-AUC via average ranks (src/utils/metrics.py:16) ---------------
+# AUC = (Σ ranks of positives − n⁺(n⁺+1)/2) / (n⁺ n⁻), average ranks for
+# ties — the exact Mann-Whitney identity sklearn uses. Rank sums are
+# half-integers < 2^52 ⇒ exact in double regardless of order.
+_RANKED_SQL = f"""
+  SELECT label,
+         rank() OVER (ORDER BY prob)
+           + (count(*) OVER (PARTITION BY prob) - 1) / 2.0 AS r_avg
+  FROM ({_SCORED_SQL})
+"""
+
+
+@query(
+    "metric_auroc",
+    oracle=f"""
+    WITH r AS ({_RANKED_SQL}),
+    s AS (
+      SELECT sum(CASE WHEN label = 1 THEN r_avg END) AS rank_sum_pos,
+             sum(CAST(label = 1 AS BIGINT)) AS npos,
+             sum(CAST(label = 0 AS BIGINT)) AS nneg
+      FROM r
+    )
+    SELECT round((rank_sum_pos - npos * (npos + 1) / 2.0)
+                 / (CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE)), 6) AS auroc,
+           npos, nneg
+    FROM s
+    """,
+)
+def metric_auroc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = scored_frame(spark, sf_dir)
+    r_avg = F.rank().over(Window.orderBy("prob")) + (
+        F.count("*").over(Window.partitionBy("prob")) - 1
+    ) / 2.0
+    r = s.select("label", r_avg.alias("r_avg"))
+    agg = r.agg(
+        F.sum(F.when(F.col("label") == 1, F.col("r_avg"))).alias("rank_sum_pos"),
+        F.sum((F.col("label") == 1).cast("bigint")).alias("npos"),
+        F.sum((F.col("label") == 0).cast("bigint")).alias("nneg"),
+    )
+    auc = (F.col("rank_sum_pos") - F.col("npos") * (F.col("npos") + 1) / 2.0) / (
+        F.col("npos").cast("double") * F.col("nneg").cast("double")
+    )
+    return agg.select(F.round(auc, 6).alias("auroc"), "npos", "nneg")
+
+
+# --- E11: confusion matrix (teamProject/utils/evaluation.py:83-92) ----------
+@query(
+    "metric_confusion",
+    oracle=f"SELECT label, pred, count(*) AS n FROM ({_SCORED_SQL}) GROUP BY label, pred",
+)
+def metric_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        scored_frame(spark, sf_dir)
+        .groupBy("label", "pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --- E12: log-loss (wine…11….ipynb:5543) ------------------------------------
+@query(
+    "metric_logloss",
+    oracle=f"""
+    WITH p AS (
+      SELECT round(ln(greatest(least(CASE WHEN label = 1 THEN prob
+                                          ELSE 1.0 - prob END,
+                                     1.0 - 1e-15), 1e-15)), 8) AS lp
+      FROM ({_SCORED_SQL})
+    )
+    SELECT round(-CAST(sum(CAST(lp AS DECIMAL(20,8))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS logloss,
+           count(*) AS n
+    FROM p
+    """,
+)
+def metric_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-avg(log p_true) with sklearn's eps clipping; per-row log rounded to
+    8dp (libm ulp) then decimal-summed (order independence)."""
+    s = scored_frame(spark, sf_dir)
+    p_true = F.when(F.col("label") == 1, F.col("prob")).otherwise(1.0 - F.col("prob"))
+    lp = F.round(
+        F.log(F.greatest(F.least(p_true, F.lit(1.0 - 1e-15)), F.lit(1e-15))), 8
+    )
+    return s.select(lp.alias("lp")).agg(
+        F.round(
+            -F.sum(F.col("lp").cast("decimal(20,8)")).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("logloss"),
+        F.count("*").alias("n"),
+    )
+
+
+# --- E14: threshold sweep (error_analysis.ipynb:454-470) --------------------
+@query(
+    "threshold_sweep",
+    oracle=f"""
+    WITH s AS ({_SCORED_SQL}),
+    th AS (SELECT i / 20.0 AS threshold FROM generate_series(2, 18) t(i)),
+    c AS (
+      SELECT th.threshold,
+             sum(CAST(s.label = 1 AND s.prob >= th.threshold AS BIGINT)) AS tp,
+             sum(CAST(s.label = 0 AND s.prob >= th.threshold AS BIGINT)) AS fp,
+             sum(CAST(s.label = 1 AND s.prob < th.threshold AS BIGINT)) AS fn,
+             sum(CAST(s.label = 0 AND s.prob < th.threshold AS BIGINT)) AS tn
+      FROM s CROSS JOIN th GROUP BY th.threshold
+    )
+    SELECT round(threshold, 6) AS threshold,
+           round(CAST(tp + tn AS DOUBLE) / (tp + tn + fp + fn), 6) AS accuracy,
+           round(CAST(tp AS DOUBLE) / nullif(tp + fp, 0), 6) AS precision_,
+           round(CAST(tp AS DOUBLE) / nullif(tp + fn, 0), 6) AS recall_,
+           round(2.0 * tp / nullif(2.0 * tp + fp + fn, 0), 6) AS f1
+    FROM c
+    """,
+)
+def threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One pass over a threshold-dim cross join — 17 thresholds scored in a
+    single aggregation instead of 17 scans (the reference loops)."""
+    s = scored_frame(spark, sf_dir)
+    th = spark.range(2, 19).select((F.col("id") / 20.0).alias("threshold"))
+    j = s.crossJoin(F.broadcast(th))
+    hit = F.col("prob") >= F.col("threshold")
+    c = j.groupBy("threshold").agg(
+        F.sum(((F.col("label") == 1) & hit).cast("bigint")).alias("tp"),
+        F.sum(((F.col("label") == 0) & hit).cast("bigint")).alias("fp"),
+        F.sum(((F.col("label") == 1) & ~hit).cast("bigint")).alias("fn"),
+        F.sum(((F.col("label") == 0) & ~hit).cast("bigint")).alias("tn"),
+    )
+    total = F.col("tp") + F.col("tn") + F.col("fp") + F.col("fn")
+    return c.select(
+        F.round("threshold", 6).alias("threshold"),
+        F.round((F.col("tp") + F.col("tn")).cast("double") / total, 6).alias("accuracy"),
+        F.round(
+            F.col("tp").cast("double") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)), 6
+        ).alias("precision_"),
+        F.round(
+            F.col("tp").cast("double") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)), 6
+        ).alias("recall_"),
+        F.round(
+            2.0 * F.col("tp") / F.nullif(2.0 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(0)),
+            6,
+        ).alias("f1"),
+    )
+
+
+# --- E13: composite score (src/utils/metrics.py:20-48) ----------------------
+@query(
+    "score_combined",
+    oracle=f"""
+    WITH c AS ({_CONF_SQL}),
+    r AS ({_RANKED_SQL}),
+    a AS (
+      SELECT sum(CASE WHEN label = 1 THEN r_avg END) AS rank_sum_pos,
+             sum(CAST(label = 1 AS BIGINT)) AS npos,
+             sum(CAST(label = 0 AS BIGINT)) AS nneg
+      FROM r
+    )
+    SELECT round(2.0 * c.tp / nullif(2.0 * c.tp + c.fp + c.fn, 0), 6) AS f1,
+           round((a.rank_sum_pos - a.npos * (a.npos + 1) / 2.0)
+                 / (CAST(a.npos AS DOUBLE) * CAST(a.nneg AS DOUBLE)), 6) AS auroc,
+           round((2.0 * c.tp / nullif(2.0 * c.tp + c.fp + c.fn, 0)
+                + (a.rank_sum_pos - a.npos * (a.npos + 1) / 2.0)
+                  / (CAST(a.npos AS DOUBLE) * CAST(a.nneg AS DOUBLE))) / 2.0, 6) AS score
+    FROM c CROSS JOIN a
+    """,
+)
+def score_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(F1 + AUROC) / 2 — the reference's submission score."""
+    s = scored_frame(spark, sf_dir)
+    c = s.agg(
+        F.sum(((F.col("label") == 1) & (F.col("pred") == 1)).cast("bigint")).alias("tp"),
+        F.sum(((F.col("label") == 0) & (F.col("pred") == 1)).cast("bigint")).alias("fp"),
+        F.sum(((F.col("label") == 1) & (F.col("pred") == 0)).cast("bigint")).alias("fn"),
+    )
+    r_avg = F.rank().over(Window.orderBy("prob")) + (
+        F.count("*").over(Window.partitionBy("prob")) - 1
+    ) / 2.0
+    a = s.select("label", r_avg.alias("r_avg")).agg(
+        F.sum(F.when(F.col("label") == 1, F.col("r_avg"))).alias("rank_sum_pos"),
+        F.sum((F.col("label") == 1).cast("bigint")).alias("npos"),
+        F.sum((F.col("label") == 0).cast("bigint")).alias("nneg"),
+    )
+    j = c.crossJoin(a)
+    f1 = 2.0 * F.col("tp") / F.nullif(2.0 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(0))
+    auc = (F.col("rank_sum_pos") - F.col("npos") * (F.col("npos") + 1) / 2.0) / (
+        F.col("npos").cast("double") * F.col("nneg").cast("double")
+    )
+    return j.select(
+        F.round(f1, 6).alias("f1"),
+        F.round(auc, 6).alias("auroc"),
+        F.round((f1 + auc) / 2.0, 6).alias("score"),
+    )
+
+
+# --- E23: best-model selection window (src/ensemble/utils.py:26-92) ---------
+@query(
+    "best_model_select",
+    oracle=f"""
+    WITH results AS (
+      SELECT l_returnflag AS model_type, l_linestatus AS config_name,
+             {N.sql_davg('l_quantity')} AS test_score
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT model_type, config_name, test_score, rnk FROM (
+      SELECT model_type, config_name, test_score,
+             row_number() OVER (PARTITION BY model_type
+                                ORDER BY test_score DESC, config_name) AS rnk
+      FROM results
+    ) WHERE rnk = 1
+    """,
+)
+def best_model_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """find_best_models over a results log: rank within model_type, keep #1."""
+    li = load_table(spark, sf_dir, "lineitem")
+    results = li.groupBy(
+        F.col("l_returnflag").alias("model_type"),
+        F.col("l_linestatus").alias("config_name"),
+    ).agg(N.davg("l_quantity").alias("test_score"))
+    w = Window.partitionBy("model_type").orderBy(
+        F.desc("test_score"), F.asc("config_name")
+    )
+    return (
+        results.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+    )
+
+
+# --- E1: stratified split (1-2.labeling_XYdataset.ipynb:701-703) ------------
+@query(
+    "split_stratified",
+    oracle="""
+    WITH assigned AS (
+      SELECT l_returnflag,
+             CASE WHEN row_number() OVER (PARTITION BY l_returnflag
+                                          ORDER BY l_orderkey, l_linenumber) % 5 = 0
+                  THEN 'test' ELSE 'train' END AS split
+      FROM lineitem
+    )
+    SELECT l_returnflag, split, count(*) AS n
+    FROM assigned GROUP BY l_returnflag, split
+    """,
+)
+def split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/20 stratified split as a per-class row_number modulo — exact class
+    proportions, deterministic under any partitioning (unlike seeded rand)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_orderkey", "l_linenumber")
+    split = F.when(F.row_number().over(w) % 5 == 0, "test").otherwise("train")
+    return (
+        li.select("l_returnflag", split.alias("split"))
+        .groupBy("l_returnflag", "split")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --- E2: deterministic modulo split (iris_analysis split cell) --------------
+@query(
+    "split_modk",
+    oracle=f"""
+    SELECT CAST(o_orderkey % 5 AS INT) AS fold,
+           CASE WHEN o_orderkey % 5 = 4 THEN 'test' ELSE 'train' END AS split,
+           count(*) AS n, {N.sql_davg('o_totalprice')} AS mean_price
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def split_modk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    fold = (F.col("o_orderkey") % 5).cast("int")
+    split = F.when(F.col("o_orderkey") % 5 == 4, "test").otherwise("train")
+    return orders.groupBy(fold.alias("fold"), split.alias("split")).agg(
+        F.count("*").alias("n"), N.davg("o_totalprice").alias("mean_price")
+    )
+
+
+# --- E3: stratified K-fold assignment (teamProject/sap.py:59-62) ------------
+@query(
+    "cv_stratified_kfold",
+    oracle="""
+    WITH assigned AS (
+      SELECT l_returnflag,
+             CAST(row_number() OVER (PARTITION BY l_returnflag
+                                     ORDER BY l_orderkey, l_linenumber) % 5 AS INT) AS fold
+      FROM lineitem
+    )
+    SELECT fold, l_returnflag, count(*) AS n_val
+    FROM assigned GROUP BY fold, l_returnflag
+    """,
+)
+def cv_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold column = per-class row_number % k: every fold has exact class
+    balance, and the fold-tagged frame is reusable across all k fits
+    (persist once; train = fold≠i, val = fold=i)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_orderkey", "l_linenumber")
+    fold = (F.row_number().over(w) % 5).cast("int")
+    return (
+        li.select("l_returnflag", fold.alias("fold"))
+        .groupBy("fold", "l_returnflag")
+        .agg(F.count("*").alias("n_val"))
+    )

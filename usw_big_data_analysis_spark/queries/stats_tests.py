@@ -1,0 +1,452 @@
+"""Statistical tests (SURVEY.md §2.11 T1-T9) — scipy.stats surface.
+
+Each test computes its statistic fully inside the engine from distributed
+sufficient statistics (counts, decimal sums, windowed average ranks); only
+the p-value lookup (a special-function CDF) is driver-side — see
+``functions/stats.py`` for the scipy-finished variants. The oracle-checked
+queries return the exact statistics.
+
+Rank-based tests use global average-rank windows (ties get the mean rank,
+matching scipy). Average ranks are half-integers < 2^52, so their sums are
+exact in double regardless of order. Global ranking is a total sort — fine
+at test scale; at 100 TB use range-partitioned two-pass ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import numeric as N
+from ..registry import query
+from ..sources import load_table
+
+# per-group decimal sufficient statistics of l_quantity by l_returnflag
+_GRP_SQL = f"""
+  SELECT l_returnflag AS grp, CAST(count(*) AS DOUBLE) AS n,
+         {N.sql_dsum('l_quantity')} AS sx,
+         CAST(sum(CAST(CAST(l_quantity AS DECIMAL(25,6))
+                       * CAST(l_quantity AS DECIMAL(25,6)) AS DECIMAL(38,10)))
+              AS DOUBLE) AS sxx
+  FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def _grp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(q.cast("decimal(25,6)")).cast("double").alias("sx"),
+        F.sum(
+            (q.cast("decimal(25,6)") * q.cast("decimal(25,6)")).cast("decimal(38,10)")
+        )
+        .cast("double")
+        .alias("sxx"),
+    )
+
+
+# --- T1: one-sample t (Statistical_test_iris_analysis.ipynb:37) -------------
+@query(
+    "ttest_1samp",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, {N.sql_davg('l_quantity')} AS m,
+             {N.sql_dvar('l_quantity')} AS v
+      FROM lineitem
+    )
+    SELECT round((m - 25.5) / sqrt(v / n), 6) AS t_stat,
+           CAST(n - 1 AS BIGINT) AS df
+    FROM s
+    """,
+)
+def ttest_1samp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.agg(
+        F.count("*").cast("double").alias("n"),
+        N.davg("l_quantity").alias("m"),
+        N.dvar("l_quantity").alias("v"),
+    )
+    t = (F.col("m") - 25.5) / F.sqrt(F.col("v") / F.col("n"))
+    return s.select(
+        F.round(t, 6).alias("t_stat"), (F.col("n") - 1).cast("bigint").alias("df")
+    )
+
+
+# --- T2: Welch two-sample t (train_test_comparison.py:94,151) ---------------
+@query(
+    "ttest_ind",
+    oracle=f"""
+    WITH g AS ({_GRP_SQL}),
+    ab AS (
+      SELECT max(CASE WHEN grp = 'A' THEN n END) AS n1,
+             max(CASE WHEN grp = 'A' THEN sx END) AS sx1,
+             max(CASE WHEN grp = 'A' THEN sxx END) AS sxx1,
+             max(CASE WHEN grp = 'R' THEN n END) AS n2,
+             max(CASE WHEN grp = 'R' THEN sx END) AS sx2,
+             max(CASE WHEN grp = 'R' THEN sxx END) AS sxx2
+      FROM g
+    ),
+    d AS (
+      SELECT n1, n2, sx1 / n1 AS m1, sx2 / n2 AS m2,
+             (sxx1 - sx1 * sx1 / n1) / (n1 - 1.0) AS v1,
+             (sxx2 - sx2 * sx2 / n2) / (n2 - 1.0) AS v2
+      FROM ab
+    )
+    SELECT round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+           round(pow(v1 / n1 + v2 / n2, 2)
+                 / (pow(v1 / n1, 2) / (n1 - 1.0) + pow(v2 / n2, 2) / (n2 - 1.0)), 6) AS df_welch
+    FROM d
+    """,
+)
+def ttest_ind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch t between returnflag groups A and R on l_quantity."""
+    g = _grp_stats(spark, sf_dir)
+    ab = g.agg(
+        *[
+            F.max(F.when(F.col("grp") == grp, F.col(c))).alias(f"{c}{i}")
+            for i, grp in ((1, "A"), (2, "R"))
+            for c in ("n", "sx", "sxx")
+        ]
+    )
+    m1, m2 = F.col("sx1") / F.col("n1"), F.col("sx2") / F.col("n2")
+    v1 = (F.col("sxx1") - F.col("sx1") * F.col("sx1") / F.col("n1")) / (F.col("n1") - 1.0)
+    v2 = (F.col("sxx2") - F.col("sx2") * F.col("sx2") / F.col("n2")) / (F.col("n2") - 1.0)
+    d = ab.select(
+        F.col("n1"), F.col("n2"), m1.alias("m1"), m2.alias("m2"),
+        v1.alias("v1"), v2.alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    t = (F.col("m1") - F.col("m2")) / F.sqrt(se2)
+    df = F.pow(se2, F.lit(2)) / (
+        F.pow(F.col("v1") / F.col("n1"), F.lit(2)) / (F.col("n1") - 1.0)
+        + F.pow(F.col("v2") / F.col("n2"), F.lit(2)) / (F.col("n2") - 1.0)
+    )
+    return d.select(F.round(t, 6).alias("t_stat"), F.round(df, 6).alias("df_welch"))
+
+
+# --- T3: paired t (Statistical_test_iris_analysis.ipynb:107) ----------------
+# "model A vs model B" paired scores stand-in: per-row pair (quantity,
+# discounted quantity); d = quantity*discount is the paired difference.
+_PAIRED_D = "l_quantity * l_discount - 1.0"
+
+
+@query(
+    "ttest_rel",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             {N.sql_davg(_PAIRED_D)} AS md,
+             {N.sql_dvar(_PAIRED_D)} AS vd
+      FROM lineitem
+    )
+    SELECT round(md / sqrt(vd / n), 6) AS t_stat, CAST(n - 1 AS BIGINT) AS df
+    FROM s
+    """,
+)
+def ttest_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.col("l_quantity") * F.col("l_discount") - 1.0
+    s = li.agg(
+        F.count("*").cast("double").alias("n"),
+        N.davg(d).alias("md"),
+        N.dvar(d).alias("vd"),
+    )
+    return s.select(
+        F.round(F.col("md") / F.sqrt(F.col("vd") / F.col("n")), 6).alias("t_stat"),
+        (F.col("n") - 1).cast("bigint").alias("df"),
+    )
+
+
+# --- T4: Wilcoxon signed-rank (cross-validation/wine_analysis.py:151) -------
+@query(
+    "wilcoxon",
+    oracle=f"""
+    WITH d AS (
+      SELECT {_PAIRED_D} AS d FROM lineitem WHERE {_PAIRED_D} <> 0.0
+    ),
+    r AS (
+      SELECT d,
+             rank() OVER (ORDER BY abs(d))
+               + (count(*) OVER (PARTITION BY abs(d)) - 1) / 2.0 AS r_avg
+      FROM d
+    )
+    SELECT sum(CASE WHEN d > 0 THEN r_avg ELSE 0 END) AS w_plus,
+           sum(CASE WHEN d < 0 THEN r_avg ELSE 0 END) AS w_minus,
+           least(sum(CASE WHEN d > 0 THEN r_avg ELSE 0 END),
+                 sum(CASE WHEN d < 0 THEN r_avg ELSE 0 END)) AS w_stat,
+           count(*) AS n_nonzero
+    FROM r
+    """,
+)
+def wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-rank sums with scipy's zero-discard and mean-rank ties."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d_expr = F.col("l_quantity") * F.col("l_discount") - 1.0
+    d = li.select(d_expr.alias("d")).filter(F.col("d") != 0.0)
+    r_avg = F.rank().over(Window.orderBy(F.abs(F.col("d")))) + (
+        F.count("*").over(Window.partitionBy(F.abs(F.col("d")))) - 1
+    ) / 2.0
+    r = d.select("d", r_avg.alias("r_avg"))
+    w_plus = F.sum(F.when(F.col("d") > 0, F.col("r_avg")).otherwise(0.0))
+    w_minus = F.sum(F.when(F.col("d") < 0, F.col("r_avg")).otherwise(0.0))
+    return r.agg(
+        w_plus.alias("w_plus"),
+        w_minus.alias("w_minus"),
+        F.least(w_plus, w_minus).alias("w_stat"),
+        F.count("*").alias("n_nonzero"),
+    )
+
+
+# --- T5: Mann-Whitney U (Statistical_test_iris_analysis.ipynb:75-76) --------
+@query(
+    "mannwhitney",
+    oracle="""
+    WITH two AS (
+      SELECT l_returnflag AS grp, l_quantity AS x
+      FROM lineitem WHERE l_returnflag IN ('A', 'R')
+    ),
+    r AS (
+      SELECT grp,
+             rank() OVER (ORDER BY x)
+               + (count(*) OVER (PARTITION BY x) - 1) / 2.0 AS r_avg
+      FROM two
+    ),
+    s AS (
+      SELECT sum(CASE WHEN grp = 'A' THEN r_avg END) AS r1,
+             sum(CAST(grp = 'A' AS BIGINT)) AS n1,
+             sum(CAST(grp = 'R' AS BIGINT)) AS n2
+      FROM r
+    )
+    SELECT r1 - n1 * (n1 + 1) / 2.0 AS u1,
+           CAST(n1 AS DOUBLE) * n2 - (r1 - n1 * (n1 + 1) / 2.0) AS u2,
+           least(r1 - n1 * (n1 + 1) / 2.0,
+                 CAST(n1 AS DOUBLE) * n2 - (r1 - n1 * (n1 + 1) / 2.0)) AS u_stat,
+           n1, n2
+    FROM s
+    """,
+)
+def mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    two = li.filter(F.col("l_returnflag").isin("A", "R")).select(
+        F.col("l_returnflag").alias("grp"), F.col("l_quantity").alias("x")
+    )
+    r_avg = F.rank().over(Window.orderBy("x")) + (
+        F.count("*").over(Window.partitionBy("x")) - 1
+    ) / 2.0
+    r = two.select("grp", r_avg.alias("r_avg"))
+    s = r.agg(
+        F.sum(F.when(F.col("grp") == "A", F.col("r_avg"))).alias("r1"),
+        F.sum((F.col("grp") == "A").cast("bigint")).alias("n1"),
+        F.sum((F.col("grp") == "R").cast("bigint")).alias("n2"),
+    )
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    u2 = F.col("n1").cast("double") * F.col("n2") - u1
+    return s.select(
+        u1.alias("u1"), u2.alias("u2"), F.least(u1, u2).alias("u_stat"), "n1", "n2"
+    )
+
+
+# --- T6: one-way ANOVA F (teamProject/eda.ipynb:1407) -----------------------
+@query(
+    "anova_f",
+    oracle=f"""
+    WITH g AS ({_GRP_SQL}),
+    tot AS (
+      SELECT count(*) AS k, sum(n) AS nn, sum(sx) AS s_all,
+             sum(sxx) AS ss_all, sum(sx * sx / n) AS s_grp
+      FROM g
+    )
+    SELECT round(((s_grp - s_all * s_all / nn) / (k - 1.0))
+                 / ((ss_all - s_grp) / (nn - k)), 6) AS f_stat,
+           CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(nn - k AS BIGINT) AS df_within
+    FROM tot
+    """,
+)
+def anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Between/within sum-of-squares from per-group decimal sums — a two-level
+    aggregation, no data pass beyond the group stats."""
+    g = _grp_stats(spark, sf_dir)
+    tot = g.agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("sx").alias("s_all"),
+        F.sum("sxx").alias("ss_all"),
+        F.sum(F.col("sx") * F.col("sx") / F.col("n")).alias("s_grp"),
+    )
+    ssb = F.col("s_grp") - F.col("s_all") * F.col("s_all") / F.col("nn")
+    ssw = F.col("ss_all") - F.col("s_grp")
+    f_stat = (ssb / (F.col("k") - 1.0)) / (ssw / (F.col("nn") - F.col("k")))
+    return tot.select(
+        F.round(f_stat, 6).alias("f_stat"),
+        (F.col("k") - 1).cast("bigint").alias("df_between"),
+        (F.col("nn") - F.col("k")).cast("bigint").alias("df_within"),
+    )
+
+
+# --- T7: Kruskal-Wallis H (Statistical_test_iris_analysis.ipynb:145) --------
+@query(
+    "kruskal",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag AS grp, l_quantity AS x,
+             rank() OVER (ORDER BY l_quantity)
+               + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS r_avg
+      FROM lineitem
+    ),
+    gs AS (
+      SELECT grp, sum(r_avg) AS rg, CAST(count(*) AS DOUBLE) AS ng
+      FROM r GROUP BY grp
+    ),
+    ties AS (
+      SELECT sum(CAST(t AS DOUBLE) * t * t - t) AS tie_term
+      FROM (SELECT count(*) AS t FROM lineitem GROUP BY l_quantity)
+    ),
+    tot AS (
+      SELECT sum(ng) AS nn, sum(rg * rg / ng) AS s_rg FROM gs
+    )
+    SELECT round((12.0 / (nn * (nn + 1.0)) * s_rg - 3.0 * (nn + 1.0))
+                 / (1.0 - tie_term / (nn * nn * nn - nn)), 6) AS h_stat,
+           CAST((SELECT count(*) FROM gs) - 1 AS BIGINT) AS df
+    FROM tot CROSS JOIN ties
+    """,
+)
+def kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H with scipy's tie correction; rank sums are exact half-integers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    r_avg = F.rank().over(Window.orderBy("l_quantity")) + (
+        F.count("*").over(Window.partitionBy("l_quantity")) - 1
+    ) / 2.0
+    r = li.select(F.col("l_returnflag").alias("grp"), r_avg.alias("r_avg"))
+    gs = r.groupBy("grp").agg(
+        F.sum("r_avg").alias("rg"), F.count("*").cast("double").alias("ng")
+    )
+    ties = (
+        li.groupBy("l_quantity")
+        .agg(F.count("*").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t").cast("double") * F.col("t") * F.col("t") - F.col("t")
+            ).alias("tie_term")
+        )
+    )
+    tot = gs.agg(
+        F.sum("ng").alias("nn"),
+        F.sum(F.col("rg") * F.col("rg") / F.col("ng")).alias("s_rg"),
+        F.count("*").alias("k"),
+    )
+    j = tot.crossJoin(ties)
+    h_raw = 12.0 / (F.col("nn") * (F.col("nn") + 1.0)) * F.col("s_rg") - 3.0 * (
+        F.col("nn") + 1.0
+    )
+    corr = 1.0 - F.col("tie_term") / (
+        F.col("nn") * F.col("nn") * F.col("nn") - F.col("nn")
+    )
+    return j.select(
+        F.round(h_raw / corr, 6).alias("h_stat"),
+        (F.col("k") - 1).cast("bigint").alias("df"),
+    )
+
+
+# --- T8: chi-squared contingency (train_test_comparison.py:53-56) -----------
+@query(
+    "chi2",
+    oracle="""
+    WITH cells AS (
+      SELECT l_returnflag AS r, l_linestatus AS c, CAST(count(*) AS DOUBLE) AS o
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ),
+    tot AS (SELECT sum(o) AS nn FROM cells),
+    rows_ AS (SELECT r, sum(o) AS row_tot FROM cells GROUP BY r),
+    cols_ AS (SELECT c, sum(o) AS col_tot FROM cells GROUP BY c),
+    terms AS (
+      SELECT round(pow(cells.o - rows_.row_tot * cols_.col_tot / tot.nn, 2)
+                   / (rows_.row_tot * cols_.col_tot / tot.nn), 8) AS term
+      FROM cells JOIN rows_ ON cells.r = rows_.r
+                 JOIN cols_ ON cells.c = cols_.c
+                 CROSS JOIN tot
+    )
+    SELECT round(CAST(sum(CAST(term AS DECIMAL(25,8))) AS DOUBLE), 6) AS chi2_stat,
+           (SELECT CAST((count(DISTINCT r) - 1) * (count(DISTINCT c) - 1) AS BIGINT)
+            FROM cells) AS df
+    FROM terms
+    """,
+)
+def chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² over the returnflag×linestatus contingency table; per-cell terms
+    rounded then decimal-summed for order independence."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("r"), F.col("l_linestatus").alias("c")
+    ).agg(F.count("*").cast("double").alias("o"))
+    tot = cells.agg(F.sum("o").alias("nn"))
+    rows_ = cells.groupBy("r").agg(F.sum("o").alias("row_tot"))
+    cols_ = cells.groupBy("c").agg(F.sum("o").alias("col_tot"))
+    j = cells.join(rows_, "r").join(cols_, "c").crossJoin(tot)
+    e = F.col("row_tot") * F.col("col_tot") / F.col("nn")
+    terms = j.select(
+        F.round(F.pow(F.col("o") - e, F.lit(2)) / e, 8).alias("term"),
+        "r",
+        "c",
+    )
+    dfree = cells.agg(
+        ((F.countDistinct("r") - 1) * (F.countDistinct("c") - 1))
+        .cast("bigint")
+        .alias("df")
+    )
+    stat = terms.agg(
+        F.round(F.sum(F.col("term").cast("decimal(25,8)")).cast("double"), 6).alias(
+            "chi2_stat"
+        )
+    )
+    return stat.crossJoin(dfree)
+
+
+# --- T9: Pearson r / Spearman ρ + t transform (wine…11….ipynb:6393) ---------
+@query(
+    "corr_tests",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT rank() OVER (ORDER BY l_quantity)
+               + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS rx,
+             rank() OVER (ORDER BY l_extendedprice)
+               + (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS ry
+      FROM lineitem
+    ),
+    p AS (SELECT {N.sql_dcorr('l_quantity', 'l_extendedprice')} AS r_pearson,
+                 CAST(count(*) AS DOUBLE) AS n
+          FROM lineitem),
+    s AS (SELECT {N.sql_dcorr('rx', 'ry')} AS rho_spearman FROM ranked)
+    SELECT p.r_pearson, s.rho_spearman,
+           round(p.r_pearson * sqrt((p.n - 2.0) / (1.0 - p.r_pearson * p.r_pearson)), 6) AS t_pearson,
+           CAST(p.n AS BIGINT) AS n
+    FROM p CROSS JOIN s
+    """,
+)
+def corr_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson on values; Spearman = Pearson on mean ranks (scipy-equivalent
+    tie handling); t transform of r for the p-value lookup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rx = F.rank().over(Window.orderBy("l_quantity")) + (
+        F.count("*").over(Window.partitionBy("l_quantity")) - 1
+    ) / 2.0
+    ry = F.rank().over(Window.orderBy("l_extendedprice")) + (
+        F.count("*").over(Window.partitionBy("l_extendedprice")) - 1
+    ) / 2.0
+    ranked = li.select(rx.alias("rx"), ry.alias("ry"))
+    p = li.agg(
+        N.dcorr("l_quantity", "l_extendedprice").alias("r_pearson"),
+        F.count("*").cast("double").alias("n"),
+    )
+    s = ranked.agg(N.dcorr("rx", "ry").alias("rho_spearman"))
+    j = p.crossJoin(s)
+    t = F.col("r_pearson") * F.sqrt(
+        (F.col("n") - 2.0) / (1.0 - F.col("r_pearson") * F.col("r_pearson"))
+    )
+    return j.select(
+        "r_pearson",
+        "rho_spearman",
+        F.round(t, 6).alias("t_pearson"),
+        F.col("n").cast("bigint").alias("n"),
+    )
