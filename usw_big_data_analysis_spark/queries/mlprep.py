@@ -1,0 +1,438 @@
+"""ML preprocessing operators (SURVEY.md §2.9 M1-M11) — fit-on-train /
+transform-both semantics, expressed relationally.
+
+Each "fit" is an aggregation over the train split producing a tiny parameter
+frame (means/medians/modes/quantiles/codes) that is broadcast-joined back —
+exactly how a Spark pipeline distributes sklearn's fit/transform split. The
+spark.ml Estimator forms (Imputer, StandardScaler, StringIndexer, PCA) live
+in ``operators/ml_ops.py``; these queries are the oracle-checkable SQL
+equivalents.
+
+Train/test here = deterministic key-modulo split (seeded-random splits can't
+be reproduced in two engines; see metrics.split_modk).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from ..functions import numeric as N
+from ..registry import query
+from ..sources import load_table
+
+# shared: lineitem with injected nulls + split tag
+_BASE_SQL = """
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_orderkey % 5 = 4 THEN 'test' ELSE 'train' END AS split,
+         CASE WHEN l_linenumber % 7 = 0 THEN NULL ELSE l_quantity END AS q,
+         CASE WHEN l_linenumber % 9 = 0 THEN NULL ELSE l_returnflag END AS flag
+  FROM lineitem
+"""
+
+
+def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_orderkey") % 5 == 4, "test").otherwise("train").alias("split"),
+        F.when(F.col("l_linenumber") % 7 == 0, None)
+        .otherwise(F.col("l_quantity"))
+        .alias("q"),
+        F.when(F.col("l_linenumber") % 9 == 0, None)
+        .otherwise(F.col("l_returnflag"))
+        .alias("flag"),
+    )
+
+
+# --- M1: mean imputation (teamProject/sap.py:94) ----------------------------
+@query(
+    "impute_mean",
+    oracle=f"""
+    WITH base AS ({_BASE_SQL}),
+    fit AS (SELECT {N.sql_davg('q')} AS fill FROM base WHERE split = 'train'),
+    filled AS (
+      SELECT base.split, coalesce(base.q, fit.fill) AS qf,
+             CAST(base.q IS NULL AS BIGINT) AS was_null
+      FROM base CROSS JOIN fit
+    )
+    SELECT split,
+           round(CAST(sum(CAST(qf AS DECIMAL(25,10))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS mean_filled,
+           sum(was_null) AS n_imputed
+    FROM filled GROUP BY split
+    """,
+)
+def impute_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _base(spark, sf_dir)
+    fit = base.filter(F.col("split") == "train").agg(N.davg("q").alias("fill"))
+    filled = base.crossJoin(F.broadcast(fit)).select(
+        "split",
+        F.coalesce("q", "fill").alias("qf"),
+        F.col("q").isNull().cast("bigint").alias("was_null"),
+    )
+    return filled.groupBy("split").agg(
+        F.round(
+            F.sum(F.col("qf").cast("decimal(25,10)")).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("mean_filled"),
+        F.sum("was_null").alias("n_imputed"),
+    )
+
+
+# --- M2: median imputation (legacy/modeling.py:127-129) ---------------------
+@query(
+    "impute_median",
+    oracle=f"""
+    WITH base AS ({_BASE_SQL}),
+    fit AS (SELECT quantile_cont(q, 0.5) AS fill FROM base WHERE split = 'train'),
+    filled AS (
+      SELECT base.split, coalesce(base.q, fit.fill) AS qf,
+             CAST(base.q IS NULL AS BIGINT) AS was_null
+      FROM base CROSS JOIN fit
+    )
+    SELECT split,
+           round(CAST(sum(CAST(qf AS DECIMAL(25,10))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS mean_filled,
+           sum(was_null) AS n_imputed
+    FROM filled GROUP BY split
+    """,
+)
+def impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-median fill (pandas median is exact interpolated — matching it
+    requires percentile, not percentile_approx; at 100 TB switch to approx
+    and accept the reference-divergence, or bucket-exact median)."""
+    base = _base(spark, sf_dir)
+    fit = base.filter(F.col("split") == "train").agg(
+        F.expr("percentile(q, 0.5)").alias("fill")
+    )
+    filled = base.crossJoin(F.broadcast(fit)).select(
+        "split",
+        F.coalesce("q", "fill").alias("qf"),
+        F.col("q").isNull().cast("bigint").alias("was_null"),
+    )
+    return filled.groupBy("split").agg(
+        F.round(
+            F.sum(F.col("qf").cast("decimal(25,10)")).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("mean_filled"),
+        F.sum("was_null").alias("n_imputed"),
+    )
+
+
+# --- M3: mode imputation, smallest-value ties (legacy/modeling.py:113-122) --
+@query(
+    "impute_mode",
+    oracle=f"""
+    WITH base AS ({_BASE_SQL}),
+    fit AS (
+      SELECT flag AS fill FROM base
+      WHERE split = 'train' AND flag IS NOT NULL
+      GROUP BY flag ORDER BY count(*) DESC, flag ASC LIMIT 1
+    ),
+    filled AS (
+      SELECT base.split, coalesce(base.flag, fit.fill) AS ff
+      FROM base CROSS JOIN fit
+    )
+    SELECT split, ff AS value, count(*) AS n
+    FROM filled GROUP BY split, ff
+    """,
+)
+def impute_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas mode() tie-break = smallest value first — ORDER BY count DESC,
+    value ASC replicates it deterministically."""
+    base = _base(spark, sf_dir)
+    fit = (
+        base.filter((F.col("split") == "train") & F.col("flag").isNotNull())
+        .groupBy("flag")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("flag"))
+        .limit(1)
+        .select(F.col("flag").alias("fill"))
+    )
+    filled = base.crossJoin(F.broadcast(fit)).select(
+        "split", F.coalesce("flag", "fill").alias("ff")
+    )
+    return filled.groupBy("split", F.col("ff").alias("value")).agg(
+        F.count("*").alias("n")
+    )
+
+
+# --- M4: standard scaling (teamProject/utils/preprocessing.py:64-65) --------
+@query(
+    "scale_standard",
+    oracle=f"""
+    WITH fit AS (
+      SELECT {N.sql_davg('l_extendedprice')} AS m, {N.sql_dstd('l_extendedprice')} AS s
+      FROM lineitem
+    ),
+    z AS (
+      SELECT l.l_returnflag, (l.l_extendedprice - fit.m) / fit.s AS z
+      FROM lineitem l CROSS JOIN fit
+    )
+    SELECT l_returnflag,
+           round(CAST(sum(CAST(z AS DECIMAL(25,12))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS mean_z,
+           round(min(z), 6) AS min_z, round(max(z), 6) AS max_z
+    FROM z GROUP BY l_returnflag
+    """,
+)
+def scale_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    fit = li.agg(
+        N.davg("l_extendedprice").alias("m"), N.dstd("l_extendedprice").alias("s")
+    )
+    z = li.crossJoin(F.broadcast(fit)).select(
+        "l_returnflag",
+        ((F.col("l_extendedprice") - F.col("m")) / F.col("s")).alias("z"),
+    )
+    return z.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("z").cast("decimal(25,12)")).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("mean_z"),
+        F.round(F.min("z"), 6).alias("min_z"),
+        F.round(F.max("z"), 6).alias("max_z"),
+    )
+
+
+# --- M5: robust scaling (teamProject/utils/preprocessing.py:7) --------------
+@query(
+    "scale_robust",
+    oracle="""
+    WITH fit AS (
+      SELECT quantile_cont(l_extendedprice, 0.5) AS med,
+             quantile_cont(l_extendedprice, 0.75)
+               - quantile_cont(l_extendedprice, 0.25) AS iqr
+      FROM lineitem
+    ),
+    z AS (
+      SELECT l.l_returnflag, (l.l_extendedprice - fit.med) / fit.iqr AS z
+      FROM lineitem l CROSS JOIN fit
+    )
+    SELECT l_returnflag,
+           round(CAST(sum(CAST(z AS DECIMAL(25,12))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS mean_z,
+           round(min(z), 6) AS min_z, round(max(z), 6) AS max_z
+    FROM z GROUP BY l_returnflag
+    """,
+)
+def scale_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    fit = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med"),
+        (
+            F.expr("percentile(l_extendedprice, 0.75)")
+            - F.expr("percentile(l_extendedprice, 0.25)")
+        ).alias("iqr"),
+    )
+    z = li.crossJoin(F.broadcast(fit)).select(
+        "l_returnflag",
+        ((F.col("l_extendedprice") - F.col("med")) / F.col("iqr")).alias("z"),
+    )
+    return z.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("z").cast("decimal(25,12)")).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("mean_z"),
+        F.round(F.min("z"), 6).alias("min_z"),
+        F.round(F.max("z"), 6).alias("max_z"),
+    )
+
+
+# --- M6: power transform, fixed λ (qda_single_model_search.py:69-71) --------
+@query(
+    "scale_power",
+    oracle="""
+    WITH yj AS (
+      SELECT l_returnflag,
+             round((pow(l_quantity + 1.0, 0.5) - 1.0) / 0.5, 8) AS y
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           round(CAST(sum(CAST(y AS DECIMAL(25,8))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS mean_y,
+           round(min(y), 6) AS min_y, round(max(y), 6) AS max_y
+    FROM yj GROUP BY l_returnflag
+    """,
+)
+def scale_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yeo-Johnson for x≥0 at fixed λ=0.5: ((x+1)^λ − 1)/λ. The λ MLE fit is
+    a driver-side 1-D optimization over decimal-summed log-likelihood terms
+    (operators/ml_ops.py); the transform itself is pure Catalyst."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y = F.round((F.pow(F.col("l_quantity") + 1.0, F.lit(0.5)) - 1.0) / 0.5, 8)
+    yj = li.select("l_returnflag", y.alias("y"))
+    return yj.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("y").cast("decimal(25,8)")).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("mean_y"),
+        F.round(F.min("y"), 6).alias("min_y"),
+        F.round(F.max("y"), 6).alias("max_y"),
+    )
+
+
+# --- M7: quantile (ECDF) transform (qda_single_model_search.py:73-76) -------
+@query(
+    "scale_quantile",
+    oracle="""
+    WITH e AS (
+      SELECT l_returnflag,
+             (rank() OVER (ORDER BY l_quantity)
+               + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0)
+               / count(*) OVER () AS u
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           round(CAST(sum(CAST(u AS DECIMAL(25,12))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS mean_u,
+           round(min(u), 6) AS min_u, round(max(u), 6) AS max_u
+    FROM e GROUP BY l_returnflag
+    """,
+)
+def scale_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QuantileTransformer(uniform) ≡ mean-rank ECDF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    u = (
+        F.rank().over(Window.orderBy("l_quantity"))
+        + (F.count("*").over(Window.partitionBy("l_quantity")) - 1) / 2.0
+    ) / F.count("*").over(Window.partitionBy())
+    e = li.select("l_returnflag", u.alias("u"))
+    return e.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("u").cast("decimal(25,12)")).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("mean_u"),
+        F.round(F.min("u"), 6).alias("min_u"),
+        F.round(F.max("u"), 6).alias("max_u"),
+    )
+
+
+# --- M8: label encoding (wine…03….ipynb:1474-1477) --------------------------
+@query(
+    "encode_label",
+    oracle="""
+    SELECT c_mktsegment AS value,
+           CAST(dense_rank() OVER (ORDER BY c_mktsegment) - 1 AS INT) AS code
+    FROM (SELECT DISTINCT c_mktsegment FROM customer)
+    """,
+)
+def encode_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sklearn LabelEncoder = sorted-distinct → contiguous codes (StringIndexer
+    with alphabetDesc ordering differs; this matches the reference exactly)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+    w = Window.orderBy("c_mktsegment")
+    return cust.select(
+        F.col("c_mktsegment").alias("value"),
+        (F.dense_rank().over(w) - 1).cast("int").alias("code"),
+    )
+
+
+# --- M9: categorical codes fit-on-train, unknown→NULL (lightgbm_model.py:50-62)
+@query(
+    "encode_cat_int",
+    oracle="""
+    WITH train AS (SELECT p_brand FROM part WHERE p_partkey % 4 <> 0),
+    codes AS (
+      SELECT p_brand AS value,
+             CAST(dense_rank() OVER (ORDER BY p_brand) - 1 AS INT) AS code
+      FROM (SELECT DISTINCT p_brand FROM train)
+    )
+    SELECT t.p_brand AS value, c.code, count(*) AS n_test
+    FROM (SELECT p_brand FROM part WHERE p_partkey % 4 = 0) t
+    LEFT JOIN codes c ON t.p_brand = c.value
+    GROUP BY t.p_brand, c.code
+    """,
+)
+def encode_cat_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    train = part.filter(F.col("p_partkey") % 4 != 0).select("p_brand")
+    codes = train.distinct().select(
+        F.col("p_brand").alias("value"),
+        (F.dense_rank().over(Window.orderBy("p_brand")) - 1).cast("int").alias("code"),
+    )
+    test = part.filter(F.col("p_partkey") % 4 == 0).select("p_brand")
+    return (
+        test.join(F.broadcast(codes), test.p_brand == codes.value, "left")
+        .groupBy(F.col("p_brand").alias("value"), "code")
+        .agg(F.count("*").alias("n_test"))
+    )
+
+
+# --- M10: correlation-based pruning (teamProject/utils/preprocessing.py:110-137)
+_M10_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_M10_PAIRS = [
+    (a, b) for i, a in enumerate(_M10_COLS) for b in _M10_COLS[i + 1 :]
+]
+_M10_TAU = 0.003
+
+
+@query(
+    "prune_corr",
+    oracle="WITH s AS (SELECT "
+    + ", ".join(
+        f"{N.sql_dcorr(a, b)} AS c_{i}" for i, (a, b) in enumerate(_M10_PAIRS)
+    )
+    + " FROM lineitem) SELECT col_x, col_y, corr_xy, "
+    + f"CASE WHEN abs(corr_xy) > {_M10_TAU} THEN col_y END AS dropped FROM ("
+    + " UNION ALL ".join(
+        f"SELECT '{a}' AS col_x, '{b}' AS col_y, c_{i} AS corr_xy FROM s"
+        for i, (a, b) in enumerate(_M10_PAIRS)
+    )
+    + ")",
+)
+def prune_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle |corr|>τ scan; the LATER column of each hot pair is
+    dropped (keep-first-occurrence order, replicating the reference's
+    np.triu scan). τ tuned to the fixture's correlation range."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        *[N.dcorr(a, b).alias(f"c_{i}") for i, (a, b) in enumerate(_M10_PAIRS)]
+    )
+    stack = ", ".join(f"'{a}', '{b}', c_{i}" for i, (a, b) in enumerate(_M10_PAIRS))
+    long = agg.selectExpr(
+        f"stack({len(_M10_PAIRS)}, {stack}) AS (col_x, col_y, corr_xy)"
+    )
+    return long.select(
+        "col_x",
+        "col_y",
+        "corr_xy",
+        F.when(F.abs("corr_xy") > _M10_TAU, F.col("col_y")).alias("dropped"),
+    )
+
+
+# --- M11: categorical detection from schema/metadata (legacy:86-100) --------
+@query(
+    "infer_categorical",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('l_orderkey', 'bigint', FALSE), ('l_partkey', 'bigint', FALSE),
+      ('l_suppkey', 'bigint', FALSE), ('l_linenumber', 'int', FALSE),
+      ('l_quantity', 'double', FALSE), ('l_extendedprice', 'double', FALSE),
+      ('l_discount', 'double', FALSE), ('l_tax', 'double', FALSE),
+      ('l_returnflag', 'string', TRUE), ('l_linestatus', 'string', TRUE),
+      ('l_shipdate', 'timestamp_ntz', FALSE)
+    ) t(col_name, data_type, is_categorical)
+    """,
+)
+def infer_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dtype-driven categorical detection over df.schema (driver metadata —
+    the distributed data is never touched). Oracle enumerates the expected
+    classification for the fixed fixture schema."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = [
+        (f.name, f.dataType.simpleString(), isinstance(f.dataType, StringType))
+        for f in li.schema.fields
+    ]
+    return spark.createDataFrame(
+        rows, "col_name string, data_type string, is_categorical boolean"
+    )
