@@ -17,6 +17,7 @@ for _mod_name in (
     "metrics",
     "stats_tests",
     "mlprep",
+    "ensembles",
     "text_ops",
     "dedup",
     "similarity",

@@ -1,0 +1,243 @@
+"""Deduplication operators over `documents` (north-star extension):
+exact hash-dedup, n-gram Jaccard near-dup, MinHash+LSH banding, SimHash.
+
+All four are expressed relationally (md5-derived integer hashes are engine-
+portable, unlike engine hash() builtins), so every stage is oracle-checked.
+The scale-path variants (spark.ml MinHashLSH, xxhash64 signatures) live in
+``operators/dedup_ops.py``.
+
+Scale notes: exact dedup = one hash-groupBy shuffle. MinHash banding is the
+canonical 100 TB near-dup design: candidate generation is an equi-join on
+(band, band_key) — shuffle size ∝ #docs × #bands, never quadratic; only
+within-bucket pairs are scored. The plain Jaccard query IS quadratic in the
+worst case (kept as the verifier / small-corpus path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+# --- shingles: 3-token shingles, distinct per doc ---------------------------
+_SHINGLES_SQL = """
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(generate_series(1, len(toks) - 2),
+                          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+"""
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+    )
+    return docs.select("doc_id", F.explode(sh).alias("s"))
+
+
+# portable 60-bit integer hash: md5 hex prefix → bigint (identical in any
+# engine that has md5; engine-native hash() builtins differ)
+def _h_spark(expr: F.Column) -> F.Column:
+    return F.conv(F.substring(F.md5(expr), 1, 15), 16, 10).cast("bigint")
+
+
+def _h_sql(expr: str) -> str:
+    return f"CAST(concat('0x', substring(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+# --- exact dedup: hash-groupBy, keep min key (north star) -------------------
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents
+    )
+    SELECT md5(text) AS text_hash, count(*) AS n_copies,
+           min(doc_id) AS keep_id
+    FROM corpus GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup = groupBy(content hash), keep the smallest id. The corpus
+    is the fixture unioned with a shifted copy of itself so every text has an
+    exact duplicate to collapse (the fixture itself has only near-dups)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    return corpus.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_id")
+    )
+
+
+# --- n-gram Jaccard near-dup (verification / small-corpus path) -------------
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter JOIN sizes sa ON id_a = sa.doc_id
+               JOIN sizes sb ON id_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jaccard over shared shingles: |A∩B| from a self-join on
+    shingle, |A∪B| = |A|+|B|−|A∩B|. Quadratic in shared-shingle fanout —
+    the verifier for minhash candidates, not the scale path."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    j = (
+        inter.join(sa, F.col("id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+            ).alias("jac"),
+        )
+    )
+    return j.filter(F.col("jac") >= 0.8).select(
+        "id_a", "id_b", F.round("jac", 6).alias("jaccard")
+    )
+
+
+# --- MinHash signatures + LSH banding (north star scale path) ---------------
+_K = 8  # signature length
+_BANDS = 4  # bands of 2 rows each
+
+_SIG_COLS = ", ".join(
+    "min(" + _h_sql(f"concat('{j}:', s)") + f") AS h{j}" for j in range(_K)
+)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sig AS (
+      SELECT doc_id,
+             {_SIG_COLS}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {' UNION ALL '.join(
+        f"SELECT doc_id, {b} AS band, concat(h{2*b}, '_', h{2*b+1}) AS band_key FROM sig"
+        for b in range(_BANDS))}
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (k=8) signatures from portable md5-hashes, banded 4×2; the
+    candidate join is on (band, band_key) — linear shuffle, no cross
+    product. Verify candidates with dedup_ngram_jaccard."""
+    sh = _shingles(spark, sf_dir)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(_h_spark(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"h{j}")
+            for j in range(_K)
+        ]
+    )
+    stack = ", ".join(
+        f"{b}, concat(h{2*b}, '_', h{2*b+1})" for b in range(_BANDS)
+    )
+    bands = sig.selectExpr(
+        "doc_id", f"stack({_BANDS}, {stack}) AS (band, band_key)"
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+# --- SimHash fingerprints (north star) --------------------------------------
+_SIM_BITS = 16
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    th AS (SELECT doc_id, {_h_sql('t')} AS h FROM tok),
+    bits AS (
+      SELECT doc_id,
+             {', '.join(
+               f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+               for b in range(_SIM_BITS))}
+      FROM th GROUP BY doc_id
+    )
+    SELECT doc_id,
+           {' + '.join(f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(_SIM_BITS))}
+             AS simhash
+    FROM bits
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash: per-bit ±1 vote over token hashes (frequency-weighted
+    — tokens not deduped), fingerprint = sign bits. Near-dup docs land at
+    small Hamming distance; bucket by fingerprint prefix at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    th = tok.select("doc_id", _h_spark(F.col("t")).alias("h"))
+    bits = th.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(_SIM_BITS)
+        ]
+    )
+    fp = None
+    for b in range(_SIM_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return bits.select("doc_id", fp.alias("simhash"))

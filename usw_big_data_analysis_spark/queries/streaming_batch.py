@@ -1,0 +1,125 @@
+"""Windowed event aggregations over `events` — the batch-checkable semantics
+of the streaming operators (SURVEY.md §2.12; north-star extension).
+
+The same window logic runs in Structured Streaming via
+``streaming/ops.py`` (readStream + withWatermark + window/session_window,
+validated with a memory sink in tests/test_streaming.py); these batch queries
+pin the window semantics against the DuckDB oracle: tumbling = epoch-aligned
+bucket, sliding = every slide-aligned window covering the event, session =
+gap-split cumulative numbering.
+
+Window starts are emitted as epoch seconds (bigint) — timestamp objects
+round-trip differently across engines; epoch integers don't.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import numeric as N
+from ..registry import query
+from ..sources import load_table
+
+
+# --- tumbling window (10 min) ----------------------------------------------
+@query(
+    "stream_tumbling",
+    oracle=f"""
+    SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+           event_type, count(*) AS n, {N.sql_dsum('value')} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.window("ts", "10 minutes").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n"), N.dsum("value").alias("sum_value"))
+    return agg.select(
+        F.unix_timestamp(F.col("w.start")).alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+# --- sliding window (10 min / 5 min slide) ----------------------------------
+@query(
+    "stream_sliding",
+    oracle=f"""
+    WITH starts AS (
+      SELECT CAST(floor(epoch(ts) / 300) * 300 - k * 300 AS BIGINT) AS window_start,
+             event_type, value
+      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+    )
+    SELECT window_start, event_type, count(*) AS n, {N.sql_dsum('value')} AS sum_value
+    FROM starts GROUP BY 1, 2
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window(ts, width=10m, slide=5m): every event belongs to width/slide
+    windows — the oracle enumerates both slide-aligned starts explicitly."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n"), N.dsum("value").alias("sum_value"))
+    return agg.select(
+        F.unix_timestamp(F.col("w.start")).alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+# --- session windows (30 min gap) per user ----------------------------------
+@query(
+    "stream_session",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, event_id, value, epoch(ts) AS tsd,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                    PARTITION BY user_id ORDER BY epoch(ts), event_id) > 1800
+                  OR lag(epoch(ts)) OVER (
+                    PARTITION BY user_id ORDER BY epoch(ts), event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, event_id, value, tsd,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY tsd, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM t
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           CAST(floor(min(tsd)) AS BIGINT) AS session_start,
+           CAST(floor(max(tsd)) AS BIGINT) AS session_end,
+           {N.sql_dsum('value')} AS sum_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min): lag → new-session flag → running
+    session counter → per-session aggregates. One shuffle on user_id; the
+    streaming twin uses session_window(ts, '30 minutes')."""
+    ev = load_table(spark, sf_dir, "events")
+    tsd = F.col("ts").cast("double")
+    order = Window.partitionBy("user_id").orderBy(tsd, "event_id")
+    gap = tsd - F.lag(tsd).over(order)
+    new_session = F.when(
+        gap.isNull() | (gap > 1800), F.lit(1)
+    ).otherwise(F.lit(0))
+    t = ev.select(
+        "user_id", "event_id", "value", tsd.alias("tsd"), new_session.alias("ns")
+    )
+    run = Window.partitionBy("user_id").orderBy("tsd", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = t.withColumn("session_id", F.sum("ns").over(run))
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.floor(F.min("tsd")).cast("bigint").alias("session_start"),
+        F.floor(F.max("tsd")).cast("bigint").alias("session_end"),
+        N.dsum("value").alias("sum_value"),
+    )
