@@ -139,9 +139,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- MinHash signatures + LSH banding (north star scale path) ---------------
 _K = 8  # signature length
 _BANDS = 4  # bands of 2 rows each
+_MH_P = 1000000007  # modulus for the universal hash family
+
+# one md5 per shingle, then k affine universal hashes h_j = (a_j*H + b_j) % p
+# (classic minhash construction — 8x cheaper than k independent md5s)
+_A = [2 * j + 3 for j in range(_K)]
+_B = [97 * j + 11 for j in range(_K)]
 
 _SIG_COLS = ", ".join(
-    "min(" + _h_sql(f"concat('{j}:', s)") + f") AS h{j}" for j in range(_K)
+    f"min(({_A[j]} * h9 + {_B[j]}) % {_MH_P}) AS h{j}" for j in range(_K)
 )
 
 
@@ -149,10 +155,11 @@ _SIG_COLS = ", ".join(
     "dedup_minhash_lsh",
     oracle=f"""
     WITH sh AS ({_SHINGLES_SQL}),
+    sh9 AS (SELECT doc_id, {_h_sql('s')} % {_MH_P} AS h9 FROM sh),
     sig AS (
       SELECT doc_id,
              {_SIG_COLS}
-      FROM sh GROUP BY doc_id
+      FROM sh9 GROUP BY doc_id
     ),
     bands AS (
       {' UNION ALL '.join(
@@ -167,13 +174,15 @@ _SIG_COLS = ", ".join(
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash (k=8) signatures from portable md5-hashes, banded 4×2; the
-    candidate join is on (band, band_key) — linear shuffle, no cross
-    product. Verify candidates with dedup_ngram_jaccard."""
+    """MinHash (k=8) signatures — ONE portable md5 per shingle, k affine
+    universal hashes over it — banded 4×2; the candidate join is on
+    (band, band_key): linear shuffle, no cross product. Verify candidates
+    with dedup_ngram_jaccard."""
     sh = _shingles(spark, sf_dir)
-    sig = sh.groupBy("doc_id").agg(
+    sh9 = sh.select("doc_id", (_h_spark(F.col("s")) % _MH_P).alias("h9"))
+    sig = sh9.groupBy("doc_id").agg(
         *[
-            F.min(_h_spark(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"h{j}")
+            F.min((F.lit(_A[j]) * F.col("h9") + _B[j]) % _MH_P).alias(f"h{j}")
             for j in range(_K)
         ]
     )

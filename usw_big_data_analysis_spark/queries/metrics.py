@@ -124,15 +124,23 @@ _RANKED_SQL = f"""
     """,
 )
 def metric_auroc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-compressed: group by distinct score first (scores are quantized;
+    at 100 TB bin to fixed precision), then the rank arithmetic runs on the
+    tiny per-score table — no global sort of the fact. Each score's mean rank
+    = (#rows below) + (ties+1)/2; rank sums are exact half-integers, so this
+    is identical to ranking every row."""
     s = scored_frame(spark, sf_dir)
-    r_avg = F.rank().over(Window.orderBy("prob")) + (
-        F.count("*").over(Window.partitionBy("prob")) - 1
-    ) / 2.0
-    r = s.select("label", r_avg.alias("r_avg"))
-    agg = r.agg(
-        F.sum(F.when(F.col("label") == 1, F.col("r_avg"))).alias("rank_sum_pos"),
-        F.sum((F.col("label") == 1).cast("bigint")).alias("npos"),
-        F.sum((F.col("label") == 0).cast("bigint")).alias("nneg"),
+    per = s.groupBy("prob").agg(
+        F.count("*").alias("t"), F.sum("label").cast("bigint").alias("tp")
+    )
+    w = Window.orderBy("prob").rowsBetween(Window.unboundedPreceding, -1)
+    below = F.coalesce(F.sum("t").over(w), F.lit(0))
+    r_avg = below + (F.col("t") + 1) / 2.0
+    ranked = per.select("prob", "t", "tp", r_avg.alias("r_avg"))
+    agg = ranked.agg(
+        F.sum(F.col("tp") * F.col("r_avg")).alias("rank_sum_pos"),
+        F.sum("tp").alias("npos"),
+        (F.sum("t") - F.sum("tp")).alias("nneg"),
     )
     auc = (F.col("rank_sum_pos") - F.col("npos") * (F.col("npos") + 1) / 2.0) / (
         F.col("npos").cast("double") * F.col("nneg").cast("double")
@@ -210,17 +218,21 @@ def metric_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One pass over a threshold-dim cross join — 17 thresholds scored in a
-    single aggregation instead of 17 scans (the reference loops)."""
+    """One pass over the fact to per-score counts, then the threshold cross
+    join runs on the compressed (score → counts) table: 17 thresholds scored
+    without 17 scans (reference loops) and without a 17x row blow-up."""
     s = scored_frame(spark, sf_dir)
+    per = s.groupBy("prob").agg(
+        F.count("*").alias("t"), F.sum("label").cast("bigint").alias("pos")
+    )
     th = spark.range(2, 19).select((F.col("id") / 20.0).alias("threshold"))
-    j = s.crossJoin(F.broadcast(th))
+    j = per.crossJoin(F.broadcast(th))
     hit = F.col("prob") >= F.col("threshold")
     c = j.groupBy("threshold").agg(
-        F.sum(((F.col("label") == 1) & hit).cast("bigint")).alias("tp"),
-        F.sum(((F.col("label") == 0) & hit).cast("bigint")).alias("fp"),
-        F.sum(((F.col("label") == 1) & ~hit).cast("bigint")).alias("fn"),
-        F.sum(((F.col("label") == 0) & ~hit).cast("bigint")).alias("tn"),
+        F.sum(F.when(hit, F.col("pos")).otherwise(0)).alias("tp"),
+        F.sum(F.when(hit, F.col("t") - F.col("pos")).otherwise(0)).alias("fp"),
+        F.sum(F.when(~hit, F.col("pos")).otherwise(0)).alias("fn"),
+        F.sum(F.when(~hit, F.col("t") - F.col("pos")).otherwise(0)).alias("tn"),
     )
     total = F.col("tp") + F.col("tn") + F.col("fp") + F.col("fn")
     return c.select(
@@ -268,13 +280,15 @@ def score_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(((F.col("label") == 0) & (F.col("pred") == 1)).cast("bigint")).alias("fp"),
         F.sum(((F.col("label") == 1) & (F.col("pred") == 0)).cast("bigint")).alias("fn"),
     )
-    r_avg = F.rank().over(Window.orderBy("prob")) + (
-        F.count("*").over(Window.partitionBy("prob")) - 1
-    ) / 2.0
-    a = s.select("label", r_avg.alias("r_avg")).agg(
-        F.sum(F.when(F.col("label") == 1, F.col("r_avg"))).alias("rank_sum_pos"),
-        F.sum((F.col("label") == 1).cast("bigint")).alias("npos"),
-        F.sum((F.col("label") == 0).cast("bigint")).alias("nneg"),
+    per = s.groupBy("prob").agg(
+        F.count("*").alias("t"), F.sum("label").cast("bigint").alias("tp_s")
+    )
+    wb = Window.orderBy("prob").rowsBetween(Window.unboundedPreceding, -1)
+    r_avg = F.coalesce(F.sum("t").over(wb), F.lit(0)) + (F.col("t") + 1) / 2.0
+    a = per.select("t", "tp_s", r_avg.alias("r_avg")).agg(
+        F.sum(F.col("tp_s") * F.col("r_avg")).alias("rank_sum_pos"),
+        F.sum("tp_s").alias("npos"),
+        (F.sum("t") - F.sum("tp_s")).alias("nneg"),
     )
     j = c.crossJoin(a)
     f1 = 2.0 * F.col("tp") / F.nullif(2.0 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(0))

@@ -53,6 +53,21 @@ def _norms(expl: DataFrame) -> DataFrame:
     )
 
 
+def _dec_dot(a: F.Column, b: F.Column) -> F.Column:
+    """Exact (order-independent) dot product: per-element double products
+    cast to decimal, folded with exact decimal addition."""
+    prods = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast("decimal(20,12)")
+    )
+    # re-cast keeps the accumulator type fixed (Spark decimal addition widens
+    # precision); scale 12 is preserved, so the fold stays exact
+    return F.aggregate(
+        prods,
+        F.lit(0).cast("decimal(30,12)"),
+        lambda acc, x: (acc + x).cast("decimal(30,12)"),
+    ).cast("double")
+
+
 # --- brute-force cosine top-k ------------------------------------------------
 @query(
     "embed_cosine_topk",
@@ -80,33 +95,30 @@ def _norms(expl: DataFrame) -> DataFrame:
     """,
 )
 def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    expl = _exploded(spark, sf_dir)
-    norms = _norms(expl)
-    q = expl.filter(F.col("vec_id") < _NQ).select(
-        F.col("vec_id").alias("qid"), "pos", F.col("v").alias("qv")
+    """Broadcast the query vectors against the corpus and fold each pair's
+    dot product as an array aggregate — no explode, no per-element shuffle;
+    the corpus is scanned once. (The posexploded form this replaced shuffles
+    |corpus|x64 rows.) Decimal fold keeps it bit-equal to the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    withn = emb.withColumn("nrm", F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding"))))
+    q = withn.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
+        F.col("nrm").alias("nrm_q"),
     )
-    dots = (
-        q.join(expl.select(F.col("vec_id").alias("cid"), "pos", "v"), "pos")
-        .groupBy("qid", "cid")
-        .agg(
-            F.sum((F.col("qv") * F.col("v")).cast("decimal(20,12)"))
-            .cast("double")
-            .alias("dot")
-        )
+    c = withn.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cemb"),
+        F.col("nrm").alias("nrm_c"),
     )
-    nq = norms.select(F.col("vec_id").alias("qid"), F.col("nrm").alias("nrm_q"))
-    nc = norms.select(F.col("vec_id").alias("cid"), F.col("nrm").alias("nrm_c"))
-    cos = (
-        dots.join(F.broadcast(nq), "qid")
-        .join(nc, "cid")
-        .filter(F.col("qid") != F.col("cid"))
-        .select(
-            "qid",
-            "cid",
-            F.round(F.col("dot") / (F.col("nrm_q") * F.col("nrm_c")), 6).alias(
-                "cosine"
-            ),
-        )
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("qid") != F.col("cid"))
+    cos = pairs.select(
+        "qid",
+        "cid",
+        F.round(
+            _dec_dot(F.col("qemb"), F.col("cemb")) / (F.col("nrm_q") * F.col("nrm_c")),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return cos.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _TOPK)
