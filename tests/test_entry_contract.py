@@ -1,0 +1,36 @@
+"""Driver-contract tests: __spark_entry__ exposes entry/queries/oracle_sql
+with consistent keys, and entry() returns a non-empty stable-schema frame."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def test_queries_and_oracles_consistent():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) >= 100
+    # every oracle key must have a query; rows-only queries may lack oracles
+    assert set(oracles) <= set(qs)
+    for name, fn in qs.items():
+        assert callable(fn), name
+    for name, sql in oracles.items():
+        assert isinstance(sql, str) and sql.strip(), name
+
+
+def test_entry_runs(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert "sum_qty" in df.columns
+
+
+def test_no_duplicate_registration():
+    import importlib
+
+    from usw_big_data_analysis_spark import registry
+
+    # re-import must not re-register (idempotent _load)
+    registry._load()
+    registry._load()
+    assert len(registry.all_queries()) == len(set(registry.all_queries()))

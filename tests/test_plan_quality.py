@@ -1,0 +1,56 @@
+"""Physical-plan assertions — the 100 TB scale contract.
+
+Correctness says the numbers match; these tests pin the *shape* of the
+plans: filters and projections reach the parquet scan, small dimensions
+broadcast instead of shuffling, and whole-stage codegen covers the hot path.
+A regression here means a query silently became a full-scan or a
+shuffle-both-sides join.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+_QUERIES = entrymod.queries()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = _QUERIES[name](spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_flagship_pushes_filter_and_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # only the 7 needed columns are read, not all 16
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_comment" not in read_schema
+    # partial (map-side) + final HashAggregate around a single agg shuffle,
+    # plus the range exchange for the final orderBy — and nothing else
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("+- Exchange") <= 2
+
+
+def test_filter_range_pushdown(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "filter_range")
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual" in plan or "GreaterThan" in plan
+
+
+def test_join_broadcasts_small_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_pred_truth")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_cosine_topk_no_positional_explode_shuffle(spark, sf_dir):
+    # the corpus-side scan must not posexplode into a per-element shuffle
+    plan = _plan(spark, sf_dir, "embed_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_wordcount_partial_aggregation(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "wordcount")
+    # partial (map-side) HashAggregate before the exchange
+    assert plan.count("HashAggregate") >= 2
