@@ -1,0 +1,168 @@
+"""spark.ml operator layer: model factory, preprocessing pipeline, folds,
+OOF stacking — the reference's sklearn surface re-expressed on spark.ml.
+
+Reference parity (cited file:line are in /root/reference):
+- model factory            → final-assignment/src/models/factory.py:25-55
+- Pipeline(impute→scale→clf) → teamProject/sap.py:93-101
+- stratified K-fold column → teamProject/sap.py:59-62
+- OOF stacking             → final-assignment/src/ensemble/stacking.py:15-129
+
+Scale notes: every fit/transform is a distributed Spark job; the model loop
+and fold loop are driver-side control flow over lazily-built frames. The
+fold-tagged frame is built once and persisted so k fits share one scan. OOF
+assembly is a union of per-fold validation predictions (keyed on row id),
+never a positional scatter write — Spark gives no row-order guarantees.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.ml import Pipeline
+from pyspark.ml.classification import (
+    DecisionTreeClassifier,
+    GBTClassifier,
+    LinearSVC,
+    LogisticRegression,
+    NaiveBayes,
+    RandomForestClassifier,
+)
+from pyspark.ml.feature import Imputer, StandardScaler, StringIndexer, VectorAssembler
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SEED = 42
+
+
+def classifier_zoo(seed: int = SEED) -> dict:
+    """The distributed subset of the reference's 12+ model zoo
+    (cross-validation/wine_analysis.py:77-86). KNN/QDA/LDA have no
+    distributed spark.ml implementation — scoped out per SURVEY.md §7."""
+    return {
+        "logistic_regression": LogisticRegression(maxIter=50, regParam=0.01),
+        "decision_tree": DecisionTreeClassifier(maxDepth=5, seed=seed),
+        "random_forest": RandomForestClassifier(numTrees=20, maxDepth=5, seed=seed),
+        "gbt": GBTClassifier(maxIter=10, maxDepth=3, seed=seed),
+        "naive_bayes": NaiveBayes(smoothing=1.0),  # needs non-negative features
+        "linear_svc": LinearSVC(maxIter=20, regParam=0.1),
+    }
+
+
+def assemble(df: DataFrame, feature_cols: Iterable[str], out: str = "features") -> DataFrame:
+    va = VectorAssembler(inputCols=list(feature_cols), outputCol=out, handleInvalid="keep")
+    return va.transform(df)
+
+
+def preprocessing_pipeline(
+    num_cols: list[str],
+    cat_cols: list[str] | None = None,
+    scale: bool = True,
+) -> Pipeline:
+    """Imputer → (StringIndexer per categorical) → VectorAssembler →
+    StandardScaler: the reference's canonical preprocessing chain
+    (teamProject/sap.py:93-101, legacy/modeling.py:103-131) as one
+    fit-on-train spark.ml Pipeline."""
+    stages = []
+    imputed = [f"{c}__imp" for c in num_cols]
+    stages.append(
+        Imputer(strategy="median", inputCols=num_cols, outputCols=imputed)
+    )
+    indexed = []
+    for c in cat_cols or []:
+        stages.append(
+            StringIndexer(inputCol=c, outputCol=f"{c}__idx", handleInvalid="keep")
+        )
+        indexed.append(f"{c}__idx")
+    stages.append(
+        VectorAssembler(inputCols=imputed + indexed, outputCol="features_raw")
+    )
+    if scale:
+        stages.append(
+            StandardScaler(
+                inputCol="features_raw", outputCol="features", withMean=True, withStd=True
+            )
+        )
+    return Pipeline(stages=stages)
+
+
+def stratified_fold_column(
+    df: DataFrame, label_col: str, k: int = 5, order_cols: list[str] | None = None
+) -> DataFrame:
+    """Deterministic stratified K-fold tag: per-class row_number % k.
+
+    Exact class balance per fold, reproducible under any partitioning
+    (seeded rand() is partition-order dependent in Spark — SURVEY.md §4.2).
+    At 100 TB the per-class window sorts within each class partition; skewed
+    classes are handled by AQE; alternatively hash the key: pmod(hash(id), k).
+    """
+    order_cols = order_cols or [label_col]
+    w = Window.partitionBy(label_col).orderBy(*order_cols)
+    return df.withColumn("fold", (F.row_number().over(w) % k).cast("int"))
+
+
+def fit_predict(model, train: DataFrame, test: DataFrame, label_col: str = "label"):
+    m = model.setLabelCol(label_col).setFeaturesCol("features")
+    fitted = m.fit(train)
+    return fitted, fitted.transform(test)
+
+
+def accuracy_of(pred: DataFrame, label_col: str = "label") -> float:
+    row = pred.agg(
+        (
+            F.sum((F.col("prediction") == F.col(label_col)).cast("bigint")).cast("double")
+            / F.count("*")
+        ).alias("acc")
+    ).collect()[0]
+    return float(row["acc"])
+
+
+def stacking_oof(
+    df: DataFrame,
+    base_models: dict,
+    label_col: str = "label",
+    id_col: str = "id",
+    k: int = 5,
+    meta_maxiter: int = 25,
+):
+    """K-fold OOF stacking on spark.ml (stacking.py:15-129 re-keyed on id).
+
+    For each fold i: fit each base model on fold≠i, predict fold=i. The OOF
+    meta-feature table is the UNION of per-fold validation predictions,
+    joined across models on the row id — replacing the reference's
+    positional `oof[val_idx] = pred` scatter (no row order in Spark).
+    Meta model: spark.ml LogisticRegression over the stacked probabilities.
+    """
+    tagged = stratified_fold_column(df, label_col, k, order_cols=[id_col]).persist()
+    oof_parts: dict[str, list[DataFrame]] = {name: [] for name in base_models}
+    for i in range(k):
+        train = tagged.filter(F.col("fold") != i)
+        val = tagged.filter(F.col("fold") == i)
+        for name, model in base_models.items():
+            _, pred = fit_predict(model, train, val, label_col)
+            prob1 = _prob_of_class1(pred)
+            oof_parts[name].append(
+                pred.select(F.col(id_col), prob1.alias(f"p_{name}"))
+            )
+    # assemble meta features: union folds per model, then join models on id
+    meta = None
+    for name, parts in oof_parts.items():
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        meta = u if meta is None else meta.join(u, id_col)
+    meta = meta.join(tagged.select(id_col, label_col), id_col)
+    feat_cols = [f"p_{n}" for n in base_models]
+    meta_vec = assemble(meta, feat_cols)
+    meta_model = LogisticRegression(maxIter=meta_maxiter).setLabelCol(label_col)
+    fitted_meta = meta_model.fit(meta_vec)
+    tagged.unpersist()
+    return fitted_meta, meta_vec
+
+
+def _prob_of_class1(pred: DataFrame) -> F.Column:
+    from pyspark.ml.functions import vector_to_array
+
+    if "probability" in pred.columns:
+        return vector_to_array("probability").getItem(1)
+    # margin-based models (LinearSVC): logistic-squash the raw margin
+    return 1.0 / (1.0 + F.exp(-vector_to_array("rawPrediction").getItem(1)))

@@ -22,6 +22,10 @@ for _mod_name in (
     "dedup",
     "similarity",
     "streaming_batch",
+    "mlsearch",
+    "mlmodels",
+    "sources_extra",
+    "multimodal",
 ):
     try:
         _mod = __import__(f"{__name__}.{_mod_name}", fromlist=[_mod_name])

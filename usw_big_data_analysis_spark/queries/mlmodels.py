@@ -1,0 +1,347 @@
+"""spark.ml model layer (SURVEY.md §2.9-2.10): trained estimators — zoo,
+pipelines, RF importances, ml.PCA, early stopping, HPO driver loop, NN.
+
+Model outputs are not SQL-expressible, so these register WITHOUT oracles
+(the driver records rows-only checks; SURVEY.md §5.2). Determinism still
+matters for the rows-only row-count/schema record: every split/sample here
+is modulo-deterministic and every estimator is seeded.
+
+Reference parity:
+- fit_predict_zoo       → cross-validation/wine_analysis.py:77-86 (E6)
+- pipeline_fit          → teamProject/sap.py:93-101 (E7)
+- feature_importance_rf → teamProject/eda.ipynb:1715-1725 (M14)
+- pca_ml                → teamProject/eda.ipynb:1488-1500 (M12 scale path)
+- early_stopping        → best_model_pipeline.py:255-271 (E22)
+- hpo_optuna            → teamProject/models/tree_models.py:100-366 (E21)
+- nn_train              → teamProject/models/neural_networks.py:41-121 (E24)
+- tsne                  → teamProject/eda.ipynb:1608 (M13)
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import numeric as N
+from ..operators import ml_ops
+from ..registry import query
+from ..sources import load_table
+
+_FEATURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _task_frame(spark: SparkSession, sf_dir: str, keep_mod: int = 10) -> DataFrame:
+    """Binary task over a deterministic lineitem subsample: predict
+    returnflag=='R' from the numeric columns. keep_mod bounds training cost
+    at correctness scale; drop the filter for throughput runs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # test split keyed on orderkey/keep_mod: the kept keys are multiples of
+    # keep_mod, so (key % 5) would be degenerate — the quotient is not
+    return li.filter(F.col("l_orderkey") % keep_mod == 0).select(
+        F.monotonically_increasing_id().alias("row_id"),
+        (F.col("l_returnflag") == "R").cast("double").alias("label"),
+        *_FEATURES,
+        ((F.col("l_orderkey") / keep_mod).cast("bigint") % 5 == 4).alias("is_test"),
+    )
+
+
+# --- E6: classifier zoo ------------------------------------------------------
+@query("fit_predict_zoo")
+def fit_predict_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/score the distributed model zoo (ml_ops.classifier_zoo). The
+    model loop is driver control flow; every fit/transform is a Spark job.
+    At cluster scale run the fits concurrently from a driver thread pool —
+    the scheduler multiplexes executors across jobs."""
+    df = ml_ops.assemble(_task_frame(spark, sf_dir), _FEATURES).persist()
+    train = df.filter(~F.col("is_test"))
+    test = df.filter(F.col("is_test"))
+    rows = []
+    for name, model in ml_ops.classifier_zoo().items():
+        _, pred = ml_ops.fit_predict(model, train, test)
+        rows.append((name, round(ml_ops.accuracy_of(pred), 4)))
+    df.unpersist()
+    return spark.createDataFrame(rows, "model string, accuracy double").orderBy(
+        F.desc("accuracy"), "model"
+    )
+
+
+# --- E7: Pipeline(impute -> assemble -> scale -> clf) ------------------------
+@query("pipeline_fit")
+def pipeline_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _task_frame(spark, sf_dir).withColumn(
+        "l_quantity",
+        F.when(F.col("row_id") % 7 == 0, None).otherwise(F.col("l_quantity")),
+    )
+    train, test = base.filter(~F.col("is_test")), base.filter(F.col("is_test"))
+    pipe = ml_ops.preprocessing_pipeline(_FEATURES)
+    fitted = pipe.fit(train)
+    from pyspark.ml.classification import LogisticRegression
+
+    lr = LogisticRegression(maxIter=30).setLabelCol("label")
+    model = lr.fit(fitted.transform(train))
+    pred = model.transform(fitted.transform(test))
+    return (
+        pred.groupBy(F.col("label").cast("int").alias("label"),
+                     F.col("prediction").cast("int").alias("prediction"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("label", "prediction")
+    )
+
+
+# --- M14: RF impurity importances --------------------------------------------
+@query("feature_importance_rf")
+def feature_importance_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.classification import RandomForestClassifier
+
+    df = ml_ops.assemble(_task_frame(spark, sf_dir), _FEATURES)
+    rf = RandomForestClassifier(
+        numTrees=20, maxDepth=5, seed=ml_ops.SEED, labelCol="label"
+    )
+    model = rf.fit(df)
+    imps = model.featureImportances.toArray()
+    rows = [(f, round(float(v), 6)) for f, v in zip(_FEATURES, imps)]
+    return spark.createDataFrame(rows, "feature string, importance double").orderBy(
+        F.desc("importance"), "feature"
+    )
+
+
+# --- M12 scale path: ml.feature.PCA ------------------------------------------
+@query("pca_ml")
+def pca_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full spark.ml PCA (covariance assembled distributed, eigen-solve on
+    the driver — the same shape that scales to 100 TB; the 2-feature
+    closed-form twin `pca` in mlsearch.py is the oracle-checked contract)."""
+    from pyspark.ml.feature import PCA as MLPCA
+
+    df = ml_ops.assemble(_task_frame(spark, sf_dir, keep_mod=1), _FEATURES)
+    model = MLPCA(k=3, inputCol="features", outputCol="pcs").fit(df)
+    evr = model.explainedVariance.toArray()
+    rows = [(f"pc{i+1}", round(float(v), 6)) for i, v in enumerate(evr)]
+    return spark.createDataFrame(
+        rows, "component string, explained_variance_ratio double"
+    )
+
+
+# --- E22: validation-based early stopping ------------------------------------
+@query("early_stopping")
+def early_stopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-descent logistic regression with patience-3 early stop: the
+    iterative-refinement lifecycle (fit round → distributed validation metric
+    → driver stop decision) of LGBM early_stopping_rounds / torch patience.
+    Gradients are decimal-summed (functions/numeric.py) so the training
+    trajectory — and therefore the stop round and row count — is
+    deterministic under any partitioning."""
+    base = _task_frame(spark, sf_dir).select(
+        "label",
+        (F.col("l_quantity") / 50.0).alias("x1"),
+        (F.col("l_discount") * 10.0).alias("x2"),
+        "is_test",
+    ).persist()
+    train = base.filter(~F.col("is_test"))
+    val = base.filter(F.col("is_test"))
+
+    w1 = w2 = b = 0.0
+    lr_rate, patience, max_rounds = 0.5, 3, 25
+    best_loss, best_round, history = float("inf"), -1, []
+    for r in range(max_rounds):
+        z = w1 * F.col("x1") + w2 * F.col("x2") + b
+        p = 1.0 / (1.0 + F.exp(-z))
+        err = p - F.col("label")
+        g = train.agg(
+            N.dsum(err * F.col("x1")).alias("g1"),
+            N.dsum(err * F.col("x2")).alias("g2"),
+            N.dsum(err).alias("gb"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        n = float(g["n"])
+        w1 -= lr_rate * g["g1"] / n
+        w2 -= lr_rate * g["g2"] / n
+        b -= lr_rate * g["gb"] / n
+        zv = w1 * F.col("x1") + w2 * F.col("x2") + b
+        pv = 1.0 / (1.0 + F.exp(-zv))
+        eps = 1e-12
+        loss_col = -(
+            F.col("label") * F.log(F.greatest(pv, F.lit(eps)))
+            + (1.0 - F.col("label")) * F.log(F.greatest(1.0 - pv, F.lit(eps)))
+        )
+        vloss = val.agg((N.dsum(loss_col, "decimal(30,12)") / F.count("*")).alias("l")).collect()[0]["l"]
+        history.append((r, round(float(vloss), 6)))
+        if vloss < best_loss - 1e-9:
+            best_loss, best_round = float(vloss), r
+        elif r - best_round >= patience:
+            break
+    base.unpersist()
+    rows = [(r, l, r == best_round) for r, l in history]
+    return spark.createDataFrame(
+        rows, "round int, val_logloss double, is_best boolean"
+    )
+
+
+# --- E21: HPO driver loop (Optuna when present, portable sampler otherwise) --
+@query("hpo_optuna")
+def hpo_optuna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPE-style HPO driving Spark-evaluated objectives. Optuna is engine-
+    agnostic — when installed it supplies the sampler/pruner; this container
+    lacks it, so the gated fallback is a seeded numpy log-uniform sampler
+    with the identical trial loop (objective = held-out accuracy of a
+    spark.ml LogisticRegression fit)."""
+    from pyspark.ml.classification import LogisticRegression
+
+    df = ml_ops.assemble(_task_frame(spark, sf_dir, keep_mod=20), _FEATURES).persist()
+    train = df.filter(~F.col("is_test"))
+    test = df.filter(F.col("is_test"))
+
+    def objective(reg: float) -> float:
+        lr = LogisticRegression(maxIter=25, regParam=reg).setLabelCol("label")
+        return ml_ops.accuracy_of(lr.fit(train).transform(test))
+
+    n_trials = 8
+    results = []
+    try:
+        import optuna
+
+        def obj(trial):
+            return objective(trial.suggest_float("reg", 1e-4, 10.0, log=True))
+
+        study = optuna.create_study(
+            direction="maximize",
+            sampler=optuna.samplers.TPESampler(seed=ml_ops.SEED),
+        )
+        study.optimize(obj, n_trials=n_trials)
+        for t in study.trials:
+            results.append((t.number, float(t.params["reg"]), float(t.value)))
+    except ImportError:
+        rng = np.random.RandomState(ml_ops.SEED)
+        for t in range(n_trials):
+            reg = float(10.0 ** rng.uniform(-4, 1))
+            results.append((t, reg, objective(reg)))
+    df.unpersist()
+    best = -1.0
+    rows = []
+    for t, reg, acc in results:
+        best = max(best, acc)
+        rows.append((t, round(reg, 6), round(acc, 4), round(best, 4)))
+    return spark.createDataFrame(
+        rows, "trial int, reg_param double, val_acc double, best_so_far double"
+    )
+
+
+# --- E24: NN training (driver-side numpy MLP, distributed scoring) -----------
+@query("nn_train")
+def nn_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference trains torch MLPs on a single node; torch is absent
+    here, so the driver-side trainer is a seeded numpy MLP (1 hidden layer,
+    tanh) fit on a deterministic collected sample — and the *scoring* of the
+    learned weights over the full table is pure Spark column arithmetic
+    (matmul unrolled into expressions), which is the part that must scale."""
+    base = _task_frame(spark, sf_dir).persist()
+    sample = (
+        base.filter(~F.col("is_test"))
+        .filter(F.col("row_id") % 3 == 0)
+        .limit(2000)
+        .select("label", *_FEATURES)
+        .toPandas()
+    )
+    X = sample[_FEATURES].to_numpy(dtype=np.float64)
+    y = sample["label"].to_numpy(dtype=np.float64)
+    mu, sd = X.mean(axis=0), X.std(axis=0) + 1e-9
+
+    rng = np.random.RandomState(ml_ops.SEED)
+    h = 4
+    W1 = rng.randn(X.shape[1], h) * 0.5
+    b1 = np.zeros(h)
+    W2 = rng.randn(h) * 0.5
+    b2 = 0.0
+    Xs = (X - mu) / sd
+    for _ in range(300):  # full-batch GD
+        H = np.tanh(Xs @ W1 + b1)
+        p = 1.0 / (1.0 + np.exp(-(H @ W2 + b2)))
+        err = p - y
+        gW2 = H.T @ err / len(y)
+        gb2 = err.mean()
+        dH = np.outer(err, W2) * (1 - H**2)
+        gW1 = Xs.T @ dH / len(y)
+        gb1 = dH.mean(axis=0)
+        W2 -= 0.5 * gW2
+        b2 -= 0.5 * gb2
+        W1 -= 0.5 * gW1
+        b1 -= 0.5 * gb1
+
+    # distributed scoring: unroll the trained MLP into Catalyst expressions
+    xs = [
+        ((F.col(c) - float(mu[i])) / float(sd[i])) for i, c in enumerate(_FEATURES)
+    ]
+    hidden = [
+        F.tanh(
+            sum((xs[i] * float(W1[i, j]) for i in range(1, len(xs))),
+                xs[0] * float(W1[0, j])) + float(b1[j])
+        )
+        for j in range(h)
+    ]
+    logit = sum(
+        (hidden[j] * float(W2[j]) for j in range(1, h)), hidden[0] * float(W2[0])
+    ) + float(b2)
+    prob = 1.0 / (1.0 + F.exp(-logit))
+    scored = base.select("label", (prob >= 0.5).cast("double").alias("pred"))
+    out = scored.groupBy(
+        F.col("label").cast("int").alias("label"),
+        F.col("pred").cast("int").alias("pred"),
+    ).agg(F.count("*").alias("n")).orderBy("label", "pred")
+    base.unpersist()
+    return out
+
+
+# --- M13: t-SNE on a stratified sample ---------------------------------------
+@query("tsne")
+def tsne(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (O(n²)) t-SNE on a deterministic ≤150-row stratified sample —
+    the reference itself samples ≤200/class before t-SNE
+    (teamProject/eda.ipynb:1588-1600) because the algorithm is superlinear;
+    the distributed part is the stratified sampling, the embedding is
+    driver-side numpy (sklearn is absent; this is a minimal faithful
+    implementation: perplexity-free Gaussian affinities, KL gradient
+    descent with early exaggeration)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_orderkey", "l_linenumber")
+    sample = (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("l_returnflag", *_FEATURES)
+        .toPandas()
+    )
+    X = sample[_FEATURES].to_numpy(dtype=np.float64)
+    X = (X - X.mean(axis=0)) / (X.std(axis=0) + 1e-9)
+    n = len(X)
+
+    d2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1)
+    sigma2 = np.median(d2) + 1e-9
+    P = np.exp(-d2 / sigma2)
+    np.fill_diagonal(P, 0.0)
+    P /= P.sum()
+    P = (P + P.T) / 2.0
+    P = np.maximum(P, 1e-12)
+
+    rng = np.random.RandomState(ml_ops.SEED)
+    Y = rng.randn(n, 2) * 1e-2
+    lr = 100.0
+    for it in range(250):
+        q_d2 = ((Y[:, None, :] - Y[None, :, :]) ** 2).sum(-1)
+        num = 1.0 / (1.0 + q_d2)
+        np.fill_diagonal(num, 0.0)
+        Q = np.maximum(num / num.sum(), 1e-12)
+        mult = 4.0 if it < 50 else 1.0  # early exaggeration
+        PQ = (mult * P - Q) * num
+        grad = 4.0 * ((np.diag(PQ.sum(axis=1)) - PQ) @ Y)
+        Y -= lr * grad
+        Y -= Y.mean(axis=0)
+
+    rows = [
+        (str(sample["l_returnflag"].iloc[i]), i, float(round(Y[i, 0], 4)), float(round(Y[i, 1], 4)))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "class string, sample_idx int, dim1 double, dim2 double"
+    )

@@ -231,3 +231,115 @@ def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return cos.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _TOPK)
+
+
+# --- embedding-cosine near-dup (north star dedup family) --------------------
+_DUP_TAU = 0.98
+_SHIFT = 100000
+
+# corpus = embeddings + an exact copy under shifted ids, so every vector has
+# at least one guaranteed near-duplicate (cosine 1.0) — same fixture trick
+# as dedup_exact. Candidates come from the hyperplane buckets (identical
+# vectors land in identical buckets), keeping the join linear in corpus
+# size instead of all-pairs.
+_DUP_EXPL_SQL = f"""
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + {_SHIFT} AS vec_id, embedding FROM embeddings
+  )
+"""
+
+
+@query(
+    "dedup_embed_cosine",
+    oracle=f"""
+    WITH expl AS ({_DUP_EXPL_SQL}),
+    norms AS ({_NORMS_SQL}),
+    buckets AS ({_BUCKET_SQL}),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.pos, a.v AS va, b.v AS vb
+      FROM expl a
+      JOIN buckets ba ON a.vec_id = ba.vec_id
+      JOIN buckets bb ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
+      JOIN expl b ON b.vec_id = bb.vec_id AND a.pos = b.pos
+    ),
+    dots AS (
+      SELECT id_a, id_b,
+             CAST(sum(CAST(va * vb AS DECIMAL(20,12))) AS DOUBLE) AS dot
+      FROM cand GROUP BY id_a, id_b
+    ),
+    cos AS (
+      SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+      FROM dots JOIN norms na ON id_a = na.vec_id
+                JOIN norms nb ON id_b = nb.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM cos WHERE cosine >= {_DUP_TAU}
+    """,
+)
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection: hyperplane-LSH buckets prune the
+    pair space (equi-join on bucket — shuffle linear in corpus), exact
+    decimal cosine confirms within buckets, keep pairs ≥ {_DUP_TAU}. The
+    dedup action downstream is `keep min(id) per connected component`
+    (connected components via iterated min-propagation — out of SQL scope)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        emb.select((F.col("vec_id") + _SHIFT).alias("vec_id"), "embedding")
+    )
+    withn = corpus.withColumn(
+        "nrm", F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding")))
+    )
+
+    def r_col(j: int, pos: F.Column) -> F.Column:
+        return ((F.lit(j) * 64 + pos) * 2654435761 % 1000).cast("double") / 1000.0 - 0.5
+
+    # bucket from the vector column directly (no explode): dot each vector
+    # against the fixed pseudo-random hyperplane via aggregate over positions
+    def plane_dot(j: int) -> F.Column:
+        idx = F.sequence(F.lit(0), F.size("embedding") - 1)
+        prods = F.zip_with(
+            F.col("embedding"),
+            idx,
+            lambda v, p: (v.cast("double") * r_col(j, p)).cast("decimal(20,12)"),
+        )
+        return F.aggregate(
+            prods,
+            F.lit(0).cast("decimal(30,12)"),
+            lambda acc, x: (acc + x).cast("decimal(30,12)"),
+        ).cast("double")
+
+    bucket = sum(
+        (F.when(plane_dot(j) > 0, F.lit(1 << j)).otherwise(0) for j in range(1, _NPLANES)),
+        F.when(plane_dot(0) > 0, F.lit(1)).otherwise(0),
+    )
+    tagged = withn.withColumn("bucket", bucket)
+    a = tagged.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"), "bucket",
+    )
+    b = tagged.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"), "bucket",
+    )
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    cos = pairs.select(
+        "id_a",
+        "id_b",
+        F.round(_dec_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+    )
+    return cos.filter(F.col("cosine") >= _DUP_TAU)
+
+
+# --- vectorized (Arrow) brute-force top-k — the throughput path --------------
+@query("embed_cosine_topk_pandas")
+def embed_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """numpy-matmul-per-Arrow-batch form of embed_cosine_topk (rows-only:
+    float matmul is not bit-stable against the decimal oracle; equivalence
+    to the exact form is asserted in tests/test_similarity_ops.py)."""
+    from ..operators.similarity_ops import cosine_topk_vectorized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_vectorized(emb, n_queries=_NQ, k=_TOPK)

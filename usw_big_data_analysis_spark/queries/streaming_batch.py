@@ -123,3 +123,38 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.max("tsd")).cast("bigint").alias("session_end"),
         N.dsum("value").alias("sum_value"),
     )
+
+
+# --- real Structured Streaming execution (rows-only) -------------------------
+@query("stream_stateful_profile")
+def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the ACTUAL streaming engine (readStream → applyInPandasWithState
+    → memory sink, drained with processAllAvailable): per-user running
+    profiles from the custom stateful operator in streaming/ops.py. Rows-only
+    check — streaming semantics have no DuckDB oracle; the batch-equivalence
+    proof is tests/test_streaming.py."""
+    import uuid
+
+    from ..streaming import ops
+
+    name = f"q_stateful_{uuid.uuid4().hex[:8]}"
+    stream = ops.read_events_stream(spark, sf_dir)
+    q = (
+        ops.running_user_profile(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("max_value").alias("max_value"),
+        )
+        .orderBy("user_id")
+    )

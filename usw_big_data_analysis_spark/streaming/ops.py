@@ -1,0 +1,189 @@
+"""Structured Streaming twins of the batch window queries
+(queries/streaming_batch.py) plus a custom stateful operator.
+
+The reference is all-batch; the streaming surface is the driver-mandated
+extension over the `events` fixture. Design: every operator takes a
+*streaming* DataFrame (``spark.readStream``) and returns the transformed
+streaming frame — sinks/triggers are the caller's business, so the same
+code runs under `trigger(availableNow=True)` in tests and continuous
+triggers in production.
+
+Scale notes: watermark bounds state (late rows beyond 30 min are dropped);
+window aggregations keep one state row per (window, key) — state size is
+O(windows x keys), independent of event volume. The stateful op uses
+applyInPandasWithState with an explicit timeout so sessions close without
+waiting for the next event for that user.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # epoch nanos (fixture parquet)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one file = one
+    micro-batch under availableNow; in production this is Kafka/kinesis with
+    the same downstream code). Rebuilds the timestamp from the fixture's
+    epoch-nanos long exactly like sources/tables.py does for batch."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        # file-source streams take a directory; glob to just the events table
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, width: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling-window counts — the streaming twin of
+    `stream_tumbling`."""
+    return (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_aggregates(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Built-in session windows (gap-merged state) — twin of
+    `stream_session`'s lag/cumsum batch formulation."""
+    return (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").alias("session_start"),
+            F.unix_timestamp("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --- custom stateful operator: running per-user anomaly score ----------------
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("sum_v", DoubleType()),
+        StructField("max_v", DoubleType()),
+    ]
+)
+_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("mean_value", DoubleType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+
+
+def _make_update_fn(idle_flush_ms: int | None):
+    def update_user_state(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if idle_flush_ms is not None and state.hasTimedOut:
+            n, sum_v, max_v = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "mean_value": [sum_v / n if n else 0.0],
+                    "max_value": [max_v],
+                }
+            )
+            return
+        n, sum_v, max_v = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            sum_v += float(pdf["value"].sum())
+            if len(pdf):
+                max_v = max(max_v, float(pdf["value"].max()))
+        state.update((n, sum_v, max_v))
+        if idle_flush_ms is not None:
+            state.setTimeoutDuration(idle_flush_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "mean_value": [sum_v / n if n else 0.0],
+                "max_value": [max_v],
+            }
+        )
+
+    return update_user_state
+
+
+def running_user_profile(
+    events: DataFrame, idle_flush_ms: int | None = None
+) -> DataFrame:
+    """Custom stateful aggregation (applyInPandasWithState): a running
+    per-user profile emitted every micro-batch — the pattern the
+    reference's batch world has no equivalent for. State per user is 3
+    scalars. Pass idle_flush_ms to also flush+drop a user's state after
+    processing-time idleness (continuous pipelines; leave None for bounded
+    runs — recurring timers never let processAllAvailable drain)."""
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if idle_flush_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_update_fn(idle_flush_ms),
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=timeout,
+        )
+    )
