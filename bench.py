@@ -42,17 +42,23 @@ def main() -> None:
     spark = get_spark("bench")
     qs = all_queries()
 
-    # warm the JVM + parquet footers once so per-query times measure the
-    # query, not first-job startup
-    qs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # steady-state methodology: run every query once unmeasured (JVM warmup,
+    # parquet footers, whole-stage-codegen JIT — first execution of each
+    # generated stage costs 1-3s of compile that run-to-run noise would
+    # otherwise dominate), then time the second execution of each
+    for name in HEADLINE:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # best-of-2 timed runs per query: the min is the standard noise-robust
+    # estimator (this box shows multi-second co-tenant interference spikes)
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -132,3 +132,67 @@ def sql_dcorr(x: str, y: str) -> str:
         f"round((({n} * {sxy} - {sx} * {sy}) / "
         f"sqrt(({n} * {sxx} - {sx} * {sx}) * ({n} * {syy} - {sy} * {sy}))), {_STAT_SCALE})"
     )
+
+
+# --- fast exact sums: scaled-integer hi/lo split -----------------------------
+# The decimal path above is exact but slow in Spark (BigDecimal adds; no
+# codegen fast path even at precision 18 — measured 3-4x slower than bigint).
+# For hot aggregates use the integer split: values with <= `scale` decimal
+# digits become exact bigints via round(x * 10^scale); the per-row product /
+# value is summed as TWO bigint sums (quotient and remainder by 1e9) so the
+# partial sums never overflow (row value < 9.2e18, quotient sum bounded by
+# rows * value/1e9, remainder sum by rows * 1e9 — fine to ~1e9 rows per
+# aggregation; beyond that, widen the final combine, not the row path).
+# Reconstruction hi*1e9 + lo is exact integer arithmetic in DECIMAL(38,0) —
+# bit-identical in Spark and DuckDB, then ONE double conversion + ONE
+# division. Non-negative inputs only (Spark `div` truncates toward zero,
+# DuckDB `//` floors — they agree only for non-negatives).
+
+_ISPLIT = 1_000_000_000
+
+
+def iscaled(c: Column | str, scale: int) -> Column:
+    """round(x * 10^scale) as bigint — exact when x has <= scale decimals."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.round(col * (10**scale), 0).cast("bigint")
+
+
+def isum_aggs(expr: Column, name: str) -> list[Column]:
+    """Two aggregate columns (<name>__hi, <name>__lo) for an exact bigint
+    sum of a non-negative bigint expression. Per-row values must stay below
+    2^53 (true for <=1e7-scaled fixture numerics and their pairwise
+    products) so the quotient via double division is exact."""
+    return [
+        F.sum(F.floor(expr / F.lit(_ISPLIT)).cast("bigint")).alias(f"{name}__hi"),
+        F.sum(expr % _ISPLIT).alias(f"{name}__lo"),
+    ]
+
+
+def isum_value(name: str, scale: int) -> Column:
+    """Recombine hi/lo into the exact sum, scaled back: one deterministic
+    double conversion + one division."""
+    total = (
+        F.col(f"{name}__hi").cast("decimal(38,0)") * _ISPLIT
+        + F.col(f"{name}__lo").cast("decimal(38,0)")
+    )
+    return total.cast("double") / float(10**scale)
+
+
+def sql_isum_items(expr: str, name: str) -> str:
+    """DuckDB select-list fragment matching isum_aggs (expr must be a
+    non-negative BIGINT expression)."""
+    return (
+        f"sum(({expr}) // {_ISPLIT}) AS {name}__hi, "
+        f"sum(({expr}) % {_ISPLIT}) AS {name}__lo"
+    )
+
+
+def sql_iscaled(expr: str, scale: int) -> str:
+    return f"CAST(round(({expr}) * {10**scale}) AS BIGINT)"
+
+
+def sql_isum_value(name: str, scale: int) -> str:
+    return (
+        f"(CAST(CAST({name}__hi AS DECIMAL(38,0)) * {_ISPLIT} "
+        f"+ CAST({name}__lo AS DECIMAL(38,0)) AS DOUBLE) / {float(10**scale)})"
+    )

