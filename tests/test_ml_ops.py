@@ -1,0 +1,56 @@
+"""operators/ml_ops.py: pipeline persistence (SURVEY §2.1 S8 — the binary
+model sink, `best_model_pipeline.py:414-428` → MLWriter) and OOF stacking
+shape guarantees."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from usw_big_data_analysis_spark.operators import ml_ops
+from usw_big_data_analysis_spark.queries.mlmodels import _FEATURES, _task_frame
+
+
+def test_pipeline_model_save_load_roundtrip(spark, sf_dir):
+    base = _task_frame(spark, sf_dir)
+    train = base.filter(~F.col("is_test"))
+    pipe = ml_ops.preprocessing_pipeline(_FEATURES)
+    fitted = pipe.fit(train)
+    path = os.path.join(tempfile.gettempdir(), "usw_test_pipeline_model")
+    fitted.write().overwrite().save(path)
+
+    from pyspark.ml import PipelineModel
+
+    back = PipelineModel.load(path)
+    a = fitted.transform(train).select("features").limit(5).collect()
+    b = back.transform(train).select("features").limit(5).collect()
+    assert [r["features"] for r in a] == [r["features"] for r in b]
+
+
+def test_stratified_fold_column_balance(spark, sf_dir):
+    base = _task_frame(spark, sf_dir)
+    tagged = ml_ops.stratified_fold_column(base, "label", k=5, order_cols=["row_id"])
+    counts = (
+        tagged.groupBy("label", "fold").count().groupBy("label")
+        .agg(F.max("count").alias("mx"), F.min("count").alias("mn"))
+        .collect()
+    )
+    for r in counts:
+        assert r["mx"] - r["mn"] <= 1  # exact per-class balance
+
+
+def test_stacking_oof_covers_every_row(spark, sf_dir):
+    from pyspark.ml.classification import LogisticRegression
+
+    base = (
+        _task_frame(spark, sf_dir, keep_mod=40)
+        .select("row_id", "label", *_FEATURES)
+    )
+    df = ml_ops.assemble(base, _FEATURES)
+    models = {"lr": LogisticRegression(maxIter=10)}
+    _, meta = ml_ops.stacking_oof(df, models, id_col="row_id", k=3)
+    # every input row appears exactly once in the OOF meta-feature table
+    assert meta.count() == base.count()
+    assert meta.select("row_id").distinct().count() == base.count()

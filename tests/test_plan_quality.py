@@ -10,15 +10,13 @@ shuffle-both-sides join.
 from __future__ import annotations
 
 import __spark_entry__ as entrymod
+from usw_big_data_analysis_spark.plans import audit, explain_formatted
 
 _QUERIES = entrymod.queries()
 
 
 def _plan(spark, sf_dir, name: str) -> str:
-    df = _QUERIES[name](spark, sf_dir)
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+    return explain_formatted(_QUERIES[name](spark, sf_dir))
 
 
 def test_flagship_pushes_filter_and_prunes_columns(spark, sf_dir):
@@ -54,3 +52,32 @@ def test_wordcount_partial_aggregation(spark, sf_dir):
     plan = _plan(spark, sf_dir, "wordcount")
     # partial (map-side) HashAggregate before the exchange
     assert plan.count("HashAggregate") >= 2
+
+
+def test_corr_matrix_single_aggregation_no_join(spark, sf_dir):
+    a = audit(_QUERIES["corr_matrix"](spark, sf_dir))
+    # one pass over the fact: no joins at all, one agg exchange
+    assert a.sort_merge_joins == 0 and a.broadcast_joins == 0
+    assert a.shuffles <= 1
+
+
+def test_hpo_grid_compresses_before_config_cross_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "hpo_grid")
+    # the config dim must broadcast against the compressed counts, never
+    # shuffle the fact per config
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_etl_pipeline_prunes_scan_columns(spark, sf_dir):
+    a = audit(_QUERIES["etl_pipeline"](spark, sf_dir))
+    # the ~800-variable recode loop collapses into the scan projection:
+    # only the columns the pipeline touches are read
+    assert a.read_schemas and all("o_comment" not in s for s in a.read_schemas)
+
+
+def test_no_row_at_a_time_python_anywhere(spark, sf_dir):
+    # Python in plans must be Arrow-vectorized (mapInPandas / pandas_udf),
+    # never row-at-a-time BatchEvalPython — the 10-100x rule
+    for name in ("multimodal_decode", "embed_cosine_topk_pandas", "wordcount"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name

@@ -26,6 +26,7 @@ for _mod_name in (
     "mlmodels",
     "sources_extra",
     "multimodal",
+    "etl",
 ):
     try:
         _mod = __import__(f"{__name__}.{_mod_name}", fromlist=[_mod_name])
