@@ -49,12 +49,12 @@ def main() -> None:
     for name in HEADLINE:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # best-of-2 timed runs per query: the min is the standard noise-robust
+    # best-of-3 timed runs per query: the min is the standard noise-robust
     # estimator (this box shows multi-second co-tenant interference spikes)
     times: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)

@@ -201,40 +201,17 @@ def describe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(col_name, n, mean, std, min_x, max_x, n_zero)"
     )
 
-    melted = _melt_lineitem(spark, sf_dir)
+    # exact quartiles via the two-phase bucketed design — no per-column
+    # global window (the histogram locates the bracketing buckets, only
+    # those are ranked); bit-identical to the oracle's window-cumsum form
+    from ..operators.percentile_ops import bucketed_exact_percentiles
 
-    cnts = melted.groupBy("col_name", "x").agg(F.count("*").alias("cnt"))
-    wcum = Window.partitionBy("col_name").orderBy("x").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wall = Window.partitionBy("col_name")
-    marks = cnts.select(
+    melted = _melt_lineitem(spark, sf_dir)
+    percs = bucketed_exact_percentiles(melted, [0.25, 0.5, 0.75]).select(
         "col_name",
-        "x",
-        F.sum("cnt").over(wcum).alias("cum"),
-        (F.sum("cnt").over(wcum) - F.col("cnt")).alias("prev"),
-        F.sum("cnt").over(wall).alias("ntot"),
-    )
-    ps = spark.createDataFrame([(0.25,), (0.5,), (0.75,)], "p double")
-    r = (F.col("ntot") - 1) * F.col("p") + 1
-    hits = (
-        marks.crossJoin(F.broadcast(ps))
-        .groupBy("col_name", "p")
-        .agg(
-            F.max(
-                F.when((F.col("prev") < F.floor(r)) & (F.col("cum") >= F.floor(r)), F.col("x"))
-            ).alias("vlo"),
-            F.max(
-                F.when((F.col("prev") < F.ceil(r)) & (F.col("cum") >= F.ceil(r)), F.col("x"))
-            ).alias("vhi"),
-            F.max(r - F.floor(r)).alias("frac"),
-        )
-    )
-    interp = F.col("vlo") + F.col("frac") * (F.col("vhi") - F.col("vlo"))
-    percs = hits.groupBy("col_name").agg(
-        F.max(F.when(F.col("p") == 0.25, interp)).alias("q25"),
-        F.max(F.when(F.col("p") == 0.5, interp)).alias("median"),
-        F.max(F.when(F.col("p") == 0.75, interp)).alias("q75"),
+        F.col("p_0").alias("q25"),
+        F.col("p_1").alias("median"),
+        F.col("p_2").alias("q75"),
     )
     return moments.join(percs, "col_name").select(
         "col_name", "n", "mean", "std", "min_x", "q25", "median", "q75",
