@@ -26,7 +26,7 @@ def two_decimal_values(draw):
 
 
 @given(two_decimal_values(), st.integers(min_value=1, max_value=8))
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=10, deadline=None)
 def test_isum_matches_exact_rational_sum(spark, vals, parts):
     df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(parts)
     row = df.agg(*N.isum_aggs(N.iscaled("x", 2), "s")).select(
@@ -37,7 +37,7 @@ def test_isum_matches_exact_rational_sum(spark, vals, parts):
 
 
 @given(two_decimal_values())
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=10, deadline=None)
 def test_isum_partition_invariance(spark, vals):
     one = spark.createDataFrame([(v,) for v in vals], "x double").coalesce(1)
     many = spark.createDataFrame([(v,) for v in vals], "x double").repartition(7)

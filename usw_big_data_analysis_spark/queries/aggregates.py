@@ -550,11 +550,14 @@ def corr_target(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def quantiles_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inherently two-pass (quartiles, then outlier counts); pass 2 joins the
-    tiny quartile table back (broadcast) — no second shuffle of the fact."""
+    tiny quartile table back (broadcast) — no second shuffle of the fact.
+    Quartiles via the bucketed two-phase operator (no percentile() value
+    buffer — see operators/percentile_ops.py)."""
+    from ..operators.percentile_ops import bucketed_exact_percentiles
+
     melted = _melt_lineitem(spark, sf_dir)
-    q = melted.groupBy("col_name").agg(
-        F.expr("percentile(x, 0.25)").alias("q1"),
-        F.expr("percentile(x, 0.75)").alias("q3"),
+    q = bucketed_exact_percentiles(melted, [0.25, 0.75]).select(
+        "col_name", F.col("p_0").alias("q1"), F.col("p_1").alias("q3")
     )
     iqr = F.col("q3") - F.col("q1")
     joined = melted.join(F.broadcast(q), "col_name")
