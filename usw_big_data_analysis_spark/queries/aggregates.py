@@ -257,8 +257,11 @@ _XTAB_BODY = f"""
     """,
 )
 def crosstab_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """pd.crosstab([k1,k2], cls, margins=True, normalize='index') as a
-    conditional-count aggregate + an All-margin union + row normalization."""
+    """pd.crosstab([k1,k2], cls, margins=True, normalize='index') via the
+    reusable helper (functions/crosstab.py — the reference builds this
+    shape 10+ times)."""
+    from ..functions.crosstab import crosstab
+
     cust = load_table(spark, sf_dir, "customer")
     base = cust.select(
         F.col("c_mktsegment").alias("seg"),
@@ -269,19 +272,7 @@ def crosstab_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bal_bucket"),
         (F.col("c_nationkey") % 3).cast("int").alias("cls"),
     )
-    aggs = [
-        F.sum((F.col("cls") == k).cast("bigint")).alias(f"n_{k}") for k in range(3)
-    ] + [F.count("*").alias("row_total")]
-    cells = base.groupBy("seg", "bal_bucket").agg(*aggs)
-    margin = base.agg(*aggs).select(
-        F.lit("All").alias("seg"), F.lit("All").alias("bal_bucket"), "*"
-    )
-    out = cells.unionByName(margin)
-    for k in range(3):
-        out = out.withColumn(
-            f"p_{k}", F.col(f"n_{k}").cast("double") / F.col("row_total")
-        )
-    return out
+    return crosstab(base, ["seg", "bal_bucket"], "cls", [0, 1, 2])
 
 
 # --- A6: pivot_table with agg + fillna(0) (wine…11….ipynb:5871-5878) --------

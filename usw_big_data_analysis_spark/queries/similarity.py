@@ -349,3 +349,131 @@ def embed_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk_vectorized(emb, n_queries=_NQ, k=_TOPK)
+
+
+# --- IVF (inverted-file) ANN: coarse quantizer + cell-restricted search -----
+_NCELLS = 8
+_NPROBE = 2
+
+# Deterministic coarse centroids: the first _NCELLS corpus vectors. A real
+# IVF trains k-means centroids; the cell-assignment / inverted-list /
+# nprobe machinery — the part that must scale — is identical, and fixed
+# centroids keep the query oracle-checkable (k-means itself is the
+# non-portable piece, like every trained model here).
+_IVF_ASSIGN_SQL = f"""
+  cent AS (SELECT vec_id AS cell, pos, v FROM expl WHERE vec_id < {_NCELLS}),
+  cdots AS (
+    SELECT e.vec_id, c.cell,
+           CAST(sum(CAST(e.v * c.v AS DECIMAL(20,12))) AS DOUBLE) AS dot
+    FROM expl e JOIN cent c ON e.pos = c.pos
+    GROUP BY e.vec_id, c.cell
+  ),
+  cnorm AS (SELECT cell, sqrt(CAST(sum(CAST(v * v AS DECIMAL(20,12))) AS DOUBLE)) AS cnrm
+            FROM cent GROUP BY cell),
+  ccos AS (
+    SELECT d.vec_id, d.cell,
+           round(d.dot / (n.nrm * cn.cnrm), 6) AS ccos
+    FROM cdots d JOIN norms n ON d.vec_id = n.vec_id
+                 JOIN cnorm cn ON d.cell = cn.cell
+  ),
+  ranked_cells AS (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS crn
+    FROM ccos
+  )
+"""
+
+
+@query(
+    "embed_ann_ivf",
+    oracle=f"""
+    WITH expl AS ({_EXPL_SQL}),
+    norms AS ({_NORMS_SQL}),
+    {_IVF_ASSIGN_SQL},
+    assign AS (SELECT vec_id, cell FROM ranked_cells WHERE crn = 1),
+    probes AS (SELECT vec_id AS qid, cell FROM ranked_cells
+               WHERE crn <= {_NPROBE} AND vec_id < {_NQ}),
+    cand AS (
+      SELECT p.qid, a.vec_id AS cid
+      FROM probes p JOIN assign a ON p.cell = a.cell
+      WHERE p.qid <> a.vec_id
+    ),
+    dots AS (
+      SELECT c.qid, c.cid,
+             CAST(sum(CAST(q.v * e.v AS DECIMAL(20,12))) AS DOUBLE) AS dot
+      FROM cand c
+      JOIN expl q ON q.vec_id = c.qid
+      JOIN expl e ON e.vec_id = c.cid AND e.pos = q.pos
+      GROUP BY c.qid, c.cid
+    ),
+    cos AS (
+      SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+      FROM dots JOIN norms nq ON qid = nq.vec_id
+                JOIN norms nc ON cid = nc.vec_id
+    )
+    SELECT qid, cid, cosine, rn FROM (
+      SELECT qid, cid, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rn
+      FROM cos
+    ) WHERE rn <= {_TOPK}
+    """,
+)
+def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: every vector is assigned to its nearest coarse centroid
+    (the inverted lists); a query scores only vectors in its {_NPROBE}
+    closest cells — ~nprobe/ncells of the corpus. At scale the inverted
+    lists are the partitioning key (repartition by cell → each probe is a
+    partition-local scan); centroid assignment is one broadcast-join pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    withn = emb.withColumn(
+        "nrm", F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding")))
+    )
+    cent = withn.filter(F.col("vec_id") < _NCELLS).select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    ccos = (
+        withn.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            "cell",
+            F.round(
+                _dec_dot(F.col("embedding"), F.col("cemb"))
+                / (F.col("nrm") * F.col("cnrm")),
+                6,
+            ).alias("ccos"),
+        )
+    )
+    wcell = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    ranked = ccos.withColumn("crn", F.row_number().over(wcell))
+    assign = ranked.filter(F.col("crn") == 1).select(
+        "vec_id", "cell", "embedding", "nrm"
+    )
+    probes = ranked.filter((F.col("crn") <= _NPROBE) & (F.col("vec_id") < _NQ)).select(
+        F.col("vec_id").alias("qid"),
+        "cell",
+        F.col("embedding").alias("qemb"),
+        F.col("nrm").alias("nrm_q"),
+    )
+    cand = probes.join(
+        assign.select(
+            F.col("vec_id").alias("cid"),
+            "cell",
+            F.col("embedding").alias("cemb"),
+            F.col("nrm").alias("nrm_c"),
+        ),
+        "cell",
+    ).filter(F.col("qid") != F.col("cid"))
+    cos = cand.select(
+        "qid",
+        "cid",
+        F.round(
+            _dec_dot(F.col("qemb"), F.col("cemb")) / (F.col("nrm_q") * F.col("nrm_c")),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return cos.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _TOPK)
