@@ -166,47 +166,38 @@ def describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-value count; percentiles are picked from the cumulated counts
     — executor memory stays O(1) per task (the percentile()-buffer form
     holds whole columns and cannot scale)."""
-    # moments in ONE unmelted pass (the melt multiplies scanned rows by
-    # #columns — fine for the distinct-value count below where it feeds a
-    # combine, wasteful for plain aggregates), stacked to long form after
-    li = load_table(spark, sf_dir, "lineitem")
-    aggs = []
-    for c in _NUM_COLS:
-        xi = N.iscaled(c, 2)
-        aggs += [
-            F.count(c).alias(f"n__{c}"),
-            F.min(c).alias(f"min__{c}"),
-            F.max(c).alias(f"max__{c}"),
-            F.sum((F.col(c) == 0.0).cast("bigint")).alias(f"zero__{c}"),
-            *N.isum_aggs(xi, f"s_{c}"),
-            *N.isum_aggs(xi * xi, f"ss_{c}"),
-        ]
-    one = li.agg(*aggs)
-    vals = []
-    for c in _NUM_COLS:
-        nd = F.col(f"n__{c}").cast("double")
-        sx = N.isum_value(f"s_{c}", 2)
-        ssv = N.isum_value(f"ss_{c}", 4)
-        vals += [
-            (sx / nd).alias(f"mean__{c}"),
-            F.round(F.sqrt((ssv - sx * sx / nd) / (nd - 1.0)), 6).alias(f"std__{c}"),
-        ]
-    wide = one.select("*", *vals)
-    stack = ", ".join(
-        f"'{c}', n__{c}, mean__{c}, std__{c}, min__{c}, max__{c}, zero__{c}"
-        for c in _NUM_COLS
+    # moments over the melted long form: ONE small aggregate operator
+    # (8 expressions grouped by col_name) instead of a 32-expression
+    # unmelted agg — the wide form generated a codegen class so large it
+    # cost ~14s to JIT and thrashed the generated-class cache; the melt's
+    # extra scanned rows are an order of magnitude cheaper than that
+    melted = _melt_lineitem(spark, sf_dir)
+    xi = N.iscaled("x", 2)
+    agg = melted.groupBy("col_name").agg(
+        F.count("x").alias("n"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.sum((F.col("x") == 0.0).cast("bigint")).alias("n_zero"),
+        *N.isum_aggs(xi, "s"),
+        *N.isum_aggs(xi * xi, "ss"),
     )
-    moments = wide.selectExpr(
-        f"stack({len(_NUM_COLS)}, {stack}) AS "
-        "(col_name, n, mean, std, min_x, max_x, n_zero)"
+    nd = F.col("n").cast("double")
+    sx = N.isum_value("s", 2)
+    ssv = N.isum_value("ss", 4)
+    moments = agg.select(
+        "col_name",
+        "n",
+        (sx / nd).alias("mean"),
+        F.round(F.sqrt((ssv - sx * sx / nd) / (nd - 1.0)), 6).alias("std"),
+        "min_x",
+        "max_x",
+        "n_zero",
     )
 
     # exact quartiles via the two-phase bucketed design — no per-column
     # global window (the histogram locates the bracketing buckets, only
     # those are ranked); bit-identical to the oracle's window-cumsum form
     from ..operators.percentile_ops import bucketed_exact_percentiles
-
-    melted = _melt_lineitem(spark, sf_dir)
     percs = bucketed_exact_percentiles(melted, [0.25, 0.5, 0.75]).select(
         "col_name",
         F.col("p_0").alias("q25"),

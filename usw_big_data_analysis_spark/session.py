@@ -46,6 +46,11 @@ def get_spark(
         # reader rejects; read as epoch-nanos long and rebuild (tables.py)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # wide-aggregate plans (describe, corr_matrix) generate large
+        # codegen classes; the default 100-entry generated-class cache
+        # thrashes when many distinct queries run in one session, paying
+        # multi-second recompiles per execution
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
     for k, v in (extra_conf or {}).items():
