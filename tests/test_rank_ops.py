@@ -1,0 +1,125 @@
+"""mean_ranks — the bucketed two-phase global mean-rank operator.
+
+Correctness: bit-identical to the naive unpartitioned ``rank() OVER
+(ORDER BY x)`` mean-rank formulation on both a heavily-tied column and a
+near-unique column. Scale: the plans of the rank-based statistics must
+never move row-level data to a single partition — every SinglePartition
+exchange has to sit above a map-side HashAggregate (the distinct-value /
+bucket-histogram compression), never directly above a scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from usw_big_data_analysis_spark.operators.rank_ops import mean_ranks
+from usw_big_data_analysis_spark.plans import explain_formatted
+from usw_big_data_analysis_spark.sources import load_table
+
+_QUERIES = entrymod.queries()
+
+
+def _naive_mean_ranks(df, col):
+    r_avg = F.rank().over(Window.orderBy(col)) + (
+        F.count("*").over(Window.partitionBy(col)) - 1
+    ) / 2.0
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(F.col(col), r_avg.alias("r_avg"))
+        .groupBy(col)
+        .agg(F.count("*").alias("cnt"), F.first("r_avg").alias("r_avg"))
+    )
+
+
+def _assert_same(fast, naive, col):
+    a = {tuple(r) for r in fast.select(col, "cnt", "r_avg").collect()}
+    b = {tuple(r) for r in naive.select(col, "cnt", "r_avg").collect()}
+    assert a == b
+
+
+def test_mean_ranks_matches_naive_on_ties(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    _assert_same(
+        mean_ranks(li, "l_quantity"),
+        _naive_mean_ranks(li, "l_quantity"),
+        "l_quantity",
+    )
+
+
+def test_mean_ranks_matches_naive_on_near_unique(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    _assert_same(
+        mean_ranks(li, "l_extendedprice"),
+        _naive_mean_ranks(li, "l_extendedprice"),
+        "l_extendedprice",
+    )
+
+
+def test_mean_ranks_single_value_and_negatives(spark):
+    df = spark.createDataFrame(
+        [(-3.0,), (-3.0,), (-1.5,), (0.0,), (0.0,), (0.0,), (2.0,), (None,)],
+        "x double",
+    )
+    got = {tuple(r) for r in mean_ranks(df, "x").collect()}
+    assert got == {(-3.0, 2, 1.5), (-1.5, 1, 3.0), (0.0, 3, 5.0), (2.0, 1, 7.0)}
+    one = spark.createDataFrame([(5.0,)] * 4, "x double")
+    assert mean_ranks(one, "x").collect()[0].asDict() == {
+        "x": 5.0,
+        "cnt": 4,
+        "r_avg": 2.5,
+    }
+
+
+def _single_partition_exchanges_see_only_aggregates(plan: str):
+    """On every path from a SinglePartition Exchange down to a parquet scan
+    there must be a HashAggregate — i.e. the data hitting a single partition
+    is always a compressed aggregate (distinct values / bucket histogram),
+    never raw rows. Node ids come from the formatted-explain details; the
+    tree's indentation gives the paths."""
+    import re
+
+    sp_ids = {
+        int(m.group(1))
+        for m in re.finditer(
+            r"\((\d+)\) Exchange\nInput[^\n]*\nArguments: SinglePartition", plan
+        )
+    }
+    agg_ids = {int(m.group(1)) for m in re.finditer(r"\((\d+)\) HashAggregate", plan)}
+    assert sp_ids, "expected at least one SinglePartition exchange (histogram window)"
+
+    tree = [
+        l
+        for l in plan.splitlines()[: plan.splitlines().index("")]
+        if re.search(r"\((\d+)\)\s*$", l)
+    ]
+    stack: list[tuple[int, int]] = []  # (indent, node_id)
+    for line in tree:
+        node_id = int(re.search(r"\((\d+)\)\s*$", line).group(1))
+        indent = len(line) - len(line.lstrip(" *+-"))
+        while stack and stack[-1][0] >= indent:
+            stack.pop()
+        if "Scan parquet" in line:
+            # ancestors deeper than each SinglePartition exchange must
+            # include a HashAggregate
+            path = [nid for _, nid in stack]
+            for i, nid in enumerate(path):
+                if nid in sp_ids:
+                    assert any(a in agg_ids for a in path[i + 1 :]), (
+                        f"raw scan under SinglePartition exchange ({nid})"
+                    )
+        stack.append((indent, node_id))
+    return True
+
+
+def test_rank_stats_never_single_partition_raw_rows(spark, sf_dir):
+    for name in (
+        "mannwhitney",
+        "kruskal",
+        "wilcoxon",
+        "corr_tests",
+        "scale_quantile",
+    ):
+        plan = explain_formatted(_QUERIES[name](spark, sf_dir))
+        assert _single_partition_exchanges_see_only_aggregates(plan), name

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
 from ..functions import numeric as N
+from ..operators.rank_ops import mean_ranks
 from ..registry import query
 from ..sources import load_table
 
@@ -299,18 +300,26 @@ def scale_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scale_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """QuantileTransformer(uniform) ≡ mean-rank ECDF."""
+    """QuantileTransformer(uniform) ≡ mean-rank ECDF. u = mean_rank/n per
+    DISTINCT value (bucketed ``mean_ranks`` — no row-level window). The
+    group mean replicates the oracle's per-row DECIMAL(25,12) rounding by
+    multiplying each value's rounded u by its multiplicity in exact decimal
+    (25,12 × 10,0 → 36,12 product, no precision loss)."""
     li = load_table(spark, sf_dir, "lineitem")
-    u = (
-        F.rank().over(Window.orderBy("l_quantity"))
-        + (F.count("*").over(Window.partitionBy("l_quantity")) - 1) / 2.0
-    ) / F.count("*").over(Window.partitionBy())
-    e = li.select("l_returnflag", u.alias("u"))
-    return e.groupBy("l_returnflag").agg(
+    xg = li.select(
+        F.col("l_quantity").alias("x"), F.col("l_returnflag").alias("grp")
+    )
+    ranks = mean_ranks(xg, "x")
+    tot = ranks.agg(F.sum("cnt").alias("nn"))
+    umap = ranks.crossJoin(F.broadcast(tot)).select(
+        "x", (F.col("r_avg") / F.col("nn")).alias("u")
+    )
+    cg = xg.groupBy("x", "grp").agg(F.count("*").alias("c"))
+    e = cg.join(umap, "x")
+    term = F.col("u").cast("decimal(25,12)") * F.col("c").cast("decimal(10,0)")
+    return e.groupBy(F.col("grp").alias("l_returnflag")).agg(
         F.round(
-            F.sum(F.col("u").cast("decimal(25,12)")).cast("double")
-            / F.count("*").cast("double"),
-            6,
+            F.sum(term).cast("double") / F.sum("c").cast("double"), 6
         ).alias("mean_u"),
         F.round(F.min("u"), 6).alias("min_u"),
         F.round(F.max("u"), 6).alias("max_u"),

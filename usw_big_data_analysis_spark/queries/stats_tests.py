@@ -6,18 +6,22 @@ the p-value lookup (a special-function CDF) is driver-side — see
 ``functions/stats.py`` for the scipy-finished variants. The oracle-checked
 queries return the exact statistics.
 
-Rank-based tests use global average-rank windows (ties get the mean rank,
-matching scipy). Average ranks are half-integers < 2^52, so their sums are
-exact in double regardless of order. Global ranking is a total sort — fine
-at test scale; at 100 TB use range-partitioned two-pass ranking.
+Rank-based tests use ``operators.rank_ops.mean_ranks`` — the two-phase
+bucketed mean-rank operator (ties get the mean rank, matching scipy). The
+fact table collapses to per-distinct-value counts via map-side combine
+before any window; the only unpartitioned window is over the ≤1024-row
+bucket histogram, so no total sort ever happens. Average ranks are
+half-integers < 2^52, so their sums are exact in double regardless of
+order — bit-identical to the row-level ``rank()`` the oracles run.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import numeric as N
+from ..operators.rank_ops import mean_ranks
 from ..registry import query
 from ..sources import load_table
 
@@ -180,21 +184,29 @@ def ttest_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Signed-rank sums with scipy's zero-discard and mean-rank ties."""
+    """Signed-rank sums with scipy's zero-discard and mean-rank ties.
+    Ranks of |d| come from the bucketed ``mean_ranks`` operator; signed
+    multiplicities per distinct d rejoin them on |d| — the fact never hits
+    an unpartitioned window."""
     li = load_table(spark, sf_dir, "lineitem")
     d_expr = F.col("l_quantity") * F.col("l_discount") - 1.0
     d = li.select(d_expr.alias("d")).filter(F.col("d") != 0.0)
-    r_avg = F.rank().over(Window.orderBy(F.abs(F.col("d")))) + (
-        F.count("*").over(Window.partitionBy(F.abs(F.col("d")))) - 1
-    ) / 2.0
-    r = d.select("d", r_avg.alias("r_avg"))
-    w_plus = F.sum(F.when(F.col("d") > 0, F.col("r_avg")).otherwise(0.0))
-    w_minus = F.sum(F.when(F.col("d") < 0, F.col("r_avg")).otherwise(0.0))
-    return r.agg(
+    vd = d.groupBy("d").agg(F.count("*").alias("c"))
+    absr = mean_ranks(d.select(F.abs(F.col("d")).alias("ad")), "ad")
+    j = vd.withColumn("ad", F.abs(F.col("d"))).join(
+        absr.select("ad", "r_avg"), "ad"
+    )
+    w_plus = F.sum(
+        F.when(F.col("d") > 0, F.col("c") * F.col("r_avg")).otherwise(0.0)
+    )
+    w_minus = F.sum(
+        F.when(F.col("d") < 0, F.col("c") * F.col("r_avg")).otherwise(0.0)
+    )
+    return j.agg(
         w_plus.alias("w_plus"),
         w_minus.alias("w_minus"),
         F.least(w_plus, w_minus).alias("w_stat"),
-        F.count("*").alias("n_nonzero"),
+        F.sum("c").alias("n_nonzero"),
     )
 
 
@@ -227,18 +239,19 @@ def wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-sum of group A from per-(value, group) counts × bucketed mean
+    ranks — two map-side-combined aggregations, no row-level window."""
     li = load_table(spark, sf_dir, "lineitem")
     two = li.filter(F.col("l_returnflag").isin("A", "R")).select(
         F.col("l_returnflag").alias("grp"), F.col("l_quantity").alias("x")
     )
-    r_avg = F.rank().over(Window.orderBy("x")) + (
-        F.count("*").over(Window.partitionBy("x")) - 1
-    ) / 2.0
-    r = two.select("grp", r_avg.alias("r_avg"))
-    s = r.agg(
-        F.sum(F.when(F.col("grp") == "A", F.col("r_avg"))).alias("r1"),
-        F.sum((F.col("grp") == "A").cast("bigint")).alias("n1"),
-        F.sum((F.col("grp") == "R").cast("bigint")).alias("n2"),
+    ranks = mean_ranks(two, "x")
+    cg = two.groupBy("x", "grp").agg(F.count("*").alias("c"))
+    j = cg.join(ranks.select("x", "r_avg"), "x")
+    s = j.agg(
+        F.sum(F.when(F.col("grp") == "A", F.col("c") * F.col("r_avg"))).alias("r1"),
+        F.sum(F.when(F.col("grp") == "A", F.col("c"))).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("grp") == "R", F.col("c"))).cast("bigint").alias("n2"),
     )
     u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
     u2 = F.col("n1").cast("double") * F.col("n2") - u1
@@ -313,23 +326,26 @@ def anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """H with scipy's tie correction; rank sums are exact half-integers."""
+    """H with scipy's tie correction; rank sums are exact half-integers.
+    Per-group rank sums = Σ count(value, group)·mean_rank(value); the tie
+    term reuses the same per-value counts — both from bucketed ``mean_ranks``,
+    no row-level window."""
     li = load_table(spark, sf_dir, "lineitem")
-    r_avg = F.rank().over(Window.orderBy("l_quantity")) + (
-        F.count("*").over(Window.partitionBy("l_quantity")) - 1
-    ) / 2.0
-    r = li.select(F.col("l_returnflag").alias("grp"), r_avg.alias("r_avg"))
-    gs = r.groupBy("grp").agg(
-        F.sum("r_avg").alias("rg"), F.count("*").cast("double").alias("ng")
-    )
-    ties = (
-        li.groupBy("l_quantity")
-        .agg(F.count("*").alias("t"))
+    x = li.select(F.col("l_returnflag").alias("grp"), F.col("l_quantity").alias("x"))
+    ranks = mean_ranks(x, "x")
+    cg = x.groupBy("x", "grp").agg(F.count("*").alias("c"))
+    gs = (
+        cg.join(ranks.select("x", "r_avg"), "x")
+        .groupBy("grp")
         .agg(
-            F.sum(
-                F.col("t").cast("double") * F.col("t") * F.col("t") - F.col("t")
-            ).alias("tie_term")
+            F.sum(F.col("c") * F.col("r_avg")).alias("rg"),
+            F.sum("c").cast("double").alias("ng"),
         )
+    )
+    ties = ranks.agg(
+        F.sum(
+            F.col("cnt").cast("double") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("tie_term")
     )
     tot = gs.agg(
         F.sum("ng").alias("nn"),
@@ -426,15 +442,22 @@ def chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corr_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson on values; Spearman = Pearson on mean ranks (scipy-equivalent
-    tie handling); t transform of r for the p-value lookup."""
+    tie handling); t transform of r for the p-value lookup. Each column's
+    rank map comes from bucketed ``mean_ranks`` and is equi-joined back to
+    the fact — two ordinary shuffle joins instead of two total sorts."""
     li = load_table(spark, sf_dir, "lineitem")
-    rx = F.rank().over(Window.orderBy("l_quantity")) + (
-        F.count("*").over(Window.partitionBy("l_quantity")) - 1
-    ) / 2.0
-    ry = F.rank().over(Window.orderBy("l_extendedprice")) + (
-        F.count("*").over(Window.partitionBy("l_extendedprice")) - 1
-    ) / 2.0
-    ranked = li.select(rx.alias("rx"), ry.alias("ry"))
+    rxm = mean_ranks(li, "l_quantity").select(
+        "l_quantity", F.col("r_avg").alias("rx")
+    )
+    rym = mean_ranks(li, "l_extendedprice").select(
+        "l_extendedprice", F.col("r_avg").alias("ry")
+    )
+    ranked = (
+        li.select("l_quantity", "l_extendedprice")
+        .join(rxm, "l_quantity")
+        .join(rym, "l_extendedprice")
+        .select("rx", "ry")
+    )
     p = li.agg(
         N.dcorr("l_quantity", "l_extendedprice").alias("r_pearson"),
         F.count("*").cast("double").alias("n"),
