@@ -72,12 +72,12 @@ def test_mean_ranks_single_value_and_negatives(spark):
     }
 
 
-def _single_partition_exchanges_see_only_aggregates(plan: str):
+def _single_partition_exchanges_see_only_aggregates(plan: str, require_sp=True):
     """On every path from a SinglePartition Exchange down to a parquet scan
-    there must be a HashAggregate — i.e. the data hitting a single partition
-    is always a compressed aggregate (distinct values / bucket histogram),
-    never raw rows. Node ids come from the formatted-explain details; the
-    tree's indentation gives the paths."""
+    there must be a cardinality-compressing node — HashAggregate (distinct
+    values / bucket histogram) or a top-k/limit — so the data hitting a
+    single partition is never raw rows. Node ids come from the
+    formatted-explain details; the tree's indentation gives the paths."""
     import re
 
     sp_ids = {
@@ -86,8 +86,17 @@ def _single_partition_exchanges_see_only_aggregates(plan: str):
             r"\((\d+)\) Exchange\nInput[^\n]*\nArguments: SinglePartition", plan
         )
     }
-    agg_ids = {int(m.group(1)) for m in re.finditer(r"\((\d+)\) HashAggregate", plan)}
-    assert sp_ids, "expected at least one SinglePartition exchange (histogram window)"
+    agg_ids = {
+        int(m.group(1))
+        for m in re.finditer(
+            r"\((\d+)\) (?:HashAggregate|TakeOrderedAndProject|GlobalLimit)", plan
+        )
+    }
+    if require_sp:
+        # non-vacuousness: the histogram window must actually be in the plan
+        assert sp_ids, "expected a SinglePartition exchange (histogram window)"
+    elif not sp_ids:
+        return True
 
     tree = [
         l
@@ -120,6 +129,12 @@ def test_rank_stats_never_single_partition_raw_rows(spark, sf_dir):
         "wilcoxon",
         "corr_tests",
         "scale_quantile",
+        "cumsum_curve",
+        "argmax_threshold",
     ):
         plan = explain_formatted(_QUERIES[name](spark, sf_dir))
         assert _single_partition_exchanges_see_only_aggregates(plan), name
+    # limit-based plans may avoid SinglePartition exchanges entirely
+    # (TakeOrderedAndProject) — still must never feed one raw rows
+    plan = explain_formatted(_QUERIES["sort_values"](spark, sf_dir))
+    assert _single_partition_exchanges_see_only_aggregates(plan, require_sp=False)

@@ -94,20 +94,61 @@ SELECT rnk, p_partkey, cum / total AS cum_frac FROM ordered
 @query("cumsum_curve", oracle=_CUM_ORACLE)
 def cumsum_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explained-variance / importance-curve shape: ordered cumulative share.
-    Decimal running sum ⇒ exact regardless of frame evaluation order."""
+
+    Two-phase instead of a global ordered window (which single-partitions
+    the whole table): range-bucket on the sort key, roll per-bucket
+    count/sum subtotals into global offsets over the tiny histogram, then a
+    bucket-PARTITIONED window finishes ranks and running sums. Ties share a
+    price so they share a bucket; decimal arithmetic keeps every partial
+    exact, so offsets + in-bucket sums ≡ the global running sum bit-for-bit
+    (same pattern as ``operators/rank_ops.py``/``percentile_ops.py``)."""
     part = load_table(spark, sf_dir, "part")
-    order = [F.desc("p_retailprice"), F.asc("p_partkey")]
-    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    total = F.sum(F.col("p_retailprice").cast("decimal(25,6)")).over(
-        Window.partitionBy()
+    nb = 1024
+    pr = part.select("p_partkey", "p_retailprice")
+    mm = pr.agg(
+        F.min("p_retailprice").cast("double").alias("mn"),
+        F.max("p_retailprice").cast("double").alias("mx"),
     )
-    return part.select(
-        F.row_number().over(Window.orderBy(*order)).alias("rnk"),
+    width = (F.col("mx") - F.col("mn")) / float(nb)
+    bounds = mm.select(
+        "mx", F.when(width == 0.0, F.lit(1.0)).otherwise(width).alias("w")
+    )
+    dec = F.col("p_retailprice").cast("decimal(25,6)")
+    # descending buckets: highest price -> bucket 0
+    wb = pr.crossJoin(F.broadcast(bounds)).select(
         "p_partkey",
-        (
-            F.sum(F.col("p_retailprice").cast("decimal(25,6)")).over(w).cast("double")
-            / total.cast("double")
-        ).alias("cum_frac"),
+        "p_retailprice",
+        F.least(
+            F.floor(
+                (F.col("mx") - F.col("p_retailprice").cast("double")) / F.col("w")
+            ).cast("int"),
+            F.lit(nb - 1),
+        ).alias("b"),
+    )
+    hist = wb.groupBy("b").agg(F.count("*").alias("bc"), F.sum(dec).alias("bs"))
+    wh = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = hist.select(
+        "b",
+        F.coalesce(F.sum("bc").over(wh), F.lit(0)).alias("prev_cnt"),
+        F.coalesce(F.sum("bs").over(wh), F.lit(0).cast("decimal(38,6)")).alias(
+            "prev_sum"
+        ),
+    )
+    tot = hist.agg(F.sum("bs").cast("double").alias("total"))
+    order = [F.desc("p_retailprice"), F.asc("p_partkey")]
+    wv = Window.partitionBy("b").orderBy(*order)
+    wvs = wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        wb.join(F.broadcast(offs), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("prev_cnt") + F.row_number().over(wv)).cast("int").alias("rnk"),
+            "p_partkey",
+            (
+                (F.col("prev_sum") + F.sum(dec).over(wvs)).cast("double")
+                / F.col("total")
+            ).alias("cum_frac"),
+        )
     )
 
 
@@ -140,16 +181,18 @@ def argmax_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sort_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-key asc/desc sort; the rank column materializes the order (the
-    driver's comparison is order-insensitive, so the position IS the value)."""
+    driver's comparison is order-insensitive, so the position IS the value).
+    limit-before-window: the top-100 comes from distributed top-k
+    (TakeOrderedAndProject — each partition keeps 100, no global sort); the
+    unpartitioned row_number then only ever sees 100 rows."""
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy(
-        F.asc("o_orderpriority"), F.desc("o_totalprice"), F.asc("o_orderkey")
-    )
-    return (
+    keys = [F.asc("o_orderpriority"), F.desc("o_totalprice"), F.asc("o_orderkey")]
+    top = (
         orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 100)
+        .orderBy(*keys)
+        .limit(100)
     )
+    return top.withColumn("rn", F.row_number().over(Window.orderBy(*keys)))
 
 
 # --- O2: head-N (experiments/target_eda.py:123) -----------------------------
