@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import numeric as N
+from ..operators.shift_ops import cyclic_lead
 from ..registry import query
 from ..sources import load_table
 from .dedup import _h_spark, _h_sql
@@ -148,7 +149,10 @@ _PERM_SQL = """
            lead(l_discount) OVER w AS d_next0,
            first_value(l_discount) OVER w AS d_first
     FROM lineitem
-    WINDOW w AS (ORDER BY l_orderkey, l_linenumber
+    -- (l_orderkey, l_linenumber) alone is NOT unique in the synthetic
+    -- fixture; quantity+extendedprice complete a unique key so the
+    -- cyclic shift is fully determined (no engine-dependent tie order)
+    WINDOW w AS (ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
   ),
   scored AS (
@@ -175,21 +179,20 @@ _PERM_SQL = """
 
 @query("feature_importance_perm", oracle=_PERM_SQL)
 def feature_importance_perm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale note: the cyclic shift costs ONE global sort (the same cost
-    sklearn's shuffle pays in RAM); at 100 TB use a per-partition cyclic
-    shift instead (mapInPandas, zero shuffle) — the derangement quality is
-    identical for importance purposes."""
+    """The cyclic shift runs through ``cyclic_lead`` — range-bucketed
+    per-bucket lead with next-bucket wrap stitching, so no unpartitioned
+    window ever sees raw rows (bit-identical to the oracle's global
+    ``lead``; see operators/shift_ops.py)."""
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_orderkey", "l_linenumber").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    sh = cyclic_lead(
+        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+        ["l_quantity"],
     )
-    base = li.select(
+    base = sh.select(
         (F.col("l_extendedprice") > 30000.0).cast("int").alias("label"),
         F.col("l_quantity").alias("q"),
-        F.coalesce(
-            F.lead("l_quantity", 1).over(Window.orderBy("l_orderkey", "l_linenumber")),
-            F.first("l_quantity").over(w),
-        ).alias("q_perm"),
+        F.col("l_quantity_next").alias("q_perm"),
     )
     scored = base.select(
         "label",
