@@ -125,14 +125,25 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- real Structured Streaming execution (rows-only) -------------------------
-@query("stream_stateful_profile")
+# --- real Structured Streaming execution, oracle-checked ---------------------
+@query(
+    "stream_stateful_profile",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, max(value) AS max_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
 def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runs the ACTUAL streaming engine (readStream → applyInPandasWithState
     → memory sink, drained with processAllAvailable): per-user running
-    profiles from the custom stateful operator in streaming/ops.py. Rows-only
-    check — streaming semantics have no DuckDB oracle; the batch-equivalence
-    proof is tests/test_streaming.py."""
+    profiles from the custom stateful operator in streaming/ops.py.
+
+    Oracle-checkable because the input is bounded and fully drained: the
+    LAST update-mode emission per user is the complete profile, so
+    max(n_events)/max(max_value) over all emissions equal the batch
+    count(*)/max(value) per user (update mode re-emits monotone running
+    values; the fixture has no NULL values, checked in FIXTURES.md terms).
+    Streaming-vs-batch equivalence is also pinned in tests/test_streaming.py."""
     import uuid
 
     from ..streaming import ops
