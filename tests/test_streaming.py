@@ -66,3 +66,18 @@ def test_stateful_user_profile(spark, sf_dir):
     }
     got = {r["user_id"]: r["n"] for r in rows}
     assert got == batch_counts
+
+
+def test_stream_dedup_drops_exactly_the_redelivered_half(spark, sf_dir):
+    batch_n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    doubled = ops.read_events_stream(spark, sf_dir).unionByName(
+        ops.read_events_stream(spark, sf_dir)
+    )
+    # without dedup the union really delivers every event twice…
+    _run_to_memory(spark, doubled.select("event_id"), "t_dup_raw", "append")
+    assert spark.table("t_dup_raw").count() == 2 * batch_n
+    # …and dedup_stream keeps exactly one copy of each
+    _run_to_memory(spark, ops.dedup_stream(doubled), "t_dup_clean", "append")
+    out = spark.table("t_dup_clean")
+    assert out.count() == batch_n
+    assert out.select("event_id").distinct().count() == batch_n

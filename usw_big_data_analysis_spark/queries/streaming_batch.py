@@ -169,3 +169,45 @@ def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- real streaming exact dedup under at-least-once delivery -----------------
+@query(
+    "stream_dedup_exact",
+    oracle=f"""
+    SELECT event_type, count(*) AS n, {N.sql_dsum('value')} AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact streaming dedup through the ACTUAL streaming engine: the event
+    stream is unioned with a second read of the same source — the classic
+    at-least-once redelivery shape — and ``dedup_stream`` (watermarked
+    ``dropDuplicates`` on event_id, streaming/ops.py) removes the
+    duplicates in-flight. Every event arrives exactly twice, so the oracle
+    is the plain batch aggregate over the ORIGINAL table (event_id is
+    unique in the fixture): hash-matching it proves the dedup dropped each
+    duplicate and nothing else."""
+    import uuid
+
+    from ..streaming import ops
+
+    name = f"q_dedup_{uuid.uuid4().hex[:8]}"
+    once = ops.read_events_stream(spark, sf_dir)
+    redelivered = once.unionByName(ops.read_events_stream(spark, sf_dir))
+    q = (
+        ops.dedup_stream(redelivered)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), N.dsum("value").alias("sum_value"))
+        .orderBy("event_type")
+    )

@@ -106,6 +106,20 @@ def session_aggregates(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def dedup_stream(
+    events: DataFrame, keys: tuple[str, ...] = ("event_id",), watermark: str = "30 minutes"
+) -> DataFrame:
+    """Exact streaming deduplication — the streaming member of the dedup
+    family (queries/dedup.py). At-least-once sources (Kafka redelivery,
+    retried file drops) emit duplicates; ``dropDuplicates`` keyed on the
+    event id keeps first-seen rows in state. The event-time column rides in
+    the dedup subset together with a watermark so state for keys older than
+    the watermark is EVICTED — state size is O(keys within the watermark
+    horizon), not O(all keys ever seen), which is what lets this run
+    forever at 100 TB/day."""
+    return events.withWatermark("ts", watermark).dropDuplicates([*keys, "ts"])
+
+
 # --- custom stateful operator: running per-user anomaly score ----------------
 _STATE_SCHEMA = StructType(
     [
