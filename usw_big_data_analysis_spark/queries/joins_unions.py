@@ -219,3 +219,83 @@ def intersect_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = b.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "extra")
     common = sorted(set(a.columns) & set(b.columns))
     return spark.createDataFrame([(c,) for c in common], "col string").orderBy("col")
+
+
+# --- skew-salted fact⋈dim join (operators/skew.py as a first-class query) ----
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT p.p_brand,
+           count(*) AS n,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,10))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand ORDER BY p.p_brand
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (operators/skew.py): the fact side carries
+    salt = pmod(hash(orderkey), 16), the dim side is exploded 16× — the
+    join key (partkey, salt) spreads any hot partkey over 16 partitions.
+    Salting is semantically invisible, so the oracle is the PLAIN join —
+    hash-matching proves the salt introduced no duplication or loss."""
+    from ..functions import numeric as N
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = salted_join(
+        li.select("l_orderkey", "l_partkey", "l_extendedprice"),
+        part.select(F.col("p_partkey").alias("l_partkey"), "p_brand"),
+        on="l_partkey",
+        salt_from="l_orderkey",
+    )
+    return (
+        j.groupBy("p_brand")
+        .agg(F.count("*").alias("n"), N.dsum("l_extendedprice").alias("sum_price"))
+        .orderBy("p_brand")
+    )
+
+
+# --- bucketed co-located fact⋈fact join (operators/bucketing.py) -------------
+@query(
+    "join_bucketed",
+    oracle="""
+    SELECT o.o_orderstatus,
+           count(*) AS n,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact join through BUCKETED layout (operators/bucketing.py):
+    both sides are written hash-bucketed 8 ways on the order key, so the
+    join itself plans with NO Exchange on either side — the shuffle was
+    paid once at write time and amortizes across every later join/groupBy
+    on that key (the Exchange elision is asserted in
+    tests/test_bucketing.py). The oracle is the plain join: layout must
+    not change results."""
+    import tempfile
+    import uuid
+
+    from ..functions import numeric as N
+    from ..operators.bucketing import colocated_join, write_bucketed
+
+    tag = uuid.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix=f"bucketed_{tag}_")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    lt, ot = f"li_b_{tag}", f"ord_b_{tag}"
+    write_bucketed(li, lt, f"{base}/li", ["l_orderkey"], n_buckets=8,
+                   sort_cols=["l_orderkey"])
+    write_bucketed(orders, ot, f"{base}/ord", ["l_orderkey"], n_buckets=8,
+                   sort_cols=["l_orderkey"])
+    j = colocated_join(spark, lt, ot, ["l_orderkey"])
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), N.dsum("l_quantity").alias("sum_qty"))
+        .orderBy("o_orderstatus")
+    )
