@@ -299,3 +299,91 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), N.dsum("l_quantity").alias("sum_qty"))
         .orderBy("o_orderstatus")
     )
+
+
+# --- temporal joins (operators/temporal.py; no reference site — extension) ---
+@query(
+    "join_asof",
+    oracle="""
+    SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+           l.value AS click_value, r.event_id AS purchase_id,
+           r.value AS purchase_value, epoch_us(r.ts) AS purchase_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click matched to the user's LATEST purchase at or before it
+    (null if none). Spark side is the union-and-carry asof_join
+    (operators/temporal.py) — one key-partitioned window, no inequality
+    join; the oracle is DuckDB's NATIVE ASOF JOIN, a genuinely independent
+    implementation of the semantics."""
+    from ..operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = asof_join(
+        clicks, purchases, on=["user_id"], ts="ts", right_cols=["event_id", "value", "ts"]
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("value").alias("click_value"),
+        F.col("event_id_r").alias("purchase_id"),
+        F.col("value_r").alias("purchase_value"),
+        F.unix_micros("ts_r").alias("purchase_ts_us"),
+    )
+
+
+@query(
+    "join_range",
+    oracle="""
+    SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+           l.value AS click_value, r.event_id AS purchase_id,
+           r.value AS purchase_value, epoch_us(r.ts) AS purchase_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id
+     AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 10 MINUTE
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All (click, purchase) pairs per user within a 10-minute lookback.
+    Spark side is the binned range join (operators/temporal.py): epoch
+    bins turn the inequality into an equi-join on (user, bin) with a 2x
+    probe fan-out — ordinary hash shuffles, never BroadcastNestedLoop.
+    DuckDB plans the same predicate as an IEJoin — independent engine,
+    same rows."""
+    from ..operators.temporal import range_join_binned
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = range_join_binned(
+        clicks,
+        purchases,
+        on=["user_id"],
+        ts="ts",
+        horizon_s=600,
+        right_cols=["event_id", "value", "ts"],
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("value").alias("click_value"),
+        F.col("event_id_r").alias("purchase_id"),
+        F.col("value_r").alias("purchase_value"),
+        F.unix_micros("ts_r").alias("purchase_ts_us"),
+    )
