@@ -1,0 +1,67 @@
+"""Connected components — duplicate-cluster assembly over candidate pairs.
+
+MinHash-LSH (queries/dedup.py) emits near-duplicate PAIRS; an actual dedup
+pipeline needs GROUPS ("keep one doc per cluster"), and pair→group is
+connected components — inherently iterative, so it cannot be a single SQL
+expression, but it maps cleanly onto DataFrame joins:
+
+  labels ← node id
+  repeat: every node takes min(own label, neighbors' labels)  (one
+          hash-join + hash-agg per round — ordinary shuffles, fully
+          parallel) until a fixpoint.
+
+Min-label propagation converges in O(component diameter) rounds; near-dup
+clusters are shallow (pairs share a bucket, diameters 2-4), so 3-5 rounds
+in practice. For adversarial long-chain graphs, switch the round body to
+large-star/small-star (Kiveris et al., "Connected Components in MapReduce
+and Beyond", SoCC'14 — public) for O(log n) rounds; the driver loop and
+convergence check below stay identical.
+
+Each round ends in ``localCheckpoint`` — without it the lineage doubles per
+iteration and the planner re-executes the whole history (on a cluster,
+use reliable ``checkpoint`` so a lost executor can't drop the truncated
+lineage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str, dst: str, max_rounds: int = 25
+) -> DataFrame:
+    """(``node``, ``component``) for every node appearing in ``edges``
+    (undirected; pass each pair once in either direction). ``component``
+    is the smallest node id reachable from ``node``."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    sym = sym.localCheckpoint()
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+    )
+
+    for _ in range(max_rounds):
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+                (F.coalesce("nbr_min", "label") < F.col("label")).alias("__shrunk"),
+            )
+            .localCheckpoint()
+        )
+        changed = updated.filter("__shrunk").count()
+        labels = updated.drop("__shrunk")
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))

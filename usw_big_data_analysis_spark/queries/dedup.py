@@ -261,3 +261,60 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return bits.select("doc_id", fp.alias("simhash"))
+
+
+# --- duplicate CLUSTERS: connected components over the LSH pairs ------------
+# the same CTE chain as dedup_minhash_lsh's oracle, ending in plain pairs
+_LSH_PAIRS_CTES = f"""
+    sh AS ({_SHINGLES_SQL}),
+    sh9 AS (SELECT doc_id, {_h_sql('s')} % {_MH_P} AS h9 FROM sh),
+    sig AS (SELECT doc_id, {_SIG_COLS} FROM sh9 GROUP BY doc_id),
+    bands AS (
+      {' UNION ALL '.join(
+        f"SELECT doc_id, {b} AS band, concat(h{2*b}, '_', h{2*b+1}) AS band_key FROM sig"
+        for b in range(_BANDS))}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+"""
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_PAIRS_CTES},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, w.label FROM walk w JOIN edges e ON w.node = e.a
+      WHERE w.label < e.b
+    ),
+    comp AS (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node)
+    SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair→GROUP dedup: connected components (operators/graph_ops.py,
+    iterative min-label propagation over DataFrame joins) on the
+    MinHash-LSH candidate pairs; every document gets cluster_id = smallest
+    doc_id reachable through near-dup pairs (itself if unpaired) — the
+    "keep min id per cluster" rule a real dedup pipeline applies. Oracle:
+    DuckDB RECURSIVE CTE transitive label spread — an independent
+    fixpoint formulation of the same components."""
+    from ..operators.graph_ops import connected_components
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(comp, docs["doc_id"] == comp["node"], "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("cluster_id")
+    )
