@@ -211,3 +211,55 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), N.dsum("value").alias("sum_value"))
         .orderBy("event_type")
     )
+
+
+# --- real stream-stream interval join ----------------------------------------
+@query(
+    "stream_join_range",
+    oracle="""
+    SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+           l.value AS click_value, r.event_id AS purchase_id,
+           r.value AS purchase_value, epoch_us(r.ts) AS purchase_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id
+     AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 10 MINUTE
+    """,
+)
+def stream_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join through the actual engine (two
+    watermarked readStreams of the event source, filtered to clicks and
+    purchases, joined on user within a 10-minute lookback; buffered-state
+    eviction follows the watermark). Same oracle as the batch `join_range`
+    — a bounded fully-drained stream must produce exactly the batch
+    answer."""
+    import uuid
+
+    from ..streaming import ops
+
+    name = f"q_ssjoin_{uuid.uuid4().hex[:8]}"
+    clicks = ops.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = ops.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    q = (
+        ops.stream_range_join(clicks, purchases)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    return spark.table(name).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "click_value",
+        "purchase_id",
+        "purchase_value",
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+    )

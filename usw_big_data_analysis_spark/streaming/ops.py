@@ -106,6 +106,38 @@ def session_aggregates(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def stream_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    horizon: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: every left event matched to right
+    events with the same key in ``[left.ts - horizon, left.ts]`` — the
+    streaming twin of ``operators/temporal.range_join_binned``. Both sides
+    carry watermarks and the join condition bounds right.ts relative to
+    left.ts on BOTH ends, so the engine can evict buffered state once the
+    watermark passes the horizon — bounded state, the requirement for an
+    unbounded run. Inner join, append mode."""
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    cond = (
+        (F.col("l." + key) == F.col("r." + key))
+        & (F.col("r.ts") <= F.col("l.ts"))
+        & (F.col("r.ts") >= F.col("l.ts") - F.expr(f"INTERVAL {horizon}"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col("l.event_id").alias("event_id"),
+        F.col("l." + key).alias(key),
+        F.col("l.ts").alias("ts"),
+        F.col("l.value").alias("click_value"),
+        F.col("r.event_id").alias("purchase_id"),
+        F.col("r.value").alias("purchase_value"),
+        F.col("r.ts").alias("purchase_ts"),
+    )
+
+
 def dedup_stream(
     events: DataFrame, keys: tuple[str, ...] = ("event_id",), watermark: str = "30 minutes"
 ) -> DataFrame:
