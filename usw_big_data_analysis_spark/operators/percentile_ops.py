@@ -27,18 +27,27 @@ _NBUCKETS = 4096
 
 
 def bucketed_exact_percentiles(
-    melted: DataFrame, ps: list[float], nbuckets: int = _NBUCKETS
+    melted: DataFrame,
+    ps: list[float],
+    nbuckets: int = _NBUCKETS,
+    minmax: DataFrame | None = None,
 ) -> DataFrame:
     """melted: (col_name, x) long-form numeric table. Returns one row per
     col_name with a `p_<idx>` column per requested percentile (use dyadic
-    p values — .25/.5/.75 — if cross-engine bit-equality matters)."""
+    p values — .25/.5/.75 — if cross-engine bit-equality matters).
+
+    Pass ``minmax`` — (col_name, mn, mx, ntot) — when the caller already
+    aggregated those (describe's moments pass does): it saves a full scan,
+    and when both frames share the same aggregate subtree Spark's
+    ReuseExchange executes it once."""
     spark = melted.sparkSession
 
-    minmax = melted.groupBy("col_name").agg(
-        F.min("x").alias("mn"),
-        F.max("x").alias("mx"),
-        F.count("x").alias("ntot"),
-    )
+    if minmax is None:
+        minmax = melted.groupBy("col_name").agg(
+            F.min("x").alias("mn"),
+            F.max("x").alias("mx"),
+            F.count("x").alias("ntot"),
+        )
     w_width = (F.col("mx") - F.col("mn")) / float(nbuckets)
     bounds = minmax.select(
         "col_name", "mn", "ntot", w_width.alias("w")

@@ -198,7 +198,19 @@ def describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # global window (the histogram locates the bracketing buckets, only
     # those are ranked); bit-identical to the oracle's window-cumsum form
     from ..operators.percentile_ops import bucketed_exact_percentiles
-    percs = bucketed_exact_percentiles(melted, [0.25, 0.5, 0.75]).select(
+
+    # the moments agg already produced per-column min/max/count — hand
+    # them to the percentile phases (one less fact scan; ReuseExchange
+    # collapses the shared aggregate subtree)
+    minmax = agg.select(
+        "col_name",
+        F.col("min_x").alias("mn"),
+        F.col("max_x").alias("mx"),
+        F.col("n").alias("ntot"),
+    )
+    percs = bucketed_exact_percentiles(
+        melted, [0.25, 0.5, 0.75], minmax=minmax
+    ).select(
         "col_name",
         F.col("p_0").alias("q25"),
         F.col("p_1").alias("median"),
