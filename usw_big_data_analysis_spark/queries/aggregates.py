@@ -637,3 +637,61 @@ def class_distribution_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cnt").alias("max_cnt"),
         (F.min("cnt").cast("double") / F.max("cnt")).alias("balance_ratio"),
     )
+
+
+# --- grouped exact interpolated median ---------------------------------------
+@query(
+    "groupby_median",
+    oracle="""
+    SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS median_price,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def groupby_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median PER GROUP from distinct-value counts:
+    every window is partitioned by the group key, so the work distributes
+    across groups (and within a group collapses to its distinct values —
+    map-side combined before the shuffle). Interpolation vlo + frac*(vhi -
+    vlo) with dyadic p=0.5 is bit-identical to DuckDB's quantile_cont.
+    The percentile()-buffer alternative holds whole groups in executor
+    memory — this shape is the one that survives a 100 TB hot group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cnts = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count("*").alias("cnt")
+    )
+    wcum = Window.partitionBy("l_returnflag").orderBy("l_extendedprice").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    marks = cnts.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("cnt").over(wcum).alias("cum"),
+        (F.sum("cnt").over(wcum) - F.col("cnt")).alias("prev"),
+        F.sum("cnt").over(wtot).alias("ntot"),
+    )
+    r = (F.col("ntot") - 1) * 0.5 + 1
+    hits = marks.groupBy("l_returnflag").agg(
+        F.max(
+            F.when(
+                (F.col("prev") < F.floor(r)) & (F.col("cum") >= F.floor(r)),
+                F.col("l_extendedprice"),
+            )
+        ).alias("vlo"),
+        F.max(
+            F.when(
+                (F.col("prev") < F.ceil(r)) & (F.col("cum") >= F.ceil(r)),
+                F.col("l_extendedprice"),
+            )
+        ).alias("vhi"),
+        F.max(r - F.floor(r)).alias("frac"),
+        F.max("ntot").alias("n"),
+    )
+    return hits.select(
+        "l_returnflag",
+        (F.col("vlo") + F.col("frac") * (F.col("vhi") - F.col("vlo"))).alias(
+            "median_price"
+        ),
+        "n",
+    ).orderBy("l_returnflag")

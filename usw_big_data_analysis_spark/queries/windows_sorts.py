@@ -246,3 +246,64 @@ def sample_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sampled"),
         F.countDistinct("l_orderkey").alias("n_orders"),
     )
+
+
+# --- per-key rolling (trailing-5) mean over event time -----------------------
+@query(
+    "rolling_mean_user",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           CAST(sum(CAST(value AS DECIMAL(38,10)))
+                  OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / count(*) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+             AS rolling_mean5
+    FROM events
+    """,
+)
+def rolling_mean_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 5-event mean per user. The windowed sum runs over DECIMAL —
+    sliding double sums are accumulation-order dependent (running-subtract
+    vs fresh-sum differ in the last ulp); the decimal sum is exact in any
+    order, and the single final division is IEEE. Window is user-partitioned
+    — parallel across users, no global anything. (user_id, ts) is unique in
+    the fixture, so the frame is fully determined."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts").rowsBetween(-4, 0)
+    mean5 = F.sum(F.col("value").cast("decimal(38,10)")).over(w).cast(
+        "double"
+    ) / F.count("*").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        mean5.alias("rolling_mean5"),
+    )
+
+
+# --- per-key lag/diff (event-over-event delta) -------------------------------
+@query(
+    "lag_diff_user",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS dv,
+           CAST(epoch_us(ts) - lag(epoch_us(ts))
+                  OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS dt_us
+    FROM events
+    """,
+)
+def lag_diff_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-over-event value and time deltas per user (first event per
+    user gets nulls). Single user-partitioned window; subtraction is one
+    IEEE op — bit-exact cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    ts_us = F.unix_micros("ts")
+    return ev.select(
+        "event_id",
+        "user_id",
+        ts_us.alias("ts_us"),
+        (F.col("value") - F.lag("value").over(w)).alias("dv"),
+        (ts_us - F.lag(ts_us).over(w)).cast("bigint").alias("dt_us"),
+    )
