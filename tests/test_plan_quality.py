@@ -81,3 +81,14 @@ def test_no_row_at_a_time_python_anywhere(spark, sf_dir):
     for name in ("multimodal_decode", "embed_cosine_topk_pandas", "wordcount"):
         plan = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
+
+
+def test_partitioned_scan_prunes_directories(spark, sf_dir):
+    # the event_type filter must land in PartitionFilters (directory
+    # pruning), not just PushedFilters — non-matching partitions are
+    # never opened
+    plan = _plan(spark, sf_dir, "sink_partitioned_scan")
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), plan[:2000]

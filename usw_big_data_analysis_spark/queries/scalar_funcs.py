@@ -280,3 +280,32 @@ def elementwise_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = t.agg(F.count("*").alias("n_total"))
     return unmatched.crossJoin(total)
+
+
+# --- JSON property extraction (events.props) ---------------------------------
+@query(
+    "json_extract_props",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the JSON `props` payload column JVM-side (`get_json_object` —
+    stays in whole-stage codegen, no Python) and aggregate by the extracted
+    key. The per-row parse is embarrassingly parallel; the agg is one
+    map-side-combined shuffle. DuckDB's JSON extension is the independent
+    parser on the oracle side."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy(k.alias("k"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,10)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("k")
+    )

@@ -149,3 +149,36 @@ def sink_excel(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf.to_csv(path, index=False)
         back = pd.read_csv(path)
     return spark.createDataFrame(back)
+
+
+# --- partitioned layout write + partition-pruned scan ------------------------
+@query(
+    "sink_partitioned_scan",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS sum_value
+    FROM events WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def sink_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout roundtrip: events written
+    ``partitionBy(event_type)``, read back with a partition-key filter.
+    The filter prunes DIRECTORIES — the scan's PartitionFilters (asserted
+    in tests/test_plan_quality.py) means non-matching partitions are never
+    opened, the first-order I/O lever at 100 TB (date/tenant partition
+    keys in production; low-cardinality event_type here)."""
+    out = os.path.join(tempfile.mkdtemp(prefix="part_events_"), "events_by_type")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,10)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
