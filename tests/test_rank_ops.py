@@ -131,6 +131,7 @@ def test_rank_stats_never_single_partition_raw_rows(spark, sf_dir):
         "scale_quantile",
         "cumsum_curve",
         "argmax_threshold",
+        "ks_2samp",
     ):
         plan = explain_formatted(_QUERIES[name](spark, sf_dir))
         assert _single_partition_exchanges_see_only_aggregates(plan), name

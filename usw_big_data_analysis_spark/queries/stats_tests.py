@@ -473,3 +473,110 @@ def corr_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(t, 6).alias("t_pearson"),
         F.col("n").cast("bigint").alias("n"),
     )
+
+
+# --- T10†: two-sample Kolmogorov-Smirnov (train/test shift audit family) -----
+@query(
+    "ks_2samp",
+    oracle="""
+    WITH s AS (
+      SELECT l_extendedprice AS x,
+             CAST(l_linestatus = 'O' AS BIGINT) AS g1,
+             CAST(l_linestatus = 'F' AS BIGINT) AS g2
+      FROM lineitem
+    ),
+    c AS (SELECT x, sum(g1) AS c1, sum(g2) AS c2 FROM s GROUP BY x),
+    n AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM c),
+    cum AS (
+      SELECT x,
+             sum(c1) OVER (ORDER BY x) AS cum1,
+             sum(c2) OVER (ORDER BY x) AS cum2
+      FROM c
+    )
+    SELECT n1, n2,
+           CAST(max(abs(CAST(n2 AS DECIMAL(38,0)) * cum1
+                        - CAST(n1 AS DECIMAL(38,0)) * cum2)) AS DOUBLE) AS d_num,
+           CAST(max(abs(CAST(n2 AS DECIMAL(38,0)) * cum1
+                        - CAST(n1 AS DECIMAL(38,0)) * cum2)) AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks_d
+    FROM cum CROSS JOIN n GROUP BY n1, n2
+    """,
+)
+def ks_2samp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS D between the 'O' and 'F' linestatus populations of
+    l_extendedprice — the continuous-variable member of the reference's
+    train/test shift-audit family (`final-assignment/docs/
+    train_test_comparison_summary.md` §2-4 runs t-tests/χ² per variable).
+
+    D = max_x |ECDF1(x) − ECDF2(x)| is computed EXACTLY: the max runs over
+    the integer quantity |n2·cum1(x) − n1·cum2(x)| (DECIMAL — no float
+    ordering ambiguity, overflow-safe past bigint scale), divided once at
+    the end (IEEE). Same two-phase shape as rank_ops: distinct-value
+    compression → range-bucket histogram offsets (the only unpartitioned
+    window sees ≤1024 bucket rows) → bucket-partitioned in-bucket prefix
+    sums. The driver-side p-value is the standard KS asymptotic series
+    over sqrt(n1·n2/(n1+n2))·D (not emitted: statistic-only, like the
+    other tests)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = (
+        li.select(
+            F.col("l_extendedprice").alias("x"),
+            (F.col("l_linestatus") == "O").cast("bigint").alias("g1"),
+            (F.col("l_linestatus") == "F").cast("bigint").alias("g2"),
+        )
+        .groupBy("x")
+        .agg(F.sum("g1").alias("c1"), F.sum("g2").alias("c2"))
+    )
+
+    nbuckets = 1024
+    mm = c.agg(
+        F.min("x").cast("double").alias("mn"), F.max("x").cast("double").alias("mx")
+    )
+    width = (F.col("mx") - F.col("mn")) / float(nbuckets)
+    bounds = mm.select(
+        "mn", F.when(width == 0.0, F.lit(1.0)).otherwise(width).alias("w")
+    )
+    cb = c.crossJoin(F.broadcast(bounds)).select(
+        "x",
+        "c1",
+        "c2",
+        F.least(
+            F.floor((F.col("x").cast("double") - F.col("mn")) / F.col("w")).cast("int"),
+            F.lit(nbuckets - 1),
+        ).alias("b"),
+    )
+    from pyspark.sql import Window
+
+    hist = cb.groupBy("b").agg(F.sum("c1").alias("t1"), F.sum("c2").alias("t2"))
+    wh = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = hist.select(
+        "b",
+        F.coalesce(F.sum("t1").over(wh), F.lit(0)).alias("prev1"),
+        F.coalesce(F.sum("t2").over(wh), F.lit(0)).alias("prev2"),
+    )
+    wv = Window.partitionBy("b").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cb.join(F.broadcast(offsets), "b").select(
+        (F.col("prev1") + F.sum("c1").over(wv)).alias("cum1"),
+        (F.col("prev2") + F.sum("c2").over(wv)).alias("cum2"),
+    )
+    n = c.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    diff = F.abs(
+        F.col("n2").cast("decimal(38,0)") * F.col("cum1")
+        - F.col("n1").cast("decimal(38,0)") * F.col("cum2")
+    )
+    return (
+        cum.crossJoin(F.broadcast(n))
+        .groupBy("n1", "n2")
+        .agg(F.max(diff).cast("double").alias("d_num"))
+        .select(
+            "n1",
+            "n2",
+            "d_num",
+            (
+                F.col("d_num")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+            ).alias("ks_d"),
+        )
+    )
