@@ -8,9 +8,9 @@ is integer-count arithmetic + single divisions, so results are exact;
 compound formulas (F1, t-style) are rounded to 6dp against FMA contraction.
 
 Scale notes: each metric is one aggregation over the scored table — a single
-shuffle-free partial agg. AUROC uses a global rank, which is a total sort: at
-100 TB replace with a fixed binning of scores (the threshold_sweep pattern)
-or range-partitioned two-pass ranking; exact ranking is fine at test scale.
+shuffle-free partial agg. AUROC's rank sum runs over the DISTINCT-prob
+compression (groupBy prob before any window), so the only ordered window
+sees one row per distinct score — same compression family as rank_ops.
 """
 
 from __future__ import annotations
@@ -407,4 +407,50 @@ def cv_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select("l_returnflag", fold.alias("fold"))
         .groupBy("fold", "l_returnflag")
         .agg(F.count("*").alias("n_val"))
+    )
+
+
+# --- E25†: calibration / reliability bins (threshold-tuning family) ----------
+@query(
+    "metric_calibration",
+    oracle=f"""
+    WITH s AS ({_SCORED_SQL}),
+    binned AS (
+      SELECT least(CAST(floor(prob * 10) AS INT), 9) AS bin, label, prob
+      FROM s
+    )
+    SELECT bin, count(*) AS n,
+           CAST(sum(CAST(prob AS DECIMAL(38,10))) AS DOUBLE) / count(*)
+             AS mean_prob,
+           CAST(sum(CAST(label AS BIGINT)) AS DOUBLE) / count(*)
+             AS frac_positive
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def metric_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram bins: deciles of predicted probability vs the
+    observed positive rate — the diagnostic behind the reference's
+    threshold-tuning recommendation (`model_improvement_recommendations.md`
+    §1 moves the threshold to 0.35 because the classifier is miscalibrated).
+    One map-side-combined aggregate; the probability sum runs over DECIMAL
+    so the per-bin mean is order-independent and bit-exact."""
+    s = scored_frame(spark, sf_dir)
+    binned = s.select(
+        F.least(F.floor(F.col("prob") * 10).cast("int"), F.lit(9)).alias("bin"),
+        "label",
+        "prob",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.col("prob").cast("decimal(38,10)")).cast("double")
+                / F.count("*")
+            ).alias("mean_prob"),
+            (F.sum(F.col("label").cast("bigint")).cast("double") / F.count("*")).alias(
+                "frac_positive"
+            ),
+        )
+        .orderBy("bin")
     )
