@@ -27,6 +27,7 @@ for _mod_name in (
     "sources_extra",
     "multimodal",
     "etl",
+    "behavior",
 ):
     try:
         _mod = __import__(f"{__name__}.{_mod_name}", fromlist=[_mod_name])

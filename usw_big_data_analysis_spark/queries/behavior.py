@@ -1,0 +1,170 @@
+"""Behavioral / product analytics over `events` (extension family: the
+event-log analyses a training-data or product pipeline runs next to the
+SURVEY §2 inventory): cohort retention, ordered funnels, key-skew audit.
+
+All-integer outputs (day indexes, counts, ppm shares) — bit-stable across
+engines with zero float conventions needed.
+
+Scale notes (100 TB events):
+- cohort_retention: (user, day) distinct map-side combines before its
+  shuffle; the cohort min is a whole-partition window keyed by user_id (no
+  global sort); the final rollup is a plain hash aggregate.
+- funnel_steps: each stage filters to one event_type BEFORE its shuffle
+  join, so every join input is a shrinking per-user aggregate keyed on
+  user_id; AQE picks shuffle-hash vs broadcast per stage.
+- key_skew_audit: per-key counts + TakeOrderedAndProject top-k (no global
+  sort materializes); this is the diagnostic you run BEFORE choosing the
+  salting factor in operators/skew.py.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+# epoch-microseconds per day — day indexes stay pure bigint arithmetic
+# (timezone- and date-type-free on both engines)
+_US_DAY = 86_400_000_000
+
+
+# --- weekly cohort retention matrix -----------------------------------------
+@query(
+    "cohort_retention",
+    oracle=f"""
+    WITH daily AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {_US_DAY} AS d FROM events
+    ),
+    c AS (
+      SELECT user_id, d, min(d) OVER (PARTITION BY user_id) AS cohort_day
+      FROM daily
+    )
+    SELECT cohort_day, CAST((d - cohort_day) // 7 AS INT) AS week,
+           count(DISTINCT user_id) AS n_users
+    FROM c GROUP BY cohort_day, week
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users active in week k after their first-seen day, per first-seen-day
+    cohort. Day index = epoch_us div 86400e6 (integer, TZ-free)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        "user_id", F.expr(f"unix_micros(ts) div {_US_DAY}").alias("d")
+    ).distinct()
+    per_user = Window.partitionBy("user_id")
+    c = daily.withColumn("cohort_day", F.min("d").over(per_user))
+    return c.select(
+        "cohort_day",
+        F.expr("cast((d - cohort_day) div 7 as int)").alias("week"),
+        "user_id",
+    ).groupBy("cohort_day", "week").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+# --- ordered funnel: signup -> view -> click -> purchase --------------------
+_FUNNEL = ("signup", "view", "click", "purchase")
+
+
+@query(
+    "funnel_steps",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY e.user_id
+    ),
+    s4 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN s3 ON e.user_id = s3.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY e.user_id
+    ),
+    u AS (
+      SELECT 1 AS stage, user_id FROM s1
+      UNION ALL SELECT 2, user_id FROM s2
+      UNION ALL SELECT 3, user_id FROM s3
+      UNION ALL SELECT 4, user_id FROM s4
+    )
+    SELECT CAST(stage AS INT) AS stage, count(*) AS n_users
+    FROM u GROUP BY stage
+    """,
+)
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many users complete each prefix of signup->view->click->purchase
+    with strictly increasing timestamps. Stage k+1 = min event time of the
+    next type AFTER the user's stage-k completion time (sequential
+    conditional-min joins; strict `>` on microsecond timestamps)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def first_after(prev: DataFrame, etype: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .where(F.col("ts") > F.col("t"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+
+    stages = [
+        ev.filter(F.col("event_type") == _FUNNEL[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    ]
+    for etype in _FUNNEL[1:]:
+        stages.append(first_after(stages[-1], etype))
+    labeled = [
+        s.select(F.lit(i + 1).alias("stage"), "user_id")
+        for i, s in enumerate(stages)
+    ]
+    return (
+        reduce(DataFrame.unionByName, labeled)
+        .groupBy("stage")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+# --- key-skew audit: the pre-flight check for salted joins ------------------
+@query(
+    "key_skew_audit",
+    oracle="""
+    WITH c AS (
+      SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY l_suppkey
+    ),
+    t AS (SELECT count(*) AS total FROM lineitem)
+    SELECT l_suppkey, n_rows, n_rows * 1000000 // total AS share_ppm
+    FROM c, t
+    ORDER BY n_rows DESC, l_suppkey LIMIT 10
+    """,
+)
+def key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 heaviest join keys with their ppm share of the fact table —
+    the measurement that decides broadcast vs salt (operators/skew.py).
+    Integer ppm (`div`) keeps the share bit-stable; orderBy+limit compiles
+    to TakeOrderedAndProject (per-partition heap + driver merge, no global
+    sort). n_rows * 1e6 stays under 2^63 to ~9e12 fact rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cnt = li.groupBy("l_suppkey").agg(F.count("*").alias("n_rows"))
+    tot = li.groupBy().agg(F.count("*").alias("total"))
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "l_suppkey",
+            "n_rows",
+            F.expr("n_rows * 1000000 div total").alias("share_ppm"),
+        )
+        .orderBy(F.desc("n_rows"), "l_suppkey")
+        .limit(10)
+    )

@@ -580,3 +580,64 @@ def ks_2samp(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_d"),
         )
     )
+
+
+# --- per-group OLS fit from exact sufficient statistics ----------------------
+@query(
+    "linreg_ols_group",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag AS grp, CAST(count(*) AS DOUBLE) AS n,
+             {N.sql_dsum('l_quantity')} AS sx,
+             {N.sql_dsum('l_extendedprice')} AS sy,
+             CAST(sum(CAST(CAST(l_quantity AS DECIMAL(25,6))
+                           * CAST(l_quantity AS DECIMAL(25,6)) AS DECIMAL(38,10)))
+                  AS DOUBLE) AS sxx,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(25,6))
+                           * CAST(l_extendedprice AS DECIMAL(25,6)) AS DECIMAL(38,10)))
+                  AS DOUBLE) AS syy,
+             CAST(sum(CAST(CAST(l_quantity AS DECIMAL(25,6))
+                           * CAST(l_extendedprice AS DECIMAL(25,6)) AS DECIMAL(38,10)))
+                  AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT grp, CAST(n AS BIGINT) AS n_rows,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+             AS intercept,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+)
+def linreg_ols_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-l_returnflag OLS of l_extendedprice on l_quantity, closed-form
+    from decimal-exact sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy):
+    slope = (nΣxy − ΣxΣy)/(nΣx² − Σx²), intercept = (Σy − slope·Σx)/n,
+    r² = slope-covariance ratio squared. One map-side-combined shuffle on
+    the group key; the double arithmetic after the exact sums is the same
+    expression tree on both engines, then round(·, 6) (the repo's
+    _STAT_SCALE convention). Scales like any hash aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(25,6)")
+    y = F.col("l_extendedprice").cast("decimal(25,6)")
+    s = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((x * x).cast("decimal(38,10)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(38,10)")).cast("double").alias("syy"),
+        F.sum((x * y).cast("decimal(38,10)")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    return s.select(
+        "grp",
+        n.cast("bigint").alias("n_rows"),
+        F.round(cov_n / var_x, 6).alias("slope"),
+        F.round((sy - (cov_n / var_x) * sx) / n, 6).alias("intercept"),
+        F.round((cov_n * cov_n) / (var_x * var_y), 6).alias("r2"),
+    )

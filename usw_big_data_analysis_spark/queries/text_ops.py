@@ -238,3 +238,74 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tf_count", "doc_freq", F.round("w", 6).alias("tfidf"))
     )
+
+
+# --- bigram collocations by PMI ratio ---------------------------------------
+@query(
+    "text_bigram_pmi",
+    oracle="""
+    WITH d AS (
+      SELECT string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM d, UNNEST(range(1, len(t))) AS r(i)
+    ),
+    bc AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY w1, w2),
+    uni AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    uc AS (SELECT w, count(*) AS c_w FROM uni GROUP BY w),
+    n AS (SELECT count(*) AS n_total FROM uni)
+    SELECT bc.w1, bc.w2, c_xy, u1.c_w AS c_x, u2.c_w AS c_y,
+           CAST(c_xy * n_total AS DOUBLE)
+             / CAST(u1.c_w * u2.c_w AS DOUBLE) AS pmi_ratio
+    FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w, n
+    ORDER BY pmi_ratio DESC, w1, w2 LIMIT 20
+    """,
+)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations ranked by the PMI *ratio*
+    N·c(xy) / (c(x)·c(y)) — monotone in PMI without taking a log, so the
+    score is one IEEE division of exactly-representable bigint products:
+    bit-identical across engines with no rounding convention (products are
+    exact to ~3e9 total tokens; past that, widen to the hi/lo split in
+    functions/numeric.py). Bigrams come from a higher-order `transform`
+    over the token array (no window, no per-doc shuffle); ties are broken
+    by (w1, w2). Corpus: the synthetic `documents` fixture."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("t")
+    )
+    big = (
+        docs.where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    uni = docs.select(F.explode("t").alias("w"))
+    uc = uni.groupBy("w").agg(F.count("*").alias("c_w"))
+    n = uni.groupBy().agg(F.count("*").alias("n_total"))
+    return (
+        bc.join(uc.withColumnRenamed("w", "w1").withColumnRenamed("c_w", "c_x"), "w1")
+        .join(uc.withColumnRenamed("w", "w2").withColumnRenamed("c_w", "c_y"), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            "c_x",
+            "c_y",
+            (
+                (F.col("c_xy") * F.col("n_total")).cast("double")
+                / (F.col("c_x") * F.col("c_y")).cast("double")
+            ).alias("pmi_ratio"),
+        )
+        .orderBy(F.desc("pmi_ratio"), "w1", "w2")
+        .limit(20)
+    )
