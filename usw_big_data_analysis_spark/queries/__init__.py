@@ -28,6 +28,7 @@ for _mod_name in (
     "multimodal",
     "etl",
     "behavior",
+    "pipeline_ops",
 ):
     try:
         _mod = __import__(f"{__name__}.{_mod_name}", fromlist=[_mod_name])

@@ -1,0 +1,493 @@
+"""Lakehouse / data-pipeline operators (extension family): the table-
+maintenance and audit operations a production training-data pipeline runs
+around the SURVEY §2 analytics — latest-record-wins compaction, CDC snapshot
+diff, set-difference, ordered string aggregation, data-quality audit,
+market-basket pair mining, batch sessionization, categorical split purity,
+autocorrelation sufficient statistics, and a Benford first-digit audit.
+
+All outputs are integers, strings, or raw passthrough columns — bit-stable
+across engines with zero float conventions needed (money flows through the
+exact cents form ``round(x*100)::bigint``; shares are ppm via bigint
+integer division, identical under Spark ``div`` and DuckDB ``//``).
+
+Scale notes (100 TB):
+- latest_by_key / session_stats: the only windows are key-partitioned
+  (o_custkey / user_id) — no global sort, no SinglePartition exchange.
+- snapshot_diff: a single full-outer shuffle join on the snapshot key,
+  then a 4-row hash aggregate; AQE coalesces the post-join partitions.
+- basket_pairs: the classic frequent-pair self-join, with the singleton
+  prune (parts in ≥2 baskets) applied BEFORE the join so the quadratic
+  blowup only sees frequent items; top-k is TakeOrderedAndProject.
+- dq_audit: one wide aggregate pass (count + count(col) + n_distinct per
+  column) melted driver-free via ``stack`` — one scan however many columns.
+- acf_daily_orders: the series is aggregated to one row per day BEFORE the
+  7-lag equi-join, so the join touches |days|·7 rows, not raw orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+_US_DAY = 86_400_000_000
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+_CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
+
+
+# --- latest-record-wins compaction (SCD / upsert dedup) ---------------------
+@query(
+    "latest_by_key",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey, {_CENTS} AS price_cents
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders)
+    WHERE rn = 1
+    """,
+)
+def latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest order per customer — the "latest record wins" compaction every
+    incremental ingest needs (reference analog: pandas
+    sort_values+drop_duplicates(keep='last') passes). Deterministic via the
+    unique o_orderkey tiebreak; the window is key-partitioned, so at 100 TB
+    this is one shuffle by customer and no global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.expr(_CENTS).alias("price_cents"),
+        )
+    )
+
+
+# --- CDC snapshot diff (insert / delete / update / same) --------------------
+@query(
+    "snapshot_diff",
+    oracle=f"""
+    WITH old AS (
+      SELECT o_orderkey AS k, {_CENTS} AS cents FROM orders
+      WHERE o_orderkey % 10 <> 3
+    ),
+    new AS (
+      SELECT o_orderkey AS k,
+             {_CENTS} + CASE WHEN o_orderkey % 5 = 0 THEN 100 ELSE 0 END
+               AS cents
+      FROM orders WHERE o_orderkey % 10 <> 7
+    )
+    SELECT
+      CASE WHEN old.k IS NULL THEN 'insert'
+           WHEN new.k IS NULL THEN 'delete'
+           WHEN old.cents <> new.cents THEN 'update'
+           ELSE 'same' END AS change_type,
+      count(*) AS n,
+      sum(coalesce(new.cents, 0) - coalesce(old.cents, 0)) AS net_cents_delta
+    FROM old FULL OUTER JOIN new ON old.k = new.k
+    GROUP BY change_type
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture classification between two deterministic snapshot
+    views of `orders` (old drops keys ≡3 mod 10; new drops ≡7 and bumps
+    multiples of 5 by 100 cents): one full-outer join on the key, then a
+    4-row rollup of insert/delete/update/same with the exact net cents
+    delta. At scale this is the standard snapshot-reconciliation job —
+    a single co-partitioned shuffle join, no windows."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"), F.expr(_CENTS).alias("cents")
+    )
+    old = base.filter(F.col("k") % 10 != 3)
+    new = base.filter(F.col("k") % 10 != 7).withColumn(
+        "cents",
+        F.col("cents")
+        + F.when(F.col("k") % 5 == 0, F.lit(100)).otherwise(F.lit(0)),
+    )
+    j = old.alias("o").join(new.alias("n"), F.col("o.k") == F.col("n.k"), "full_outer")
+    return (
+        j.select(
+            F.when(F.col("o.k").isNull(), "insert")
+            .when(F.col("n.k").isNull(), "delete")
+            .when(F.col("o.cents") != F.col("n.cents"), "update")
+            .otherwise("same")
+            .alias("change_type"),
+            (
+                F.coalesce(F.col("n.cents"), F.lit(0))
+                - F.coalesce(F.col("o.cents"), F.lit(0))
+            ).alias("delta"),
+        )
+        .groupBy("change_type")
+        .agg(F.count("*").alias("n"), F.sum("delta").alias("net_cents_delta"))
+    )
+
+
+# --- set difference (EXCEPT) ------------------------------------------------
+@query(
+    "except_customers",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no OPEN order, as a true EXCEPT set op (Spark
+    ``subtract`` → left-anti under the hood; the status filter keeps the
+    result non-empty at every SF so the check is non-vacuous). At scale
+    both sides pre-aggregate to distinct keys before the anti shuffle."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.select("c_custkey").subtract(
+        orders.filter(F.col("o_orderstatus") == "O").select(
+            F.col("o_custkey").alias("c_custkey")
+        )
+    )
+
+
+# --- ordered string aggregation ---------------------------------------------
+@query(
+    "string_agg_region",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+           count(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def string_agg_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ordered string_agg: nations per region as a sorted CSV
+    (collect_list is unordered in a distributed engine, so the sort happens
+    explicitly via array_sort before concat — the only way string_agg is
+    reproducible at scale). Group cardinality bounds executor memory."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias(
+                "nations_csv"
+            ),
+            F.count("*").alias("n_nations"),
+        )
+    )
+
+
+# --- data-quality audit (Deequ-style, one scan) -----------------------------
+_DQ_COLS = ("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+
+
+@query(
+    "dq_audit",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name,
+            count({c}) * 1000000 // count(*) AS completeness_ppm,
+            count(DISTINCT {c}) AS n_distinct
+        FROM orders"""
+        for c in _DQ_COLS
+    ),
+)
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data-quality summary over `orders`: completeness (ppm of
+    non-null rows) and distinctness per column, melted to one row per
+    column. Single wide aggregate scan; the melt is a ``stack`` projection
+    over the 1-row aggregate, so adding columns never adds scans."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n")]
+    for c in _DQ_COLS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    wide = orders.agg(*aggs)
+    stack = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in _DQ_COLS)
+    return wide.select(
+        F.expr(
+            f"stack({len(_DQ_COLS)}, {stack}) AS (col_name, nn, n_distinct)"
+        ),
+        "n",
+    ).select(
+        "col_name",
+        F.expr("nn * 1000000 div n").alias("completeness_ppm"),
+        "n_distinct",
+    )
+
+
+# --- market-basket frequent pairs -------------------------------------------
+@query(
+    "basket_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    freq AS (
+      SELECT pk, count(*) AS cnt FROM items GROUP BY pk HAVING count(*) >= 2
+    ),
+    fitems AS (
+      SELECT i.ok, i.pk FROM items i JOIN freq ON i.pk = freq.pk
+    ),
+    pairs AS (
+      SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS pair_cnt
+      FROM fitems a JOIN fitems b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk
+    )
+    SELECT part_a, part_b, pair_cnt, fa.cnt AS cnt_a, fb.cnt AS cnt_b
+    FROM pairs
+    JOIN freq fa ON part_a = fa.pk
+    JOIN freq fb ON part_b = fb.pk
+    ORDER BY pair_cnt DESC, part_a, part_b
+    LIMIT 50
+    """,
+)
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 co-ordered part pairs with per-part support counts — the
+    frequent-pair core of market-basket / co-occurrence mining. The
+    singleton prune (support ≥ 2) runs BEFORE the quadratic self-join, the
+    A-priori trick that keeps the pair blowup proportional to frequent
+    items only; the final top-k is TakeOrderedAndProject (no global sort
+    materializes). Counts are raw bigints — no lift division, so the
+    ranking is exact on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    freq = items.groupBy("pk").agg(F.count("*").alias("cnt")).filter("cnt >= 2")
+    fitems = items.join(freq.select("pk"), "pk")
+    a = fitems.alias("a")
+    b = fitems.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b"))
+        .agg(F.count("*").alias("pair_cnt"))
+    )
+    out = (
+        pairs.join(
+            freq.select(F.col("pk").alias("part_a"), F.col("cnt").alias("cnt_a")),
+            "part_a",
+        )
+        .join(
+            freq.select(F.col("pk").alias("part_b"), F.col("cnt").alias("cnt_b")),
+            "part_b",
+        )
+        .select("part_a", "part_b", "pair_cnt", "cnt_a", "cnt_b")
+    )
+    return out.orderBy(
+        F.col("pair_cnt").desc(), F.col("part_a"), F.col("part_b")
+    ).limit(50)
+
+
+# --- batch sessionization ---------------------------------------------------
+@query(
+    "session_stats",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+    ),
+    flagged AS (
+      SELECT user_id, us,
+        CASE WHEN lag(us) OVER w IS NULL
+                  OR us - lag(us) OVER w > {_SESSION_GAP_US}
+             THEN 1 ELSE 0 END AS new_s
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sess AS (
+      SELECT user_id, us,
+        sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           max(us) - min(us) AS dur_us
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) of the event log, batch
+    twin of streaming/ops.py's session windows: per-user lag to flag
+    session starts, running sum to number sessions, then per-session event
+    count and duration. Every window is partitioned by user_id — the
+    100 TB plan is one shuffle by user and zero global sorts. NOTE the
+    running sum deliberately orders by `us` alone (ties within a user get
+    the same running value only if new_s ties too — event_id makes the lag
+    deterministic, and the cumulative frame is ROWS-based with the same
+    (us, event_id) order on both engines)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("unix_micros(ts)").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > _SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_s").over(wc))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max("us") - F.min("us")).alias("dur_us"),
+    )
+
+
+# --- categorical split purity (decision-stump feature quality) --------------
+# (name, spark_expr, duckdb_expr) — STRING vs VARCHAR is the only dialect split
+_PURITY_FEATURES = (
+    ("o_orderpriority", "o_orderpriority", "o_orderpriority"),
+    (
+        "order_year",
+        "CAST(year(o_orderdate) AS STRING)",
+        "CAST(year(o_orderdate) AS VARCHAR)",
+    ),
+    (
+        "cust_bucket",
+        "CAST(o_custkey % 100 AS STRING)",
+        "CAST(o_custkey % 100 AS VARCHAR)",
+    ),
+)
+
+
+def _purity_union_sql() -> str:
+    parts = [
+        f"SELECT '{name}' AS feature, {dexpr} AS val, o_orderstatus AS label FROM orders"
+        for name, _sexpr, dexpr in _PURITY_FEATURES
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@query(
+    "feature_split_purity",
+    oracle=f"""
+    WITH melted AS ({_purity_union_sql()}),
+    cell AS (
+      SELECT feature, val, label, count(*) AS c
+      FROM melted GROUP BY feature, val, label
+    ),
+    per_val AS (
+      SELECT feature, val, sum(c) AS n_v, max(c) AS max_c
+      FROM cell GROUP BY feature, val
+    )
+    SELECT feature, sum(n_v - max_c) AS n_misclassified, sum(n_v) AS n_total
+    FROM per_val GROUP BY feature
+    """,
+)
+def feature_split_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump quality per categorical feature against the
+    o_orderstatus label: misclassification count if each feature value
+    predicts its majority class (n_v − max class count, summed). The exact
+    integer analog of gini/entropy feature ranking — no logs, no divisions,
+    bit-stable. Melt → count cells → two hash rollups; one scan per
+    feature via a union (Catalyst collapses the shared scan)."""
+    orders = load_table(spark, sf_dir, "orders")
+    melted = None
+    for name, sexpr, _dexpr in _PURITY_FEATURES:
+        part = orders.select(
+            F.lit(name).alias("feature"),
+            F.expr(sexpr).alias("val"),
+            F.col("o_orderstatus").alias("label"),
+        )
+        melted = part if melted is None else melted.unionAll(part)
+    cell = melted.groupBy("feature", "val", "label").agg(F.count("*").alias("c"))
+    per_val = cell.groupBy("feature", "val").agg(
+        F.sum("c").alias("n_v"), F.max("c").alias("max_c")
+    )
+    return per_val.groupBy("feature").agg(
+        F.sum(F.col("n_v") - F.col("max_c")).alias("n_misclassified"),
+        F.sum("n_v").alias("n_total"),
+    )
+
+
+# --- autocorrelation sufficient statistics ----------------------------------
+@query(
+    "acf_daily_orders",
+    oracle=f"""
+    WITH daily AS (
+      SELECT epoch_us(o_orderdate) // {_US_DAY} AS d, count(*) AS x
+      FROM orders GROUP BY d
+    ),
+    lags AS (SELECT unnest(generate_series(1, 7)) AS lag)
+    SELECT CAST(lag AS BIGINT) AS lag, count(*) AS n,
+           sum(a.x) AS sum_x, sum(b.x) AS sum_y,
+           sum(a.x * b.x) AS sum_xy,
+           sum(a.x * a.x) AS sum_xx, sum(b.x * b.x) AS sum_yy,
+           count(*) * sum(a.x * b.x) - sum(a.x) * sum(b.x) AS cov_num
+    FROM lags, daily a JOIN daily b ON b.d = a.d + lag
+    GROUP BY lag
+    """,
+)
+def acf_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily order-count series at lags 1..7, as
+    exact integer sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy², and the
+    covariance numerator n·Σxy − Σx·Σy) — the caller derives float ACF;
+    the engine ships only bit-exact parts. The series aggregates to one
+    row per day BEFORE the lag joins, so the 7-way lag equi-join touches
+    |days|·7 rows regardless of raw order volume."""
+    orders = load_table(spark, sf_dir, "orders")
+    # o_orderdate is TIMESTAMP_NTZ in the fixture; the session runs UTC so
+    # the cast to TIMESTAMP is an identity relabel before unix_micros.
+    daily = orders.groupBy(
+        F.expr(f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_US_DAY}").alias("d")
+    ).agg(F.count("*").alias("x"))
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    j = lags.crossJoin(a).join(b, F.col("b.d") == F.col("a.d") + F.col("lag"))
+    return j.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("a.x").alias("sum_x"),
+        F.sum("b.x").alias("sum_y"),
+        F.sum(F.col("a.x") * F.col("b.x")).alias("sum_xy"),
+        F.sum(F.col("a.x") * F.col("a.x")).alias("sum_xx"),
+        F.sum(F.col("b.x") * F.col("b.x")).alias("sum_yy"),
+        (
+            F.count("*") * F.sum(F.col("a.x") * F.col("b.x"))
+            - F.sum("a.x") * F.sum("b.x")
+        ).alias("cov_num"),
+    )
+
+
+# --- Benford first-digit audit ----------------------------------------------
+@query(
+    "benford_digits",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST({_CENTS} AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders
+    )
+    SELECT digit, count(*) AS n,
+           count(*) * 1000000 // (SELECT count(*) FROM orders) AS share_ppm
+    FROM d GROUP BY digit
+    """,
+)
+def benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals (in exact
+    cents) with ppm shares — the Benford's-law fraud/anomaly audit. Digit
+    extraction goes through bigint→string (identical formatting on both
+    engines; no log10 floats). One hash aggregate to ≤9 rows, then a
+    broadcast of the scalar total."""
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.select(
+        F.substring(F.expr(_CENTS).cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count("*").alias("n"))
+    total = orders.agg(F.count("*").alias("total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit", "n", F.expr("n * 1000000 div total").alias("share_ppm")
+    )
