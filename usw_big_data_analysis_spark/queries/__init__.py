@@ -29,6 +29,7 @@ for _mod_name in (
     "etl",
     "behavior",
     "pipeline_ops",
+    "olap_ext",
 ):
     try:
         _mod = __import__(f"{__name__}.{_mod_name}", fromlist=[_mod_name])

@@ -1,0 +1,262 @@
+"""OLAP surface extensions: multi-level grouping (ROLLUP / CUBE / GROUPING
+SETS), the star-schema broadcast join, semi-join chains, RANGE-framed
+trailing windows, and per-group ntile — the relational operators a BI layer
+issues on top of the SURVEY §2 aggregate inventory (reference analogs: the
+pivot/crosstab margin passes and per-class EDA rollups).
+
+Determinism: money flows as exact cents (`round(x*100)::bigint`) summed as
+plain bigints (test-SF safe; the integer-split isum form in
+functions/numeric.py is the documented swap once a single group can exceed
+~1e9 rows), revenue uses the integer-split sums directly, and every window
+orders by a unique composite key so ntile/frames are tie-free.
+
+Scale notes (100 TB):
+- rollup/cube/grouping-sets: Spark evaluates these as ONE Expand + hash
+  aggregate — the fact table is scanned once regardless of level count,
+  with partial aggregation before the single shuffle.
+- star_sales_by_region: nation/region broadcast (no shuffle); the
+  lineitem⋈orders and ⋈customer shuffles are on the natural keys and AQE
+  re-plans them; dims prune to join keys + rollup columns before shipping.
+- window_range_7d / ntile_quartiles: windows partition by o_custkey —
+  never a global sort.
+- semi_join_returned: each hop is a left-semi on a pre-distinct key set,
+  the smallest possible shuffle payload.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import numeric as N
+from ..registry import query
+from ..sources import load_table
+
+_US_DAY = 86_400_000_000
+_CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
+
+
+# --- ROLLUP -----------------------------------------------------------------
+@query(
+    "rollup_sales",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+           sum({_CENTS}) AS sum_cents
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals priority → status → grand total via ROLLUP.
+    One Expand + single-shuffle hash aggregate; NULL group keys mark the
+    subtotal levels exactly as in the oracle (both columns are non-null in
+    the data, so NULL is unambiguous)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("cents", F.expr(_CENTS))
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("sum_cents"))
+    )
+
+
+# --- CUBE -------------------------------------------------------------------
+@query(
+    "cube_sales",
+    oracle=f"""
+    SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS order_year,
+           count(*) AS n, sum({_CENTS}) AS sum_cents
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, order_year)
+    """,
+)
+def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 2^2 grouping combinations of status × order year via CUBE —
+    same one-scan Expand plan as rollup_sales with four level masks."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderstatus",
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.expr(_CENTS).alias("cents"),
+        )
+        .cube("o_orderstatus", "order_year")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("sum_cents"))
+    )
+
+
+# --- GROUPING SETS ----------------------------------------------------------
+@query(
+    "grouping_sets_sales",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+           sum({_CENTS}) AS sum_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the by-priority and by-status marginals
+    plus the grand total, without the full cube. The DataFrame API has no
+    grouping-sets verb, so this goes through Spark SQL over a temp view —
+    same Expand + single-aggregate physical plan."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+               sum({_CENTS}) AS sum_cents
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+# --- star-schema join -------------------------------------------------------
+@query(
+    "star_sales_by_region",
+    oracle=f"""
+    WITH g AS (
+      SELECT r_name, CAST(year(o_orderdate) AS INT) AS order_year,
+             count(*) AS n_items,
+             {N.sql_isum_items(N.sql_iscaled('l_extendedprice * (1 - l_discount)', 4), 'rev')}
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY r_name, order_year
+    )
+    SELECT r_name, order_year, n_items,
+           {N.sql_isum_value('rev', 4)} AS sum_revenue
+    FROM g
+    """,
+)
+def star_sales_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical star join: fact lineitem through orders → customer →
+    nation → region, revenue rolled up by region × order year. nation and
+    region broadcast explicitly (tiny dims — zero shuffle); the two big
+    joins shuffle on their natural keys and every input is pruned to join
+    keys + rollup columns before the exchange. Revenue uses the
+    integer-split exact sums (scale-4 products)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        N.iscaled(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "rev"
+        ),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").cast("int").alias("order_year")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    g = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "order_year")
+        .agg(
+            F.count("*").alias("n_items"),
+            *N.isum_aggs(F.col("rev"), "rev"),
+        )
+    )
+    return g.select(
+        "r_name", "order_year", "n_items", N.isum_value("rev", 4).alias("sum_revenue")
+    )
+
+
+# --- semi-join chain --------------------------------------------------------
+@query(
+    "semi_join_returned",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'))
+    """,
+)
+def semi_join_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one order containing a returned line — the
+    EXISTS / left-semi chain. Each hop distincts its key set before the
+    semi shuffle, so the payload shrinks monotonically up the chain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    ret_orders = (
+        li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    )
+    hit_orders = orders.join(
+        ret_orders, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+    )
+    custkeys = hit_orders.select("o_custkey").distinct()
+    return cust.join(
+        custkeys, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+# --- RANGE-framed trailing window -------------------------------------------
+@query(
+    "window_range_7d",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             epoch_us(o_orderdate) // {_US_DAY} AS d,
+             {_CENTS} AS cents
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey, d,
+           count(*) OVER w AS n_7d,
+           sum(cents) OVER w AS cents_7d
+    FROM o
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer trailing-7-day order count and spend using a true
+    RANGE frame over the integer day index (value-based, so ties on the
+    same day all see the same frame — identical semantics both engines;
+    bigint cents keep the sliding sums exact where double sliding sums
+    would be order-dependent). Window partitions by customer — one shuffle,
+    no global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_US_DAY}").alias(
+            "d"
+        ),
+        F.expr(_CENTS).alias("cents"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d").rangeBetween(-6, 0)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "d",
+        F.count("*").over(w).alias("n_7d"),
+        F.sum("cents").over(w).alias("cents_7d"),
+    )
+
+
+# --- per-group ntile --------------------------------------------------------
+@query(
+    "ntile_quartiles",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           ntile(4) OVER (PARTITION BY o_custkey
+                          ORDER BY {_CENTS}, o_orderkey) AS quartile
+    FROM orders
+    """,
+)
+def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend quartile of each order WITHIN its customer — ntile(4) over a
+    key-partitioned window (the scalable form; a global ntile would demand
+    a total sort). The (cents, o_orderkey) order key is unique, so bucket
+    assignment is tie-free and engine-independent."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.expr(_CENTS), F.col("o_orderkey"))
+    return orders.select(
+        "o_custkey", "o_orderkey", F.ntile(4).over(w).alias("quartile")
+    )
