@@ -30,6 +30,7 @@ for _mod_name in (
     "behavior",
     "pipeline_ops",
     "olap_ext",
+    "corpus_ops",
 ):
     try:
         _mod = __import__(f"{__name__}.{_mod_name}", fromlist=[_mod_name])

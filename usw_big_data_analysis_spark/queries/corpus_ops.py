@@ -1,0 +1,200 @@
+"""Corpus-preparation operators over `documents` (extension family: the
+LLM-training-data steps that sit between raw crawl and tokenizer): PII
+redaction, fixed-size chunking with overlap, per-source mixture quota
+sampling, hash-Bernoulli downsampling, and an ORC sink/scan roundtrip for
+format coverage.
+
+Determinism: the "random" choices are md5-derived integer hashes (the
+engine-portable seeded RNG, same idiom as queries/dedup.py); chunk
+boundaries are pure integer arithmetic; the PII fixture is synthesized
+deterministically from doc_id so the redaction check is non-vacuous on the
+fixture corpus (whose text contains no natural PII).
+
+Scale notes (100 TB):
+- text_pii_scrub / doc_chunk_fixed: narrow per-row transforms — zero
+  shuffles; chunk explode multiplies rows ~len/stride with no exchange.
+- mixture_quota: the only window partitions by source; with few huge
+  sources the hash-order rank is the skew case — the documented swap is a
+  two-phase per-source top-k (TakeOrderedAndProject per salt then merge).
+- doc_sample_hash: embarrassingly parallel filter, no shuffle, no RNG
+  state — the Bernoulli form that survives any partitioning/retry regime.
+- sink_orc_roundtrip: columnar ORC with the same predicate/column pushdown
+  contract as parquet.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+from .dedup import _h_spark, _h_sql
+
+_TMP = tempfile.gettempdir()
+
+# --- deterministic PII fixture + redaction ----------------------------------
+# Fixture text has no natural PII, so append a synthetic email + phone derived
+# from doc_id — then the scrub provably removes exactly what was injected.
+_EMAIL_RE = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+_PHONE_RE = "\\+[0-9]+-[0-9]+-[0-9]+"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH dirty AS (
+      SELECT doc_id,
+             concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                    '@mail.com or +1-555-', CAST(doc_id AS VARCHAR)) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS clean,
+           length(t) - length(regexp_replace(regexp_replace(t,
+             '{_EMAIL_RE}', '', 'g'), '{_PHONE_RE}', '', 'g')) AS n_pii_chars
+    FROM dirty
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction (emails, phone numbers) — the compliance scrub
+    every training corpus passes through. JVM-side regexp_replace (no
+    Python in the row path); patterns restricted to the regex subset with
+    identical semantics in Java regex and DuckDB's RE2. Also reports how
+    many characters were redacted per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.com or +1-555-"),
+            F.col("doc_id").cast("string"),
+        ).alias("t"),
+    )
+    scrub = F.regexp_replace(
+        F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    strip = F.regexp_replace(
+        F.regexp_replace(F.col("t"), _EMAIL_RE, ""), _PHONE_RE, ""
+    )
+    return dirty.select(
+        "doc_id",
+        scrub.alias("clean"),
+        (F.length("t") - F.length(strip)).alias("n_pii_chars"),
+    )
+
+
+# --- fixed-size chunking with overlap ---------------------------------------
+_CHUNK = 200
+_STRIDE = 160  # 40-char overlap
+
+
+@query(
+    "doc_chunk_fixed",
+    oracle=f"""
+    SELECT doc_id,
+           CAST((s - 1) // {_STRIDE} AS INT) AS chunk_idx,
+           substr(text, s, {_CHUNK}) AS chunk,
+           length(substr(text, s, {_CHUNK})) AS chunk_len
+    FROM documents,
+         unnest(generate_series(1, greatest(length(text), 1), {_STRIDE}))
+           AS t(s)
+    """,
+)
+def doc_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding fixed-size chunking ({_CHUNK} chars, {_CHUNK - _STRIDE}
+    overlap) — the context-window packing step before tokenization. Pure
+    integer substring arithmetic via sequence+explode: a narrow per-row
+    blowup of ~len/stride with ZERO shuffles; chunk boundaries are
+    engine-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    starts = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(_STRIDE))
+    ).alias("s")
+    return docs.select("doc_id", "text", starts).select(
+        "doc_id",
+        ((F.col("s") - 1) / _STRIDE).cast("int").alias("chunk_idx"),
+        F.expr(f"substr(text, s, {_CHUNK})").alias("chunk"),
+        F.length(F.expr(f"substr(text, s, {_CHUNK})")).alias("chunk_len"),
+    )
+
+
+# --- per-source mixture quota sampling --------------------------------------
+_QUOTA = 25
+
+
+@query(
+    "mixture_quota",
+    oracle=f"""
+    SELECT source, doc_id, rn FROM (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_h_sql("concat('mx:', CAST(doc_id AS VARCHAR))")},
+                        doc_id) AS rn
+      FROM documents)
+    WHERE rn <= {_QUOTA}
+    """,
+)
+def mixture_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture construction: an exact quota of {_QUOTA} docs per
+    source, chosen by md5-hash order — a deterministic uniform draw that
+    needs no RNG state and is stable under reshuffling/retries. The window
+    partitions by source; for few-huge-source skew the documented swap is
+    per-salt top-k + merge (operators/skew.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = _h_spark(F.concat(F.lit("mx:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h, F.col("doc_id"))
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _QUOTA)
+    )
+
+
+# --- hash-Bernoulli downsampling --------------------------------------------
+_KEEP_PCT = 25
+
+
+@query(
+    "doc_sample_hash",
+    oracle=f"""
+    SELECT doc_id, source FROM documents
+    WHERE {_h_sql("concat('smp:', CAST(doc_id AS VARCHAR))")} % 100 < {_KEEP_PCT}
+    """,
+)
+def doc_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_KEEP_PCT}% corpus downsample by md5 hash — the shuffle-free,
+    state-free Bernoulli sample (same rows kept regardless of partitioning,
+    executor count, or task retries; `sample()`'s seeded RNG guarantees
+    none of that across engines or cluster layouts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = _h_spark(F.concat(F.lit("smp:"), F.col("doc_id").cast("string")))
+    return docs.filter(h % 100 < _KEEP_PCT).select("doc_id", "source")
+
+
+# --- ORC sink/scan roundtrip ------------------------------------------------
+@query(
+    "sink_orc_roundtrip",
+    oracle="""
+    SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+    FROM documents GROUP BY source
+    """,
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the per-source document profile to ORC and read it back —
+    format coverage for Spark's second native columnar format (same
+    pushdown/pruning contract as parquet). The oracle states the roundtrip
+    is lossless by recomputing from the source table."""
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+    path = os.path.join(_TMP, "usw_q_sink_orc")
+    agg.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
