@@ -31,6 +31,8 @@ for _mod_name in (
     "pipeline_ops",
     "olap_ext",
     "corpus_ops",
+    "scale_ops",
+    "tpch_ext",
 ):
     try:
         _mod = __import__(f"{__name__}.{_mod_name}", fromlist=[_mod_name])

@@ -1,0 +1,176 @@
+"""Approximate-at-scale operators with verified error contracts: the
+sketches and bounded-memory passes that replace exact operators once a
+single key group or value buffer stops fitting — HyperLogLog distinct
+counts, t-digest-style approximate percentiles, and exact heavy hitters
+via the mergeable Misra-Gries candidate pass + exact verification join.
+
+The correctness model for approximations: the oracle states the EXACT
+answer plus a literal TRUE tolerance flag; the Spark side computes both
+the sketch and the exact value and emits whether the sketch landed within
+tolerance. A sketch regression (or a tolerance lie) breaks the hash match
+— so the approximate path is gated as strictly as the exact ones.
+
+Scale notes (100 TB):
+- approx_distinct_audit: HLL partials merge associatively — one map-side
+  sketch per partition, tiny shuffle payload, no giant distinct shuffle.
+- approx_percentile_audit: percentile_approx's quantile summary is
+  mergeable bounded state; the exact `percentile` companion is the
+  test-SF referee only (its value buffer is the thing being replaced).
+- heavy_hitters_mg: the two-phase exact-top-frequency pattern — a
+  capacity-bounded Misra-Gries pass per partition (mergeable, O(CAP)
+  state, guaranteed superset of every key with freq > n/CAP), then an
+  exact count of the ≤ CAP·partitions candidates via broadcast semi-join.
+  Output is EXACT despite constant memory — the pattern that makes
+  "top offending keys" tractable when a full groupBy would blow the
+  shuffle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+# --- HyperLogLog distinct-count audit ---------------------------------------
+_ADC_COLS = ("l_partkey", "l_suppkey", "l_orderkey")
+
+
+@query(
+    "approx_distinct_audit",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name, count(DISTINCT {c}) AS n_exact,
+            TRUE AS within_5pct FROM lineitem"""
+        for c in _ADC_COLS
+    ),
+)
+def approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ (rsd 2%) vs exact distinct per key column, emitting whether
+    the sketch landed within 5% — the mergeable-sketch path that replaces
+    count(DISTINCT) when the distinct shuffle stops fitting. One scan,
+    both estimates per column, melted via stack. (rsd buys sketch size:
+    0.5% needed a ~10 MiB task binary; 2% is a few KiB per column.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _ADC_COLS:
+        aggs.append(F.approx_count_distinct(c, 0.02).alias(f"a_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"e_{c}"))
+    wide = li.agg(*aggs)
+    stack = ", ".join(f"'{c}', a_{c}, e_{c}" for c in _ADC_COLS)
+    return wide.select(
+        F.expr(f"stack({len(_ADC_COLS)}, {stack}) AS (col_name, a, n_exact)")
+    ).select(
+        "col_name",
+        "n_exact",
+        (F.abs(F.col("a") - F.col("n_exact")) * 20 <= F.col("n_exact")).alias(
+            "within_5pct"
+        ),
+    )
+
+
+# --- approximate percentile audit -------------------------------------------
+_QS = (0.25, 0.5, 0.75, 0.9)
+
+
+@query(
+    "approx_percentile_audit",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT CAST({q} AS DOUBLE) AS q,
+            quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), {q})
+              AS cents_exact,
+            TRUE AS within_1pct FROM orders"""
+        for q in _QS
+    ),
+)
+def approx_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (mergeable quantile summary, accuracy 10000) vs
+    the exact interpolated percentile over order cents, per quantile, with
+    a 1% relative-error contract. The exact companion is the referee; at
+    100 TB only the sketch runs (its state is bounded by the accuracy
+    parameter, not the data)."""
+    orders = load_table(spark, sf_dir, "orders")
+    qlist = "array(" + ", ".join(f"{q}D" for q in _QS) + ")"
+    cents = "CAST(round(o_totalprice * 100) AS BIGINT)"
+    wide = orders.agg(
+        F.expr(f"percentile_approx({cents}, {qlist}, 10000)").alias("apx"),
+        F.expr(f"percentile({cents}, {qlist})").alias("exact"),
+    )
+    z = wide.select(
+        F.posexplode(F.arrays_zip(F.col("apx"), F.col("exact"))).alias("i", "z")
+    )
+    return z.select(
+        F.element_at(F.array(*[F.lit(float(q)) for q in _QS]), F.col("i") + 1).alias(
+            "q"
+        ),
+        F.col("z.exact").alias("cents_exact"),
+        (
+            F.abs(F.col("z.apx").cast("double") - F.col("z.exact"))
+            <= F.col("z.exact") * 0.01
+        ).alias("within_1pct"),
+    )
+
+
+# --- exact heavy hitters via Misra-Gries candidates + verify ----------------
+_MG_CAP = 200  # candidate capacity == 1/phi (phi = 1/200 frequency threshold)
+
+
+def _mg_partials(batches):
+    """Per-partition mergeable Misra-Gries summary over the `pk` column:
+    capacity-bounded counters; when full, subtract the (CAP+1)-th largest
+    count from all and drop non-positives (total decrement ≤ n_p/(CAP+1),
+    so every key with partition count > n_p/CAP survives)."""
+    counters = pd.Series(dtype="int64")
+    for pdf in batches:
+        batch = pdf["pk"].value_counts()
+        counters = counters.add(batch, fill_value=0)
+        if len(counters) > _MG_CAP:
+            m = counters.nlargest(_MG_CAP + 1).iloc[-1]
+            counters = counters - m
+            counters = counters[counters > 0]
+    yield pd.DataFrame({"pk": counters.index.astype("int64")})
+
+
+# The fixture keys are near-uniform (no key reaches a 1/200 share), so the
+# heavy-hitter stream derives a deterministically SKEWED key: a third of
+# rows collapse onto 7 hot keys (~4.8% share each), the rest spread over
+# the ~2000-key part domain (~0.03% each) — hot keys clear the threshold,
+# the tail exercises the MG decrement path (domain >> CAP).
+_SKEW_KEY_SQL = (
+    "CASE WHEN l_orderkey % 3 = 0 THEN l_partkey % 7 "
+    "ELSE l_partkey + 100 END"
+)
+
+
+@query(
+    "heavy_hitters_mg",
+    oracle=f"""
+    WITH keyed AS (SELECT {_SKEW_KEY_SQL} AS pk FROM lineitem)
+    SELECT pk, count(*) AS n
+    FROM keyed GROUP BY pk
+    HAVING count(*) * 200 > (SELECT count(*) FROM keyed)
+    """,
+)
+def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All keys with frequency > n/200, EXACTLY, in constant executor
+    memory: a Misra-Gries candidate pass per partition (mapInPandas,
+    ≤ {cap} counters — guaranteed to retain every true heavy hitter), then
+    an exact count restricted to the candidate set via broadcast semi-join
+    and the strict HAVING threshold. The full groupBy the oracle runs is
+    exactly what this pattern avoids at scale — candidates are
+    ≤ CAP·partitions keys however large the key domain is.""".format(
+        cap=_MG_CAP
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = li.select(F.expr(_SKEW_KEY_SQL).alias("pk"))
+    cands = keys.mapInPandas(_mg_partials, "pk bigint").distinct()
+    n_total = li.agg(F.count("*").alias("n_total"))
+    return (
+        keys.join(F.broadcast(cands), "pk", "left_semi")
+        .groupBy("pk")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(n_total))
+        .filter(F.col("n") * _MG_CAP > F.col("n_total"))
+        .select("pk", "n")
+    )
