@@ -33,6 +33,7 @@ for _mod_name in (
     "corpus_ops",
     "scale_ops",
     "tpch_ext",
+    "graph_ext",
 ):
     try:
         _mod = __import__(f"{__name__}.{_mod_name}", fromlist=[_mod_name])

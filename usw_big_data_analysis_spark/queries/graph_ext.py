@@ -1,0 +1,185 @@
+"""Graph analytics beyond connected components (extension family, sibling
+of operators/graph_ops.py): integer-arithmetic PageRank and exact triangle
+counting over the part co-purchase graph (parts are linked when co-ordered;
+the A-priori support-≥2 prune bounds the edge blowup).
+
+Determinism: PageRank is the INTEGER-MASS variant — every node starts with
+10^12 mass units; each iteration routes `mass div out_degree` units along
+each edge and damps with integer `div 100` arithmetic (remainders are
+deliberately discarded — the variant is exactly reproducible on any engine,
+unlike float PageRank whose sums are order-dependent). Fixed 4 iterations,
+unrolled in the oracle as chained CTEs (no recursive aggregation needed).
+
+Scale notes (100 TB):
+- Edges build from per-order distinct item lists with the support prune
+  BEFORE the quadratic self-join; both directions materialize once.
+- Each PageRank iteration is one shuffle: groupBy(dst) of per-edge
+  contributions joined to the current mass by src. The DataFrame loop
+  localCheckpoints per round (same pattern as graph_ops.connected_
+  components) so the plan doesn't grow with iterations.
+- Triangle counting orients edges (a<b) so each triangle counts once; the
+  heavy join is edge⋈edge on the shared vertex, then one hash probe for
+  the closing edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+_MASS = 10**12  # initial integer mass units per node
+_ITERS = 4
+
+# shared SQL: undirected co-order edge list with support->=2 prune
+_EDGE_CTES = """
+    items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    freq AS (
+      SELECT pk FROM items GROUP BY pk HAVING count(*) >= 2
+    ),
+    fitems AS (
+      SELECT i.ok, i.pk FROM items i JOIN freq ON i.pk = freq.pk
+    ),
+    pairs AS (
+      SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM fitems a JOIN fitems b ON a.ok = b.ok AND a.pk < b.pk
+    ),
+    edges AS (
+      SELECT u AS src, v AS dst FROM pairs
+      UNION ALL SELECT v, u FROM pairs
+    ),
+    deg AS (
+      SELECT src, count(*) AS d FROM edges GROUP BY src
+    )"""
+
+
+def _edges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    freq = items.groupBy("pk").agg(F.count("*").alias("c")).filter("c >= 2")
+    fitems = items.join(freq.select("pk"), "pk")
+    a, b = fitems.alias("a"), fitems.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+    )
+    return pairs.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+
+
+def _pagerank_sql() -> str:
+    base = 15 * _MASS // 100  # damping: 0.15 * MASS as exact integer
+    ctes = [
+        _EDGE_CTES,
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        f"pr0 AS (SELECT node, CAST({_MASS} AS BIGINT) AS mass FROM nodes)",
+    ]
+    for k in range(_ITERS):
+        ctes.append(
+            f"""pr{k + 1} AS (
+      SELECT n.node,
+             {base} + (85 * coalesce(s.incoming, 0)) // 100 AS mass
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(p.mass // deg.d) AS incoming
+        FROM pr{k} p
+        JOIN edges e ON p.node = e.src
+        JOIN deg ON deg.src = p.node
+        GROUP BY e.dst
+      ) s ON n.node = s.node
+    )"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT node, mass FROM pr{_ITERS}"
+    )
+
+
+@query("pagerank_int", oracle=_pagerank_sql())
+def pagerank_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-mass PageRank ({iters} damped iterations, d=0.85) on the
+    part co-purchase graph. All arithmetic is bigint floor division —
+    bit-identical across engines and cluster layouts, where float PageRank
+    never is. The DataFrame loop localCheckpoints per iteration so plan
+    depth stays constant; each round is exactly one groupBy(dst) shuffle
+    plus a broadcast-or-shuffle join to the (node, degree) table.""".format(
+        iters=_ITERS
+    )
+    edges = _edges_spark(spark, sf_dir)
+    # rename deg's key so the edges⋈deg lineage can't collide (both descend
+    # from the same edge DataFrame — Spark flags the self-join as ambiguous)
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("d"))
+        .select(F.col("src").alias("dnode"), "d")
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    base = 15 * _MASS // 100
+    pr = nodes.select("node", F.lit(_MASS).cast("bigint").alias("mass"))
+    edges = edges.localCheckpoint()
+    deg = deg.localCheckpoint()
+    for _ in range(_ITERS):
+        contrib = (
+            pr.join(edges, pr["node"] == edges["src"])
+            .join(deg, pr["node"] == deg["dnode"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("mass div d").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("incoming"))
+        )
+        pr = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr("85 * coalesce(incoming, 0) div 100")
+                ).alias("mass"),
+            )
+            .localCheckpoint()
+        )
+    return pr
+
+
+@query(
+    "graph_triangles",
+    oracle=f"""
+    WITH {_EDGE_CTES},
+    o AS (SELECT u, v FROM pairs)
+    SELECT count(*) AS n_triangles FROM o e1
+    JOIN o e2 ON e1.v = e2.u
+    JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count of the co-purchase graph via the oriented
+    (a<b) edge list: wedges e1(u<v)⋈e2(v<w) closed by e3(u,w). Orientation
+    counts each triangle exactly once AND caps the wedge fan-out by
+    ordering through the middle vertex — the standard distributed triangle
+    join. Support prune keeps the edge set near-linear in orders."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    freq = items.groupBy("pk").agg(F.count("*").alias("c")).filter("c >= 2")
+    fitems = items.join(freq.select("pk"), "pk")
+    a, b = fitems.alias("a"), fitems.alias("b")
+    o = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+    )
+    e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
+    tri = e1.join(e2, F.col("e1.v") == F.col("e2.u")).join(
+        e3,
+        (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+    )
+    return tri.agg(F.count("*").alias("n_triangles"))
