@@ -260,3 +260,92 @@ def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey", "o_orderkey", F.ntile(4).over(w).alias("quartile")
     )
+
+
+# --- UNPIVOT / melt ---------------------------------------------------------
+_MELT_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@query(
+    "melt_unpivot",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, metric, value
+    FROM (SELECT l_orderkey, l_linenumber, {', '.join(_MELT_COLS)}
+          FROM lineitem)
+    UNPIVOT (value FOR metric IN ({', '.join(_MELT_COLS)}))
+    """,
+)
+def melt_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt of the lineitem numerics (pandas .melt / SQL UNPIVOT
+    — the reshape every metrics store ingests). Spark's native unpivot is
+    a narrow Expand projection: rows × metrics with ZERO shuffles; values
+    pass through untouched (bit-exact trivially)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"], list(_MELT_COLS), "metric", "value"
+    )
+
+
+# --- percent_rank / cume_dist ------------------------------------------------
+@query(
+    "percent_rank_cume",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY {_CENTS}, o_orderkey)
+    """,
+)
+def percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative standing of each order within its customer: percent_rank
+    ((rank-1)/(n-1)) and cume_dist (rows≤current / n). Both are a SINGLE
+    IEEE division of exact integers — bit-stable across engines (unlike
+    accumulated float sums); the (cents, orderkey) order key is unique so
+    ranks are tie-free. Key-partitioned window — no global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.expr(_CENTS), F.col("o_orderkey"))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+# --- Q18: large-volume customers --------------------------------------------
+_Q18_MIN_QTY_SCALED = 18_000  # sum(quantity) > 180.00, in exact 2-decimal units
+
+
+@query(
+    "q18_large_volume",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey, sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sq
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > {_Q18_MIN_QTY_SCALED}
+    )
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(sq AS DOUBLE) / 100.0 AS total_qty
+    FROM big JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds the
+    threshold, joined back to the order header. The HAVING filter runs on
+    the pre-join aggregate (map-side combined, exact 2-decimal integer
+    units), so only qualifying keys reach the join — the aggregate-then-
+    semi-join pattern that keeps Q18 cheap at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.expr("CAST(round(l_quantity * 100) AS BIGINT)")).alias("sq"))
+        .filter(F.col("sq") > _Q18_MIN_QTY_SCALED)
+    )
+    return big.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        (F.col("sq").cast("double") / 100.0).alias("total_qty"),
+    )
