@@ -349,3 +349,102 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         (F.col("sq").cast("double") / 100.0).alias("total_qty"),
     )
+
+
+# --- null-safe join (<=> / IS NOT DISTINCT FROM) ----------------------------
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT CASE WHEN c_custkey % 50 = 0 THEN NULL
+                           ELSE c_custkey % 50 END AS k
+      FROM customer
+    ),
+    fact AS (
+      SELECT CASE WHEN o_custkey % 50 = 0 THEN NULL
+                  ELSE o_custkey % 50 END AS k
+      FROM orders
+    )
+    SELECT dim.k, count(*) AS n
+    FROM fact JOIN dim ON fact.k IS NOT DISTINCT FROM dim.k
+    GROUP BY dim.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (Spark `eqNullSafe` / SQL IS NOT DISTINCT FROM):
+    NULL keys match NULL keys instead of dropping — the semantics sentinel
+    recoding produces (the reference's recode-to-NaN passes,
+    `legacy/modeling.py` sentinel handling). Still a hash-partitionable
+    equi-join: NULL hashes as one key (a skew candidate at scale — salt it
+    if the null bucket dominates)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    key = lambda c: F.when(F.col(c) % 50 == 0, F.lit(None)).otherwise(F.col(c) % 50)
+    dim = cust.select(key("c_custkey").alias("k")).distinct()
+    fact = orders.select(key("o_custkey").alias("fk"))
+    return (
+        fact.join(dim, F.col("fk").eqNullSafe(F.col("k")))
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --- calendar bucketing -----------------------------------------------------
+@query(
+    "monthly_revenue",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           count(*) AS n_orders, sum({_CENTS}) AS sum_cents
+    FROM orders GROUP BY month
+    """,
+)
+def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month revenue rollup via date_trunc — the canonical
+    time-bucketed aggregate (hypertable-style rollup). Bucketing happens
+    in the projection, so the aggregate is an ordinary single-shuffle
+    hash group-by on ~months keys; cents stay exact bigints."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+            F.expr(_CENTS).alias("cents"),
+        )
+        .groupBy("month")
+        .agg(F.count("*").alias("n_orders"), F.sum("cents").alias("sum_cents"))
+    )
+
+
+# --- first/last value windows ------------------------------------------------
+@query(
+    "first_last_order",
+    oracle=f"""
+    SELECT DISTINCT o_custkey,
+      first_value({_CENTS}) OVER w AS first_cents,
+      last_value({_CENTS})  OVER w AS last_cents,
+      first_value(o_orderkey) OVER w AS first_orderkey,
+      last_value(o_orderkey)  OVER w AS last_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's first and last order (cents + key) via
+    first_value/last_value over the FULL frame (explicit unbounded ROWS
+    frame — last_value under the default frame is a classic cross-engine
+    trap, pinned identical here), deduplicated to one row per customer.
+    The (o_orderdate, o_orderkey) order key is unique → deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    cents = F.expr(_CENTS)
+    return orders.select(
+        "o_custkey",
+        F.first(cents).over(w).alias("first_cents"),
+        F.last(cents).over(w).alias("last_cents"),
+        F.first("o_orderkey").over(w).alias("first_orderkey"),
+        F.last("o_orderkey").over(w).alias("last_orderkey"),
+    ).distinct()
