@@ -34,6 +34,7 @@ for _mod_name in (
     "scale_ops",
     "tpch_ext",
     "graph_ext",
+    "storage_ops",
 ):
     try:
         _mod = __import__(f"{__name__}.{_mod_name}", fromlist=[_mod_name])

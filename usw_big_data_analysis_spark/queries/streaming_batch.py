@@ -263,3 +263,50 @@ def stream_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_value",
         F.unix_micros("purchase_ts").alias("purchase_ts_us"),
     )
+
+
+# --- streaming file sink (exactly-once) -------------------------------------
+@query(
+    "stream_sink_files",
+    oracle=f"""
+    SELECT event_type, count(*) AS n, {N.sql_dsum('value')} AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_sink_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exactly-once file sink: the event stream writes parquet through
+    the streaming commit log (checkpoint + _spark_metadata manifest — a
+    failed/retried micro-batch can never double-count), then a batch read
+    of the sink aggregates per type. Hash-matching the batch aggregate
+    over the ORIGINAL table proves the sink delivered every event exactly
+    once. This is the bronze-layer landing pattern: at scale the same
+    query runs continuously and each micro-batch appends atomically."""
+    import shutil
+    import tempfile as _tf
+    import uuid
+
+    from ..streaming import ops
+
+    base = _tf.mkdtemp(prefix=f"usw_stream_sink_{uuid.uuid4().hex[:8]}_")
+    out = f"{base}/out"
+    ckpt = f"{base}/ckpt"
+    q = (
+        ops.read_events_stream(spark, sf_dir)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    landed = spark.read.parquet(out)
+    result = (
+        landed.groupBy("event_type")
+        .agg(F.count("*").alias("n"), N.dsum("value").alias("sum_value"))
+        .orderBy("event_type")
+    )
+    rows = result.collect()  # materialize before cleaning the sink dir
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
