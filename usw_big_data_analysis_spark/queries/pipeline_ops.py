@@ -491,3 +491,36 @@ def benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.crossJoin(F.broadcast(total)).select(
         "digit", "n", F.expr("n * 1000000 div total").alias("share_ppm")
     )
+
+
+# --- SCD type-2 history build ------------------------------------------------
+@query(
+    "scd2_history",
+    oracle="""
+    SELECT user_id,
+           epoch_us(ts) AS valid_from_us,
+           coalesce(lead(epoch_us(ts)) OVER w, 9223372036854775807)
+             AS valid_to_us,
+           event_type AS state,
+           CASE WHEN lead(epoch_us(ts)) OVER w IS NULL THEN TRUE
+                ELSE FALSE END AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: each user's event stream becomes
+    validity intervals [valid_from, valid_to) with an is_current flag —
+    the warehouse history-table build. One key-partitioned lead window
+    (unique (ts, event_id) order key), open intervals closed with
+    bigint max — no sentinel-date timezone traps."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead(F.expr("unix_micros(ts)")).over(w)
+    return ev.select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("valid_from_us"),
+        F.coalesce(nxt, F.lit(9223372036854775807)).alias("valid_to_us"),
+        F.col("event_type").alias("state"),
+        nxt.isNull().alias("is_current"),
+    )

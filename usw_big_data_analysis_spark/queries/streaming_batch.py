@@ -310,3 +310,80 @@ def stream_sink_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = result.collect()  # materialize before cleaning the sink dir
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, result.schema)
+
+
+# --- foreachBatch incremental upsert ----------------------------------------
+@query(
+    "stream_upsert_foreachbatch",
+    oracle="""
+    SELECT user_id, epoch_us(ts) AS last_ts_us, event_id AS last_event_id,
+           event_type AS last_event_type
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert via foreachBatch: every micro-batch pre-reduces to
+    its per-user latest row (max of the unique (ts_us, event_id) struct —
+    a map-side-combinable aggregate, NOT a window) and appends to a
+    staging log; the read side merges the log with the same aggregate —
+    the append-log + merge-on-read upsert used when the sink has no
+    transactional MERGE. Hash-matching the batch latest-per-user proves
+    upsert semantics survived micro-batching. At scale the merge happens
+    on a schedule (compaction) instead of per read."""
+    import shutil
+    import tempfile as _tf
+    import uuid
+
+    from ..streaming import ops
+
+    base = _tf.mkdtemp(prefix=f"usw_upsert_{uuid.uuid4().hex[:8]}_")
+    stage = f"{base}/stage"
+    ckpt = f"{base}/ckpt"
+
+    def _upsert_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        (
+            batch_df.select(
+                "user_id",
+                F.struct(
+                    F.unix_micros("ts").alias("ts_us"),
+                    F.col("event_id"),
+                    F.col("event_type"),
+                ).alias("s"),
+            )
+            .groupBy("user_id")
+            .agg(F.max("s").alias("s"))
+            # the per-batch reduction is ≤ |users| rows — one staging file
+            # per micro-batch, not shuffle-partition-many
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(stage)
+        )
+
+    q = (
+        ops.read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(_upsert_batch)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    merged = (
+        spark.read.parquet(stage)
+        .groupBy("user_id")
+        .agg(F.max("s").alias("s"))
+        .select(
+            "user_id",
+            F.col("s.ts_us").alias("last_ts_us"),
+            F.col("s.event_id").alias("last_event_id"),
+            F.col("s.event_type").alias("last_event_type"),
+        )
+    )
+    rows = merged.collect()  # materialize before removing the staging dir
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, merged.schema)
