@@ -198,3 +198,104 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(_TMP, "usw_q_sink_orc")
     agg.write.mode("overwrite").orc(path)
     return spark.read.orc(path)
+
+
+# --- edit-distance-1 entity resolution (deletion-neighborhood blocking) -----
+@query(
+    "fuzzy_join_names",
+    oracle="""
+    SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+           levenshtein(a.c_name, b.c_name) AS dist
+    FROM customer a, customer b
+    WHERE a.c_custkey < b.c_custkey
+      AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage: all customer-name pairs within edit distance 1, via
+    DELETION-NEIGHBORHOOD blocking — each name joins on its ~len single-
+    deletion variants (+ itself), so any distance-1 pair (substitution,
+    insert, delete) shares a block; candidates then verify with the exact
+    levenshtein filter. Spark runs the scalable blocked plan
+    (O(n·len) variant rows, equi-join, verify); the oracle brute-forces
+    the O(n²) cross join — independent formulations, same exact pairs.
+    The classic near-dup entity-resolution shape for training-data
+    identity hygiene."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    variants = cust.select(
+        "c_custkey",
+        "c_name",
+        F.explode(
+            F.concat(
+                F.array(F.col("c_name")),  # the name itself (insert/delete pairs)
+                F.expr(
+                    "transform(sequence(1, length(c_name)), i -> "
+                    "concat(substr(c_name, 1, i - 1), substr(c_name, i + 1)))"
+                ),
+            )
+        ).alias("block"),
+    ).distinct()
+    a, b = variants.alias("a"), variants.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("a_key"),
+            F.col("b.c_custkey").alias("b_key"),
+            F.col("a.c_name").alias("a_name"),
+            F.col("b.c_name").alias("b_name"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "a_key",
+        "b_key",
+        F.levenshtein("a_name", "b_name").alias("dist"),
+    ).filter(F.col("dist") <= 1)
+
+
+# --- inverted index build ----------------------------------------------------
+_POSTINGS_CAP = 20
+
+
+@query(
+    "inverted_index",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    )
+    SELECT token, count(*) AS df,
+           array_to_string(
+             list_transform(
+               (list(doc_id ORDER BY doc_id))[1:{_POSTINGS_CAP}],
+               x -> CAST(x AS VARCHAR)), ',') AS postings
+    FROM tok WHERE token <> '' GROUP BY token
+    """,
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: token → document frequency + the first
+    {cap} postings as a sorted CSV (the capped posting-list page an IR /
+    retrieval layer materializes). (doc_id, token) distincts map-side
+    before the token shuffle; the per-token collect is bounded by the cap
+    after sorting — the documented 100 TB swap is bucketed posting-list
+    pages rather than one row per token.""".format(cap=_POSTINGS_CAP)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    return tok.groupBy("token").agg(
+        F.count("*").alias("df"),
+        F.concat_ws(
+            ",",
+            F.expr(
+                f"transform(slice(array_sort(collect_list(doc_id)), 1, "
+                f"{_POSTINGS_CAP}), x -> cast(x as string))"
+            ),
+        ).alias("postings"),
+    )
