@@ -454,3 +454,86 @@ def metric_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --- Cohen's kappa (inter-rater / chance-corrected accuracy) ----------------
+@query(
+    "metric_cohens_kappa",
+    oracle=f"""
+    WITH s AS (
+      SELECT count(*) AS n,
+             sum(CAST(pred = label AS BIGINT)) AS diag,
+             sum(CAST(label = 1 AS BIGINT)) AS l1,
+             sum(CAST(pred = 1 AS BIGINT)) AS p1
+      FROM ({_SCORED_SQL})
+    )
+    SELECT CAST(n * diag - ((n - l1) * (n - p1) + l1 * p1) AS DOUBLE)
+           / CAST(n * n - ((n - l1) * (n - p1) + l1 * p1) AS DOUBLE) AS kappa,
+           n
+    FROM s
+    """,
+)
+def metric_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa for the binary pred-vs-label pair: chance-corrected
+    agreement κ = (n·diag − Σ row·col) / (n² − Σ row·col), assembled from
+    four exact integer counts in ONE aggregate pass and finished with a
+    single IEEE division — bit-stable, no float accumulation. The
+    sklearn.metrics.cohen_kappa_score analog of the reference's agreement
+    checks."""
+    s = scored_frame(spark, sf_dir)
+    g = s.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("pred") == F.col("label")).cast("bigint")).alias("diag"),
+        F.sum((F.col("label") == 1).cast("bigint")).alias("l1"),
+        F.sum((F.col("pred") == 1).cast("bigint")).alias("p1"),
+    )
+    pe = (F.col("n") - F.col("l1")) * (F.col("n") - F.col("p1")) + F.col(
+        "l1"
+    ) * F.col("p1")
+    return g.select(
+        (
+            (F.col("n") * F.col("diag") - pe).cast("double")
+            / (F.col("n") * F.col("n") - pe).cast("double")
+        ).alias("kappa"),
+        "n",
+    )
+
+
+# --- McNemar's test (paired disagreement) -----------------------------------
+@query(
+    "metric_mcnemar",
+    oracle=f"""
+    WITH s AS (
+      SELECT sum(CAST(label = 1 AND pred = 0 AS BIGINT)) AS b,
+             sum(CAST(label = 0 AND pred = 1 AS BIGINT)) AS c
+      FROM ({_SCORED_SQL})
+    )
+    SELECT b, c,
+           CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+           / CAST(b + c AS DOUBLE) AS stat
+    FROM s
+    """,
+)
+def metric_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's χ² with continuity correction over the paired
+    disagreement cells (false negatives b vs false positives c):
+    (|b−c|−1)²/(b+c). Integer cells from one aggregate pass, one final
+    division — the paired-classifier comparison from the reference's
+    significance-testing family (scipy.stats.mcnemar analog)."""
+    s = scored_frame(spark, sf_dir)
+    g = s.agg(
+        F.sum(((F.col("label") == 1) & (F.col("pred") == 0)).cast("bigint")).alias(
+            "b"
+        ),
+        F.sum(((F.col("label") == 0) & (F.col("pred") == 1)).cast("bigint")).alias(
+            "c"
+        ),
+    )
+    d = F.abs(F.col("b") - F.col("c"))
+    return g.select(
+        "b",
+        "c",
+        (((d - 1) * (d - 1)).cast("double") / (F.col("b") + F.col("c")).cast("double")).alias(
+            "stat"
+        ),
+    )

@@ -448,3 +448,30 @@ def first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("first_orderkey"),
         F.last("o_orderkey").over(w).alias("last_orderkey"),
     ).distinct()
+
+
+# --- conditional aggregates (FILTER clause) ----------------------------------
+@query(
+    "agg_filter_clause",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           sum({_CENTS}) FILTER (WHERE o_orderstatus = 'O') AS open_cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (SQL FILTER clause / Spark count-when): one
+    grouped pass computing per-predicate counts and sums — no per-condition
+    rescans, no joins of separate aggregates. The conditions fold into the
+    partial aggregates map-side; NULL-when rows simply don't accumulate."""
+    orders = load_table(spark, sf_dir, "orders")
+    is_open = F.col("o_orderstatus") == "O"
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.count(F.when(is_open, 1)).alias("n_open"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        F.sum(F.when(is_open, F.expr(_CENTS))).alias("open_cents"),
+    )
