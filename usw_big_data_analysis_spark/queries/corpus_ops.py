@@ -299,3 +299,97 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("postings"),
     )
+
+
+# --- composed end-to-end training-mix pipeline ------------------------------
+_MIX_QUOTA = 40
+
+
+@query(
+    "pipeline_training_mix",
+    oracle=f"""
+    WITH gated AS (
+      SELECT doc_id, source, text FROM documents WHERE lang = 'en'
+    ),
+    deduped AS (
+      SELECT min(doc_id) AS doc_id, min_by(source, doc_id) AS source,
+             any_value(text) AS text
+      FROM gated GROUP BY md5(text)
+    ),
+    chunks AS (
+      SELECT doc_id, source,
+             CAST((s - 1) // {_STRIDE} AS INT) AS chunk_idx,
+             substr(text, s, {_CHUNK}) AS chunk
+      FROM deduped,
+           unnest(generate_series(1, greatest(length(text), 1), {_STRIDE}))
+             AS t(s)
+    ),
+    ranked AS (
+      SELECT source, doc_id, chunk_idx,
+             length(chunk) - length(replace(chunk, ' ', '')) + 1 AS n_tokens,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_h_sql(
+                 "concat(CAST(doc_id AS VARCHAR), '#', CAST(chunk_idx AS VARCHAR))"
+               )},
+               doc_id, chunk_idx) AS rn
+      FROM chunks
+    )
+    SELECT source, doc_id, chunk_idx, n_tokens, rn
+    FROM ranked WHERE rn <= {_MIX_QUOTA}
+    """,
+)
+def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus pipeline as ONE query plan: language gate →
+    exact dedup (md5 grouping, keep min doc_id — dedup BEFORE chunking so
+    duplicate docs don't multiply) → fixed-size chunking → md5-ordered
+    per-source quota of {quota} chunks → whitespace token counts per
+    surviving chunk. Every stage is the registered operator's logic
+    inlined into a single Catalyst plan — the filters and the dedup
+    aggregate run before the chunk explode, so the expensive blowup only
+    sees surviving documents. This is the end-to-end shape a training-mix
+    builder runs nightly.""".format(quota=_MIX_QUOTA)
+    docs = load_table(spark, sf_dir, "documents")
+    gated = docs.filter(F.col("lang") == "en").select("doc_id", "source", "text")
+    # min_by keeps the min-doc_id's source: any_value(source) would be
+    # nondeterministic when identical texts appear under different sources.
+    # text is identical across the md5 group, so any_value(text) is safe.
+    deduped = gated.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.expr("min_by(source, doc_id)").alias("source"),
+        F.any_value("text").alias("text"),
+    )
+    chunks = deduped.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(_STRIDE)
+            )
+        ).alias("s"),
+        "text",
+    ).select(
+        "doc_id",
+        "source",
+        ((F.col("s") - 1) / _STRIDE).cast("int").alias("chunk_idx"),
+        F.expr(f"substr(text, s, {_CHUNK})").alias("chunk"),
+    )
+    h = _h_spark(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit("#"),
+            F.col("chunk_idx").cast("string"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(h, F.col("doc_id"), F.col("chunk_idx"))
+    ranked = chunks.select(
+        "source",
+        "doc_id",
+        "chunk_idx",
+        (
+            F.length("chunk") - F.length(F.replace(F.col("chunk"), F.lit(" "), F.lit("")))
+            + 1
+        ).alias("n_tokens"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return ranked.filter(F.col("rn") <= _MIX_QUOTA)

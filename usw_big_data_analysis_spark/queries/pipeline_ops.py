@@ -524,3 +524,87 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("state"),
         nxt.isNull().alias("is_current"),
     )
+
+
+# --- calendar-spine gap filling ----------------------------------------------
+@query(
+    "resample_daily_fill",
+    oracle=f"""
+    WITH daily AS (
+      SELECT epoch_us(o_orderdate) // {_US_DAY} AS d, count(*) AS n
+      FROM orders GROUP BY d
+    ),
+    bounds AS (SELECT min(d) AS mn, max(d) AS mx FROM daily),
+    spine AS (SELECT unnest(generate_series(mn, mx)) AS d FROM bounds)
+    SELECT spine.d, coalesce(daily.n, 0) AS n
+    FROM spine LEFT JOIN daily ON spine.d = daily.d
+    """,
+)
+def resample_daily_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample with gap filling: aggregate to day counts, generate
+    the full calendar spine between min and max day (sequence explode from
+    the 1-row bounds aggregate — no driver loop), left-join and zero-fill.
+    The spine is |days| rows however large the fact table is; the join is
+    a broadcast of the aggregated series."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.expr(f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_US_DAY}").alias(
+            "d"
+        )
+    ).agg(F.count("*").alias("n"))
+    bounds = daily.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("d")
+    )
+    return spine.join(daily, "d", "left").select(
+        "d", F.coalesce("n", F.lit(0)).alias("n")
+    )
+
+
+# --- per-group winsorization -------------------------------------------------
+@query(
+    "winsorize_values",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p5,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, count(*) AS n,
+           sum(CAST(e.value < q.p5 AS BIGINT)) AS n_clip_lo,
+           sum(CAST(e.value > q.p95 AS BIGINT)) AS n_clip_hi,
+           round(CAST(sum(CAST(round(
+             greatest(least(e.value, q.p95), q.p5) * 1000000
+           ) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0, 6) AS wsum
+    FROM events e JOIN q ON e.event_type = q.event_type
+    GROUP BY e.event_type
+    """,
+)
+def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization of event values at the exact [p5, p95]
+    percentiles: clip counts plus the exact decimal-summed winsorized
+    total (values scaled to 6 decimals and summed as integers — a float
+    sum of clipped doubles would be partition-order dependent). The
+    percentile pass uses `percentile` (exact; `percentile_approx` is the
+    documented 100 TB swap, same as `describe`); the clip join broadcasts
+    the tiny per-type bounds."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p5"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    j = ev.join(F.broadcast(q), "event_type")
+    clipped = F.greatest(F.least(F.col("value"), F.col("p95")), F.col("p5"))
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("value") < F.col("p5")).cast("bigint")).alias("n_clip_lo"),
+        F.sum((F.col("value") > F.col("p95")).cast("bigint")).alias("n_clip_hi"),
+        F.round(
+            F.sum(F.round(clipped * 1_000_000, 0).cast("decimal(38,0)")).cast(
+                "double"
+            )
+            / 1_000_000.0,
+            6,
+        ).alias("wsum"),
+    )
