@@ -393,3 +393,52 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rn"),
     )
     return ranked.filter(F.col("rn") <= _MIX_QUOTA)
+
+
+# --- int8 embedding quantization --------------------------------------------
+@query(
+    "embed_quantize_int8",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+      FROM embeddings
+    )
+    SELECT vec_id, CAST(maxabs AS DOUBLE) AS maxabs,
+           array_to_string(list_transform(embedding,
+             x -> CAST(CAST(CASE WHEN maxabs = 0 THEN 0
+                  ELSE floor(CAST(x AS DOUBLE) * 127.0 / maxabs) END
+                  AS BIGINT) AS VARCHAR)), ',') AS q_csv
+    FROM m
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization (absmax scaling) of the embedding
+    column — the 4x vector-store compression step. All arithmetic is one
+    widening cast + one multiply + one divide + floor per element, every
+    step IEEE-deterministic (floor, not round: both engines floor doubles
+    identically; .5-boundary rounding modes never enter). Zero vectors
+    quantize to zeros. Narrow per-row transform — no shuffle, no UDF."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = emb.withColumn(
+        "maxabs",
+        F.array_max(
+            F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+        ),
+    )
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.when(F.col("maxabs") == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.floor(x.cast("double") * F.lit(127.0) / F.col("maxabs")).cast(
+                "bigint"
+            )
+        )
+        .cast("string"),
+    )
+    return m.select(
+        "vec_id",
+        F.col("maxabs").cast("double").alias("maxabs"),
+        F.concat_ws(",", q).alias("q_csv"),
+    )

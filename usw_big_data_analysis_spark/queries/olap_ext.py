@@ -475,3 +475,33 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
         F.sum(F.when(is_open, F.expr(_CENTS))).alias("open_cents"),
     )
+
+
+# --- dynamic pivot (runtime-discovered columns) -----------------------------
+@query(
+    "pivot_dynamic",
+    oracle="""
+    SELECT o_orderstatus,
+           sum(CAST(o_orderpriority = '1-URGENT' AS BIGINT)) AS "1-URGENT",
+           sum(CAST(o_orderpriority = '2-HIGH' AS BIGINT)) AS "2-HIGH",
+           sum(CAST(o_orderpriority = '3-MEDIUM' AS BIGINT)) AS "3-MEDIUM",
+           sum(CAST(o_orderpriority = '4-NOT SPECIFIED' AS BIGINT))
+             AS "4-NOT SPECIFIED",
+           sum(CAST(o_orderpriority = '5-LOW' AS BIGINT)) AS "5-LOW"
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with columns DISCOVERED at runtime: `.pivot(col)` with no
+    value list runs a distinct pre-scan, then plans the conditional
+    aggregates — the two-pass shape pandas pivot_table users expect when
+    the category set isn't known ahead. (Static-list pivot, the one-pass
+    variant, is `pivot_table`.) Count cells are exact bigints; missing
+    cells fill 0."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority")
+        .count()
+        .na.fill(0)
+    )
