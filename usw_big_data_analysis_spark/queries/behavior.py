@@ -168,3 +168,74 @@ def key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_rows"), "l_suppkey")
         .limit(10)
     )
+
+
+# --- rolling 7-day active users (WAU per day) -------------------------------
+@query(
+    "rolling_wau",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {_US_DAY} AS d FROM events
+    ),
+    contrib AS (
+      SELECT DISTINCT user_id, unnest(generate_series(d, d + 6)) AS d
+      FROM ud
+    ),
+    bounds AS (SELECT min(d) AS mn, max(d) AS mx FROM ud)
+    SELECT c.d, count(DISTINCT c.user_id) AS wau
+    FROM contrib c, bounds b
+    WHERE c.d BETWEEN b.mn AND b.mx
+    GROUP BY c.d
+    """,
+)
+def rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users for every day — the WAU curve. COUNT
+    DISTINCT over a sliding window isn't directly expressible, so each
+    (user, day) pair CONTRIBUTES itself to the 7 days it keeps the user
+    active in (a narrow ×7 sequence-explode — no windows at all), then one
+    distinct count per day. Exact, shuffle-bounded by (day, user)
+    distincts with map-side combine; days outside the observed range are
+    clipped via the broadcast bounds row."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.expr(f"unix_micros(ts) div {_US_DAY}").alias("d")
+    ).distinct()
+    contrib = ud.select(
+        "user_id", F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("d")
+    ).distinct()
+    bounds = ud.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    return (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter(F.col("d").between(F.col("mn"), F.col("mx")))
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+
+
+# --- hour-of-day seasonality profile ----------------------------------------
+@query(
+    "hourly_seasonality",
+    oracle="""
+    SELECT CAST(hour(ts) AS INT) AS hour_of_day, event_type,
+           count(*) AS n,
+           count(*) * 1000000 // (SELECT count(*) FROM events) AS share_ppm
+    FROM events GROUP BY hour_of_day, event_type
+    """,
+)
+def hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × event-type traffic profile with ppm shares — the
+    seasonality diagnostic behind load-aware scheduling and anomaly
+    baselines. Pure integer counts and integer-division shares (UTC
+    session, so hour() agrees across engines); one hash aggregate to
+    ≤ 24×|types| rows plus a broadcast scalar total."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.hour("ts").cast("int").alias("hour_of_day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    total = ev.agg(F.count("*").alias("total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "hour_of_day",
+        "event_type",
+        "n",
+        F.expr("n * 1000000 div total").alias("share_ppm"),
+    )
