@@ -33,6 +33,7 @@ for _mod_name in (
     "corpus_ops",
     "scale_ops",
     "tpch_ext",
+    "tpch_ext2",
     "graph_ext",
     "storage_ops",
 ):
