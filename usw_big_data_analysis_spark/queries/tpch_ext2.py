@@ -470,3 +470,379 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.isum_value("promo", 4).alias("promo_revenue"),
         N.isum_value("tot", 4).alias("total_revenue"),
     )
+
+
+# --- Q15: top supplier ------------------------------------------------------
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH g AS (
+      SELECT l_suppkey, {N.sql_isum_items(N.sql_iscaled(_REV, 4), 'rev')}
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    ),
+    m AS (SELECT max({_sql_cents('rev')}) AS mx FROM g)
+    SELECT s_suppkey, s_name, {N.sql_isum_value('rev', 4)} AS total_revenue
+    FROM g JOIN supplier ON s_suppkey = l_suppkey, m
+    WHERE {_sql_cents('rev')} = m.mx
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: supplier(s) with the maximum quarterly revenue — the
+    view-plus-scalar-max shape. Per-supplier exact cents; the max is a
+    one-row aggregate broadcast back (no driver collect); equality on exact
+    integers returns ALL tied suppliers identically on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    ).select("l_suppkey", _rev_col().alias("rev"))
+    g = li.groupBy("l_suppkey").agg(*N.isum_aggs(F.col("rev"), "rev")).select(
+        "l_suppkey", "rev__hi", "rev__lo", _cents("rev").alias("rev_cents")
+    )
+    mx = g.agg(F.max("rev_cents").alias("mx"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        g.join(F.broadcast(mx), F.col("rev_cents") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", N.isum_value("rev", 4).alias("total_revenue"))
+    )
+
+
+# --- Q16: part/supplier relationship ----------------------------------------
+# Adaptation: no partsupp -> supplier counts come from observed lineitem
+# (suppliers that actually shipped the part); same filters-and-count-distinct
+# shape.
+_Q16_SIZES = (1, 4, 9, 14, 19, 23, 36, 45)
+
+
+@query(
+    "q16_parts_suppliers",
+    oracle=f"""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN {_Q16_SIZES}
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 (supplier counts from shipments — fixture has no partsupp):
+    distinct suppliers per (brand, type, size) slice. Part filters prune
+    broadcast-side before the fact join; COUNT(DISTINCT) expands to the
+    two-level exact distinct aggregate (partial per (keys, suppkey), then
+    count) — no driver-side set."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(*_Q16_SIZES))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --- Q17: small-quantity-order revenue --------------------------------------
+@query(
+    "q17_small_qty_revenue",
+    oracle=f"""
+    WITH pl AS (
+      SELECT l_partkey, l_quantity, l_extendedprice
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'SMALL'
+    ),
+    pa AS (
+      SELECT l_partkey AS a_partkey, count(*) AS n_part,
+             sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+      FROM pl GROUP BY l_partkey
+    ),
+    q AS (
+      SELECT {N.sql_isum_items(N.sql_iscaled('l_extendedprice', 2), 'ep')},
+             count(*) AS n_small
+      FROM pl JOIN pa ON a_partkey = l_partkey
+      WHERE 5 * CAST(l_quantity AS BIGINT) * n_part < sum_qty
+    )
+    SELECT round({N.sql_isum_value('ep', 2)} / 7.0, 6) AS avg_yearly, n_small
+    FROM q
+    """,
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17: revenue from lineitems whose quantity is below 20% of the
+    per-part average (correlated-subquery shape). The fractional-average
+    predicate is division-free: ``5*qty*n < sum_qty`` on exact bigints
+    (fixture quantities are whole numbers), so the qualifying set is
+    engine-independent. Per-part averages shuffle once on l_partkey and
+    join back on the same key."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "SMALL"
+    ).select("p_partkey")
+    pl = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_partkey",
+            F.col("l_quantity").cast("bigint").alias("qty"),
+            N.iscaled(F.col("l_extendedprice"), 2).alias("ep"),
+        )
+    )
+    pa = pl.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.count("*").alias("n_part"), F.sum("qty").alias("sum_qty")
+    )
+    q = (
+        pl.join(pa, F.col("a_partkey") == F.col("l_partkey"))
+        .filter(5 * F.col("qty") * F.col("n_part") < F.col("sum_qty"))
+        .agg(*N.isum_aggs(F.col("ep"), "ep"), F.count("*").alias("n_small"))
+    )
+    return q.select(
+        F.round(N.isum_value("ep", 2) / 7.0, 6).alias("avg_yearly"), "n_small"
+    )
+
+
+# --- Q19: discounted revenue (disjunctive bands) ----------------------------
+_Q19_BANDS = (
+    ("Brand#12", 5, 1, 11),
+    ("Brand#15", 10, 10, 20),
+    ("Brand#21", 15, 20, 30),
+)
+
+
+def _q19_sql_pred() -> str:
+    return " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {sz}"
+        f" AND l_quantity BETWEEN {lo} AND {hi})"
+        for b, sz, lo, hi in _Q19_BANDS
+    )
+
+
+@query(
+    "q19_discounted_revenue",
+    oracle=f"""
+    WITH g AS (
+      SELECT {N.sql_isum_items(N.sql_iscaled(_REV, 4), 'rev')},
+             count(*) AS n_items
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE {_q19_sql_pred()}
+    )
+    SELECT {N.sql_isum_value('rev', 4)} AS revenue, n_items FROM g
+    """,
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19: revenue matching a disjunction of (brand, size, quantity)
+    bands. The brand/size half of each disjunct prunes part broadcast-side
+    (part rows failing ALL brand+size combos never reach the join); the
+    quantity residual applies post-join. One scan, one-row aggregate."""
+    bands = F.lit(False)
+    part_pre = F.lit(False)
+    for b, sz, lo, hi in _Q19_BANDS:
+        part_pre = part_pre | ((F.col("p_brand") == b) & (F.col("p_size") <= sz))
+        bands = bands | (
+            (F.col("p_brand") == b)
+            & (F.col("p_size") >= 1) & (F.col("p_size") <= sz)
+            & (F.col("l_quantity") >= lo) & (F.col("l_quantity") <= hi)
+        )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") >= 1) & part_pre
+    ).select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", _rev_col().alias("rev")
+    )
+    g = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(bands)
+        .agg(*N.isum_aggs(F.col("rev"), "rev"), F.count("*").alias("n_items"))
+    )
+    return g.select(N.isum_value("rev", 4).alias("revenue"), "n_items")
+
+
+# --- Q20: potential part promotion ------------------------------------------
+_Q20_NATION, _Q20_QTY = "NATION_5", 200
+
+
+@query(
+    "q20_potential_promotion",
+    oracle=f"""
+    WITH sq AS (
+      SELECT l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS qty_1997
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey
+      HAVING sum(CAST(l_quantity AS BIGINT)) > {_Q20_QTY}
+    )
+    SELECT s_suppkey, s_name, qty_1997
+    FROM supplier
+    JOIN sq ON l_suppkey = s_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name = '{_Q20_NATION}'
+    """,
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20: suppliers in one nation who shipped more than a threshold
+    quantity of 'small'-named parts in 1997 (the IN-subquery chain shape,
+    fixture-adapted: shipped quantity stands in for partsupp availability).
+    Quantity totals are exact bigints; the HAVING cut is integer-exact.
+    Part prunes broadcast-side; the supplier/nation filter applies to the
+    ~100-row aggregate output."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("small")
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", F.col("l_quantity").cast("bigint").alias("qty"))
+    sq = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("qty").alias("qty_1997"))
+        .filter(F.col("qty_1997") > _Q20_QTY)
+    )
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == _Q20_NATION
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    return sq.join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("s_suppkey", "s_name", "qty_1997")
+
+
+# --- Q21: suppliers who kept orders waiting ---------------------------------
+@query(
+    "q21_suppliers_waiting",
+    oracle="""
+    WITH lo AS (
+      SELECT l_orderkey, l_suppkey, l_shipdate
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    ),
+    per_order AS (
+      SELECT l_orderkey AS g_orderkey, max(l_shipdate) AS o_max,
+             count(DISTINCT l_suppkey) AS n_supp
+      FROM lo GROUP BY 1
+    ),
+    per_supp AS (
+      SELECT l_orderkey, l_suppkey, max(l_shipdate) AS s_max
+      FROM lo GROUP BY 1, 2
+    ),
+    waits AS (
+      SELECT l_suppkey, count(*) AS numwait
+      FROM per_supp JOIN per_order ON g_orderkey = l_orderkey
+      WHERE n_supp > 1 AND s_max = o_max
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, numwait
+    FROM waits JOIN supplier ON s_suppkey = l_suppkey
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 (ref shape: exists/not-exists over co-suppliers — fixture has no
+    receipt/commit dates, so "kept the order waiting" = was the LAST
+    supplier to ship a multi-supplier finalized order). Both aggregates
+    shuffle lineitem on l_orderkey — the exchange is reused (same
+    partitioning) — and the comparison join is aggregate-to-aggregate,
+    never row-to-row. Top-20 on (numwait DESC, s_name): supplier names are
+    unique, so the cut is total-ordered and engine-independent."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    lo = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+    )
+    per_order = lo.groupBy(F.col("l_orderkey").alias("g_orderkey")).agg(
+        F.max("l_shipdate").alias("o_max"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+    per_supp = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("s_max")
+    )
+    waits = (
+        per_supp.join(per_order, F.col("g_orderkey") == F.col("l_orderkey"))
+        .filter((F.col("n_supp") > 1) & (F.col("s_max") == F.col("o_max")))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waits.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
+# --- Q22: global sales opportunity ------------------------------------------
+@query(
+    "q22_global_sales",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    ),
+    stats AS (
+      SELECT count(*) AS n_pos, sum(cents) AS sum_pos FROM c WHERE cents > 0
+    ),
+    q AS (
+      SELECT c_custkey, c_nationkey, cents
+      FROM c, stats
+      WHERE cents * n_pos > sum_pos
+        AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+        )
+    )
+    SELECT n_name, count(*) AS numcust,
+           CAST(sum(cents) AS DOUBLE) / 100.0 AS totacctbal
+    FROM q JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY n_name
+    """,
+)
+def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22: customers with above-average positive balance and no orders,
+    totaled per nation (phone-prefix grouping replaced by nation — the
+    fixture has no c_phone). The avg threshold is division-free:
+    ``cents * n_pos > sum_pos`` on exact integers (balances keep <=2
+    decimals after the deterministic cents rounding), so the qualifying
+    set can't flip on an engine's avg rounding. The one-row stats
+    aggregate broadcasts back; "no orders in the recent window" (the
+    classic 7-year clause, fixture-scaled to 1999+) is a LEFT ANTI join
+    against the date-pruned orders scan."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("cents"),
+    )
+    stats = c.filter(F.col("cents") > 0).agg(
+        F.count("*").alias("n_pos"), F.sum("cents").alias("sum_pos")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select("o_custkey")
+    q = (
+        c.join(F.broadcast(stats))
+        .filter(F.col("cents") * F.col("n_pos") > F.col("sum_pos"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        q.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            (F.sum("cents").cast("double") / 100.0).alias("totacctbal"),
+        )
+    )
