@@ -34,6 +34,7 @@ for _mod_name in (
     "scale_ops",
     "tpch_ext",
     "tpch_ext2",
+    "incremental",
     "graph_ext",
     "storage_ops",
 ):

@@ -27,6 +27,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import numeric as N
 from ..registry import query
 from ..sources import load_table
 
@@ -152,3 +153,60 @@ def nested_array_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("item.l_quantity").alias("l_quantity"),
         F.col("item.l_extendedprice").alias("l_extendedprice"),
     )
+
+
+# --- Z-order (bit-interleaved) layout for two-dimension skipping -------------
+def _zvalue(a: F.Column, b: F.Column, bits: int = 8) -> F.Column:
+    """Interleave the low `bits` of two non-negative ints: classic Z-order.
+    Pure JVM bit arithmetic — codegen-friendly, no UDF."""
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = z + F.shiftleft(F.shiftright(a, i).bitwiseAND(1), 2 * i).cast("bigint")
+        z = z + F.shiftleft(F.shiftright(b, i).bitwiseAND(1), 2 * i + 1).cast("bigint")
+    return z
+
+
+@query(
+    "sink_zorder_scan",
+    oracle=f"""
+    WITH g AS (
+      SELECT count(*) AS n_items,
+             {N.sql_isum_items(N.sql_iscaled('l_extendedprice * (1 - l_discount)', 4), 'rev')}
+      FROM lineitem
+      WHERE (l_partkey % 256) BETWEEN 32 AND 47
+        AND (l_suppkey % 256) BETWEEN 64 AND 79
+    )
+    SELECT n_items, {N.sql_isum_value('rev', 4)} AS revenue FROM g
+    """,
+)
+def sink_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dimensional data skipping: lineitem rewritten in Z-order (bit
+    interleave of the two filter dimensions), range-partitioned and sorted
+    by the z-value, then re-scanned with a rectangle predicate on BOTH
+    dimensions. A single-column sort gives tight row-group min/max on one
+    dimension only; the z-layout clusters both, so the rectangle prunes row
+    groups on pk_mod AND sk_mod simultaneously (the multi-dim analogue of
+    sink_sorted_scan). The oracle reads the base table — layout must not
+    change the answer."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.pmod(F.col("l_partkey"), 256).cast("int").alias("pk_mod"),
+        F.pmod(F.col("l_suppkey"), 256).cast("int").alias("sk_mod"),
+        N.iscaled(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+        ).alias("rev"),
+    )
+    path = os.path.join(_TMP, "usw_q_sink_zorder")
+    (
+        li.withColumn("z", _zvalue(F.col("pk_mod"), F.col("sk_mod")))
+        .repartitionByRange(16, "z")
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    re = spark.read.parquet(path)
+    g = re.filter(
+        (F.col("pk_mod") >= 32) & (F.col("pk_mod") <= 47)
+        & (F.col("sk_mod") >= 64) & (F.col("sk_mod") <= 79)
+    ).agg(F.count("*").alias("n_items"), *N.isum_aggs(F.col("rev"), "rev"))
+    return g.select("n_items", N.isum_value("rev", 4).alias("revenue"))
