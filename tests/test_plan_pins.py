@@ -58,3 +58,74 @@ def test_heavy_hitters_candidates_broadcast(spark):
 
     plan = _plan(heavy_hitters_mg(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_q10_topk_is_take_ordered(spark):
+    # Q10's top-20 customers must be distributed top-k on the exact cents
+    from usw_big_data_analysis_spark.queries.tpch_ext2 import q10_returned_items
+
+    plan = _plan(q10_returned_items(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q4_semi_join_no_fact_duplication(spark):
+    # the EXISTS must stay a left-semi join: an inner join + distinct would
+    # duplicate orders rows per late lineitem before deduplicating
+    from usw_big_data_analysis_spark.queries.tpch_ext2 import q4_order_priority
+
+    plan = _plan(q4_order_priority(spark, SF_DIR))
+    assert "LeftSemi" in plan
+
+
+def test_q17_correlated_avg_is_division_free(spark):
+    # the 0.2*avg predicate must compare exact integers — no Divide in the
+    # join filter (final output division is fine; check the filter node)
+    from usw_big_data_analysis_spark.queries.tpch_ext2 import q17_small_qty_revenue
+
+    plan = _plan(q17_small_qty_revenue(spark, SF_DIR))
+    # the qualifying filter appears as (5 * qty * n_part) < sum_qty
+    assert "(5 *" in plan or "* 5)" in plan
+
+
+def test_bloom_probe_prunes_before_exact_join(spark):
+    # every bitmap test must be a broadcast join (the bitmap relation is
+    # ~1k rows); a shuffle of the probe before the exact semi join defeats
+    # the point of the bloom
+    from usw_big_data_analysis_spark.queries.incremental import bloom_prune_join
+
+    plan = _plan(bloom_prune_join(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3  # k bitmap tests (+ maybe semi)
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_actually_prunes(spark):
+    # the bloom-survivor count must be far below the probe row count —
+    # otherwise the filter is set up wrong (all-ones bitmap, bad hash)
+    from usw_big_data_analysis_spark.queries.incremental import bloom_prune_join
+    from usw_big_data_analysis_spark.sources import load_table
+
+    n_probe = load_table(spark, SF_DIR, "orders").count()
+    matched = (
+        bloom_prune_join(spark, SF_DIR).agg({"n_orders": "sum"}).collect()[0][0]
+    )
+    # one segment of five: survivors (== exact matches + ~0 fp) ~ 20% of probe
+    assert matched < 0.5 * n_probe
+
+
+def test_mview_merge_equals_rebuild_and_stays_partial(spark):
+    # the merged refresh must keep ONE shuffle for the final combine — the
+    # partials are map-side — and no raw-row single-partition exchange
+    from usw_big_data_analysis_spark.queries.incremental import mview_incremental
+
+    plan = _plan(mview_incremental(spark, SF_DIR))
+    assert "SinglePartition" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_zorder_rescan_pushes_both_dimensions(spark):
+    # the rectangle predicate must reach the parquet scan on BOTH columns
+    from usw_big_data_analysis_spark.queries.storage_ops import sink_zorder_scan
+
+    plan = _plan(sink_zorder_scan(spark, SF_DIR))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("pk_mod" in ln and "sk_mod" in ln for ln in pushed), pushed
