@@ -14,6 +14,8 @@ round-trip differently across engines; epoch integers don't.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -387,3 +389,109 @@ def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = merged.collect()  # materialize before removing the staging dir
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, merged.schema)
+
+
+# --- watermark late-data drop accounting -------------------------------------
+@query(
+    "stream_watermark_late",
+    oracle=f"""
+    WITH b AS (SELECT max(ts) AS mx FROM events),
+    cls AS (
+      SELECT e.*, CASE WHEN e.ts > b.mx - INTERVAL 50 MINUTE THEN 3
+                       WHEN e.ts > b.mx - INTERVAL 1 HOUR THEN 1
+                       WHEN e.event_id % 7 = 0 THEN 2 ELSE 0 END AS cls
+      FROM events e, b
+    ),
+    awm AS (SELECT max(ts) FILTER (cls = 0) AS amax FROM cls),
+    kept AS (
+      SELECT c.* FROM cls c, awm
+      WHERE NOT (c.cls = 2 AND
+        (CAST(floor(epoch(c.ts) / 600) * 600 + 600 AS BIGINT)) * 1000000
+          <= epoch_us(awm.amax) - 1800000000)
+    ),
+    g AS (
+      SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+             count(*) AS n, {N.sql_dsum('value')} AS sum_value
+      FROM kept GROUP BY 1
+    )
+    SELECT g.window_start, g.n, g.sum_value FROM g, b
+    WHERE (g.window_start + 600) * 1000000 <= epoch_us(b.mx) - 1800000000
+    """,
+)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling aggregate through the ACTUAL engine, with the
+    late-data drop made deterministic and oracle-checkable. The event table
+    replays as four single-file micro-batches (maxFilesPerTrigger=1,
+    modification times pinned): (0) the on-time bulk A, (1) a small
+    mid file M (events in (mx-1h, mx-50m]) that advances the watermark,
+    (2) the stragglers B (event_id % 7 == 0, arriving two batches late),
+    (3) the newest 50 minutes C, which pushes the final watermark and
+    flushes state.
+
+    Semantics pinned by experiment (Spark's two-watermark design,
+    SPARK-24634): the LATE-EVENTS filter of batch k uses the watermark of
+    batch k-1's start — so B, arriving in batch 2, is filtered against
+    max(A.ts) - 30min (NOT the M-advanced value), dropping stragglers
+    whose 10-minute window end predates it; EVICTION uses the current
+    watermark, and append mode finally emits exactly the windows with
+    end <= max(all ts) - 30min. The oracle reproduces both rules in pure
+    epoch arithmetic over the base table (every fixture timestamp carries
+    microseconds, so no comparison lands on a boundary tie). At scale the
+    watermark is what bounds state: without it, window state grows with
+    the key x time product forever."""
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts")).collect()[0][0]  # scalar: stages the demo input
+    cls = (
+        F.when(F.col("ts") > F.lit(mx) - F.expr("INTERVAL 50 MINUTES"), 3)
+        .when(F.col("ts") > F.lit(mx) - F.expr("INTERVAL 1 HOUR"), 1)
+        .when(F.col("event_id") % 7 == 0, 2)
+        .otherwise(0)
+    )
+    tagged = ev.withColumn("cls", cls)
+
+    root = os.path.join(tempfile.gettempdir(), "usw_q_wm_late")
+    shutil.rmtree(root, ignore_errors=True)
+    watch = os.path.join(root, "in")
+    os.makedirs(watch)
+    for i, c in enumerate((0, 1, 2, 3)):
+        stage = os.path.join(root, f"stage{i}")
+        tagged.filter(F.col("cls") == c).drop("cls").coalesce(1).write.parquet(
+            stage
+        )
+        part = next(
+            f for f in os.listdir(stage)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        dst = os.path.join(watch, f"{i:03d}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        os.utime(dst, (1_000_000 + i * 100, 1_000_000 + i * 100))
+
+    name = f"q_wmlate_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), N.dsum("value").alias("sum_value"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    return spark.table(name).select(
+        F.unix_timestamp(F.col("w.start")).alias("window_start"),
+        "n",
+        "sum_value",
+    )
