@@ -210,3 +210,48 @@ def sink_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("sk_mod") >= 64) & (F.col("sk_mod") <= 79)
     ).agg(F.count("*").alias("n_items"), *N.isum_aggs(F.col("rev"), "rev"))
     return g.select("n_items", N.isum_value("rev", 4).alias("revenue"))
+
+
+# --- per-file statistics manifest (the data-skipping index) ------------------
+@query(
+    "sink_manifest_stats",
+    oracle="""
+    SELECT concat('event_type=', event_type) AS part,
+           count(*) AS n_rows,
+           min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def sink_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Builds the per-file statistics manifest a lakehouse format (Delta /
+    Iceberg) maintains: events written hive-partitioned by event_type (one
+    file per partition via coalesce), re-scanned, and aggregated per
+    PHYSICAL FILE via input_file_name() — row count, min/max event time,
+    distinct users. The partition key parsed back out of the file path must
+    reconcile with a logical group-by of the base table (the oracle): the
+    manifest describes exactly the data. At scale this manifest is what
+    plans time-ranged scans without touching data files."""
+    ev = load_table(spark, sf_dir, "events")
+    path = os.path.join(_TMP, "usw_q_manifest")
+    (
+        ev.coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(path)
+    )
+    re = spark.read.parquet(path)
+    per_file = (
+        re.groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min(F.unix_micros("ts")).alias("min_ts_us"),
+            F.max(F.unix_micros("ts")).alias("max_ts_us"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .withColumn(
+            "part", F.regexp_extract(F.col("file"), r"(event_type=[^/]+)", 1)
+        )
+    )
+    # one file per partition (coalesce(1)) -> per-file stats == per-part stats
+    return per_file.select("part", "n_rows", "min_ts_us", "max_ts_us", "n_users")
