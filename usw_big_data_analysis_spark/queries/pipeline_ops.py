@@ -608,3 +608,151 @@ def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("wsum"),
     )
+
+
+# --- MERGE INTO (copy-on-write) ----------------------------------------------
+# Deterministic change feed derived from the base itself via the portable
+# md5 hash: h%10==0 -> DELETE, h%10 in (1,2) -> UPDATE (+10.00 on the
+# total), h%10==3 -> INSERT under a shifted key. One full-outer join on the
+# key applies all three clauses in a single Catalyst plan — the
+# copy-on-write shape Delta/Iceberg run per touched file group.
+_MERGE_SHIFT = 10_000_000_000
+
+
+def _mh_spark(col: F.Column) -> F.Column:
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    ) % 10
+
+
+def _mh_sql(expr: str) -> str:
+    return (
+        f"(CAST(concat('0x', substring(md5(CAST({expr} AS STRING)), 1, 15))"
+        f" AS BIGINT) % 10)"
+    )
+
+
+@query(
+    "merge_cow",
+    oracle=f"""
+    WITH h AS (SELECT o.*, {_mh_sql('o_orderkey')} AS hb FROM orders o),
+    changes AS (
+      SELECT o_orderkey AS key, 'D' AS op, NULL AS new_total
+      FROM h WHERE hb = 0
+      UNION ALL
+      SELECT o_orderkey, 'U', round(o_totalprice + 10.0, 2) FROM h WHERE hb IN (1, 2)
+      UNION ALL
+      SELECT o_orderkey + {_MERGE_SHIFT}, 'I', round(o_totalprice, 2) FROM h WHERE hb = 3
+    ),
+    merged AS (
+      SELECT coalesce(c.key, b.o_orderkey) AS key,
+             CASE WHEN c.op = 'U' THEN c.new_total
+                  WHEN c.op = 'I' THEN c.new_total
+                  ELSE b.o_totalprice END AS total,
+             CASE WHEN c.op = 'I' THEN 'O' ELSE b.o_orderstatus END AS status
+      FROM h b FULL OUTER JOIN changes c ON b.o_orderkey = c.key
+      WHERE c.op IS NULL OR c.op <> 'D'
+    )
+    SELECT status, count(*) AS n,
+           sum(CAST(round(total * 100) AS BIGINT)) AS total_cents
+    FROM merged GROUP BY status
+    """,
+)
+def merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO, copy-on-write: a change feed (delete / update / insert,
+    hash-derived so both engines build the identical feed) applied to the
+    base in ONE full-outer join — WHEN MATCHED AND op='D' THEN DELETE,
+    WHEN MATCHED AND op='U' THEN UPDATE, WHEN NOT MATCHED THEN INSERT.
+    Totals compare as exact integer cents (updates add a whole 10.00, so
+    2-decimal exactness survives). At 100 TB the join is the per-file-group
+    rewrite a lakehouse MERGE plans; broadcast the change feed when small."""
+    base = load_table(spark, sf_dir, "orders").withColumn(
+        "hb", _mh_spark(F.col("o_orderkey"))
+    )
+    deletes = base.filter(F.col("hb") == 0).select(
+        F.col("o_orderkey").alias("key"), F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("new_total"),
+    )
+    updates = base.filter(F.col("hb").isin(1, 2)).select(
+        F.col("o_orderkey").alias("key"), F.lit("U").alias("op"),
+        F.round(F.col("o_totalprice") + 10.0, 2).alias("new_total"),
+    )
+    inserts = base.filter(F.col("hb") == 3).select(
+        (F.col("o_orderkey") + _MERGE_SHIFT).alias("key"),
+        F.lit("I").alias("op"),
+        F.round(F.col("o_totalprice"), 2).alias("new_total"),
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    joined = base.join(changes, base.o_orderkey == changes.key, "full_outer")
+    merged = joined.filter(
+        F.col("op").isNull() | (F.col("op") != "D")
+    ).select(
+        F.coalesce(F.col("key"), F.col("o_orderkey")).alias("mkey"),
+        F.when(F.col("op").isin("U", "I"), F.col("new_total"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("total"),
+        F.when(F.col("op") == "I", F.lit("O"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+    )
+    return merged.groupBy("status").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("total") * 100, 0).cast("bigint")).alias(
+            "total_cents"
+        ),
+    )
+
+
+# --- referential-integrity audit ---------------------------------------------
+@query(
+    "dq_referential",
+    oracle="""
+    SELECT 'lineitem_orphan_order' AS violation, count(*) AS n FROM lineitem
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+    UNION ALL
+    SELECT 'lineitem_orphan_part', count(*) FROM lineitem
+    WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+    UNION ALL
+    SELECT 'lineitem_orphan_supplier', count(*) FROM lineitem
+    WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
+    UNION ALL
+    SELECT 'orders_orphan_customer', count(*) FROM orders
+    WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+    UNION ALL
+    SELECT 'customer_orphan_nation', count(*) FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)
+    """,
+)
+def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across the star schema: each edge checked
+    with a LEFT ANTI join (dimension side broadcast where small), one count
+    per violation class. Runs as parallel anti-join aggregates unioned at
+    the end — the scheduled-health-check companion to dq_audit's
+    single-table scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    checks = [
+        ("lineitem_orphan_order", li.select("l_orderkey"),
+         orders.select("o_orderkey"), "l_orderkey", "o_orderkey", False),
+        ("lineitem_orphan_part", li.select("l_partkey"),
+         load_table(spark, sf_dir, "part").select("p_partkey"),
+         "l_partkey", "p_partkey", True),
+        ("lineitem_orphan_supplier", li.select("l_suppkey"),
+         load_table(spark, sf_dir, "supplier").select("s_suppkey"),
+         "l_suppkey", "s_suppkey", True),
+        ("orders_orphan_customer", orders.select("o_custkey"),
+         load_table(spark, sf_dir, "customer").select("c_custkey"),
+         "o_custkey", "c_custkey", True),
+        ("customer_orphan_nation",
+         load_table(spark, sf_dir, "customer").select("c_nationkey"),
+         load_table(spark, sf_dir, "nation").select("n_nationkey"),
+         "c_nationkey", "n_nationkey", True),
+    ]
+    out = None
+    for name, child, parent, ck, pk, bcast in checks:
+        p = F.broadcast(parent) if bcast else parent
+        orphans = child.join(p, F.col(ck) == F.col(pk), "left_anti").agg(
+            F.count("*").alias("n")
+        ).select(F.lit(name).alias("violation"), "n")
+        out = orphans if out is None else out.unionByName(orphans)
+    return out
