@@ -32,12 +32,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, read as epoch-nanos long via
-        # spark.sql.legacy.parquet.nanosAsLong (session.py). The fixture's
-        # timestamps are microsecond-aligned, so truncation is lossless.
+        # Normalize events.ts to TIMESTAMP regardless of how the fixture was
+        # written: TIMESTAMP(NANOS) parquet arrives as epoch-nanos long (via
+        # spark.sql.legacy.parquet.nanosAsLong in session.py), TIMESTAMP(MICROS)
+        # as TIMESTAMP_NTZ. Session timezone is pinned to UTC, so the NTZ →
+        # TIMESTAMP cast is instant-preserving.
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif not isinstance(ts_type, T.TimestampType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
