@@ -42,7 +42,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # integer floor-div nanos -> micros; `div` alone truncates toward
+            # zero, which would round pre-1970 instants up by 1 microsecond
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(
+                    F.expr("(ts - ((ts % 1000) + 1000) % 1000) div 1000")
+                ),
+            )
         elif not isinstance(ts_type, T.TimestampType):
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

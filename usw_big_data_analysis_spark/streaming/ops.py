@@ -23,38 +23,46 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # epoch nanos (fixture parquet)
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-    ]
-)
+def _events_schema(spark: SparkSession, sf_dir: str) -> StructType:
+    """Driver-side footer read of the events parquet to learn how ``ts`` was
+    physically written. File-source streams require an explicit schema, but
+    hardcoding one (as round 1 did) silently mis-scales timestamps when the
+    fixture's unit changes — TIMESTAMP(NANOS) arrives as epoch-nanos long
+    under ``nanosAsLong`` while TIMESTAMP(MICROS) arrives as TIMESTAMP/NTZ.
+    Reading the footer costs one driver RPC, independent of data size."""
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file = one
     micro-batch under availableNow; in production this is Kafka/kinesis with
-    the same downstream code). Rebuilds the timestamp from the fixture's
-    epoch-nanos long exactly like sources/tables.py does for batch."""
+    the same downstream code). Normalizes ``ts`` to TIMESTAMP with the same
+    type-branch as the batch loader (sources/tables.py:load_table), so the
+    streaming and batch timelines agree bit-for-bit."""
+    import pyspark.sql.types as T
+
+    schema = _events_schema(spark, sf_dir)
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         # file-source streams take a directory; glob to just the events table
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        # epoch-nanos long (TIMESTAMP(NANOS) fixture under nanosAsLong);
+        # integer floor-div (sign-safe, unlike `div` which truncates to zero)
+        return raw.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("(ts - ((ts % 1000) + 1000) % 1000) div 1000")),
+        )
+    if not isinstance(ts_type, T.TimestampType):
+        # TIMESTAMP_NTZ: session tz is pinned UTC, cast is instant-preserving
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, width: str = "10 minutes") -> DataFrame:
