@@ -1,10 +1,13 @@
 """Local oracle-parity harness — mimics the driver's correctness gate.
 
 Runs every registered query on Spark and its oracle SQL on DuckDB over the
-same parquet fixture, then compares row count, schema (column names + dtype
-kind), and order-insensitive values EXACTLY (bit-equal floats). Exact float
-equality locally implies the driver's value-hash will match regardless of its
-hashing scheme.
+same parquet fixture, then compares row count, schema (column names), dtype
+kinds STRICTLY (no int/float coercion — the round-1 float-coercion leniency
+shipped 6 driver reds as local greens), and order-insensitive values EXACTLY
+(bit-equal floats). It also audits the oracle's DuckDB output types and fails
+on HUGEINT columns (sum() over integers), because pandas coerces those to
+float64 before any value comparison can see the divergence while the driver's
+value hash does distinguish them from Spark's BIGINT.
 
 Usage:
     python tools/parity.py [--sf-dir /root/testdata/sf0.01] [--only q1,q2]
@@ -48,6 +51,20 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def oracle_type_problems(con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
+    """DuckDB-level output-type audit for an oracle. HUGEINT (int128) is the
+    type the driver's value hash distinguishes from Spark's BIGINT — DuckDB
+    returns it for every sum() over integer arguments, and pandas fetchdf
+    silently coerces it to float64, which is why a value-level comparison
+    alone cannot see it (the round-1 postmortem). Flag it at the source."""
+    desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    return [
+        f"ORACLE-TYPE {col}: {typ} (wrap the aggregate in CAST(... AS BIGINT))"
+        for col, typ, *_ in desc
+        if "HUGEINT" in typ.upper()
+    ]
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     problems: list[str] = []
     s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
@@ -59,9 +76,11 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     s, d = _canon(spark_pdf), _canon(duck_pdf)
     for c in s.columns:
         sk, dk = s[c].dtype.kind, d[c].dtype.kind
-        if (sk, dk) not in {(x, x) for x in "ifbOMsU"} and {sk, dk} != {"i", "f"}:
-            if sk != dk:
-                problems.append(f"DTYPE {c}: spark={s[c].dtype} duck={d[c].dtype}")
+        # STRICT dtype-kind equality: int-vs-float coercion masked the
+        # HUGEINT divergence in round 1 (6 driver reds shipped as local
+        # greens). The only tolerated mix is unsigned-vs-signed ints.
+        if sk != dk and {sk, dk} != {"i", "u"}:
+            problems.append(f"DTYPE {c}: spark={s[c].dtype} duck={d[c].dtype}")
         sv, dv = s[c].to_numpy(), d[c].to_numpy()
         if sk in "fc" or dk in "fc":
             sv = sv.astype(float)
@@ -109,12 +128,13 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
+            type_problems = oracle_type_problems(con, oracles[name])
             dpdf = con.execute(oracles[name]).fetchdf()
         except Exception:
             print(f"ERROR {name} (duckdb):\n{traceback.format_exc()}")
             n_err += 1
             continue
-        problems = compare(name, spdf, dpdf)
+        problems = type_problems + compare(name, spdf, dpdf)
         if problems:
             print(f"FAIL {name} [{time.time()-t0:.1f}s]")
             for p in problems:

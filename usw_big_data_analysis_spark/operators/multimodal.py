@@ -4,11 +4,11 @@ columns with typed metadata, processed by Arrow-batched pandas functions.
 North-star extension (BASELINE.json): the reference has no multimodal data,
 but a 100 TB training-data pipeline does. The Spark-side contract here is
 real and tested — schemas, mapInPandas batch shapes, deterministic
-partition-safe outputs. The actual codecs (Pillow/torchaudio/ffmpeg) are
-not in this container, so `decode_image` raises NotImplementedError behind
-an import gate and the tested path uses `fake_decode_features`, a
-deterministic stand-in with the same signature/schema a real decoder
-would have.
+partition-safe outputs. Image decode is REAL for PPM/BMP via the vendored
+pure-numpy codecs in ``operators/image_codec.py`` (PIL is preferred when
+installed and covers everything else); `fake_decode_features` remains as
+the format-agnostic byte-level stand-in used where payloads are arbitrary
+blobs rather than images.
 
 Scale notes: binary payloads ride the normal columnar path (parquet binary
 + Arrow); never collect them. Feature extraction is mapInPandas so each
@@ -53,19 +53,52 @@ FRAME_SCHEMA = StructType(
 
 
 def decode_image(payload: bytes):
-    """Real image decode — requires Pillow, absent in this container.
+    """Real image decode: PIL when installed, else the vendored pure-numpy
+    PPM/BMP codecs (operators/image_codec.py). Returns (H, W, 3) uint8 RGB."""
+    from .image_codec import decode_image as _decode
 
-    On a cluster with the codec libraries installed this becomes
-    ``PIL.Image.open(io.BytesIO(payload))`` inside the same mapInPandas
-    batch loop as `fake_decode_features` (identical plumbing)."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "image codec not available in this environment; "
-            "use fake_decode_features for the plumbing-level contract"
-        ) from e
-    raise NotImplementedError("wire PIL decode here when Pillow is present")
+    return _decode(payload)
+
+
+PIXEL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_pix", LongType()),  # width*height*3 decoded samples
+        StructField("sum_px", LongType()),
+        StructField("sum_sq", LongType()),
+    ]
+)
+
+
+def _pixel_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        out = {k: [] for k in ("doc_id", "width", "height", "n_pix", "sum_px", "sum_sq")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+            arr = decode_image(bytes(payload))
+            px = arr.astype(np.int64)
+            out["doc_id"].append(int(doc_id))
+            out["height"].append(int(arr.shape[0]))
+            out["width"].append(int(arr.shape[1]))
+            out["n_pix"].append(int(px.size))
+            # integer sufficient statistics — exactly reproducible in SQL,
+            # unlike float mean/std whose accumulation order varies
+            out["sum_px"].append(int(px.sum()))
+            out["sum_sq"].append(int((px * px).sum()))
+        yield pd.DataFrame(out)
+
+
+def decode_pixel_features(binary_df: DataFrame) -> DataFrame:
+    """REAL decode + pixel sufficient stats over (doc_id, content binary):
+    parses the actual image header (PPM/BMP/any-PIL-format), decodes the
+    pixel array, and reduces it to integer sums. Same mapInPandas shape as
+    `fake_decode_features`; the decode itself is no longer a stand-in."""
+    return binary_df.select("doc_id", "content").mapInPandas(
+        _pixel_batches, PIXEL_SCHEMA
+    )
 
 
 def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

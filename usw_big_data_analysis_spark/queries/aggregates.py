@@ -113,7 +113,7 @@ _DESCRIBE_SQL = f"""
   WITH melted AS ({_MELT_SQL}),
   agg AS (
     SELECT col_name, count(*) AS n, min(x) AS min_x, max(x) AS max_x,
-           sum(CAST(x = 0.0 AS BIGINT)) AS n_zero,
+           CAST(sum(CAST(x = 0.0 AS BIGINT)) AS BIGINT) AS n_zero,
            {N.sql_isum_items(N.sql_iscaled('x', 2), 's')},
            {N.sql_isum_items(f"({N.sql_iscaled('x', 2)}) * ({N.sql_iscaled('x', 2)})", 'ss')}
     FROM melted GROUP BY col_name
@@ -241,15 +241,16 @@ _XTAB_BODY = f"""
     WITH base AS ({_XTAB_BODY}),
     cells AS (
       SELECT seg, bal_bucket,
-             sum(CAST(cls = 0 AS BIGINT)) AS n_0,
-             sum(CAST(cls = 1 AS BIGINT)) AS n_1,
-             sum(CAST(cls = 2 AS BIGINT)) AS n_2,
+             CAST(sum(CAST(cls = 0 AS BIGINT)) AS BIGINT) AS n_0,
+             CAST(sum(CAST(cls = 1 AS BIGINT)) AS BIGINT) AS n_1,
+             CAST(sum(CAST(cls = 2 AS BIGINT)) AS BIGINT) AS n_2,
              count(*) AS row_total
       FROM base GROUP BY seg, bal_bucket
       UNION ALL
       SELECT 'All', 'All',
-             sum(CAST(cls = 0 AS BIGINT)), sum(CAST(cls = 1 AS BIGINT)),
-             sum(CAST(cls = 2 AS BIGINT)), count(*)
+             CAST(sum(CAST(cls = 0 AS BIGINT)) AS BIGINT),
+             CAST(sum(CAST(cls = 1 AS BIGINT)) AS BIGINT),
+             CAST(sum(CAST(cls = 2 AS BIGINT)) AS BIGINT), count(*)
       FROM base
     )
     SELECT seg, bal_bucket, n_0, n_1, n_2, row_total,
@@ -536,8 +537,8 @@ def corr_target(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM melted GROUP BY col_name
     )
     SELECT m.col_name, q.q1, q.q3, q.q3 - q.q1 AS iqr,
-           sum(CAST(m.x < q.q1 - 1.5 * (q.q3 - q.q1)
-                 OR m.x > q.q3 + 1.5 * (q.q3 - q.q1) AS BIGINT)) AS n_outliers
+           CAST(sum(CAST(m.x < q.q1 - 1.5 * (q.q3 - q.q1)
+                 OR m.x > q.q3 + 1.5 * (q.q3 - q.q1) AS BIGINT)) AS BIGINT) AS n_outliers
     FROM melted m JOIN q ON m.col_name = q.col_name
     GROUP BY m.col_name, q.q1, q.q3
     """,
@@ -573,7 +574,7 @@ def quantiles_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT count(*) AS n, min(x) AS min_x, max(x) AS max_x,
            {N.sql_davg('x')} AS mean_x,
            quantile_cont(x, 0.5) AS median_x,
-           sum(CAST(x < 0 AS BIGINT)) AS n_negative
+           CAST(sum(CAST(x < 0 AS BIGINT)) AS BIGINT) AS n_negative
     FROM melted
     """,
 )

@@ -182,7 +182,7 @@ def doc_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sink_orc_roundtrip",
     oracle="""
-    SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+    SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
     FROM documents GROUP BY source
     """,
 )

@@ -139,8 +139,8 @@ def ensemble_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(p_soft >= 0.5 AS INT) AS soft_pred,
            CAST(votes >= 2 AS INT) AS hard_pred,
            count(*) AS n,
-           sum(CAST(CAST(p_soft >= 0.5 AS INT) = label AS BIGINT)) AS soft_correct,
-           sum(CAST(CAST(votes >= 2 AS INT) = label AS BIGINT)) AS hard_correct
+           CAST(sum(CAST(CAST(p_soft >= 0.5 AS INT) = label AS BIGINT)) AS BIGINT) AS soft_correct,
+           CAST(sum(CAST(CAST(votes >= 2 AS INT) = label AS BIGINT)) AS BIGINT) AS hard_correct
     FROM v GROUP BY 1, 2
     """,
 )

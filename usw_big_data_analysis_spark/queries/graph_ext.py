@@ -88,7 +88,7 @@ def _pagerank_sql() -> str:
       SELECT n.node,
              {base} + (85 * coalesce(s.incoming, 0)) // 100 AS mass
       FROM nodes n LEFT JOIN (
-        SELECT e.dst AS node, sum(p.mass // deg.d) AS incoming
+        SELECT e.dst AS node, CAST(sum(p.mass // deg.d) AS BIGINT) AS incoming
         FROM pr{k} p
         JOIN edges e ON p.node = e.src
         JOIN deg ON deg.src = p.node

@@ -36,37 +36,10 @@ def join_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_custkey", "c_name", "c_mktsegment", "c_acctbal", "o_totalprice")
 
 
-# Derived truth/pred frames reused by J2/J4 and the metrics module: a
-# deterministic pseudo-probability from the key (same arithmetic both
-# engines) plays the reference's submission column
-# (experiments/utils/test.py:25-33).
-def truth_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("id"),
-        (F.col("o_totalprice") > 150000.0).cast("int").alias("label"),
-    )
-
-
-def pred_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    prob = ((F.col("o_orderkey") * F.lit(2654435761)) % 1000).cast("double") / 1000.0
-    return load_table(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("id"),
-        prob.alias("prob"),
-        (prob >= 0.5).cast("int").alias("pred"),
-    )
-
-
-_TRUTH_SQL = """
-  SELECT o_orderkey AS id,
-         CAST(o_totalprice > 150000.0 AS INT) AS label
-  FROM orders
-"""
-_PRED_SQL = """
-  SELECT o_orderkey AS id,
-         CAST((o_orderkey * 2654435761) % 1000 AS DOUBLE) / 1000.0 AS prob,
-         CAST(CAST((o_orderkey * 2654435761) % 1000 AS DOUBLE) / 1000.0 >= 0.5 AS INT) AS pred
-  FROM orders
-"""
+# Derived truth/pred frames reused by J2/J4, metrics, and scalar_funcs —
+# defined in _shared (non-registering) so importing them doesn't pin this
+# module to the front of the driver's coverage window.
+from ._shared import _PRED_SQL, _TRUTH_SQL, pred_frame, truth_frame  # noqa: E402
 
 
 # --- J2: predictions ⋈ truth with suffixes (experiments/utils/test.py:31-33) -
@@ -115,7 +88,7 @@ def align_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH t AS ({_TRUTH_SQL}), p AS ({_PRED_SQL})
     SELECT count(*) AS n_total,
-           sum(CAST(t.label = p.pred AS BIGINT)) AS n_equal
+           CAST(sum(CAST(t.label = p.pred AS BIGINT)) AS BIGINT) AS n_equal
     FROM t JOIN p ON t.id = p.id
     """,
 )

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from ..functions import numeric as N
 from ..registry import query
 from ..sources import load_table
-from .joins_unions import _PRED_SQL, _TRUTH_SQL, pred_frame, truth_frame
+from ._shared import _PRED_SQL, _TRUTH_SQL, pred_frame, truth_frame
 
 _SCORED_SQL = f"""
   SELECT t.id, t.label, p.prob, p.pred
@@ -113,8 +113,8 @@ _RANKED_SQL = f"""
     WITH r AS ({_RANKED_SQL}),
     s AS (
       SELECT sum(CASE WHEN label = 1 THEN r_avg END) AS rank_sum_pos,
-             sum(CAST(label = 1 AS BIGINT)) AS npos,
-             sum(CAST(label = 0 AS BIGINT)) AS nneg
+             CAST(sum(CAST(label = 1 AS BIGINT)) AS BIGINT) AS npos,
+             CAST(sum(CAST(label = 0 AS BIGINT)) AS BIGINT) AS nneg
       FROM r
     )
     SELECT round((rank_sum_pos - npos * (npos + 1) / 2.0)
@@ -259,8 +259,8 @@ def threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS ({_RANKED_SQL}),
     a AS (
       SELECT sum(CASE WHEN label = 1 THEN r_avg END) AS rank_sum_pos,
-             sum(CAST(label = 1 AS BIGINT)) AS npos,
-             sum(CAST(label = 0 AS BIGINT)) AS nneg
+             CAST(sum(CAST(label = 1 AS BIGINT)) AS BIGINT) AS npos,
+             CAST(sum(CAST(label = 0 AS BIGINT)) AS BIGINT) AS nneg
       FROM r
     )
     SELECT round(2.0 * c.tp / nullif(2.0 * c.tp + c.fp + c.fn, 0), 6) AS f1,
@@ -504,8 +504,8 @@ def metric_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     "metric_mcnemar",
     oracle=f"""
     WITH s AS (
-      SELECT sum(CAST(label = 1 AND pred = 0 AS BIGINT)) AS b,
-             sum(CAST(label = 0 AND pred = 1 AS BIGINT)) AS c
+      SELECT CAST(sum(CAST(label = 1 AND pred = 0 AS BIGINT)) AS BIGINT) AS b,
+             CAST(sum(CAST(label = 0 AND pred = 1 AS BIGINT)) AS BIGINT) AS c
       FROM ({_SCORED_SQL})
     )
     SELECT b, c,

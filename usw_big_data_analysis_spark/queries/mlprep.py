@@ -62,7 +62,7 @@ def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT split,
            round(CAST(sum(CAST(qf AS DECIMAL(25,10))) AS DOUBLE)
                  / CAST(count(*) AS DOUBLE), 6) AS mean_filled,
-           sum(was_null) AS n_imputed
+           CAST(sum(was_null) AS BIGINT) AS n_imputed
     FROM filled GROUP BY split
     """,
 )
@@ -98,7 +98,7 @@ def impute_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT split,
            round(CAST(sum(CAST(qf AS DECIMAL(25,10))) AS DOUBLE)
                  / CAST(count(*) AS DOUBLE), 6) AS mean_filled,
-           sum(was_null) AS n_imputed
+           CAST(sum(was_null) AS BIGINT) AS n_imputed
     FROM filled GROUP BY split
     """,
 )

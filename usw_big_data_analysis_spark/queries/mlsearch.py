@@ -309,8 +309,8 @@ def _poisson_count_sql(u: str) -> str:
       FROM s CROSS JOIN range({_N_REPLICAS}) t(replica)
     )
     SELECT replica,
-           sum(c) AS n_draws,
-           sum(CAST(c > 0 AS BIGINT)) AS n_unique_rows,
+           CAST(sum(c) AS BIGINT) AS n_draws,
+           CAST(sum(CAST(c > 0 AS BIGINT)) AS BIGINT) AS n_unique_rows,
            round(CAST(sum(CAST(c * o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
                  / sum(c), 6) AS mean_price
     FROM drawn GROUP BY replica

@@ -36,7 +36,7 @@ def binary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            count(*) AS n_docs,
-           sum(octet_length(encode(text))) AS total_bytes,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            max(octet_length(encode(text))) AS max_bytes,
            round(avg(octet_length(encode(text))), 6) AS avg_bytes
     FROM documents GROUP BY lang
@@ -58,8 +58,8 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_decode",
     oracle="""
     SELECT count(*) AS n_docs,
-           sum(octet_length(encode(text))) AS total_bytes,
-           sum(CAST(octet_length(encode(text)) >= 4 AS BIGINT)) AS n_with_header
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(sum(CAST(octet_length(encode(text)) >= 4 AS BIGINT)) AS BIGINT) AS n_with_header
     FROM documents
     """,
 )
@@ -87,7 +87,7 @@ _FRAME_BYTES, _STRIDE = 16, 32
              greatest(0, (octet_length(encode(text)) - {_FRAME_BYTES}) // {_STRIDE} + 1) AS n_frames
       FROM documents
     )
-    SELECT count(*) AS n_docs, sum(n_frames) AS total_frames,
+    SELECT count(*) AS n_docs, CAST(sum(n_frames) AS BIGINT) AS total_frames,
            min(n_frames) AS min_frames, max(n_frames) AS max_frames
     FROM per_doc
     """,
@@ -111,4 +111,76 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_frames").alias("total_frames"),
         F.min("n_frames").alias("min_frames"),
         F.max("n_frames").alias("max_frames"),
+    )
+
+
+# --- REAL image decode (vendored PPM codec; PIL-compatible payloads) ---------
+# Per-doc deterministic image: width 8 + doc_id%5, height 4 + doc_id%3,
+# pixel sample i = (doc_id*31 + i*7) mod 256. The payload is a spec-correct
+# binary PPM built per batch, then decoded by the real header-parsing codec
+# (operators/image_codec.py) — not a byte-level fake. Integer sufficient
+# stats (sum, sum of squares) make the oracle closed-form in SQL.
+@query(
+    "multimodal_decode_image",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             8 + doc_id % 5 AS w,
+             4 + doc_id % 3 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT d.doc_id, d.w,
+             (d.doc_id * 31 + 7 * i.i) % 256 AS v
+      FROM dims d
+      JOIN (SELECT unnest(generate_series(0, 1000)) AS i) i
+        ON i.i < d.w * d.h * 3
+    )
+    SELECT w AS width, count(DISTINCT doc_id) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_pix,
+           CAST(sum(v) AS BIGINT) AS sum_px,
+           CAST(sum(v * v) AS BIGINT) AS sum_sq
+    FROM px GROUP BY w
+    """,
+)
+def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generates a spec-correct PPM per document, decodes it with the REAL
+    vendored codec (header parse + pixel array), and aggregates integer
+    pixel statistics per image width. The generator and decoder live in
+    separate code paths, so a header/layout bug in either breaks parity."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.image_codec import encode_ppm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 8 + doc_id % 5, 4 + doc_id % 3
+                i = np.arange(w * h * 3, dtype=np.int64)
+                arr = ((doc_id * 31 + 7 * i) % 256).astype(np.uint8).reshape(h, w, 3)
+                ids.append(doc_id)
+                blobs.append(encode_ppm(arr))
+            yield pd.DataFrame({"doc_id": ids, "content": blobs})
+
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    payloads = docs.mapInPandas(
+        gen,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("content", BinaryType())]
+        ),
+    )
+    feats = MM.decode_pixel_features(payloads)
+    return feats.groupBy("width").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("n_pix").alias("n_pix"),
+        F.sum("sum_px").alias("sum_px"),
+        F.sum("sum_sq").alias("sum_sq"),
     )

@@ -41,7 +41,7 @@ _CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
     "rollup_sales",
     oracle=f"""
     SELECT o_orderpriority, o_orderstatus, count(*) AS n,
-           sum({_CENTS}) AS sum_cents
+           CAST(sum({_CENTS}) AS BIGINT) AS sum_cents
     FROM orders
     GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
     """,
@@ -64,7 +64,7 @@ def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_sales",
     oracle=f"""
     SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS order_year,
-           count(*) AS n, sum({_CENTS}) AS sum_cents
+           count(*) AS n, CAST(sum({_CENTS}) AS BIGINT) AS sum_cents
     FROM orders
     GROUP BY CUBE (o_orderstatus, order_year)
     """,
@@ -89,7 +89,7 @@ def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouping_sets_sales",
     oracle=f"""
     SELECT o_orderpriority, o_orderstatus, count(*) AS n,
-           sum({_CENTS}) AS sum_cents
+           CAST(sum({_CENTS}) AS BIGINT) AS sum_cents
     FROM orders
     GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
     """,
@@ -103,7 +103,7 @@ def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         SELECT o_orderpriority, o_orderstatus, count(*) AS n,
-               sum({_CENTS}) AS sum_cents
+               CAST(sum({_CENTS}) AS BIGINT) AS sum_cents
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         """
@@ -208,7 +208,7 @@ def semi_join_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderkey, o_custkey, d,
            count(*) OVER w AS n_7d,
-           sum(cents) OVER w AS cents_7d
+           CAST(sum(cents) OVER w AS BIGINT) AS cents_7d
     FROM o
     WINDOW w AS (PARTITION BY o_custkey ORDER BY d
                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -394,7 +394,7 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "monthly_revenue",
     oracle=f"""
     SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
-           count(*) AS n_orders, sum({_CENTS}) AS sum_cents
+           count(*) AS n_orders, CAST(sum({_CENTS}) AS BIGINT) AS sum_cents
     FROM orders GROUP BY month
     """,
 )
@@ -458,7 +458,7 @@ def first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n,
            count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
            count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
-           sum({_CENTS}) FILTER (WHERE o_orderstatus = 'O') AS open_cents
+           CAST(sum({_CENTS}) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS open_cents
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -482,12 +482,12 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_dynamic",
     oracle="""
     SELECT o_orderstatus,
-           sum(CAST(o_orderpriority = '1-URGENT' AS BIGINT)) AS "1-URGENT",
-           sum(CAST(o_orderpriority = '2-HIGH' AS BIGINT)) AS "2-HIGH",
-           sum(CAST(o_orderpriority = '3-MEDIUM' AS BIGINT)) AS "3-MEDIUM",
-           sum(CAST(o_orderpriority = '4-NOT SPECIFIED' AS BIGINT))
+           CAST(sum(CAST(o_orderpriority = '1-URGENT' AS BIGINT)) AS BIGINT) AS "1-URGENT",
+           CAST(sum(CAST(o_orderpriority = '2-HIGH' AS BIGINT)) AS BIGINT) AS "2-HIGH",
+           CAST(sum(CAST(o_orderpriority = '3-MEDIUM' AS BIGINT)) AS BIGINT) AS "3-MEDIUM",
+           CAST(sum(CAST(o_orderpriority = '4-NOT SPECIFIED' AS BIGINT)) AS BIGINT)
              AS "4-NOT SPECIFIED",
-           sum(CAST(o_orderpriority = '5-LOW' AS BIGINT)) AS "5-LOW"
+           CAST(sum(CAST(o_orderpriority = '5-LOW' AS BIGINT)) AS BIGINT) AS "5-LOW"
     FROM orders GROUP BY o_orderstatus
     """,
 )

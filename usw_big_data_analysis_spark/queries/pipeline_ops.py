@@ -92,7 +92,7 @@ def latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
            WHEN old.cents <> new.cents THEN 'update'
            ELSE 'same' END AS change_type,
       count(*) AS n,
-      sum(coalesce(new.cents, 0) - coalesce(old.cents, 0)) AS net_cents_delta
+      CAST(sum(coalesce(new.cents, 0) - coalesce(old.cents, 0)) AS BIGINT) AS net_cents_delta
     FROM old FULL OUTER JOIN new ON old.k = new.k
     GROUP BY change_type
     """,
@@ -303,8 +303,8 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
       SELECT user_id, us,
-        sum(new_s) OVER (PARTITION BY user_id ORDER BY us
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
           AS session_id
       FROM flagged
     )
@@ -384,7 +384,7 @@ def _purity_union_sql() -> str:
       SELECT feature, val, sum(c) AS n_v, max(c) AS max_c
       FROM cell GROUP BY feature, val
     )
-    SELECT feature, sum(n_v - max_c) AS n_misclassified, sum(n_v) AS n_total
+    SELECT feature, CAST(sum(n_v - max_c) AS BIGINT) AS n_misclassified, CAST(sum(n_v) AS BIGINT) AS n_total
     FROM per_val GROUP BY feature
     """,
 )
@@ -424,10 +424,10 @@ def feature_split_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     lags AS (SELECT unnest(generate_series(1, 7)) AS lag)
     SELECT CAST(lag AS BIGINT) AS lag, count(*) AS n,
-           sum(a.x) AS sum_x, sum(b.x) AS sum_y,
-           sum(a.x * b.x) AS sum_xy,
-           sum(a.x * a.x) AS sum_xx, sum(b.x * b.x) AS sum_yy,
-           count(*) * sum(a.x * b.x) - sum(a.x) * sum(b.x) AS cov_num
+           CAST(sum(a.x) AS BIGINT) AS sum_x, CAST(sum(b.x) AS BIGINT) AS sum_y,
+           CAST(sum(a.x * b.x) AS BIGINT) AS sum_xy,
+           CAST(sum(a.x * a.x) AS BIGINT) AS sum_xx, CAST(sum(b.x * b.x) AS BIGINT) AS sum_yy,
+           CAST(count(*) * sum(a.x * b.x) - sum(a.x) * sum(b.x) AS BIGINT) AS cov_num
     FROM lags, daily a JOIN daily b ON b.d = a.d + lag
     GROUP BY lag
     """,
@@ -572,8 +572,8 @@ def resample_daily_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type
     )
     SELECT e.event_type, count(*) AS n,
-           sum(CAST(e.value < q.p5 AS BIGINT)) AS n_clip_lo,
-           sum(CAST(e.value > q.p95 AS BIGINT)) AS n_clip_hi,
+           CAST(sum(CAST(e.value < q.p5 AS BIGINT)) AS BIGINT) AS n_clip_lo,
+           CAST(sum(CAST(e.value > q.p95 AS BIGINT)) AS BIGINT) AS n_clip_hi,
            round(CAST(sum(CAST(round(
              greatest(least(e.value, q.p95), q.p5) * 1000000
            ) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0, 6) AS wsum
@@ -654,7 +654,7 @@ def _mh_sql(expr: str) -> str:
       WHERE c.op IS NULL OR c.op <> 'D'
     )
     SELECT status, count(*) AS n,
-           sum(CAST(round(total * 100) AS BIGINT)) AS total_cents
+           CAST(sum(CAST(round(total * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM merged GROUP BY status
     """,
 )

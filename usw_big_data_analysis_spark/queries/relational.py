@@ -52,7 +52,7 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "scan_text",
     oracle="""
-    SELECT count(*) AS n_lines, sum(length(text)) AS total_chars
+    SELECT count(*) AS n_lines, CAST(sum(length(text)) AS BIGINT) AS total_chars
     FROM documents
     """,
 )

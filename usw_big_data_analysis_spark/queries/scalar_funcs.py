@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources import load_table
-from .joins_unions import _PRED_SQL, _TRUTH_SQL, pred_frame, truth_frame
+from ._shared import _PRED_SQL, _TRUTH_SQL, pred_frame, truth_frame
 
 
 # --- F1: trim whitespace (0.meta_data_check.ipynb strip cell) ---------------
@@ -164,7 +164,7 @@ def cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment,
            CAST(sum(CAST(coalesce(bal, 0.0) AS DECIMAL(25,6))) AS DOUBLE)
              / CAST(count(*) AS DOUBLE) AS mean_filled,
-           sum(CAST(bal IS NULL AS BIGINT)) AS n_filled
+           CAST(sum(CAST(bal IS NULL AS BIGINT)) AS BIGINT) AS n_filled
     FROM injected GROUP BY c_mktsegment
     """,
 )
@@ -190,8 +190,8 @@ def fillna_const(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(greatest(least(l_extendedprice, 50000.0), 5000.0)
                          AS DECIMAL(25,6))) AS DOUBLE)
              / CAST(count(*) AS DOUBLE) AS mean_clipped,
-           sum(CAST(l_extendedprice > 50000.0 AS BIGINT)) AS n_clipped_high,
-           sum(CAST(l_extendedprice < 5000.0 AS BIGINT)) AS n_clipped_low
+           CAST(sum(CAST(l_extendedprice > 50000.0 AS BIGINT)) AS BIGINT) AS n_clipped_high,
+           CAST(sum(CAST(l_extendedprice < 5000.0 AS BIGINT)) AS BIGINT) AS n_clipped_low
     FROM lineitem GROUP BY l_returnflag
     """,
 )

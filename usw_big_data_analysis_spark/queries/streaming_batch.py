@@ -89,9 +89,9 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT user_id, event_id, value, tsd,
-             sum(new_session) OVER (
+             CAST(sum(new_session) OVER (
                PARTITION BY user_id ORDER BY tsd, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM t
     )
     SELECT user_id, session_id, count(*) AS n_events,

@@ -667,7 +667,7 @@ _Q20_NATION, _Q20_QTY = "NATION_5", 200
     "q20_potential_promotion",
     oracle=f"""
     WITH sq AS (
-      SELECT l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS qty_1997
+      SELECT l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_1997
       FROM lineitem
       JOIN part ON p_partkey = l_partkey
       WHERE p_name LIKE 'small%'
@@ -856,10 +856,10 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_shipping",
     oracle="""
     SELECT l_returnflag,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON o_orderkey = l_orderkey
     WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
       AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
