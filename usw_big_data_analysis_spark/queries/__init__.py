@@ -22,6 +22,7 @@ for _mod_name in (
     "dedup",
     "similarity",
     "text_ops",
+    "decontam",
     "multimodal",
     "streaming_batch",
     "scalar_funcs",

@@ -1,0 +1,235 @@
+"""Training-data hygiene operators a 100 TB pretraining pipeline runs over
+its corpus (north-star extension; no reference twin — the reference is
+tabular coursework, but these are first-class citizens of the mandated
+LLM-pipeline layer alongside dedup/similarity/text_ops):
+
+- eval-set decontamination by word-n-gram overlap (the standard guard
+  against benchmark leakage into training data),
+- Gopher-style repetition quality gates (duplicate-word mass, top-word
+  dominance),
+- context-window packing (greedy concatenate-then-chunk assignment of
+  documents into fixed token budgets, per source shard).
+
+Scale notes: decontamination is a broadcast semi-join against the eval
+n-gram set (eval benchmarks are tiny relative to the corpus; the train-side
+explode is map-side and the join needs no shuffle of the corpus). The
+repetition stats are one explode + two-level aggregation (all partial-agg
+friendly). Packing windows are partitioned by source shard — cumulative
+sums never see a global ordering, so there is no SinglePartition exchange
+(the per-shard packing is exactly how production packers shard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+_NGRAM = 8  # word n-gram width for decontamination
+_EVAL_MOD = 97  # doc_id % _EVAL_MOD == 0 -> held-out eval doc
+
+
+# --- eval-set decontamination ------------------------------------------------
+@query(
+    "decontam_ngram",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w
+      FROM documents
+    ),
+    eval_grams AS (
+      SELECT DISTINCT array_to_string(list_slice(w, i.i, i.i + {_NGRAM - 1}), ' ') AS g
+      FROM words
+      JOIN (SELECT unnest(generate_series(1, 2000)) AS i) i
+        ON i.i <= len(w) - {_NGRAM - 1}
+      WHERE doc_id % {_EVAL_MOD} = 0
+    ),
+    train_grams AS (
+      SELECT doc_id, source,
+             array_to_string(list_slice(w, i.i, i.i + {_NGRAM - 1}), ' ') AS g
+      FROM words
+      JOIN (SELECT unnest(generate_series(1, 2000)) AS i) i
+        ON i.i <= len(w) - {_NGRAM - 1}
+      WHERE doc_id % {_EVAL_MOD} <> 0
+    ),
+    contaminated AS (
+      SELECT DISTINCT t.doc_id
+      FROM train_grams t JOIN eval_grams e ON t.g = e.g
+    )
+    SELECT w.source,
+           CAST(count(*) AS BIGINT) AS n_train,
+           CAST(sum(CAST(c.doc_id IS NOT NULL AS BIGINT)) AS BIGINT) AS n_contaminated,
+           CAST(sum(CAST(c.doc_id IS NULL AS BIGINT)) AS BIGINT) AS n_clean
+    FROM words w LEFT JOIN contaminated c ON w.doc_id = c.doc_id
+    WHERE w.doc_id % {_EVAL_MOD} <> 0
+    GROUP BY w.source
+    """,
+)
+def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training documents sharing any word {_NGRAM}-gram with the
+    held-out eval slice. The eval n-gram set is DISTINCT'd and broadcast —
+    at production scale the benchmark suite is MBs against a 100 TB corpus,
+    so the corpus side is a map-side semi-join probe with no extra
+    shuffle. Output: per-source contamination tally."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("w")
+    )
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("w") - (_NGRAM - 1), F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice("w", i, _NGRAM)),
+            )
+        ).alias("g"),
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % _EVAL_MOD == 0).select("g").distinct()
+    )
+    train_grams = grams.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    contaminated = (
+        train_grams.join(F.broadcast(eval_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_cont", F.lit(1))
+    )
+    train_docs = docs.filter(F.col("doc_id") % _EVAL_MOD != 0).select(
+        "doc_id", "source"
+    )
+    return (
+        train_docs.join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_train"),
+            F.sum(F.col("is_cont").isNotNull().cast("bigint")).alias("n_contaminated"),
+            F.sum(F.col("is_cont").isNull().cast("bigint")).alias("n_clean"),
+        )
+    )
+
+
+# --- Gopher-style repetition quality gates ----------------------------------
+@query(
+    "quality_repetition",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    wc AS (
+      SELECT doc_id, lang, word, count(*) AS c
+      FROM tok GROUP BY doc_id, lang, word
+    ),
+    per_doc AS (
+      SELECT doc_id, lang,
+             CAST(sum(c) AS BIGINT) AS n_words,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(max(c) AS BIGINT) AS top_count
+      FROM wc GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS sum_words,
+           CAST(sum(n_distinct) AS BIGINT) AS sum_distinct,
+           CAST(sum(CAST(10 * top_count > n_words AS BIGINT)) AS BIGINT) AS n_dominant,
+           CAST(sum(CAST(2 * n_distinct < n_words AS BIGINT)) AS BIGINT) AS n_repetitive
+    FROM per_doc GROUP BY lang
+    """,
+)
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality gates in the Gopher-rules family: a document
+    fails `dominant` if its most frequent word exceeds 10% of tokens, and
+    `repetitive` if duplicate word mass exceeds half the tokens. Two-level
+    aggregation — (doc, word) counts then per-doc stats — both levels get
+    map-side partial aggregation; nothing is quadratic in document size."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
+    )
+    wc = tok.groupBy("doc_id", "lang", "word").agg(F.count("*").alias("c"))
+    per_doc = wc.groupBy("doc_id", "lang").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_count"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("sum_words"),
+        F.sum("n_distinct").alias("sum_distinct"),
+        F.sum((10 * F.col("top_count") > F.col("n_words")).cast("bigint")).alias(
+            "n_dominant"
+        ),
+        F.sum((2 * F.col("n_distinct") < F.col("n_words")).cast("bigint")).alias(
+            "n_repetitive"
+        ),
+    )
+
+
+# --- context-window packing --------------------------------------------------
+_CTX_BUDGET = 128  # tokens per packed training context
+
+
+@query(
+    "pack_context_windows",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM t
+    ),
+    binned AS (
+      SELECT source, n_tok,
+             CAST((cum - n_tok) // {_CTX_BUDGET} AS BIGINT) AS bin,
+             CAST((cum - 1) // {_CTX_BUDGET} <> (cum - n_tok) // {_CTX_BUDGET} AS BIGINT)
+               AS crosses
+      FROM c
+    )
+    SELECT source, bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(crosses) AS BIGINT) AS n_split
+    FROM binned GROUP BY source, bin
+    """,
+)
+def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy concatenate-then-chunk packing: within each source shard,
+    documents are laid head-to-tail in doc_id order and cut into
+    {_CTX_BUDGET}-token training contexts. A document belongs to the bin
+    where it starts; `n_split` counts documents straddling a context
+    boundary (the ones a loss mask would truncate). The running sum is
+    partitioned by source — shard-local windows, no global ordering, no
+    SinglePartition exchange (asserted for the plan family in
+    tests/test_plan_quality.py)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = docs.withColumn("cum", F.sum("n_tok").over(w))
+    binned = c.select(
+        "source",
+        "n_tok",
+        F.expr(f"(cum - n_tok) div {_CTX_BUDGET}").alias("bin"),
+        (
+            F.expr(f"(cum - 1) div {_CTX_BUDGET}")
+            != F.expr(f"(cum - n_tok) div {_CTX_BUDGET}")
+        )
+        .cast("bigint")
+        .alias("crosses"),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum("crosses").alias("n_split"),
+    )
