@@ -8,13 +8,14 @@ Format status in this container:
   preferred when installed; otherwise the pure-stdlib SpreadsheetML
   writer/reader in ``sources/xlsx_lite.py`` stages an actual ECMA-376 zip.
   Either way the bytes on disk are a genuine xlsx file.
-- scan_sas (1-1.data_processing.ipynb:54-55): the format codec is still a
-  stand-in (no SAS reader exists in this container and the sas7bdat binary
-  layout is out of scope); what IS implemented and oracle-checked is the
-  SAS missing-value protocol — `b'.'` sentinel strings → NULL + cast
-  (1-1.data_processing.ipynb:1910-1914). Production path converts
-  .sas7bdat → parquet out-of-band (or `spark.read.format("com.github.
-  saurfang.sas.spark")` where the jar exists).
+- scan_sas (1-1.data_processing.ipynb:54-55): REAL .sas7bdat round trip.
+  The landing column is written as a genuine uncompressed u64 SAS7BDAT by
+  the vendored pure-Python writer (``sources/sas7bdat_lite.py``) and parsed
+  back by pandas' own independent sas7bdat reader, then the SAS
+  missing-value protocol — `b'.'` sentinel strings → NULL + cast
+  (1-1.data_processing.ipynb:1910-1914) — runs in Spark. Production still
+  converts .sas7bdat → parquet out-of-band (the format is not splittable);
+  this staging IS that conversion, format bytes included.
 """
 
 from __future__ import annotations
@@ -54,15 +55,35 @@ _TMP = tempfile.gettempdir()
     """,
 )
 def scan_sas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SAS ingest protocol over a simulated landing table: every 11th line's
-    quantity arrives as the SAS missing sentinel '.', cleaned to NULL then
-    cast — the `b'.'` → NaN fix at 1-1.data_processing.ipynb:1910-1914."""
-    li = load_table(spark, sf_dir, "lineitem")
-    landed = li.select(
-        F.when(F.col("l_linenumber") % 11 == 0, ".")
-        .otherwise(F.col("l_quantity").cast("string"))
-        .alias("qty_raw")
-    )
+    """SAS ingest through a REAL .sas7bdat file: the landing column (every
+    11th line's quantity arrives as the SAS missing sentinel '.') is written
+    as an actual uncompressed u64 SAS7BDAT by the vendored writer
+    (sources/sas7bdat_lite.py), parsed back by pandas' own independent
+    sas7bdat reader — so the bytes on disk are genuine SAS format, like
+    `pd.read_sas('hn22_all.sas7bdat')` at 1-1.data_processing.ipynb:54-55 —
+    and then cleaned in Spark: '.' → NULL + cast, the `b'.'` → NaN fix at
+    1-1.data_processing.ipynb:1910-1914. SAS landing is inherently a
+    driver-side single-file ingest (the format is not splittable and has no
+    distributed reader in this container); production converts to parquet
+    out-of-band, which is exactly what this staging models."""
+    import numpy as np
+
+    from ..sources.sas7bdat_lite import write_sas7bdat
+
+    qty = pd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"))[
+        ["l_linenumber", "l_quantity"]
+    ]
+    raw = np.where(
+        qty["l_linenumber"].to_numpy() % 11 == 0,
+        ".",
+        # str(float) is the shortest round-trip repr: CAST back to DOUBLE is
+        # bit-exact for every value, unlike fixed-precision formatting
+        qty["l_quantity"].map(str).to_numpy(dtype=object),
+    ).astype(object)
+    sas_path = os.path.join(_TMP, "usw_q_scan_sas.sas7bdat")
+    write_sas7bdat(sas_path, ["qty_raw"], [raw])
+    back = pd.read_sas(sas_path, encoding="utf-8")
+    landed = spark.createDataFrame(back)
     cleaned = landed.select(
         F.when(F.col("qty_raw") == ".", None)
         .otherwise(F.col("qty_raw").cast("double"))
