@@ -149,6 +149,74 @@ def pagerank_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr
 
 
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def _kcore_sql() -> str:
+    """Fixed-round k-core peel unrolled as chained CTEs (same pattern as the
+    PageRank oracle — deterministic iteration count instead of recursion)."""
+    ctes = [
+        _EDGE_CTES,
+        "e0 AS (SELECT src, dst FROM edges)",
+    ]
+    for r in range(_KCORE_ROUNDS):
+        ctes.append(
+            f"""alive{r + 1} AS (
+      SELECT src AS node FROM e{r} GROUP BY src HAVING count(*) >= {_KCORE_K}
+    ),
+    e{r + 1} AS (
+      SELECT e.src, e.dst FROM e{r} e
+      JOIN alive{r + 1} a ON e.src = a.node
+      JOIN alive{r + 1} b ON e.dst = b.node
+    )"""
+        )
+    rounds = " UNION ALL ".join(
+        f"SELECT {r + 1} AS round, CAST(count(DISTINCT src) AS BIGINT) AS n_alive,"
+        f" CAST(count(*) AS BIGINT) AS n_edges FROM e{r + 1}"
+        for r in range(_KCORE_ROUNDS)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + rounds
+
+
+@query("graph_kcore", oracle=_kcore_sql())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k={k}, {rounds} fixed rounds): repeatedly drop nodes
+    with degree < k and the edges touching them — the standard subgraph
+    densification step before community detection. Each round is one
+    degree aggregation + two semi-joins; the DataFrame loop
+    localCheckpoints per round so plan depth stays constant (the
+    graph_ops.connected_components pattern). A production run iterates to
+    fixpoint; the fixed round count keeps the oracle expressible as chained
+    CTEs, and the per-round (n_alive, n_edges) trajectory is the checked
+    output.""".format(k=_KCORE_K, rounds=_KCORE_ROUNDS)
+    e = _edges_spark(spark, sf_dir).localCheckpoint()
+    out = []
+    for r in range(_KCORE_ROUNDS):
+        alive = (
+            e.groupBy("src")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select(F.col("src").alias("node"))
+        )
+        e = (
+            e.join(alive.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        out.append(
+            e.agg(
+                F.countDistinct("src").alias("n_alive"),
+                F.count("*").alias("n_edges"),
+            ).select(F.lit(r + 1).alias("round"), "n_alive", "n_edges")
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
 @query(
     "graph_triangles",
     oracle=f"""

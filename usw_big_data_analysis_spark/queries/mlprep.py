@@ -377,6 +377,57 @@ def encode_cat_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- feature hashing (the hashing trick): fixed-width categorical encoding
+_HASH_BUCKETS = 64
+
+
+@query(
+    "encode_hash_trick",
+    oracle=f"""
+    WITH cat AS (
+      SELECT c.c_custkey,
+             concat(c.c_mktsegment, '#', n.n_name) AS category
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    hashed AS (
+      SELECT category,
+             CAST(concat('0x', substring(md5(category), 1, 15)) AS BIGINT)
+               % {_HASH_BUCKETS} AS bucket
+      FROM cat
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT category) AS BIGINT) AS n_categories,
+           CAST(count(DISTINCT category) > 1 AS INT) AS has_collision
+    FROM hashed GROUP BY bucket
+    """,
+)
+def encode_hash_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: categorical values map to a fixed bucket space
+    via a stateless hash — no fitted vocabulary, no driver-side code table,
+    no unseen-category failure mode, which is why it is THE categorical
+    encoder that survives 100 TB (spark.ml FeatureHasher is this operator;
+    the md5-derived integer here keeps the bucket arithmetic identical in
+    both engines). Output audits the collision profile per bucket — the
+    dimensioning decision a production pipeline monitors."""
+    from .dedup import _h_spark
+
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cat = customer.join(
+        F.broadcast(nation),
+        customer.c_nationkey == nation.n_nationkey,
+    ).select(F.concat_ws("#", "c_mktsegment", "n_name").alias("category"))
+    hashed = cat.select(
+        "category", (_h_spark(F.col("category")) % _HASH_BUCKETS).alias("bucket")
+    )
+    return hashed.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("category").alias("n_categories"),
+        (F.countDistinct("category") > 1).cast("int").alias("has_collision"),
+    )
+
+
 # --- M10: correlation-based pruning (teamProject/utils/preprocessing.py:110-137)
 _M10_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 _M10_PAIRS = [

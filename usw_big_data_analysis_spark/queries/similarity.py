@@ -354,6 +354,71 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cos.filter(F.col("cosine") >= _DUP_TAU)
 
 
+# --- product quantization: subvector codebook assignment ---------------------
+_PQ_SUB = 8  # subspaces (64-dim -> 8 x 8-dim subvectors)
+_PQ_CODES = 16  # centroids per subspace (codebook = first 16 corpus vectors)
+
+
+@query(
+    "embed_pq_assign",
+    oracle=f"""
+    WITH expl AS ({_EXPL_SQL}),
+    cb AS (SELECT vec_id AS code, pos, v AS cv FROM expl WHERE vec_id < {_PQ_CODES}),
+    dist AS (
+      SELECT e.vec_id, CAST(e.pos // 8 AS INT) AS subspace, c.code,
+             sum(CAST((e.v - c.cv) * (e.v - c.cv) AS DECIMAL(25,12))) AS d2
+      FROM expl e JOIN cb c ON e.pos = c.pos
+      GROUP BY e.vec_id, subspace, c.code
+    ),
+    assign AS (
+      SELECT vec_id, subspace, code, d2,
+             row_number() OVER (PARTITION BY vec_id, subspace
+                                ORDER BY d2, code) AS rn
+      FROM dist
+    )
+    SELECT subspace, code,
+           CAST(count(*) AS BIGINT) AS n_assigned,
+           round(CAST(sum(d2) AS DOUBLE), 6) AS distortion
+    FROM assign WHERE rn = 1
+    GROUP BY subspace, code
+    """,
+)
+def embed_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization, the memory side of billion-scale ANN: each
+    vector splits into {_PQ_SUB} subvectors, each assigned to its nearest
+    of {_PQ_CODES} codebook centroids (squared-L2, exact decimal fold so
+    the argmin ties identically across engines) — compressing 64 floats to
+    {_PQ_SUB} byte codes. Codebook = first {_PQ_CODES} corpus vectors
+    (k-means training is the non-portable piece, as with IVF). At scale the
+    codebook broadcasts; assignment is one corpus scan; the output here is
+    the code histogram + per-cell distortion a PQ build would monitor."""
+    expl = _exploded(spark, sf_dir)
+    cb = expl.filter(F.col("vec_id") < _PQ_CODES).select(
+        F.col("vec_id").alias("code"), "pos", F.col("v").alias("cv")
+    )
+    dist = (
+        expl.join(F.broadcast(cb), "pos")
+        .groupBy(
+            "vec_id",
+            F.expr("CAST(pos div 8 AS INT)").alias("subspace"),
+            "code",
+        )
+        .agg(
+            F.sum(
+                ((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))).cast(
+                    "decimal(25,12)"
+                )
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id", "subspace").orderBy("d2", "code")
+    assign = dist.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return assign.groupBy("subspace", "code").agg(
+        F.count("*").alias("n_assigned"),
+        F.round(F.sum("d2").cast("double"), 6).alias("distortion"),
+    )
+
+
 # --- LSH-KNN classifier (SURVEY §2.10 E6: the approximate KNN the model zoo
 # lacks a distributed form of) ------------------------------------------------
 _KNN_K = 5
