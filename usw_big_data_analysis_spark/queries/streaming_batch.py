@@ -267,6 +267,100 @@ def stream_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- stream-stream LEFT OUTER interval join ----------------------------------
+@query(
+    "stream_join_outer",
+    oracle="""
+    SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+           l.value AS click_value, r.event_id AS purchase_id,
+           r.value AS purchase_value, epoch_us(r.ts) AS purchase_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id
+     AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 10 MINUTE
+    """,
+)
+def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join through the actual engine:
+    clicks with no purchase in their 10-minute lookback emit null-padded —
+    but a streaming engine can only issue that verdict once the watermark
+    proves no matching purchase can still arrive. The staging replays the
+    events as two pinned micro-batches: (0) every real event, (1) a single
+    far-future flush event (max ts + 2h, filtered out of both join sides
+    AFTER the watermark node so it advances time without joining). The
+    flush pushes the watermark past every click's match window, so state
+    fully drains and the bounded stream must equal the batch LEFT JOIN —
+    which is exactly what the oracle states. Without the flush, trailing
+    unmatched clicks would sit in state forever: the required-watermark
+    rule for outer stream-stream joins, demonstrated rather than assumed."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming import ops
+
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts")).collect()[0][0]  # scalar: stages the demo input
+    # one flush event PER SIDE, keyed user_id = -1 (matches nothing): the
+    # global watermark is the MIN over both sides' watermark nodes, so both
+    # inputs must see far-future event time before unmatched-left state can
+    # drain. The sentinel rows are dropped from the final result below.
+    flush = spark.createDataFrame(
+        [
+            tuple([-1, mx, -1, "click", 0.0] + [None] * (len(ev.columns) - 5)),
+            tuple([-2, mx, -1, "purchase", 0.0] + [None] * (len(ev.columns) - 5)),
+        ],
+        schema=ev.schema,
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 HOURS"))
+
+    root = os.path.join(tempfile.gettempdir(), f"usw_q_sjo_{uuid.uuid4().hex[:8]}")
+    watch = os.path.join(root, "in")
+    os.makedirs(watch)
+    for i, part_df in enumerate((ev, flush)):
+        stage = os.path.join(root, f"stage{i}")
+        part_df.coalesce(1).write.parquet(stage)
+        part = next(
+            f for f in os.listdir(stage)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        dst = os.path.join(watch, f"{i:03d}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        os.utime(dst, (1_000_000 + i * 100, 1_000_000 + i * 100))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+    )
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    name = f"q_sjoin_outer_{uuid.uuid4().hex[:8]}"
+    q = (
+        ops.stream_range_join(clicks, purchases, how="left_outer")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    shutil.rmtree(root, ignore_errors=True)
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)  # drop the flush sentinels
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "click_value",
+            "purchase_id",
+            "purchase_value",
+            F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+        )
+    )
+
+
 # --- streaming file sink (exactly-once) -------------------------------------
 @query(
     "stream_sink_files",

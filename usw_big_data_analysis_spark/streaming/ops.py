@@ -120,6 +120,7 @@ def stream_range_join(
     key: str = "user_id",
     horizon: str = "10 minutes",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: every left event matched to right
     events with the same key in ``[left.ts - horizon, left.ts]`` — the
@@ -127,7 +128,11 @@ def stream_range_join(
     carry watermarks and the join condition bounds right.ts relative to
     left.ts on BOTH ends, so the engine can evict buffered state once the
     watermark passes the horizon — bounded state, the requirement for an
-    unbounded run. Inner join, append mode."""
+    unbounded run. Append mode. ``how='left_outer'`` additionally emits
+    null-padded rows for match-less left events — but only once the
+    watermark proves no future right row can still match (the reason outer
+    stream-stream joins REQUIRE the time bound: without it a left row could
+    match forever and the null verdict could never be issued)."""
     l = left.withWatermark("ts", watermark).alias("l")
     r = right.withWatermark("ts", watermark).alias("r")
     cond = (
@@ -135,7 +140,7 @@ def stream_range_join(
         & (F.col("r.ts") <= F.col("l.ts"))
         & (F.col("r.ts") >= F.col("l.ts") - F.expr(f"INTERVAL {horizon}"))
     )
-    return l.join(r, cond, "inner").select(
+    return l.join(r, cond, how).select(
         F.col("l.event_id").alias("event_id"),
         F.col("l." + key).alias(key),
         F.col("l.ts").alias("ts"),
