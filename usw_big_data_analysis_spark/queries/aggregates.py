@@ -696,3 +696,67 @@ def groupby_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n",
     ).orderBy("l_returnflag")
+
+
+# --- equi-width histogram (the reference's EDA `.hist()` as an engine op) ----
+_HIST_BINS = 20
+
+
+@query(
+    "histogram_equiwidth",
+    oracle=f"""
+    WITH mm AS (
+      SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+      FROM lineitem
+    ),
+    binned AS (
+      SELECT least(CAST(floor((l_extendedprice - mm.mn) / (mm.mx - mm.mn)
+                               * {_HIST_BINS}) AS INT), {_HIST_BINS - 1}) AS bin,
+             mm.mn, mm.mx
+      FROM lineitem, mm
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(mn) + bin * (min(mx) - min(mn)) / {_HIST_BINS}, 6) AS lo,
+           round(min(mn) + (bin + 1) * (min(mx) - min(mn)) / {_HIST_BINS}, 6) AS hi
+    FROM binned GROUP BY bin
+    """,
+)
+def histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram over l_extendedprice ({bins} bins) — the
+    reference EDAs distributions with pandas `.hist()` (driver-side
+    matplotlib); here the binning is the engine's job: one scan for min/max
+    (a 2-value broadcast), one scan to bin and count with map-side partial
+    aggregation. The bin arithmetic is pure IEEE double ops in a fixed
+    expression order, so both engines place every row identically; the top
+    edge folds into the last bin via least(). At 100 TB this is the shape
+    a profiler runs per column — no value buffers, no sorts.""".format(
+        bins=_HIST_BINS
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    mm = li.agg(
+        F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx")
+    )
+    binned = li.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.floor(
+                (F.col("l_extendedprice") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+                * _HIST_BINS
+            ).cast("int"),
+            F.lit(_HIST_BINS - 1),
+        ).alias("bin"),
+        "mn",
+        "mx",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.min("mn") + F.col("bin") * (F.min("mx") - F.min("mn")) / _HIST_BINS, 6
+        ).alias("lo"),
+        F.round(
+            F.min("mn")
+            + (F.col("bin") + 1) * (F.min("mx") - F.min("mn")) / _HIST_BINS,
+            6,
+        ).alias("hi"),
+    )

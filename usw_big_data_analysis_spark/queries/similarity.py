@@ -75,9 +75,7 @@ def _dec_dot(a: F.Column, b: F.Column) -> F.Column:
 
 
 # --- brute-force cosine top-k ------------------------------------------------
-@query(
-    "embed_cosine_topk",
-    oracle=f"""
+_EXACT_TOPK_ORACLE = f"""
     WITH expl AS ({_EXPL_SQL}),
     norms AS ({_NORMS_SQL}),
     q AS (SELECT vec_id AS qid, pos, v AS qv FROM expl WHERE vec_id < {_NQ}),
@@ -98,8 +96,10 @@ def _dec_dot(a: F.Column, b: F.Column) -> F.Column:
              row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rn
       FROM cos
     ) WHERE rn <= {_TOPK}
-    """,
-)
+    """
+
+
+@query("embed_cosine_topk", oracle=_EXACT_TOPK_ORACLE)
 def embed_cosine_topk(
     spark: SparkSession, sf_dir: str, exact: bool = True
 ) -> DataFrame:
@@ -164,9 +164,7 @@ _BUCKET_SQL = f"""
 """
 
 
-@query(
-    "embed_ann_lsh",
-    oracle=f"""
+_LSH_TOPK_ORACLE = f"""
     WITH expl AS ({_EXPL_SQL}),
     norms AS ({_NORMS_SQL}),
     buckets AS ({_BUCKET_SQL}),
@@ -194,8 +192,10 @@ _BUCKET_SQL = f"""
              row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rn
       FROM cos
     ) WHERE rn <= {_TOPK}
-    """,
-)
+    """
+
+
+@query("embed_ann_lsh", oracle=_LSH_TOPK_ORACLE)
 def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-bit bucket per vector from {_NPLANES} fixed hyperplanes, then
     exact cosine only within the query's bucket — the ANN trade: ~1/2^planes
@@ -535,6 +535,46 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_neighbors"),
         F.sum(F.col("label").cast("bigint")).alias("votes_1"),
         (2 * F.sum("label") > F.count("*")).cast("int").alias("pred"),
+    )
+
+
+# --- ANN recall: the approximation's error contract, hash-gated --------------
+@query(
+    "embed_ann_recall",
+    oracle=f"""
+    WITH exact_topk AS ({_EXACT_TOPK_ORACLE}),
+    lsh_topk AS ({_LSH_TOPK_ORACLE})
+    SELECT e.qid,
+           CAST(count(*) AS BIGINT) AS k,
+           CAST(count(l.cid) AS BIGINT) AS n_hit,
+           round(CAST(count(l.cid) AS DOUBLE) / count(*), 6) AS recall
+    FROM exact_topk e
+    LEFT JOIN lsh_topk l ON e.qid = l.qid AND e.cid = l.cid
+    GROUP BY e.qid
+    """,
+)
+def embed_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_TOPK} of the LSH ANN against the exact brute force — the
+    verified-approximation pattern (scale_ops' HLL/percentile contracts)
+    applied to similarity search: the approximation ships WITH its measured
+    error, and the oracle hash-gates the recall values themselves, so a
+    bucketing regression (bad hyperplanes, over-aggressive pruning) fails
+    the correctness gate rather than silently degrading search quality.
+    This is the recall harness a production ANN deployment runs on every
+    index build, expressed as one join of the two registered queries."""
+    exact = embed_cosine_topk(spark, sf_dir).select("qid", "cid")
+    lsh = embed_ann_lsh(spark, sf_dir).select(
+        F.col("qid").alias("lqid"), F.col("cid").alias("lcid"), F.lit(1).alias("hit")
+    )
+    joined = exact.join(
+        lsh,
+        (exact.qid == lsh.lqid) & (exact.cid == lsh.lcid),
+        "left",
+    )
+    return joined.groupBy("qid").agg(
+        F.count("*").alias("k"),
+        F.count("hit").alias("n_hit"),
+        F.round(F.count("hit").cast("double") / F.count("*"), 6).alias("recall"),
     )
 
 

@@ -361,6 +361,75 @@ def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- dedup within watermark (jittered redelivery) ----------------------------
+@query(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+    FROM events
+    """,
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` through the real engine: the
+    at-least-once redelivery case where the duplicate arrives with a
+    DIFFERENT event time (a retried producer restamps — Kafka redelivery
+    after a broker failover). Plain ``dropDuplicates`` keyed on
+    (event_id, ts) would pass such duplicates through; the within-watermark
+    variant keys on event_id alone and holds each first-seen key in state
+    for the watermark delay, suppressing any re-arrival inside it. Staged
+    as two pinned micro-batches — (0) every event, (1) every event again
+    with ts + 7 s — so the drained output must equal the original table
+    exactly, which is what the oracle states. State is evicted past the
+    horizon, so memory is bounded by arrival skew, not history."""
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events")
+    jittered = ev.withColumn("ts", F.col("ts") + F.expr("INTERVAL 7 SECONDS"))
+
+    root = os.path.join(tempfile.gettempdir(), f"usw_q_ddw_{uuid.uuid4().hex[:8]}")
+    watch = os.path.join(root, "in")
+    os.makedirs(watch)
+    for i, part_df in enumerate((ev, jittered)):
+        stage = os.path.join(root, f"stage{i}")
+        part_df.coalesce(1).write.parquet(stage)
+        part = next(
+            f for f in os.listdir(stage)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        dst = os.path.join(watch, f"{i:03d}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        os.utime(dst, (1_000_000 + i * 100, 1_000_000 + i * 100))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+    )
+    deduped = stream.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = f"q_ddw_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.table(name).select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
 # --- streaming file sink (exactly-once) -------------------------------------
 @query(
     "stream_sink_files",
