@@ -239,3 +239,68 @@ def hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("n * 1000000 div total").alias("share_ppm"),
     )
+
+
+# --- time-weighted average (interval-weighted signal mean per user) ----------
+@query(
+    "time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value, epoch_us(ts) AS t_us,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS t_next
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id, value, t_next - t_us AS dur_us
+      FROM seq WHERE t_next IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(dur_us) AS BIGINT) AS total_us,
+           round(CAST(sum(CAST(CAST(round(value * 1000000) AS BIGINT)
+                               AS DECIMAL(38,0)) * dur_us)
+                      AS DOUBLE)
+                 / 1000000.0 / sum(dur_us), 6) AS twa_value
+    FROM seg GROUP BY user_id
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's value signal: every reading
+    holds until the next one (step interpolation), so the mean weights each
+    value by its holding duration — the correct average for irregularly
+    sampled telemetry, where the arithmetic mean over-counts bursts. One
+    lead() window per user partition (key-partitioned, no global sort) and
+    one aggregation; the value x duration products are integer-scaled so
+    the weighted sum is order-independent and bit-equal to the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    seq = ev.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("t_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("t_next"),
+    )
+    seg = seq.filter(F.col("t_next").isNotNull()).select(
+        "user_id",
+        "value",
+        (F.col("t_next") - F.col("t_us")).alias("dur_us"),
+    )
+    return seg.groupBy("user_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum("dur_us").alias("total_us"),
+        F.round(
+            F.sum(
+                # decimal product: value-micros x duration-micros reaches
+                # ~1e20 for long idle gaps, past bigint — exactness via
+                # DECIMAL(38,0), still order-independent
+                F.round(F.col("value") * 1000000, 0)
+                .cast("bigint")
+                .cast("decimal(38,0)")
+                * F.col("dur_us")
+            ).cast("double")
+            / 1000000.0
+            / F.sum("dur_us"),
+            6,
+        ).alias("twa_value"),
+    )
