@@ -430,6 +430,166 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# --- transformWithState: arbitrary per-key state (Spark 4 API) ---------------
+@query(
+    "stream_topk_state",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, value, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events
+    ),
+    tot AS (SELECT user_id, count(*) AS n_seen FROM events GROUP BY user_id)
+    SELECT t.user_id, t.n_seen,
+           max(CASE WHEN rn = 1 THEN value END) AS top1_v,
+           max(CASE WHEN rn = 2 THEN value END) AS top2_v,
+           max(CASE WHEN rn = 3 THEN value END) AS top3_v
+    FROM tot t JOIN ranked r ON t.user_id = r.user_id
+    WHERE r.rn <= 3
+    GROUP BY t.user_id, t.n_seen
+    """,
+)
+def stream_topk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator with a BOUNDED composite state: each user
+    key holds its top-3 (value, event_id) pairs plus a seen-count in
+    ``applyInPandasWithState`` group state, merged per micro-batch. (The
+    Spark 4 ``transformWithStateInPandas`` successor API needs protobuf,
+    absent in this container — the state semantics are identical; swapping
+    the decorator is mechanical.) The events replay as TWO pinned
+    micro-batches (split by event_id parity) so the state genuinely carries
+    across batches; every batch emits the key's current (n_seen, top-3),
+    and the final answer per key is the emission with the largest n_seen —
+    which a fully drained bounded stream must make equal to the batch
+    window top-3, exactly what the oracle states. State is O(k) per key by
+    construction — the operator never buffers a key's history, which is
+    the point of arbitrary-state operators at 100 TB/day."""
+    import shutil
+    import tempfile
+    import uuid
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+
+    root = os.path.join(tempfile.gettempdir(), f"usw_q_tws_{uuid.uuid4().hex[:8]}")
+    watch = os.path.join(root, "in")
+    os.makedirs(watch)
+    for i, part_df in enumerate(
+        (ev.filter(F.col("event_id") % 2 == 0), ev.filter(F.col("event_id") % 2 == 1))
+    ):
+        stage = os.path.join(root, f"stage{i}")
+        part_df.coalesce(1).write.parquet(stage)
+        part = next(
+            f for f in os.listdir(stage)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        dst = os.path.join(watch, f"{i:03d}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        os.utime(dst, (1_000_000 + i * 100, 1_000_000 + i * 100))
+
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("v1", DoubleType()),
+            StructField("e1", LongType()),
+            StructField("v2", DoubleType()),
+            StructField("e2", LongType()),
+            StructField("v3", DoubleType()),
+            StructField("e3", LongType()),
+        ]
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_seen", LongType()),
+            StructField("top1_v", DoubleType()),
+            StructField("top2_v", DoubleType()),
+            StructField("top3_v", DoubleType()),
+        ]
+    )
+
+    def topk_fn(key, rows, state: GroupState):
+        pairs: list[tuple[float, int]] = []
+        n = 0
+        if state.exists:
+            s = state.get
+            n = int(s[0])
+            for v, e in ((s[1], s[2]), (s[3], s[4]), (s[5], s[6])):
+                if e is not None and e >= 0:
+                    pairs.append((float(v), int(e)))
+        for pdf in rows:
+            n += len(pdf)
+            pairs.extend(
+                zip(pdf["value"].astype(float), pdf["event_id"].astype(int))
+            )
+        # bounded merge: value DESC, event_id ASC tie-break, keep 3
+        pairs.sort(key=lambda p: (-p[0], p[1]))
+        pairs = pairs[:3]
+        padded = pairs + [(None, -1)] * (3 - len(pairs))
+        state.update(
+            (
+                n,
+                padded[0][0], padded[0][1],
+                padded[1][0], padded[1][1],
+                padded[2][0], padded[2][1],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_seen": [n],
+                "top1_v": [pairs[0][0] if len(pairs) > 0 else None],
+                "top2_v": [pairs[1][0] if len(pairs) > 1 else None],
+                "top3_v": [pairs[2][0] if len(pairs) > 2 else None],
+            }
+        )
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+    )
+    emitted = (
+        stream.select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            topk_fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = f"q_tws_{uuid.uuid4().hex[:8]}"
+    q = (
+        emitted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    shutil.rmtree(root, ignore_errors=True)
+    # final answer per key = the emission after its last batch (max n_seen)
+    per_key = spark.table(name).groupBy("user_id").agg(
+        F.max_by(
+            F.struct("n_seen", "top1_v", "top2_v", "top3_v"), F.col("n_seen")
+        ).alias("s")
+    )
+    return per_key.select(
+        "user_id", "s.n_seen", "s.top1_v", "s.top2_v", "s.top3_v"
+    )
+
+
 # --- streaming file sink (exactly-once) -------------------------------------
 @query(
     "stream_sink_files",
