@@ -206,3 +206,148 @@ def sink_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- JSONL scan (the LLM-corpus interchange format) --------------------------
+@query(
+    "scan_jsonl",
+    oracle="""
+    SELECT source, lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(length(text)) AS BIGINT) AS sum_len
+    FROM documents GROUP BY source, lang
+    """,
+)
+def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-Lines round trip: the documents table is sunk as .jsonl (one
+    JSON object per line — the interchange format every LLM corpus
+    pipeline speaks), scanned back with an EXPLICIT schema, and reduced to
+    per-(source, lang) totals the oracle states over the original table.
+    Explicit schema matters at 100 TB twice over: schema inference is a
+    full extra pass, and a drifting field silently becomes null instead of
+    failing loud — the schema pin makes ingest deterministic. JSONL splits
+    by newline, so the scan parallelizes like CSV."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(_TMP, "usw_q_scan_jsonl")
+    docs.select("doc_id", "text", "lang", "source", "n_chars").write.mode(
+        "overwrite"
+    ).json(path)
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(path)
+    return back.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_len"),
+    )
+
+
+# --- CSV ingest robustness: PERMISSIVE mode + corrupt-record accounting ------
+@query(
+    "scan_csv_badrecords",
+    oracle="""
+    WITH src AS (SELECT n_nationkey, n_name, n_regionkey FROM nation)
+    SELECT CAST(count(*) AS BIGINT) AS n_good,
+           CAST((SELECT count(*) FROM src WHERE n_nationkey % 7 = 3) AS BIGINT)
+             AS n_corrupt,
+           CAST(sum(n_regionkey) AS BIGINT) AS sum_region
+    FROM src WHERE n_nationkey % 7 <> 3
+    """,
+)
+def scan_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row accounting, the ingest-robustness contract: a staged
+    CSV carries deliberately corrupted lines (non-numeric key column on
+    every 7th nation); the PERMISSIVE scan lands them in
+    ``_corrupt_record`` instead of failing the job — at 100 TB a single
+    bad line must never kill a multi-hour ingest, but it must also never
+    be silently dropped, so the query reports good/corrupt counts the
+    oracle states exactly."""
+    nation = pd.read_parquet(os.path.join(sf_dir, "nation.parquet"))[
+        ["n_nationkey", "n_name", "n_regionkey"]
+    ]
+    path = os.path.join(_TMP, "usw_q_bad.csv")
+    with open(path, "w") as f:
+        f.write("n_nationkey,n_name,n_regionkey\n")
+        for _, r in nation.iterrows():
+            if r["n_nationkey"] % 7 == 3:
+                f.write(f"NOT_A_NUMBER,{r['n_name']},broken\n")
+            else:
+                f.write(f"{r['n_nationkey']},{r['n_name']},{r['n_regionkey']}\n")
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    landed = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        .cache()  # SPARK-21610: corrupt-record column needs the raw row kept
+    )
+    return landed.agg(
+        F.sum(F.col("_corrupt_record").isNull().cast("bigint")).alias("n_good"),
+        F.sum(F.col("_corrupt_record").isNotNull().cast("bigint")).alias(
+            "n_corrupt"
+        ),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), F.col("n_regionkey"))
+        ).alias("sum_region"),
+    )
+
+
+# --- parquet schema evolution: mergeSchema over generations ------------------
+@query(
+    "sink_schema_evolution",
+    oracle="""
+    WITH v1 AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 2 = 0),
+    v2 AS (SELECT doc_id, n_chars, lang FROM documents WHERE doc_id % 2 = 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(lang IS NULL AS BIGINT)) AS BIGINT) AS n_missing_lang,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM (SELECT doc_id, n_chars, NULL AS lang FROM v1
+          UNION ALL SELECT doc_id, n_chars, lang FROM v2)
+    """,
+)
+def sink_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file generations: generation 1 lands
+    (doc_id, n_chars), generation 2 adds a `lang` column; the scan with
+    ``mergeSchema`` unions the footers and back-fills the missing column
+    with nulls — the additive-evolution contract every lakehouse table
+    relies on (column ADDs are free; renames/drops need a table format).
+    The oracle states the merged result including the null back-fill."""
+    import tempfile as _tf
+    import uuid as _uuid
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = os.path.join(
+        _tf.gettempdir(), f"usw_q_evo_{_uuid.uuid4().hex[:8]}", "t"
+    )
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars").write.mode(
+        "append"
+    ).parquet(base)
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "n_chars", "lang"
+    ).write.mode("append").parquet(base)
+    merged = spark.read.option("mergeSchema", True).parquet(base)
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("lang").isNull().cast("bigint")).alias("n_missing_lang"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
