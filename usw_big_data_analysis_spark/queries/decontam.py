@@ -233,3 +233,127 @@ def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").alias("n_tokens"),
         F.sum("crosses").alias("n_split"),
     )
+
+
+# --- temperature-scaled source mixture ---------------------------------------
+_MIX_ALPHA = 0.5  # temperature exponent: alpha<1 upweights small sources
+
+
+@query(
+    "mixture_temperature",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(CAST(pow(CAST(n_s AS DOUBLE), {_MIX_ALPHA}) AS DOUBLE)) AS z
+            FROM counts),
+    rates AS (
+      SELECT c.source, c.n_s,
+             CAST(pow(CAST(c.n_s AS DOUBLE), {_MIX_ALPHA}) AS DOUBLE) / t.z AS share
+      FROM counts c, tot t
+    ),
+    keyed AS (
+      SELECT d.doc_id, d.source, r.n_s, r.share,
+             (CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 1000000) / 1000000.0 AS u,
+             r.share * 200.0 / r.n_s AS p_keep
+      FROM documents d JOIN rates r ON d.source = r.source
+    )
+    SELECT source,
+           CAST(min(n_s) AS BIGINT) AS n_source,
+           round(min(p_keep), 6) AS p_keep,
+           CAST(sum(CAST(u < p_keep AS BIGINT)) AS BIGINT) AS n_sampled
+    FROM keyed GROUP BY source
+    """,
+)
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (alpha={alpha}): each source's
+    target share is n_s^alpha / sum(n^alpha) — the standard multilingual /
+    multi-source re-balancing (alpha<1 upweights the tail) — realized as a
+    deterministic hash-Bernoulli keep with per-source rate share*T/n_s.
+    Two passes: a counts aggregate (tiny, broadcast back) then one
+    map-side keep decision per row — no shuffle of the corpus itself, no
+    RNG state, reproducible on any cluster layout. The oracle replays the
+    identical hash arithmetic.""".format(alpha=_MIX_ALPHA)
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    z = counts.agg(
+        F.sum(F.pow(F.col("n_s").cast("double"), F.lit(_MIX_ALPHA))).alias("z")
+    )
+    rates = counts.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_s",
+        (F.pow(F.col("n_s").cast("double"), F.lit(_MIX_ALPHA)) / F.col("z")).alias(
+            "share"
+        ),
+    )
+    from .dedup import _h_spark
+
+    keyed = docs.join(F.broadcast(rates), "source").select(
+        "source",
+        "n_s",
+        ((_h_spark(F.col("doc_id").cast("string")) % 1000000) / 1000000.0).alias("u"),
+        (F.col("share") * 200.0 / F.col("n_s")).alias("p_keep"),
+    )
+    return keyed.groupBy("source").agg(
+        F.min("n_s").alias("n_source"),
+        F.round(F.min("p_keep"), 6).alias("p_keep"),
+        F.sum((F.col("u") < F.col("p_keep")).cast("bigint")).alias("n_sampled"),
+    )
+
+
+# --- tokenizer vocabulary coverage / OOV rate --------------------------------
+_VOCAB_K = 30  # top-K corpus words form the "tokenizer vocabulary"
+
+
+@query(
+    "vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    vocab AS (
+      SELECT word FROM (
+        SELECT word, count(*) AS c,
+               row_number() OVER (ORDER BY count(*) DESC, word) AS rn
+        FROM tok GROUP BY word
+      ) WHERE rn <= {_VOCAB_K}
+    )
+    SELECT t.lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CAST(v.word IS NULL AS BIGINT)) AS BIGINT) AS n_oov,
+           round(CAST(sum(CAST(v.word IS NULL AS BIGINT)) AS DOUBLE)
+                 / count(*), 6) AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON t.word = v.word
+    GROUP BY t.lang
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the top-{k} word vocabulary
+    from the corpus (deterministic count-then-name ordering), then measure
+    per-language OOV rates — the fertility/coverage audit run before
+    committing a tokenizer to a training mix. The vocabulary is a top-k
+    aggregate (TakeOrderedAndProject, then broadcast); the corpus side is
+    one explode + map-side probe, never reshuffled.""".format(k=_VOCAB_K)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("word")
+    )
+    wc = tok.groupBy("word").agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.desc("c"), F.asc("word"))
+    vocab = (
+        wc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _VOCAB_K)
+        .select("word", F.lit(1).alias("in_vocab"))
+    )
+    probed = tok.join(F.broadcast(vocab), "word", "left")
+    return probed.groupBy("lang").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.col("in_vocab").isNull().cast("bigint")).alias("n_oov"),
+        F.round(
+            F.sum(F.col("in_vocab").isNull().cast("bigint")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("oov_rate"),
+    )
