@@ -357,3 +357,77 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("oov_rate"),
     )
+
+
+# --- unigram cross-entropy (CCNet-style perplexity-proxy quality filter) -----
+@query(
+    "quality_perplexity_proxy",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    lm AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY word
+    ),
+    tot AS (SELECT sum(c) AS n FROM lm),
+    scored AS (
+      SELECT t.doc_id, t.lang,
+             CAST(round(log2(CAST(l.c AS DOUBLE) / t2.n) * 1000000000)
+                  AS BIGINT) AS nlog
+      FROM tok t JOIN lm l ON t.word = l.word, tot t2
+    ),
+    per_doc AS (
+      SELECT doc_id, lang,
+             CAST(count(*) AS BIGINT) AS n_tok,
+             CAST(sum(nlog) AS BIGINT) AS sum_nlog
+      FROM scored GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(sum_nlog) AS BIGINT) AS sum_nlog,
+           CAST(sum(CAST(-sum_nlog > 8500000000 * n_tok AS BIGINT)) AS BIGINT)
+             AS n_filtered
+    FROM per_doc GROUP BY lang
+    """,
+)
+def quality_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering with a unigram LM: the corpus's own
+    word frequencies form the language model; each document scores its mean
+    negative log2-likelihood, and documents above the bits-per-token
+    threshold (8.5 bits here) are flagged for removal — the classic
+    quality gate that drops boilerplate-free but improbable text. Floats
+    are tamed for cross-engine exactness by integer-scaling each token's
+    log-probability (round(log2(p)*1e9) — one IEEE log + one round per
+    DISTINCT word, then pure bigint sums, order-independent). The LM is a
+    word-count aggregate (broadcastable at real vocab sizes); scoring is
+    one probe join, no corpus reshuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
+    )
+    lm = tok.groupBy("word").agg(F.count("*").alias("c"))
+    tot = lm.agg(F.sum("c").alias("n"))
+    scored = (
+        tok.join(F.broadcast(lm), "word")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(F.log2(F.col("c").cast("double") / F.col("n")) * 1e9, 0)
+            .cast("bigint")
+            .alias("nlog"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_tok"), F.sum("nlog").alias("sum_nlog")
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum("sum_nlog").alias("sum_nlog"),
+        F.sum(
+            (-F.col("sum_nlog") > F.lit(8500000000) * F.col("n_tok")).cast("bigint")
+        ).alias("n_filtered"),
+    )
