@@ -304,3 +304,51 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("twa_value"),
     )
+
+
+# --- event-type transition matrix (first-order Markov behavior model) --------
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS src, next_type AS dst, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY src, dst
+    )
+    SELECT src, dst, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY src), 6) AS p
+    FROM trans
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov model of user behavior: per-user event sequences
+    (key-partitioned lead() — no global sort) reduce to (src, dst)
+    transition counts and row-normalized probabilities — the navigation /
+    funnel diagnostic behind 'what do users do after X'. Two aggregations
+    over the pair space (|event_types|^2 rows, tiny), both map-side
+    partial; the row normalization windows over the src marginal, which is
+    at most |event_types| groups."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    trans = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("next_type").alias("dst"))
+        .agg(F.count("*").alias("n"))
+    )
+    wsrc = Window.partitionBy("src")
+    return trans.select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wsrc), 6).alias("p"),
+    )
