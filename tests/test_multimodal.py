@@ -127,3 +127,51 @@ def test_decode_pixel_features_golden(spark, sf_dir):
         assert r["n_pix"] == w * h * 3
         assert r["sum_px"] == int(px.sum())
         assert r["sum_sq"] == int((px * px).sum())
+
+
+# --- WAV codec goldens -------------------------------------------------------
+def test_wav_roundtrip_mono_and_stereo():
+    from usw_big_data_analysis_spark.operators import audio_codec as AC
+
+    mono = (np.arange(100, dtype=np.int64) * 321 % 65536 - 32768).astype(np.int16)
+    payload = AC.encode_wav(mono, sample_rate=8000)
+    out, rate = AC.decode_wav(payload)
+    assert rate == 8000
+    assert out.shape == (100, 1)
+    assert np.array_equal(out[:, 0], mono)
+
+    stereo = np.stack([mono, mono[::-1]], axis=1)
+    out2, rate2 = AC.decode_wav(AC.encode_wav(stereo, sample_rate=44100))
+    assert rate2 == 44100
+    assert np.array_equal(out2, stereo)
+
+
+def test_wav_decoder_skips_unknown_chunks():
+    import struct
+
+    from usw_big_data_analysis_spark.operators import audio_codec as AC
+
+    s = np.array([1, -2, 3], dtype=np.int16)
+    raw = AC.encode_wav(s)
+    # splice a LIST chunk (odd size -> exercises word alignment) before data
+    head, rest = raw[:12], raw[12:]
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = head + extra + rest
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    out, rate = AC.decode_wav(spliced)
+    assert np.array_equal(out[:, 0], s)
+
+
+def test_wav_rejects_non_pcm():
+    import struct
+
+    from usw_big_data_analysis_spark.operators import audio_codec as AC
+
+    with pytest.raises(ValueError):
+        AC.decode_wav(b"RIFX" + b"\x00" * 40)
+    # fmt with audio_format=3 (float) must be refused
+    fmt = struct.pack("<HHIIHH", 3, 1, 16000, 64000, 4, 32)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    with pytest.raises(ValueError):
+        AC.decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)

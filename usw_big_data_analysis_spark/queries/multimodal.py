@@ -114,6 +114,98 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- REAL audio decode (vendored WAV codec) ----------------------------------
+# Per-doc deterministic clip: n = 96 + doc_id%32 mono int16 samples,
+# sample i = ((doc_id*37 + 11*i) mod 4096) - 2048, rate 16 kHz. Spec-correct
+# RIFF bytes generated per batch, then decoded by the chunk-walking codec
+# (operators/audio_codec.py); integer sufficient stats keep the oracle
+# closed-form.
+@query(
+    "multimodal_decode_audio",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 96 + doc_id % 32 AS n FROM documents
+    ),
+    sm AS (
+      SELECT d.doc_id, d.n,
+             (d.doc_id * 37 + 11 * i.i) % 4096 - 2048 AS s
+      FROM dims d
+      JOIN (SELECT unnest(generate_series(0, 200)) AS i) i ON i.i < d.n
+    )
+    SELECT n AS n_samples, count(DISTINCT doc_id) AS n_docs,
+           CAST(sum(s) AS BIGINT) AS sum_s,
+           CAST(sum(s * s) AS BIGINT) AS sum_sq
+    FROM sm GROUP BY n
+    """,
+)
+def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generates a spec-correct PCM WAV per document, decodes it with the
+    REAL chunk-walking codec (RIFF parse + fmt validation + sample array),
+    and aggregates integer sample statistics per clip length. Same
+    generator/decoder separation as multimodal_decode_image: a header or
+    layout bug in either side breaks parity."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from ..operators.audio_codec import decode_wav, encode_wav
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 96 + doc_id % 32
+                i = np.arange(n, dtype=np.int64)
+                s = ((doc_id * 37 + 11 * i) % 4096 - 2048).astype(np.int16)
+                ids.append(doc_id)
+                blobs.append(encode_wav(s))
+            yield pd.DataFrame({"doc_id": ids, "content": blobs})
+
+    payloads = docs.mapInPandas(
+        gen,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("content", BinaryType())]
+        ),
+    )
+
+    def feats(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {k: [] for k in ("doc_id", "n_samples", "sum_s", "sum_sq")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                samples, rate = decode_wav(bytes(payload))
+                assert rate == 16000
+                s = samples[:, 0].astype(np.int64)
+                out["doc_id"].append(int(doc_id))
+                out["n_samples"].append(int(len(s)))
+                out["sum_s"].append(int(s.sum()))
+                out["sum_sq"].append(int((s * s).sum()))
+            yield pd.DataFrame(out)
+
+    stats = payloads.mapInPandas(
+        feats,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("n_samples", LongType()),
+                StructField("sum_s", LongType()),
+                StructField("sum_sq", LongType()),
+            ]
+        ),
+    )
+    return stats.groupBy("n_samples").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("sum_s").alias("sum_s"),
+        F.sum("sum_sq").alias("sum_sq"),
+    )
+
+
 # --- REAL image decode (vendored PPM codec; PIL-compatible payloads) ---------
 # Per-doc deterministic image: width 8 + doc_id%5, height 4 + doc_id%3,
 # pixel sample i = (doc_id*31 + i*7) mod 256. The payload is a spec-correct
