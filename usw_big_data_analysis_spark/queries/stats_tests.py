@@ -641,3 +641,59 @@ def linreg_ols_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sy - (cov_n / var_x) * sx) / n, 6).alias("intercept"),
         F.round((cov_n * cov_n) / (var_x * var_y), 6).alias("r2"),
     )
+
+
+# --- 3-sigma anomaly flags in pure integer arithmetic ------------------------
+@query(
+    "anomaly_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sv,
+             sum(CAST(CAST(round(value * 1000000) AS BIGINT) AS DECIMAL(38,0))
+                 * CAST(round(value * 1000000) AS BIGINT)) AS svv
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, min(s.n) AS n,
+           CAST(sum(CAST(
+             CAST(s.n - 1 AS DECIMAL(38,0))
+               * (CAST(s.n AS DECIMAL(38,0))
+                  * CAST(round(e.value * 1000000) AS BIGINT) - s.sv)
+               * (CAST(s.n AS DECIMAL(38,0))
+                  * CAST(round(e.value * 1000000) AS BIGINT) - s.sv)
+             > 9 * CAST(s.n AS DECIMAL(38,0))
+                 * (CAST(s.n AS DECIMAL(38,0)) * s.svv
+                    - CAST(s.sv AS DECIMAL(38,0)) * s.sv)
+           AS BIGINT)) AS BIGINT) AS n_anomalies
+    FROM events e JOIN s ON e.event_type = s.event_type
+    GROUP BY e.event_type
+    """,
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-sigma outlier flags per event type with ZERO floating point in the
+    decision: |v - mean| > 3*std is algebraically cleared of divisions and
+    square roots — (n-1)(n*v - S)^2 > 9n(n*SS - S^2) over integer-scaled
+    values in DECIMAL(38,0) — so the flag can never flip on a rounding tie
+    between engines or cluster layouts (IEEE sqrt near the boundary is
+    exactly the kind of nondeterminism that makes alert counts drift
+    between reruns at scale). Two passes: a per-type sufficient-stats
+    aggregate (tiny, broadcast back) and one map-side flag per row."""
+    ev = load_table(spark, sf_dir, "events")
+    vi = F.round(F.col("value") * 1000000, 0).cast("bigint")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(vi).alias("sv"),
+        F.sum(vi.cast("decimal(38,0)") * vi).alias("svv"),
+    )
+    joined = ev.select("event_type", vi.alias("v")).join(
+        F.broadcast(s), "event_type"
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    dev = nd * F.col("v") - F.col("sv")
+    lhs = (nd - 1) * dev * dev
+    rhs = 9 * nd * (nd * F.col("svv") - F.col("sv").cast("decimal(38,0)") * F.col("sv"))
+    return joined.groupBy("event_type").agg(
+        F.min("n").alias("n"),
+        F.sum((lhs > rhs).cast("bigint")).alias("n_anomalies"),
+    )
