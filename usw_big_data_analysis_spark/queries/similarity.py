@@ -538,6 +538,153 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- multi-table LSH: the #tables recall axis --------------------------------
+# second independent hyperplane family: offset the component index stream so
+# table 1's planes are uncorrelated with table 0's (same arithmetic both
+# engines, different constants)
+def _r2_sql(j: int) -> str:
+    return (
+        f"(CAST(({j} * 64 + pos + 7777) * 2654435761 % 1000 AS DOUBLE)"
+        " / 1000.0 - 0.5)"
+    )
+
+
+_BUCKET2_SQL = f"""
+  SELECT vec_id,
+         {' + '.join(
+           f"(CASE WHEN CAST(sum(CAST(v * {_r2_sql(j)} AS DECIMAL(20,12))) AS DOUBLE) > 0 "
+           f"THEN {1 << j} ELSE 0 END)"
+           for j in range(_NPLANES))} AS bucket
+  FROM expl GROUP BY vec_id
+"""
+
+
+@query(
+    "embed_ann_multitable",
+    oracle=f"""
+    WITH expl AS ({_EXPL_SQL}),
+    norms AS ({_NORMS_SQL}),
+    b0 AS ({_BUCKET_SQL}),
+    b1 AS ({_BUCKET2_SQL}),
+    buckets AS (
+      SELECT vec_id, 0 AS tbl, bucket FROM b0
+      UNION ALL SELECT vec_id, 1, bucket FROM b1
+    ),
+    q AS (SELECT e.vec_id AS qid, e.pos, e.v AS qv, b.tbl, b.bucket
+          FROM expl e JOIN buckets b ON e.vec_id = b.vec_id
+          WHERE e.vec_id < {_NQ}),
+    cand AS (
+      SELECT DISTINCT q.qid, c.vec_id AS cid
+      FROM q JOIN buckets cb ON cb.tbl = q.tbl AND cb.bucket = q.bucket
+      JOIN expl c ON c.vec_id = cb.vec_id
+      WHERE q.qid <> c.vec_id AND q.pos = 0 AND c.pos = 0
+    ),
+    dots AS (
+      SELECT cd.qid, cd.cid,
+             CAST(sum(CAST(qe.v * ce.v AS DECIMAL(20,12))) AS DOUBLE) AS dot
+      FROM cand cd
+      JOIN expl qe ON qe.vec_id = cd.qid
+      JOIN expl ce ON ce.vec_id = cd.cid AND ce.pos = qe.pos
+      GROUP BY cd.qid, cd.cid
+    ),
+    cos AS (
+      SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+      FROM dots JOIN norms nq ON qid = nq.vec_id
+                JOIN norms nc ON cid = nc.vec_id
+    )
+    SELECT qid, cid, cosine, rn FROM (
+      SELECT qid, cid, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rn
+      FROM cos
+    ) WHERE rn <= {_TOPK}
+    """,
+)
+def embed_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table LSH ANN: each vector buckets under TWO independent
+    hyperplane families; a candidate qualifies by colliding with the query
+    in EITHER table (the union-of-tables OR-construction — each extra
+    table multiplies recall's miss rate by the single-table miss
+    probability at linear extra cost). Candidates dedup before the exact
+    re-rank so no pair is scored twice. This is the #tables axis of the
+    LSH recall/cost trade; #hyperplanes (bucket width) is the other, and
+    embed_ann_recall measures where the deployment sits."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    withn = emb.withColumn(
+        "nrm", F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding")))
+    )
+
+    def plane_dot(j: int, offset: int) -> F.Column:
+        idx = F.sequence(F.lit(0), F.size("embedding") - 1)
+
+        def r_col(p: F.Column) -> F.Column:
+            return (
+                ((F.lit(j) * 64 + p + offset) * 2654435761 % 1000).cast("double")
+                / 1000.0
+                - 0.5
+            )
+
+        prods = F.zip_with(
+            F.col("embedding"),
+            idx,
+            lambda v, p: (v.cast("double") * r_col(p)).cast("decimal(20,12)"),
+        )
+        return F.aggregate(
+            prods,
+            F.lit(0).cast("decimal(30,12)"),
+            lambda acc, x: (acc + x).cast("decimal(30,12)"),
+        ).cast("double")
+
+    def bucket_col(offset: int) -> F.Column:
+        return sum(
+            (
+                F.when(plane_dot(j, offset) > 0, F.lit(1 << j)).otherwise(0)
+                for j in range(1, _NPLANES)
+            ),
+            F.when(plane_dot(0, offset) > 0, F.lit(1)).otherwise(0),
+        )
+
+    tagged = withn.withColumn("b0", bucket_col(0)).withColumn("b1", bucket_col(7777))
+    buckets = tagged.select(
+        "vec_id", "embedding", "nrm",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("tbl"), F.col("b0").alias("bucket")),
+                F.struct(F.lit(1).alias("tbl"), F.col("b1").alias("bucket")),
+            )
+        ).alias("tb"),
+    ).select("vec_id", "embedding", "nrm", "tb.tbl", "tb.bucket")
+    q = buckets.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
+        F.col("nrm").alias("nrm_q"),
+        "tbl",
+        "bucket",
+    )
+    c = buckets.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cemb"),
+        F.col("nrm").alias("nrm_c"),
+        "tbl",
+        "bucket",
+    )
+    cand = (
+        c.join(F.broadcast(q), ["tbl", "bucket"])
+        .filter(F.col("qid") != F.col("cid"))
+        # OR-construction dedup: a pair colliding in both tables scores once
+        .dropDuplicates(["qid", "cid"])
+    )
+    cos = cand.select(
+        "qid",
+        "cid",
+        F.round(
+            _dec_dot(F.col("qemb"), F.col("cemb")) / (F.col("nrm_q") * F.col("nrm_c")),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return cos.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _TOPK)
+
+
 # --- ANN recall: the approximation's error contract, hash-gated --------------
 @query(
     "embed_ann_recall",
