@@ -9,38 +9,39 @@ from . import flagship  # noqa: F401
 ALL_MODULES = [flagship]
 
 # Import order IS driver-verification order (the correctness gate samples
-# queries in registration order). Round 1's gate covered the first 50 keys —
-# flagship/relational/joins_unions/aggregates/windows_sorts — so round 2
-# rotates the never-verified families to the front: metrics, stats_tests,
-# mlprep, the LLM-pipeline layer (dedup/similarity/text/multimodal), and the
-# streaming twins. Already-green families move to the back; rotate again as
-# coverage lands.
+# queries in registration order; registry.all_queries additionally floats
+# never-driver-checked keys ahead of already-green ones). Round 1 covered
+# flagship/relational/joins/aggregates/windows; round 2 covered metrics/
+# stats/mlprep/dedup/similarity. Round 3 leads with the LLM-pipeline
+# families the north star names (text/corpus/multimodal/decontam), the
+# streaming engine runs, the ANN quality contracts (similarity's unchecked
+# tail), then behavior/incremental/storage. Rotate again as coverage lands.
 for _mod_name in (
+    "text_ops",
+    "corpus_ops",
+    "multimodal",
+    "decontam",
+    "streaming_batch",
+    "similarity",
+    "behavior",
+    "incremental",
+    "storage_ops",
+    "scale_ops",
+    "graph_ext",
+    "etl",
+    "sources_extra",
+    "ensembles",
+    "mlsearch",
+    "mlmodels",
+    "scalar_funcs",
+    "pipeline_ops",
+    "olap_ext",
+    "tpch_ext",
+    "tpch_ext2",
     "metrics",
     "stats_tests",
     "mlprep",
     "dedup",
-    "similarity",
-    "text_ops",
-    "decontam",
-    "multimodal",
-    "streaming_batch",
-    "scalar_funcs",
-    "ensembles",
-    "mlsearch",
-    "mlmodels",
-    "sources_extra",
-    "corpus_ops",
-    "pipeline_ops",
-    "olap_ext",
-    "tpch_ext2",
-    "behavior",
-    "etl",
-    "storage_ops",
-    "incremental",
-    "graph_ext",
-    "scale_ops",
-    "tpch_ext",
     "relational",
     "joins_unions",
     "aggregates",
