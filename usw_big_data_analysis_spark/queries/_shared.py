@@ -12,6 +12,10 @@ engines) plays the reference's submission column
 
 from __future__ import annotations
 
+import atexit
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -45,3 +49,22 @@ _PRED_SQL = """
          CAST(CAST((o_orderkey * 2654435761) % 1000 AS DOUBLE) / 1000.0 >= 0.5 AS INT) AS pred
   FROM orders
 """
+
+
+_PROC_TMP: str | None = None
+
+
+def process_tmp() -> str:
+    """Per-process private staging root for query-local file round trips.
+
+    Fixed world-shared paths (/tmp/usw_q_*) race under concurrent sessions
+    on the same host — another user's half-written file could be read back.
+    One mkdtemp per process keeps paths stable across re-runs within a
+    session (overwrite semantics still exercised) while isolating sessions
+    from each other; removed at interpreter exit.
+    """
+    global _PROC_TMP
+    if _PROC_TMP is None:
+        _PROC_TMP = tempfile.mkdtemp(prefix="usw_stage_")
+        atexit.register(shutil.rmtree, _PROC_TMP, ignore_errors=True)
+    return _PROC_TMP

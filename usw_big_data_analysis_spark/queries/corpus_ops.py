@@ -31,10 +31,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
+from ._shared import process_tmp as _process_tmp
 from ..sources import load_table
 from .dedup import _h_spark, _h_sql
 
-_TMP = tempfile.gettempdir()
+_TMP = _process_tmp()
 
 # --- deterministic PII fixture + redaction ----------------------------------
 # Fixture text has no natural PII, so append a synthetic email + phone derived

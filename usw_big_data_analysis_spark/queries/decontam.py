@@ -29,6 +29,14 @@ from ..sources import load_table
 
 _NGRAM = 8  # word n-gram width for decontamination
 _EVAL_MOD = 97  # doc_id % _EVAL_MOD == 0 -> held-out eval doc
+# Explicit per-document n-gram envelope, enforced identically on BOTH the
+# Spark side (F.least in the sequence bound) and the DuckDB oracle
+# (generate_series bound): only the first _MAX_GRAMS_PER_DOC grams of a
+# document participate in the overlap check. This bounds per-doc work at
+# 100 TB scale (a decontamination probe does not need every gram of a
+# book-length doc to detect leakage) and makes the envelope a matched
+# contract instead of a coincidence of fixture document lengths.
+_MAX_GRAMS_PER_DOC = 2000
 
 
 # --- eval-set decontamination ------------------------------------------------
@@ -42,7 +50,7 @@ _EVAL_MOD = 97  # doc_id % _EVAL_MOD == 0 -> held-out eval doc
     eval_grams AS (
       SELECT DISTINCT array_to_string(list_slice(w, i.i, i.i + {_NGRAM - 1}), ' ') AS g
       FROM words
-      JOIN (SELECT unnest(generate_series(1, 2000)) AS i) i
+      JOIN (SELECT unnest(generate_series(1, {_MAX_GRAMS_PER_DOC})) AS i) i
         ON i.i <= len(w) - {_NGRAM - 1}
       WHERE doc_id % {_EVAL_MOD} = 0
     ),
@@ -50,7 +58,7 @@ _EVAL_MOD = 97  # doc_id % _EVAL_MOD == 0 -> held-out eval doc
       SELECT doc_id, source,
              array_to_string(list_slice(w, i.i, i.i + {_NGRAM - 1}), ' ') AS g
       FROM words
-      JOIN (SELECT unnest(generate_series(1, 2000)) AS i) i
+      JOIN (SELECT unnest(generate_series(1, {_MAX_GRAMS_PER_DOC})) AS i) i
         ON i.i <= len(w) - {_NGRAM - 1}
       WHERE doc_id % {_EVAL_MOD} <> 0
     ),
@@ -76,14 +84,23 @@ def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.split("text", " ").alias("w")
     )
+    # Docs shorter than _NGRAM words produce no grams: the sequence must be
+    # empty, not descending (F.sequence(1, 0) defaults to step -1 and the
+    # slice then throws INVALID_PARAMETER_VALUE.START on real short docs).
+    n_grams = F.least(
+        F.size("w") - (_NGRAM - 1), F.lit(_MAX_GRAMS_PER_DOC)
+    )
     grams = docs.select(
         "doc_id",
         "source",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("w") - (_NGRAM - 1), F.lit(0))),
-                lambda i: F.concat_ws(" ", F.slice("w", i, _NGRAM)),
-            )
+            F.when(
+                F.size("w") >= _NGRAM,
+                F.transform(
+                    F.sequence(F.lit(1), n_grams),
+                    lambda i: F.concat_ws(" ", F.slice("w", i, _NGRAM)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("g"),
     )
     eval_grams = (
@@ -341,10 +358,14 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", F.explode(F.split("text", " ")).alias("word")
     )
     wc = tok.groupBy("word").agg(F.count("*").alias("c"))
-    w = Window.orderBy(F.desc("c"), F.asc("word"))
+    # Top-k via orderBy().limit() — compiles to TakeOrderedAndProject
+    # (per-partition heaps merged on the driver), not a single-partition
+    # window sort of the whole word-count table. (c desc, word asc) is a
+    # total order (word is unique after the groupBy), so the selected set
+    # is identical to the oracle's row_number() <= k.
     vocab = (
-        wc.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _VOCAB_K)
+        wc.orderBy(F.desc("c"), F.asc("word"))
+        .limit(_VOCAB_K)
         .select("word", F.lit(1).alias("in_vocab"))
     )
     probed = tok.join(F.broadcast(vocab), "word", "left")

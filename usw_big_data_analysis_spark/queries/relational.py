@@ -21,10 +21,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..registry import query
+from ._shared import process_tmp as _process_tmp
 from ..sources import load_table
 from ..sources.io import read_csv
 
-_TMP = tempfile.gettempdir()
+_TMP = _process_tmp()
 
 
 # --- S1: CSV scan (legacy/modeling.py:63-66; teamProject/sap.py:31-32) ------

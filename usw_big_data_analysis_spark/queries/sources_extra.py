@@ -20,7 +20,9 @@ Format status in this container:
 
 from __future__ import annotations
 
+import contextlib
 import os
+import shutil
 import tempfile
 
 import pandas as pd
@@ -28,9 +30,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
+from ._shared import process_tmp as _process_tmp
 from ..sources import load_table
 
-_TMP = tempfile.gettempdir()
+
+@contextlib.contextmanager
+def _staging(prefix: str):
+    """Private uuid-suffixed staging dir for driver-side format round trips.
+
+    Fixed world-shared paths (/tmp/usw_q_*.xlsx) race under concurrent
+    sessions — one process can read another's half-written file. mkdtemp
+    gives each call its own 0700 directory; removed when the round trip is
+    done."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    try:
+        yield d
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 # --- S2: SAS scan → sentinel cleaning ---------------------------------------
@@ -80,9 +96,10 @@ def scan_sas(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bit-exact for every value, unlike fixed-precision formatting
         qty["l_quantity"].map(str).to_numpy(dtype=object),
     ).astype(object)
-    sas_path = os.path.join(_TMP, "usw_q_scan_sas.sas7bdat")
-    write_sas7bdat(sas_path, ["qty_raw"], [raw])
-    back = pd.read_sas(sas_path, encoding="utf-8")
+    with _staging("usw_q_scan_sas_") as d:
+        sas_path = os.path.join(d, "landed.sas7bdat")
+        write_sas7bdat(sas_path, ["qty_raw"], [raw])
+        back = pd.read_sas(sas_path, encoding="utf-8")
     landed = spark.createDataFrame(back)
     cleaned = landed.select(
         F.when(F.col("qty_raw") == ".", None)
@@ -115,18 +132,19 @@ def scan_excel(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame, and broadcast into the join. The big side never leaves the
     executors."""
     src = pd.read_parquet(os.path.join(sf_dir, "nation.parquet"))
-    xlsx = os.path.join(_TMP, "usw_q_scan_excel.xlsx")
-    try:
-        import openpyxl  # noqa: F401
+    with _staging("usw_q_scan_excel_") as d:
+        xlsx = os.path.join(d, "dim.xlsx")
+        try:
+            import openpyxl  # noqa: F401
 
-        src.to_excel(xlsx, index=False)
-        pdf = pd.read_excel(xlsx)
-    except ImportError:
-        from ..sources.xlsx_lite import read_xlsx, write_xlsx
+            src.to_excel(xlsx, index=False)
+            pdf = pd.read_excel(xlsx)
+        except ImportError:
+            from ..sources.xlsx_lite import read_xlsx, write_xlsx
 
-        write_xlsx(xlsx, list(src.columns), src.values.tolist())
-        header, rows = read_xlsx(xlsx)
-        pdf = pd.DataFrame(rows, columns=header)
+            write_xlsx(xlsx, list(src.columns), src.values.tolist())
+            header, rows = read_xlsx(xlsx)
+            pdf = pd.DataFrame(rows, columns=header)
     dim = spark.createDataFrame(pdf[["n_nationkey", "n_name", "n_regionkey"]])
     region = load_table(spark, sf_dir, "region")
     return (
@@ -160,18 +178,19 @@ def sink_excel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_nations"))
     )
     pdf = summary.toPandas()
-    path = os.path.join(_TMP, "usw_q_sink_excel.xlsx")
-    try:
-        import openpyxl  # noqa: F401
+    with _staging("usw_q_sink_excel_") as d:
+        path = os.path.join(d, "summary.xlsx")
+        try:
+            import openpyxl  # noqa: F401
 
-        pdf.to_excel(path, index=False)
-        back = pd.read_excel(path)
-    except ImportError:
-        from ..sources.xlsx_lite import read_xlsx, write_xlsx
+            pdf.to_excel(path, index=False)
+            back = pd.read_excel(path)
+        except ImportError:
+            from ..sources.xlsx_lite import read_xlsx, write_xlsx
 
-        write_xlsx(path, list(pdf.columns), pdf.values.tolist())
-        header, rows = read_xlsx(path)
-        back = pd.DataFrame(rows, columns=header)
+            write_xlsx(path, list(pdf.columns), pdf.values.tolist())
+            header, rows = read_xlsx(path)
+            back = pd.DataFrame(rows, columns=header)
     return spark.createDataFrame(back)
 
 
@@ -229,7 +248,7 @@ def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     failing loud — the schema pin makes ingest deterministic. JSONL splits
     by newline, so the scan parallelizes like CSV."""
     docs = load_table(spark, sf_dir, "documents")
-    path = os.path.join(_TMP, "usw_q_scan_jsonl")
+    path = os.path.join(_process_tmp(), "usw_q_scan_jsonl")
     docs.select("doc_id", "text", "lang", "source", "n_chars").write.mode(
         "overwrite"
     ).json(path)
@@ -275,7 +294,7 @@ def scan_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = pd.read_parquet(os.path.join(sf_dir, "nation.parquet"))[
         ["n_nationkey", "n_name", "n_regionkey"]
     ]
-    path = os.path.join(_TMP, "usw_q_bad.csv")
+    path = os.path.join(_process_tmp(), "usw_q_bad.csv")
     with open(path, "w") as f:
         f.write("n_nationkey,n_name,n_regionkey\n")
         for _, r in nation.iterrows():

@@ -29,9 +29,10 @@ from pyspark.sql import functions as F
 
 from ..functions import numeric as N
 from ..registry import query
+from ._shared import process_tmp as _process_tmp
 from ..sources import load_table
 
-_TMP = tempfile.gettempdir()
+_TMP = _process_tmp()
 
 
 # --- range-sorted parquet + filtered re-scan --------------------------------

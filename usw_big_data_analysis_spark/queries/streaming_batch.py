@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..functions import numeric as N
 from ..registry import query
 from ..sources import load_table
+from ._shared import process_tmp as _process_tmp
 
 
 # --- tumbling window (10 min) ----------------------------------------------
@@ -776,7 +777,7 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tagged = ev.withColumn("cls", cls)
 
-    root = os.path.join(tempfile.gettempdir(), "usw_q_wm_late")
+    root = os.path.join(_process_tmp(), "usw_q_wm_late")
     shutil.rmtree(root, ignore_errors=True)
     watch = os.path.join(root, "in")
     os.makedirs(watch)

@@ -71,6 +71,14 @@ def _cell_xml(ref: str, value: Any) -> str:
         value = value.item()
     if isinstance(value, bool):
         return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
+    if isinstance(value, float) and (value != value or value in (float("inf"), float("-inf"))):
+        # SpreadsheetML numeric cells cannot represent NaN/Inf — repr text
+        # would produce cells other readers reject. Store as an explicit
+        # string cell instead (Excel itself has no NaN number either).
+        return (
+            f'<c r="{ref}" t="inlineStr"><is>'
+            f'<t xml:space="preserve">{escape(str(value))}</t></is></c>'
+        )
     if isinstance(value, (int, float)):
         return f'<c r="{ref}"><v>{value!r}</v></c>'
     return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{escape(str(value))}</t></is></c>'
@@ -111,6 +119,12 @@ def _ref_to_col(ref: str) -> int:
 
 
 def _parse_number(text: str) -> int | float:
+    # Digit-only text parses as int directly — round-tripping through
+    # float(text) would corrupt integers above 2^53 (write_xlsx emits ints
+    # via repr, so they land here as pure digit strings).
+    stripped = text.lstrip("-")
+    if stripped.isdigit():
+        return int(text)
     f = float(text)
     return int(f) if f.is_integer() and "e" not in text.lower() and "." not in text else f
 
