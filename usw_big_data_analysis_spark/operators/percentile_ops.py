@@ -20,7 +20,7 @@ sort — so oracle-checked queries can use it interchangeably.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _NBUCKETS = 4096
@@ -31,22 +31,25 @@ def bucketed_exact_percentiles(
     ps: list[float],
     nbuckets: int = _NBUCKETS,
     minmax: DataFrame | None = None,
+    counts: bool = False,
 ) -> DataFrame:
-    """melted: (col_name, x) long-form numeric table. Returns one row per
+    """melted: (col_name, x) long-form numeric table — or, with
+    ``counts=True``, a pre-aggregated (col_name, x, cnt) distinct-value
+    table (one groupBy upstream turns N fact rows into D distinct values;
+    every phase below then touches D rows, never N). Returns one row per
     col_name with a `p_<idx>` column per requested percentile (use dyadic
     p values — .25/.5/.75 — if cross-engine bit-equality matters).
 
     Pass ``minmax`` — (col_name, mn, mx, ntot) — when the caller already
-    aggregated those (describe's moments pass does): it saves a full scan,
-    and when both frames share the same aggregate subtree Spark's
-    ReuseExchange executes it once."""
-    spark = melted.sparkSession
-
+    aggregated those: it saves a full scan."""
+    weight = F.col("cnt") if counts else F.lit(1).cast("bigint")
     if minmax is None:
         minmax = melted.groupBy("col_name").agg(
             F.min("x").alias("mn"),
             F.max("x").alias("mx"),
-            F.count("x").alias("ntot"),
+            F.sum(weight).alias("ntot")
+            if counts
+            else F.count("x").alias("ntot"),
         )
     w_width = (F.col("mx") - F.col("mn")) / float(nbuckets)
     bounds = minmax.select(
@@ -57,6 +60,18 @@ def bucketed_exact_percentiles(
         "col_name",
         "x",
         "ntot",
+        weight.alias("wt"),
+        bucket_expr(nbuckets).alias("b"),
+    )
+    hist = with_b.groupBy("col_name", "b", "ntot").agg(F.sum("wt").alias("cnt"))
+    return percentiles_from_hist(with_b, hist, ps)
+
+
+def bucket_expr(nbuckets: int = _NBUCKETS) -> Column:
+    """Bucket index for a row carrying (x, mn, w) — shared by callers that
+    build their own enriched histogram (describe fuses its moment sums into
+    the phase-2 pass)."""
+    return (
         F.when(F.col("w") == 0.0, F.lit(0))
         .otherwise(
             F.least(
@@ -64,9 +79,18 @@ def bucketed_exact_percentiles(
                 F.lit(nbuckets - 1),
             )
         )
-        .alias("b"),
     )
-    hist = with_b.groupBy("col_name", "b", "ntot").agg(F.count("*").alias("cnt"))
+
+
+def percentiles_from_hist(
+    with_b: DataFrame, hist: DataFrame, ps: list[float]
+) -> DataFrame:
+    """Phases 2-3 of the bucketed exact-percentile design, given
+    ``with_b`` = (col_name, x, ntot, wt, b) bucketed rows and ``hist`` =
+    (col_name, b, ntot, cnt) bucket counts. Callers that already aggregate
+    a per-bucket pass (describe's moment-carrying histogram) hand it in
+    here so the fact is not scanned a second time for the histogram."""
+    spark = with_b.sparkSession
 
     # locate target buckets on the tiny histogram
     wcum = Window.partitionBy("col_name").orderBy("b").rowsBetween(
@@ -79,9 +103,13 @@ def bucketed_exact_percentiles(
         F.sum("cnt").over(wcum).alias("cum"),
         (F.sum("cnt").over(wcum) - F.col("cnt")).alias("prev"),
     )
-    pdim = spark.createDataFrame(
-        [(i, p) for i, p in enumerate(ps)], "pi int, p double"
+    # VALUES literal, not createDataFrame: the latter serializes through
+    # the JVM gateway (~0.2-0.3s per call) — material when the whole query
+    # compiles in under a second
+    values = ", ".join(
+        f"({i}, CAST({p!r} AS DOUBLE))" for i, p in enumerate(ps)
     )
+    pdim = spark.sql(f"SELECT * FROM VALUES {values} AS t(pi, p)")
     r = (F.col("ntot") - 1) * F.col("p") + 1
     targets = (
         marks.crossJoin(F.broadcast(pdim))
@@ -99,7 +127,7 @@ def bucketed_exact_percentiles(
     # buckets for different ranks are far apart
     narrowed = with_b.join(targets, ["col_name", "b"], "leftsemi")
     vals = narrowed.groupBy("col_name", "b", "x", "ntot").agg(
-        F.count("*").alias("cnt")
+        F.sum("wt").alias("cnt")
     )
     bucket_offsets = marks.join(targets, ["col_name", "b"], "leftsemi").select(
         "col_name", "b", F.col("prev").alias("bucket_prev")

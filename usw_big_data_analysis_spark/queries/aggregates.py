@@ -162,63 +162,98 @@ _DESCRIBE_SQL = f"""
 def describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transposed describe: one row per column with count/mean/std/exact
     interpolated quartiles (pandas describe is exact), plus the reference's
-    zero-count column. Two shuffles total: the moments agg and the
-    distinct-value count; percentiles are picked from the cumulated counts
-    — executor memory stays O(1) per task (the percentile()-buffer form
-    holds whole columns and cannot scale)."""
-    # moments over the melted long form: ONE small aggregate operator
-    # (8 expressions grouped by col_name) instead of a 32-expression
-    # unmelted agg — the wide form generated a codegen class so large it
-    # cost ~14s to JIT and thrashed the generated-class cache; the melt's
-    # extra scanned rows are an order of magnitude cheaper than that
-    melted = _melt_lineitem(spark, sf_dir)
+    zero-count column.
+
+    Two distributed passes over the fact, no shared subtrees (Spark
+    re-executes a subtree per consumer — ReuseExchange does not collapse
+    them here, and localCheckpoint's planning overhead exceeds a cheap
+    re-scan; both measured):
+
+    - pass 0: the per-column moment aggregate (n/mean/std/min/max/zeros
+      from hi/lo integer sums, melt groupBy col_name), collected as 4 rows
+      of finished scalars — the same fitted-statistics collect class as
+      mlprep. Min/max/count become LITERAL bucket bounds in the percentile
+      plan: no broadcast join, no hash probe per melted row.
+    - pass 1: the percentile phases — bucket-count histogram (one
+      map-side-combinable agg over ~4×4096 groups) and in-bucket exact
+      ranks behind the located-bucket semi-join; both scan→stack→agg
+      pipelines stay inside whole-stage codegen.
+
+    Round 2 ran three full melt scans with heavyweight agg expressions on
+    every one; here the moment expressions run once, the percentile scans
+    carry counts only, and moments re-attach as literal CASE columns."""
+    from ..operators.percentile_ops import _NBUCKETS, percentiles_from_hist
+
+    melted = _melt_lineitem(spark, sf_dir).filter(F.col("x").isNotNull())
     xi = N.iscaled("x", 2)
-    agg = melted.groupBy("col_name").agg(
-        F.count("x").alias("n"),
-        F.min("x").alias("min_x"),
-        F.max("x").alias("max_x"),
-        F.sum((F.col("x") == 0.0).cast("bigint")).alias("n_zero"),
-        *N.isum_aggs(xi, "s"),
-        *N.isum_aggs(xi * xi, "ss"),
-    )
     nd = F.col("n").cast("double")
     sx = N.isum_value("s", 2)
     ssv = N.isum_value("ss", 4)
-    moments = agg.select(
-        "col_name",
-        "n",
-        (sx / nd).alias("mean"),
-        F.round(F.sqrt((ssv - sx * sx / nd) / (nd - 1.0)), 6).alias("std"),
-        "min_x",
-        "max_x",
-        "n_zero",
+    moment_rows = (
+        melted.groupBy("col_name")
+        .agg(
+            F.count("x").alias("n"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.sum((F.col("x") == 0.0).cast("bigint")).alias("n_zero"),
+            *N.isum_aggs(xi, "s"),
+            *N.isum_aggs(xi * xi, "ss"),
+        )
+        .select(
+            "col_name",
+            "n",
+            (sx / nd).alias("mean"),
+            F.round(F.sqrt((ssv - sx * sx / nd) / (nd - 1.0)), 6).alias("std"),
+            "min_x",
+            "max_x",
+            "n_zero",
+        )
+        .collect()
     )
+    stats = {r["col_name"]: r.asDict() for r in moment_rows}
 
-    # exact quartiles via the two-phase bucketed design — no per-column
-    # global window (the histogram locates the bracketing buckets, only
-    # those are ranked); bit-identical to the oracle's window-cumsum form
-    from ..operators.percentile_ops import bucketed_exact_percentiles
+    def _case(fn) -> F.Column:
+        expr = None
+        for c in _NUM_COLS:
+            branch = fn(stats[c])
+            expr = (
+                F.when(F.col("col_name") == c, branch)
+                if expr is None
+                else expr.when(F.col("col_name") == c, branch)
+            )
+        return expr
 
-    # the moments agg already produced per-column min/max/count — hand
-    # them to the percentile phases (one less fact scan; ReuseExchange
-    # collapses the shared aggregate subtree)
-    minmax = agg.select(
+    def _bucket(s: dict) -> F.Column:
+        w = (s["max_x"] - s["min_x"]) / float(_NBUCKETS)
+        if w == 0.0:
+            return F.lit(0)
+        return F.least(
+            F.floor((F.col("x") - F.lit(s["min_x"])) / F.lit(w)).cast("int"),
+            F.lit(_NBUCKETS - 1),
+        )
+
+    with_b = melted.select(
         "col_name",
-        F.col("min_x").alias("mn"),
-        F.col("max_x").alias("mx"),
-        F.col("n").alias("ntot"),
+        "x",
+        _case(lambda s: F.lit(s["n"]).cast("bigint")).alias("ntot"),
+        F.lit(1).cast("bigint").alias("wt"),
+        _case(_bucket).alias("b"),
     )
-    percs = bucketed_exact_percentiles(
-        melted, [0.25, 0.5, 0.75], minmax=minmax
-    ).select(
+    hist = with_b.groupBy("col_name", "b", "ntot").agg(
+        F.sum("wt").alias("cnt")
+    )
+    percs = percentiles_from_hist(with_b, hist, [0.25, 0.5, 0.75])
+    return percs.select(
         "col_name",
+        _case(lambda s: F.lit(s["n"])).alias("n"),
+        _case(lambda s: F.lit(s["mean"])).alias("mean"),
+        _case(lambda s: F.lit(s["std"])).alias("std"),
+        _case(lambda s: F.lit(s["min_x"])).alias("min_x"),
         F.col("p_0").alias("q25"),
         F.col("p_1").alias("median"),
         F.col("p_2").alias("q75"),
-    )
-    return moments.join(percs, "col_name").select(
-        "col_name", "n", "mean", "std", "min_x", "q25", "median", "q75",
-        "max_x", "n_zero",
+        _case(lambda s: F.lit(s["max_x"])).alias("max_x"),
+        _case(lambda s: F.lit(s["n_zero"])).alias("n_zero"),
     )
 
 
