@@ -129,3 +129,20 @@ def test_zorder_rescan_pushes_both_dimensions(spark):
     plan = _plan(sink_zorder_scan(spark, SF_DIR))
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert any("pk_mod" in ln and "sk_mod" in ln for ln in pushed), pushed
+
+
+def test_topk_per_group_salted_two_phase(spark):
+    # the fact-side window must partition on (flag, salt) — an exchange of
+    # the raw fact into hashpartitioning(l_returnflag) alone means the
+    # 3-partition parallelism ceiling came back (VERDICT r2 #3)
+    from usw_big_data_analysis_spark.queries.windows_sorts import topk_per_group
+
+    plan = _plan(topk_per_group(spark, SF_DIR))
+    assert plan.count("Window") >= 2
+    # the exchange closest to the parquet scan (phase 1) must carry _salt
+    scan_pos = plan.rfind("Scan parquet")
+    below = plan[:scan_pos]
+    last_exchange = below.rfind("hashpartitioning(")
+    assert last_exchange != -1
+    seg = below[last_exchange : last_exchange + 120]
+    assert "_salt" in seg, seg
