@@ -106,6 +106,25 @@ def main() -> None:
             best = min(best, time.time() - t0)
         times[name] = round(best, 3)
 
+    # prepared-plan (steady-state) times: build the DataFrame once, execute
+    # repeatedly — the production shape at 100 TB, where a plan compiles
+    # once and runs against far more data. Profiling shows the cold numbers
+    # above are dominated by per-call Catalyst analysis + codegen (~0.3-1s
+    # per fresh plan; e.g. describe executes in <0.1s once compiled), a
+    # fixed cost that vanishes relative to execution at scale. Reported
+    # alongside — NOT replacing — the cold numbers so the methodology stays
+    # comparable round-over-round.
+    prepared: dict[str, float] = {}
+    for name in HEADLINE:
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        prepared[name] = round(best, 3)
+
     duck = _duck_times(sf_dir, all_oracles())
     ratio = {
         n: round(times[n] / duck[n], 2) for n in times if n in duck and duck[n] > 0
@@ -126,6 +145,13 @@ def main() -> None:
                 "ratio": ratio,
                 "duck_total_s": total_duck,
                 "total_ratio": round(total_spark / total_duck, 2)
+                if total_duck
+                else None,
+                "prepared_s": prepared,
+                "prepared_total_s": round(sum(prepared.values()), 3),
+                "prepared_total_ratio": round(
+                    sum(prepared.values()) / total_duck, 2
+                )
                 if total_duck
                 else None,
             }
