@@ -21,9 +21,11 @@ from collections.abc import Iterable
 from pyspark.ml import Pipeline
 from pyspark.ml.classification import (
     DecisionTreeClassifier,
+    FMClassifier,
     GBTClassifier,
     LinearSVC,
     LogisticRegression,
+    MultilayerPerceptronClassifier,
     NaiveBayes,
     RandomForestClassifier,
 )
@@ -34,10 +36,15 @@ from pyspark.sql import functions as F
 SEED = 42
 
 
-def classifier_zoo(seed: int = SEED) -> dict:
+def classifier_zoo(seed: int = SEED, n_features: int = 4) -> dict:
     """The distributed subset of the reference's 12+ model zoo
-    (cross-validation/wine_analysis.py:77-86). KNN/QDA/LDA have no
-    distributed spark.ml implementation — scoped out per SURVEY.md §7."""
+    (cross-validation/wine_analysis.py:77-86). KNN is covered by the
+    LSH-bucketed `knn_lsh` query (similarity.py); QDA/LDA have no
+    distributed spark.ml implementation — scoped out per SURVEY.md §7.
+    FM and MLP are the two spark.ml-native families the reference also
+    trains (MLP / NeuralNetwork at cross-validation/wine_analysis.py:77-86,
+    teamProject/models/neural_networks.py) — n_features sizes the MLP
+    input layer."""
     return {
         "logistic_regression": LogisticRegression(maxIter=50, regParam=0.01),
         "decision_tree": DecisionTreeClassifier(maxDepth=5, seed=seed),
@@ -45,6 +52,10 @@ def classifier_zoo(seed: int = SEED) -> dict:
         "gbt": GBTClassifier(maxIter=10, maxDepth=3, seed=seed),
         "naive_bayes": NaiveBayes(smoothing=1.0),  # needs non-negative features
         "linear_svc": LinearSVC(maxIter=20, regParam=0.1),
+        "fm": FMClassifier(factorSize=4, stepSize=0.1, maxIter=30, seed=seed),
+        "mlp": MultilayerPerceptronClassifier(
+            layers=[n_features, 8, 2], maxIter=40, seed=seed
+        ),
     }
 
 

@@ -157,9 +157,7 @@ _SIG_COLS = ", ".join(
 )
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
+_MINHASH_PAIRS_SQL = f"""
     WITH sh AS ({_SHINGLES_SQL}),
     sh9 AS (SELECT doc_id, {_h_sql('s')} % {_MH_P} AS h9 FROM sh),
     sig AS (
@@ -177,13 +175,18 @@ _SIG_COLS = ", ".join(
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
-    """,
+    """
+
+# pair-explode of one sorted id array: all (x, y) with x before y
+_PAIR_EXPR = (
+    "flatten(transform(ids, (x, i) -> "
+    "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"
 )
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash (k=8) signatures — ONE portable md5 per shingle, k affine
-    universal hashes over it — banded 4×2; the candidate join is on
-    (band, band_key): linear shuffle, no cross product. Verify candidates
-    with dedup_ngram_jaccard."""
+
+
+def _band_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, band_key) — MinHash (k=8) signatures banded 4×2; one
+    portable md5 per shingle, k affine universal hashes over it."""
     sh = _shingles(spark, sf_dir)
     sh9 = sh.select("doc_id", (_h_spark(F.col("s")) % _MH_P).alias("h9"))
     sig = sh9.groupBy("doc_id").agg(
@@ -195,25 +198,82 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     stack = ", ".join(
         f"{b}, concat(h{2*b}, '_', h{2*b+1})" for b in range(_BANDS)
     )
-    bands = sig.selectExpr(
+    return sig.selectExpr(
         "doc_id", f"stack({_BANDS}, {stack}) AS (band, band_key)"
     )
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_PAIRS_SQL)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH candidate pairs; the candidate join is on
+    (band, band_key): linear shuffle, no cross product. Verify candidates
+    with dedup_ngram_jaccard."""
+    bands = _band_frame(spark, sf_dir)
     # bucket-collect instead of self-join: the signature pipeline runs ONCE
     # (a self-join recomputes the shingle+md5+min pipeline for both sides —
     # measured 2x at sf0.1). Bucket members are sorted and pair-exploded;
-    # near-dup buckets are small by construction, so the explode is bounded
-    # (a pathological all-identical corpus would skew one bucket — salt the
-    # band_key with a doc_id prefix and merge if that ever matters).
+    # near-dup buckets are small by construction, so the explode is bounded.
+    # For skewed corpora (boilerplate-heavy: one bucket holds a large
+    # fraction of all docs) use dedup_minhash_salted below — same pair set,
+    # per-task state bounded by the salt fanout.
     buckets = bands.groupBy("band", "band_key").agg(
         F.array_sort(F.collect_list("doc_id")).alias("ids")
     )
-    pair_expr = (
-        "flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"
-    )
     pairs = buckets.select(
-        F.explode(F.expr(pair_expr)).alias("p")
+        F.explode(F.expr(_PAIR_EXPR)).alias("p")
     ).select("p.id_a", "p.id_b")
+    return pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("n_shared_bands"))
+
+
+_NSALT = 16  # sub-bucket fanout for the skew-bounded variant
+
+
+@query("dedup_minhash_salted", oracle=_MINHASH_PAIRS_SQL)
+def dedup_minhash_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-bounded MinHash LSH — identical pair set to dedup_minhash_lsh
+    (same oracle), but no task ever buffers a whole bucket. A 100 TB corpus
+    with boilerplate (status pages, licenses) puts a large fraction of all
+    documents into ONE (band, band_key) bucket; the plain bucket-collect
+    then builds one giant array in one task. Here each bucket splits into
+    doc_id % {_NSALT} sub-buckets (collect_list buffers bounded to
+    ~bucket/{_NSALT}):
+
+    - intra pairs: pair-explode within each sub-bucket (as before),
+    - inter pairs: sub-bucket pairs bridge via a (band, band_key) equi-join
+      with salt_a < salt_b — array×array explode, arrays stay bounded.
+
+    Every unordered in-bucket pair appears exactly once per band (same
+    salt → intra; different → inter), so counts match the unsalted form
+    bit-for-bit. The output is still quadratic in bucket size — that is
+    the operator's contract; the bound here is on per-task memory. The
+    pair-set equality and the buffer bound are pinned by
+    tests/test_dedup_salted.py on a 90%-duplicate corpus."""
+    bands = _band_frame(spark, sf_dir)
+    sub = (
+        bands.withColumn("salt", (F.col("doc_id") % _NSALT).cast("int"))
+        .groupBy("band", "band_key", "salt")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+    )
+    intra = sub.select(F.explode(F.expr(_PAIR_EXPR)).alias("p")).select(
+        "p.id_a", "p.id_b"
+    )
+    a = sub.select(
+        "band", "band_key", F.col("salt").alias("sa"), F.col("ids").alias("ids_a")
+    )
+    b = sub.select(
+        "band", "band_key", F.col("salt").alias("sb"), F.col("ids").alias("ids_b")
+    )
+    cross_expr = (
+        "flatten(transform(ids_a, x -> transform(ids_b, y -> "
+        "struct(least(x, y) AS id_a, greatest(x, y) AS id_b))))"
+    )
+    inter = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("sa") < F.col("sb"))
+        .select(F.explode(F.expr(cross_expr)).alias("p"))
+        .select("p.id_a", "p.id_b")
+    )
+    pairs = intra.unionByName(inter)
     return pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("n_shared_bands"))
 
 

@@ -91,7 +91,70 @@ def pipeline_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- M14: RF impurity importances --------------------------------------------
+# --- S8: fitted-model persistence round trip (MLWriter/MLReader) -------------
+@query(
+    "model_save_load",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_test,
+           CAST(0 AS BIGINT) AS n_diff
+    FROM lineitem
+    WHERE l_orderkey % 10 = 0 AND (l_orderkey // 10) % 5 = 4
+    """,
+)
+def model_save_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 — binary model sink (reference: best_model_pipeline.py:414-428
+    pickles/saves every trained model; the Spark-native form is
+    PipelineModel.save via MLWriter). Fits the full
+    Imputer→Assembler→Scaler→LogisticRegression pipeline, persists it,
+    reloads with PipelineModel.load, re-scores the test split with BOTH
+    models and counts prediction disagreements. The oracle pins n_diff = 0
+    and the deterministic test-split size, so a broken writer/reader or a
+    lossy parameter round trip turns the row red — the save→load→score
+    equality IS the checked value, not a side effect."""
+    import shutil
+    import tempfile
+
+    from pyspark.ml import Pipeline, PipelineModel
+    from pyspark.ml.classification import LogisticRegression
+
+    base = _task_frame(spark, sf_dir).withColumn(
+        "l_quantity",
+        F.when(F.col("row_id") % 7 == 0, None).otherwise(F.col("l_quantity")),
+    )
+    train, test = base.filter(~F.col("is_test")), base.filter(F.col("is_test"))
+    pre = ml_ops.preprocessing_pipeline(_FEATURES)
+    lr = (
+        LogisticRegression(maxIter=30)
+        .setLabelCol("label")
+        .setFeaturesCol("features")
+    )
+    pipe = Pipeline(stages=[pre, lr])
+    fitted = pipe.fit(train)
+
+    out = tempfile.mkdtemp(prefix="usw_model_save_")
+    try:
+        path = f"{out}/pipeline_model"
+        fitted.write().overwrite().save(path)
+        reloaded = PipelineModel.load(path)
+        a = fitted.transform(test).select(
+            "row_id", F.col("prediction").alias("p_orig")
+        )
+        b = reloaded.transform(test).select(
+            "row_id", F.col("prediction").alias("p_reload")
+        )
+        joined = a.join(b, "row_id")
+        return joined.agg(
+            F.count("*").alias("n_test"),
+            F.sum(
+                (F.col("p_orig") != F.col("p_reload")).cast("bigint")
+            ).alias("n_diff"),
+        )
+    finally:
+        # the returned frame is fully materialized by the aggregations
+        # above only when the caller acts on it — but the model files are
+        # read eagerly at load(); the scored frames no longer reference
+        # the on-disk model, so the directory can go now
+        shutil.rmtree(out, ignore_errors=True)
 @query("feature_importance_rf")
 def feature_importance_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.classification import RandomForestClassifier
