@@ -122,29 +122,24 @@ _RANK_BUCKETS = 1024
 def _auroc_rank_agg(s: DataFrame) -> DataFrame:
     """One-row (rank_sum_pos, npos, nneg) via the rank_ops two-phase
     prefix-sum shape (operators/rank_ops.py): quantize → per-distinct-prob
-    counts → fixed-width bucket subtotals cumulated over the ≤_RANK_BUCKETS
-    histogram → bucket-PARTITIONED in-bucket prefix. No window ever sees a
-    table whose size grows with the fact; results are bit-identical to
-    row-level rank() because below/tie counts are integers and r_avg is a
+    counts with a FIXED-domain bucket (probabilities live in [0,1], so the
+    bucket is a literal expression — no min/max pass, no bounds join) →
+    bucket subtotals cumulated over the ≤_RANK_BUCKETS histogram →
+    bucket-PARTITIONED in-bucket prefix. No window ever sees a table whose
+    size grows with the fact; results are bit-identical to row-level
+    rank() because below/tie counts are integers and r_avg is a
     half-integer."""
-    per = s.groupBy(F.round("prob", _PROB_SCALE).alias("prob")).agg(
+    vb = s.groupBy(F.round("prob", _PROB_SCALE).alias("prob")).agg(
         F.count("*").alias("t"), F.sum("label").cast("bigint").alias("tp")
-    )
-    mm = per.agg(
-        F.min("prob").alias("mn"), F.max("prob").alias("mx")
-    )
-    width = (F.col("mx") - F.col("mn")) / float(_RANK_BUCKETS)
-    bounds = mm.select(
-        "mn", F.when(width == 0.0, F.lit(1.0)).otherwise(width).alias("w")
-    )
-    vb = per.crossJoin(F.broadcast(bounds)).select(
-        "prob",
-        "t",
-        "tp",
-        F.least(
-            F.floor((F.col("prob") - F.col("mn")) / F.col("w")).cast("int"),
-            F.lit(_RANK_BUCKETS - 1),
-        ).alias("b"),
+    ).withColumn(
+        "b",
+        F.greatest(
+            F.least(
+                F.floor(F.col("prob") * _RANK_BUCKETS).cast("int"),
+                F.lit(_RANK_BUCKETS - 1),
+            ),
+            F.lit(0),
+        ),
     )
     hist = vb.groupBy("b").agg(F.sum("t").alias("bc"))
     wh = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
