@@ -15,6 +15,8 @@ extreme scale swap for percentile_approx (documented per query).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -164,53 +166,96 @@ def describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolated quartiles (pandas describe is exact), plus the reference's
     zero-count column.
 
-    Two distributed passes over the fact, no shared subtrees (Spark
-    re-executes a subtree per consumer — ReuseExchange does not collapse
-    them here, and localCheckpoint's planning overhead exceeds a cheap
-    re-scan; both measured):
+    TWO passes over the fact, no shared plan subtrees (Spark re-executes a
+    subtree per consumer — ReuseExchange does not collapse them across
+    broadcast boundaries, and localCheckpoint's planning overhead exceeds
+    a cheap re-scan; all measured — and per-pass cost at bench scale is
+    dominated by plan compilation, so pass count is THE lever):
 
-    - pass 0: the per-column moment aggregate (n/mean/std/min/max/zeros
-      from hi/lo integer sums, melt groupBy col_name), collected as 4 rows
-      of finished scalars — the same fitted-statistics collect class as
-      mlprep. Min/max/count become LITERAL bucket bounds in the percentile
-      plan: no broadcast join, no hash probe per melted row.
-    - pass 1: the percentile phases — bucket-count histogram (one
-      map-side-combinable agg over ~4×4096 groups) and in-bucket exact
-      ranks behind the located-bucket semi-join; both scan→stack→agg
-      pipelines stay inside whole-stage codegen.
+    - pass 1: a moment-carrying histogram. Buckets come from a FIXED
+      integer shift of the 2-dp-scaled value (no data-dependent bounds →
+      no min/max pre-pass, no broadcast): b = floor(round(x·100)/4096).
+      One map-side-combinable agg lands per-(col, bucket) count, zeros,
+      min/max, and hi/lo integer moment sums on the driver (≈ value-range
+      /40.96 rows per column — bounded by the value domain of fixed-point
+      business data, ~2.5k rows here; for arbitrary-range doubles use the
+      min/max two-phase in percentile_ops instead). Moments roll up from
+      the bucket partials in exact integer arithmetic; std's 6-dp rounding
+      mirrors Spark/DuckDB HALF_UP via Decimal(repr(v)).
+    - pass 2 (the returned plan): percentile bucket location (cumulate,
+      bracket order statistics floor(r)/ceil(r)) is integer arithmetic on
+      the collected histogram, done driver-side; the plan scans ONCE
+      filtered to the located buckets (literal predicate), ranks the few
+      hundred survivors in-bucket, interpolates, and attaches the literal
+      moment columns.
 
     Round 2 ran three full melt scans with heavyweight agg expressions on
-    every one; here the moment expressions run once, the percentile scans
-    carry counts only, and moments re-attach as literal CASE columns."""
-    from ..operators.percentile_ops import _NBUCKETS, percentiles_from_hist
-
+    every one plus multi-stage window/join scaffolding. Executor memory
+    stays O(1); every rank/interp value is bit-identical to the oracle's
+    window-cumsum form."""
     melted = _melt_lineitem(spark, sf_dir).filter(F.col("x").isNotNull())
     xi = N.iscaled("x", 2)
-    nd = F.col("n").cast("double")
-    sx = N.isum_value("s", 2)
-    ssv = N.isum_value("ss", 4)
-    moment_rows = (
-        melted.groupBy("col_name")
+    _SHIFT = 4096
+    b_expr = F.floor(xi / _SHIFT).cast("int")
+
+    hist = (
+        melted.groupBy("col_name", b_expr.alias("b"))
         .agg(
-            F.count("x").alias("n"),
-            F.min("x").alias("min_x"),
-            F.max("x").alias("max_x"),
-            F.sum((F.col("x") == 0.0).cast("bigint")).alias("n_zero"),
+            F.count("*").alias("cnt"),
+            F.min("x").alias("mn"),
+            F.max("x").alias("mx"),
+            F.sum((F.col("x") == 0.0).cast("bigint")).alias("nz"),
             *N.isum_aggs(xi, "s"),
             *N.isum_aggs(xi * xi, "ss"),
         )
-        .select(
-            "col_name",
-            "n",
-            (sx / nd).alias("mean"),
-            F.round(F.sqrt((ssv - sx * sx / nd) / (nd - 1.0)), 6).alias("std"),
-            "min_x",
-            "max_x",
-            "n_zero",
-        )
-        .collect()
+        .toPandas()
     )
-    stats = {r["col_name"]: r.asDict() for r in moment_rows}
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _round6(v: float) -> float:
+        # mirrors F.round(double, 6) / DuckDB round: shortest-repr decimal,
+        # HALF_UP at 6 dp (Python's built-in round is half-even — wrong)
+        return float(Decimal(repr(v)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    ps = [0.25, 0.5, 0.75]
+    stats: dict[str, dict] = {}
+    bucket_prev: dict[str, dict[int, int]] = {}
+    targets: dict[str, set] = {}
+    for c, g in hist.groupby("col_name"):
+        g = g.sort_values("b")
+        n = int(g["cnt"].sum())
+        s_tot = int(g["s__hi"].sum()) * 1_000_000_000 + int(g["s__lo"].sum())
+        ss_tot = int(g["ss__hi"].sum()) * 1_000_000_000 + int(g["ss__lo"].sum())
+        sx = float(s_tot) / 100.0
+        ssv = float(ss_tot) / 10000.0
+        nd = float(n)
+        mean = sx / nd
+        std = _round6(math.sqrt((ssv - sx * sx / nd) / (nd - 1.0)))
+        stats[c] = {
+            "n": n,
+            "mean": mean,
+            "std": std,
+            "min_x": float(g["mn"].min()),
+            "max_x": float(g["mx"].max()),
+            "n_zero": int(g["nz"].sum()),
+        }
+        prevs, cum = {}, 0
+        pairs = list(zip(g["b"].astype(int), g["cnt"].astype(int)))
+        for b, cnt in pairs:
+            prevs[b] = cum
+            cum += cnt
+        bucket_prev[c] = prevs
+        tset = set()
+        for p in ps:
+            r = (n - 1) * p + 1
+            for rk in (math.floor(r), math.ceil(r)):
+                # the bucket whose cumulative range covers rank rk
+                for b, cnt in pairs:
+                    if prevs[b] < rk <= prevs[b] + cnt:
+                        tset.add(b)
+                        break
+        targets[c] = tset
 
     def _case(fn) -> F.Column:
         expr = None
@@ -223,26 +268,60 @@ def describe(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return expr
 
-    def _bucket(s: dict) -> F.Column:
-        w = (s["max_x"] - s["min_x"]) / float(_NBUCKETS)
-        if w == 0.0:
-            return F.lit(0)
-        return F.least(
-            F.floor((F.col("x") - F.lit(s["min_x"])) / F.lit(w)).cast("int"),
-            F.lit(_NBUCKETS - 1),
-        )
+    with_b = melted.select("col_name", "x", b_expr.alias("b"))
 
-    with_b = melted.select(
+    # pass 2 (returned plan): literal-predicate scan of the located
+    # buckets only, tiny in-bucket rank window, interpolate
+    keep = None
+    for c in _NUM_COLS:
+        cond = (F.col("col_name") == c) & F.col("b").isin(*sorted(targets[c]))
+        keep = cond if keep is None else keep | cond
+    vals = (
+        with_b.filter(keep)
+        .groupBy("col_name", "b", "x")
+        .agg(F.count("*").alias("cnt"))
+    )
+    prev_case = None
+    for c in _NUM_COLS:
+        for b in sorted(targets[c]):
+            cond = (F.col("col_name") == c) & (F.col("b") == b)
+            branch = F.lit(bucket_prev[c][b]).cast("bigint")
+            prev_case = (
+                F.when(cond, branch)
+                if prev_case is None
+                else prev_case.when(cond, branch)
+            )
+    wv = Window.partitionBy("col_name", "b").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    in_bucket = F.sum("cnt").over(wv)
+    ranked = vals.select(
         "col_name",
         "x",
-        _case(lambda s: F.lit(s["n"]).cast("bigint")).alias("ntot"),
-        F.lit(1).cast("bigint").alias("wt"),
-        _case(_bucket).alias("b"),
+        (prev_case + in_bucket).alias("cum"),
+        (prev_case + in_bucket - F.col("cnt")).alias("prev"),
     )
-    hist = with_b.groupBy("col_name", "b", "ntot").agg(
-        F.sum("wt").alias("cnt")
-    )
-    percs = percentiles_from_hist(with_b, hist, [0.25, 0.5, 0.75])
+    hit_cols = []
+    for i, p in enumerate(ps):
+        r = _case(lambda s, p=p: F.lit(math.floor((s["n"] - 1) * p + 1)))
+        r_hi = _case(lambda s, p=p: F.lit(math.ceil((s["n"] - 1) * p + 1)))
+        vlo = F.max(F.when((F.col("prev") < r) & (F.col("cum") >= r), F.col("x")))
+        vhi = F.max(F.when((F.col("prev") < r_hi) & (F.col("cum") >= r_hi), F.col("x")))
+        hit_cols.extend([vlo.alias(f"vlo_{i}"), vhi.alias(f"vhi_{i}")])
+    hits = ranked.groupBy("col_name").agg(*hit_cols)
+    interp_cols = []
+    for i, p in enumerate(ps):
+        frac = _case(
+            lambda s, p=p: F.lit(
+                (s["n"] - 1) * p + 1 - math.floor((s["n"] - 1) * p + 1)
+            )
+        )
+        interp_cols.append(
+            (F.col(f"vlo_{i}") + frac * (F.col(f"vhi_{i}") - F.col(f"vlo_{i}"))).alias(
+                f"p_{i}"
+            )
+        )
+    percs = hits.select("col_name", *interp_cols)
     return percs.select(
         "col_name",
         _case(lambda s: F.lit(s["n"])).alias("n"),
