@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from ..functions import numeric as N
 from ..registry import query
 from ..sources import load_table
-from ._shared import _PRED_SQL, _TRUTH_SQL, pred_frame, truth_frame
+from ._shared import _PRED_SQL, _TRUTH_SQL
 
 _SCORED_SQL = f"""
   SELECT t.id, t.label, p.prob, p.pred
@@ -30,7 +30,22 @@ _SCORED_SQL = f"""
 
 
 def scored_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return truth_frame(spark, sf_dir).join(pred_frame(spark, sf_dir), "id")
+    """label+prob+pred in ONE projection of orders. Semantically this is
+    truth_frame ⋈ pred_frame on id — but both sides derive from the same
+    orders row and o_orderkey is unique, so the join is an identity Spark
+    cannot prove (no uniqueness constraints): writing it as a join costs
+    two scans plus a sort-merge shuffle in EVERY metric query. The oracle
+    keeps the explicit join form (DuckDB flattens it); J2's
+    `join_pred_truth` still exercises the real join."""
+    prob = (
+        (F.col("o_orderkey") * F.lit(2654435761)) % 1000
+    ).cast("double") / 1000.0
+    return load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        (F.col("o_totalprice") > 150000.0).cast("int").alias("label"),
+        prob.alias("prob"),
+        (prob >= 0.5).cast("int").alias("pred"),
+    )
 
 
 # --- E8: accuracy (cross-validation/wine_analysis.py:109) -------------------
