@@ -41,6 +41,20 @@ def short_doc_dir():
     shutil.rmtree(d, ignore_errors=True)
 
 
+def test_shingles_short_docs(spark, short_doc_dir):
+    # same bug class in the dedup shingle generator: a <3-word doc must
+    # produce zero shingles, not a descending-sequence slice error
+    from usw_big_data_analysis_spark.queries.dedup import _shingles
+
+    rows = _shingles(spark, short_doc_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], 0)
+        by_doc[r["doc_id"]] += 1
+    assert 1 not in by_doc and 2 not in by_doc  # "" and "one" yield none
+    assert by_doc[0] == 8  # 10-word doc -> 8 distinct 3-shingles
+
+
 def test_decontam_ngram_short_docs(spark, short_doc_dir):
     rows = {
         r["source"]: r.asDict()

@@ -39,16 +39,24 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     toks = F.split("text", " ")
+    # guard docs shorter than one shingle: F.sequence(1, 0) defaults its
+    # step to -1 and the descending indices hit element_at(toks, 0) →
+    # runtime error (same class as the decontam_ngram short-doc bug,
+    # ADVICE r2). DuckDB's generate_series(1, 0) is empty, so the empty
+    # array matches the oracle exactly.
     sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
+        F.when(
+            F.size(toks) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                ),
             ),
-        )
+        ).otherwise(F.array().cast("array<string>"))
     )
     return docs.select("doc_id", F.explode(sh).alias("s"))
 

@@ -68,17 +68,22 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase top-k: l_returnflag has 3 distinct values, so a single
     window over it shuffles the whole fact into 3 tasks, each fully sorted
     — a parallelism ceiling of 3 at any scale. Phase 1 salts the window
-    partition with spark_partition_id(): every (flag, input-partition)
-    slice keeps its local top-10 in parallel (any global top-10 row is in
-    its slice's top-10), leaving ≤ 10·P survivors; phase 2 ranks those few
-    hundred rows per flag. The tie order (price desc, orderkey, linenumber)
+    partition with a key hash (layout-independent, unlike
+    spark_partition_id whose fan-out is capped by the input split count):
+    every (flag, salt) slice keeps its local top-10 in parallel (any
+    global top-10 row is in its slice's top-10 for ANY row→salt
+    assignment), leaving ≤ 10·S survivors per flag; phase 2 ranks those
+    few hundred rows. The tie order (price desc, orderkey, linenumber)
     is total, so both phases and the oracle agree deterministically."""
     li = load_table(spark, sf_dir, "lineitem")
     cols = ["l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"]
     order = [
         F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
     ]
-    salted = li.select(*cols, F.spark_partition_id().alias("_salt"))
+    salted = li.select(
+        *cols,
+        F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(32)).alias("_salt"),
+    )
     w1 = Window.partitionBy("l_returnflag", "_salt").orderBy(*order)
     local = (
         salted.withColumn("_rn", F.row_number().over(w1))
