@@ -192,17 +192,22 @@ _PAIR_EXPR = (
 )
 
 
-def _band_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band, band_key) — MinHash (k=8) signatures banded 4×2; one
-    portable md5 per shingle, k affine universal hashes over it."""
+def _sig_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h0..h{_K-1}) MinHash signatures — one portable md5 per
+    shingle, k affine universal hashes over it."""
     sh = _shingles(spark, sf_dir)
     sh9 = sh.select("doc_id", (_h_spark(F.col("s")) % _MH_P).alias("h9"))
-    sig = sh9.groupBy("doc_id").agg(
+    return sh9.groupBy("doc_id").agg(
         *[
             F.min((F.lit(_A[j]) * F.col("h9") + _B[j]) % _MH_P).alias(f"h{j}")
             for j in range(_K)
         ]
     )
+
+
+def _band_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, band_key) — MinHash signatures banded 4×2."""
+    sig = _sig_frame(spark, sf_dir)
     stack = ", ".join(
         f"{b}, concat(h{2*b}, '_', h{2*b+1})" for b in range(_BANDS)
     )
@@ -283,6 +288,120 @@ def dedup_minhash_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = intra.unionByName(inter)
     return pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("n_shared_bands"))
+
+
+@query(
+    "minhash_jaccard_estimate",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sh9 AS (SELECT doc_id, {_h_sql('s')} % {_MH_P} AS h9 FROM sh),
+    sig AS (
+      SELECT doc_id,
+             {_SIG_COLS}
+      FROM sh9 GROUP BY doc_id
+    ),
+    bands AS (
+      {' UNION ALL '.join(
+        f"SELECT doc_id, {b} AS band, concat(h{2*b}, '_', h{2*b+1}) AS band_key FROM sig"
+        for b in range(_BANDS))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             ({' + '.join(f"CAST(sa.h{j} = sb.h{j} AS INT)" for j in range(_K))})
+               / CAST({_K} AS DOUBLE) AS est_jaccard
+      FROM cand c JOIN sig sa ON c.id_a = sa.doc_id
+                  JOIN sig sb ON c.id_b = sb.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT e.id_a, e.id_b, e.est_jaccard,
+           round(CAST(coalesce(i.n_common, 0) AS DOUBLE)
+                 / (sa.n + sb.n - coalesce(i.n_common, 0)), 6) AS exact_jaccard,
+           round(abs(e.est_jaccard
+                     - CAST(coalesce(i.n_common, 0) AS DOUBLE)
+                       / (sa.n + sb.n - coalesce(i.n_common, 0))), 6) AS abs_err
+    FROM est e
+    LEFT JOIN inter i ON e.id_a = i.id_a AND e.id_b = i.id_b
+    JOIN sizes sa ON e.id_a = sa.doc_id
+    JOIN sizes sb ON e.id_b = sb.doc_id
+    """,
+)
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified-approximation contract applied to MinHash itself: for
+    every LSH candidate pair, the signature-level Jaccard estimate
+    (matching minhash coordinates / k) next to the EXACT shingle Jaccard
+    and their absolute error — the audit a production dedup pipeline runs
+    before trusting a (k, bands) configuration at 100 TB. Candidates come
+    from the banded equi-join (never all-pairs); the exact side touches
+    only candidate pairs via the shared-shingle equi-join. E[est] = J by
+    the MinHash theorem; k=8 quantizes est to 1/8 steps, which is exactly
+    why the error column — not a fixed gate — is the contract."""
+    sig = _sig_frame(spark, sf_dir)
+    bands = _band_frame(spark, sf_dir)
+    buckets = bands.groupBy("band", "band_key").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    )
+    cand = (
+        buckets.select(F.explode(F.expr(_PAIR_EXPR)).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"h{j}").alias(f"a{j}") for j in range(_K)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"h{j}").alias(f"b{j}") for j in range(_K)],
+    )
+    matches = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("int") for j in range(_K)
+    )
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b", (matches / float(_K)).alias("est_jaccard")
+        )
+    )
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    szs_a = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    szs_b = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    nc = F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
+    exact = nc / (F.col("na") + F.col("nb") - nc)
+    return (
+        est.join(inter, ["id_a", "id_b"], "left")
+        .join(szs_a, "id_a")
+        .join(szs_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            F.round(exact, 6).alias("exact_jaccard"),
+            F.round(F.abs(F.col("est_jaccard") - exact), 6).alias("abs_err"),
+        )
+    )
 
 
 # --- SimHash fingerprints (north star) --------------------------------------
