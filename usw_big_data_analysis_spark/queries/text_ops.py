@@ -309,3 +309,130 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_ratio"), "w1", "w2")
         .limit(20)
     )
+
+
+# --- BPE merge training (north star: tokenizer training over the corpus) ----
+_BPE_VOCAB = 4096  # word-frequency table truncation (standard BPE practice)
+_BPE_ROUNDS = 5
+
+
+def _bpe_oracle() -> str:
+    """The same greedy BPE rounds as static SQL: each stage extracts
+    adjacent symbol pairs, takes the (freq-weighted) top pair with a
+    (count desc, left, right) total order, and folds the merge through
+    list_reduce — the identical accumulator fold the Spark side runs."""
+    parts = [
+        f"""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    vocab AS (
+      SELECT word, count(*) AS freq FROM tok WHERE word <> ''
+      GROUP BY word ORDER BY count(*) DESC, word LIMIT {_BPE_VOCAB}
+    ),
+    state0 AS (
+      SELECT word, freq,
+             list_concat(regexp_split_to_array(word, ''), ['</w>']) AS syms
+      FROM vocab
+    )"""
+    ]
+    for r in range(1, _BPE_ROUNDS + 1):
+        parts.append(
+            f""",
+    pairs{r} AS (
+      SELECT syms[i] AS a, syms[i + 1] AS b, freq
+      FROM state{r - 1}, unnest(generate_series(1, len(syms) - 1)) AS t(i)
+    ),
+    top{r} AS (
+      SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM pairs{r} GROUP BY a, b
+      ORDER BY cnt DESC, a, b LIMIT 1
+    )"""
+        )
+        if r < _BPE_ROUNDS:
+            parts.append(
+                f""",
+    state{r} AS (
+      SELECT word, freq,
+             list_reduce(
+               list_transform(syms, s -> [s]),
+               (acc, x) -> CASE WHEN acc[-1] = t.a AND x[1] = t.b
+                                THEN list_concat(
+                                       list_slice(acc, 1, len(acc) - 1),
+                                       [t.a || t.b])
+                                ELSE list_concat(acc, x) END) AS syms
+      FROM state{r - 1}, top{r} t
+    )"""
+            )
+    unions = "\n    UNION ALL ".join(
+        f"SELECT {r} AS round, a AS left_sym, b AS right_sym, cnt AS pair_count FROM top{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    parts.append(f"\n    {unions}")
+    return "".join(parts)
+
+
+@query("tokenizer_bpe_merges", oracle=_bpe_oracle())
+def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training — the first {rounds} merge rules
+    learned from the corpus, exactly as a tokenizer trainer derives them:
+    word-frequency table (truncated to the top {vocab} words — the
+    standard BPE practice that bounds state at any corpus size), symbols
+    initialised to characters + '</w>', then per round (1) adjacent-pair
+    counts weighted by word frequency — one map-side-combinable aggregate
+    over the compact (word, freq, syms) state, (2) argmax pair under a
+    total order, (3) a greedy left-to-right merge fold applied to every
+    word's symbol array. The state lives in Spark (at 100 TB the word
+    table is built by the same distributed groupBy); only the single top
+    pair is collected per round, and the state is locally checkpointed
+    between rounds to keep plan depth constant (graph_kcore pattern).
+    Output: (round, left_sym, right_sym, pair_count) — hash-checked
+    against a 5-stage DuckDB oracle running the identical fold.
+    """.format(rounds=_BPE_ROUNDS, vocab=_BPE_VOCAB)
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+        .limit(_BPE_VOCAB)
+    )
+    chars = F.filter(F.split("word", "(?!^)"), lambda x: x != "")
+    state = vocab.select(
+        "word", "freq", F.concat(chars, F.array(F.lit("</w>"))).alias("syms")
+    )
+    pair_expr = F.expr(
+        "CASE WHEN size(syms) >= 2 THEN "
+        "transform(sequence(1, size(syms) - 1), "
+        "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b)) "
+        "ELSE CAST(array() AS array<struct<a:string,b:string>>) END"
+    )
+    results = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        pc = (
+            state.select("freq", F.explode(pair_expr).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = pc.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()[0]
+        results.append((r, top["a"], top["b"], int(top["cnt"])))
+        if r < _BPE_ROUNDS:
+            a, b = top["a"], top["b"]
+            merge = F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(a))
+                    & (s == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            )
+            state = state.select("word", "freq", merge.alias("syms")).localCheckpoint(
+                eager=True
+            )
+    return spark.createDataFrame(
+        results, "round int, left_sym string, right_sym string, pair_count bigint"
+    )
