@@ -306,6 +306,15 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal cosine confirms within buckets, keep pairs ≥ {_DUP_TAU}. The
     dedup action downstream is `keep min(id) per connected component`
     (connected components via iterated min-propagation — out of SQL scope)."""
+    return _dup_candidate_cosines(spark, sf_dir).filter(
+        F.col("cosine") >= _DUP_TAU
+    )
+
+
+def _dup_candidate_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b, cosine) for every LSH-bucket candidate pair of the
+    duplicated corpus — the shared head of dedup_embed_cosine and the
+    threshold sweep."""
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.select("vec_id", "embedding").unionByName(
         emb.select((F.col("vec_id") + _SHIFT).alias("vec_id"), "embedding")
@@ -346,12 +355,92 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nb"), "bucket",
     )
     pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
-    cos = pairs.select(
+    return pairs.select(
         "id_a",
         "id_b",
         F.round(_dec_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6).alias("cosine"),
     )
-    return cos.filter(F.col("cosine") >= _DUP_TAU)
+
+
+_SWEEP_TAUS = [0.80, 0.85, 0.90, 0.95]
+
+
+@query(
+    "embed_dedup_threshold_sweep",
+    oracle=f"""
+    WITH expl AS ({_DUP_EXPL_SQL}),
+    norms AS ({_NORMS_SQL}),
+    buckets AS ({_BUCKET_SQL}),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.pos, a.v AS va, b.v AS vb
+      FROM expl a
+      JOIN buckets ba ON a.vec_id = ba.vec_id
+      JOIN buckets bb ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
+      JOIN expl b ON b.vec_id = bb.vec_id AND a.pos = b.pos
+    ),
+    dots AS (
+      SELECT id_a, id_b,
+             CAST(sum(CAST(va * vb AS DECIMAL(20,12))) AS DOUBLE) AS dot
+      FROM cand GROUP BY id_a, id_b
+    ),
+    cos AS (
+      SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+      FROM dots JOIN norms na ON id_a = na.vec_id
+                JOIN norms nb ON id_b = nb.vec_id
+    ),
+    th AS (SELECT unnest([{', '.join(repr(t) for t in _SWEEP_TAUS)}]) AS tau),
+    pairs_t AS (
+      SELECT t.tau, count(*) AS n FROM cos c JOIN th t ON c.cosine >= t.tau
+      GROUP BY t.tau
+    ),
+    docs_t AS (
+      SELECT t.tau, count(DISTINCT u.vid) AS n
+      FROM (SELECT id_a AS vid, cosine FROM cos
+            UNION ALL SELECT id_b, cosine FROM cos) u
+      JOIN th t ON u.cosine >= t.tau GROUP BY t.tau
+    )
+    SELECT th.tau,
+           CAST(coalesce(pairs_t.n, 0) AS BIGINT) AS n_dup_pairs,
+           CAST(coalesce(docs_t.n, 0) AS BIGINT) AS n_docs_flagged
+    FROM th LEFT JOIN pairs_t ON th.tau = pairs_t.tau
+            LEFT JOIN docs_t ON th.tau = docs_t.tau
+    """,
+)
+def embed_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-rate curve vs cosine threshold — the calibration run a
+    pipeline does before committing a near-dup cutoff at corpus scale:
+    for each candidate threshold, how many candidate pairs and how many
+    distinct documents would be flagged. ONE pass over the LSH-bucketed
+    candidate cosines (never all-pairs); the 4-row threshold dim
+    cross-joins in broadcast, zero-count thresholds survive via the
+    left join from the dim — same frame both engines."""
+    cos = _dup_candidate_cosines(spark, sf_dir)
+    taus = ", ".join(f"(CAST({t!r} AS DOUBLE))" for t in _SWEEP_TAUS)
+    th = spark.sql(f"SELECT * FROM VALUES {taus} AS t(tau)")
+    pairs_t = (
+        cos.crossJoin(F.broadcast(th))
+        .filter(F.col("cosine") >= F.col("tau"))
+        .groupBy("tau")
+        .agg(F.count("*").alias("np"))
+    )
+    both = cos.select(
+        F.explode(F.array("id_a", "id_b")).alias("vid"), "cosine"
+    )
+    docs_t = (
+        both.crossJoin(F.broadcast(th))
+        .filter(F.col("cosine") >= F.col("tau"))
+        .groupBy("tau")
+        .agg(F.countDistinct("vid").alias("nd"))
+    )
+    return (
+        th.join(pairs_t, "tau", "left")
+        .join(docs_t, "tau", "left")
+        .select(
+            "tau",
+            F.coalesce(F.col("np"), F.lit(0)).cast("bigint").alias("n_dup_pairs"),
+            F.coalesce(F.col("nd"), F.lit(0)).cast("bigint").alias("n_docs_flagged"),
+        )
+    )
 
 
 # --- product quantization: subvector codebook assignment ---------------------
