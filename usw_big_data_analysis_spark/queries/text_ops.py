@@ -436,3 +436,146 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         results, "round int, left_sym string, right_sym string, pair_count bigint"
     )
+
+
+def _bpe_apply_oracle() -> str:
+    """Training stages (same as _bpe_oracle) + application: the learned
+    merges fold over every distinct (source, word), then token counts
+    roll up weighted by occurrence count."""
+    head = _bpe_oracle().rsplit("SELECT 1 AS round", 1)[0]
+    # head ends after top5's CTE; drop the final UNION SELECT block
+    head = head.rstrip().rstrip(",")
+    folds = []
+    prev = "w0"
+    for r in range(1, _BPE_ROUNDS + 1):
+        folds.append(
+            f""",
+    w{r} AS (
+      SELECT source, word, {prev}.cnt AS cnt,
+             list_reduce(
+               list_transform(syms, s -> [s]),
+               (acc, x) -> CASE WHEN acc[-1] = t.a AND x[1] = t.b
+                                THEN list_concat(
+                                       list_slice(acc, 1, len(acc) - 1),
+                                       [t.a || t.b])
+                                ELSE list_concat(acc, x) END) AS syms
+      FROM {prev}, top{r} t
+    )"""
+        )
+        prev = f"w{r}"
+    return (
+        head
+        + """,
+    wsrc AS (
+      SELECT source, word, count(*) AS cnt
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY source, word
+    ),
+    w0 AS (
+      SELECT source, word, cnt,
+             list_concat(regexp_split_to_array(word, ''), ['</w>']) AS syms
+      FROM wsrc
+    )"""
+        + "".join(folds)
+        + f"""
+    SELECT source,
+           CAST(sum(cnt) AS BIGINT) AS n_words,
+           CAST(sum(cnt * (length(word) + 1)) AS BIGINT) AS n_char_tokens,
+           CAST(sum(cnt * len(syms)) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(sum(cnt * len(syms)) AS DOUBLE)
+                 / sum(cnt * (length(word) + 1)), 6) AS compression
+    FROM w{_BPE_ROUNDS} GROUP BY source
+    """
+    )
+
+
+@query("tokenizer_bpe_apply", oracle=_bpe_apply_oracle())
+def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges to the WHOLE corpus and measure the
+    per-source token compression — the end-to-end tokenizer loop (train
+    on the word table, tokenize every occurrence, budget the token
+    counts) a training-data pipeline runs to cost a mixture. Application
+    folds the {r} learned merges over each distinct (source, word) — the
+    distinct-word table, not the raw occurrences, carries the fold, and
+    occurrence counts re-weight the rollup (at 100 TB the distinct-word
+    table is orders of magnitude smaller than the corpus). Output per
+    source: word count, char-level token count, BPE token count, and the
+    compression ratio.""".format(r=_BPE_ROUNDS)
+    docs = load_table(spark, sf_dir, "documents")
+    # training loop (collects one top pair per round, as in
+    # tokenizer_bpe_merges)
+    words = docs.select(F.explode(F.split("text", " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+        .limit(_BPE_VOCAB)
+    )
+    chars = F.filter(F.split("word", "(?!^)"), lambda x: x != "")
+    state = vocab.select(
+        "word", "freq", F.concat(chars, F.array(F.lit("</w>"))).alias("syms")
+    )
+    pair_expr = F.expr(
+        "CASE WHEN size(syms) >= 2 THEN "
+        "transform(sequence(1, size(syms) - 1), "
+        "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b)) "
+        "ELSE CAST(array() AS array<struct<a:string,b:string>>) END"
+    )
+
+    def _merge_fold(a: str, b: str):
+        return lambda col: F.aggregate(
+            col,
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (s == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+
+    merges = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        pc = (
+            state.select("freq", F.explode(pair_expr).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = pc.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()[0]
+        merges.append((top["a"], top["b"]))
+        if r < _BPE_ROUNDS:
+            state = state.select(
+                "word", "freq", _merge_fold(top["a"], top["b"])(F.col("syms")).alias("syms")
+            ).localCheckpoint(eager=True)
+
+    # application: fold all merges over the per-source distinct-word table
+    wsrc = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    syms_col = F.concat(chars, F.array(F.lit("</w>")))
+    for a, b in merges:
+        syms_col = _merge_fold(a, b)(syms_col)
+    toks = wsrc.select(
+        "source",
+        "cnt",
+        (F.length("word") + 1).alias("n_char"),
+        F.size(syms_col).alias("n_tok"),
+    )
+    return toks.groupBy("source").agg(
+        F.sum("cnt").alias("n_words"),
+        F.sum(F.col("cnt") * F.col("n_char")).alias("n_char_tokens"),
+        F.sum(F.col("cnt") * F.col("n_tok")).alias("n_bpe_tokens"),
+        F.round(
+            F.sum(F.col("cnt") * F.col("n_tok")).cast("double")
+            / F.sum(F.col("cnt") * F.col("n_char")),
+            6,
+        ).alias("compression"),
+    )
