@@ -34,3 +34,16 @@ def test_no_duplicate_registration():
     registry._load()
     registry._load()
     assert len(registry.all_queries()) == len(set(registry.all_queries()))
+
+
+def test_bench_headline_keys_registered():
+    # bench.py must keep timing real registered queries (a renamed key
+    # would silently bench nothing)
+    import bench
+    from usw_big_data_analysis_spark.registry import all_oracles, all_queries
+
+    qs = all_queries()
+    oracles = all_oracles()
+    for name in bench.HEADLINE:
+        assert name in qs, name
+        assert name in oracles, f"{name} lost its oracle (ratio would vanish)"
