@@ -53,7 +53,7 @@ def _duck_times(sf_dir: str, oracles: dict[str, str]) -> dict[str, float]:
     """Time each headline query's DuckDB oracle on the same parquet — the
     per-query baseline ratio the 2x contract is graded on (VERDICT round 1
     measured this externally; keeping it in-repo makes the headroom visible
-    every round). Same methodology as the Spark side: one warmup, best of 3."""
+    every round). Same methodology as the Spark side: one warmup, best of 5."""
     import duckdb
 
     from usw_big_data_analysis_spark.sources.tables import TABLES
@@ -70,7 +70,7 @@ def _duck_times(sf_dir: str, oracles: dict[str, str]) -> dict[str, float]:
             continue
         con.execute(sql).fetchall()  # warmup (buffer pool, casts compiled)
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.time()
             con.execute(sql).fetchall()
             best = min(best, time.time() - t0)
@@ -95,12 +95,14 @@ def main() -> None:
     for name in HEADLINE:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # best-of-3 timed runs per query: the min is the standard noise-robust
-    # estimator (this box shows multi-second co-tenant interference spikes)
+    # best-of-5 timed runs per query (both engines): the min is the standard
+    # noise-robust estimator — this box shows multi-second co-tenant
+    # interference spikes, and measured run-to-run swings of 50%+ made 3
+    # samples too few for a stable floor
     times: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
