@@ -452,3 +452,77 @@ def quality_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.col("sum_nlog") > F.lit(8500000000) * F.col("n_tok")).cast("bigint")
         ).alias("n_filtered"),
     )
+
+
+# --- filter-funnel attrition report ------------------------------------------
+_FUNNEL_MIN_WORDS = 30
+
+
+@query(
+    "pipeline_filter_funnel",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, lang, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    wc AS (
+      SELECT doc_id, source, lang, word, count(*) AS c
+      FROM tok GROUP BY doc_id, source, lang, word
+    ),
+    per_doc AS (
+      SELECT doc_id, source,
+             CAST(max(CAST(lang = 'en' AS INT)) AS INT) AS f_lang,
+             CAST(sum(c) AS BIGINT) AS n_words,
+             CAST(max(c) AS BIGINT) AS top_count
+      FROM wc GROUP BY doc_id, source
+    ),
+    flags AS (
+      SELECT source,
+             f_lang = 1 AS g1,
+             f_lang = 1 AND n_words >= {_FUNNEL_MIN_WORDS} AS g2,
+             f_lang = 1 AND n_words >= {_FUNNEL_MIN_WORDS}
+               AND 10 * top_count <= n_words AS g3
+      FROM per_doc
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CAST(g1 AS BIGINT)) AS BIGINT) AS n_after_lang,
+           CAST(sum(CAST(g2 AS BIGINT)) AS BIGINT) AS n_after_length,
+           CAST(sum(CAST(g3 AS BIGINT)) AS BIGINT) AS n_after_dominance,
+           round(CAST(sum(CAST(g3 AS BIGINT)) AS DOUBLE) / count(*), 6)
+             AS keep_rate
+    FROM flags GROUP BY source
+    """,
+)
+def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source attrition through the successive corpus quality gates —
+    the funnel report every cleaning pipeline publishes (how many docs
+    each rule removed, per source): language gate → minimum-length gate →
+    Gopher top-word-dominance gate, counted CUMULATIVELY (a doc must pass
+    all earlier gates to count at a stage). One (doc, word) count pass
+    feeds per-doc flags; both aggregation levels are map-side partial —
+    same shuffle shape as quality_repetition, nothing quadratic."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", "lang", F.explode(F.split("text", " ")).alias("word")
+    )
+    wc = tok.groupBy("doc_id", "source", "lang", "word").agg(
+        F.count("*").alias("c")
+    )
+    per_doc = wc.groupBy("doc_id", "source").agg(
+        F.max((F.col("lang") == "en").cast("int")).alias("f_lang"),
+        F.sum("c").alias("n_words"),
+        F.max("c").alias("top_count"),
+    )
+    g1 = F.col("f_lang") == 1
+    g2 = g1 & (F.col("n_words") >= _FUNNEL_MIN_WORDS)
+    g3 = g2 & (10 * F.col("top_count") <= F.col("n_words"))
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.sum(g1.cast("bigint")).alias("n_after_lang"),
+        F.sum(g2.cast("bigint")).alias("n_after_length"),
+        F.sum(g3.cast("bigint")).alias("n_after_dominance"),
+        F.round(
+            F.sum(g3.cast("bigint")).cast("double") / F.count("*"), 6
+        ).alias("keep_rate"),
+    )
