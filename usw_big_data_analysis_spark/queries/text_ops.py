@@ -579,3 +579,49 @@ def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("compression"),
     )
+
+
+@query(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH s AS (
+      SELECT lang,
+             CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                                            x -> x IN {_STOP_SQL})) AS DOUBLE)
+                       / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.05
+                  THEN 'en' ELSE 'other' END AS guess
+      FROM documents
+    )
+    SELECT lang, guess, count(*) AS n,
+           round(CAST(count(*) AS DOUBLE)
+                 / sum(count(*)) OVER (PARTITION BY lang), 6) AS frac_of_lang
+    FROM s GROUP BY lang, guess
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion table for the language-ID heuristic against the labeled
+    lang column — the calibration check run before trusting a cheap
+    classifier to gate a 100 TB corpus (how much non-English survives an
+    'en' gate, how much English it drops). One scan + one aggregate; the
+    per-lang row normalization is a window over the tiny confusion
+    table."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    en_score = F.size(
+        F.filter(toks, lambda x: F.array_contains(stop_arr, x))
+    ).cast("double") / F.size(toks).cast("double")
+    s = docs.select(
+        "lang",
+        F.when(en_score >= 0.05, "en").otherwise("other").alias("guess"),
+    )
+    counts = s.groupBy("lang", "guess").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window as W
+
+    tot = F.sum("n").over(W.partitionBy("lang"))
+    return counts.select(
+        "lang",
+        "guess",
+        "n",
+        F.round(F.col("n").cast("double") / tot, 6).alias("frac_of_lang"),
+    )
