@@ -952,3 +952,53 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return cos.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _TOPK)
+
+
+@query(
+    "embed_norm_audit",
+    oracle=f"""
+    WITH expl AS ({_EXPL_SQL}),
+    norms AS (
+      SELECT vec_id, any_value(dim) AS dim,
+             sqrt(CAST(sum(CAST(v * v AS DECIMAL(20,12))) AS DOUBLE)) AS nrm
+      FROM (SELECT vec_id, pos, v,
+                   count(*) OVER (PARTITION BY vec_id) AS dim
+            FROM expl)
+      GROUP BY vec_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(min(dim) AS INT) AS dim_min,
+           CAST(max(dim) AS INT) AS dim_max,
+           round(min(nrm), 6) AS norm_min,
+           round(CAST(sum(CAST(round(nrm, 9) AS DECIMAL(25,12))) AS DOUBLE)
+                 / count(*), 6) AS norm_mean,
+           round(max(nrm), 6) AS norm_max,
+           CAST(sum(CAST(nrm = 0.0 AS BIGINT)) AS BIGINT) AS n_zero_vectors
+    FROM norms
+    """,
+)
+def embed_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column sanity audit before any similarity work: vector
+    count, dimension consistency (min/max length — a ragged column breaks
+    every kernel downstream), L2-norm distribution, and zero-vector count
+    (cosine is undefined on them). One scan; norms come from the exact
+    integer-fold dot product, the mean over 9-dp-rounded decimal sums so
+    both engines agree bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    withn = emb.select(
+        F.size("embedding").alias("dim"),
+        F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    return withn.agg(
+        F.count("*").alias("n_vectors"),
+        F.min("dim").alias("dim_min"),
+        F.max("dim").alias("dim_max"),
+        F.round(F.min("nrm"), 6).alias("norm_min"),
+        F.round(
+            F.sum(F.round("nrm", 9).cast("decimal(25,12)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("norm_mean"),
+        F.round(F.max("nrm"), 6).alias("norm_max"),
+        F.sum((F.col("nrm") == 0.0).cast("bigint")).alias("n_zero_vectors"),
+    )
