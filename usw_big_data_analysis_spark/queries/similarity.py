@@ -508,6 +508,99 @@ def embed_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embed_pq_search",
+    oracle=f"""
+    WITH expl AS ({_EXPL_SQL}),
+    cb AS (SELECT vec_id AS code, pos, v AS cv FROM expl WHERE vec_id < {_PQ_CODES}),
+    dist AS (
+      SELECT e.vec_id, CAST(e.pos // 8 AS INT) AS subspace, c.code,
+             sum(CAST((e.v - c.cv) * (e.v - c.cv) AS DECIMAL(25,12))) AS d2
+      FROM expl e JOIN cb c ON e.pos = c.pos
+      GROUP BY e.vec_id, subspace, c.code
+    ),
+    codes AS (
+      SELECT vec_id AS cid, subspace, code FROM (
+        SELECT vec_id, subspace, code,
+               row_number() OVER (PARTITION BY vec_id, subspace
+                                  ORDER BY d2, code) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT vec_id AS qid, subspace, code, d2 FROM dist
+      WHERE vec_id < {_NQ}
+    ),
+    adc AS (
+      SELECT l.qid, c.cid,
+             CAST(sum(l.d2) AS DOUBLE) AS adc_d2
+      FROM codes c JOIN lut l ON c.subspace = l.subspace AND c.code = l.code
+      WHERE c.cid <> l.qid
+      GROUP BY l.qid, c.cid
+    )
+    SELECT qid, cid, round(adc_d2, 6) AS adc_d2, rn FROM (
+      SELECT qid, cid, adc_d2,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY adc_d2, cid) AS rn
+      FROM adc
+    ) WHERE rn <= {_TOPK}
+    """,
+)
+def embed_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search (ADC) — the query side of
+    billion-scale product quantization, completing embed_pq_assign: the
+    query's per-(subspace, code) distance table is tiny
+    ({_NQ}×{_PQ_SUB}×{_PQ_CODES} rows, broadcast), the corpus is
+    represented ONLY by its byte codes, and a candidate's approximate
+    distance is the sum of 8 table lookups — no corpus float is touched
+    at query time. The lookup join is (subspace, code) equi; top-k per
+    query under a (distance, cid) total order. Exact decimal subvector
+    distances keep the argmin/top-k identical across engines."""
+    expl = _exploded(spark, sf_dir)
+    cb = expl.filter(F.col("vec_id") < _PQ_CODES).select(
+        F.col("vec_id").alias("code"), "pos", F.col("v").alias("cv")
+    )
+    dist = (
+        expl.join(F.broadcast(cb), "pos")
+        .groupBy(
+            "vec_id",
+            F.expr("CAST(pos div 8 AS INT)").alias("subspace"),
+            "code",
+        )
+        .agg(
+            F.sum(
+                ((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))).cast(
+                    "decimal(25,12)"
+                )
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id", "subspace").orderBy("d2", "code")
+    codes = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("cid"), "subspace", "code")
+    )
+    lut = dist.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("qid"), "subspace", "code", "d2"
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["subspace", "code"])
+        .filter(F.col("cid") != F.col("qid"))
+        .groupBy("qid", "cid")
+        .agg(F.sum("d2").cast("double").alias("adc_d2"))
+    )
+    # rank on the UNROUNDED distance (as the oracle does), round only the
+    # reported value — ordering by the rounded value could resolve
+    # sub-1e-6 gaps as ties and diverge on the cid tie-break
+    wq = Window.partitionBy("qid").orderBy("adc_d2", "cid")
+    return (
+        adc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _TOPK)
+        .select("qid", "cid", F.round("adc_d2", 6).alias("adc_d2"), "rn")
+    )
+
+
 # --- LSH-KNN classifier (SURVEY §2.10 E6: the approximate KNN the model zoo
 # lacks a distributed form of) ------------------------------------------------
 _KNN_K = 5
