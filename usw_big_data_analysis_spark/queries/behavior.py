@@ -352,3 +352,73 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(wsrc), 6).alias("p"),
     )
+
+
+# --- seasonal decomposition of the daily order series ------------------------
+@query(
+    "seasonal_decompose_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_us(o_orderdate) // 86400000000 AS d, count(*) AS x
+      FROM orders GROUP BY d
+    ),
+    trend AS (
+      SELECT d, x,
+             sum(x) OVER (ORDER BY d RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s,
+             count(x) OVER (ORDER BY d RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c
+      FROM daily
+    ),
+    det AS (
+      SELECT d % 7 AS dow,
+             (x * c - s) * (420 // c) AS det420
+      FROM trend
+    )
+    SELECT CAST(dow AS BIGINT) AS dow,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(det420) AS BIGINT) AS sum_det420,
+           round(CAST(sum(det420) AS DOUBLE) / (420.0 * count(*)), 6)
+             AS seasonal
+    FROM det GROUP BY dow
+    """,
+)
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend/seasonal decomposition of the daily order count: centered
+    7-day moving-average trend (RANGE frame on the epoch-day key, so
+    calendar gaps shrink the window instead of sliding past them), then
+    day-of-week seasonal means of the detrended series. Exactness: the
+    detrended value (x − s/c) is a rational with denominator c ∈ 1..7;
+    scaling by 420/c (420 = lcm 1..7) makes every term an INTEGER, so
+    the seasonal sums are order-independent and bit-equal across engines
+    — one double division at the end. The only unpartitioned window runs
+    over the daily table, whose size is bounded by the calendar span of
+    the data (~2.4k rows here), not by row count — the same
+    bounded-domain class as the histogram windows."""
+    orders = load_table(spark, sf_dir, "orders")
+    # o_orderdate lands as TIMESTAMP_NTZ; session TZ is pinned UTC so the
+    # TIMESTAMP cast is instant-preserving (same convention as tables.py)
+    daily = orders.groupBy(
+        F.expr(
+            f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_US_DAY}"
+        ).alias("d")
+    ).agg(F.count("*").alias("x"))
+    w = Window.orderBy("d").rangeBetween(-3, 3)
+    trend = daily.select(
+        "d",
+        "x",
+        F.sum("x").over(w).alias("s"),
+        F.count("x").over(w).alias("c"),
+    )
+    det = trend.select(
+        (F.col("d") % 7).alias("dow"),
+        (
+            (F.col("x") * F.col("c") - F.col("s"))
+            * (F.lit(420) / F.col("c")).cast("bigint")
+        ).alias("det420"),
+    )
+    return det.groupBy("dow").agg(
+        F.count("*").alias("n_days"),
+        F.sum("det420").alias("sum_det420"),
+        F.round(
+            F.sum("det420").cast("double") / (420.0 * F.count("*")), 6
+        ).alias("seasonal"),
+    )
