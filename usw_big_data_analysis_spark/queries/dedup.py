@@ -404,6 +404,76 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_incremental_bands",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sh9 AS (SELECT doc_id, {_h_sql('s')} % {_MH_P} AS h9 FROM sh),
+    sig AS (
+      SELECT doc_id,
+             {_SIG_COLS}
+      FROM sh9 GROUP BY doc_id
+    ),
+    bands AS (
+      {' UNION ALL '.join(
+        f"SELECT doc_id, {b} AS band, concat(h{2*b}, '_', h{2*b+1}) AS band_key FROM sig"
+        for b in range(_BANDS))}
+    ),
+    existing AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
+    incoming AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+    hits AS (
+      SELECT i.doc_id, count(DISTINCT i.band) AS n_band_hits,
+             count(DISTINCT e.doc_id) AS n_matched_docs
+      FROM incoming i JOIN existing e
+        ON i.band = e.band AND i.band_key = e.band_key
+      GROUP BY i.doc_id
+    ),
+    inc_docs AS (SELECT DISTINCT doc_id FROM incoming)
+    SELECT d.doc_id,
+           CAST(coalesce(h.n_band_hits, 0) AS BIGINT) AS n_band_hits,
+           CAST(coalesce(h.n_matched_docs, 0) AS BIGINT) AS n_matched_docs,
+           CAST(h.doc_id IS NULL AS INT) AS is_novel
+    FROM inc_docs d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+)
+def dedup_incremental_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-corpus dedup — the shape a daily ingest runs: the
+    INCOMING batch's MinHash bands probe the EXISTING corpus's band index
+    (here: even doc_ids play the standing corpus, odd the new batch; in
+    production the existing side is the persisted, bucketed band table
+    from previous runs — only the delta is ever signed). Per incoming
+    document: how many of its bands collide with the standing index, how
+    many standing documents it matches, and a novelty flag. The probe is
+    a (band, band_key) equi-join — shuffle linear in the BATCH, the
+    standing index never rewrites; novel docs survive via the left join
+    from the incoming roster."""
+    bands = _band_frame(spark, sf_dir)
+    existing = bands.filter(F.col("doc_id") % 2 == 0)
+    incoming = bands.filter(F.col("doc_id") % 2 == 1)
+    e = existing.select(
+        "band", "band_key", F.col("doc_id").alias("e_doc")
+    )
+    hits = (
+        incoming.join(e, ["band", "band_key"])
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("band").alias("n_band_hits"),
+            F.countDistinct("e_doc").alias("n_matched_docs"),
+        )
+    )
+    inc_docs = incoming.select("doc_id").distinct()
+    return (
+        inc_docs.join(hits.withColumnRenamed("doc_id", "h_doc"),
+                      inc_docs.doc_id == F.col("h_doc"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_band_hits", F.lit(0)).cast("bigint").alias("n_band_hits"),
+            F.coalesce("n_matched_docs", F.lit(0)).cast("bigint").alias("n_matched_docs"),
+            F.col("h_doc").isNull().cast("int").alias("is_novel"),
+        )
+    )
+
+
 # --- SimHash fingerprints (north star) --------------------------------------
 _SIM_BITS = 16
 
