@@ -422,3 +422,82 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("det420").cast("double") / (420.0 * F.count("*")), 6
         ).alias("seasonal"),
     )
+
+
+# --- per-user activity-burst detection ---------------------------------------
+_US_HOUR = 3_600_000_000
+
+
+@query(
+    "events_burst_zscore",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT user_id, epoch_us(ts) // {_US_HOUR} AS h,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY user_id, h
+    ),
+    stats AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(x * x) AS BIGINT) AS ss
+      FROM hourly GROUP BY user_id
+    ),
+    z AS (
+      SELECT h.user_id, h.x,
+             CAST(s.s AS DOUBLE) / s.n_hours AS mean,
+             sqrt((CAST(s.ss AS DOUBLE)
+                   - CAST(s.s AS DOUBLE) * s.s / s.n_hours)
+                  / (s.n_hours - 1.0)) AS std,
+             s.n_hours
+      FROM hourly h JOIN stats s ON h.user_id = s.user_id
+      WHERE s.n_hours >= 3
+    )
+    SELECT user_id,
+           CAST(max(n_hours) AS BIGINT) AS n_hours,
+           CAST(sum(CAST(std > 0 AND (x - mean) / std > 3.0 AS BIGINT))
+                AS BIGINT) AS n_burst_hours,
+           round(max(CASE WHEN std > 0 THEN (x - mean) / std END), 6)
+             AS max_z
+    FROM z GROUP BY user_id
+    """,
+)
+def events_burst_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-burst audit: per user, hours whose event count exceeds
+    3 sigma of that user's own hourly baseline — the rate-anomaly pass a
+    behavioral pipeline runs for abuse/bot detection. Two key-partitioned
+    aggregations ((user, hour) counts, then per-user moments) and one
+    equi-join back — all map-side combinable, nothing global. Mean/std
+    derive from integer sufficient statistics, so the z comparisons are
+    identical doubles in both engines; users with fewer than 3 active
+    hours are excluded (no meaningful baseline)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {_US_HOUR}").alias("h"),
+    ).agg(F.count("*").alias("x"))
+    stats = hourly.groupBy("user_id").agg(
+        F.count("*").alias("n_hours"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    ).filter(F.col("n_hours") >= 3)
+    mean = F.col("s").cast("double") / F.col("n_hours")
+    std = F.sqrt(
+        (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n_hours"))
+        / (F.col("n_hours") - 1.0)
+    )
+    z = hourly.join(stats, "user_id").select(
+        "user_id",
+        "x",
+        mean.alias("mean"),
+        std.alias("std"),
+        "n_hours",
+    )
+    zexpr = (F.col("x") - F.col("mean")) / F.col("std")
+    return z.groupBy("user_id").agg(
+        F.max("n_hours").alias("n_hours"),
+        F.sum(((F.col("std") > 0) & (zexpr > 3.0)).cast("bigint")).alias(
+            "n_burst_hours"
+        ),
+        F.round(F.max(F.when(F.col("std") > 0, zexpr)), 6).alias("max_z"),
+    )
