@@ -13,7 +13,7 @@ whole-stage codegen).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -624,4 +624,52 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "guess",
         "n",
         F.round(F.col("n").cast("double") / tot, 6).alias("frac_of_lang"),
+    )
+
+
+@query(
+    "text_char_trigram_profile",
+    oracle="""
+    WITH tri AS (
+      SELECT lang, substring(text, i, 3) AS tg
+      FROM documents,
+           unnest(generate_series(1, greatest(length(text) - 2, 0))) AS t(i)
+    ),
+    counts AS (
+      SELECT lang, tg, count(*) AS n FROM tri GROUP BY lang, tg
+    ),
+    ranked AS (
+      SELECT lang, tg, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, tg) AS rn
+      FROM counts
+    )
+    SELECT lang, tg, n, rn FROM ranked WHERE rn <= 5
+    """,
+)
+def text_char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language character-trigram profile (top 5) — the statistic
+    real language-ID models are trained on (the stopword heuristic in
+    text_lang_id is its degenerate cousin). The trigram enumeration is a
+    guarded sequence-explode (empty for texts under 3 chars — the
+    descending-default F.sequence trap again); the count table is bounded
+    by |charset|³ per language, so the rank window's input is
+    domain-bounded, never corpus-bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    tri = docs.select(
+        "lang",
+        F.explode(
+            F.when(
+                F.length("text") >= 3,
+                F.expr(
+                    "transform(sequence(1, length(text) - 2),"
+                    " i -> substring(text, i, 3))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("tg"),
+    )
+    counts = tri.groupBy("lang", "tg").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "tg")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
     )
