@@ -146,3 +146,23 @@ def test_topk_per_group_salted_two_phase(spark):
     assert last_exchange != -1
     seg = below[last_exchange : last_exchange + 120]
     assert "_salt" in seg, seg
+
+
+def test_incremental_bands_is_equi_join(spark):
+    # the batch-vs-standing probe must stay a hash equi-join on
+    # (band, band_key) — a nested-loop means the band key was lost
+    from usw_big_data_analysis_spark.queries.dedup import dedup_incremental_bands
+
+    plan = _plan(dedup_incremental_bands(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_search_lookup_table_broadcast(spark):
+    # ADC search must broadcast the tiny query lookup table into the
+    # corpus-code join — a shuffled join would move the whole code table
+    from usw_big_data_analysis_spark.queries.similarity import embed_pq_search
+
+    plan = _plan(embed_pq_search(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
