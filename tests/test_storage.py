@@ -7,10 +7,10 @@ from __future__ import annotations
 
 import glob
 import os
-import tempfile
 
 from usw_big_data_analysis_spark.queries.storage_ops import (
     _COMPACTED,
+    _TMP,
     sink_compaction,
     sink_sorted_scan,
 )
@@ -28,9 +28,8 @@ def _parquet_files(path):
 
 def test_compaction_reduces_files(spark):
     sink_compaction(spark, SF_DIR).collect()
-    tmp = tempfile.gettempdir()
-    frag = _parquet_files(os.path.join(tmp, "usw_q_compact_frag"))
-    compact = _parquet_files(os.path.join(tmp, "usw_q_compact_out"))
+    frag = _parquet_files(os.path.join(_TMP, "usw_q_compact_frag"))
+    compact = _parquet_files(os.path.join(_TMP, "usw_q_compact_out"))
     assert len(frag) > len(compact)
     assert 1 <= len(compact) <= _COMPACTED
 
