@@ -131,21 +131,25 @@ def test_zorder_rescan_pushes_both_dimensions(spark):
     assert any("pk_mod" in ln and "sk_mod" in ln for ln in pushed), pushed
 
 
-def test_topk_per_group_salted_two_phase(spark):
-    # the fact-side window must partition on (flag, salt) — an exchange of
-    # the raw fact into hashpartitioning(l_returnflag) alone means the
-    # 3-partition parallelism ceiling came back (VERDICT r2 #3)
+def test_topk_per_group_sketch_refine(spark):
+    # sketch-and-refine contract: the fact itself is never exchanged —
+    # the only full-table shuffle is the (flag, bucket) histogram, the
+    # threshold comes back via a BROADCAST join, and a salted guard
+    # window bounds the all-ties case (VERDICT r2 #3, round-3 re-plan)
     from usw_big_data_analysis_spark.queries.windows_sorts import topk_per_group
 
     plan = _plan(topk_per_group(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # the sketch aggregation shuffles bucket ids, not raw fact rows
+    assert "hashpartitioning(l_returnflag" in plan and "_b#" in plan
+    # no exchange may carry the fact's row-identity columns (that would
+    # mean the 600k-row table itself was shuffled pre-filter)
+    for seg in plan.split("hashpartitioning(")[1:]:
+        head = seg[:120]
+        assert "l_orderkey" not in head, head
+    # guard window present (salt expression) + final per-flag window
     assert plan.count("Window") >= 2
-    # the exchange closest to the parquet scan (phase 1) must carry _salt
-    scan_pos = plan.rfind("Scan parquet")
-    below = plan[:scan_pos]
-    last_exchange = below.rfind("hashpartitioning(")
-    assert last_exchange != -1
-    seg = below[last_exchange : last_exchange + 120]
-    assert "_salt" in seg, seg
+    assert "pmod(hash(l_orderkey" in plan
 
 
 def test_incremental_bands_is_equi_join(spark):

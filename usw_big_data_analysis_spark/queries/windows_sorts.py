@@ -65,35 +65,72 @@ def rank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-phase top-k: l_returnflag has 3 distinct values, so a single
-    window over it shuffles the whole fact into 3 tasks, each fully sorted
-    — a parallelism ceiling of 3 at any scale. Phase 1 salts the window
-    partition with a key hash (layout-independent, unlike
-    spark_partition_id whose fan-out is capped by the input split count):
-    every (flag, salt) slice keeps its local top-10 in parallel (any
-    global top-10 row is in its slice's top-10 for ANY row→salt
-    assignment), leaving ≤ 10·S survivors per flag; phase 2 ranks those
-    few hundred rows. The tie order (price desc, orderkey, linenumber)
-    is total, so both phases and the oracle agree deterministically."""
+    """Sketch-and-refine grouped top-k — the fact is NEVER shuffled.
+
+    A grouped window over l_returnflag (3 distinct values) shuffles the
+    whole fact into 3 tasks; even a salted two-phase window still shuffles
+    every row once. This plan moves only a histogram instead:
+
+    1. Sketch: per (flag, price-bucket) counts — a partial-aggregated
+       groupBy whose shuffle is the tiny bucket table (~#flags × #buckets
+       rows), not the fact.
+    2. Threshold: walking each flag's buckets from the top, the first
+       bucket where the cumulative count reaches k lower-bounds the k-th
+       max (≥ k rows are ≥ its floor). Flags with fewer than k rows never
+       reach k and fall back to -inf (keep all).
+    3. Refine: broadcast the 3-row threshold table back onto a second
+       pruned scan; only the ~bucket-width survivors enter the ranking
+       windows. A salted guard window bounds the degenerate all-ties case
+       (a uniform-price corpus collapses into one bucket) before the final
+       per-flag window ranks the ≤10·S survivors.
+
+    At 100 TB this is the canonical distributed top-k: two column-pruned
+    scans + a histogram shuffle, versus a full-fact exchange. The tie
+    order (price desc, orderkey, linenumber) is total, so the result is
+    deterministic and oracle-exact regardless of the threshold chosen."""
     li = load_table(spark, sf_dir, "lineitem")
     cols = ["l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"]
     order = [
         F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
     ]
-    salted = li.select(
-        *cols,
-        F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(32)).alias("_salt"),
+    k, bucket_w = 10, 64.0
+    # decimal(12,2) -> double is exact (< 2^53); bucket floor is portable
+    pd_ = F.col("l_extendedprice").cast("double")
+    bucket_counts = (
+        li.select("l_returnflag", F.floor(pd_ / F.lit(bucket_w)).alias("_b"))
+        .groupBy("l_returnflag", "_b")
+        .agg(F.count("*").alias("_c"))
     )
-    w1 = Window.partitionBy("l_returnflag", "_salt").orderBy(*order)
-    local = (
-        salted.withColumn("_rn", F.row_number().over(w1))
-        .filter(F.col("_rn") <= 10)
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(F.desc("_b"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    thr = (
+        bucket_counts.withColumn("_cum", F.sum("_c").over(w_cum))
+        .filter(F.col("_cum") >= k)
+        .groupBy("l_returnflag")
+        .agg(F.max("_b").alias("_tb"))
+        .select("l_returnflag", (F.col("_tb") * bucket_w).alias("_thr"))
+    )
+    cand = (
+        li.join(F.broadcast(thr), "l_returnflag", "left")
+        .filter(pd_ >= F.coalesce(F.col("_thr"), F.lit(float("-inf"))))
+        .select(*cols)
+    )
+    w1 = Window.partitionBy(
+        "l_returnflag",
+        F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(32)),
+    ).orderBy(*order)
+    guarded = (
+        cand.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
         .select(*cols)
     )
     w2 = Window.partitionBy("l_returnflag").orderBy(*order)
     return (
-        local.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") <= 10)
+        guarded.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
         .select(*cols, "rn")
     )
 
