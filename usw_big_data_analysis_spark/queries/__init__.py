@@ -23,6 +23,7 @@ for _mod_name in (
     "decontam",
     "streaming_batch",
     "similarity",
+    "clustering",
     "behavior",
     "incremental",
     "storage_ops",

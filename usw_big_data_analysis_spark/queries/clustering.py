@@ -1,0 +1,189 @@
+"""Distributed clustering over `embeddings` (north-star extension).
+
+`kmeans_spherical` runs two full Lloyd rounds of spherical k-means — the
+standard clustering for unit-direction text embeddings (assignment by
+maximum cosine; a cell's centroid DIRECTION is just the elementwise sum of
+its members, so the mean's 1/n division cancels out of every cosine and the
+whole iteration stays in exact integer arithmetic).
+
+Reference parity: completes the clustering story next to `embed_ann_ivf`
+(which assigns to FIXED seed centroids, queries/similarity.py:989) — this
+operator actually trains the cells, mirroring the reference's KMeans usage
+(`teamProject/eda.ipynb` cluster profiling) re-expressed as joins + aggs.
+
+Cross-engine exactness recipe (the house convention from similarity.py):
+components are 1e6-scaled integers (round half-away is identical in Spark
+and DuckDB), dot products and norms are integer/decimal sums (order-
+independent), and the only floating-point steps — sqrt and one division —
+are written as the identical IEEE expression on both sides before a
+round(·, 6) quantization.
+
+Scale: each round is (explode → equi-join on pos → partial-agg) — shuffle
+∝ corpus × K row-slices, never quadratic in corpus; K and dim are small so
+the centroid table broadcasts. Round-2 centroid components are decimal(38)
+(a cell summing ~1e11 scaled components stays exact); the round-1 bigint
+products carry a ~4.6e18 envelope at 100× the sf0.1 corpus — beyond that,
+lift the round-1 sums to decimal too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+_K = 8  # coarse cells; seeds = vec_id < _K (deterministic)
+_SCALE = 1_000_000.0  # 1e6: float32 inputs carry < 7 significant digits
+
+
+def _assign(expl: DataFrame, vn: DataFrame, cent: DataFrame) -> DataFrame:
+    """Assign every vector to its max-cosine cell: equi-join on pos,
+    integer-sum the dot, one rounded double division, per-vector argmax."""
+    cn = cent.groupBy("cell").agg(
+        F.sqrt(
+            F.sum(
+                F.col("cv").cast("decimal(38,0)") * F.col("cv").cast("decimal(38,0)")
+            ).cast("double")
+        ).alias("nc")
+    )
+    dots = (
+        expl.join(cent, "pos")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum(F.col("xi") * F.col("cv")).alias("dot"))
+    )
+    cos = (
+        dots.join(vn, "vec_id")
+        .join(F.broadcast(cn), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.round(
+                F.col("dot").cast("double") / (F.col("nx") * F.col("nc")), 6
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell"))
+    return (
+        cos.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "cell", "cos")
+    )
+
+
+@query(
+    "kmeans_spherical",
+    oracle=f"""
+    WITH expl AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * {_SCALE}, 0)
+                  AS BIGINT) AS xi
+      FROM embeddings
+    ),
+    vn AS (
+      SELECT vec_id, sqrt(CAST(sum(xi * xi) AS DOUBLE)) AS nx
+      FROM expl GROUP BY vec_id
+    ),
+    c1 AS (SELECT vec_id AS cell, pos, xi AS cv FROM expl WHERE vec_id < {_K}),
+    cn1 AS (
+      SELECT cell, sqrt(CAST(sum(CAST(cv AS DECIMAL(38,0))
+                                 * CAST(cv AS DECIMAL(38,0))) AS DOUBLE)) AS nc
+      FROM c1 GROUP BY cell
+    ),
+    d1 AS (
+      SELECT e.vec_id, c.cell, CAST(sum(e.xi * c.cv) AS DOUBLE) AS dot
+      FROM expl e JOIN c1 c ON e.pos = c.pos
+      GROUP BY e.vec_id, c.cell
+    ),
+    s1 AS (
+      SELECT d.vec_id, d.cell, round(d.dot / (vn.nx * cn1.nc), 6) AS cos
+      FROM d1 d JOIN vn ON d.vec_id = vn.vec_id JOIN cn1 ON d.cell = cn1.cell
+    ),
+    a1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cell) AS rn
+        FROM s1) WHERE rn = 1
+    ),
+    c2 AS (
+      SELECT a.cell, e.pos, CAST(sum(e.xi) AS DECIMAL(38,0)) AS cv
+      FROM expl e JOIN a1 a ON e.vec_id = a.vec_id
+      GROUP BY a.cell, e.pos
+    ),
+    cn2 AS (
+      SELECT cell, sqrt(CAST(sum(cv * cv) AS DOUBLE)) AS nc
+      FROM c2 GROUP BY cell
+    ),
+    d2 AS (
+      SELECT e.vec_id, c.cell,
+             CAST(sum(CAST(e.xi AS DECIMAL(38,0)) * c.cv) AS DOUBLE) AS dot
+      FROM expl e JOIN c2 c ON e.pos = c.pos
+      GROUP BY e.vec_id, c.cell
+    ),
+    s2 AS (
+      SELECT d.vec_id, d.cell, round(d.dot / (vn.nx * cn2.nc), 6) AS cos
+      FROM d2 d JOIN vn ON d.vec_id = vn.vec_id JOIN cn2 ON d.cell = cn2.cell
+    ),
+    a2 AS (
+      SELECT vec_id, cell, cos FROM (
+        SELECT vec_id, cell, cos,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cell) AS rn
+        FROM s2) WHERE rn = 1
+    )
+    SELECT a2.cell,
+           count(*) AS n_members,
+           CAST(sum(CASE WHEN a1.cell <> a2.cell THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved,
+           CAST(sum(CAST(a2.cos AS DECIMAL(16,6))) AS DOUBLE) / count(*)
+             AS mean_cos
+    FROM a2 JOIN a1 ON a2.vec_id = a1.vec_id
+    GROUP BY a2.cell
+    ORDER BY a2.cell
+    """,
+)
+def kmeans_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd rounds of spherical k-means: seed cells from the first
+    {K} vectors, assign by max cosine, re-derive centroid directions as
+    elementwise member sums, re-assign, and report per-cell size, how many
+    vectors changed cells between rounds, and mean member cosine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    expl = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "fv")
+    ).select(
+        "vec_id",
+        "pos",
+        F.round(F.col("fv").cast("double") * F.lit(_SCALE), 0)
+        .cast("bigint")
+        .alias("xi"),
+    )
+    vn = expl.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("xi") * F.col("xi")).cast("double")).alias("nx")
+    )
+    cent1 = expl.filter(F.col("vec_id") < _K).select(
+        F.col("vec_id").alias("cell"), "pos", F.col("xi").alias("cv")
+    )
+    a1 = _assign(expl, vn, cent1).select("vec_id", "cell")
+    cent2 = (
+        expl.join(a1, "vec_id")
+        .groupBy("cell", "pos")
+        .agg(F.sum("xi").cast("decimal(38,0)").alias("cv"))
+    )
+    a2 = _assign(expl, vn, cent2)
+    return (
+        a2.join(a1.withColumnRenamed("cell", "cell_prev"), "vec_id")
+        .groupBy(a2["cell"])
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum((F.col("cell_prev") != a2["cell"]).cast("int"))
+            .cast("bigint")
+            .alias("n_moved"),
+            (
+                F.sum(F.col("cos").cast("decimal(16,6)")).cast("double")
+                / F.count("*")
+            ).alias("mean_cos"),
+        )
+        .orderBy("cell")
+    )
