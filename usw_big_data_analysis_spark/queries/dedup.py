@@ -677,3 +677,122 @@ def pipeline_docs_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return surv3.withColumn("keep_near", keep_near).filter(
         F.col("doc_id") == F.col("keep_near")
     ).drop("keep_near")
+
+
+# --- canonical-document selection under source priority ---------------------
+@query(
+    "dedup_keep_priority",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, concat(source, '_mirror') AS source,
+             text
+      FROM documents
+    ),
+    ranked AS (
+      SELECT md5(text) AS text_hash, doc_id, source,
+             count(*) OVER (PARTITION BY md5(text)) AS n_copies,
+             row_number() OVER (
+               PARTITION BY md5(text) ORDER BY source, doc_id) AS rn
+      FROM corpus
+    )
+    SELECT text_hash, n_copies, doc_id AS keep_id, source AS keep_source
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: when duplicates cross sources, the
+    pipeline keeps the copy from the highest-priority source (here the
+    lexicographically-smallest source tag, tiebreak min doc_id) instead of
+    blind min-id — the real multi-crawl dedup policy (prefer the curated
+    crawl's copy over the mirror's). One hash-partitioned window over the
+    content-hash groups; shuffle ∝ corpus, no skew beyond dup-group size.
+    The mirrored corpus (suffix '_mirror') guarantees cross-source groups."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    corpus = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("source"), F.lit("_mirror")).alias("source"),
+            "text",
+        )
+    )
+    from pyspark.sql import Window
+
+    wh = Window.partitionBy(F.md5("text"))
+    ranked = corpus.select(
+        F.md5("text").alias("text_hash"),
+        "doc_id",
+        "source",
+        F.count("*").over(wh).alias("n_copies"),
+        F.row_number()
+        .over(wh.orderBy("source", "doc_id"))
+        .alias("rn"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "text_hash",
+        "n_copies",
+        F.col("doc_id").alias("keep_id"),
+        F.col("source").alias("keep_source"),
+    )
+
+
+# --- block-level boilerplate detection (paragraph dedup) --------------------
+_BLOCK_W = 20  # words per block
+
+
+@query(
+    "dedup_block_hash",
+    oracle=f"""
+    WITH blocks AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               toks[(b - 1) * {_BLOCK_W} + 1 : b * {_BLOCK_W}], ' ')) AS bh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           unnest(generate_series(1,
+             CAST(ceil(len(toks) / {_BLOCK_W}.0) AS BIGINT))) AS t(b)
+    )
+    SELECT bh AS block_hash, count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_occ
+    FROM blocks GROUP BY bh HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def dedup_block_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-level (pseudo-paragraph) dedup — the boilerplate-stripping
+    pass: every {W}-word block is content-hashed and blocks recurring
+    across >= 2 documents surface as removable boilerplate. Line/paragraph
+    dedup is the standard corpus-hygiene step between exact and near-dup
+    (headers, nav bars, license banners). One explode + one groupBy —
+    shuffle ∝ total blocks (corpus/W), never quadratic; short final docs
+    produce a ragged last block, matching the oracle's slice semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    nblocks = F.ceil(F.size(toks) / float(_BLOCK_W)).cast("int")
+    blocks = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                # nblocks >= 1 for any non-empty token list; the guard keeps
+                # a hypothetical empty doc from F.sequence(1, 0)'s
+                # descending-default crash (ADVICE r2 bug class)
+                F.when(
+                    nblocks >= 1, F.sequence(F.lit(1), nblocks)
+                ).otherwise(F.array().cast("array<int>")),
+                lambda b: F.md5(
+                    F.concat_ws(
+                        " ", F.slice(toks, (b - 1) * _BLOCK_W + 1, _BLOCK_W)
+                    )
+                ),
+            )
+        ).alias("bh"),
+    )
+    return (
+        blocks.groupBy(F.col("bh").alias("block_hash"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
