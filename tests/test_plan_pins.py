@@ -170,3 +170,23 @@ def test_pq_search_lookup_table_broadcast(spark):
     plan = _plan(embed_pq_search(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_priority_sample_is_take_ordered(spark):
+    # weighted top-k must be distributed top-k (per-partition heaps),
+    # not a global sort of the corpus
+    from usw_big_data_analysis_spark.queries.corpus_ops import (
+        sample_weighted_priority,
+    )
+
+    plan = _plan(sample_weighted_priority(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_kmeans_centroids_broadcast(spark):
+    # both assignment rounds must broadcast the centroid side — a shuffled
+    # join would re-exchange the exploded corpus per round
+    from usw_big_data_analysis_spark.queries.clustering import kmeans_spherical
+
+    plan = _plan(kmeans_spherical(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan

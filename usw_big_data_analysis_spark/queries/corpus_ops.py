@@ -443,3 +443,42 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("maxabs").cast("double").alias("maxabs"),
         F.concat_ws(",", q).alias("q_csv"),
     )
+
+
+# --- weighted corpus sampling (priority sampling) ---------------------------
+_PRI_K = 200
+
+
+@query(
+    "sample_weighted_priority",
+    oracle=f"""
+    SELECT doc_id, source, n_chars,
+           CAST(n_chars AS DOUBLE)
+             / CAST({_h_sql("concat('pri:', CAST(doc_id AS VARCHAR))")} + 1
+                    AS DOUBLE) AS priority
+    FROM documents
+    ORDER BY priority DESC, doc_id
+    LIMIT {_PRI_K}
+    """,
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement via priority sampling
+    (Duffield/Lund/Thorup): each doc draws priority = w/u with u a
+    content-free md5-derived uniform and w = n_chars; the global top-k by
+    priority is a weighted sample whose inclusion probability ∝ weight.
+    Hash-derived u makes the draw deterministic under any partitioning,
+    retry, or engine (no RNG state); the top-k compiles to
+    TakeOrderedAndProject — per-partition heaps + a driver merge of k·P
+    rows, never a global sort. The w/u division is one IEEE double op
+    written identically in the oracle, so order (and the emitted priority)
+    is bit-stable cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = _h_spark(F.concat(F.lit("pri:"), F.col("doc_id").cast("string")))
+    pri = (F.col("n_chars").cast("double") / (u + 1).cast("double")).alias(
+        "priority"
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars", pri)
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(_PRI_K)
+    )

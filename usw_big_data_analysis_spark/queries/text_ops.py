@@ -673,3 +673,65 @@ def text_char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
     )
+
+
+# --- per-document n-gram novelty profile ------------------------------------
+_NOV_N = 8
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH grams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(toks[i : i + {_NOV_N - 1}], ' ') AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           unnest(generate_series(1, greatest(len(toks) - {_NOV_N - 1}, 0)))
+             AS t(i)
+    ),
+    firsts AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)
+    SELECT doc_id, count(*) AS n_grams,
+           CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS novel_frac
+    FROM grams JOIN firsts USING (g)
+    GROUP BY doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty profile: the fraction of a doc's distinct
+    {N}-grams whose FIRST corpus occurrence (min doc_id) is the doc itself
+    — the ingest-order novelty signal used to rank crawl snapshots by new
+    content (low novelty ⇒ the doc mostly restates earlier text). Two
+    shuffles: gram → first-occurrence agg, then a gram-keyed join back and
+    a per-doc rollup; gram cardinality is bounded by total corpus tokens.
+    Docs shorter than {N} words contribute no grams and drop out (same in
+    the oracle via greatest(len-{N_1}, 0))."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    F.size(toks) >= _NOV_N,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - (_NOV_N - 1)),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i, _NOV_N)),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            )
+        ).alias("g"),
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("int")
+    return (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            (F.sum(novel).cast("double") / F.count("*")).alias("novel_frac"),
+        )
+    )
