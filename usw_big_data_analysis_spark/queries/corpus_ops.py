@@ -482,3 +482,89 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("priority"), F.asc("doc_id"))
         .limit(_PRI_K)
     )
+
+
+# --- token-budgeted corpus selection ----------------------------------------
+_BUDGET_FRAC = 0.4
+_BUD_BUCKETS = 64  # top-6 hash bits: bucket order == hash order
+
+
+@query(
+    "mixture_token_budget",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, n_chars,
+             {_h_sql("concat('bud:', CAST(doc_id AS VARCHAR))")} AS h
+      FROM documents
+    ),
+    b AS (
+      SELECT source,
+             CAST(floor({_BUDGET_FRAC} * CAST(sum(n_chars) AS DOUBLE))
+                  AS BIGINT) AS budget
+      FROM documents GROUP BY source
+    ),
+    c AS (
+      SELECT doc_id, source, n_chars,
+             sum(n_chars) OVER (
+               PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM d
+    )
+    SELECT c.source, b.budget AS budget_chars,
+           count(*) AS n_kept,
+           CAST(sum(c.n_chars) AS BIGINT) AS chars_kept
+    FROM c JOIN b ON c.source = b.source
+    WHERE c.cum <= b.budget
+    GROUP BY c.source, b.budget
+    """,
+)
+def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted corpus selection: each source greedily fills a
+    per-source character budget ({FRAC} of its total) in deterministic
+    hash order — the mixture-construction step that caps every source's
+    contribution before training. The oracle's per-source ordered window
+    is the semantics; the Spark plan is the scalable two-phase prefix sum
+    (per-(source, hash-bucket) subtotals → offsets over the tiny bucket
+    table → bucket-PARTITIONED in-bucket cumsum), so no per-source
+    single-partition sort of the corpus exists — the same pattern as
+    operators/rank_ops.py. Bucket = top hash bits, so bucket order is
+    hash order and the two phases reconstruct the exact running sum."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    h = _h_spark(F.concat(F.lit("bud:"), F.col("doc_id").cast("string")))
+    d = docs.withColumn("h", h).withColumn(
+        "bkt", F.floor(F.col("h") / F.lit(2**60 // _BUD_BUCKETS))
+    )
+    budgets = docs.groupBy("source").agg(
+        F.floor(F.lit(_BUDGET_FRAC) * F.sum("n_chars").cast("double"))
+        .cast("bigint")
+        .alias("budget")
+    )
+    # phase 1: per-(source, bucket) subtotals; offsets over the tiny table
+    sub = d.groupBy("source", "bkt").agg(F.sum("n_chars").alias("sub"))
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = sub.withColumn("off", F.coalesce(F.sum("sub").over(w_off), F.lit(0)))
+    # phase 2: in-bucket cumsum, bucket-partitioned
+    w_in = (
+        Window.partitionBy("source", "bkt")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        d.join(off.select("source", "bkt", "off"), ["source", "bkt"])
+        .withColumn("cum", F.col("off") + F.sum("n_chars").over(w_in))
+    )
+    return (
+        cum.join(F.broadcast(budgets), "source")
+        .filter(F.col("cum") <= F.col("budget"))
+        .groupBy("source", F.col("budget").alias("budget_chars"))
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("chars_kept"),
+        )
+    )

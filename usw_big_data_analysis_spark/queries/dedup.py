@@ -796,3 +796,56 @@ def dedup_block_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# --- cross-source duplication matrix ----------------------------------------
+@query(
+    "dedup_cross_source_overlap",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, concat(source, '_mirror') AS source,
+             text
+      FROM documents
+    ),
+    hs AS (SELECT DISTINCT md5(text) AS h, source FROM corpus)
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS n_shared
+    FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which crawls overlap: for every source pair, the number of distinct
+    texts present in both — the dedup-planning matrix that decides which
+    source to canonicalize from (pairs with heavy overlap get a priority
+    rule, disjoint pairs skip cross-source dedup entirely). The self-join
+    is on the content hash AFTER collapsing to distinct (hash, source)
+    rows, so join fan-out is bounded by sources-per-text, never by copies.
+    The mirrored corpus guarantees non-empty overlap in the fixture."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    corpus = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("source"), F.lit("_mirror")).alias("source"),
+            "text",
+        )
+    )
+    hs = corpus.select(F.md5("text").alias("h"), "source").distinct()
+    a = hs.alias("a")
+    b = hs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
