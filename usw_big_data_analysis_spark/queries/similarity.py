@@ -1095,3 +1095,126 @@ def embed_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("nrm"), 6).alias("norm_max"),
         F.sum((F.col("nrm") == 0.0).cast("bigint")).alias("n_zero_vectors"),
     )
+
+
+# --- matryoshka truncation recall audit -------------------------------------
+_MRL_DIM = 16  # prefix dims scored in the truncated pass
+
+
+@query(
+    "embed_matryoshka_recall",
+    oracle=f"""
+    WITH expl AS ({_EXPL_SQL}),
+    norms AS ({_NORMS_SQL}),
+    tnorms AS (
+      SELECT vec_id,
+             sqrt(CAST(sum(CAST(v * v AS DECIMAL(20,12))) AS DOUBLE)) AS nrm
+      FROM expl WHERE pos < {_MRL_DIM} GROUP BY vec_id
+    ),
+    q AS (SELECT vec_id AS qid, pos, v AS qv FROM expl WHERE vec_id < {_NQ}),
+    full_top AS (
+      SELECT qid, cid FROM (
+        SELECT d.qid, d.cid,
+               row_number() OVER (
+                 PARTITION BY d.qid
+                 ORDER BY round(d.dot / (nq.nrm * nc.nrm), 6) DESC, d.cid
+               ) AS rn
+        FROM (
+          SELECT q.qid, c.vec_id AS cid,
+                 CAST(sum(CAST(q.qv * c.v AS DECIMAL(20,12))) AS DOUBLE) AS dot
+          FROM q JOIN expl c ON q.pos = c.pos
+          GROUP BY q.qid, c.vec_id
+        ) d JOIN norms nq ON d.qid = nq.vec_id
+            JOIN norms nc ON d.cid = nc.vec_id
+        WHERE d.qid <> d.cid
+      ) WHERE rn <= {_TOPK}
+    ),
+    trunc_top AS (
+      SELECT qid, cid FROM (
+        SELECT d.qid, d.cid,
+               row_number() OVER (
+                 PARTITION BY d.qid
+                 ORDER BY round(d.dot / (nq.nrm * nc.nrm), 6) DESC, d.cid
+               ) AS rn
+        FROM (
+          SELECT q.qid, c.vec_id AS cid,
+                 CAST(sum(CAST(q.qv * c.v AS DECIMAL(20,12))) AS DOUBLE) AS dot
+          FROM q JOIN expl c ON q.pos = c.pos AND c.pos < {_MRL_DIM}
+          WHERE q.pos < {_MRL_DIM}
+          GROUP BY q.qid, c.vec_id
+        ) d JOIN tnorms nq ON d.qid = nq.vec_id
+            JOIN tnorms nc ON d.cid = nc.vec_id
+        WHERE d.qid <> d.cid
+      ) WHERE rn <= {_TOPK}
+    )
+    SELECT f.qid,
+           CAST(count(t.cid) AS BIGINT) AS n_overlap,
+           CAST(count(t.cid) AS DOUBLE) / {_TOPK} AS recall
+    FROM full_top f LEFT JOIN trunc_top t
+      ON f.qid = t.qid AND f.cid = t.cid
+    GROUP BY f.qid
+    """,
+)
+def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: score the exact top-{K} under the
+    full {D}-dim embedding and under its first-{M} prefix, and report
+    per-query recall of the truncated ranking — the measurement that
+    decides how far a matryoshka-trained embedding column can be cut for
+    cheap first-stage retrieval before re-ranking with full dims. Both
+    passes are the brute-force exact form (this is an audit, run on a
+    query SAMPLE, not the serving path); prefix scoring reuses the same
+    exploded join with a pos < {M} prune that reaches the scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    expl = _exploded(spark, sf_dir)
+    texpl = expl.filter(F.col("pos") < _MRL_DIM)
+
+    def _topk(e: DataFrame) -> DataFrame:
+        norms = _norms(e)
+        q = e.filter(F.col("vec_id") < _NQ).select(
+            F.col("vec_id").alias("qid"), "pos", F.col("v").alias("qv")
+        )
+        dots = (
+            q.join(e.withColumnRenamed("vec_id", "cid"), "pos")
+            .filter(F.col("qid") != F.col("cid"))
+            .groupBy("qid", "cid")
+            .agg(
+                F.sum(
+                    (F.col("qv") * F.col("v")).cast("decimal(20,12)")
+                ).cast("double").alias("dot")
+            )
+        )
+        nq = norms.select(F.col("vec_id").alias("qid"), F.col("nrm").alias("nrm_q"))
+        nc = norms.select(F.col("vec_id").alias("cid"), F.col("nrm").alias("nrm_c"))
+        cos = (
+            dots.join(F.broadcast(nq), "qid")
+            .join(nc, "cid")
+            .select(
+                "qid",
+                "cid",
+                F.round(
+                    F.col("dot") / (F.col("nrm_q") * F.col("nrm_c")), 6
+                ).alias("cos"),
+            )
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+        return (
+            cos.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _TOPK)
+            .select("qid", "cid")
+        )
+
+    full_top = _topk(expl)
+    trunc_top = _topk(texpl).withColumnRenamed("cid", "tcid")
+    return (
+        full_top.join(
+            trunc_top,
+            (full_top["qid"] == trunc_top["qid"])
+            & (full_top["cid"] == trunc_top["tcid"]),
+            "left",
+        )
+        .groupBy(full_top["qid"])
+        .agg(
+            F.count("tcid").cast("bigint").alias("n_overlap"),
+            (F.count("tcid").cast("double") / _TOPK).alias("recall"),
+        )
+    )
