@@ -526,3 +526,95 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(g3.cast("bigint")).cast("double") / F.count("*"), 6
         ).alias("keep_rate"),
     )
+
+
+# --- per-source quality-gate matrix ------------------------------------------
+_GATE_MIN_WORDS = 10
+_GATE_MAX_WORDS = 100000
+_GATE_MWL_LO = 2.0  # mean word length bounds (Gopher uses [3, 10] for English)
+_GATE_MWL_HI = 10.0
+
+
+@query(
+    "quality_gate_matrix",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS n_words,
+             CAST(n_chars - len(string_split(text, ' ')) + 1 AS DOUBLE)
+               / len(string_split(text, ' ')) AS mean_wl,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ('the', 'a'))) AS n_stop
+      FROM documents
+    ),
+    gates AS (
+      SELECT source, 'word_count' AS gate,
+             CAST(n_words < {_GATE_MIN_WORDS}
+                  OR n_words > {_GATE_MAX_WORDS} AS INT) AS fail
+      FROM per_doc
+      UNION ALL
+      SELECT source, 'mean_word_len' AS gate,
+             CAST(mean_wl < {_GATE_MWL_LO}
+                  OR mean_wl > {_GATE_MWL_HI} AS INT) AS fail
+      FROM per_doc
+      UNION ALL
+      SELECT source, 'stopword_presence' AS gate,
+             CAST(n_stop = 0 AS INT) AS fail
+      FROM per_doc
+    )
+    SELECT source, gate, count(*) AS n_docs,
+           CAST(sum(fail) AS BIGINT) AS n_fail,
+           CAST(sum(fail) AS DOUBLE) / count(*) AS fail_rate
+    FROM gates GROUP BY source, gate
+    """,
+)
+def quality_gate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source × per-gate fail-rate matrix over the Gopher-family
+    hygiene gates (word-count bounds, mean word length, stopword
+    presence) in long format — the one-scan audit a pipeline runs before
+    choosing per-source filters. Mean word length is derived from n_chars
+    and the word count (chars minus separators over words), so the gate
+    row needs no second tokenization pass; the three gates share one
+    per-doc projection and unpivot via a stack/UNION into (source, gate)
+    partial aggregates — a single corpus scan, two tiny shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_arr = F.array(F.lit("the"), F.lit("a"))
+    per_doc = docs.select(
+        "source",
+        F.size(toks).alias("n_words"),
+        (
+            (F.col("n_chars") - F.size(toks) + 1).cast("double")
+            / F.size(toks)
+        ).alias("mean_wl"),
+        F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w))).alias(
+            "n_stop"
+        ),
+    )
+    fail_wc = (
+        (F.col("n_words") < _GATE_MIN_WORDS)
+        | (F.col("n_words") > _GATE_MAX_WORDS)
+    ).cast("int")
+    fail_mwl = (
+        (F.col("mean_wl") < _GATE_MWL_LO) | (F.col("mean_wl") > _GATE_MWL_HI)
+    ).cast("int")
+    fail_stop = (F.col("n_stop") == 0).cast("int")
+    # stack() needs named input columns
+    gates = (
+        per_doc.withColumn("fail_wc", fail_wc)
+        .withColumn("fail_mwl", fail_mwl)
+        .withColumn("fail_stop", fail_stop)
+        .select(
+            "source",
+            F.expr(
+                "stack(3, 'word_count', fail_wc, "
+                "'mean_word_len', fail_mwl, "
+                "'stopword_presence', fail_stop) AS (gate, fail)"
+            ),
+        )
+    )
+    return gates.groupBy("source", "gate").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("fail").cast("bigint").alias("n_fail"),
+        (F.sum("fail").cast("double") / F.count("*")).alias("fail_rate"),
+    )
