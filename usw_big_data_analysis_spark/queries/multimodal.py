@@ -276,3 +276,94 @@ def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sum_px").alias("sum_px"),
         F.sum("sum_sq").alias("sum_sq"),
     )
+
+
+# --- resize (nearest-neighbor) over the decoded pixel array ------------------
+_RS = 4  # target side: every image resizes to _RS x _RS
+
+
+@query(
+    "multimodal_resize_image",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 5 AS w, 4 + doc_id % 3 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT d.doc_id, d.w,
+             (d.doc_id * 31 + 7 * (
+               (((t.t // {_RS * 3}) * d.h // {_RS}) * d.w
+                + ((t.t // 3) % {_RS}) * d.w // {_RS}) * 3 + t.t % 3
+             )) % 256 AS v
+      FROM dims d
+      CROSS JOIN (SELECT unnest(generate_series(0, {_RS * _RS * 3 - 1})) AS t) t
+    )
+    SELECT w AS width, count(DISTINCT doc_id) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_pix,
+           CAST(sum(v) AS BIGINT) AS sum_px,
+           CAST(sum(v * v) AS BIGINT) AS sum_sq
+    FROM px GROUP BY w
+    """,
+)
+def multimodal_resize_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → nearest-neighbor resize to {RS}x{RS} → integer pixel stats,
+    per original width. The Spark side runs the REAL pipeline (spec-correct
+    PPM per doc, vendored decoder, numpy gather resize) inside one
+    mapInPandas pass — the batch shape a production thumbnailer uses; the
+    oracle computes the same resized pixels closed-form from the
+    deterministic generator (target (ty,tx,c) samples source
+    (ty*h//{RS}, tx*w//{RS}, c)), so a stride/layout bug in decode OR
+    resize breaks parity. Per-doc work is constant; no shuffle until the
+    final per-width rollup."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.image_codec import decode_ppm, encode_ppm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen_resize(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"doc_id": [], "width": [], "sum_px": [], "sum_sq": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 8 + doc_id % 5, 4 + doc_id % 3
+                i = np.arange(w * h * 3, dtype=np.int64)
+                arr = ((doc_id * 31 + 7 * i) % 256).astype(np.uint8).reshape(h, w, 3)
+                dec = decode_ppm(encode_ppm(arr))
+                ys = np.arange(_RS) * dec.shape[0] // _RS
+                xs = np.arange(_RS) * dec.shape[1] // _RS
+                rs = dec[ys][:, xs].astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["sum_px"].append(int(rs.sum()))
+                out["sum_sq"].append(int((rs * rs).sum()))
+            yield pd.DataFrame(out)
+
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    per_doc = docs.mapInPandas(
+        gen_resize,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("width", IntegerType()),
+                StructField("sum_px", LongType()),
+                StructField("sum_sq", LongType()),
+            ]
+        ),
+    )
+    return per_doc.groupBy("width").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.lit(_RS * _RS * 3).cast("bigint").alias("n_pix_per_doc"),
+        F.sum("sum_px").alias("sum_px"),
+        F.sum("sum_sq").alias("sum_sq"),
+    ).select(
+        "width",
+        "n_docs",
+        (F.col("n_docs") * _RS * _RS * 3).cast("bigint").alias("n_pix"),
+        "sum_px",
+        "sum_sq",
+    )
