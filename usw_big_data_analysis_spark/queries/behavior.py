@@ -501,3 +501,93 @@ def events_burst_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.max(F.when(F.col("std") > 0, zexpr)), 6).alias("max_z"),
     )
+
+
+# --- RFM customer segmentation ----------------------------------------------
+_RFM_EPOCH = "1992-01-01"
+
+
+@query(
+    "customer_rfm",
+    oracle=f"""
+    WITH per_c AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', DATE '{_RFM_EPOCH}',
+                            CAST(max(o_orderdate) AS DATE)) AS BIGINT) AS r,
+             count(*) AS f,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS m
+      FROM orders GROUP BY o_custkey
+    ),
+    med AS (
+      SELECT quantile_cont(CAST(r AS DOUBLE), 0.5) AS mr,
+             quantile_cont(CAST(f AS DOUBLE), 0.5) AS mf,
+             quantile_cont(CAST(m AS DOUBLE), 0.5) AS mm
+      FROM per_c
+    )
+    SELECT concat(CASE WHEN CAST(r AS DOUBLE) >= mr THEN 'R+' ELSE 'R-' END,
+                  CASE WHEN CAST(f AS DOUBLE) >= mf THEN 'F+' ELSE 'F-' END,
+                  CASE WHEN CAST(m AS DOUBLE) >= mm THEN 'M+' ELSE 'M-' END)
+             AS segment,
+           count(*) AS n_customers,
+           CAST(sum(m) AS DOUBLE) / (100.0 * count(*)) AS avg_monetary
+    FROM per_c, med
+    GROUP BY 1
+    """,
+)
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency (days since epoch of the
+    last order), frequency (order count), monetary (exact cents), split
+    at the EXACT interpolated median of each axis into 8 segments. The
+    medians come from the bucketed two-phase percentile operator — no
+    global sort of the customer table — then broadcast back as one tiny
+    row; monetary sums are per-row-rounded cents so the aggregation is
+    order-independent and bit-stable cross-engine."""
+    from ..operators.percentile_ops import bucketed_exact_percentiles
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_c = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.to_date(F.max("o_orderdate")), F.lit(_RFM_EPOCH).cast("date")
+        )
+        .cast("bigint")
+        .alias("r"),
+        F.count("*").alias("f"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("m"),
+    )
+    melted = per_c.selectExpr(
+        "stack(3, 'r', CAST(r AS DOUBLE), 'f', CAST(f AS DOUBLE), "
+        "'m', CAST(m AS DOUBLE)) AS (col_name, x)"
+    )
+    meds = (
+        bucketed_exact_percentiles(melted, [0.5])
+        .groupBy()
+        .agg(
+            F.max(F.when(F.col("col_name") == "r", F.col("p_0"))).alias("mr"),
+            F.max(F.when(F.col("col_name") == "f", F.col("p_0"))).alias("mf"),
+            F.max(F.when(F.col("col_name") == "m", F.col("p_0"))).alias("mm"),
+        )
+    )
+    seg = F.concat(
+        F.when(F.col("r").cast("double") >= F.col("mr"), F.lit("R+")).otherwise(
+            F.lit("R-")
+        ),
+        F.when(F.col("f").cast("double") >= F.col("mf"), F.lit("F+")).otherwise(
+            F.lit("F-")
+        ),
+        F.when(F.col("m").cast("double") >= F.col("mm"), F.lit("M+")).otherwise(
+            F.lit("M-")
+        ),
+    )
+    return (
+        per_c.crossJoin(F.broadcast(meds))
+        .groupBy(seg.alias("segment"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            (
+                F.sum("m").cast("double") / (100.0 * F.count("*"))
+            ).alias("avg_monetary"),
+        )
+    )
