@@ -367,3 +367,79 @@ def multimodal_resize_image(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_px",
         "sum_sq",
     )
+
+
+# --- audio downsample (every k-th sample) ------------------------------------
+_DS_K = 4  # decimation factor
+
+
+@query(
+    "multimodal_audio_downsample",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, 96 + doc_id % 32 AS n FROM documents
+    ),
+    sm AS (
+      SELECT d.doc_id, d.n,
+             (d.doc_id * 37 + 11 * (i.i * {_DS_K})) % 4096 - 2048 AS s
+      FROM dims d
+      JOIN (SELECT unnest(generate_series(0, 200)) AS i) i
+        ON i.i * {_DS_K} < d.n
+    )
+    SELECT count(DISTINCT doc_id) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_samples_out,
+           CAST(sum(s) AS BIGINT) AS sum_s,
+           CAST(sum(s * s) AS BIGINT) AS sum_sq
+    FROM sm
+    """,
+)
+def multimodal_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → decimate-by-{K} (keep every {K}-th sample, the 16 kHz →
+    4 kHz stride resample) → integer sample stats, in one mapInPandas
+    pass over spec-correct WAV payloads decoded by the real RIFF codec.
+    The oracle regenerates the kept samples closed-form (sample index
+    i·{K}), so an off-by-one in the stride or the chunk walk breaks
+    parity. Same plumbing contract as multimodal_resize_image."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..operators.audio_codec import decode_wav, encode_wav
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen_ds(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {k: [] for k in ("doc_id", "n_samples_out", "sum_s", "sum_sq")}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 96 + doc_id % 32
+                i = np.arange(n, dtype=np.int64)
+                s16 = ((doc_id * 37 + 11 * i) % 4096 - 2048).astype(np.int16)
+                samples, rate = decode_wav(encode_wav(s16))
+                ds = samples[::_DS_K, 0].astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["n_samples_out"].append(int(len(ds)))
+                out["sum_s"].append(int(ds.sum()))
+                out["sum_sq"].append(int((ds * ds).sum()))
+            yield pd.DataFrame(out)
+
+    stats = docs.mapInPandas(
+        gen_ds,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("n_samples_out", LongType()),
+                StructField("sum_s", LongType()),
+                StructField("sum_sq", LongType()),
+            ]
+        ),
+    )
+    return stats.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("n_samples_out").cast("bigint").alias("n_samples_out"),
+        F.sum("sum_s").alias("sum_s"),
+        F.sum("sum_sq").alias("sum_sq"),
+    )
