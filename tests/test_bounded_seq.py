@@ -1,0 +1,89 @@
+"""bounded_seq: windowless ordered primitives over bounded tables.
+
+Equivalence tests pin each helper bit-for-bit against the unpartitioned
+window formulation it replaces; the plan tests pin the suite invariant that
+no WindowExec with an empty partition spec exists anywhere in the rewritten
+queries (the ``No Partition Defined`` single-partition move — VERDICT r2 #4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from usw_big_data_analysis_spark.operators.bounded_seq import (
+    dense_codes,
+    exclusive_prefix_sums,
+    ordered_row_numbers,
+)
+from usw_big_data_analysis_spark.plans import unpartitioned_window_count
+
+_QUERIES = entrymod.queries()
+
+
+def _hist(spark):
+    # sparse keys, duplicate sums, a negative key, a decimal column
+    rows = [(7, 3, 1.5), (-2, 10, 0.25), (0, 3, 2.0), (13, 1, 0.5), (5, 0, 1.0)]
+    return spark.createDataFrame(rows, "b int, c long, s double").withColumn(
+        "s", F.col("s").cast("decimal(20,6)")
+    )
+
+
+def test_exclusive_prefix_matches_window(spark):
+    h = _hist(spark)
+    got = {
+        r["b"]: (r["prev_c"], float(r["prev_s"]))
+        for r in exclusive_prefix_sums(h, "b", ["c", "s"]).collect()
+    }
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["b"]: (r["pc"], float(r["ps"]))
+        for r in h.select(
+            "b",
+            F.coalesce(F.sum("c").over(w), F.lit(0)).alias("pc"),
+            F.coalesce(F.sum("s").over(w), F.lit(0).cast("decimal(30,6)")).alias("ps"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_dense_codes_matches_dense_rank(spark):
+    df = spark.createDataFrame(
+        [("b",), ("a",), ("c",), ("b",), ("a",)], "v string"
+    )
+    got = {r["v"]: r["code"] for r in dense_codes(df, "v").collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def test_ordered_row_numbers_matches_row_number(spark):
+    rows = [(1, 5.0, "x"), (2, 5.0, "y"), (3, 7.0, "z"), (4, 1.0, "w")]
+    df = spark.createDataFrame(rows, "k int, v double, tag string")
+    order = [("v", False), ("k", True)]
+    got = {r["k"]: r["rn"] for r in ordered_row_numbers(df, order).collect()}
+    w = Window.orderBy(F.desc("v"), F.asc("k"))
+    want = {
+        r["k"]: r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_rewritten_queries_have_no_unpartitioned_window(spark, sf_dir):
+    # every site the bounded_seq sweep rewrote — and the helpers they share
+    for key in [
+        "metric_auroc",
+        "metric_calibration",
+        "cumsum_curve",
+        "sort_values",
+        "encode_label",
+        "encode_cat_int",
+        "hpo_grid",
+        "seasonal_decompose_daily",
+        "ks_2samp",
+        "wilcoxon",
+        "scale_quantile",
+        "feature_importance_perm",
+    ]:
+        df = _QUERIES[key](spark, sf_dir)
+        assert unpartitioned_window_count(df) == 0, key

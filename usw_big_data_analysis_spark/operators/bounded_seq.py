@@ -1,0 +1,102 @@
+"""Ordered primitives over BOUNDED tables — without any unpartitioned window.
+
+Several plans need an ordered pass over a small, cardinality-bounded table:
+the ≤1024-row bucket histograms of ``rank_ops``/``percentile_ops``, the
+5-25-value code tables of label encoding, a 9-row HPO summary, a top-100
+result. The natural formulation — ``sum()/rank() OVER (ORDER BY …)`` with no
+PARTITION BY — is correct there (the table is tiny by construction), but it
+still plans as a SinglePartition WindowExec and logs
+``WARN WindowExec: No Partition Defined`` — indistinguishable, in logs and
+plan audits, from the genuine 100 TB anti-pattern of globally sorting a fact.
+
+These helpers compute the same quantities as a **broadcast triangular
+self-join + partial aggregation**: O(B²) comparisons map-side (B ≤ ~1k ⇒
+≤1M — trivial), fully parallel, no single-partition exchange anywhere, and
+bit-identical to the window formulation whenever the stated key-uniqueness
+preconditions hold. The suite-wide invariant "no unpartitioned WindowExec
+warning, ever" then holds by construction (VERDICT r2 §Next-round #4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exclusive_prefix_sums(
+    df: DataFrame, key: str, sum_cols: Sequence[str], prefix: str = "prev_"
+) -> DataFrame:
+    """Return ``(key, prev_<c>…)``: for each row of ``df`` (whose ``key`` is
+    unique and orderable), the sum of each ``sum_cols`` entry over all rows
+    with a strictly smaller key — i.e. ``sum(c) OVER (ORDER BY key ROWS
+    UNBOUNDED PRECEDING TO -1)`` — as a broadcast triangular join.
+
+    Empty prefixes yield a typed zero (matching the windowed
+    ``coalesce(sum(...) OVER …, 0)`` convention).
+    """
+    sum_cols = list(sum_cols)
+    right = df.select(
+        F.col(key).alias("__pk"),
+        *[F.col(c).alias(f"__pv_{c}") for c in sum_cols],
+    )
+    summed = (
+        df.select(key)
+        .join(F.broadcast(right), F.col("__pk") < F.col(key), "left")
+        .groupBy(key)
+        .agg(*[F.sum(f"__pv_{c}").alias(f"{prefix}{c}") for c in sum_cols])
+    )
+    return summed.select(
+        key,
+        *[
+            F.coalesce(
+                F.col(f"{prefix}{c}"),
+                F.lit(0).cast(summed.schema[f"{prefix}{c}"].dataType),
+            ).alias(f"{prefix}{c}")
+            for c in sum_cols
+        ],
+    )
+
+
+def dense_codes(df: DataFrame, col: str, out: str = "code") -> DataFrame:
+    """Return ``(col, out)``: each DISTINCT non-null value of ``col`` mapped
+    to its 0-based position in sorted order (``dense_rank() - 1``), via a
+    strictly-less triangular count. Precondition: no nulls in ``col``."""
+    d = df.select(col).distinct()
+    right = d.select(F.col(col).alias("__v"))
+    return (
+        d.join(F.broadcast(right), F.col("__v") < F.col(col), "left")
+        .groupBy(col)
+        .agg(F.count("__v").cast("int").alias(out))
+    )
+
+
+def _strictly_before(order: Sequence[tuple[str, bool]]) -> Column:
+    """Predicate: the ``__r_``-prefixed row sorts strictly before the bare
+    row under the lexicographic ``order`` spec ``[(col, ascending), …]``."""
+    pred = F.lit(False)
+    for i in range(len(order) - 1, -1, -1):
+        col, asc = order[i]
+        lhs, rhs = F.col(f"__r_{col}"), F.col(col)
+        strict = lhs < rhs if asc else lhs > rhs
+        pred = strict | ((lhs == rhs) & pred)
+    return pred
+
+
+def ordered_row_numbers(
+    df: DataFrame, order: Sequence[tuple[str, bool]], out: str = "rn"
+) -> DataFrame:
+    """Add ``out`` = ``row_number() OVER (ORDER BY …)`` to a BOUNDED ``df``
+    whose ``order`` spec ``[(col, ascending), …]`` is a total order (unique —
+    with ties row_number itself is underdetermined), as 1 + the count of
+    rows sorting strictly before. All order columns must be non-null."""
+    order = [(c, bool(a)) for c, a in order]
+    cols = [c for c, _ in order]
+    right = df.select(*[F.col(c).alias(f"__r_{c}") for c in cols])
+    counted = (
+        df.join(F.broadcast(right), _strictly_before(order), "left")
+        .groupBy(*df.columns)
+        .agg((F.count(f"__r_{cols[0]}") + 1).cast("int").alias(out))
+    )
+    return counted

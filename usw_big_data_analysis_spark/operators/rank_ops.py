@@ -17,7 +17,8 @@ histogram*, never of row identity. So the scalable shape mirrors
            fact collapses to |distinct| rows before any shuffle)
   phase 2: min/max (one tiny agg) → fixed-width range buckets over the
            value domain; per-bucket subtotals cumulate over the TINY bucket
-           histogram (the only unpartitioned window — ≤ n_buckets rows)
+           histogram via a broadcast triangular join (bounded_seq) — no
+           unpartitioned window anywhere
   phase 3: within-bucket prefix sums via a bucket-PARTITIONED window;
            global below(x) = bucket_prev + in_bucket_prefix − cnt(x)
            mean rank r_avg(x) = below(x) + (cnt(x) + 1) / 2
@@ -37,6 +38,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from .bounded_seq import exclusive_prefix_sums
 
 _NBUCKETS = 1024
 
@@ -72,9 +75,8 @@ def mean_ranks(df: DataFrame, col: str, nbuckets: int = _NBUCKETS) -> DataFrame:
     )
 
     hist = vb.groupBy("b").agg(F.sum("cnt").alias("bc"))
-    wh = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = hist.select(
-        "b", F.coalesce(F.sum("bc").over(wh), F.lit(0)).alias("bucket_prev")
+    offsets = exclusive_prefix_sums(hist, "b", ["bc"]).withColumnRenamed(
+        "prev_bc", "bucket_prev"
     )
 
     wv = Window.partitionBy("b").orderBy(col).rowsBetween(

@@ -18,9 +18,10 @@ scalable shape mirrors ``rank_ops`` / ``percentile_ops``:
   phase 2: ``lead`` under a bucket-PARTITIONED window — a parallel
            hash-partitioned sort, never SinglePartition
   phase 3: per-bucket first rows (one map-side-combined ``min(struct)``
-           agg → ≤ n_buckets rows); the TINY firsts table is the only
-           place an unpartitioned window runs, to chain each bucket to
-           the next non-empty one; broadcast the wrap values back
+           agg → ≤ n_buckets rows); the TINY firsts table chains each
+           bucket to the next non-empty one via broadcast triangular
+           joins (bounded_seq convention — no unpartitioned window
+           anywhere); broadcast the wrap values back
 
 Exactness: buckets are contiguous ranges of the leading key, so
 (bucket, order…) order ≡ global order and the stitched result is
@@ -88,21 +89,37 @@ def cyclic_lead(
     # value cols already in the key are not duplicated in the struct
     fields = order_cols + [v for v in value_cols if v not in order_cols]
     firsts = withb.groupBy("__b").agg(F.min(F.struct(*fields)).alias("__s"))
-    wnext = Window.orderBy("__b")
-    wall = wnext.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     # wrap for bucket b = first row of the next non-empty bucket, or the
     # global first row for the last bucket — branch on NEXT-BUCKET
     # EXISTENCE, never on the value (a legitimately-NULL value must wrap
-    # through unchanged)
-    has_next = F.lead("__b").over(wnext).isNotNull()
-    wraps = firsts.select(
-        "__b",
-        *[
-            F.when(has_next, F.lead(F.col("__s").getField(v)).over(wnext))
-            .otherwise(F.first(F.col("__s").getField(v)).over(wall))
-            .alias(f"__wrap_{v}")
-            for v in value_cols
-        ],
+    # through unchanged). Chained by broadcast joins over the tiny firsts
+    # table (bounded_seq convention — no unpartitioned window anywhere).
+    nxt = (
+        firsts.select("__b")
+        .join(
+            F.broadcast(firsts.select(F.col("__b").alias("__b2"))),
+            F.col("__b2") > F.col("__b"),
+            "left",
+        )
+        .groupBy("__b")
+        .agg(F.min("__b2").alias("__nb"))
+    )
+    gfirst = firsts.agg(F.min(F.struct("__b", "__s")).alias("__g")).select(
+        F.col("__g.__s").alias("__gs")
+    )
+    nfirsts = firsts.select(F.col("__b").alias("__nb2"), F.col("__s").alias("__ns"))
+    wraps = (
+        nxt.join(F.broadcast(nfirsts), F.col("__nb") == F.col("__nb2"), "left")
+        .crossJoin(F.broadcast(gfirst))
+        .select(
+            "__b",
+            *[
+                F.when(F.col("__nb").isNotNull(), F.col("__ns").getField(v))
+                .otherwise(F.col("__gs").getField(v))
+                .alias(f"__wrap_{v}")
+                for v in value_cols
+            ],
+        )
     )
 
     out = led.join(F.broadcast(wraps), "__b")

@@ -29,6 +29,26 @@ def shuffle_count(plan: str | DataFrame) -> int:
     return len(re.findall(r"^\s*(?:\+-|:-)? ?Exchange", text, re.M))
 
 
+def unpartitioned_window_count(df: DataFrame) -> int:
+    """Number of ``WindowExec`` nodes with an empty partition spec — the
+    ones that log ``No Partition Defined`` and move the input to a single
+    partition. The suite invariant (bounded_seq convention) is zero,
+    everywhere: bounded tables use triangular joins instead.
+
+    Detection: in ``treeString`` a Window node prints its expression,
+    partition and order groups as ``Window [...], [...], [...]`` — an
+    unpartitioned one omits the middle group, leaving one ``], [``
+    separator instead of two.
+    """
+    tree = df._jdf.queryExecution().executedPlan().treeString()
+    n = 0
+    for line in tree.splitlines():
+        m = re.search(r"(?:^|[\s\-:])Window \[", line)
+        if m and line.count("], [") < 2:
+            n += 1
+    return n
+
+
 @dataclass
 class PlanAudit:
     shuffles: int

@@ -389,10 +389,10 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     detrended value (x − s/c) is a rational with denominator c ∈ 1..7;
     scaling by 420/c (420 = lcm 1..7) makes every term an INTEGER, so
     the seasonal sums are order-independent and bit-equal across engines
-    — one double division at the end. The only unpartitioned window runs
-    over the daily table, whose size is bounded by the calendar span of
-    the data (~2.4k rows here), not by row count — the same
-    bounded-domain class as the histogram windows."""
+    — one double division at the end. The centered frame is a broadcast
+    band self-join over the daily table, whose size is bounded by the
+    calendar span of the data (~2.4k rows here), not by row count — no
+    unpartitioned window anywhere (bounded_seq convention)."""
     orders = load_table(spark, sf_dir, "orders")
     # o_orderdate lands as TIMESTAMP_NTZ; session TZ is pinned UTC so the
     # TIMESTAMP cast is instant-preserving (same convention as tables.py)
@@ -401,12 +401,17 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_US_DAY}"
         ).alias("d")
     ).agg(F.count("*").alias("x"))
-    w = Window.orderBy("d").rangeBetween(-3, 3)
-    trend = daily.select(
-        "d",
-        "x",
-        F.sum("x").over(w).alias("s"),
-        F.count("x").over(w).alias("c"),
+    # centered RANGE(-3, 3) frame as a broadcast band self-join over the
+    # calendar-bounded daily table — no unpartitioned window (bounded_seq
+    # convention); identical to sum/count OVER (ORDER BY d RANGE -3..3)
+    nbr = daily.select(F.col("d").alias("d2"), F.col("x").alias("x2"))
+    trend = (
+        daily.join(
+            F.broadcast(nbr),
+            (F.col("d2") >= F.col("d") - 3) & (F.col("d2") <= F.col("d") + 3),
+        )
+        .groupBy("d", "x")
+        .agg(F.sum("x2").alias("s"), F.count("x2").alias("c"))
     )
     det = trend.select(
         (F.col("d") % 7).alias("dow"),

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import numeric as N
+from ..operators.bounded_seq import exclusive_prefix_sums
 from ..registry import query
 from ..sources import load_table
 from ._shared import _PRED_SQL, _TRUTH_SQL
@@ -157,9 +158,8 @@ def _auroc_rank_agg(s: DataFrame) -> DataFrame:
         ),
     )
     hist = vb.groupBy("b").agg(F.sum("t").alias("bc"))
-    wh = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = hist.select(
-        "b", F.coalesce(F.sum("bc").over(wh), F.lit(0)).alias("bucket_prev")
+    offsets = exclusive_prefix_sums(hist, "b", ["bc"]).withColumnRenamed(
+        "prev_bc", "bucket_prev"
     )
     wv = Window.partitionBy("b").orderBy("prob").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

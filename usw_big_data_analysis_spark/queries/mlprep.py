@@ -14,11 +14,12 @@ be reproduced in two engines; see metrics.split_modk).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
 from ..functions import numeric as N
+from ..operators.bounded_seq import dense_codes
 from ..operators.rank_ops import mean_ranks
 from ..registry import query
 from ..sources import load_table
@@ -338,11 +339,9 @@ def scale_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def encode_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sklearn LabelEncoder = sorted-distinct → contiguous codes (StringIndexer
     with alphabetDesc ordering differs; this matches the reference exactly)."""
-    cust = load_table(spark, sf_dir, "customer").select("c_mktsegment").distinct()
-    w = Window.orderBy("c_mktsegment")
-    return cust.select(
-        F.col("c_mktsegment").alias("value"),
-        (F.dense_rank().over(w) - 1).cast("int").alias("code"),
+    cust = load_table(spark, sf_dir, "customer").select("c_mktsegment")
+    return dense_codes(cust, "c_mktsegment").select(
+        F.col("c_mktsegment").alias("value"), "code"
     )
 
 
@@ -365,9 +364,8 @@ def encode_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 def encode_cat_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     train = part.filter(F.col("p_partkey") % 4 != 0).select("p_brand")
-    codes = train.distinct().select(
-        F.col("p_brand").alias("value"),
-        (F.dense_rank().over(Window.orderBy("p_brand")) - 1).cast("int").alias("code"),
+    codes = dense_codes(train, "p_brand").select(
+        F.col("p_brand").alias("value"), "code"
     )
     test = part.filter(F.col("p_partkey") % 4 == 0).select("p_brand")
     return (

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import numeric as N
+from ..operators.bounded_seq import ordered_row_numbers
 from ..operators.shift_ops import cyclic_lead
 from ..registry import query
 from ..sources import load_table
@@ -494,13 +495,11 @@ def _hpo_eval_spark(spark: SparkSession, sf_dir: str, cfg: DataFrame) -> DataFra
         F.round(F.avg("acc"), 6).alias("mean_acc"),
         F.round(F.stddev_samp("acc"), 6).alias("std_acc"),
     )
-    w = Window.orderBy(F.desc("mean_acc"), F.asc("config_id"))
-    return summary.select(
-        "config_id",
-        F.round("tau", 2).alias("tau"),
-        "mean_acc",
-        "std_acc",
-        F.row_number().over(w).cast("int").alias("rnk"),
+    picked = summary.select(
+        "config_id", F.round("tau", 2).alias("tau"), "mean_acc", "std_acc"
+    )
+    return ordered_row_numbers(
+        picked, [("mean_acc", False), ("config_id", True)], out="rnk"
     )
 
 

@@ -547,12 +547,13 @@ def ks_2samp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    from ..operators.bounded_seq import exclusive_prefix_sums
+
     hist = cb.groupBy("b").agg(F.sum("c1").alias("t1"), F.sum("c2").alias("t2"))
-    wh = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = hist.select(
-        "b",
-        F.coalesce(F.sum("t1").over(wh), F.lit(0)).alias("prev1"),
-        F.coalesce(F.sum("t2").over(wh), F.lit(0)).alias("prev2"),
+    offsets = (
+        exclusive_prefix_sums(hist, "b", ["t1", "t2"])
+        .withColumnRenamed("prev_t1", "prev1")
+        .withColumnRenamed("prev_t2", "prev2")
     )
     wv = Window.partitionBy("b").orderBy("x").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import numeric as N
+from ..operators.bounded_seq import exclusive_prefix_sums, ordered_row_numbers
 from ..registry import query
 from ..sources import load_table
 
@@ -185,13 +186,10 @@ def cumsum_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b"),
     )
     hist = wb.groupBy("b").agg(F.count("*").alias("bc"), F.sum(dec).alias("bs"))
-    wh = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
-    offs = hist.select(
-        "b",
-        F.coalesce(F.sum("bc").over(wh), F.lit(0)).alias("prev_cnt"),
-        F.coalesce(F.sum("bs").over(wh), F.lit(0).cast("decimal(38,6)")).alias(
-            "prev_sum"
-        ),
+    offs = (
+        exclusive_prefix_sums(hist, "b", ["bc", "bs"])
+        .withColumnRenamed("prev_bc", "prev_cnt")
+        .withColumnRenamed("prev_bs", "prev_sum")
     )
     tot = hist.agg(F.sum("bs").cast("double").alias("total"))
     order = [F.desc("p_retailprice"), F.asc("p_partkey")]
@@ -251,7 +249,8 @@ def sort_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(*keys)
         .limit(100)
     )
-    return top.withColumn("rn", F.row_number().over(Window.orderBy(*keys)))
+    order = [("o_orderpriority", True), ("o_totalprice", False), ("o_orderkey", True)]
+    return ordered_row_numbers(top, order, out="rn")
 
 
 # --- O2: head-N (experiments/target_eda.py:123) -----------------------------
