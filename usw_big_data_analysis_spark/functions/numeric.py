@@ -196,6 +196,38 @@ def isum_value(name: str, scale: int) -> Column:
     return total.cast("double") / float(10**scale)
 
 
+# --- Spark-SQL string twins of the Column builders ---------------------------
+# Building deep Column trees through py4j costs ~4-5ms per operator node on
+# this box (measured); a query like corr_matrix with 60+ split-sum aggregates
+# spends ~0.6s of every cold call just constructing expressions. These
+# builders emit the SAME expressions as Spark SQL strings — one F.expr()
+# py4j call each, parsed JVM-side (~0.5ms) — for the hot headline paths.
+# Semantics are identical operator-for-operator (verified bit-exact by the
+# oracle parity suite); only the construction route differs.
+
+
+def spark_iscaled(expr: str, scale: int) -> str:
+    """Spark-SQL twin of ``iscaled``: round(x * 10^scale) as bigint."""
+    return f"CAST(round(({expr}) * {10**scale}, 0) AS BIGINT)"
+
+
+def spark_isum_items(expr: str, name: str) -> list[str]:
+    """Spark-SQL twin of ``isum_aggs`` — two select-list strings."""
+    return [
+        f"sum(CAST(FLOOR(({expr}) / {_ISPLIT}) AS BIGINT)) AS {name}__hi",
+        f"sum(({expr}) % {_ISPLIT}) AS {name}__lo",
+    ]
+
+
+def spark_isum_value(name: str, scale: int) -> str:
+    """Spark-SQL twin of ``isum_value`` (also valid DuckDB — same text as
+    sql_isum_value)."""
+    return (
+        f"(CAST(CAST({name}__hi AS DECIMAL(38,0)) * {_ISPLIT} "
+        f"+ CAST({name}__lo AS DECIMAL(38,0)) AS DOUBLE) / {float(10**scale)})"
+    )
+
+
 def sql_isum_items(expr: str, name: str) -> str:
     """DuckDB select-list fragment matching isum_aggs (expr must be a
     non-negative BIGINT expression)."""

@@ -194,20 +194,21 @@ def describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays O(1); every rank/interp value is bit-identical to the oracle's
     window-cumsum form."""
     melted = _melt_lineitem(spark, sf_dir).filter(F.col("x").isNotNull())
-    xi = N.iscaled("x", 2)
+    xi = N.spark_iscaled("x", 2)
     _SHIFT = 4096
-    b_expr = F.floor(xi / _SHIFT).cast("int")
+    b_sql = f"CAST(FLOOR(({xi}) / {_SHIFT}) AS INT)"
 
+    hist_aggs = [
+        "count(*) AS cnt",
+        "min(x) AS mn",
+        "max(x) AS mx",
+        "sum(CAST(x = 0.0D AS BIGINT)) AS nz",
+        *N.spark_isum_items(xi, "s"),
+        *N.spark_isum_items(f"({xi}) * ({xi})", "ss"),
+    ]
     hist = (
-        melted.groupBy("col_name", b_expr.alias("b"))
-        .agg(
-            F.count("*").alias("cnt"),
-            F.min("x").alias("mn"),
-            F.max("x").alias("mx"),
-            F.sum((F.col("x") == 0.0).cast("bigint")).alias("nz"),
-            *N.isum_aggs(xi, "s"),
-            *N.isum_aggs(xi * xi, "ss"),
-        )
+        melted.groupBy("col_name", F.expr(b_sql).alias("b"))
+        .agg(F.expr(hist_aggs[0]), *[F.expr(s) for s in hist_aggs[1:]])
         .toPandas()
     )
 
@@ -257,82 +258,79 @@ def describe(spark: SparkSession, sf_dir: str) -> DataFrame:
                         break
         targets[c] = tset
 
-    def _case(fn) -> F.Column:
-        expr = None
-        for c in _NUM_COLS:
-            branch = fn(stats[c])
-            expr = (
-                F.when(F.col("col_name") == c, branch)
-                if expr is None
-                else expr.when(F.col("col_name") == c, branch)
-            )
-        return expr
+    # pass 2 expressions are string-built (SQL CASE over the 4 col_names
+    # with literals from pass 1) — the F.when-chain form cost ~0.5s of
+    # py4j construction per cold call. Float literals use repr() + the
+    # 'D' double suffix: shortest-repr round-trips bit-exactly through
+    # both Python's and the JVM's nearest-double parse.
+    def _dlit(v: float) -> str:
+        return f"{v!r}D"
 
-    with_b = melted.select("col_name", "x", b_expr.alias("b"))
+    def _case(fn) -> str:
+        whens = " ".join(
+            f"WHEN col_name = '{c}' THEN {fn(stats[c])}" for c in _NUM_COLS
+        )
+        return f"CASE {whens} END"
+
+    with_b = melted.selectExpr("col_name", "x", f"{b_sql} AS b")
 
     # pass 2 (returned plan): literal-predicate scan of the located
     # buckets only, tiny in-bucket rank window, interpolate
-    keep = None
-    for c in _NUM_COLS:
-        cond = (F.col("col_name") == c) & F.col("b").isin(*sorted(targets[c]))
-        keep = cond if keep is None else keep | cond
+    keep = " OR ".join(
+        f"(col_name = '{c}' AND b IN ({', '.join(str(b) for b in sorted(targets[c]))}))"
+        for c in _NUM_COLS
+    )
     vals = (
-        with_b.filter(keep)
+        with_b.filter(F.expr(keep))
         .groupBy("col_name", "b", "x")
         .agg(F.count("*").alias("cnt"))
     )
-    prev_case = None
-    for c in _NUM_COLS:
-        for b in sorted(targets[c]):
-            cond = (F.col("col_name") == c) & (F.col("b") == b)
-            branch = F.lit(bucket_prev[c][b]).cast("bigint")
-            prev_case = (
-                F.when(cond, branch)
-                if prev_case is None
-                else prev_case.when(cond, branch)
-            )
+    prev_whens = " ".join(
+        f"WHEN col_name = '{c}' AND b = {b} THEN CAST({bucket_prev[c][b]} AS BIGINT)"
+        for c in _NUM_COLS
+        for b in sorted(targets[c])
+    )
+    prev_case = f"CASE {prev_whens} END"
     wv = Window.partitionBy("col_name", "b").orderBy("x").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    in_bucket = F.sum("cnt").over(wv)
-    ranked = vals.select(
+    ranked = vals.withColumn("ib", F.sum("cnt").over(wv)).selectExpr(
         "col_name",
         "x",
-        (prev_case + in_bucket).alias("cum"),
-        (prev_case + in_bucket - F.col("cnt")).alias("prev"),
+        f"({prev_case}) + ib AS cum",
+        f"({prev_case}) + ib - cnt AS prev",
     )
     hit_cols = []
     for i, p in enumerate(ps):
-        r = _case(lambda s, p=p: F.lit(math.floor((s["n"] - 1) * p + 1)))
-        r_hi = _case(lambda s, p=p: F.lit(math.ceil((s["n"] - 1) * p + 1)))
-        vlo = F.max(F.when((F.col("prev") < r) & (F.col("cum") >= r), F.col("x")))
-        vhi = F.max(F.when((F.col("prev") < r_hi) & (F.col("cum") >= r_hi), F.col("x")))
-        hit_cols.extend([vlo.alias(f"vlo_{i}"), vhi.alias(f"vhi_{i}")])
-    hits = ranked.groupBy("col_name").agg(*hit_cols)
+        r = _case(lambda s, p=p: str(math.floor((s["n"] - 1) * p + 1)))
+        r_hi = _case(lambda s, p=p: str(math.ceil((s["n"] - 1) * p + 1)))
+        hit_cols.append(
+            f"max(CASE WHEN prev < ({r}) AND cum >= ({r}) THEN x END) AS vlo_{i}"
+        )
+        hit_cols.append(
+            f"max(CASE WHEN prev < ({r_hi}) AND cum >= ({r_hi}) THEN x END) AS vhi_{i}"
+        )
+    hits = ranked.groupBy("col_name").agg(*[F.expr(s) for s in hit_cols])
     interp_cols = []
     for i, p in enumerate(ps):
         frac = _case(
-            lambda s, p=p: F.lit(
+            lambda s, p=p: _dlit(
                 (s["n"] - 1) * p + 1 - math.floor((s["n"] - 1) * p + 1)
             )
         )
-        interp_cols.append(
-            (F.col(f"vlo_{i}") + frac * (F.col(f"vhi_{i}") - F.col(f"vlo_{i}"))).alias(
-                f"p_{i}"
-            )
-        )
-    percs = hits.select("col_name", *interp_cols)
-    return percs.select(
+        interp_cols.append(f"vlo_{i} + ({frac}) * (vhi_{i} - vlo_{i}) AS p_{i}")
+    percs = hits.selectExpr("col_name", *interp_cols)
+    return percs.selectExpr(
         "col_name",
-        _case(lambda s: F.lit(s["n"])).alias("n"),
-        _case(lambda s: F.lit(s["mean"])).alias("mean"),
-        _case(lambda s: F.lit(s["std"])).alias("std"),
-        _case(lambda s: F.lit(s["min_x"])).alias("min_x"),
-        F.col("p_0").alias("q25"),
-        F.col("p_1").alias("median"),
-        F.col("p_2").alias("q75"),
-        _case(lambda s: F.lit(s["max_x"])).alias("max_x"),
-        _case(lambda s: F.lit(s["n_zero"])).alias("n_zero"),
+        _case(lambda s: str(s["n"])) + " AS n",
+        _case(lambda s: _dlit(s["mean"])) + " AS mean",
+        _case(lambda s: _dlit(s["std"])) + " AS std",
+        _case(lambda s: _dlit(s["min_x"])) + " AS min_x",
+        "p_0 AS q25",
+        "p_1 AS median",
+        "p_2 AS q75",
+        _case(lambda s: _dlit(s["max_x"])) + " AS max_x",
+        _case(lambda s: str(s["n_zero"])) + " AS n_zero",
     )
 
 
@@ -524,32 +522,30 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (M10); the ml.stat.Correlation alternative assembles a vector column."""
     li = load_table(spark, sf_dir, "lineitem")
     pairs = _corr_pairs()
-    aggs = [F.count("*").alias("n_raw")]
+    # string-built expressions (N.spark_*): one JVM-parsed F.expr per agg —
+    # the 61-aggregate tree was ~0.6s of py4j construction per cold call
+    aggs = ["count(*) AS n_raw"]
     for c in _NUM_COLS:
-        xi = N.iscaled(c, 2)
-        aggs += N.isum_aggs(xi, f"s_{c}")
-        aggs += N.isum_aggs(xi * xi, f"ss_{c}")
+        xi = N.spark_iscaled(c, 2)
+        aggs += N.spark_isum_items(xi, f"s_{c}")
+        aggs += N.spark_isum_items(f"({xi}) * ({xi})", f"ss_{c}")
     for a, b in pairs:
-        aggs += N.isum_aggs(N.iscaled(a, 2) * N.iscaled(b, 2), f"sp_{a}_{b}")
-    one = li.agg(*aggs)
-    n = F.col("n_raw").cast("double")
-    vals = [n.alias("n")]
+        aggs += N.spark_isum_items(
+            f"({N.spark_iscaled(a, 2)}) * ({N.spark_iscaled(b, 2)})", f"sp_{a}_{b}"
+        )
+    one = li.agg(F.expr(aggs[0]), *[F.expr(s) for s in aggs[1:]])
+    vals = ["CAST(n_raw AS DOUBLE) AS n"]
     for c in _NUM_COLS:
-        vals.append(N.isum_value(f"s_{c}", 2).alias(f"sx_{c}"))
-        vals.append(N.isum_value(f"ss_{c}", 4).alias(f"ss_v_{c}"))
+        vals.append(f"{N.spark_isum_value(f's_{c}', 2)} AS sx_{c}")
+        vals.append(f"{N.spark_isum_value(f'ss_{c}', 4)} AS ss_v_{c}")
     for a, b in pairs:
-        vals.append(N.isum_value(f"sp_{a}_{b}", 4).alias(f"sp_v_{a}_{b}"))
-    v = one.select(*vals)
-    corrs = v.select(
+        vals.append(f"{N.spark_isum_value(f'sp_{a}_{b}', 4)} AS sp_v_{a}_{b}")
+    v = one.selectExpr(*vals)
+    corrs = v.selectExpr(
         *[
-            F.round(
-                (F.col("n") * F.col(f"sp_v_{a}_{b}") - F.col(f"sx_{a}") * F.col(f"sx_{b}"))
-                / F.sqrt(
-                    (F.col("n") * F.col(f"ss_v_{a}") - F.col(f"sx_{a}") * F.col(f"sx_{a}"))
-                    * (F.col("n") * F.col(f"ss_v_{b}") - F.col(f"sx_{b}") * F.col(f"sx_{b}"))
-                ),
-                6,
-            ).alias(f"c_{i}")
+            f"round((n * sp_v_{a}_{b} - sx_{a} * sx_{b}) / "
+            f"sqrt((n * ss_v_{a} - sx_{a} * sx_{a}) "
+            f"* (n * ss_v_{b} - sx_{b} * sx_{b})), 6) AS c_{i}"
             for i, (a, b) in enumerate(pairs)
         ]
     )

@@ -27,9 +27,23 @@ TABLES = (
 )
 
 
+# (applicationId, sf_dir, name) -> DataFrame. A fixture scan is an immutable
+# logical plan; re-creating it per query call re-reads the parquet footer on
+# the driver (~80-100ms — the single largest per-query plan-construction
+# cost). Caching is the catalog role a metastore plays in production: schema
+# resolved once per table per session, every query shares the relation.
+# Keyed by applicationId so a stopped/restarted session can never leak stale
+# plans (a new JVM app gets a new id).
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # Normalize events.ts to TIMESTAMP regardless of how the fixture was
@@ -52,6 +66,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         elif not isinstance(ts_type, T.TimestampType):
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _TABLE_CACHE[key] = df
     return df
 
 
