@@ -38,14 +38,12 @@ def scored_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     two scans plus a sort-merge shuffle in EVERY metric query. The oracle
     keeps the explicit join form (DuckDB flattens it); J2's
     `join_pred_truth` still exercises the real join."""
-    prob = (
-        (F.col("o_orderkey") * F.lit(2654435761)) % 1000
-    ).cast("double") / 1000.0
-    return load_table(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("id"),
-        (F.col("o_totalprice") > 150000.0).cast("int").alias("label"),
-        prob.alias("prob"),
-        (prob >= 0.5).cast("int").alias("pred"),
+    prob = "CAST((o_orderkey * 2654435761) % 1000 AS DOUBLE) / 1000.0D"
+    return load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey AS id",
+        "CAST(o_totalprice > 150000.0D AS INT) AS label",
+        f"{prob} AS prob",
+        f"CAST({prob} >= 0.5D AS INT) AS pred",
     )
 
 
@@ -145,34 +143,33 @@ def _auroc_rank_agg(s: DataFrame) -> DataFrame:
     size grows with the fact; results are bit-identical to row-level
     rank() because below/tie counts are integers and r_avg is a
     half-integer."""
-    vb = s.groupBy(F.round("prob", _PROB_SCALE).alias("prob")).agg(
-        F.count("*").alias("t"), F.sum("label").cast("bigint").alias("tp")
-    ).withColumn(
-        "b",
-        F.greatest(
-            F.least(
-                F.floor(F.col("prob") * _RANK_BUCKETS).cast("int"),
-                F.lit(_RANK_BUCKETS - 1),
+    vb = (
+        s.groupBy(F.expr(f"round(prob, {_PROB_SCALE})").alias("prob"))
+        .agg(F.expr("count(*) AS t"), F.expr("CAST(sum(label) AS BIGINT) AS tp"))
+        .withColumn(
+            "b",
+            F.expr(
+                f"greatest(least(CAST(floor(prob * {_RANK_BUCKETS}) AS INT),"
+                f" {_RANK_BUCKETS - 1}), 0)"
             ),
-            F.lit(0),
-        ),
+        )
     )
-    hist = vb.groupBy("b").agg(F.sum("t").alias("bc"))
+    hist = vb.groupBy("b").agg(F.expr("sum(t) AS bc"))
     offsets = exclusive_prefix_sums(hist, "b", ["bc"]).withColumnRenamed(
         "prev_bc", "bucket_prev"
     )
     wv = Window.partitionBy("b").orderBy("prob").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    below = F.col("bucket_prev") + F.sum("t").over(wv) - F.col("t")
-    r_avg = below + (F.col("t") + 1) / 2.0
-    ranked = vb.join(F.broadcast(offsets), "b").select(
-        "t", "tp", r_avg.alias("r_avg")
+    ranked = (
+        vb.join(F.broadcast(offsets), "b")
+        .withColumn("ct", F.sum("t").over(wv))
+        .selectExpr("t", "tp", "(bucket_prev + ct - t) + (t + 1) / 2.0D AS r_avg")
     )
     return ranked.agg(
-        F.sum(F.col("tp") * F.col("r_avg")).alias("rank_sum_pos"),
-        F.sum("tp").alias("npos"),
-        (F.sum("t") - F.sum("tp")).alias("nneg"),
+        F.expr("sum(tp * r_avg) AS rank_sum_pos"),
+        F.expr("sum(tp) AS npos"),
+        F.expr("sum(t) - sum(tp) AS nneg"),
     )
 
 
@@ -281,31 +278,21 @@ def threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     without 17 scans (reference loops) and without a 17x row blow-up."""
     s = scored_frame(spark, sf_dir)
     per = s.groupBy("prob").agg(
-        F.count("*").alias("t"), F.sum("label").cast("bigint").alias("pos")
+        F.expr("count(*) AS t"), F.expr("CAST(sum(label) AS BIGINT) AS pos")
     )
-    th = spark.range(2, 19).select((F.col("id") / 20.0).alias("threshold"))
-    j = per.crossJoin(F.broadcast(th))
-    hit = F.col("prob") >= F.col("threshold")
-    c = j.groupBy("threshold").agg(
-        F.sum(F.when(hit, F.col("pos")).otherwise(0)).alias("tp"),
-        F.sum(F.when(hit, F.col("t") - F.col("pos")).otherwise(0)).alias("fp"),
-        F.sum(F.when(~hit, F.col("pos")).otherwise(0)).alias("fn"),
-        F.sum(F.when(~hit, F.col("t") - F.col("pos")).otherwise(0)).alias("tn"),
+    th = spark.range(2, 19).selectExpr("id / 20.0D AS threshold")
+    c = per.crossJoin(F.broadcast(th)).groupBy("threshold").agg(
+        F.expr("sum(CASE WHEN prob >= threshold THEN pos ELSE 0 END) AS tp"),
+        F.expr("sum(CASE WHEN prob >= threshold THEN t - pos ELSE 0 END) AS fp"),
+        F.expr("sum(CASE WHEN NOT prob >= threshold THEN pos ELSE 0 END) AS fn"),
+        F.expr("sum(CASE WHEN NOT prob >= threshold THEN t - pos ELSE 0 END) AS tn"),
     )
-    total = F.col("tp") + F.col("tn") + F.col("fp") + F.col("fn")
-    return c.select(
-        F.round("threshold", 6).alias("threshold"),
-        F.round((F.col("tp") + F.col("tn")).cast("double") / total, 6).alias("accuracy"),
-        F.round(
-            F.col("tp").cast("double") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)), 6
-        ).alias("precision_"),
-        F.round(
-            F.col("tp").cast("double") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)), 6
-        ).alias("recall_"),
-        F.round(
-            2.0 * F.col("tp") / F.nullif(2.0 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(0)),
-            6,
-        ).alias("f1"),
+    return c.selectExpr(
+        "round(threshold, 6) AS threshold",
+        "round(CAST(tp + tn AS DOUBLE) / (tp + tn + fp + fn), 6) AS accuracy",
+        "round(CAST(tp AS DOUBLE) / nullif(tp + fp, 0), 6) AS precision_",
+        "round(CAST(tp AS DOUBLE) / nullif(tp + fn, 0), 6) AS recall_",
+        "round(2.0D * tp / nullif(2.0D * tp + fp + fn, 0), 6) AS f1",
     )
 
 
