@@ -596,3 +596,110 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_monetary"),
         )
     )
+
+
+# --- Kaplan-Meier survival of user activity ----------------------------------
+_KM_CENSOR_DAYS = 7  # last seen within this tail window => censored
+
+
+@query(
+    "survival_kaplan_meier",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             min(epoch_us(ts) // {_US_DAY}) AS d0,
+             max(epoch_us(ts) // {_US_DAY}) AS d1
+      FROM events GROUP BY user_id
+    ),
+    g AS (SELECT max(d1) AS dmax FROM per_user),
+    u AS (
+      SELECT CAST(d1 - d0 AS BIGINT) AS t,
+             CAST(d1 <= dmax - {_KM_CENSOR_DAYS} AS BIGINT) AS died
+      FROM per_user CROSS JOIN g
+    ),
+    bytime AS (
+      SELECT t, CAST(sum(died) AS BIGINT) AS d,
+             CAST(count(*) - sum(died) AS BIGINT) AS c
+      FROM u GROUP BY t
+    ),
+    risk AS (
+      SELECT a.t, a.d, a.c,
+             (SELECT CAST(sum(b.d + b.c) AS BIGINT)
+              FROM bytime b WHERE b.t >= a.t) AS n_risk
+      FROM bytime a
+    ),
+    logs AS (
+      SELECT t, d, c, n_risk,
+             CAST(round(ln(greatest(1.0 - CAST(d AS DOUBLE)
+                                        / CAST(n_risk AS DOUBLE), 1e-15)), 8)
+                  AS DECIMAL(20,8)) AS lt
+      FROM risk
+    ),
+    km AS (
+      SELECT t, d, c, n_risk,
+             CAST(sum(lt) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS ls
+      FROM logs
+    )
+    SELECT t, d, c, n_risk, round(ls, 6) AS log_surv, round(exp(ls), 6) AS surv
+    FROM km
+    """,
+)
+def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of user activity lifetime: duration =
+    days between a user's first and last event; users last seen more than
+    {_KM_CENSOR_DAYS} days before the corpus end are churned (death), the
+    rest right-censored. S(t) = prod over u<=t of (1 - d_u / n_u) with
+    n_u = at-risk count (everyone whose duration >= u).
+
+    Scale shape: one per-user agg (single shuffle of the fact), then every
+    KM quantity lives on the per-duration table, whose cardinality is
+    bounded by the calendar span — n_risk is total-minus-exclusive-prefix
+    and the cumulative log is an inclusive prefix, both via the bounded_seq
+    triangular join (no unpartitioned window). Exactness: the survival
+    product is a log-sum with per-term round(ln(...), 8) decimal summation
+    — the metric_logloss convention — with the 1e-15 clip absorbing the
+    terminal d = n_risk point (ln 0); integer d/c/n_risk are exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.expr(f"min(unix_micros(ts) div {_US_DAY}) AS d0"),
+        F.expr(f"max(unix_micros(ts) div {_US_DAY}) AS d1"),
+    )
+    g = per_user.agg(F.expr("max(d1) AS dmax"))
+    u = per_user.crossJoin(F.broadcast(g)).selectExpr(
+        "CAST(d1 - d0 AS BIGINT) AS t",
+        f"CAST(d1 <= dmax - {_KM_CENSOR_DAYS} AS BIGINT) AS died",
+    )
+    bytime = u.groupBy("t").agg(
+        F.expr("CAST(sum(died) AS BIGINT) AS d"),
+        F.expr("CAST(count(*) - sum(died) AS BIGINT) AS c"),
+    )
+    from ..operators.bounded_seq import exclusive_prefix_sums
+
+    bytime = bytime.withColumn("dc", F.expr("d + c"))
+    total = bytime.agg(F.expr("CAST(sum(dc) AS BIGINT) AS n_total"))
+    prev = exclusive_prefix_sums(bytime.select("t", "dc"), "t", ["dc"])
+    risk = (
+        bytime.join(F.broadcast(prev), "t")
+        .crossJoin(F.broadcast(total))
+        .selectExpr("t", "d", "c", "n_total - prev_dc AS n_risk")
+    )
+    logs = risk.selectExpr(
+        "t",
+        "d",
+        "c",
+        "n_risk",
+        "CAST(round(ln(greatest(1.0D - CAST(d AS DOUBLE)"
+        " / CAST(n_risk AS DOUBLE), 1e-15)), 8) AS DECIMAL(20,8)) AS lt",
+    )
+    lprev = exclusive_prefix_sums(logs.select("t", "lt"), "t", ["lt"])
+    return (
+        logs.join(F.broadcast(lprev), "t")
+        .withColumn("ls", F.expr("CAST(prev_lt + lt AS DOUBLE)"))
+        .selectExpr(
+            "t", "d", "c", "n_risk",
+            "round(ls, 6) AS log_surv",
+            "round(exp(ls), 6) AS surv",
+        )
+    )

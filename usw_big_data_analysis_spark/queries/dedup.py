@@ -849,3 +849,66 @@ def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+# --- asymmetric containment: subset-duplication Jaccard misses ---------------
+_CONTAIN_T = 0.9
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    scored AS (
+      SELECT id_a, id_b,
+             round(CAST(n_common AS DOUBLE) / sa.n, 6) AS c_ab,
+             round(CAST(n_common AS DOUBLE) / sb.n, 6) AS c_ba
+      FROM inter JOIN sizes sa ON id_a = sa.doc_id
+                 JOIN sizes sb ON id_b = sb.doc_id
+    )
+    SELECT id_a, id_b, c_ab, c_ba FROM scored
+    WHERE greatest(c_ab, c_ba) >= {_CONTAIN_T}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle containment C(A->B) = |A∩B| / |A| — catches a
+    short document embedded verbatim inside a longer one, which symmetric
+    Jaccard dilutes below any dedup threshold (|A∩B|/|A∪B| shrinks as the
+    host grows). The standard CommonCrawl-style complement to near-dup
+    Jaccard for quote/boilerplate inclusion.
+
+    Same scale shape as dedup_ngram_jaccard: intersection counts from the
+    shingle equi-join (bounded per-doc shingle fanout), sizes broadcast
+    back; no all-pairs stage. At 100 TB the candidate pairs come from the
+    MinHash bands first (dedup_minhash_lsh) and this exact containment
+    scores only candidates."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    scored = (
+        inter.join(F.broadcast(sa), F.col("id_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("id_b") == F.col("sb.doc_id"))
+        .selectExpr(
+            "id_a",
+            "id_b",
+            "round(CAST(n_common AS DOUBLE) / sa.n, 6) AS c_ab",
+            "round(CAST(n_common AS DOUBLE) / sb.n, 6) AS c_ba",
+        )
+    )
+    return scored.filter(F.expr(f"greatest(c_ab, c_ba) >= {_CONTAIN_T}"))

@@ -1218,3 +1218,90 @@ def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("tcid").cast("double") / _TOPK).alias("recall"),
         )
     )
+
+
+# --- hard-negative mining for contrastive training ---------------------------
+_HN_NQ = 25  # anchor set
+
+
+@query(
+    "knn_hard_negatives",
+    oracle=f"""
+    WITH expl AS ({_EXPL_SQL}),
+    norms AS ({_NORMS_SQL}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    q AS (SELECT e.vec_id AS qid, e.pos, e.v AS qv, l.label AS q_label
+          FROM expl e JOIN lab l ON e.vec_id = l.vec_id
+          WHERE e.vec_id < {_HN_NQ}),
+    dots AS (
+      SELECT q.qid, any_value(q.q_label) AS q_label, c.vec_id AS cid,
+             CAST(sum(CAST(q.qv * c.v AS DECIMAL(20,12))) AS DOUBLE) AS dot
+      FROM q JOIN expl c ON q.pos = c.pos
+      GROUP BY q.qid, c.vec_id
+    ),
+    cos AS (
+      SELECT d.qid, d.q_label, d.cid, cl.label AS neg_label,
+             round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+      FROM dots d
+      JOIN lab cl ON d.cid = cl.vec_id
+      JOIN norms nq ON d.qid = nq.vec_id
+      JOIN norms nc ON d.cid = nc.vec_id
+      WHERE cl.label <> d.q_label
+    )
+    SELECT qid, q_label, cid, neg_label, cosine FROM (
+      SELECT qid, q_label, cid, neg_label, cosine,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, cid) AS rn
+      FROM cos
+    ) WHERE rn = 1
+    """,
+)
+def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — the contrastive-training data op: for each
+    anchor vector, the single most-similar corpus vector with a DIFFERENT
+    label (the negative that contributes the largest loss gradient).
+
+    Plan: anchors broadcast against one corpus scan (same shape as
+    embed_cosine_topk — no posexplode shuffle, corpus never reshuffled);
+    the label-mismatch filter runs before ranking, and the final top-1 is
+    a window over |anchors| partitions of ≤|corpus| scored rows. At 100 TB
+    swap the scored-pair window for the per-partition top-k guard of
+    topk_per_group, and the anchor side grows via LSH bucketing
+    (embed_ann_lsh) rather than brute force — this exact form is the
+    verification baseline the ANN variant is recalled against."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    withn = emb.withColumn(
+        "nrm", F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding")))
+    )
+    q = withn.filter(F.col("vec_id") < _HN_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qemb"),
+        F.col("nrm").alias("nrm_q"),
+    )
+    c = withn.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("cemb"),
+        F.col("nrm").alias("nrm_c"),
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neg_label") != F.col("q_label")
+    )
+    cos = pairs.select(
+        "qid",
+        "q_label",
+        "cid",
+        "neg_label",
+        F.round(
+            _dec_dot(F.col("qemb"), F.col("cemb"))
+            / (F.col("nrm_q") * F.col("nrm_c")),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        cos.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

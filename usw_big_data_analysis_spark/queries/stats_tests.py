@@ -698,3 +698,85 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n").alias("n"),
         F.sum((lhs > rhs).cast("bigint")).alias("n_anomalies"),
     )
+
+
+# --- two-proportion z-test (A/B experiment readout) --------------------------
+@query(
+    "ab_test_ztest",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS INT) AS grp,
+             CAST(max(CAST(event_type = 'purchase' AND value > 80 AS INT))
+                  AS BIGINT) AS converted
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN grp = 0 THEN converted ELSE 0 END) AS BIGINT)
+               AS x_a,
+             CAST(sum(CASE WHEN grp = 1 THEN converted ELSE 0 END) AS BIGINT)
+               AS x_b
+      FROM conv
+    )
+    SELECT n_a, n_b, x_a, x_b,
+           round(CAST(x_a AS DOUBLE) / n_a, 6) AS p_a,
+           round(CAST(x_b AS DOUBLE) / n_b, 6) AS p_b,
+           round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_stat,
+           CAST(abs((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b))) > 1.959964 AS INT)
+             AS significant_05
+    FROM g
+    """,
+)
+def ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion pooled z-test — the A/B experiment readout
+    (statsmodels proportions_ztest semantics): does the purchase-conversion
+    rate differ between the user_id-parity arms? One per-user agg (did the
+    user ever purchase), one four-counter rollup, scalar arithmetic — two
+    shuffles total, both map-side combined; z is pure double arithmetic
+    over exact integer counts, rounded at 6dp like every stats_tests
+    statistic."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.groupBy("user_id").agg(
+        F.expr("CAST(user_id % 2 AS INT) AS grp"),
+        F.expr(
+            "CAST(max(CAST(event_type = 'purchase' AND value > 80 AS INT))"
+            " AS BIGINT) AS converted"
+        ),
+    )
+    g = conv.agg(
+        F.expr("CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a"),
+        F.expr("CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b"),
+        F.expr(
+            "CAST(sum(CASE WHEN grp = 0 THEN converted ELSE 0 END) AS BIGINT)"
+            " AS x_a"
+        ),
+        F.expr(
+            "CAST(sum(CASE WHEN grp = 1 THEN converted ELSE 0 END) AS BIGINT)"
+            " AS x_b"
+        ),
+    )
+    return g.selectExpr(
+        "n_a",
+        "n_b",
+        "x_a",
+        "x_b",
+        "round(CAST(x_a AS DOUBLE) / n_a, 6) AS p_a",
+        "round(CAST(x_b AS DOUBLE) / n_b, 6) AS p_b",
+        "round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)"
+        " / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))"
+        "        * (1.0D - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))"
+        "        * (1.0D / n_a + 1.0D / n_b)), 6) AS z_stat",
+        "CAST(abs((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)"
+        " / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))"
+        "        * (1.0D - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))"
+        "        * (1.0D / n_a + 1.0D / n_b))) > 1.959964D AS INT)"
+        " AS significant_05",
+    )
