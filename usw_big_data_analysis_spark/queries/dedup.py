@@ -912,3 +912,81 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.filter(F.expr(f"greatest(c_ab, c_ba) >= {_CONTAIN_T}"))
+
+
+# --- C4-style span dedup: keep only the first global occurrence --------------
+_SPAN_W = 10  # words per non-overlapping span
+
+
+@query(
+    "dedup_span_c4",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, source,
+             CAST(i AS BIGINT) AS seg_idx,
+             concat_ws(' ', list_slice(w, i * {_SPAN_W} + 1,
+                                       (i + 1) * {_SPAN_W})) AS seg
+      FROM toks, unnest(generate_series(0,
+             CAST(ceil(len(w) / {_SPAN_W}.0) AS BIGINT) - 1)) t(i)
+    ),
+    winners AS (
+      SELECT seg, min(doc_id * 1000000 + seg_idx) AS win
+      FROM spans GROUP BY seg
+    )
+    SELECT s.source,
+           count(*) AS n_spans,
+           CAST(sum(CAST(s.doc_id * 1000000 + s.seg_idx <> w.win AS INT))
+                AS BIGINT) AS n_removed,
+           CAST(sum(CAST(s.doc_id * 1000000 + s.seg_idx <> w.win AS INT))
+                * 1000000 // count(*) AS BIGINT) AS removed_ppm
+    FROM spans s JOIN winners w ON s.seg = w.seg
+    GROUP BY s.source
+    """,
+)
+def dedup_span_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span dedup audit: split every document into non-overlapping
+    {_SPAN_W}-word spans, keep only each span's FIRST global occurrence
+    (min (doc_id, position)), report the per-source removal rate. This is
+    the C4 'three-sentence span' rule re-expressed for the fixture's
+    unpunctuated text (reference semantics: Raffel et al. C4 cleanup).
+
+    Scale shape: spans explode ≤ len/W per doc (narrower than shingles);
+    the winner per span is ONE map-side-combined min aggregate keyed by
+    span text — no self-join, no window; the winner table joins back by
+    span (equi-join). ppm shares by integer division keep the output
+    bit-stable. doc_id*1e6+seg_idx packs the (doc, pos) order into one
+    bigint (seg_idx < 1e6 by construction at any document length)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select("doc_id", "source", F.split("text", " ").alias("w"))
+    spans = toks.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(w) / {_SPAN_W}.0D) AS INT) - 1),"
+                f" i -> concat_ws(' ', slice(w, i * {_SPAN_W} + 1, {_SPAN_W})))"
+            )
+        ).alias("seg_idx", "seg"),
+    ).select(
+        "source",
+        "seg",
+        F.expr("doc_id * 1000000 + CAST(seg_idx AS BIGINT) AS pos_key"),
+    )
+    winners = spans.groupBy("seg").agg(F.expr("min(pos_key) AS win"))
+    return (
+        spans.join(winners, "seg")
+        .groupBy("source")
+        .agg(
+            F.expr("count(*) AS n_spans"),
+            F.expr("CAST(sum(CAST(pos_key <> win AS INT)) AS BIGINT) AS n_removed"),
+            F.expr(
+                "CAST(sum(CAST(pos_key <> win AS INT)) * 1000000"
+                " div count(*) AS BIGINT) AS removed_ppm"
+            ),
+        )
+    )

@@ -1305,3 +1305,74 @@ def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# --- per-label centroid drift audit ------------------------------------------
+@query(
+    "embed_label_centroid_drift",
+    oracle=f"""
+    WITH expl AS ({_EXPL_SQL}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    e AS (SELECT l.label, x.pos, x.v FROM expl x JOIN lab l
+          ON x.vec_id = l.vec_id),
+    cl AS (
+      SELECT label, pos,
+             CAST(sum(CAST(v AS DECIMAL(25,12))) AS DOUBLE) / count(*) AS m
+      FROM e GROUP BY label, pos
+    ),
+    gl AS (
+      SELECT pos, CAST(sum(CAST(v AS DECIMAL(25,12))) AS DOUBLE) / count(*) AS m
+      FROM e GROUP BY pos
+    ),
+    dots AS (
+      SELECT c.label,
+             CAST(sum(CAST(c.m * g.m AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+             CAST(sum(CAST(c.m * c.m AS DECIMAL(30,15))) AS DOUBLE) AS cc,
+             CAST(sum(CAST(g.m * g.m AS DECIMAL(30,15))) AS DOUBLE) AS gg
+      FROM cl c JOIN gl g ON c.pos = g.pos
+      GROUP BY c.label
+    ),
+    sizes AS (SELECT label, count(*) AS n_vecs FROM lab GROUP BY label)
+    SELECT d.label, s.n_vecs,
+           round(dot / sqrt(cc * gg), 6) AS cos_to_global
+    FROM dots d JOIN sizes s ON d.label = s.label
+    """,
+)
+def embed_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus drift audit: cosine between each label's centroid
+    and the global centroid — the per-slice distribution check run before
+    training on a new corpus snapshot (a label whose centroid swings away
+    from global signals ingestion or upstream-model drift).
+
+    Scale shape: centroids are per-(label, pos) decimal-mean aggregates —
+    one map-side-combined pass over the exploded vectors, output bounded
+    by |labels| x dim; the cosine then runs entirely on centroid tables
+    (the fact is touched once). Decimal sums keep the means and products
+    order-independent; cosines round at 6dp."""
+    expl = _exploded(spark, sf_dir)
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    e = expl.join(lab, "vec_id").select("label", "pos", "v")
+    cl = e.groupBy("label", "pos").agg(
+        F.expr(
+            "CAST(sum(CAST(v AS DECIMAL(25,12))) AS DOUBLE) / count(*) AS m"
+        )
+    )
+    gl = e.groupBy("pos").agg(
+        F.expr(
+            "CAST(sum(CAST(v AS DECIMAL(25,12))) AS DOUBLE) / count(*) AS gm"
+        )
+    )
+    dots = (
+        cl.join(F.broadcast(gl), "pos")
+        .groupBy("label")
+        .agg(
+            F.expr("CAST(sum(CAST(m * gm AS DECIMAL(30,15))) AS DOUBLE) AS dot"),
+            F.expr("CAST(sum(CAST(m * m AS DECIMAL(30,15))) AS DOUBLE) AS cc"),
+            F.expr("CAST(sum(CAST(gm * gm AS DECIMAL(30,15))) AS DOUBLE) AS gg"),
+        )
+    )
+    sizes = lab.groupBy("label").agg(F.expr("count(*) AS n_vecs"))
+    return (
+        dots.join(F.broadcast(sizes), "label")
+        .selectExpr("label", "n_vecs", "round(dot / sqrt(cc * gg), 6) AS cos_to_global")
+    )

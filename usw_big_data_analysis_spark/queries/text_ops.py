@@ -735,3 +735,52 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(novel).cast("double") / F.count("*")).alias("novel_frac"),
         )
     )
+
+
+# --- per-source lexical diversity audit --------------------------------------
+@query(
+    "text_lexical_diversity",
+    oracle="""
+    WITH w AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    per_word AS (
+      SELECT source, word, count(*) AS c, sum(len(word)) AS chars
+      FROM w GROUP BY source, word
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_types,
+           CAST(count(*) * 1000000 // sum(c) AS BIGINT) AS ttr_ppm,
+           CAST(sum(CAST(c = 1 AS BIGINT)) * 1000000 // count(*) AS BIGINT)
+             AS hapax_ppm,
+           CAST(sum(chars) * 100 // sum(c) AS BIGINT) AS avg_word_len_c
+    FROM per_word GROUP BY source
+    """,
+)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus lexical-diversity audit per source: type-token ratio, hapax
+    (frequency-1) share, and mean word length — the vocabulary-health
+    gates a data pipeline runs next to the Gopher quality gates (a
+    machine-generated or template-heavy source shows an anomalously low
+    TTR and hapax rate).
+
+    Scale shape: one explode to words, one (source, word) partial-agg
+    (map-side combined — the only shuffle carries distinct words per
+    source), one rollup. All ratios integer-ppm / centi-chars, bit-stable
+    with zero float conventions."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("source", F.explode(F.split("text", " ")).alias("word"))
+    per_word = w.groupBy("source", "word").agg(
+        F.expr("count(*) AS c"), F.expr("sum(length(word)) AS chars")
+    )
+    return per_word.groupBy("source").agg(
+        F.expr("CAST(sum(c) AS BIGINT) AS n_tokens"),
+        F.expr("count(*) AS n_types"),
+        F.expr("CAST(count(*) * 1000000 div sum(c) AS BIGINT) AS ttr_ppm"),
+        F.expr(
+            "CAST(sum(CAST(c = 1 AS BIGINT)) * 1000000 div count(*) AS BIGINT)"
+            " AS hapax_ppm"
+        ),
+        F.expr("CAST(sum(chars) * 100 div sum(c) AS BIGINT) AS avg_word_len_c"),
+    )
