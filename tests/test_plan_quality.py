@@ -134,3 +134,25 @@ def test_histogram_minmax_broadcast_no_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "histogram_equiwidth")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "Sort" not in plan.split("ReadSchema")[0] or True  # no global sort
+
+
+def test_knn_hard_negatives_broadcast_anchors_single_scan(spark, sf_dir):
+    # anchors broadcast; the corpus is never reshuffled into a pair join
+    a = audit(_QUERIES["knn_hard_negatives"](spark, sf_dir))
+    assert a.nested_loop_joins >= 1 or a.broadcast_joins >= 1
+    assert a.sort_merge_joins == 0
+
+
+def test_dedup_span_c4_no_self_join(spark, sf_dir):
+    # winner-per-span is a min aggregate + equi-join back, never an
+    # all-pairs or sort-merge self-join over raw spans
+    plan = _plan(spark, sf_dir, "dedup_span_c4")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # map-side combined winner agg
+
+
+def test_survival_km_no_unpartitioned_window(spark, sf_dir):
+    from usw_big_data_analysis_spark.plans import unpartitioned_window_count
+
+    df = _QUERIES["survival_kaplan_meier"](spark, sf_dir)
+    assert unpartitioned_window_count(df) == 0
