@@ -780,3 +780,69 @@ def ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "        * (1.0D / n_a + 1.0D / n_b))) > 1.959964D AS INT)"
         " AS significant_05",
     )
+
+
+# --- robust (MAD) outlier audit ----------------------------------------------
+@query(
+    "anomaly_mad",
+    oracle="""
+    WITH m AS (SELECT quantile_cont(l_extendedprice, 0.5) AS med FROM lineitem),
+    d AS (
+      SELECT l.l_returnflag, abs(l.l_extendedprice - m.med) AS ad
+      FROM lineitem l CROSS JOIN m
+    ),
+    md AS (SELECT quantile_cont(ad, 0.5) AS mad FROM d)
+    SELECT d.l_returnflag,
+           count(*) AS n,
+           CAST(sum(CAST(d.ad > 3.5 * md.mad / 0.6745 AS INT)) AS BIGINT)
+             AS n_outliers,
+           CAST(sum(CAST(d.ad > 3.5 * md.mad / 0.6745 AS INT)) * 1000000
+                // count(*) AS BIGINT) AS outlier_ppm
+    FROM d CROSS JOIN md
+    GROUP BY d.l_returnflag
+    """,
+)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier audit: modified z-score |x - med| / (MAD / 0.6745) >
+    3.5 (Iglewicz-Hoaglin), immune to the heavy tails that inflate plain
+    z-scores (anomaly_zscore's sigma triples on contaminated data; the
+    median/MAD pair doesn't move).
+
+    Both medians are EXACT interpolated percentiles via the two-phase
+    bucketed operator (operators/percentile_ops.py — no global sort, no
+    value buffer); the deviation median runs on the |x - med| projection
+    of a second scan with the first median broadcast as a literal row.
+    The final pass counts threshold crossings per group map-side. Three
+    column-pruned scans total, every shuffle histogram-sized."""
+    from ..operators.percentile_ops import bucketed_exact_percentiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    px = li.selectExpr("'x' AS col_name", "l_extendedprice AS x")
+    med = (
+        bucketed_exact_percentiles(px, [0.5])
+        .selectExpr("p_0 AS med")
+    )
+    d = li.crossJoin(F.broadcast(med)).selectExpr(
+        "l_returnflag", "abs(l_extendedprice - med) AS ad"
+    )
+    mad = (
+        bucketed_exact_percentiles(
+            d.selectExpr("'ad' AS col_name", "ad AS x"), [0.5]
+        )
+        .selectExpr("p_0 AS mad")
+    )
+    return (
+        d.crossJoin(F.broadcast(mad))
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("count(*) AS n"),
+            F.expr(
+                "CAST(sum(CAST(ad > 3.5D * mad / 0.6745D AS INT)) AS BIGINT)"
+                " AS n_outliers"
+            ),
+            F.expr(
+                "CAST(sum(CAST(ad > 3.5D * mad / 0.6745D AS INT)) * 1000000"
+                " div count(*) AS BIGINT) AS outlier_ppm"
+            ),
+        )
+    )

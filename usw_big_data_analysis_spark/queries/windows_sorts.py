@@ -365,3 +365,84 @@ def lag_diff_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value") - F.lag("value").over(w)).alias("dv"),
         (ts_us - F.lag(ts_us).over(w)).cast("bigint").alias("dt_us"),
     )
+
+
+# --- 2-D skyline (Pareto frontier): cheapest-yet-largest parts ---------------
+_SKY_NB = 1024
+
+
+@query(
+    "skyline_2d",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE (q.p_retailprice < p.p_retailprice AND q.p_size >= p.p_size)
+         OR (q.p_retailprice <= p.p_retailprice AND q.p_size > p.p_size)
+    )
+    """,
+)
+def skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) on (minimize price, maximize size): a part
+    survives iff nothing is both at-most-as-expensive and at-least-as-big
+    with one strict. The multi-objective shortlist op (cheapest viable
+    supplier per capability point).
+
+    The oracle's NOT EXISTS is O(n²); the 2-D identity makes it a prefix
+    problem: with M(p) = max size over STRICTLY cheaper rows and E(p) =
+    max size at-or-below p's price, p survives iff size > M(p) and
+    size = E(p). So: distinct-price max-size table (map-side combined),
+    range-bucket the prices, per-bucket maxima, exclusive prefix-MAX over
+    the ≤{_SKY_NB}-row bucket table by triangular join (bounded_seq
+    convention — no unpartitioned window), bucket-partitioned in-bucket
+    running max, broadcast M back onto one fact scan. Every stage is a
+    full-parallel aggregate; the fact is scanned twice and never
+    shuffled."""
+    pr = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    vp = pr.groupBy("p_retailprice").agg(F.expr("max(p_size) AS pmax"))
+    mm = vp.agg(
+        F.expr("min(p_retailprice) AS mn"), F.expr("max(p_retailprice) AS mx")
+    )
+    bounds = mm.selectExpr(
+        "mn",
+        f"CASE WHEN mx = mn THEN 1.0D ELSE (mx - mn) / {_SKY_NB}.0D END AS w",
+    )
+    vb = vp.crossJoin(F.broadcast(bounds)).selectExpr(
+        "p_retailprice",
+        "pmax",
+        f"least(CAST(floor((p_retailprice - mn) / w) AS INT), {_SKY_NB - 1}) AS b",
+    )
+    hist = vb.groupBy("b").agg(F.expr("max(pmax) AS bmax"))
+    prev = (
+        hist.select("b")
+        .join(
+            F.broadcast(
+                hist.selectExpr("b AS b2", "bmax AS bmax2")
+            ),
+            F.col("b2") < F.col("b"),
+            "left",
+        )
+        .groupBy("b")
+        .agg(F.expr("max(bmax2) AS bucket_prev_max"))
+    )
+    wv = Window.partitionBy("b").orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    m = (
+        vb.join(F.broadcast(prev), "b")
+        .withColumn("in_prev", F.max("pmax").over(wv))
+        .selectExpr(
+            "p_retailprice",
+            "pmax",
+            "greatest(coalesce(bucket_prev_max, -2147483648),"
+            " coalesce(in_prev, -2147483648)) AS strict_max",
+        )
+    )
+    return (
+        pr.join(F.broadcast(m), "p_retailprice")
+        .filter(F.expr("p_size = pmax AND p_size > strict_max"))
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
