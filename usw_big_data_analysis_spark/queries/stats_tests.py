@@ -818,21 +818,20 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     px = li.selectExpr("'x' AS col_name", "l_extendedprice AS x")
-    med = (
-        bucketed_exact_percentiles(px, [0.5])
-        .selectExpr("p_0 AS med")
+    # each percentile op is multi-phase; feeding one op's OUTPUT subtree
+    # into the next multiplies jobs (every MAD phase re-executes the whole
+    # median pipeline — measured ~10x wall). The medians are scalars: pin
+    # them as literals between phases, exactly like describe's pass-1.
+    # repr() round-trips the double bit-exactly through the SQL parser.
+    med_val = bucketed_exact_percentiles(px, [0.5]).collect()[0]["p_0"]
+    d = li.selectExpr(
+        "l_returnflag", f"abs(l_extendedprice - {med_val!r}D) AS ad"
     )
-    d = li.crossJoin(F.broadcast(med)).selectExpr(
-        "l_returnflag", "abs(l_extendedprice - med) AS ad"
-    )
-    mad = (
-        bucketed_exact_percentiles(
-            d.selectExpr("'ad' AS col_name", "ad AS x"), [0.5]
-        )
-        .selectExpr("p_0 AS mad")
-    )
+    mad_val = bucketed_exact_percentiles(
+        d.selectExpr("'ad' AS col_name", "ad AS x"), [0.5]
+    ).collect()[0]["p_0"]
     return (
-        d.crossJoin(F.broadcast(mad))
+        d.selectExpr("l_returnflag", "ad", f"{mad_val!r}D AS mad")
         .groupBy("l_returnflag")
         .agg(
             F.expr("count(*) AS n"),
