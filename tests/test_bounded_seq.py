@@ -87,3 +87,45 @@ def test_rewritten_queries_have_no_unpartitioned_window(spark, sf_dir):
     ]:
         df = _QUERIES[key](spark, sf_dir)
         assert unpartitioned_window_count(df) == 0, key
+
+
+# --- property: prefix sums == window formulation on arbitrary tables ---------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYP = True
+except ImportError:  # pragma: no cover
+    _HAS_HYP = False
+
+if _HAS_HYP:
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=-1000, max_value=1000),
+                st.integers(min_value=-(10**9), max_value=10**9),
+            ),
+            min_size=1,
+            max_size=40,
+            unique_by=lambda r: r[0],
+        )
+    )
+    @settings(max_examples=12, deadline=None)
+    def test_prefix_sum_property(spark, rows):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(rows, "k int, v long")
+        got = {
+            r["k"]: r["prev_v"]
+            for r in exclusive_prefix_sums(df, "k", ["v"]).collect()
+        }
+        w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+        want = {
+            r["k"]: r["pv"]
+            for r in df.select(
+                "k", F.coalesce(F.sum("v").over(w), F.lit(0)).alias("pv")
+            ).collect()
+        }
+        assert got == want
