@@ -703,3 +703,76 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round(exp(ls), 6) AS surv",
         )
     )
+
+
+# --- conversion-latency quantiles per experiment arm -------------------------
+_US_MIN = 60_000_000
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT e.user_id,
+             CASE WHEN e.user_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
+             CAST((epoch_us(min(e.ts)) - epoch_us(s1.t0)) // {_US_MIN}
+                  AS DOUBLE) AS delay_min
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s1.t0
+      GROUP BY e.user_id, s1.t0
+    )
+    SELECT arm,
+           count(*) AS n_converted,
+           quantile_cont(delay_min, 0.25) AS p25_min,
+           quantile_cont(delay_min, 0.5) AS median_min,
+           quantile_cont(delay_min, 0.75) AS p75_min
+    FROM conv GROUP BY arm
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-to-first-purchase latency quartiles per experiment arm — the
+    time-to-convert readout next to ab_test_ztest's rate readout. Delay is
+    floored to integer minutes so the exact interpolated quartiles (dyadic
+    p, halves/quarters fractions on integer-valued doubles) are bit-equal
+    across engines with no float conventions.
+
+    Scale shape: two per-user conditional-min aggregates (the funnel_steps
+    join pattern), then all quantile work runs through the two-phase
+    bucketed percentile operator on the per-user delay table — histogram
+    shuffles only, no sort, no value buffer."""
+    from ..operators.percentile_ops import bucketed_exact_percentiles
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t0"))
+        .groupBy("user_id", "t0")
+        .agg(F.min("ts").alias("t1"))
+        .selectExpr(
+            "CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS col_name",
+            f"CAST((unix_micros(t1) - unix_micros(t0)) div {_US_MIN}"
+            " AS DOUBLE) AS x",
+        )
+    )
+    qs = bucketed_exact_percentiles(conv, [0.25, 0.5, 0.75])
+    n = conv.groupBy("col_name").agg(F.expr("count(*) AS n_converted"))
+    return (
+        n.join(qs, "col_name")
+        .selectExpr(
+            "col_name AS arm",
+            "n_converted",
+            "p_0 AS p25_min",
+            "p_1 AS median_min",
+            "p_2 AS p75_min",
+        )
+    )
