@@ -251,3 +251,72 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
     )
     return tri.agg(F.count("*").alias("n_triangles"))
+
+
+# --- bounded BFS layers from a source node -----------------------------------
+_BFS_HOPS = 4
+
+
+def _bfs_sql() -> str:
+    ctes = [
+        _EDGE_CTES,
+        "d0 AS (SELECT min(src) AS node FROM edges)",
+    ]
+    for k in range(_BFS_HOPS):
+        ctes.append(
+            f"""d{k + 1} AS (
+      SELECT DISTINCT e.dst AS node
+      FROM d{k} f JOIN edges e ON f.node = e.src
+    )"""
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT node, {k} AS dist FROM d{k}" for k in range(_BFS_HOPS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    lv AS ({union}),
+    firsts AS (SELECT node, CAST(min(dist) AS INT) AS dist FROM lv GROUP BY node)
+    SELECT dist, count(*) AS n_nodes FROM firsts GROUP BY dist"""
+    )
+
+
+@query("graph_bfs_layers", oracle=_bfs_sql())
+def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS reachability layers from the smallest part node over the
+    co-purchase graph: how many nodes first become reachable at each hop
+    count ≤ {_BFS_HOPS} (the neighborhood-growth profile — the diameter /
+    connectivity diagnostic run before any iterative graph algorithm).
+
+    Scale shape: classic frontier BFS — each hop is ONE equi-join of the
+    current frontier against the edge list plus an anti-join against the
+    visited set, so per-round shuffle is bounded by frontier x degree and
+    the plan depth is fixed ({_BFS_HOPS} unrolled rounds, the pagerank_int
+    pattern). The oracle unions per-hop reach sets and takes min(dist) —
+    same result, quadratic re-reach work the frontier form avoids."""
+    # localCheckpoint per round (pagerank_int / graph_ops pattern): without
+    # it every BFS round re-derives the quadratic co-order edge join and
+    # the visited chain doubles the plan per hop
+    edges = _edges_spark(spark, sf_dir).localCheckpoint()
+    src0 = edges.agg(F.min("src").alias("node")).localCheckpoint()
+    frontier = src0
+    visited = src0
+    layers = [src0.select("node", F.lit(0).alias("dist"))]
+    for k in range(_BFS_HOPS):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint()
+        )
+        layers.append(nxt.select("node", F.lit(k + 1).alias("dist")))
+        visited = visited.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+    from functools import reduce
+
+    firsts = reduce(DataFrame.unionAll, layers)
+    return firsts.groupBy(F.col("dist").cast("int").alias("dist")).agg(
+        F.count("*").alias("n_nodes")
+    )
