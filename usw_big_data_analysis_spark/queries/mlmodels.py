@@ -408,3 +408,52 @@ def tsne(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "class string, sample_idx int, dim1 double, dim2 double"
     )
+
+
+# --- recommender: implicit-feedback ALS over the purchase matrix -------------
+@query("recsys_als_factors")
+def recsys_als_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.ml ALS on the (customer, part, total quantity) purchase matrix
+    — the distributed-native recommender (ALS IS the 100 TB path: block
+    coordinate descent with both factor matrices partitioned; nothing here
+    is a driver loop). Implicit-feedback mode, rank 4, fixed seed; output
+    = ranked top-3 part recommendations for the 5 smallest custkeys
+    (schema-stable rows-only check — ALS factors are seed-deterministic
+    only per partitioning, so no SQL oracle by design, like the rest of
+    the model zoo).
+
+    Reference parity: collaborative filtering is the one model family the
+    reference's sklearn zoo cannot express at scale at all."""
+    from pyspark.ml.recommendation import ALS
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    ratings = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+        )
+        .agg(F.sum("l_quantity").cast("float").alias("rating"))
+    )
+    als = ALS(
+        rank=4,
+        maxIter=5,
+        seed=7,
+        implicitPrefs=True,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    users = ratings.select("user").distinct().orderBy("user").limit(5)
+    recs = model.recommendForUserSubset(users, 3)
+    return recs.select(
+        "user",
+        F.posexplode("recommendations").alias("rnk", "rec"),
+    ).select(
+        "user",
+        (F.col("rnk") + 1).alias("rnk"),
+        F.col("rec.item").alias("item"),
+    )
