@@ -573,3 +573,60 @@ def metric_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stat"
         ),
     )
+
+
+# --- time-series CV: rolling-origin (expanding-window) splits ----------------
+_TSCV_SLICES = 5
+_US_DAY_TS = 86_400_000_000
+
+
+@query(
+    "cv_rolling_origin",
+    oracle=f"""
+    WITH d AS (
+      SELECT epoch_us(o_orderdate) // {_US_DAY_TS} AS day FROM orders
+    ),
+    b AS (SELECT min(day) AS mn, max(day) AS mx FROM d),
+    s AS (
+      SELECT day,
+             least(((day - mn) * {_TSCV_SLICES}) // (mx - mn + 1),
+                   {_TSCV_SLICES - 1}) AS slice
+      FROM d CROSS JOIN b
+    ),
+    f AS (SELECT unnest(generate_series(1, {_TSCV_SLICES - 1})) AS fold)
+    SELECT CAST(f.fold AS INT) AS fold,
+           CAST(sum(CAST(s.slice < f.fold AS INT)) AS BIGINT) AS n_train,
+           CAST(sum(CAST(s.slice = f.fold AS INT)) AS BIGINT) AS n_test
+    FROM s CROSS JOIN f
+    GROUP BY f.fold
+    """,
+)
+def cv_rolling_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin (expanding-window) time-series CV — the split family
+    member stratified/shuffle CV cannot replace when rows are ordered in
+    time: fold k trains on time slices < k and tests on slice k, so no
+    fold ever trains on the future. Slice = equal-width partition of the
+    observed day range ({_TSCV_SLICES} slices → {_TSCV_SLICES - 1} folds).
+
+    Scale shape: one min/max scalar agg broadcast onto a second scan;
+    fold membership is pure integer arithmetic on the day index, and the
+    fold dimension is a broadcast {_TSCV_SLICES - 1}-row frame — counts
+    combine map-side. All-integer output."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.selectExpr(
+        f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_US_DAY_TS} AS day"
+    )
+    b = d.agg(F.expr("min(day) AS mn"), F.expr("max(day) AS mx"))
+    s = d.crossJoin(F.broadcast(b)).selectExpr(
+        f"least(((day - mn) * {_TSCV_SLICES}) div (mx - mn + 1),"
+        f" {_TSCV_SLICES - 1}) AS slice"
+    )
+    f = spark.range(1, _TSCV_SLICES).selectExpr("CAST(id AS INT) AS fold")
+    return (
+        s.crossJoin(F.broadcast(f))
+        .groupBy("fold")
+        .agg(
+            F.expr("CAST(sum(CAST(slice < fold AS INT)) AS BIGINT) AS n_train"),
+            F.expr("CAST(sum(CAST(slice = fold AS INT)) AS BIGINT) AS n_test"),
+        )
+    )

@@ -494,3 +494,141 @@ def infer_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "col_name string, data_type string, is_categorical boolean"
     )
+
+
+# --- smoothed target (mean) encoding, fit-on-train ---------------------------
+_TE_M = 20  # prior pseudo-count
+
+
+@query(
+    "target_encoding_smoothed",
+    oracle=f"""
+    WITH base AS (
+      SELECT p_brand,
+             CAST(p_partkey % 4 = 0 AS INT) AS is_test,
+             CAST(p_size >= 25 AS INT) AS y
+      FROM part
+    ),
+    prior AS (
+      SELECT CAST(sum(y) AS DOUBLE) / count(*) AS p
+      FROM base WHERE is_test = 0
+    ),
+    fit AS (
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS n_train,
+             CAST(sum(y) AS BIGINT) AS pos
+      FROM base WHERE is_test = 0 GROUP BY p_brand
+    )
+    SELECT f.p_brand AS value, f.n_train,
+           round((f.pos + {_TE_M} * pr.p) / (f.n_train + {_TE_M}), 6) AS enc,
+           CAST(count(*) AS BIGINT) AS n_test
+    FROM base b
+    JOIN fit f ON b.p_brand = f.p_brand
+    CROSS JOIN prior pr
+    WHERE b.is_test = 1
+    GROUP BY f.p_brand, f.n_train, f.pos, pr.p
+    """,
+)
+def target_encoding_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding (the category-encoders / CatBoost-prep
+    standard): enc(c) = (pos_c + m·prior) / (n_c + m) with pseudo-count
+    m={_TE_M}, FIT ON TRAIN ONLY, applied to the test split — the
+    leakage-safe mean encoding the reference's notebooks hand-roll with
+    groupby().mean().
+
+    Scale shape: the fit is one map-side-combined aggregate producing a
+    |categories|-row parameter frame; the prior is a scalar; both
+    broadcast onto the test scan. Encoded value is double arithmetic over
+    exact integer counts, rounded 6dp."""
+    part = load_table(spark, sf_dir, "part")
+    base = part.selectExpr(
+        "p_brand",
+        "CAST(p_partkey % 4 = 0 AS INT) AS is_test",
+        "CAST(p_size >= 25 AS INT) AS y",
+    )
+    train = base.filter("is_test = 0")
+    prior = train.agg(F.expr("CAST(sum(y) AS DOUBLE) / count(*) AS p"))
+    fit = train.groupBy("p_brand").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_train"),
+        F.expr("CAST(sum(y) AS BIGINT) AS pos"),
+    )
+    return (
+        base.filter("is_test = 1")
+        .join(F.broadcast(fit), "p_brand")
+        .crossJoin(F.broadcast(prior))
+        .groupBy("p_brand", "n_train", "pos", "p")
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS n_test"))
+        .selectExpr(
+            "p_brand AS value",
+            "n_train",
+            f"round((pos + {_TE_M} * p) / (n_train + {_TE_M}), 6) AS enc",
+            "n_test",
+        )
+    )
+
+
+# --- weight-of-evidence encoding + information value -------------------------
+@query(
+    "woe_iv_encoding",
+    oracle="""
+    WITH base AS (
+      SELECT p_brand, CAST(p_size >= 25 AS INT) AS y FROM part
+    ),
+    tot AS (
+      SELECT CAST(sum(y) AS BIGINT) AS pos_all,
+             CAST(count(*) - sum(y) AS BIGINT) AS neg_all
+      FROM base
+    ),
+    g AS (
+      SELECT p_brand, CAST(sum(y) AS BIGINT) AS pos,
+             CAST(count(*) - sum(y) AS BIGINT) AS neg
+      FROM base GROUP BY p_brand
+    ),
+    w AS (
+      SELECT g.p_brand, g.pos, g.neg,
+             round(ln(greatest(CAST(g.pos AS DOUBLE) / t.pos_all, 1e-15)
+                      / greatest(CAST(g.neg AS DOUBLE) / t.neg_all, 1e-15)),
+                   8) AS woe,
+             (CAST(g.pos AS DOUBLE) / t.pos_all
+              - CAST(g.neg AS DOUBLE) / t.neg_all) AS dshare
+      FROM g CROSS JOIN tot t
+    )
+    SELECT p_brand AS value, pos, neg, woe,
+           round(dshare * woe, 8) AS iv_term
+    FROM w
+    """,
+)
+def woe_iv_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding with per-category information-value
+    terms — the credit-scoring / risk-model categorical audit:
+    WoE(c) = ln((pos_c/pos_all) / (neg_c/neg_all)), IV term =
+    (pos-share - neg-share)·WoE (sum over categories = model IV). The
+    1e-15 clip absorbs empty cells (metric_logloss convention), and ln is
+    rounded 8dp so both engines agree to the bit.
+
+    Scale shape: one map-side-combined category aggregate + a broadcast
+    scalar totals row — the fact is scanned once."""
+    part = load_table(spark, sf_dir, "part")
+    base = part.selectExpr("p_brand", "CAST(p_size >= 25 AS INT) AS y")
+    tot = base.agg(
+        F.expr("CAST(sum(y) AS BIGINT) AS pos_all"),
+        F.expr("CAST(count(*) - sum(y) AS BIGINT) AS neg_all"),
+    )
+    g = base.groupBy("p_brand").agg(
+        F.expr("CAST(sum(y) AS BIGINT) AS pos"),
+        F.expr("CAST(count(*) - sum(y) AS BIGINT) AS neg"),
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "p_brand AS value",
+            "pos",
+            "neg",
+            "round(ln(greatest(CAST(pos AS DOUBLE) / pos_all, 1e-15)"
+            " / greatest(CAST(neg AS DOUBLE) / neg_all, 1e-15)), 8) AS woe",
+            "round((CAST(pos AS DOUBLE) / pos_all"
+            " - CAST(neg AS DOUBLE) / neg_all)"
+            " * round(ln(greatest(CAST(pos AS DOUBLE) / pos_all, 1e-15)"
+            " / greatest(CAST(neg AS DOUBLE) / neg_all, 1e-15)), 8), 8)"
+            " AS iv_term",
+        )
+    )
