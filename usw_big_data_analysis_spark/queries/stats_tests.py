@@ -845,3 +845,114 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- 2-feature ridge regression via the normal equations ---------------------
+_RIDGE_L = 10.0
+
+# Cramer's-rule solve of (X'X + lambda*diag(0,1,1)) beta = X'y for
+# X = [1, x1, x2], written once in engine-portable SQL over the named
+# sufficient statistics (n, s1, s2, s11, s22, s12, sy, s1y, s2y) so the
+# Spark selectExpr and the DuckDB oracle evaluate the IDENTICAL double
+# expression tree (the exactness convention: decimal sums, then one shared
+# arithmetic tree, then round 6).
+_RIDGE_DET = (
+    f"(n * ((s11 + {_RIDGE_L}) * (s22 + {_RIDGE_L}) - s12 * s12)"
+    f" - s1 * (s1 * (s22 + {_RIDGE_L}) - s12 * s2)"
+    f" + s2 * (s1 * s12 - (s11 + {_RIDGE_L}) * s2))"
+)
+_RIDGE_D0 = (
+    f"(sy * ((s11 + {_RIDGE_L}) * (s22 + {_RIDGE_L}) - s12 * s12)"
+    f" - s1 * (s1y * (s22 + {_RIDGE_L}) - s12 * s2y)"
+    f" + s2 * (s1y * s12 - (s11 + {_RIDGE_L}) * s2y))"
+)
+_RIDGE_D1 = (
+    f"(n * (s1y * (s22 + {_RIDGE_L}) - s12 * s2y)"
+    f" - sy * (s1 * (s22 + {_RIDGE_L}) - s12 * s2)"
+    f" + s2 * (s1 * s2y - s1y * s2))"
+)
+_RIDGE_D2 = (
+    f"(n * ((s11 + {_RIDGE_L}) * s2y - s1y * s12)"
+    f" - s1 * (s1 * s2y - s1y * s2)"
+    f" + sy * (s1 * s12 - (s11 + {_RIDGE_L}) * s2))"
+)
+_RIDGE_OUT = [
+    "CAST(n AS BIGINT) AS n_rows",
+    f"round({_RIDGE_D0} / {_RIDGE_DET}, 6) AS beta0",
+    f"round({_RIDGE_D1} / {_RIDGE_DET}, 6) AS beta1",
+    f"round({_RIDGE_D2} / {_RIDGE_DET}, 6) AS beta2",
+]
+
+_RIDGE_STATS_SQL = """
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) AS s2,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(CAST(l_quantity AS DECIMAL(25,6))
+                           * CAST(l_quantity AS DECIMAL(25,6)) AS DECIMAL(38,10)))
+                  AS DOUBLE) AS s11,
+             CAST(sum(CAST(CAST(l_discount AS DECIMAL(25,6))
+                           * CAST(l_discount AS DECIMAL(25,6)) AS DECIMAL(38,10)))
+                  AS DOUBLE) AS s22,
+             CAST(sum(CAST(CAST(l_quantity AS DECIMAL(25,6))
+                           * CAST(l_discount AS DECIMAL(25,6)) AS DECIMAL(38,10)))
+                  AS DOUBLE) AS s12,
+             CAST(sum(CAST(CAST(l_quantity AS DECIMAL(25,6))
+                           * CAST(l_extendedprice AS DECIMAL(25,6)) AS DECIMAL(38,10)))
+                  AS DOUBLE) AS s1y,
+             CAST(sum(CAST(CAST(l_discount AS DECIMAL(25,6))
+                           * CAST(l_extendedprice AS DECIMAL(25,6)) AS DECIMAL(38,10)))
+                  AS DOUBLE) AS s2y
+      FROM lineitem
+"""
+
+
+@query(
+    "linreg_ridge_2f",
+    oracle=f"""
+    WITH s AS ({_RIDGE_STATS_SQL})
+    SELECT {', '.join(_RIDGE_OUT)} FROM s
+    """,
+)
+def linreg_ridge_2f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature ridge regression (intercept unpenalized, lambda =
+    {_RIDGE_L}) of l_extendedprice on (l_quantity, l_discount), solved in
+    closed form: one map-side-combined pass collects the 9 decimal-exact
+    sufficient statistics, then Cramer's rule on the 3x3 regularized
+    normal equations runs as scalar expression arithmetic — the SAME SQL
+    fragment is evaluated by both engines, so every double operation is
+    identical. The 100 TB story of linear models: sufficient statistics
+    shrink the fact to one row; no gradient iterations, no driver data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.agg(
+        F.expr("CAST(count(*) AS DOUBLE) AS n"),
+        F.expr("CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS s1"),
+        F.expr("CAST(sum(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) AS s2"),
+        F.expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sy"),
+        F.expr(
+            "CAST(sum(CAST(CAST(l_quantity AS DECIMAL(25,6))"
+            " * CAST(l_quantity AS DECIMAL(25,6)) AS DECIMAL(38,10)))"
+            " AS DOUBLE) AS s11"
+        ),
+        F.expr(
+            "CAST(sum(CAST(CAST(l_discount AS DECIMAL(25,6))"
+            " * CAST(l_discount AS DECIMAL(25,6)) AS DECIMAL(38,10)))"
+            " AS DOUBLE) AS s22"
+        ),
+        F.expr(
+            "CAST(sum(CAST(CAST(l_quantity AS DECIMAL(25,6))"
+            " * CAST(l_discount AS DECIMAL(25,6)) AS DECIMAL(38,10)))"
+            " AS DOUBLE) AS s12"
+        ),
+        F.expr(
+            "CAST(sum(CAST(CAST(l_quantity AS DECIMAL(25,6))"
+            " * CAST(l_extendedprice AS DECIMAL(25,6)) AS DECIMAL(38,10)))"
+            " AS DOUBLE) AS s1y"
+        ),
+        F.expr(
+            "CAST(sum(CAST(CAST(l_discount AS DECIMAL(25,6))"
+            " * CAST(l_extendedprice AS DECIMAL(25,6)) AS DECIMAL(38,10)))"
+            " AS DOUBLE) AS s2y"
+        ),
+    )
+    return s.selectExpr(*_RIDGE_OUT)
