@@ -776,3 +776,57 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_2 AS p75_min",
         )
     )
+
+
+# --- DAU/MAU stickiness ratio ------------------------------------------------
+_MAU_W = 28
+
+
+@query(
+    "dau_mau_stickiness",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {_US_DAY} AS d FROM events
+    ),
+    dau AS (SELECT d, count(DISTINCT user_id) AS dau FROM ud GROUP BY d),
+    contrib AS (
+      SELECT DISTINCT user_id, unnest(generate_series(d, d + {_MAU_W - 1})) AS d
+      FROM ud
+    ),
+    bounds AS (SELECT min(d) AS mn, max(d) AS mx FROM ud),
+    mau AS (
+      SELECT c.d, count(DISTINCT c.user_id) AS mau
+      FROM contrib c, bounds b
+      WHERE c.d BETWEEN b.mn AND b.mx
+      GROUP BY c.d
+    )
+    SELECT dau.d, dau.dau, mau.mau,
+           CAST(dau.dau * 1000000 // mau.mau AS BIGINT) AS stickiness_ppm
+    FROM dau JOIN mau ON dau.d = mau.d
+    """,
+)
+def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day — the engagement ratio product teams
+    track. Trailing-{_MAU_W}-day MAU uses the rolling_wau contribution
+    trick (each (user, day) contributes itself to the {_MAU_W} days it
+    keeps the user counted — a x{_MAU_W} narrow explode, no windows, no
+    sort); DAU is a plain distinct count. Integer ppm output."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.selectExpr(
+        "user_id", f"unix_micros(ts) div {_US_DAY} AS d"
+    ).distinct()
+    dau = ud.groupBy("d").agg(F.expr("count(DISTINCT user_id) AS dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.col("d") + (_MAU_W - 1))).alias("d"),
+    ).distinct()
+    bounds = ud.agg(F.expr("min(d) AS mn"), F.expr("max(d) AS mx"))
+    mau = (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter("d BETWEEN mn AND mx")
+        .groupBy("d")
+        .agg(F.expr("count(DISTINCT user_id) AS mau"))
+    )
+    return dau.join(mau, "d").selectExpr(
+        "d", "dau", "mau", "CAST(dau * 1000000 div mau AS BIGINT) AS stickiness_ppm"
+    )

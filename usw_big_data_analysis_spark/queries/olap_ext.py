@@ -505,3 +505,155 @@ def pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .na.fill(0)
     )
+
+
+# --- ratio-to-report: each nation's share of its region's revenue ------------
+@query(
+    "region_revenue_share",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS nat_rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name
+    ),
+    tot AS (
+      SELECT region, CAST(sum(CAST(nat_rev AS DECIMAL(25,6))) AS DOUBLE)
+               AS reg_rev
+      FROM rev GROUP BY region
+    )
+    SELECT rev.region, rev.nation, round(rev.nat_rev, 2) AS nat_rev,
+           round(rev.nat_rev / tot.reg_rev, 6) AS share
+    FROM rev JOIN tot ON rev.region = tot.region
+    """,
+)
+def region_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's order revenue
+    (the window-function RATIO_TO_REPORT idiom, expressed as an aggregate
+    re-join so no per-row window touches the fact). Dimensions broadcast;
+    the fact shuffles once on the grouping key; the share divides two
+    decimal-exact sums (second-level sum re-cast through DECIMAL so
+    partial-order differences can't leak into the double)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)"
+                " AS nat_rev"
+            )
+        )
+    )
+    tot = rev.groupBy("region").agg(
+        F.expr(
+            "CAST(sum(CAST(nat_rev AS DECIMAL(25,6))) AS DOUBLE) AS reg_rev"
+        )
+    )
+    return (
+        rev.join(F.broadcast(tot), "region")
+        .selectExpr(
+            "region",
+            "nation",
+            "round(nat_rev, 2) AS nat_rev",
+            "round(nat_rev / reg_rev, 6) AS share",
+        )
+    )
+
+
+# --- ABC inventory classification (80/15/5 cumulative revenue) ---------------
+_ABC_NB = 1024
+
+
+@query(
+    "abc_classification",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey AS pk,
+             sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS rev
+      FROM lineitem GROUP BY l_partkey
+    ),
+    run AS (
+      SELECT pk, rev,
+             CAST(sum(rev) OVER (ORDER BY rev DESC, pk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS cum,
+             CAST(sum(rev) OVER () AS DOUBLE) AS total
+      FROM pr
+    ),
+    cls AS (
+      SELECT pk, rev,
+             CASE WHEN cum / total <= 0.8 THEN 'A'
+                  WHEN cum / total <= 0.95 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM run
+    )
+    SELECT abc, count(*) AS n_parts,
+           round(CAST(sum(rev) AS DOUBLE), 2) AS class_rev
+    FROM cls GROUP BY abc
+    """,
+)
+def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, class A =
+    first 80% of cumulative revenue, B = next 15%, C = tail — the
+    inventory-policy primitive next to cumsum_curve's curve.
+
+    Scale shape (cumsum_curve's two-phase prefix on the AGGREGATED
+    per-part table): per-part decimal revenue (one fact shuffle,
+    map-side combined), descending range-buckets on revenue, per-bucket
+    (count, sum) histogram, exclusive prefix sums via the bounded_seq
+    triangular join, bucket-partitioned in-bucket running sums — the
+    running revenue is exact decimal everywhere, one double division at
+    the class boundary."""
+    from ..operators.bounded_seq import exclusive_prefix_sums
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.expr("sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS rev")
+    )
+    mm = pr.agg(
+        F.expr("CAST(min(rev) AS DOUBLE) AS mn"),
+        F.expr("CAST(max(rev) AS DOUBLE) AS mx"),
+    )
+    bounds = mm.selectExpr(
+        "mx", f"CASE WHEN mx = mn THEN 1.0D ELSE (mx - mn) / {_ABC_NB}.0D END AS w"
+    )
+    wb = pr.crossJoin(F.broadcast(bounds)).selectExpr(
+        "pk",
+        "rev",
+        f"least(CAST(floor((mx - CAST(rev AS DOUBLE)) / w) AS INT), {_ABC_NB - 1})"
+        " AS b",
+    )
+    hist = wb.groupBy("b").agg(F.expr("sum(rev) AS bs"))
+    offs = exclusive_prefix_sums(hist, "b", ["bs"]).withColumnRenamed(
+        "prev_bs", "prev_sum"
+    )
+    tot = hist.agg(F.expr("CAST(sum(bs) AS DOUBLE) AS total"))
+    wv = Window.partitionBy("b").orderBy(F.desc("rev"), F.asc("pk")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cls = (
+        wb.join(F.broadcast(offs), "b")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("run", F.sum("rev").over(wv))
+        .selectExpr(
+            "rev",
+            "CASE WHEN CAST(prev_sum + run AS DOUBLE) / total <= 0.8D THEN 'A'"
+            " WHEN CAST(prev_sum + run AS DOUBLE) / total <= 0.95D THEN 'B'"
+            " ELSE 'C' END AS abc",
+        )
+    )
+    return cls.groupBy("abc").agg(
+        F.expr("count(*) AS n_parts"),
+        F.expr("round(CAST(sum(rev) AS DOUBLE), 2) AS class_rev"),
+    )
