@@ -830,3 +830,56 @@ def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dau.join(mau, "d").selectExpr(
         "d", "dau", "mau", "CAST(dau * 1000000 div mau AS BIGINT) AS stickiness_ppm"
     )
+
+
+# --- Gini coefficient of the join-key distribution ---------------------------
+@query(
+    "key_skew_gini",
+    oracle="""
+    WITH c AS (
+      SELECT l_suppkey, CAST(count(*) AS BIGINT) AS x
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    r AS (
+      SELECT x,
+             rank() OVER (ORDER BY x)
+               + (count(*) OVER (PARTITION BY x) - 1) / 2.0 AS r_avg
+      FROM c
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             sum(x * r_avg) AS t
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_keys,
+           round(2.0 * t / (n * sx) - (n + 1.0) / n, 6) AS gini
+    FROM s
+    """,
+)
+def key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the per-suppkey row distribution — the single
+    skew number behind key_skew_audit's top-10 list (0 = uniform keys,
+    →1 = one key owns the table; the pre-flight input to the salting
+    factor). Gini = 2·Σ(rank·x)/(n·Σx) − (n+1)/n with tie-averaged
+    ranks.
+
+    Distribution: the rank moment Σ(rank·x) needs no sort — for a tied
+    block, Σ ranks = cnt·r_avg, so Σ(rank·x) = Σ_values x·cnt·r_avg over
+    the DISTINCT-count table from the bucketed mean_ranks operator. All
+    terms are half-integers (exact in double, any order); the per-key
+    count table is one map-side-combined shuffle of the fact."""
+    from ..operators.rank_ops import mean_ranks
+
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_suppkey").agg(F.expr("CAST(count(*) AS BIGINT) AS x"))
+    r = mean_ranks(c, "x")
+    s = r.agg(
+        F.expr("CAST(sum(cnt) AS DOUBLE) AS n"),
+        F.expr("CAST(sum(x * cnt) AS DOUBLE) AS sx"),
+        F.expr("sum(x * cnt * r_avg) AS t"),
+    )
+    return s.selectExpr(
+        "CAST(n AS BIGINT) AS n_keys",
+        "round(2.0D * t / (n * sx) - (n + 1.0D) / n, 6) AS gini",
+    )

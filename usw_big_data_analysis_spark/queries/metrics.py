@@ -630,3 +630,125 @@ def cv_rolling_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(sum(CAST(slice = fold AS INT)) AS BIGINT) AS n_test"),
         )
     )
+
+
+# --- split-conformal prediction interval + empirical coverage ----------------
+_CONF_ALPHA = 0.1  # target 90% coverage
+
+_CONF_BASE_SQL = """
+  SELECT o_orderpriority AS grp, o_totalprice AS y,
+         CAST(o_orderkey % 4 AS INT) AS part
+  FROM orders
+"""
+
+
+@query(
+    "conformal_interval",
+    oracle=f"""
+    WITH base AS ({_CONF_BASE_SQL}),
+    fit AS (
+      SELECT grp,
+             CAST(sum(CAST(y AS DECIMAL(25,6))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS yhat
+      FROM base WHERE part <= 1 GROUP BY grp
+    ),
+    cal AS (
+      SELECT abs(b.y - f.yhat) AS x
+      FROM base b JOIN fit f ON b.grp = f.grp WHERE b.part = 2
+    ),
+    d AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM cal GROUP BY x),
+    c AS (
+      SELECT x, sum(cnt) OVER (ORDER BY x
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM d
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+    qq AS (
+      SELECT min(c.x) AS q
+      FROM c CROSS JOIN nn
+      WHERE c.cum >= CAST(ceil((nn.n_cal + 1) * {1 - _CONF_ALPHA}) AS BIGINT)
+    ),
+    tst AS (
+      SELECT abs(b.y - f.yhat) AS r
+      FROM base b JOIN fit f ON b.grp = f.grp WHERE b.part = 3
+    )
+    SELECT nn.n_cal,
+           CAST(count(*) AS BIGINT) AS n_test,
+           round(qq.q, 6) AS q90,
+           CAST(sum(CAST(tst.r <= qq.q AS INT)) AS BIGINT) AS n_covered,
+           CAST(sum(CAST(tst.r <= qq.q AS INT)) * 1000000 // count(*)
+                AS BIGINT) AS coverage_ppm
+    FROM tst CROSS JOIN qq CROSS JOIN nn
+    GROUP BY nn.n_cal, qq.q
+    """,
+)
+def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval: fit a per-priority mean model
+    on the train split, take the ceil((n+1)(1-alpha))-th smallest absolute
+    calibration residual as the interval half-width q, then measure the
+    EMPIRICAL coverage of yhat ± q on the held-out test split — the
+    distribution-free uncertainty wrapper modern eval stacks put around
+    any point model.
+
+    Distribution: the conformal quantile is an ORDER STATISTIC, selected
+    with pure integer arithmetic on the distinct-residual rank table from
+    the bucketed mean_ranks operator (cum = r_avg + (cnt-1)/2 is a
+    half-integer — exact); no sort, no interpolation conventions. Model
+    parameters and q broadcast; the fact is scanned per split with
+    map-side aggregation."""
+    from ..operators.rank_ops import mean_ranks
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.selectExpr(
+        "o_orderpriority AS grp",
+        "o_totalprice AS y",
+        "CAST(o_orderkey % 4 AS INT) AS part",
+    )
+    fit = (
+        base.filter("part <= 1")
+        .groupBy("grp")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(y AS DECIMAL(25,6))) AS DOUBLE)"
+                " / CAST(count(*) AS DOUBLE) AS yhat"
+            )
+        )
+    )
+    cal = (
+        base.filter("part = 2")
+        .join(F.broadcast(fit), "grp")
+        .selectExpr("abs(y - yhat) AS x")
+    )
+    r = mean_ranks(cal, "x")
+    nn = r.agg(F.expr("CAST(sum(cnt) AS BIGINT) AS n_cal"))
+    qq = (
+        r.crossJoin(F.broadcast(nn))
+        .filter(
+            F.expr(
+                "r_avg + (cnt - 1) / 2.0D"
+                f" >= CAST(ceil((n_cal + 1) * {1 - _CONF_ALPHA}) AS BIGINT)"
+            )
+        )
+        .agg(F.expr("min(x) AS q"))
+    )
+    tst = (
+        base.filter("part = 3")
+        .join(F.broadcast(fit), "grp")
+        .selectExpr("abs(y - yhat) AS r")
+    )
+    return (
+        tst.crossJoin(F.broadcast(qq))
+        .crossJoin(F.broadcast(nn))
+        .groupBy("n_cal", "q")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT) AS n_test"),
+            F.expr("CAST(sum(CAST(r <= q AS INT)) AS BIGINT) AS n_covered"),
+            F.expr(
+                "CAST(sum(CAST(r <= q AS INT)) * 1000000 div count(*)"
+                " AS BIGINT) AS coverage_ppm"
+            ),
+        )
+        .selectExpr(
+            "n_cal", "n_test", "round(q, 6) AS q90", "n_covered", "coverage_ppm"
+        )
+    )

@@ -632,3 +632,93 @@ def woe_iv_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS iv_term",
         )
     )
+
+
+# --- PSI: population stability index between splits --------------------------
+_PSI_BINS = 10
+
+
+@query(
+    "drift_psi",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(o_orderkey % 4 = 0 AS INT) AS is_test, o_totalprice AS x
+      FROM orders
+    ),
+    b AS (
+      SELECT min(x) AS mn, max(x) AS mx FROM base WHERE is_test = 0
+    ),
+    binned AS (
+      SELECT is_test,
+             greatest(least(CAST(floor((x - mn) / ((mx - mn) / {_PSI_BINS}))
+                                 AS INT), {_PSI_BINS - 1}), 0) AS bin
+      FROM base CROSS JOIN b
+    ),
+    cnt AS (
+      SELECT bin,
+             CAST(sum(CASE WHEN is_test = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ref,
+             CAST(sum(CASE WHEN is_test = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(sum(n_ref) AS DOUBLE) AS t_ref,
+             CAST(sum(n_new) AS DOUBLE) AS t_new
+      FROM cnt
+    )
+    SELECT c.bin, c.n_ref, c.n_new,
+           round((greatest(c.n_new / t.t_new, 1e-6)
+                  - greatest(c.n_ref / t.t_ref, 1e-6))
+                 * round(ln(greatest(c.n_new / t.t_new, 1e-6)
+                            / greatest(c.n_ref / t.t_ref, 1e-6)), 8),
+                 8) AS psi_term
+    FROM cnt c CROSS JOIN tot t
+    """,
+)
+def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the reference (train) and new
+    (test) splits of o_totalprice, binned on the REFERENCE split's range
+    ({_PSI_BINS} equal-width bins) — the production drift monitor (PSI >
+    0.2 = retrain). Per-bin term = (p_new - p_ref)·ln(p_new/p_ref); the
+    1e-6 floor is the industry empty-bin convention, ln rounded 8dp (the
+    repo's logloss convention) so both engines agree bit-for-bit.
+
+    Scale shape: reference min/max is one scalar agg broadcast onto a
+    single binning scan; everything after runs on the {_PSI_BINS}-row
+    bin table."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.selectExpr(
+        "CAST(o_orderkey % 4 = 0 AS INT) AS is_test", "o_totalprice AS x"
+    )
+    b = base.filter("is_test = 0").agg(
+        F.expr("min(x) AS mn"), F.expr("max(x) AS mx")
+    )
+    binned = base.crossJoin(F.broadcast(b)).selectExpr(
+        "is_test",
+        f"greatest(least(CAST(floor((x - mn) / ((mx - mn) / {_PSI_BINS}))"
+        f" AS INT), {_PSI_BINS - 1}), 0) AS bin",
+    )
+    cnt = binned.groupBy("bin").agg(
+        F.expr(
+            "CAST(sum(CASE WHEN is_test = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_ref"
+        ),
+        F.expr(
+            "CAST(sum(CASE WHEN is_test = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_new"
+        ),
+    )
+    tot = cnt.agg(
+        F.expr("CAST(sum(n_ref) AS DOUBLE) AS t_ref"),
+        F.expr("CAST(sum(n_new) AS DOUBLE) AS t_new"),
+    )
+    return cnt.crossJoin(F.broadcast(tot)).selectExpr(
+        "bin",
+        "n_ref",
+        "n_new",
+        "round((greatest(n_new / t_new, 1e-6)"
+        " - greatest(n_ref / t_ref, 1e-6))"
+        " * round(ln(greatest(n_new / t_new, 1e-6)"
+        " / greatest(n_ref / t_ref, 1e-6)), 8), 8) AS psi_term",
+    )
