@@ -1376,3 +1376,81 @@ def embed_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         dots.join(F.broadcast(sizes), "label")
         .selectExpr("label", "n_vecs", "round(dot / sqrt(cc * gg), 6) AS cos_to_global")
     )
+
+
+# --- LSH-bucket outlier audit ------------------------------------------------
+_OUT_K = 10
+
+
+@query(
+    "embed_bucket_outliers",
+    oracle=f"""
+    WITH expl AS ({_EXPL_SQL}),
+    buckets AS ({_BUCKET_SQL}),
+    e AS (SELECT b.bucket, x.vec_id, x.pos, x.v
+          FROM expl x JOIN buckets b ON x.vec_id = b.vec_id),
+    cent AS (
+      SELECT bucket, pos,
+             CAST(sum(CAST(v AS DECIMAL(25,12))) AS DOUBLE) / count(*) AS m
+      FROM e GROUP BY bucket, pos
+    ),
+    dots AS (
+      SELECT e.vec_id, e.bucket,
+             CAST(sum(CAST(e.v * c.m AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+             CAST(sum(CAST(e.v * e.v AS DECIMAL(30,15))) AS DOUBLE) AS vv,
+             CAST(sum(CAST(c.m * c.m AS DECIMAL(30,15))) AS DOUBLE) AS mm
+      FROM e JOIN cent c ON e.bucket = c.bucket AND e.pos = c.pos
+      GROUP BY e.vec_id, e.bucket
+    )
+    SELECT vec_id, bucket, round(dot / sqrt(vv * mm), 6) AS cos_c
+    FROM dots
+    ORDER BY cos_c ASC, vec_id LIMIT {_OUT_K}
+    """,
+)
+def embed_bucket_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier audit: the {_OUT_K} vectors least aligned
+    with their own LSH bucket's centroid — mis-embedded or out-of-
+    distribution points that pollute dedup/ANN buckets (the cheap LOF
+    stand-in that needs no per-point kNN).
+
+    Scale shape: buckets come from the fixed sign-bit hyperplanes
+    (embed_ann_lsh's), centroids are per-(bucket, dim) decimal means —
+    one pass over the exploded vectors, |buckets| x dim output — and the
+    per-vector cosine joins centroid rows back by (bucket, pos): shuffle
+    keys are (bucket, pos)/(vec_id), never a pair explosion. Final
+    bottom-k compiles to TakeOrderedAndProject."""
+    expl = _exploded(spark, sf_dir)
+
+    def r_col(j: int) -> F.Column:
+        return ((F.lit(j) * 64 + F.col("pos")) * 2654435761 % 1000).cast(
+            "double"
+        ) / 1000.0 - 0.5
+
+    bucket_terms = [
+        F.when(
+            F.sum((F.col("v") * r_col(j)).cast("decimal(20,12)")).cast("double") > 0,
+            F.lit(1 << j),
+        ).otherwise(F.lit(0))
+        for j in range(_NPLANES)
+    ]
+    buckets = expl.groupBy("vec_id").agg(
+        sum(bucket_terms[1:], bucket_terms[0]).alias("bucket")
+    )
+    e = expl.join(buckets, "vec_id")
+    cent = e.groupBy("bucket", "pos").agg(
+        F.expr("CAST(sum(CAST(v AS DECIMAL(25,12))) AS DOUBLE) / count(*) AS m")
+    )
+    dots = (
+        e.join(cent, ["bucket", "pos"])
+        .groupBy("vec_id", "bucket")
+        .agg(
+            F.expr("CAST(sum(CAST(v * m AS DECIMAL(30,15))) AS DOUBLE) AS dot"),
+            F.expr("CAST(sum(CAST(v * v AS DECIMAL(30,15))) AS DOUBLE) AS vv"),
+            F.expr("CAST(sum(CAST(m * m AS DECIMAL(30,15))) AS DOUBLE) AS mm"),
+        )
+    )
+    return (
+        dots.selectExpr("vec_id", "bucket", "round(dot / sqrt(vv * mm), 6) AS cos_c")
+        .orderBy(F.asc("cos_c"), F.asc("vec_id"))
+        .limit(_OUT_K)
+    )
