@@ -883,3 +883,132 @@ def key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n AS BIGINT) AS n_keys",
         "round(2.0D * t / (n * sx) - (n + 1.0D) / n, 6) AS gini",
     )
+
+
+# --- last-touch marketing attribution ----------------------------------------
+_ATTR_WINDOW_US = 7 * 86_400_000_000  # 7-day lookback
+
+
+@query(
+    "attribution_last_touch",
+    oracle=f"""
+    WITH p AS (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+    t AS (SELECT user_id, ts, event_type FROM events
+          WHERE event_type IN ('click', 'view')),
+    j AS (
+      SELECT p.user_id, p.ts AS pts, p.value, t.ts AS tts, t.event_type
+      FROM p ASOF LEFT JOIN t
+        ON p.user_id = t.user_id AND p.ts >= t.ts
+    )
+    SELECT CASE WHEN tts IS NULL
+                  OR epoch_us(pts) - epoch_us(tts) > {_ATTR_WINDOW_US}
+                THEN 'direct' ELSE event_type END AS channel,
+           count(*) AS n_purchases,
+           round(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 2)
+             AS revenue
+    FROM j GROUP BY channel
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the user's
+    most recent click/view within a 7-day lookback (else 'direct'), with
+    per-channel purchase counts and decimal-exact revenue.
+
+    Spark side rides the union-and-carry asof_join operator (one
+    user-partitioned window, no inequality join — operators/temporal.py);
+    the lookback is a post-asof filter. The oracle is DuckDB's native
+    ASOF JOIN — an independent implementation of the match semantics."""
+    from ..operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", "ts", "event_type"
+    )
+    j = asof_join(
+        purchases, touches, on=["user_id"], ts="ts",
+        right_cols=["ts", "event_type"],
+    )
+    return (
+        j.selectExpr(
+            f"CASE WHEN ts_r IS NULL"
+            f" OR unix_micros(ts) - unix_micros(ts_r) > {_ATTR_WINDOW_US}"
+            f" THEN 'direct' ELSE event_type_r END AS channel",
+            "value",
+        )
+        .groupBy("channel")
+        .agg(
+            F.expr("count(*) AS n_purchases"),
+            F.expr(
+                "round(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 2)"
+                " AS revenue"
+            ),
+        )
+    )
+
+
+# --- gaps-and-islands: runs of below-average order days ----------------------
+@query(
+    "order_gap_islands",
+    oracle=f"""
+    WITH daily AS (
+      SELECT epoch_us(o_orderdate) // {_US_DAY} AS d,
+             CAST(count(*) AS BIGINT) AS x
+      FROM orders GROUP BY d
+    ),
+    m AS (
+      SELECT CAST(sum(x) AS DOUBLE) / count(*) AS avg_x FROM daily
+    ),
+    low AS (
+      SELECT d FROM daily CROSS JOIN m WHERE CAST(x AS DOUBLE) < avg_x
+    ),
+    isl AS (
+      SELECT d, d - (row_number() OVER (ORDER BY d) - 1) AS island
+      FROM low
+    ),
+    runs AS (
+      SELECT island, CAST(count(*) AS BIGINT) AS run_len FROM isl
+      GROUP BY island
+    )
+    SELECT count(*) AS n_runs,
+           CAST(max(run_len) AS BIGINT) AS longest_run,
+           CAST(sum(run_len) AS BIGINT) AS total_low_days
+    FROM runs
+    """,
+)
+def order_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over the daily order series: maximal runs of
+    consecutive below-average days (the demand-slump / stockout-run
+    pattern). Island id = day − position-among-low-days, so consecutive
+    low days share an id.
+
+    Distribution: the classic formulation ranks low days with an
+    unpartitioned row_number; here the position comes from bounded_seq's
+    dense_codes triangular join — valid because the daily table is
+    bounded by the CALENDAR SPAN, not the row count (the same bounded-
+    domain argument as seasonal_decompose_daily). One fact shuffle for
+    the daily counts; everything after runs on ≤ span-days rows."""
+    from ..operators.bounded_seq import dense_codes
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.expr(
+            f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_US_DAY}"
+        ).alias("d")
+    ).agg(F.expr("CAST(count(*) AS BIGINT) AS x"))
+    m = daily.agg(F.expr("CAST(sum(x) AS DOUBLE) / count(*) AS avg_x"))
+    low = (
+        daily.crossJoin(F.broadcast(m))
+        .filter("CAST(x AS DOUBLE) < avg_x")
+        .select("d")
+    )
+    isl = dense_codes(low, "d", out="pos").selectExpr("d - pos AS island")
+    runs = isl.groupBy("island").agg(F.expr("CAST(count(*) AS BIGINT) AS run_len"))
+    return runs.agg(
+        F.expr("count(*) AS n_runs"),
+        F.expr("CAST(max(run_len) AS BIGINT) AS longest_run"),
+        F.expr("CAST(sum(run_len) AS BIGINT) AS total_low_days"),
+    )
