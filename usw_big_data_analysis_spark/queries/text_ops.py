@@ -784,3 +784,93 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("CAST(sum(chars) * 100 div sum(c) AS BIGINT) AS avg_word_len_c"),
     )
+
+
+# --- Zipf-law fit of the word-frequency distribution -------------------------
+@query(
+    "text_zipf_fit",
+    oracle="""
+    WITH wc AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS f
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+      GROUP BY word
+    ),
+    rk AS (
+      SELECT f,
+             rank() OVER (ORDER BY f DESC)
+               + (count(*) OVER (PARTITION BY f) - 1) / 2.0 AS r_avg
+      FROM wc
+    ),
+    pt AS (
+      SELECT CAST(round(ln(r_avg) * 100000000) AS BIGINT) AS lxi,
+             CAST(round(ln(CAST(f AS DOUBLE)) * 100000000) AS BIGINT) AS lyi
+      FROM rk
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(lxi AS DECIMAL(38,0))) AS DOUBLE) / 1e8 AS sx,
+             CAST(sum(CAST(lyi AS DECIMAL(38,0))) AS DOUBLE) / 1e8 AS sy,
+             CAST(sum(CAST(lxi AS DECIMAL(38,0)) * lxi) AS DOUBLE) / 1e16
+               AS sxx,
+             CAST(sum(CAST(lxi AS DECIMAL(38,0)) * lyi) AS DOUBLE) / 1e16
+               AS sxy
+      FROM pt
+    )
+    SELECT CAST(n AS BIGINT) AS n_types,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+             AS intercept
+    FROM s
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit: OLS slope of ln(frequency) on ln(rank) over the
+    word-frequency distribution (natural corpora fit slope ≈ −1; a
+    template-generated or deduplicated-to-death corpus bends away — the
+    single-number companion to text_lexical_diversity).
+
+    Distribution: word counts are one map-side-combined shuffle; the
+    DESCENDING tie-averaged ranks come from the bucketed mean_ranks
+    operator on the distinct-frequency table (rank_desc = n_types + 1 −
+    rank_asc; half-integers, exact), so no global sort ever runs. Both
+    logs round at 8dp and sum through decimals (the repo's ln
+    convention); the closed-form OLS is one shared arithmetic tree."""
+    from ..operators.rank_ops import mean_ranks
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS f"))
+    )
+    # distinct-frequency compression: ranks depend only on f
+    r = mean_ranks(wc, "f")  # (f, cnt, r_avg) ascending tie-avg ranks
+    nt = r.agg(F.expr("CAST(sum(cnt) AS BIGINT) AS n_types"))
+    pt = r.crossJoin(F.broadcast(nt)).selectExpr(
+        "cnt",
+        "CAST(round(ln(n_types + 1 - r_avg) * 100000000, 0) AS BIGINT) AS lxi",
+        "CAST(round(ln(CAST(f AS DOUBLE)) * 100000000, 0) AS BIGINT) AS lyi",
+    )
+    s = pt.agg(
+        F.expr("CAST(sum(cnt) AS DOUBLE) AS n"),
+        F.expr(
+            "CAST(sum(CAST(cnt AS DECIMAL(38,0)) * lxi) AS DOUBLE) / 1e8 AS sx"
+        ),
+        F.expr(
+            "CAST(sum(CAST(cnt AS DECIMAL(38,0)) * lyi) AS DOUBLE) / 1e8 AS sy"
+        ),
+        F.expr(
+            "CAST(sum(CAST(cnt AS DECIMAL(38,0)) * lxi * lxi) AS DOUBLE)"
+            " / 1e16 AS sxx"
+        ),
+        F.expr(
+            "CAST(sum(CAST(cnt AS DECIMAL(38,0)) * lxi * lyi) AS DOUBLE)"
+            " / 1e16 AS sxy"
+        ),
+    )
+    return s.selectExpr(
+        "CAST(n AS BIGINT) AS n_types",
+        "round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope",
+        "round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)"
+        " AS intercept",
+    )
