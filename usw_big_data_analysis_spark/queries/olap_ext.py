@@ -657,3 +657,117 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("count(*) AS n_parts"),
         F.expr("round(CAST(sum(rev) AS DOUBLE), 2) AS class_rev"),
     )
+
+
+# --- month-over-month revenue growth -----------------------------------------
+@query(
+    "monthly_revenue_growth",
+    oracle=f"""
+    WITH m AS (
+      SELECT epoch_us(date_trunc('month', o_orderdate)) AS mo_us,
+             CAST(sum({_CENTS}) AS BIGINT) AS cents
+      FROM orders GROUP BY mo_us
+    )
+    SELECT cur.mo_us, cur.cents,
+           prev.cents AS prev_cents,
+           CAST((cur.cents - prev.cents) * 1000000 // prev.cents AS BIGINT)
+             AS growth_ppm
+    FROM m cur JOIN m prev
+      ON prev.mo_us = epoch_us(date_trunc('month',
+           CAST(to_timestamp(cur.mo_us / 1000000.0) AS TIMESTAMP)
+           - INTERVAL 1 DAY))
+    """,
+)
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth without a lag() window: the monthly
+    rollup self-joins on previous-calendar-month (month-start minus one
+    day re-truncated — correct across year boundaries and variable month
+    lengths). Growth in integer ppm over exact cent sums. The rollup
+    table is ~months-sized, so the self-join is a broadcast; first month
+    drops out (no prior) as in pandas pct_change().dropna()."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.expr(
+            "unix_micros(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)))"
+        ).alias("mo_us")
+    ).agg(F.expr(f"CAST(sum({_CENTS}) AS BIGINT) AS cents"))
+    prev = m.selectExpr("mo_us AS pmo_us", "cents AS prev_cents")
+    cur = m.withColumn(
+        "pkey",
+        F.expr(
+            "unix_micros(date_trunc('month',"
+            " timestamp_micros(mo_us) - INTERVAL 1 DAY))"
+        ),
+    )
+    return (
+        cur.join(F.broadcast(prev), cur.pkey == prev.pmo_us)
+        .selectExpr(
+            "mo_us",
+            "cents",
+            "prev_cents",
+            "CAST((cents - prev_cents) * 1000000 div prev_cents AS BIGINT)"
+            " AS growth_ppm",
+        )
+    )
+
+
+# --- Herfindahl-Hirschman concentration of supplier share --------------------
+@query(
+    "supplier_hhi",
+    oracle="""
+    WITH s AS (
+      SELECT p.p_brand, l.l_suppkey,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand, l.l_suppkey
+    ),
+    t AS (
+      SELECT p_brand, CAST(sum(cents) AS BIGINT) AS total
+      FROM s GROUP BY p_brand
+    )
+    SELECT s.p_brand,
+           count(*) AS n_suppliers,
+           CAST(sum(CAST(s.cents AS HUGEINT) * s.cents) * 10000
+                // (CAST(max(t.total) AS HUGEINT) * max(t.total))
+                AS BIGINT) AS hhi_bp
+    FROM s JOIN t ON s.p_brand = t.p_brand
+    GROUP BY s.p_brand
+    """,
+)
+def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of supplier revenue share
+    per brand (0..10000 basis points; >2500 = concentrated supply — the
+    procurement-risk audit). HHI = Σ share², computed as an EXACT integer:
+    (Σ cents²)·10⁴ integer-divided by total² in 128-bit arithmetic
+    (DECIMAL(38,0) on Spark, HUGEINT in the oracle) — one truncating
+    division, no floating shares, no rounding convention.
+
+    Scale shape: part dim broadcast into the fact join, two
+    map-side-combined aggregates (supplier cells, brand totals), totals
+    broadcast back; every share stays a pair of bigints."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    s = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "l_suppkey")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
+                " AS BIGINT) AS cents"
+            )
+        )
+    )
+    t = s.groupBy("p_brand").agg(F.expr("CAST(sum(cents) AS BIGINT) AS total"))
+    return (
+        s.join(F.broadcast(t), "p_brand")
+        .groupBy("p_brand")
+        .agg(
+            F.expr("count(*) AS n_suppliers"),
+            F.expr(
+                "CAST(sum(CAST(cents AS DECIMAL(38,0)) * cents) * 10000"
+                " div (CAST(max(total) AS DECIMAL(38,0)) * max(total))"
+                " AS BIGINT) AS hhi_bp"
+            ),
+        )
+    )
