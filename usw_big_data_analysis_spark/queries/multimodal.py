@@ -443,3 +443,103 @@ def multimodal_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sum_s").alias("sum_s"),
         F.sum("sum_sq").alias("sum_sq"),
     )
+
+
+# --- perceptual average-hash near-dup groups ---------------------------------
+@query(
+    "multimodal_phash_groups",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 5 AS w, 4 + doc_id % 3 AS h FROM documents
+    ),
+    cells AS (
+      SELECT d.doc_id, k.k,
+             ((((k.k // 4) * d.h) // 4) * d.w + ((k.k % 4) * d.w) // 4) * 3
+               AS base
+      FROM dims d CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) k
+    ),
+    gr AS (
+      SELECT doc_id, k,
+             ((doc_id * 31 + 7 * base) % 256
+              + (doc_id * 31 + 7 * (base + 1)) % 256
+              + (doc_id * 31 + 7 * (base + 2)) % 256) // 3 AS gray
+      FROM cells
+    ),
+    tot AS (SELECT doc_id, sum(gray) AS tg FROM gr GROUP BY doc_id),
+    ph AS (
+      SELECT g.doc_id,
+             CAST(sum(CASE WHEN g.gray * 16 > t.tg
+                           THEN 1 << g.k ELSE 0 END) AS BIGINT) AS phash
+      FROM gr g JOIN tot t ON g.doc_id = t.doc_id
+      GROUP BY g.doc_id
+    )
+    SELECT phash, count(*) AS n_docs FROM ph GROUP BY phash
+    """,
+)
+def multimodal_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash image dedup: decode each image with the REAL
+    vendored PPM codec, grayscale it (integer (r+g+b)//3), nearest-neighbor
+    sample a 4x4 grid, set bit k where the cell outshines the grid mean
+    (g*16 > sum — integer compare, no division), and group documents by
+    the 16-bit hash — the image-side analogue of dedup_exact (visually-
+    near-identical images collide; aHash is the classic cheap pHash).
+
+    The generator (closed-form pixels from doc_id) and the decode+hash
+    path are separate code routes, so a codec, layout, resize-index, or
+    bit-order bug breaks oracle parity. Scale shape: one mapInPandas
+    decode pass (Arrow-batched), one hash groupBy — exactly how an image
+    near-dup pass runs over a binary parquet column at 100 TB."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from ..operators.image_codec import decode_image, encode_ppm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 8 + doc_id % 5, 4 + doc_id % 3
+                i = np.arange(w * h * 3, dtype=np.int64)
+                arr = ((doc_id * 31 + 7 * i) % 256).astype(np.uint8).reshape(h, w, 3)
+                ids.append(doc_id)
+                blobs.append(encode_ppm(arr))
+            yield pd.DataFrame({"doc_id": ids, "content": blobs})
+
+    payloads = docs.mapInPandas(
+        gen,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("content", BinaryType())]
+        ),
+    )
+
+    def hash_batches(batches):
+        shifts = np.arange(16, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"doc_id": [], "phash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                arr = decode_image(bytes(payload)).astype(np.int64)
+                h, w = arr.shape[0], arr.shape[1]
+                gray = arr.sum(axis=2) // 3
+                sy = (np.arange(4) * h) // 4
+                sx = (np.arange(4) * w) // 4
+                g = gray[np.ix_(sy, sx)].reshape(-1)  # row-major: k = gy*4+gx
+                bits = (g * 16 > int(g.sum())).astype(np.int64)
+                out["doc_id"].append(int(doc_id))
+                out["phash"].append(int((bits << shifts).sum()))
+            yield pd.DataFrame(out)
+
+    hashes = payloads.mapInPandas(
+        hash_batches,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("phash", LongType())]
+        ),
+    )
+    return hashes.groupBy("phash").agg(F.expr("count(*) AS n_docs"))
