@@ -1012,3 +1012,82 @@ def order_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(max(run_len) AS BIGINT) AS longest_run"),
         F.expr("CAST(sum(run_len) AS BIGINT) AS total_low_days"),
     )
+
+
+# --- CUSUM change-point detection on the daily value series ------------------
+@query(
+    "events_value_cusum",
+    oracle=f"""
+    WITH daily AS (
+      SELECT epoch_us(ts) // {_US_DAY} AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY d
+    ),
+    tot AS (
+      SELECT CAST(sum(cents) AS BIGINT) AS s_all,
+             CAST(sum(n) AS BIGINT) AS n_all,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM daily
+    ),
+    dev AS (
+      SELECT d.d,
+             CAST(d.cents AS HUGEINT) * t.n_all
+               - CAST(d.n AS HUGEINT) * t.s_all AS dv
+      FROM daily d CROSS JOIN tot t
+    ),
+    cu AS (
+      SELECT d, sum(dv) OVER (ORDER BY d
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+      FROM dev
+    )
+    SELECT cu.d AS change_day,
+           CAST(abs(cu.cusum) AS BIGINT) AS max_abs_cusum,
+           t.n_days
+    FROM cu CROSS JOIN tot t
+    ORDER BY abs(cu.cusum) DESC, cu.d LIMIT 1
+    """,
+)
+def events_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on the daily event-value series: the
+    day where the cumulative deviation from the global mean rate peaks —
+    the standard ops-monitoring shift detector. Deviation is kept EXACT
+    integer by cross-multiplying instead of dividing: dev_t = cents_t ·
+    N_total − n_t · cents_total (128-bit), so the argmax needs no float
+    conventions at all.
+
+    Distribution: daily rollup is one map-side-combined shuffle; the
+    cumulative sum runs over the calendar-bounded daily table via
+    bounded_seq's triangular prefix (no unpartitioned window), and the
+    argmax compiles to TakeOrderedAndProject."""
+    from ..operators.bounded_seq import exclusive_prefix_sums
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(f"unix_micros(ts) div {_US_DAY}").alias("d")
+    ).agg(
+        F.expr("CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents"),
+        F.expr("CAST(count(*) AS BIGINT) AS n"),
+    )
+    tot = daily.agg(
+        F.expr("CAST(sum(cents) AS BIGINT) AS s_all"),
+        F.expr("CAST(sum(n) AS BIGINT) AS n_all"),
+        F.expr("CAST(count(*) AS BIGINT) AS n_days"),
+    )
+    dev = daily.crossJoin(F.broadcast(tot)).selectExpr(
+        "d",
+        "CAST(cents AS DECIMAL(38,0)) * n_all - CAST(n AS DECIMAL(38,0)) * s_all"
+        " AS dv",
+        "n_days",
+    )
+    pref = exclusive_prefix_sums(dev.select("d", "dv"), "d", ["dv"])
+    return (
+        dev.join(F.broadcast(pref), "d")
+        .selectExpr(
+            "d AS change_day",
+            "CAST(abs(prev_dv + dv) AS BIGINT) AS max_abs_cusum",
+            "n_days",
+        )
+        .orderBy(F.desc("max_abs_cusum"), F.asc("change_day"))
+        .limit(1)
+    )

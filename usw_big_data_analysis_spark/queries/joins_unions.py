@@ -360,3 +360,44 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_r").alias("purchase_value"),
         F.unix_micros("ts_r").alias("purchase_ts_us"),
     )
+
+
+# --- forward as-of: each click's NEXT purchase -------------------------------
+@query(
+    "join_asof_forward",
+    oracle="""
+    SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+           r.event_id AS purchase_id, epoch_us(r.ts) AS purchase_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click matched to the user's EARLIEST purchase at or after it
+    (the time-to-next-conversion primitive; join_asof's mirror). Forward
+    direction reuses the union-and-carry asof operator on NEGATED
+    epoch-microseconds — latest right with -ts_r <= -ts_l IS the earliest
+    right with ts_r >= ts_l — so the plan stays one key-partitioned
+    window, no inequality join. Oracle: DuckDB's native forward ASOF
+    (ON l.ts <= r.ts), an independent implementation."""
+    from ..operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").selectExpr(
+        "event_id", "user_id", "unix_micros(ts) AS us"
+    ).withColumn("tsn", F.expr("-us"))
+    purchases = ev.filter(F.col("event_type") == "purchase").selectExpr(
+        "event_id", "user_id", "unix_micros(ts) AS us"
+    ).withColumn("tsn", F.expr("-us"))
+    j = asof_join(
+        clicks, purchases, on=["user_id"], ts="tsn",
+        right_cols=["event_id", "us"],
+    )
+    return j.selectExpr(
+        "event_id",
+        "user_id",
+        "us AS ts_us",
+        "event_id_r AS purchase_id",
+        "us_r AS purchase_ts_us",
+    )
