@@ -870,3 +870,53 @@ def histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hi"),
     )
+
+
+# --- discrete (order-statistic) P90 per group --------------------------------
+@query(
+    "groupby_p90_disc",
+    oracle="""
+    WITH d AS (
+      SELECT l_returnflag AS grp, l_extendedprice AS x,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY grp, x
+    ),
+    c AS (
+      SELECT grp, x,
+             sum(cnt) OVER (PARTITION BY grp ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM d
+    ),
+    n AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n_rows FROM d GROUP BY grp)
+    SELECT c.grp, n.n_rows, min(c.x) AS p90_disc
+    FROM c JOIN n ON c.grp = n.grp
+    WHERE c.cum >= CAST(ceil(0.9 * n.n_rows) AS BIGINT)
+    GROUP BY c.grp, n.n_rows
+    """,
+)
+def groupby_p90_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete (percentile_disc) P90 per group: the smallest actual value
+    with cumulative count >= ceil(0.9 n) — an ORDER STATISTIC, so the
+    answer is always a real data value (SLA/p90-latency semantics), unlike
+    the interpolated quantiles elsewhere.
+
+    Scale shape: the fact collapses to per-(group, value) counts map-side;
+    the cumulative pass is a GROUP-partitioned window over the distinct-
+    value table (every partition is one group's values — parallel across
+    groups, no single-partition move); selection is pure integer
+    arithmetic, no float conventions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.groupBy(
+        F.col("l_returnflag").alias("grp"), F.col("l_extendedprice").alias("x")
+    ).agg(F.expr("CAST(count(*) AS BIGINT) AS cnt"))
+    w = Window.partitionBy("grp").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = d.withColumn("cum", F.sum("cnt").over(w))
+    n = d.groupBy("grp").agg(F.expr("CAST(sum(cnt) AS BIGINT) AS n_rows"))
+    return (
+        c.join(F.broadcast(n), "grp")
+        .filter(F.expr("cum >= CAST(ceil(0.9 * n_rows) AS BIGINT)"))
+        .groupBy("grp", "n_rows")
+        .agg(F.expr("min(x) AS p90_disc"))
+    )

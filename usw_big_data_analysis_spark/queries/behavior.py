@@ -1091,3 +1091,82 @@ def events_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("max_abs_cusum"), F.asc("change_day"))
         .limit(1)
     )
+
+
+# --- LTV decile lift table ---------------------------------------------------
+@query(
+    "ltv_decile_table",
+    oracle="""
+    WITH ltv AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    d AS (SELECT cents, CAST(count(*) AS BIGINT) AS cnt FROM ltv
+          GROUP BY cents),
+    c AS (
+      SELECT cents, sum(cnt) OVER (ORDER BY cents
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM d
+    ),
+    n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_cust FROM d),
+    bnd AS (
+      SELECT k.k, min(c.cents) AS b
+      FROM c CROSS JOIN n
+      CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS k) k
+      WHERE c.cum >= (k.k * n.n_cust + 9) // 10
+      GROUP BY k.k
+    ),
+    assigned AS (
+      SELECT l.o_custkey, l.cents,
+             1 + (SELECT count(*) FROM bnd WHERE bnd.b < l.cents) AS decile
+      FROM ltv l
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           count(*) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS decile_cents
+    FROM assigned GROUP BY decile
+    """,
+)
+def ltv_decile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-LTV decile lift table: per-customer lifetime value in
+    exact cents, decile boundaries as ORDER STATISTICS (smallest value
+    with cum >= ceil(k·n/10) — pure integer arithmetic, no interpolation
+    conventions), customers assigned by counting boundaries strictly
+    below their value, then per-decile counts and revenue — the marketing
+    lift-table primitive.
+
+    Distribution: LTV is one map-side shuffle; cum lives on the
+    distinct-value table via mean_ranks (cum = r_avg + (cnt-1)/2, exact
+    half-integers, no global sort); the 9-boundary frame broadcasts onto
+    one assignment scan."""
+    from ..operators.rank_ops import mean_ranks
+
+    orders = load_table(spark, sf_dir, "orders")
+    ltv = orders.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+            " AS cents"
+        )
+    )
+    r = mean_ranks(ltv, "cents")  # (cents, cnt, r_avg)
+    n = r.agg(F.expr("CAST(sum(cnt) AS BIGINT) AS n_cust"))
+    ks = spark.range(1, 10).selectExpr("CAST(id AS INT) AS k")
+    bnd = (
+        r.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ks))
+        .filter(
+            F.expr("r_avg + (cnt - 1) / 2.0D >= (k * n_cust + 9) div 10")
+        )
+        .groupBy("k")
+        .agg(F.expr("min(cents) AS b"))
+    )
+    nb = bnd.select("b")
+    assigned = ltv.join(F.broadcast(nb), F.expr("b < cents"), "left").groupBy(
+        "o_custkey", "cents"
+    ).agg(F.expr("CAST(1 + count(b) AS INT) AS decile"))
+    return assigned.groupBy("decile").agg(
+        F.expr("count(*) AS n_customers"),
+        F.expr("CAST(sum(cents) AS BIGINT) AS decile_cents"),
+    )
