@@ -568,3 +568,103 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("chars_kept"),
         )
     )
+
+
+# --- epochs-per-source plan under a token budget -----------------------------
+_EP_BUDGET = 200_000  # target training tokens
+_EP_ALPHA_NUM, _EP_ALPHA_DEN = 7, 10  # temperature 0.7 as a rational
+
+
+@query(
+    "mixture_epochs_plan",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_tok,
+             round(exp(round(ln(CAST(n_tok AS DOUBLE)), 8)
+                       * {_EP_ALPHA_NUM} / {_EP_ALPHA_DEN}), 8) AS wgt
+      FROM tok
+    ),
+    t AS (SELECT sum(CAST(wgt AS DECIMAL(25,8))) AS wsum FROM w)
+    SELECT w.source, w.n_tok,
+           CAST(round(CAST(w.wgt AS DOUBLE) / CAST(t.wsum AS DOUBLE)
+                      * {_EP_BUDGET}) AS BIGINT) AS budget_tok,
+           round(CAST(round(CAST(w.wgt AS DOUBLE) / CAST(t.wsum AS DOUBLE)
+                            * {_EP_BUDGET}) AS BIGINT)
+                 / CAST(w.n_tok AS DOUBLE), 6) AS epochs
+    FROM w CROSS JOIN t
+    """,
+)
+def mixture_epochs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing epoch plan: temperature-reweight source sizes
+    (w = n^0.7 — the n^alpha upsampling rule), allocate the token budget
+    proportionally, and report how many EPOCHS of each source that
+    implies (epochs > 1 ⇒ the source repeats; the over-epoching audit
+    run before a training mix is frozen).
+
+    Exactness: token counts are integers; n^0.7 = exp(0.7·ln n) with the
+    8dp-rounded ln/exp convention, weights decimal-summed; the final
+    budget split is one shared double tree. One token-count shuffle; all
+    planning on the |sources| table."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.groupBy("source").agg(
+        F.expr("CAST(sum(size(split(text, ' '))) AS BIGINT) AS n_tok")
+    )
+    w = tok.selectExpr(
+        "source",
+        "n_tok",
+        f"round(exp(round(ln(CAST(n_tok AS DOUBLE)), 8)"
+        f" * {_EP_ALPHA_NUM} / {_EP_ALPHA_DEN}), 8) AS wgt",
+    )
+    t = w.agg(F.expr("sum(CAST(wgt AS DECIMAL(25,8))) AS wsum"))
+    return w.crossJoin(F.broadcast(t)).selectExpr(
+        "source",
+        "n_tok",
+        f"CAST(round(CAST(wgt AS DOUBLE) / CAST(wsum AS DOUBLE)"
+        f" * {_EP_BUDGET}) AS BIGINT) AS budget_tok",
+        f"round(CAST(round(CAST(wgt AS DOUBLE) / CAST(wsum AS DOUBLE)"
+        f" * {_EP_BUDGET}) AS BIGINT) / CAST(n_tok AS DOUBLE), 6) AS epochs",
+    )
+
+
+# --- context-window overflow audit -------------------------------------------
+_CTX_SIZES = (32, 64, 128, 256)
+
+
+@query(
+    "doc_length_overflow",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT source, count(*) AS n_docs,
+           {', '.join(
+             f"CAST(sum(CAST(n_tok > {c} AS INT)) * 1000000 // count(*) "
+             f"AS BIGINT) AS over_{c}_ppm" for c in _CTX_SIZES)}
+    FROM tok GROUP BY source
+    """,
+)
+def doc_length_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window overflow audit: per source, the ppm share of
+    documents longer than each candidate context size — the table that
+    decides chunking policy (doc_chunk_fixed) and window length before a
+    training run. One map-side-combined aggregate over token counts;
+    integer ppm output."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.selectExpr(
+        "source", "CAST(size(split(text, ' ')) AS BIGINT) AS n_tok"
+    )
+    return tok.groupBy("source").agg(
+        F.expr("count(*) AS n_docs"),
+        *[
+            F.expr(
+                f"CAST(sum(CAST(n_tok > {c} AS INT)) * 1000000"
+                f" div count(*) AS BIGINT) AS over_{c}_ppm"
+            )
+            for c in _CTX_SIZES
+        ],
+    )
