@@ -752,3 +752,102 @@ def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_cal", "n_test", "round(q, 6) AS q90", "n_covered", "coverage_ppm"
         )
     )
+
+
+# --- regression metric suite -------------------------------------------------
+@query(
+    "metric_regression_suite",
+    oracle=f"""
+    WITH base AS ({_CONF_BASE_SQL}),
+    fit AS (
+      SELECT grp,
+             CAST(sum(CAST(y AS DECIMAL(25,6))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS yhat
+      FROM base WHERE part <= 1 GROUP BY grp
+    ),
+    sc AS (
+      SELECT b.y, f.yhat FROM base b JOIN fit f ON b.grp = f.grp
+      WHERE b.part = 3
+    ),
+    ym AS (
+      SELECT CAST(sum(CAST(y AS DECIMAL(25,6))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS ybar
+      FROM sc
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(round(abs(y - yhat) * 100) AS BIGINT)) AS BIGINT)
+               AS sae_c,
+             CAST(sum(CAST(round((y - yhat) * (y - yhat)) AS BIGINT))
+                  AS BIGINT) AS sse_u,
+             CAST(sum(CAST(round(abs(y - yhat) / greatest(abs(y), 1e-9)
+                                 * 1000000) AS BIGINT)) AS BIGINT) AS sape_m,
+             CAST(sum(CAST(round((y - ym.ybar) * (y - ym.ybar)) AS BIGINT))
+                  AS BIGINT) AS sst_u
+      FROM sc CROSS JOIN ym
+    )
+    SELECT CAST(n AS BIGINT) AS n_test,
+           round(sae_c / (100.0 * n), 6) AS mae,
+           round(sqrt(sse_u / n), 6) AS rmse,
+           round(sape_m / (10000.0 * n), 6) AS mape_pct,
+           round(1.0 - CAST(sse_u AS DOUBLE) / sst_u, 6) AS r2
+    FROM s
+    """,
+)
+def metric_regression_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The regression-eval counterpart of the classification metric family:
+    MAE, RMSE, MAPE and R² of the per-priority-mean model on the held-out
+    split. Exactness: every error term is rounded to a fixed integer unit
+    BEFORE summation (cents for MAE, whole units for squared errors,
+    micro-ratios for MAPE) so the sums are order-independent bigints —
+    one double division + round at the end. One broadcast of the
+    parameter frame, two scans (test metrics + test mean), map-side
+    aggregation throughout."""
+    base = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority AS grp",
+        "o_totalprice AS y",
+        "CAST(o_orderkey % 4 AS INT) AS part",
+    )
+    fit = (
+        base.filter("part <= 1")
+        .groupBy("grp")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(y AS DECIMAL(25,6))) AS DOUBLE)"
+                " / CAST(count(*) AS DOUBLE) AS yhat"
+            )
+        )
+    )
+    sc = base.filter("part = 3").join(F.broadcast(fit), "grp").select("y", "yhat")
+    ym = sc.agg(
+        F.expr(
+            "CAST(sum(CAST(y AS DECIMAL(25,6))) AS DOUBLE)"
+            " / CAST(count(*) AS DOUBLE) AS ybar"
+        )
+    )
+    s = sc.crossJoin(F.broadcast(ym)).agg(
+        F.expr("CAST(count(*) AS DOUBLE) AS n"),
+        F.expr(
+            "CAST(sum(CAST(round(abs(y - yhat) * 100) AS BIGINT)) AS BIGINT)"
+            " AS sae_c"
+        ),
+        F.expr(
+            "CAST(sum(CAST(round((y - yhat) * (y - yhat)) AS BIGINT))"
+            " AS BIGINT) AS sse_u"
+        ),
+        F.expr(
+            "CAST(sum(CAST(round(abs(y - yhat) / greatest(abs(y), 1e-9)"
+            " * 1000000) AS BIGINT)) AS BIGINT) AS sape_m"
+        ),
+        F.expr(
+            "CAST(sum(CAST(round((y - ybar) * (y - ybar)) AS BIGINT))"
+            " AS BIGINT) AS sst_u"
+        ),
+    )
+    return s.selectExpr(
+        "CAST(n AS BIGINT) AS n_test",
+        "round(sae_c / (100.0D * n), 6) AS mae",
+        "round(sqrt(sse_u / n), 6) AS rmse",
+        "round(sape_m / (10000.0D * n), 6) AS mape_pct",
+        "round(1.0D - CAST(sse_u AS DOUBLE) / sst_u, 6) AS r2",
+    )

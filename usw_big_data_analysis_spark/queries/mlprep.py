@@ -722,3 +722,60 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * round(ln(greatest(n_new / t_new, 1e-6)"
         " / greatest(n_ref / t_ref, 1e-6)), 8), 8) AS psi_term",
     )
+
+
+# --- deterministic majority-class downsampling -------------------------------
+@query(
+    "class_downsample_balanced",
+    oracle="""
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_returnflag <> 'N' AS INT) AS majority
+      FROM lineitem
+    ),
+    cnt AS (
+      SELECT CAST(sum(majority) AS BIGINT) AS n_maj,
+             CAST(count(*) - sum(majority) AS BIGINT) AS n_min
+      FROM base
+    ),
+    kept AS (
+      SELECT b.majority
+      FROM base b CROSS JOIN cnt
+      WHERE b.majority = 0
+         OR (CAST(concat('0x', substring(md5(CAST(b.l_orderkey * 100000 + b.l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000)
+              * cnt.n_maj < cnt.n_min * 1000000
+    )
+    SELECT CAST(majority AS INT) AS majority, count(*) AS n_kept
+    FROM kept GROUP BY majority
+    """,
+)
+def class_downsample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-class downsampling to ~1:1 via hash-Bernoulli keep (keep
+    probability n_min/n_maj decided by a per-row key hash against an
+    integer threshold) — the imbalance fix that needs NO shuffle, no
+    sampling state, and reproduces exactly on any engine/cluster (the
+    mixture_temperature trick applied to class balance).
+
+    Portability: the keep decision hashes the row key through md5 (the
+    repo's engine-portable hash convention — Spark's hash() and DuckDB's
+    hash() are different functions); the modulus comparison is pure
+    integer arithmetic, so kept-set membership is identical on both
+    engines. Output is the per-class kept count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.selectExpr(
+        "l_orderkey", "l_linenumber", "CAST(l_returnflag <> 'N' AS INT) AS majority"
+    )
+    cnt = base.agg(
+        F.expr("CAST(sum(majority) AS BIGINT) AS n_maj"),
+        F.expr("CAST(count(*) - sum(majority) AS BIGINT) AS n_min"),
+    )
+    kept = base.crossJoin(F.broadcast(cnt)).filter(
+        F.expr(
+            "majority = 0 OR (CAST(conv(substring("
+            "md5(CAST(l_orderkey * 100000 + l_linenumber AS STRING)), 1, 15),"
+            " 16, 10) AS BIGINT) % 1000000) * n_maj < n_min * 1000000"
+        )
+    )
+    return kept.groupBy(F.expr("CAST(majority AS INT)").alias("majority")).agg(
+        F.expr("count(*) AS n_kept")
+    )
