@@ -545,3 +545,78 @@ def hpo_random(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tau"),
     )
     return _hpo_eval_spark(spark, sf_dir, cfg)
+
+
+# --- grouped applyInPandas OLS (Arrow cogroup path, oracle-exact) ------------
+@query(
+    "pandas_group_ols",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag AS grp, CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(CAST(l_quantity AS DECIMAL(25,6))
+                           * CAST(l_quantity AS DECIMAL(25,6)) AS DECIMAL(38,10)))
+                  AS DOUBLE) AS sxx,
+             CAST(sum(CAST(CAST(l_quantity AS DECIMAL(25,6))
+                           * CAST(l_extendedprice AS DECIMAL(25,6)) AS DECIMAL(38,10)))
+                  AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT grp, CAST(n AS BIGINT) AS n_rows,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+             AS intercept
+    FROM s
+    """,
+)
+def pandas_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS fitted INSIDE a grouped Arrow UDF (applyInPandas) —
+    the escape hatch for per-group logic the built-in operators can't
+    express, exercised here on semantics the relational linreg_ols_group
+    also covers so the UDF path itself is oracle-checked bit-exact.
+
+    Exactness inside Python: values scale to int64 centi-units and the
+    sufficient statistics accumulate as PYTHON INTS (arbitrary precision
+    — no float summation order anywhere); the closed-form solve then
+    replays the oracle's exact double tree (float(K)/100 is the same
+    IEEE rounding as DECIMAL(·,2)→DOUBLE). Scale: one shuffle on the
+    group key; each group is one Arrow batch stream."""
+    import pandas as pd
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"), "l_quantity", "l_extendedprice"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        xi = (pdf["l_quantity"] * 100).round().astype("int64")
+        yi = (pdf["l_extendedprice"] * 100).round().astype("int64")
+        n_i = len(pdf)
+        sx_i = int(xi.sum())
+        sy_i = int(yi.sum())
+        sxx_i = int((xi.astype(object) * xi.astype(object)).sum())
+        sxy_i = int((xi.astype(object) * yi.astype(object)).sum())
+        n = float(n_i)
+        sx = float(sx_i) / 100.0
+        sy = float(sy_i) / 100.0
+        sxx = float(sxx_i) / 10000.0
+        sxy = float(sxy_i) / 10000.0
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        from decimal import ROUND_HALF_UP, Decimal
+
+        r6 = lambda v: float(  # noqa: E731 — mirrors round(double, 6)
+            Decimal(repr(v)).quantize(Decimal("1e-6"), ROUND_HALF_UP)
+        )
+        return pd.DataFrame(
+            {
+                "grp": [pdf["grp"].iloc[0]],
+                "n_rows": [n_i],
+                "slope": [r6(slope)],
+                "intercept": [r6(intercept)],
+            }
+        )
+
+    return li.groupBy("grp").applyInPandas(
+        fit, "grp string, n_rows long, slope double, intercept double"
+    )

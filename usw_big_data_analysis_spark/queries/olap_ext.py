@@ -771,3 +771,66 @@ def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- trending items: recent vs prior 30-day demand ---------------------------
+_TREND_D_US = 30 * 86_400_000_000
+
+
+@query(
+    "trending_items",
+    oracle=f"""
+    WITH mx AS (SELECT max(epoch_us(l_shipdate)) AS m FROM lineitem),
+    c AS (
+      SELECT l.l_partkey,
+             CAST(sum(CAST(epoch_us(l.l_shipdate) > mx.m - {_TREND_D_US}
+                           AS INT)) AS BIGINT) AS recent,
+             CAST(sum(CAST(epoch_us(l.l_shipdate) <= mx.m - {_TREND_D_US}
+                           AND epoch_us(l.l_shipdate) > mx.m - {2 * _TREND_D_US}
+                           AS INT)) AS BIGINT) AS prior
+      FROM lineitem l CROSS JOIN mx
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, recent, prior,
+           CAST((recent - prior) * 1000000 // prior AS BIGINT) AS growth_ppm
+    FROM c WHERE prior > 0
+    ORDER BY growth_ppm DESC, l_partkey LIMIT 10
+    """,
+)
+def trending_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 trending parts: shipment count in the trailing 30 days vs
+    the 30 days before, integer-ppm growth — the demand-shift shortlist.
+    One scalar max broadcast onto one conditional-sum scan (both windows
+    from the same pass — no second scan, no join of two period
+    aggregates); top-k compiles to TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mx = li.agg(
+        F.expr("max(unix_micros(CAST(l_shipdate AS TIMESTAMP))) AS m")
+    )
+    c = (
+        li.crossJoin(F.broadcast(mx))
+        .groupBy("l_partkey")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(unix_micros(CAST(l_shipdate AS TIMESTAMP))"
+                f" > m - {_TREND_D_US} AS INT)) AS BIGINT) AS recent"
+            ),
+            F.expr(
+                "CAST(sum(CAST(unix_micros(CAST(l_shipdate AS TIMESTAMP))"
+                f" <= m - {_TREND_D_US}"
+                " AND unix_micros(CAST(l_shipdate AS TIMESTAMP))"
+                f" > m - {2 * _TREND_D_US} AS INT)) AS BIGINT) AS prior"
+            ),
+        )
+    )
+    return (
+        c.filter("prior > 0")
+        .selectExpr(
+            "l_partkey",
+            "recent",
+            "prior",
+            "CAST((recent - prior) * 1000000 div prior AS BIGINT) AS growth_ppm",
+        )
+        .orderBy(F.desc("growth_ppm"), F.asc("l_partkey"))
+        .limit(10)
+    )
