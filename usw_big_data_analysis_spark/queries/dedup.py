@@ -990,3 +990,55 @@ def dedup_span_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- near-dup exposure per source --------------------------------------------
+@query(
+    "dedup_rate_by_source",
+    oracle=f"""
+    WITH pairs AS ({_MINHASH_PAIRS_SQL}),
+    involved AS (
+      SELECT id_a AS doc_id FROM pairs
+      UNION SELECT id_b FROM pairs
+    ),
+    src AS (SELECT doc_id, source FROM documents)
+    SELECT s.source,
+           count(*) AS n_docs,
+           CAST(sum(CAST(i.doc_id IS NOT NULL AS INT)) AS BIGINT)
+             AS n_near_dup,
+           CAST(sum(CAST(i.doc_id IS NOT NULL AS INT)) * 1000000
+                // count(*) AS BIGINT) AS near_dup_ppm
+    FROM src s LEFT JOIN involved i ON s.doc_id = i.doc_id
+    GROUP BY s.source
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup exposure per source: the share of each source's documents
+    that appear in at least one MinHash-LSH candidate pair — the
+    per-provider duplication scorecard that decides which ingest feeds
+    get deduped first (and the acceptance metric after).
+
+    Scale shape: candidate pairs come from the banded signature pipeline
+    (dedup_minhash_lsh — bucketed, never all-pairs); the involved-doc set
+    is a distinct union of pair endpoints, left-joined back onto the doc
+    dim; everything after the signature pass is id-sized."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    involved = (
+        pairs.selectExpr("id_a AS doc_id")
+        .union(pairs.selectExpr("id_b AS doc_id"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        src.join(involved, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.expr("count(*) AS n_docs"),
+            F.expr("CAST(sum(CAST(hit IS NOT NULL AS INT)) AS BIGINT) AS n_near_dup"),
+            F.expr(
+                "CAST(sum(CAST(hit IS NOT NULL AS INT)) * 1000000"
+                " div count(*) AS BIGINT) AS near_dup_ppm"
+            ),
+        )
+    )

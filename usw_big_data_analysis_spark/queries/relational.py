@@ -277,3 +277,41 @@ def filter_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_returnflag") == "R")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
     )
+
+
+# --- spark.sql() API surface: q1 expressed as one SQL string -----------------
+@query(
+    "sql_api_q6",
+    oracle="""
+    SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000)
+                         AS BIGINT)) AS BIGINT) AS revenue_e4,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def sql_api_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast-revenue-change) submitted through the
+    spark.sql() TEXT interface over registered temp views — pinning that
+    the SQL API surface (not just the DataFrame builder) is first-class:
+    same Catalyst plan, same pushdown, same oracle contract. Revenue is
+    an exact integer in 1e-4 units (the fixture's discount grid keeps
+    the scaled product integral)."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000)
+                             AS BIGINT)) AS BIGINT) AS revenue_e4,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )
