@@ -14,7 +14,7 @@ be reproduced in two engines; see metrics.split_modk).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
@@ -778,4 +778,102 @@ def class_downsample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return kept.groupBy(F.expr("CAST(majority AS INT)").alias("majority")).agg(
         F.expr("count(*) AS n_kept")
+    )
+
+
+# --- per-feature KS drift matrix ---------------------------------------------
+_KS_MELT = " UNION ALL ".join(
+    f"SELECT '{c}' AS col_name, {c} AS x, CAST(l_orderkey % 4 = 0 AS INT) AS g"
+    " FROM lineitem"
+    for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+)
+
+
+@query(
+    "drift_ks_matrix",
+    oracle=f"""
+    WITH m AS ({_KS_MELT}),
+    c AS (
+      SELECT col_name, x,
+             CAST(sum(1 - g) AS BIGINT) AS c1,
+             CAST(sum(g) AS BIGINT) AS c2
+      FROM m GROUP BY col_name, x
+    ),
+    cum AS (
+      SELECT col_name,
+             sum(c1) OVER (PARTITION BY col_name ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+             sum(c2) OVER (PARTITION BY col_name ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+      FROM c
+    ),
+    n AS (
+      SELECT col_name, CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2
+      FROM c GROUP BY col_name
+    )
+    SELECT cum.col_name, n.n1, n.n2,
+           CAST(max(abs(CAST(n.n2 AS HUGEINT) * cum.cum1
+                        - CAST(n.n1 AS HUGEINT) * cum.cum2)) AS BIGINT)
+             AS d_num,
+           round(CAST(max(abs(CAST(n.n2 AS HUGEINT) * cum.cum1
+                              - CAST(n.n1 AS HUGEINT) * cum.cum2)) AS BIGINT)
+                 / (CAST(n.n1 AS DOUBLE) * CAST(n.n2 AS DOUBLE)), 6) AS d_stat
+    FROM cum JOIN n ON cum.col_name = n.col_name
+    GROUP BY cum.col_name, n.n1, n.n2
+    """,
+)
+def drift_ks_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feature Kolmogorov-Smirnov drift matrix between the train and
+    test splits — ks_2samp generalized to every numeric column in one
+    pass (the feature-drift scan run next to drift_psi's binned view; KS
+    needs no binning choice). D is kept EXACT integer by
+    cross-multiplying the ECDF numerators (|n2·cum1 − n1·cum2| in
+    128-bit), one double division at the end.
+
+    Scale shape: the melt feeds a per-(col, value) conditional-count
+    aggregate (map-side combined); cumulative passes are COLUMN-
+    partitioned windows over distinct values — parallel across features,
+    never a single-partition move. (Per-column value cardinality is the
+    scale knob; for continuous doubles at 100 TB, pre-quantize like
+    metric_auroc or bucket with rank_ops.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    melt = li.selectExpr(
+        "stack(4, 'l_quantity', l_quantity, 'l_extendedprice', l_extendedprice,"
+        " 'l_discount', l_discount, 'l_tax', l_tax) AS (col_name, x)",
+        "CAST(l_orderkey % 4 = 0 AS INT) AS g",
+    )
+    c = melt.groupBy("col_name", "x").agg(
+        F.expr("CAST(sum(1 - g) AS BIGINT) AS c1"),
+        F.expr("CAST(sum(g) AS BIGINT) AS c2"),
+    )
+    w = Window.partitionBy("col_name").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = c.select(
+        "col_name",
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+    )
+    n = c.groupBy("col_name").agg(
+        F.expr("CAST(sum(c1) AS BIGINT) AS n1"),
+        F.expr("CAST(sum(c2) AS BIGINT) AS n2"),
+    )
+    return (
+        cum.join(F.broadcast(n), "col_name")
+        .groupBy("col_name", "n1", "n2")
+        .agg(
+            F.expr(
+                "CAST(max(abs(CAST(n2 AS DECIMAL(38,0)) * cum1"
+                " - CAST(n1 AS DECIMAL(38,0)) * cum2)) AS BIGINT) AS d_num"
+            )
+        )
+        .selectExpr(
+            "col_name",
+            "n1",
+            "n2",
+            "d_num",
+            "round(d_num / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6)"
+            " AS d_stat",
+        )
     )
