@@ -1170,3 +1170,61 @@ def ltv_decile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("count(*) AS n_customers"),
         F.expr("CAST(sum(cents) AS BIGINT) AS decile_cents"),
     )
+
+
+# --- churn label builder (week-over-week inactivity) -------------------------
+@query(
+    "churn_label_builder",
+    oracle=f"""
+    WITH uw AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {7 * _US_DAY} AS wk FROM events
+    ),
+    mx AS (SELECT max(wk) AS max_wk FROM uw)
+    SELECT a.wk,
+           count(*) AS n_active,
+           CAST(sum(CAST(b.user_id IS NULL AS INT)) AS BIGINT) AS n_churned,
+           CAST(sum(CAST(b.user_id IS NULL AS INT)) * 1000000 // count(*)
+                AS BIGINT) AS churn_ppm
+    FROM uw a
+    LEFT JOIN uw b ON a.user_id = b.user_id AND b.wk = a.wk + 1
+    CROSS JOIN mx
+    WHERE a.wk < mx.max_wk
+    GROUP BY a.wk
+    """,
+)
+def churn_label_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn training labels: a user active in week w is churned iff they
+    have no activity in week w+1 (the last observed week is excluded — it
+    has no lookahead). The label-building join every churn model starts
+    from, expressed as a (user, week) distinct self-join on (user, w+1) —
+    an ordinary hash equi-join keyed on user, no windows, no sequential
+    scan. Integer ppm churn rate per week."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.selectExpr(
+        "user_id", f"unix_micros(ts) div {7 * _US_DAY} AS wk"
+    ).distinct()
+    mx = uw.agg(F.expr("max(wk) AS max_wk"))
+    b = uw.selectExpr("user_id", "wk - 1 AS wk_prev").withColumn(
+        "next_active", F.lit(1)
+    )
+    return (
+        uw.join(
+            b,
+            (uw.user_id == b.user_id) & (uw.wk == b.wk_prev),
+            "left",
+        )
+        .crossJoin(F.broadcast(mx))
+        .filter(uw.wk < F.col("max_wk"))
+        .groupBy(uw.wk.alias("wk"))
+        .agg(
+            F.expr("count(*) AS n_active"),
+            F.expr(
+                "CAST(sum(CAST(next_active IS NULL AS INT)) AS BIGINT)"
+                " AS n_churned"
+            ),
+            F.expr(
+                "CAST(sum(CAST(next_active IS NULL AS INT)) * 1000000"
+                " div count(*) AS BIGINT) AS churn_ppm"
+            ),
+        )
+    )

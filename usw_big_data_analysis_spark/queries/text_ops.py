@@ -874,3 +874,50 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)"
         " AS intercept",
     )
+
+
+# --- Heaps'-law vocabulary growth curve --------------------------------------
+@query(
+    "vocab_growth_curve",
+    oracle="""
+    WITH b AS (SELECT max(doc_id) + 1 AS nd FROM documents),
+    w AS (
+      SELECT d.doc_id, unnest(string_split(d.text, ' ')) AS word
+      FROM documents d
+    )
+    SELECT k.k AS checkpoint_eighths,
+           CAST(sum(CAST(w.doc_id * 8 < b.nd * k.k AS INT)) AS BIGINT)
+             AS n_tokens,
+           CAST(count(DISTINCT CASE WHEN w.doc_id * 8 < b.nd * k.k
+                                    THEN w.word END) AS BIGINT) AS n_types
+    FROM w CROSS JOIN b
+    CROSS JOIN (SELECT unnest([1, 2, 4, 8]) AS k) k
+    GROUP BY k.k
+    """,
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: token and type counts at nested
+    corpus prefixes (1/8, 1/4, 1/2, all of the documents by doc_id) — a
+    flattening curve says new data stops contributing vocabulary (the
+    marginal-value-of-data diagnostic next to text_zipf_fit).
+
+    One scan: the checkpoint dimension broadcasts and each checkpoint is
+    a conditional COUNT(DISTINCT CASE ...) — Spark plans the distinct
+    aggregates through Expand (one shuffle keyed on (checkpoint, word)),
+    never four scans. All-integer output."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.agg(F.expr("max(doc_id) + 1 AS nd"))
+    w = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    ks = spark.range(4).selectExpr("CAST(pow(2, id) AS INT) AS k")
+    return (
+        w.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(ks))
+        .groupBy(F.col("k").alias("checkpoint_eighths"))
+        .agg(
+            F.expr("CAST(sum(CAST(doc_id * 8 < nd * k AS INT)) AS BIGINT) AS n_tokens"),
+            F.expr(
+                "CAST(count(DISTINCT CASE WHEN doc_id * 8 < nd * k"
+                " THEN word END) AS BIGINT) AS n_types"
+            ),
+        )
+    )
