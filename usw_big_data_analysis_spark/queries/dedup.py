@@ -1042,3 +1042,94 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- simhash Hamming-radius pairs via pigeonhole band blocking ---------------
+_SH_BANDS = 4  # 16 bits -> 4 bands of 4; one equal band guarantees ham <= 3
+_SH_RADIUS = 3
+
+_SIMHASH_TABLE_SQL = f"""
+      SELECT doc_id,
+             {' + '.join(f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END"
+                         for b in range(_SIM_BITS))} AS sh
+      FROM (
+        SELECT doc_id,
+               {', '.join(
+                 f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+                 for b in range(_SIM_BITS))}
+        FROM (
+          SELECT doc_id, {_h_sql('t')} AS h
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents) tk
+        ) th GROUP BY doc_id
+      ) bits
+"""
+
+
+@query(
+    "dedup_simhash_hamming",
+    oracle=f"""
+    WITH sh AS ({_SIMHASH_TABLE_SQL}),
+    bands AS (
+      SELECT doc_id, b.b, (sh >> (b.b * 4)) & 15 AS key
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {_SH_BANDS - 1}))
+                          AS b) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM bands a JOIN bands c
+        ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id
+    )
+    SELECT cand.id_a, cand.id_b,
+           CAST(bit_count(xor(x.sh, y.sh)) AS INT) AS hamming
+    FROM cand
+    JOIN sh x ON cand.id_a = x.doc_id
+    JOIN sh y ON cand.id_b = y.doc_id
+    WHERE bit_count(xor(x.sh, y.sh)) <= {_SH_RADIUS}
+    """,
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs within Hamming distance {_SH_RADIUS} of each
+    other's 16-bit simhash — found by PIGEONHOLE band blocking, never
+    all-pairs: split the signature into {_SH_BANDS} 4-bit bands; any pair
+    within radius {_SH_RADIUS} differs in at most {_SH_RADIUS} bands, so
+    at least one band matches exactly and the candidate join is an
+    equi-join on (band, key). Exact distance then filters candidates
+    (bit_count(xor) — same integer op both engines). This is Google's
+    simhash near-dup retrieval layout; dedup_simhash alone only computed
+    signatures.
+
+    Scale: signature pass is the dedup_simhash aggregate; blocking
+    explodes x{_SH_BANDS}; bucket sizes concentrate ~n/16 per band key —
+    salt the key like dedup_minhash_salted under boilerplate skew."""
+    sh = dedup_simhash(spark, sf_dir).withColumnRenamed("simhash", "sh")
+    bands = sh.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_SH_BANDS - 1}),"
+                f" b -> struct(b AS b, shiftright(sh, b * 4) & 15 AS key))"
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.b", "bk.key")
+    a, c = bands.alias("a"), bands.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.b") == F.col("c.b"))
+            & (F.col("a.key") == F.col("c.key"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("c.doc_id").alias("id_b"))
+        .distinct()
+    )
+    x = sh.selectExpr("doc_id AS id_a", "sh AS sh_a")
+    y = sh.selectExpr("doc_id AS id_b", "sh AS sh_b")
+    return (
+        cand.join(x, "id_a")
+        .join(y, "id_b")
+        .selectExpr(
+            "id_a", "id_b", "CAST(bit_count(sh_a ^ sh_b) AS INT) AS hamming"
+        )
+        .filter(f"hamming <= {_SH_RADIUS}")
+    )

@@ -1454,3 +1454,80 @@ def embed_bucket_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("cos_c"), F.asc("vec_id"))
         .limit(_OUT_K)
     )
+
+
+# --- Johnson-Lindenstrauss projection distortion audit -----------------------
+_JL_K = 16
+
+
+def _jl_sign_sql(j: int) -> str:
+    # deterministic +-1 entry for (projection row j, input pos)
+    return f"(CAST(({j} * 64 + pos) * 2654435761 % 2 AS INT) * 2 - 1)"
+
+
+@query(
+    "embed_jl_projection_audit",
+    oracle=f"""
+    WITH expl AS ({_EXPL_SQL}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    proj AS (
+      SELECT vec_id,
+             {', '.join(
+               f"CAST(sum(CAST(v * {_jl_sign_sql(j)} AS DECIMAL(20,12))) "
+               f"AS DOUBLE) AS p{j}" for j in range(_JL_K))},
+             CAST(sum(CAST(v * v AS DECIMAL(20,12))) AS DOUBLE) AS vv
+      FROM expl GROUP BY vec_id
+    ),
+    ratio AS (
+      SELECT p.vec_id, l.label,
+             round(({' + '.join(
+               f"CAST(p{j} * p{j} AS DECIMAL(30,15))" for j in range(_JL_K))})
+                   / ({_JL_K} * CAST(p.vv AS DECIMAL(30,15))), 8) AS r
+      FROM proj p JOIN lab l ON p.vec_id = l.vec_id
+    )
+    SELECT label, count(*) AS n_vecs,
+           round(CAST(sum(CAST(r AS DECIMAL(20,8))) AS DOUBLE)
+                 / count(*), 6) AS mean_ratio,
+           round(min(r), 6) AS min_ratio,
+           round(max(r), 6) AS max_ratio
+    FROM ratio GROUP BY label
+    """,
+)
+def embed_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss distortion audit: project every 64-dim vector
+    to {_JL_K} dims with a deterministic ±1 matrix and report the
+    norm-preservation ratio ‖Rv‖²/(k‖v‖²) per label (≈1 with JL-bounded
+    spread — the check run before swapping full embeddings for projected
+    ones in ANN/dedup to cut shuffle width 4x).
+
+    Exactness: projections are decimal-summed (order-independent), the
+    ratio is decimal arithmetic with one rounding at 8dp per vector, then
+    decimal-mean per label. One pass over the exploded vectors computes
+    all {_JL_K} projections AND the norm (map-side combined)."""
+    expl = _exploded(spark, sf_dir)
+    proj_aggs = [
+        F.expr(
+            f"CAST(sum(CAST(v * (CAST(({j} * 64 + pos) * 2654435761 % 2 AS INT)"
+            f" * 2 - 1) AS DECIMAL(20,12))) AS DOUBLE) AS p{j}"
+        )
+        for j in range(_JL_K)
+    ]
+    proj = expl.groupBy("vec_id").agg(
+        *proj_aggs,
+        F.expr("CAST(sum(CAST(v * v AS DECIMAL(20,12))) AS DOUBLE) AS vv"),
+    )
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    sq = " + ".join(f"CAST(p{j} * p{j} AS DECIMAL(30,15))" for j in range(_JL_K))
+    ratio = proj.join(lab, "vec_id").selectExpr(
+        "label",
+        f"round(({sq}) / ({_JL_K} * CAST(vv AS DECIMAL(30,15))), 8) AS r",
+    )
+    return ratio.groupBy("label").agg(
+        F.expr("count(*) AS n_vecs"),
+        F.expr(
+            "round(CAST(sum(CAST(r AS DECIMAL(20,8))) AS DOUBLE)"
+            " / count(*), 6) AS mean_ratio"
+        ),
+        F.expr("CAST(round(min(r), 6) AS DOUBLE) AS min_ratio"),
+        F.expr("CAST(round(max(r), 6) AS DOUBLE) AS max_ratio"),
+    )
