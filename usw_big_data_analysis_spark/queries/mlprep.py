@@ -877,3 +877,53 @@ def drift_ks_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS d_stat",
         )
     )
+
+
+# --- rare-category collapse (fit on train) -----------------------------------
+_RARE_MIN = 50
+
+
+@query(
+    "rare_category_collapse",
+    oracle=f"""
+    WITH base AS (
+      SELECT p_type, CAST(p_partkey % 4 = 0 AS INT) AS is_test FROM part
+    ),
+    fit AS (
+      SELECT p_type FROM base WHERE is_test = 0
+      GROUP BY p_type HAVING count(*) >= {_RARE_MIN}
+    )
+    SELECT CASE WHEN f.p_type IS NULL THEN '__other__' ELSE b.p_type END
+             AS value,
+           count(*) AS n_test
+    FROM base b LEFT JOIN fit f ON b.p_type = f.p_type
+    WHERE b.is_test = 1
+    GROUP BY value
+    """,
+)
+def rare_category_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-category collapse: categories seen fewer than {_RARE_MIN}
+    times on the TRAIN split map to '__other__' everywhere — the encoder
+    guard that keeps one-hot/hashing dimensionality bounded and unseen
+    test categories from crashing inference (they fall into the same
+    bucket). Fit = one map-side aggregate producing the keep-list,
+    broadcast onto the test scan."""
+    part = load_table(spark, sf_dir, "part")
+    base = part.selectExpr("p_type", "CAST(p_partkey % 4 = 0 AS INT) AS is_test")
+    fit = (
+        base.filter("is_test = 0")
+        .groupBy("p_type")
+        .agg(F.count("*").alias("c"))
+        .filter(f"c >= {_RARE_MIN}")
+        .select("p_type")
+        .withColumn("keep", F.lit(1))
+    )
+    return (
+        base.filter("is_test = 1")
+        .join(F.broadcast(fit), "p_type", "left")
+        .selectExpr(
+            "CASE WHEN keep IS NULL THEN '__other__' ELSE p_type END AS value"
+        )
+        .groupBy("value")
+        .agg(F.expr("count(*) AS n_test"))
+    )

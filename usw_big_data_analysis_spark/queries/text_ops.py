@@ -921,3 +921,101 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- Jensen-Shannon divergence of each source vs the corpus ------------------
+@query(
+    "text_js_divergence",
+    oracle="""
+    WITH w AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    sc AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c
+           FROM w GROUP BY source, word),
+    gc AS (SELECT word, CAST(sum(c) AS BIGINT) AS q FROM sc GROUP BY word),
+    tp AS (SELECT source, CAST(sum(c) AS BIGINT) AS tp FROM sc
+           GROUP BY source),
+    tq AS (SELECT CAST(sum(q) AS BIGINT) AS tq FROM gc),
+    terms AS (
+      SELECT s.source, s.c, g.q,
+             CAST(round(ln(2.0 * (CAST(s.c AS DOUBLE) / t.tp)
+                           / (CAST(s.c AS DOUBLE) / t.tp
+                              + CAST(g.q AS DOUBLE) / tq.tq)) * 100000000)
+                  AS BIGINT) AS lp,
+             CAST(round(ln(2.0 * (CAST(g.q AS DOUBLE) / tq.tq)
+                           / (CAST(s.c AS DOUBLE) / t.tp
+                              + CAST(g.q AS DOUBLE) / tq.tq)) * 100000000)
+                  AS BIGINT) AS lq
+      FROM sc s
+      JOIN gc g ON s.word = g.word
+      JOIN tp t ON s.source = t.source
+      CROSS JOIN tq
+    ),
+    agg AS (
+      SELECT source,
+             CAST(sum(CAST(c AS DECIMAL(38,0)) * lp) AS DOUBLE) AS s1,
+             CAST(sum(CAST(q AS DECIMAL(38,0)) * lq) AS DOUBLE) AS s2,
+             CAST(sum(q) AS BIGINT) AS qs
+      FROM terms GROUP BY source
+    )
+    SELECT a.source,
+           round(0.5 * a.s1 / (t.tp * 1e8)
+                 + 0.5 * (a.s2 + CAST(round(ln(2.0) * 100000000) AS BIGINT)
+                               * CAST(tq.tq - a.qs AS DOUBLE))
+                   / (tq.tq * 1e8), 6) AS js_nats
+    FROM agg a JOIN tp t ON a.source = t.source CROSS JOIN tq
+    """,
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram distribution
+    from the whole corpus — the bounded symmetric drift score (0 =
+    identical, ln 2 = disjoint) that ranks which ingest feeds changed the
+    corpus most (drift_psi's information-theoretic sibling for text).
+
+    Absent-word terms need no cross join: p=0 contributes nothing to the
+    p-side and exactly q·ln2 to the q-side, so the q-mass OUTSIDE the
+    source's vocabulary (tq − qs) carries one closed-form correction.
+    Exactness: each per-word log ratio rounds to an exact 1e-8 integer
+    unit (the zipf convention), count-weighted sums run in DECIMAL(38,0),
+    and the final combination is one shared double tree. Shapes: two
+    map-side word-count aggregates; global counts join per-source rows
+    by word (equi-join); everything after is |sources|-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("source", F.explode(F.split("text", " ")).alias("word"))
+    sc = w.groupBy("source", "word").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS c")
+    )
+    gc = sc.groupBy("word").agg(F.expr("CAST(sum(c) AS BIGINT) AS q"))
+    tp = sc.groupBy("source").agg(F.expr("CAST(sum(c) AS BIGINT) AS tp"))
+    tq = gc.agg(F.expr("CAST(sum(q) AS BIGINT) AS tq"))
+    terms = (
+        sc.join(gc, "word")
+        .join(F.broadcast(tp), "source")
+        .crossJoin(F.broadcast(tq))
+        .selectExpr(
+            "source",
+            "c",
+            "q",
+            "CAST(round(ln(2.0D * (CAST(c AS DOUBLE) / tp)"
+            " / (CAST(c AS DOUBLE) / tp + CAST(q AS DOUBLE) / tq))"
+            " * 100000000, 0) AS BIGINT) AS lp",
+            "CAST(round(ln(2.0D * (CAST(q AS DOUBLE) / tq)"
+            " / (CAST(c AS DOUBLE) / tp + CAST(q AS DOUBLE) / tq))"
+            " * 100000000, 0) AS BIGINT) AS lq",
+        )
+    )
+    agg = terms.groupBy("source").agg(
+        F.expr("CAST(sum(CAST(c AS DECIMAL(38,0)) * lp) AS DOUBLE) AS s1"),
+        F.expr("CAST(sum(CAST(q AS DECIMAL(38,0)) * lq) AS DOUBLE) AS s2"),
+        F.expr("CAST(sum(q) AS BIGINT) AS qs"),
+    )
+    return (
+        agg.join(F.broadcast(tp), "source")
+        .crossJoin(F.broadcast(tq))
+        .selectExpr(
+            "source",
+            "round(0.5D * s1 / (tp * 1e8)"
+            " + 0.5D * (s2 + CAST(round(ln(2.0D) * 100000000, 0) AS BIGINT)"
+            " * CAST(tq - qs AS DOUBLE)) / (tq * 1e8), 6) AS js_nats",
+        )
+    )
