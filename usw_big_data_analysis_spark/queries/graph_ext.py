@@ -320,3 +320,75 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return firsts.groupBy(F.col("dist").cast("int").alias("dist")).agg(
         F.count("*").alias("n_nodes")
     )
+
+
+# --- link prediction: neighbor-set Jaccard over wedges -----------------------
+_LP_MIN_COMMON = 2
+
+
+@query(
+    "graph_link_jaccard",
+    oracle=f"""
+    WITH {_EDGE_CTES},
+    wedges AS (
+      SELECT a.src AS u, b.src AS v, count(*) AS n_common
+      FROM edges a JOIN edges b
+        ON a.dst = b.dst AND a.src < b.src
+      GROUP BY a.src, b.src
+      HAVING count(*) >= {_LP_MIN_COMMON}
+    ),
+    notlinked AS (
+      SELECT w.u, w.v, w.n_common
+      FROM wedges w
+      LEFT JOIN edges e ON w.u = e.src AND w.v = e.dst
+      WHERE e.src IS NULL
+    )
+    SELECT n.u, n.v, n.n_common,
+           round(CAST(n.n_common AS DOUBLE)
+                 / (du.d + dv.d - n.n_common), 6) AS jaccard
+    FROM notlinked n
+    JOIN deg du ON n.u = du.src
+    JOIN deg dv ON n.v = dv.src
+    ORDER BY jaccard DESC, n.u, n.v LIMIT 100
+    """,
+)
+def graph_link_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction scores: for UNLINKED node pairs sharing >=
+    {_LP_MIN_COMMON} neighbors, the Jaccard similarity of their neighbor
+    sets (|N(u)∩N(v)| / |N(u)∪N(v)|), shortlisted to the top-100 by
+    score — the classic recommend-an-edge feature (parts that should
+    co-sell but don't yet); the final top-k compiles to
+    TakeOrderedAndProject, so the dense candidate set never leaves the
+    executors.
+
+    Scale shape: candidate pairs come from the WEDGE join (edges meeting
+    at a shared neighbor — work ∝ Σ deg², the triangle-counting cost,
+    never |V|²); existing edges drop via an anti-join; degrees broadcast
+    back. The common-neighbor count from the wedge groupBy IS the
+    intersection size, so no second set operation runs."""
+    edges = _edges_spark(spark, sf_dir).localCheckpoint()
+    deg = edges.groupBy("src").agg(F.expr("count(*) AS d"))
+    a, b = edges.alias("a"), edges.alias("b")
+    wedges = (
+        a.join(b, (F.col("a.dst") == F.col("b.dst")) & (F.col("a.src") < F.col("b.src")))
+        .groupBy(F.col("a.src").alias("u"), F.col("b.src").alias("v"))
+        .agg(F.expr("count(*) AS n_common"))
+        .filter(f"n_common >= {_LP_MIN_COMMON}")
+    )
+    linked = edges.selectExpr("src AS u", "dst AS v")
+    notlinked = wedges.join(linked, ["u", "v"], "left_anti")
+    du = deg.selectExpr("src AS u", "d AS du")
+    dv = deg.selectExpr("src AS v", "d AS dv")
+    return (
+        notlinked.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .selectExpr(
+            "u",
+            "v",
+            "n_common",
+            "round(CAST(n_common AS DOUBLE) / (du + dv - n_common), 6)"
+            " AS jaccard",
+        )
+        .orderBy(F.desc("jaccard"), F.asc("u"), F.asc("v"))
+        .limit(100)
+    )

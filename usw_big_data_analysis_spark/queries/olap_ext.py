@@ -834,3 +834,50 @@ def trending_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("growth_ppm"), F.asc("l_partkey"))
         .limit(10)
     )
+
+
+# --- month-of-year seasonal index --------------------------------------------
+@query(
+    "orders_seasonal_index",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(month(o_orderdate) AS INT) AS moy,
+             CAST(sum({_CENTS}) AS BIGINT) AS cents,
+             count(*) AS n_orders
+      FROM orders GROUP BY moy
+    ),
+    t AS (
+      SELECT CAST(sum(cents) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_months
+      FROM m
+    )
+    SELECT m.moy, m.n_orders, m.cents,
+           CAST(CAST(m.cents AS HUGEINT) * 1000000 * t.n_months // t.total
+                AS BIGINT) AS index_ppm
+    FROM m CROSS JOIN t
+    """,
+)
+def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonal index: each calendar month's revenue versus
+    a flat-seasonality baseline (1e6 ppm = exactly average; the
+    seasonality profile behind demand planning and the sanity gate on
+    seasonal_decompose_daily). One 12-key rollup + a broadcast totals
+    row; the index is exact 128-bit integer arithmetic."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.expr("CAST(month(CAST(o_orderdate AS TIMESTAMP)) AS INT)").alias("moy")
+    ).agg(
+        F.expr(f"CAST(sum({_CENTS}) AS BIGINT) AS cents"),
+        F.expr("count(*) AS n_orders"),
+    )
+    t = m.agg(
+        F.expr("CAST(sum(cents) AS BIGINT) AS total"),
+        F.expr("CAST(count(*) AS BIGINT) AS n_months"),
+    )
+    return m.crossJoin(F.broadcast(t)).selectExpr(
+        "moy",
+        "n_orders",
+        "cents",
+        "CAST(CAST(cents AS DECIMAL(38,0)) * 1000000 * n_months div total"
+        " AS BIGINT) AS index_ppm",
+    )
