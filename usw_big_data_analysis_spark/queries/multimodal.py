@@ -543,3 +543,121 @@ def multimodal_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return hashes.groupBy("phash").agg(F.expr("count(*) AS n_docs"))
+
+
+# --- energy-threshold activity segments over decoded audio -------------------
+_VAD_T = 1024  # |sample| >= T counts as active
+
+
+@query(
+    "multimodal_audio_segments",
+    oracle=f"""
+    WITH clips AS (
+      SELECT doc_id, 96 + doc_id % 32 AS n FROM documents
+    ),
+    s AS (
+      SELECT c.doc_id, i.i,
+             abs((c.doc_id * 37 + 11 * i.i) % 4096 - 2048) >= {_VAD_T}
+               AS active
+      FROM clips c
+      JOIN (SELECT unnest(generate_series(0, 130)) AS i) i ON i.i < c.n
+    ),
+    act AS (SELECT doc_id, i FROM s WHERE active),
+    isl AS (
+      SELECT doc_id,
+             i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS island
+      FROM act
+    ),
+    runs AS (
+      SELECT doc_id, island, count(*) AS run_len FROM isl
+      GROUP BY doc_id, island
+    ),
+    per_doc AS (
+      SELECT c.doc_id, c.n,
+             CAST(coalesce(r.n_runs, 0) AS BIGINT) AS n_segments,
+             CAST(coalesce(r.longest, 0) AS BIGINT) AS longest_run
+      FROM clips c LEFT JOIN (
+        SELECT doc_id, count(*) AS n_runs, max(run_len) AS longest
+        FROM runs GROUP BY doc_id
+      ) r ON c.doc_id = r.doc_id
+    )
+    SELECT n_segments, count(*) AS n_docs,
+           CAST(sum(longest_run) AS BIGINT) AS sum_longest
+    FROM per_doc GROUP BY n_segments
+    """,
+)
+def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity-style segmentation of decoded audio: decode each
+    clip with the REAL vendored WAV codec, mark samples with |s| >=
+    {_VAD_T} as active, and run-length-encode maximal active segments
+    per clip (numpy diff on the active mask — the gaps-and-islands
+    pattern applied inside the Arrow batch) — the silence-trim /
+    utterance-split primitive of an audio pipeline.
+
+    The generator is closed-form from doc_id, so the oracle reproduces
+    the whole pipeline (decode → threshold → islands) in SQL without
+    touching the codec — a layout, decode, or segmentation bug on either
+    side breaks parity. Per-clip work is bounded by clip length; the
+    rollup groups by segment count."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from ..operators.audio_codec import decode_wav, encode_wav
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 96 + doc_id % 32
+                i = np.arange(n, dtype=np.int64)
+                s = ((doc_id * 37 + 11 * i) % 4096 - 2048).astype(np.int16)
+                ids.append(doc_id)
+                blobs.append(encode_wav(s))
+            yield pd.DataFrame({"doc_id": ids, "content": blobs})
+
+    payloads = docs.mapInPandas(
+        gen,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("content", BinaryType())]
+        ),
+    )
+
+    def segs(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"doc_id": [], "n_segments": [], "longest_run": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                samples, rate = decode_wav(bytes(payload))
+                assert rate == 16000
+                active = np.abs(samples[:, 0].astype(np.int64)) >= _VAD_T
+                # run-length encode the active mask
+                edges = np.diff(active.astype(np.int8), prepend=0, append=0)
+                starts = np.flatnonzero(edges == 1)
+                ends = np.flatnonzero(edges == -1)
+                runs = ends - starts
+                out["doc_id"].append(int(doc_id))
+                out["n_segments"].append(int(len(runs)))
+                out["longest_run"].append(int(runs.max()) if len(runs) else 0)
+            yield pd.DataFrame(out)
+
+    stats = payloads.mapInPandas(
+        segs,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("n_segments", LongType()),
+                StructField("longest_run", LongType()),
+            ]
+        ),
+    )
+    return stats.groupBy("n_segments").agg(
+        F.expr("count(*) AS n_docs"),
+        F.expr("CAST(sum(longest_run) AS BIGINT) AS sum_longest"),
+    )
