@@ -1228,3 +1228,109 @@ def churn_label_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- per-user behavioral entropy ---------------------------------------------
+@query(
+    "user_behavior_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS k
+      FROM events GROUP BY user_id, event_type
+    ),
+    n AS (SELECT user_id, CAST(sum(k) AS BIGINT) AS n,
+                 count(*) AS n_types
+          FROM c GROUP BY user_id),
+    ent AS (
+      SELECT c.user_id, n.n_types,
+             CAST(sum(CAST(c.k AS DECIMAL(38,0))
+                      * CAST(round(ln(CAST(n.n AS DOUBLE) / c.k) * 100000000)
+                             AS BIGINT)) AS DOUBLE) / (n.n * 1e8) AS h
+      FROM c JOIN n ON c.user_id = n.user_id
+      GROUP BY c.user_id, n.n_types, n.n
+    )
+    SELECT CAST(n_types AS INT) AS n_types,
+           count(*) AS n_users,
+           round(CAST(sum(CAST(round(h, 8) AS DECIMAL(20,8))) AS DOUBLE)
+                 / count(*), 6) AS mean_entropy
+    FROM ent GROUP BY n_types
+    """,
+)
+def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix (H = Σ (k/n)·ln(n/k)
+    nats — low entropy = single-behavior users, high = diverse), rolled
+    up by how many distinct types the user touches — the behavioral-
+    diversity feature of engagement models.
+
+    Exactness: per-term logs in exact 1e-8 integer units weighted by
+    integer counts (DECIMAL(38,0) sums), one double division per user,
+    8dp-rounded decimal mean per group. Two map-side aggregates keyed by
+    user; no windows."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS k")
+    )
+    n = c.groupBy("user_id").agg(
+        F.expr("CAST(sum(k) AS BIGINT) AS n"), F.expr("count(*) AS n_types")
+    )
+    ent = (
+        c.join(n, "user_id")
+        .groupBy("user_id", "n_types", "n")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(k AS DECIMAL(38,0))"
+                " * CAST(round(ln(CAST(n AS DOUBLE) / k) * 100000000, 0)"
+                " AS BIGINT)) AS DOUBLE) AS hs"
+            )
+        )
+        .selectExpr("n_types", "hs / (n * 1e8) AS h")
+    )
+    return ent.groupBy(F.expr("CAST(n_types AS INT)").alias("n_types")).agg(
+        F.expr("count(*) AS n_users"),
+        F.expr(
+            "round(CAST(sum(CAST(round(h, 8) AS DECIMAL(20,8))) AS DOUBLE)"
+            " / count(*), 6) AS mean_entropy"
+        ),
+    )
+
+
+# --- repeat-purchase rate per first-order cohort -----------------------------
+@query(
+    "repeat_purchase_rate",
+    oracle="""
+    WITH per_c AS (
+      SELECT o_custkey,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             epoch_us(date_trunc('month', min(o_orderdate))) AS cohort_us
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT cohort_us,
+           count(*) AS n_customers,
+           CAST(sum(CAST(n_orders >= 2 AS INT)) AS BIGINT) AS n_repeat,
+           CAST(sum(CAST(n_orders >= 2 AS INT)) * 1000000 // count(*)
+                AS BIGINT) AS repeat_ppm
+    FROM per_c GROUP BY cohort_us
+    """,
+)
+def repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase rate per acquisition cohort: customers grouped by
+    the calendar month of their FIRST order; the share who ever ordered
+    again — the retention-economics readout next to cohort_retention's
+    activity matrix. One per-customer aggregate (min date + count in the
+    same pass), one cohort rollup; integer ppm."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_c = orders.groupBy("o_custkey").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_orders"),
+        F.expr(
+            "unix_micros(date_trunc('month',"
+            " CAST(min(o_orderdate) AS TIMESTAMP))) AS cohort_us"
+        ),
+    )
+    return per_c.groupBy("cohort_us").agg(
+        F.expr("count(*) AS n_customers"),
+        F.expr("CAST(sum(CAST(n_orders >= 2 AS INT)) AS BIGINT) AS n_repeat"),
+        F.expr(
+            "CAST(sum(CAST(n_orders >= 2 AS INT)) * 1000000 div count(*)"
+            " AS BIGINT) AS repeat_ppm"
+        ),
+    )
