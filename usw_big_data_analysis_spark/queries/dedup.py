@@ -1133,3 +1133,49 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(f"hamming <= {_SH_RADIUS}")
     )
+
+
+# --- near-dup cluster size distribution --------------------------------------
+@query(
+    "dedup_cluster_size_dist",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_PAIRS_CTES},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, w.label FROM walk w JOIN edges e ON w.node = e.a
+      WHERE w.label < e.b
+    ),
+    comp AS (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node),
+    lab AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ),
+    sizes AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz FROM lab
+      GROUP BY cluster_id
+    )
+    SELECT sz AS cluster_size,
+           count(*) AS n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY sz
+    """,
+)
+def dedup_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster size histogram: how many clusters of each size the
+    MinHash components form, and how many documents they hold — the
+    shape that sets dedup savings expectations (mass in size-1 clusters
+    = unique corpus; a giant component = boilerplate needing the salted
+    path). Pure rollup on top of dedup_clusters' component labels."""
+    clusters = dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS sz")
+    )
+    return sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.expr("count(*) AS n_clusters"),
+        F.expr("CAST(cluster_size * count(*) AS BIGINT) AS n_docs"),
+    )

@@ -881,3 +881,52 @@ def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(CAST(cents AS DECIMAL(38,0)) * 1000000 * n_months div total"
         " AS BIGINT) AS index_ppm",
     )
+
+
+# --- shipping-SLA breach rate by priority ------------------------------------
+@query(
+    "sla_breach_rate",
+    oracle=f"""
+    WITH sla AS (
+      SELECT o.o_orderpriority,
+             CASE substring(o.o_orderpriority, 1, 1)
+               WHEN '1' THEN 30 WHEN '2' THEN 45 WHEN '3' THEN 60
+               WHEN '4' THEN 75 ELSE 90 END AS sla_days,
+             (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+               // {86_400_000_000} AS lag_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority, CAST(max(sla_days) AS INT) AS sla_days,
+           count(*) AS n_lines,
+           CAST(sum(CAST(lag_days > sla_days AS INT)) AS BIGINT) AS n_breach,
+           CAST(sum(CAST(lag_days > sla_days AS INT)) * 1000000 // count(*)
+                AS BIGINT) AS breach_ppm
+    FROM sla GROUP BY o_orderpriority
+    """,
+)
+def sla_breach_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-SLA breach rate: order-to-ship lag in whole days versus a
+    priority-dependent SLA ladder (30/45/60/75/90 days), per priority —
+    the fulfillment-ops scorecard. One fact-dim join (orders side
+    broadcastable at fixture scale, shuffle-hash at 100 TB — AQE picks),
+    integer day arithmetic, ppm output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sla = li.join(orders, li.l_orderkey == orders.o_orderkey).selectExpr(
+        "o_orderpriority",
+        "CASE substring(o_orderpriority, 1, 1)"
+        " WHEN '1' THEN 30 WHEN '2' THEN 45 WHEN '3' THEN 60"
+        " WHEN '4' THEN 75 ELSE 90 END AS sla_days",
+        "(unix_micros(CAST(l_shipdate AS TIMESTAMP))"
+        " - unix_micros(CAST(o_orderdate AS TIMESTAMP)))"
+        f" div {86_400_000_000} AS lag_days",
+    )
+    return sla.groupBy("o_orderpriority").agg(
+        F.expr("CAST(max(sla_days) AS INT) AS sla_days"),
+        F.expr("count(*) AS n_lines"),
+        F.expr("CAST(sum(CAST(lag_days > sla_days AS INT)) AS BIGINT) AS n_breach"),
+        F.expr(
+            "CAST(sum(CAST(lag_days > sla_days AS INT)) * 1000000"
+            " div count(*) AS BIGINT) AS breach_ppm"
+        ),
+    )
