@@ -1334,3 +1334,64 @@ def repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT) AS repeat_ppm"
         ),
     )
+
+
+# --- inter-arrival burstiness per event type ---------------------------------
+@query(
+    "events_interarrival_burstiness",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id)
+               AS gap_us
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, CAST(count(gap_us) AS DOUBLE) AS n,
+             CAST(sum(CAST(gap_us AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(gap_us AS DECIMAL(38,0)) * gap_us) AS DOUBLE)
+               AS sxx
+      FROM g WHERE gap_us IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+           CAST(round(sx / n) AS BIGINT) AS mean_gap_us,
+           round((sqrt((sxx - sx * sx / n) / n) - sx / n)
+                 / (sqrt((sxx - sx * sx / n) / n) + sx / n), 6)
+             AS burstiness
+    FROM s
+    """,
+)
+def events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness per event type: B = (σ−μ)/(σ+μ) over the
+    per-user gap distribution (−1 = metronome, 0 = Poisson, →1 = heavy
+    bursts — the traffic-shape diagnostic behind rate limits and
+    anomaly baselines; Goh & Barabási's measure).
+
+    Scale shape: gaps come from a lag window PARTITIONED BY (user,
+    event_type) — parallel across users, never a global sort; gap
+    microseconds are exact bigints, moments decimal-summed, and the
+    σ/μ combination is one shared double tree rounded 6dp."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (
+            F.expr("unix_micros(ts)")
+            - F.lag(F.expr("unix_micros(ts)")).over(w)
+        ).alias("gap_us"),
+    ).filter("gap_us IS NOT NULL")
+    s = g.groupBy("event_type").agg(
+        F.expr("CAST(count(gap_us) AS DOUBLE) AS n"),
+        F.expr("CAST(sum(CAST(gap_us AS DECIMAL(38,0))) AS DOUBLE) AS sx"),
+        F.expr(
+            "CAST(sum(CAST(gap_us AS DECIMAL(38,0)) * gap_us) AS DOUBLE) AS sxx"
+        ),
+    )
+    return s.selectExpr(
+        "event_type",
+        "CAST(n AS BIGINT) AS n_gaps",
+        "CAST(round(sx / n, 0) AS BIGINT) AS mean_gap_us",
+        "round((sqrt((sxx - sx * sx / n) / n) - sx / n)"
+        " / (sqrt((sxx - sx * sx / n) / n) + sx / n), 6) AS burstiness",
+    )

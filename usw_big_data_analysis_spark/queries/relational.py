@@ -315,3 +315,38 @@ def sql_api_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l_quantity < 24
         """
     )
+
+
+# --- catalog sweep: row counts across every fixture table --------------------
+@query(
+    "catalog_rowcounts",
+    oracle="""
+    SELECT 'region' AS tbl, count(*) AS n_rows FROM region
+    UNION ALL SELECT 'nation', count(*) FROM nation
+    UNION ALL SELECT 'customer', count(*) FROM customer
+    UNION ALL SELECT 'supplier', count(*) FROM supplier
+    UNION ALL SELECT 'part', count(*) FROM part
+    UNION ALL SELECT 'orders', count(*) FROM orders
+    UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+    UNION ALL SELECT 'events', count(*) FROM events
+    UNION ALL SELECT 'documents', count(*) FROM documents
+    UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+    """,
+)
+def catalog_rowcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-catalog row-count sweep — the freshness/health check a
+    pipeline runs against every table after each load. Each branch is a
+    metadata-cheap count (parquet scans count from footers; no column
+    materializes) unioned into one frame; at 100 TB the same sweep walks
+    the catalog listing instead of a literal table list."""
+    from functools import reduce
+
+    from ..sources import TABLES, load_table
+
+    parts = [
+        load_table(spark, sf_dir, t).groupBy().agg(
+            F.lit(t).alias("tbl"), F.count("*").alias("n_rows")
+        ).select("tbl", "n_rows")
+        for t in TABLES
+    ]
+    return reduce(DataFrame.unionByName, parts)
