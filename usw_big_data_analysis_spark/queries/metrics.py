@@ -851,3 +851,66 @@ def metric_regression_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(sape_m / (10000.0D * n), 6) AS mape_pct",
         "round(1.0D - CAST(sse_u AS DOUBLE) / sst_u, 6) AS r2",
     )
+
+
+# --- multiclass confusion + macro precision/recall/F1 ------------------------
+_MC_SQL = """
+  SELECT l_returnflag AS label,
+         CASE WHEN l_quantity >= 34.0 THEN 'R'
+              WHEN l_quantity >= 17.0 THEN 'N'
+              ELSE 'A' END AS pred
+  FROM lineitem
+"""
+
+
+@query(
+    "metric_multiclass_macro",
+    oracle=f"""
+    WITH s AS ({_MC_SQL}),
+    k AS (SELECT unnest(['A', 'N', 'R']) AS cls),
+    pc AS (
+      SELECT k.cls,
+             CAST(sum(CAST(s.label = k.cls AND s.pred = k.cls AS INT))
+                  AS BIGINT) AS tp,
+             CAST(sum(CAST(s.label <> k.cls AND s.pred = k.cls AS INT))
+                  AS BIGINT) AS fp,
+             CAST(sum(CAST(s.label = k.cls AND s.pred <> k.cls AS INT))
+                  AS BIGINT) AS fn
+      FROM s CROSS JOIN k GROUP BY k.cls
+    )
+    SELECT cls, tp, fp, fn,
+           round(CAST(tp AS DOUBLE) / nullif(tp + fp, 0), 6) AS precision_,
+           round(CAST(tp AS DOUBLE) / nullif(tp + fn, 0), 6) AS recall_,
+           round(2.0 * tp / nullif(2.0 * tp + fp + fn, 0), 6) AS f1
+    FROM pc
+    """,
+)
+def metric_multiclass_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass (one-vs-rest) confusion counts with per-class precision,
+    recall and F1 — the 3-class extension of the binary metric family
+    (sklearn's macro averaging is the mean of these rows; emitting the
+    per-class table keeps every intermediate checkable). The class
+    dimension broadcasts against ONE scan of the scored frame; counts
+    combine map-side; ratios follow the binary family's nullif + 6dp
+    conventions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.selectExpr(
+        "l_returnflag AS label",
+        "CASE WHEN l_quantity >= 34.0D THEN 'R'"
+        " WHEN l_quantity >= 17.0D THEN 'N' ELSE 'A' END AS pred",
+    )
+    k = spark.createDataFrame([("A",), ("N",), ("R",)], "cls string")
+    pc = s.crossJoin(F.broadcast(k)).groupBy("cls").agg(
+        F.expr("CAST(sum(CAST(label = cls AND pred = cls AS INT)) AS BIGINT) AS tp"),
+        F.expr("CAST(sum(CAST(label <> cls AND pred = cls AS INT)) AS BIGINT) AS fp"),
+        F.expr("CAST(sum(CAST(label = cls AND pred <> cls AS INT)) AS BIGINT) AS fn"),
+    )
+    return pc.selectExpr(
+        "cls",
+        "tp",
+        "fp",
+        "fn",
+        "round(CAST(tp AS DOUBLE) / nullif(tp + fp, 0), 6) AS precision_",
+        "round(CAST(tp AS DOUBLE) / nullif(tp + fn, 0), 6) AS recall_",
+        "round(2.0D * tp / nullif(2.0D * tp + fp + fn, 0), 6) AS f1",
+    )
