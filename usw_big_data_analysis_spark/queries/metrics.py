@@ -914,3 +914,62 @@ def metric_multiclass_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(CAST(tp AS DOUBLE) / nullif(tp + fn, 0), 6) AS recall_",
         "round(2.0D * tp / nullif(2.0D * tp + fp + fn, 0), 6) AS f1",
     )
+
+
+# --- group fairness audit: per-segment accuracy / TPR / FPR ------------------
+@query(
+    "fairness_group_metrics",
+    oracle=f"""
+    WITH s AS ({_SCORED_SQL}),
+    seg AS (
+      SELECT o_orderkey AS id, CAST(o_custkey % 2 AS INT) AS grp FROM orders
+    ),
+    j AS (SELECT seg.grp, s.label, s.pred FROM s JOIN seg ON s.id = seg.id),
+    pc AS (
+      SELECT grp,
+             count(*) AS n,
+             CAST(sum(CAST(pred = label AS INT)) AS BIGINT) AS n_correct,
+             CAST(sum(CAST(label = 1 AND pred = 1 AS INT)) AS BIGINT) AS tp,
+             CAST(sum(CAST(label = 1 AS INT)) AS BIGINT) AS pos,
+             CAST(sum(CAST(label = 0 AND pred = 1 AS INT)) AS BIGINT) AS fp,
+             CAST(sum(CAST(label = 0 AS INT)) AS BIGINT) AS neg,
+             CAST(sum(CAST(pred = 1 AS INT)) AS BIGINT) AS pred_pos
+      FROM j GROUP BY grp
+    )
+    SELECT grp, n,
+           round(CAST(n_correct AS DOUBLE) / n, 6) AS accuracy,
+           round(CAST(tp AS DOUBLE) / nullif(pos, 0), 6) AS tpr,
+           round(CAST(fp AS DOUBLE) / nullif(neg, 0), 6) AS fpr,
+           round(CAST(pred_pos AS DOUBLE) / n, 6) AS pred_pos_rate
+    FROM pc
+    """,
+)
+def fairness_group_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-fairness audit of the scored model: accuracy, true-positive
+    rate, false-positive rate, and predicted-positive rate per protected
+    segment (customer-key parity arms) — the table whose row-wise gaps
+    ARE demographic parity (pred_pos_rate) and equalized odds (tpr/fpr)
+    differences. One segment join (both sides key-partitioned on id; the
+    segment projection is narrow), one map-side counting aggregate, the
+    binary family's nullif + 6dp conventions."""
+    s = scored_frame(spark, sf_dir)
+    seg = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey AS id", "CAST(o_custkey % 2 AS INT) AS grp"
+    )
+    pc = s.join(seg, "id").groupBy("grp").agg(
+        F.expr("count(*) AS n"),
+        F.expr("CAST(sum(CAST(pred = label AS INT)) AS BIGINT) AS n_correct"),
+        F.expr("CAST(sum(CAST(label = 1 AND pred = 1 AS INT)) AS BIGINT) AS tp"),
+        F.expr("CAST(sum(CAST(label = 1 AS INT)) AS BIGINT) AS pos"),
+        F.expr("CAST(sum(CAST(label = 0 AND pred = 1 AS INT)) AS BIGINT) AS fp"),
+        F.expr("CAST(sum(CAST(label = 0 AS INT)) AS BIGINT) AS neg"),
+        F.expr("CAST(sum(CAST(pred = 1 AS INT)) AS BIGINT) AS pred_pos"),
+    )
+    return pc.selectExpr(
+        "grp",
+        "n",
+        "round(CAST(n_correct AS DOUBLE) / n, 6) AS accuracy",
+        "round(CAST(tp AS DOUBLE) / nullif(pos, 0), 6) AS tpr",
+        "round(CAST(fp AS DOUBLE) / nullif(neg, 0), 6) AS fpr",
+        "round(CAST(pred_pos AS DOUBLE) / n, 6) AS pred_pos_rate",
+    )
