@@ -1395,3 +1395,62 @@ def events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFram
         "round((sqrt((sxx - sx * sx / n) / n) - sx / n)"
         " / (sqrt((sxx - sx * sx / n) / n) + sx / n), 6) AS burstiness",
     )
+
+
+# --- sessionization gap-threshold sweep --------------------------------------
+_GAP_MINUTES = (15, 30, 60)
+
+
+@query(
+    "session_gap_sweep",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    u AS (SELECT count(DISTINCT user_id) AS n_users FROM events)
+    SELECT m.m AS gap_minutes,
+           CAST(u.n_users + sum(CAST(g.gap_us > m.m * 60000000 AS INT))
+                AS BIGINT) AS n_sessions
+    FROM g CROSS JOIN (SELECT unnest([{', '.join(map(str, _GAP_MINUTES))}])
+                       AS m) m
+    CROSS JOIN u
+    WHERE g.gap_us IS NOT NULL
+    GROUP BY m.m, u.n_users
+    """,
+)
+def session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization parameter sweep: total session count at every
+    candidate inactivity gap ({', '.join(map(str, _GAP_MINUTES))} min) —
+    the curve that picks the gap before stream_session is configured
+    (sessions = users + session-breaking gaps, so ONE lag pass scores
+    every threshold; no re-sessionization per candidate).
+
+    Scale shape: the lag window partitions by user (parallel, no global
+    sort); the threshold dimension broadcasts over the gap table and
+    counts combine map-side — the threshold_sweep pattern applied to
+    sessionization."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        (
+            F.expr("unix_micros(ts)") - F.lag(F.expr("unix_micros(ts)")).over(w)
+        ).alias("gap_us"),
+    ).filter("gap_us IS NOT NULL")
+    u = ev.agg(F.expr("count(DISTINCT user_id) AS n_users"))
+    m = spark.createDataFrame([(x,) for x in _GAP_MINUTES], "m int")
+    return (
+        g.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(u))
+        .groupBy("m", "n_users")
+        .agg(
+            F.expr(
+                "CAST(first(n_users) + sum(CAST(gap_us > CAST(m AS BIGINT) * 60000000"
+                " AS INT)) AS BIGINT) AS n_sessions"
+            )
+        )
+        .selectExpr("m AS gap_minutes", "n_sessions")
+    )

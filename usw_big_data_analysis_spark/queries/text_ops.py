@@ -1019,3 +1019,58 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * CAST(tq - qs AS DOUBLE)) / (tq * 1e8), 6) AS js_nats",
         )
     )
+
+
+# --- template-prefix duplication rate ----------------------------------------
+_PFX_W = 5
+
+
+@query(
+    "text_template_prefix_rate",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, source,
+             concat_ws(' ', list_slice(string_split(text, ' '), 1, {_PFX_W}))
+               AS pfx
+      FROM documents
+    ),
+    w AS (SELECT pfx, min(doc_id) AS first_doc FROM p GROUP BY pfx)
+    SELECT p.source,
+           count(*) AS n_docs,
+           CAST(sum(CAST(p.doc_id <> w.first_doc AS INT)) AS BIGINT)
+             AS n_template,
+           CAST(sum(CAST(p.doc_id <> w.first_doc AS INT)) * 1000000
+                // count(*) AS BIGINT) AS template_ppm
+    FROM p JOIN w ON p.pfx = w.pfx
+    GROUP BY p.source
+    """,
+)
+def text_template_prefix_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-prefix duplication: the share of each source's documents
+    whose first {_PFX_W} words were already seen on an earlier document —
+    the header/boilerplate detector that catches templated pages
+    full-document hashing misses (bodies differ, openings repeat).
+    Winner-per-prefix is one map-side min aggregate joined back by
+    prefix; integer ppm output."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.selectExpr(
+        "doc_id",
+        "source",
+        f"concat_ws(' ', slice(split(text, ' '), 1, {_PFX_W})) AS pfx",
+    )
+    w = p.groupBy("pfx").agg(F.expr("min(doc_id) AS first_doc"))
+    return (
+        p.join(w, "pfx")
+        .groupBy("source")
+        .agg(
+            F.expr("count(*) AS n_docs"),
+            F.expr(
+                "CAST(sum(CAST(doc_id <> first_doc AS INT)) AS BIGINT)"
+                " AS n_template"
+            ),
+            F.expr(
+                "CAST(sum(CAST(doc_id <> first_doc AS INT)) * 1000000"
+                " div count(*) AS BIGINT) AS template_ppm"
+            ),
+        )
+    )
