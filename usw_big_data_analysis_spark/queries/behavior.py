@@ -1412,7 +1412,7 @@ _GAP_MINUTES = (15, 30, 60)
     ),
     u AS (SELECT count(DISTINCT user_id) AS n_users FROM events)
     SELECT m.m AS gap_minutes,
-           CAST(u.n_users + sum(CAST(g.gap_us > m.m * 60000000 AS INT))
+           CAST(u.n_users + sum(CAST(g.gap_us > CAST(m.m AS BIGINT) * 60000000 AS INT))
                 AS BIGINT) AS n_sessions
     FROM g CROSS JOIN (SELECT unnest([{', '.join(map(str, _GAP_MINUTES))}])
                        AS m) m
