@@ -920,3 +920,37 @@ def groupby_p90_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("grp", "n_rows")
         .agg(F.expr("min(x) AS p90_disc"))
     )
+
+
+# --- 2-D histogram: price band x quantity band -------------------------------
+@query(
+    "hist2d_price_qty",
+    oracle="""
+    SELECT CAST(least(floor(l_extendedprice / 10000), 9) AS INT)
+             AS price_band,
+           CAST(least(floor(l_quantity / 10), 4) AS INT) AS qty_band,
+           count(*) AS n,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM lineitem
+    GROUP BY price_band, qty_band
+    """,
+)
+def hist2d_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram of the (price, quantity) joint distribution — the
+    joint-density EDA grid behind heatmaps and coarse copulas. Bands are
+    fixed-width clamped floors (pure projection), so the whole query is
+    one map-side-combined aggregate over ~50 cells; cents stay exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.expr("CAST(least(floor(l_extendedprice / 10000), 9) AS INT)").alias(
+            "price_band"
+        ),
+        F.expr("CAST(least(floor(l_quantity / 10), 4) AS INT)").alias("qty_band"),
+    ).agg(
+        F.expr("count(*) AS n"),
+        F.expr(
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)"
+            " AS cents"
+        ),
+    )

@@ -1454,3 +1454,36 @@ def session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .selectExpr("m AS gap_minutes", "n_sessions")
     )
+
+
+# --- day-of-week x hour activity heatmap -------------------------------------
+@query(
+    "events_dow_hour_heatmap",
+    oracle=f"""
+    SELECT CAST((epoch_us(ts) // {_US_DAY} + 4) % 7 AS INT) AS dow,
+           CAST((epoch_us(ts) % {_US_DAY}) // 3600000000 AS INT) AS hour,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    GROUP BY dow, hour
+    """,
+)
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day activity heatmap (epoch-day + 4 ≡ 0 on
+    Monday — pure integer arithmetic, timezone-free on both engines) —
+    the weekly rhythm grid capacity planning and anomaly baselines read.
+    One projection + one map-side aggregate over ≤168 cells."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.expr(f"CAST((unix_micros(ts) div {_US_DAY} + 4) % 7 AS INT)").alias(
+            "dow"
+        ),
+        F.expr(
+            f"CAST((unix_micros(ts) % {_US_DAY}) div 3600000000 AS INT)"
+        ).alias("hour"),
+    ).agg(
+        F.expr("count(*) AS n_events"),
+        F.expr(
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents"
+        ),
+    )
