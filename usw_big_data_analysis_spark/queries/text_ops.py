@@ -1074,3 +1074,115 @@ def text_template_prefix_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- tf-idf cosine document similarity ---------------------------------------
+_TFIDF_TOPP = 20  # output pairs
+_TFIDF_MAXDF_DEN = 10  # prune terms with df > N/10 (stopword-like)
+
+
+@query(
+    "tfidf_doc_similarity",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents) t
+      GROUP BY doc_id, word
+    ),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    df AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word
+    ),
+    keep AS (
+      SELECT d.word,
+             CAST(round(ln(CAST(nd.n AS DOUBLE) / d.df) * 100000000)
+                  AS BIGINT) AS idf8
+      FROM df d CROSS JOIN nd
+      WHERE d.df * {_TFIDF_MAXDF_DEN} <= nd.n
+    ),
+    w AS (
+      SELECT t.doc_id, t.word, t.tf, k.idf8
+      FROM tf t JOIN keep k ON t.word = k.word
+    ),
+    nrm AS (
+      SELECT doc_id,
+             CAST(sum(CAST(tf * tf AS DECIMAL(38,0)) * idf8 * idf8)
+                  AS DOUBLE) AS nn
+      FROM w GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(sum(CAST(a.tf * b.tf AS DECIMAL(38,0)) * a.idf8 * a.idf8)
+                  AS DOUBLE) AS dot
+      FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d.id_a, d.id_b,
+           round(d.dot / sqrt(na.nn * nb.nn), 6) AS cosine
+    FROM dots d
+    JOIN nrm na ON d.id_a = na.doc_id
+    JOIN nrm nb ON d.id_b = nb.doc_id
+    ORDER BY cosine DESC, d.id_a, d.id_b LIMIT {_TFIDF_TOPP}
+    """,
+)
+def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_TFIDF_TOPP} most-similar document pairs by tf-idf cosine —
+    the sparse-vector IR similarity that complements the dense-embedding
+    ANN family (near-dup detection driven by rare shared vocabulary, not
+    geometry).
+
+    Scale shape: candidate pairs come from the POSTING-LIST self-join on
+    shared terms with stopword-like terms pruned first (df > N/{_TFIDF_MAXDF_DEN}
+    dropped — that bound, not N², caps the join fanout, the classic IR
+    prune); idf is an exact 1e-8 integer unit, so dots and norms are
+    exact DECIMAL(38,0) sums of integers and the cosine is one shared
+    double tree. Final top-k is TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS tf"))
+    )
+    nd = docs.agg(F.expr("CAST(count(*) AS BIGINT) AS n"))
+    df = tf.groupBy("word").agg(F.expr("CAST(count(*) AS BIGINT) AS df"))
+    keep = (
+        df.crossJoin(F.broadcast(nd))
+        .filter(f"df * {_TFIDF_MAXDF_DEN} <= n")
+        .selectExpr(
+            "word",
+            "CAST(round(ln(CAST(n AS DOUBLE) / df) * 100000000, 0) AS BIGINT)"
+            " AS idf8",
+        )
+    )
+    w = tf.join(F.broadcast(keep), "word")
+    nrm = w.groupBy("doc_id").agg(
+        F.expr(
+            "CAST(sum(CAST(tf * tf AS DECIMAL(38,0)) * idf8 * idf8)"
+            " AS DOUBLE) AS nn"
+        )
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(a.tf * b.tf AS DECIMAL(38,0)) * a.idf8 * a.idf8)"
+                " AS DOUBLE) AS dot"
+            )
+        )
+    )
+    na = nrm.selectExpr("doc_id AS id_a", "nn AS na")
+    nb = nrm.selectExpr("doc_id AS id_b", "nn AS nb")
+    return (
+        dots.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .selectExpr("id_a", "id_b", "round(dot / sqrt(na * nb), 6) AS cosine")
+        .orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))
+        .limit(_TFIDF_TOPP)
+    )
