@@ -1186,3 +1186,109 @@ def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))
         .limit(_TFIDF_TOPP)
     )
+
+
+# --- BM25 ranking against a fixed query --------------------------------------
+_BM25_TERMS = ("spark", "shuffle", "vector")
+_BM25_K1_X10, _BM25_B_X100 = 12, 75  # k1=1.2, b=0.75 as exact rationals
+
+
+@query(
+    "bm25_doc_ranking",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents) t
+      GROUP BY doc_id, word
+    ),
+    dl AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY doc_id
+    ),
+    st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(len) AS DOUBLE) / count(*) AS avglen
+      FROM dl
+    ),
+    q AS (SELECT unnest(['{"', '".join(_BM25_TERMS)}']) AS word),
+    idf AS (
+      SELECT q.word,
+             CAST(round(ln((CAST(st.n AS DOUBLE) - d.df + 0.5)
+                           / (d.df + 0.5) + 1.0) * 100000000) AS BIGINT)
+               AS idf8
+      FROM q
+      JOIN (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf
+            GROUP BY word) d ON q.word = d.word
+      CROSS JOIN st
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             round(CAST(sum(CAST(round(
+                 idf.idf8 / 1e8 * (t.tf * ({_BM25_K1_X10} + 10) / 10.0)
+                 / (t.tf + {_BM25_K1_X10} / 10.0
+                    * (1.0 - {_BM25_B_X100} / 100.0
+                       + {_BM25_B_X100} / 100.0 * dl.len / st.avglen)), 8)
+               AS DECIMAL(20,8))) AS DOUBLE), 6) AS bm25
+      FROM tf t
+      JOIN idf ON t.word = idf.word
+      JOIN dl ON t.doc_id = dl.doc_id
+      CROSS JOIN st
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, bm25 FROM scored
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+)
+def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for a fixed {len(_BM25_TERMS)}-term query under
+    BM25 (k1=1.2, b=0.75, Robertson-Sparck-Jones idf) — the retrieval
+    scoring function beside tfidf_doc_similarity's pairwise form; this is
+    the lexical half of a RAG retriever.
+
+    Scale shape: the query-term idf table is tiny and broadcast; scoring
+    touches only posting lists of the query terms (semi-join through the
+    idf join — the fact never fans out); doc lengths join by doc_id; the
+    summation has at most |query| terms per doc. Exactness: idf in 1e-8
+    integer units; the per-term kernel is one shared double tree (k1/b
+    as exact rational literals) each per-term score rounds at
+    8dp and sums through DECIMAL(20,8), so the ≤{len(_BM25_TERMS)}-term
+    sum is order-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.expr("CAST(sum(tf) AS BIGINT) AS len"))
+    st = dl.agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n"),
+        F.expr("CAST(sum(len) AS DOUBLE) / count(*) AS avglen"),
+    )
+    q = spark.createDataFrame([(t,) for t in _BM25_TERMS], "word string")
+    dfreq = tf.groupBy("word").agg(F.expr("CAST(count(*) AS BIGINT) AS df"))
+    idf = (
+        q.join(dfreq, "word")
+        .crossJoin(F.broadcast(st))
+        .selectExpr(
+            "word",
+            "CAST(round(ln((CAST(n AS DOUBLE) - df + 0.5D)"
+            " / (df + 0.5D) + 1.0D) * 100000000, 0) AS BIGINT) AS idf8",
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                f"round(CAST(sum(CAST(round("
+                f"idf8 / 1e8 * (tf * ({_BM25_K1_X10} + 10) / 10.0D)"
+                f" / (tf + {_BM25_K1_X10} / 10.0D"
+                f" * (1.0D - {_BM25_B_X100} / 100.0D"
+                f" + {_BM25_B_X100} / 100.0D * len / avglen)), 8)"
+                f" AS DECIMAL(20,8))) AS DOUBLE), 6) AS bm25"
+            )
+        )
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(10)
