@@ -156,3 +156,20 @@ def test_survival_km_no_unpartitioned_window(spark, sf_dir):
 
     df = _QUERIES["survival_kaplan_meier"](spark, sf_dir)
     assert unpartitioned_window_count(df) == 0
+
+
+def test_tfidf_similarity_prunes_stopword_terms_before_pair_join(spark, sf_dir):
+    # the posting-list self-join must happen AFTER the df-based prune
+    # (keep side broadcast) — no cartesian anywhere
+    plan = _plan(spark, sf_dir, "tfidf_doc_similarity")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_bm25_scores_only_query_term_postings(spark, sf_dir):
+    # idf dim broadcasts; the big tf table is probed, never fanned out
+    a = audit(_QUERIES["bm25_doc_ranking"](spark, sf_dir))
+    assert a.broadcast_joins >= 1
+    # every nested-loop join is a broadcast of the one-row stats frame,
+    # never a raw-table cartesian
+    assert a.sort_merge_joins == 0

@@ -1292,3 +1292,98 @@ def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(10)
+
+
+# --- reciprocal-rank fusion of two retrieval rankers -------------------------
+_RRF_K = 60
+_RRF_TOP = 10
+
+
+@query(
+    "retrieval_rank_fusion",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents) t
+      GROUP BY doc_id, word
+    ),
+    hits AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS qtf
+      FROM tf WHERE word IN ('{"', '".join(_BM25_TERMS)}')
+      GROUP BY doc_id
+    ),
+    ra AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY qtf DESC, doc_id) AS r
+      FROM hits QUALIFY r <= {_RRF_TOP}
+    ),
+    ln_ AS (
+      SELECT doc_id,
+             CAST(sum(tf) AS BIGINT) AS len
+      FROM tf GROUP BY doc_id
+    ),
+    rb AS (
+      SELECT h.doc_id,
+             row_number() OVER (
+               ORDER BY CAST(h.qtf AS DOUBLE) / l.len DESC, h.doc_id) AS r
+      FROM hits h JOIN ln_ l ON h.doc_id = l.doc_id
+      QUALIFY r <= {_RRF_TOP}
+    ),
+    fused AS (
+      SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+             CAST(coalesce(CAST(round(1000000000 / ({_RRF_K} + ra.r))
+                                AS BIGINT), 0)
+                  + coalesce(CAST(round(1000000000 / ({_RRF_K} + rb.r))
+                                  AS BIGINT), 0) AS BIGINT) AS rrf_e9
+      FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+    )
+    SELECT doc_id, rrf_e9 FROM fused
+    ORDER BY rrf_e9 DESC, doc_id LIMIT {_RRF_TOP}
+    """,
+)
+def retrieval_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (k={_RRF_K}) of two retrieval rankers over
+    the same fixed query — raw query-term frequency vs length-normalized
+    density — the standard hybrid-retrieval combiner (in production the
+    two lists are BM25 and embedding ANN; the fusion operator is
+    identical). RRF contributions are exact 1e-9 integer units, so the
+    fused ordering needs no float conventions.
+
+    Scale shape: each ranker's list is a top-{_RRF_TOP} shortlist
+    (TakeOrderedAndProject over the posting-list hits of the query
+    terms); ranks over the two 10-row lists come from bounded_seq's
+    triangular row numbers; the fusion is a full outer join of two tiny
+    frames."""
+    from ..operators.bounded_seq import ordered_row_numbers
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS tf"))
+    )
+    hits = (
+        tf.filter(F.col("word").isin(*_BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(F.expr("CAST(sum(tf) AS BIGINT) AS qtf"))
+    )
+    ln_ = tf.groupBy("doc_id").agg(F.expr("CAST(sum(tf) AS BIGINT) AS len"))
+    top_a = hits.orderBy(F.desc("qtf"), F.asc("doc_id")).limit(_RRF_TOP)
+    ra = ordered_row_numbers(
+        top_a, [("qtf", False), ("doc_id", True)], out="r"
+    ).selectExpr("doc_id", "r AS ra")
+    dens = hits.join(ln_, "doc_id").selectExpr(
+        "doc_id", "qtf", "len", "CAST(qtf AS DOUBLE) / len AS dens"
+    )
+    top_b = dens.orderBy(F.desc("dens"), F.asc("doc_id")).limit(_RRF_TOP)
+    rb = ordered_row_numbers(
+        top_b, [("dens", False), ("doc_id", True)], out="r"
+    ).selectExpr("doc_id", "r AS rb")
+    fused = ra.join(rb, "doc_id", "full_outer").selectExpr(
+        "doc_id",
+        f"CAST(coalesce(CAST(round(1000000000 / ({_RRF_K} + ra), 0) AS BIGINT), 0)"
+        f" + coalesce(CAST(round(1000000000 / ({_RRF_K} + rb), 0) AS BIGINT), 0)"
+        " AS BIGINT) AS rrf_e9",
+    )
+    return fused.orderBy(F.desc("rrf_e9"), F.asc("doc_id")).limit(_RRF_TOP)
