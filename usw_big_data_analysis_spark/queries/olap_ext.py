@@ -930,3 +930,93 @@ def sla_breach_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div count(*) AS BIGINT) AS breach_ppm"
         ),
     )
+
+
+# --- shared-attribute fraud-ring candidates ----------------------------------
+@query(
+    "fraud_ring_candidates",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c,
+             count(*) AS n_members,
+             CAST(min(c_custkey) AS BIGINT) AS ring_id
+      FROM customer
+      GROUP BY c_nationkey, bal_c
+      HAVING count(*) >= 3
+    )
+    SELECT ring_id, CAST(c_nationkey AS INT) AS nation, bal_c, n_members
+    FROM g
+    """,
+)
+def fraud_ring_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-attribute ring candidates: groups of 3+ customers with an
+    IDENTICAL (nation, exact balance) pair — the blocking pass of
+    entity-resolution / fraud-ring detection (exact-attribute collision
+    first, graph expansion second — dedup_clusters' machinery takes it
+    from here). One map-side aggregate; balances compared in exact
+    cents."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy(
+            "c_nationkey",
+            F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("bal_c"),
+        )
+        .agg(
+            F.expr("count(*) AS n_members"),
+            F.expr("CAST(min(c_custkey) AS BIGINT) AS ring_id"),
+        )
+        .filter("n_members >= 3")
+        .selectExpr("ring_id", "CAST(c_nationkey AS INT) AS nation", "bal_c",
+                    "n_members")
+    )
+
+
+# --- revenue waterfall: gross -> discount -> net -> tax -> charged -----------
+@query(
+    "revenue_waterfall",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS gross_c,
+           CAST(sum(CAST(round(l_extendedprice * l_discount * 10000)
+                         AS BIGINT)) AS BIGINT) AS discount_e4,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS net_e4,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * l_tax
+                               * 1000000) AS BIGINT)) AS BIGINT) AS tax_e6,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                               * (1 + l_tax) * 1000000) AS BIGINT)) AS BIGINT)
+             AS charged_e6
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue waterfall per flag: gross price, discount given, net,
+    tax collected, total charged — each stage as an EXACT scaled integer
+    (cents / 1e-4 / 1e-6 units matching each product's decimal depth, the
+    q1 integer-split convention without the hi/lo splits since the sums
+    stay under 2^63 at fixture scale; at 100 TB switch to isum_aggs).
+    One map-side aggregate — the finance bridge table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)"
+            " AS gross_c"
+        ),
+        F.expr(
+            "CAST(sum(CAST(round(l_extendedprice * l_discount * 10000)"
+            " AS BIGINT)) AS BIGINT) AS discount_e4"
+        ),
+        F.expr(
+            "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)"
+            " AS BIGINT)) AS BIGINT) AS net_e4"
+        ),
+        F.expr(
+            "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * l_tax"
+            " * 1000000) AS BIGINT)) AS BIGINT) AS tax_e6"
+        ),
+        F.expr(
+            "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)"
+            " * (1 + l_tax) * 1000000) AS BIGINT)) AS BIGINT) AS charged_e6"
+        ),
+    )
