@@ -937,37 +937,42 @@ def sla_breach_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fraud_ring_candidates",
     oracle="""
     WITH g AS (
-      SELECT c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c,
+      SELECT c_nationkey,
+             (CAST(round(c_acctbal * 100) AS BIGINT) + 100000000) // 10000 AS bal_band,
              count(*) AS n_members,
              CAST(min(c_custkey) AS BIGINT) AS ring_id
       FROM customer
-      GROUP BY c_nationkey, bal_c
+      GROUP BY c_nationkey, bal_band
       HAVING count(*) >= 3
     )
-    SELECT ring_id, CAST(c_nationkey AS INT) AS nation, bal_c, n_members
+    SELECT ring_id, CAST(c_nationkey AS INT) AS nation, bal_band, n_members
     FROM g
     """,
 )
 def fraud_ring_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared-attribute ring candidates: groups of 3+ customers with an
-    IDENTICAL (nation, exact balance) pair — the blocking pass of
-    entity-resolution / fraud-ring detection (exact-attribute collision
-    first, graph expansion second — dedup_clusters' machinery takes it
-    from here). One map-side aggregate; balances compared in exact
-    cents."""
+    """Shared-attribute ring candidates: groups of 3+ customers in the
+    same nation whose balances fall in the same 100-currency-unit band —
+    the blocking pass of entity-resolution / fraud-ring detection
+    (coarse-attribute collision first, graph expansion second —
+    dedup_clusters' machinery takes it from there). One map-side
+    aggregate; the band is exact integer arithmetic on cents, offset
+    non-negative first because Spark's div truncates while DuckDB's //
+    floors (they agree only above zero — negative balances exist)."""
     cust = load_table(spark, sf_dir, "customer")
     return (
         cust.groupBy(
             "c_nationkey",
-            F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("bal_c"),
+            F.expr(
+                "(CAST(round(c_acctbal * 100) AS BIGINT) + 100000000) div 10000"
+            ).alias("bal_band"),
         )
         .agg(
             F.expr("count(*) AS n_members"),
             F.expr("CAST(min(c_custkey) AS BIGINT) AS ring_id"),
         )
         .filter("n_members >= 3")
-        .selectExpr("ring_id", "CAST(c_nationkey AS INT) AS nation", "bal_c",
-                    "n_members")
+        .selectExpr("ring_id", "CAST(c_nationkey AS INT) AS nation",
+                    "bal_band", "n_members")
     )
 
 
