@@ -954,3 +954,59 @@ def hist2d_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS cents"
         ),
     )
+
+
+# --- weekly price-quantile trend ---------------------------------------------
+@query(
+    "weekly_price_quantiles",
+    oracle="""
+    WITH d AS (
+      SELECT epoch_us(o_orderdate) // (7 * 86400000000) AS wk,
+             o_totalprice AS x,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY wk, x
+    ),
+    c AS (
+      SELECT wk, x,
+             sum(cnt) OVER (PARTITION BY wk ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM d
+    ),
+    n AS (SELECT wk, CAST(sum(cnt) AS BIGINT) AS n_rows FROM d GROUP BY wk)
+    SELECT c.wk, n.n_rows,
+           min(CASE WHEN c.cum * 2 >= n.n_rows THEN c.x END) AS p50_disc,
+           min(CASE WHEN c.cum * 10 >= 9 * n.n_rows THEN c.x END) AS p90_disc
+    FROM c JOIN n ON c.wk = n.wk
+    GROUP BY c.wk, n.n_rows
+    """,
+)
+def weekly_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly p50/p90 order-value trend — the quantile time series behind
+    pricing drift dashboards, in percentile_disc semantics (real data
+    values, integer rank selection: smallest x with 2·cum >= n / 10·cum
+    >= 9n — cross-multiplied so no division at all).
+
+    Scale shape: the fact collapses to per-(week, value) counts
+    map-side; cumulative passes are WEEK-partitioned windows over
+    distinct values (parallel across weeks, the groupby_p90_disc
+    pattern); both quantiles come from the same cumulated table."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div (7 * 86400000000)"
+        ).alias("wk"),
+        F.col("o_totalprice").alias("x"),
+    ).agg(F.expr("CAST(count(*) AS BIGINT) AS cnt"))
+    w = Window.partitionBy("wk").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = d.withColumn("cum", F.sum("cnt").over(w))
+    n = d.groupBy("wk").agg(F.expr("CAST(sum(cnt) AS BIGINT) AS n_rows"))
+    return (
+        c.join(n, "wk")
+        .groupBy("wk", "n_rows")
+        .agg(
+            F.expr("min(CASE WHEN cum * 2 >= n_rows THEN x END) AS p50_disc"),
+            F.expr("min(CASE WHEN cum * 10 >= 9 * n_rows THEN x END) AS p90_disc"),
+        )
+    )
