@@ -618,3 +618,116 @@ def quality_gate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("fail").cast("bigint").alias("n_fail"),
         (F.sum("fail").cast("double") / F.count("*")).alias("fail_rate"),
     )
+
+
+# --- interpolated bigram-LM perplexity gate ----------------------------------
+_BG_THRESH_MILLI_BITS = 9_500_000_000  # 9.5 bits/bigram in 1e-9 log2 units
+
+
+@query(
+    "perplexity_bigram_backoff",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, lang, w[i] AS p, w[i + 1] AS q
+      FROM toks, unnest(generate_series(1, len(w) - 1)) t(i)
+      WHERE len(w) >= 2
+    ),
+    uni AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS cu
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) x
+      GROUP BY word
+    ),
+    nuni AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM uni),
+    bilm AS (
+      SELECT p, q, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY p, q
+    ),
+    plm AS (SELECT p, CAST(sum(cb) AS BIGINT) AS cp FROM bilm GROUP BY p),
+    scored_pairs AS (
+      SELECT b.p, b.q,
+             CAST(round(log2((b.cb + CAST(u.cu AS DOUBLE) / nu.n)
+                             / (pl.cp + 1.0)) * 1000000000) AS BIGINT) AS nlog
+      FROM bilm b
+      JOIN uni u ON b.q = u.word
+      JOIN plm pl ON b.p = pl.p
+      CROSS JOIN nuni nu
+    ),
+    per_doc AS (
+      SELECT g.doc_id, g.lang,
+             CAST(count(*) AS BIGINT) AS n_bg,
+             CAST(sum(sp.nlog) AS BIGINT) AS sum_nlog
+      FROM bg g JOIN scored_pairs sp ON g.p = sp.p AND g.q = sp.q
+      GROUP BY g.doc_id, g.lang
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_bg) AS BIGINT) AS n_bigrams,
+           CAST(sum(sum_nlog) AS BIGINT) AS sum_nlog,
+           CAST(sum(CAST(-sum_nlog > {_BG_THRESH_MILLI_BITS // 1000} * n_bg
+                         AS BIGINT)) AS BIGINT) AS n_filtered
+    FROM per_doc GROUP BY lang
+    """,
+)
+def perplexity_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity gate with unigram backoff — the second-order
+    upgrade of quality_perplexity_proxy: p(w|prev) = (c_bigram +
+    p_uni(w)) / (c_prev + 1) (one pseudo-count of unigram mass), so
+    unseen bigrams score by their unigram plausibility instead of zero.
+    Documents above the bits-per-bigram threshold flag for removal.
+
+    Exactness: one IEEE log2 + round to 1e-9 units per DISTINCT bigram,
+    then pure bigint sums (the unigram gate's convention). Scale shape:
+    bigram explode is width-2 sliding (2x rows, not shingles' 3x); the
+    LM tables are count aggregates probed back by equi-join; no corpus
+    reshuffle beyond the count shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", F.split("text", " ").alias("w"))
+    bg = (
+        toks.filter(F.expr("size(w) >= 2"))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(element_at(w, i) AS p,"
+                    " element_at(w, i + 1) AS q))"
+                )
+            ).alias("pq"),
+        )
+        .select("doc_id", "lang", "pq.p", "pq.q")
+    )
+    uni = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS cu"))
+    )
+    nuni = uni.agg(F.expr("CAST(sum(cu) AS BIGINT) AS n"))
+    bilm = bg.groupBy("p", "q").agg(F.expr("CAST(count(*) AS BIGINT) AS cb"))
+    plm = bilm.groupBy("p").agg(F.expr("CAST(sum(cb) AS BIGINT) AS cp"))
+    scored_pairs = (
+        bilm.join(uni.selectExpr("word AS q", "cu"), "q")
+        .join(plm, "p")
+        .crossJoin(F.broadcast(nuni))
+        .selectExpr(
+            "p",
+            "q",
+            "CAST(round(log2((cb + CAST(cu AS DOUBLE) / n)"
+            " / (cp + 1.0D)) * 1000000000, 0) AS BIGINT) AS nlog",
+        )
+    )
+    per_doc = bg.join(scored_pairs, ["p", "q"]).groupBy("doc_id", "lang").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_bg"),
+        F.expr("CAST(sum(nlog) AS BIGINT) AS sum_nlog"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_docs"),
+        F.expr("CAST(sum(n_bg) AS BIGINT) AS n_bigrams"),
+        F.expr("CAST(sum(sum_nlog) AS BIGINT) AS sum_nlog"),
+        F.expr(
+            f"CAST(sum(CAST(-sum_nlog > {_BG_THRESH_MILLI_BITS // 1000} * n_bg"
+            " AS BIGINT)) AS BIGINT) AS n_filtered"
+        ),
+    )
