@@ -1179,3 +1179,86 @@ def dedup_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("count(*) AS n_clusters"),
         F.expr("CAST(cluster_size * count(*) AS BIGINT) AS n_docs"),
     )
+
+
+# --- two-stage dedup funnel: exact hash, then near-dup -----------------------
+@query(
+    "dedup_two_stage_funnel",
+    oracle=f"""
+    WITH exact_w AS (
+      SELECT md5(text) AS h, min(doc_id) AS keeper
+      FROM documents GROUP BY md5(text)
+    ),
+    exact_kept AS (
+      SELECT d.doc_id, d.source FROM documents d
+      JOIN exact_w w ON md5(d.text) = w.h AND d.doc_id = w.keeper
+    ),
+    pairs AS ({_MINHASH_PAIRS_SQL}),
+    near_drop AS (
+      SELECT DISTINCT p.id_b AS doc_id
+      FROM pairs p
+      JOIN exact_kept a ON p.id_a = a.doc_id
+      JOIN exact_kept b ON p.id_b = b.doc_id
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(sum(CAST(k.doc_id IS NOT NULL AS INT)) AS BIGINT)
+             AS n_after_exact,
+           CAST(sum(CAST(k.doc_id IS NOT NULL
+                         AND nd.doc_id IS NULL AS INT)) AS BIGINT)
+             AS n_after_near
+    FROM documents d
+    LEFT JOIN exact_kept k ON d.doc_id = k.doc_id
+    LEFT JOIN near_drop nd ON d.doc_id = nd.doc_id
+    GROUP BY d.source
+    """,
+)
+def dedup_two_stage_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup funnel in one table: per source, document
+    counts raw → after exact-hash dedup (keep min doc_id per md5) →
+    after near-dup pruning (drop the larger id of every MinHash candidate
+    pair whose BOTH ends survived the exact stage — the keep-min rule on
+    the near-dup graph's edges). Staging exact-first is the standard
+    order: it's a linear groupBy that shrinks the expensive signature
+    stage's input.
+
+    Scale shape: exact winners are one map-side min aggregate; the
+    near-dup drop set joins candidate pairs against the survivor set
+    (id-sized); the final funnel is two left joins on the doc dim.
+    All-integer output."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact_w = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.expr("min(doc_id) AS keeper")
+    )
+    exact_kept = (
+        docs.withColumn("h", F.md5("text"))
+        .join(exact_w, "h")
+        .filter("doc_id = keeper")
+        .select("doc_id")
+        .withColumn("kept", F.lit(1))
+    )
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    ka = exact_kept.selectExpr("doc_id AS id_a")
+    kb = exact_kept.selectExpr("doc_id AS id_b")
+    near_drop = (
+        pairs.join(ka, "id_a")
+        .join(kb, "id_b")
+        .selectExpr("id_b AS doc_id")
+        .distinct()
+        .withColumn("dropped", F.lit(1))
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(exact_kept, "doc_id", "left")
+        .join(near_drop, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.expr("count(*) AS n_docs"),
+            F.expr("CAST(sum(CAST(kept IS NOT NULL AS INT)) AS BIGINT)"
+                   " AS n_after_exact"),
+            F.expr(
+                "CAST(sum(CAST(kept IS NOT NULL AND dropped IS NULL AS INT))"
+                " AS BIGINT) AS n_after_near"
+            ),
+        )
+    )
