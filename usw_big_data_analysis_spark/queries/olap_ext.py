@@ -1025,3 +1025,49 @@ def revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * (1 + l_tax) * 1000000) AS BIGINT)) AS BIGINT) AS charged_e6"
         ),
     )
+
+
+# --- cold-start fallback: top parts per nation -------------------------------
+@query(
+    "recs_popularity_fallback",
+    oracle="""
+    WITH cnt AS (
+      SELECT c.c_nationkey AS nation, l.l_partkey,
+             CAST(count(*) AS BIGINT) AS n_bought
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY nation, l.l_partkey
+    )
+    SELECT CAST(nation AS INT) AS nation, l_partkey, n_bought, rnk FROM (
+      SELECT nation, l_partkey, n_bought,
+             CAST(row_number() OVER (PARTITION BY nation
+               ORDER BY n_bought DESC, l_partkey) AS INT) AS rnk
+      FROM cnt
+    ) WHERE rnk <= 3
+    """,
+)
+def recs_popularity_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold-start recommendation fallback: the 3 most-purchased parts per
+    customer nation — what a recommender serves users recsys_als_factors
+    has no history for (the popularity prior every production system
+    keeps beside the model). Dim joins broadcast; counts combine
+    map-side; the per-nation top-3 is a window over 25 nation partitions
+    of pre-aggregated counts (never raw rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cnt = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nation"), "l_partkey")
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS n_bought"))
+    )
+    w = Window.partitionBy("nation").orderBy(
+        F.desc("n_bought"), F.asc("l_partkey")
+    )
+    return (
+        cnt.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter("rnk <= 3")
+        .selectExpr("CAST(nation AS INT) AS nation", "l_partkey", "n_bought", "rnk")
+    )
