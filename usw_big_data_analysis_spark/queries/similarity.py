@@ -1531,3 +1531,93 @@ def embed_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(round(min(r), 6) AS DOUBLE) AS min_ratio"),
         F.expr("CAST(round(max(r), 6) AS DOUBLE) AS max_ratio"),
     )
+
+
+# --- LSH tuning curve: bucket stats per plane count --------------------------
+_TUNE_PLANES = (2, 3, 4)
+
+
+def _tune_bucket_sql(np_: int) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN CAST(sum(CAST(v * {_r_sql(j)} AS DECIMAL(20,12))) "
+        f"AS DOUBLE) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(np_)
+    )
+    return f"SELECT vec_id, {terms} AS bucket FROM expl GROUP BY vec_id"
+
+
+@query(
+    "embed_lsh_tuning_curve",
+    oracle=f"""
+    WITH expl AS ({_EXPL_SQL}),
+    {', '.join(f"b{np_} AS ({_tune_bucket_sql(np_)})" for np_ in _TUNE_PLANES)},
+    {', '.join(
+      f"s{np_} AS (SELECT bucket, CAST(count(*) AS BIGINT) AS sz FROM b{np_}"
+      f" GROUP BY bucket)" for np_ in _TUNE_PLANES)},
+    u AS (
+      {' UNION ALL '.join(
+        f"SELECT {np_} AS n_planes, count(*) AS n_buckets,"
+        f" CAST(max(sz) AS BIGINT) AS max_bucket,"
+        f" CAST(sum(sz * (sz - 1)) AS BIGINT) AS pair_probes,"
+        f" CAST(sum(sz) AS BIGINT) AS n_vecs"
+        f" FROM s{np_}" for np_ in _TUNE_PLANES)}
+    )
+    SELECT n_planes, n_buckets, max_bucket,
+           CAST(pair_probes * 1000 // n_vecs AS BIGINT)
+             AS avg_candidates_x1000
+    FROM u
+    """,
+)
+def embed_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN tuning curve: for each hyperplane count, the bucket population
+    stats that determine the LSH cost/recall trade — bucket count, max
+    bucket size (skew), and the average candidate count a query probes
+    (Σ sz·(sz−1)/N, milli-units). Doubling planes should ~halve
+    candidates; this is the table that picks embed_ann_lsh's
+    {_NPLANES}-plane setting and decides when to add OR-tables
+    (embed_ann_multitable).
+
+    Scale shape: the candidate workload comes from bucket-size moments
+    only — no pair join materializes anywhere; one exploded-vector pass
+    per plane count (the sign-bit aggregates share the scan shape)."""
+    expl = _exploded(spark, sf_dir)
+
+    def r_col(j: int) -> F.Column:
+        return ((F.lit(j) * 64 + F.col("pos")) * 2654435761 % 1000).cast(
+            "double"
+        ) / 1000.0 - 0.5
+
+    frames = []
+    for np_ in _TUNE_PLANES:
+        terms = [
+            F.when(
+                F.sum((F.col("v") * r_col(j)).cast("decimal(20,12)")).cast(
+                    "double"
+                )
+                > 0,
+                F.lit(1 << j),
+            ).otherwise(F.lit(0))
+            for j in range(np_)
+        ]
+        b = expl.groupBy("vec_id").agg(
+            sum(terms[1:], terms[0]).alias("bucket")
+        )
+        s = b.groupBy("bucket").agg(F.expr("CAST(count(*) AS BIGINT) AS sz"))
+        frames.append(
+            s.agg(
+                F.expr(f"{np_} AS n_planes"),
+                F.expr("count(*) AS n_buckets"),
+                F.expr("CAST(max(sz) AS BIGINT) AS max_bucket"),
+                F.expr("CAST(sum(sz * (sz - 1)) AS BIGINT) AS pair_probes"),
+                F.expr("CAST(sum(sz) AS BIGINT) AS n_vecs"),
+            )
+        )
+    from functools import reduce
+
+    u = reduce(DataFrame.unionByName, frames)
+    return u.selectExpr(
+        "n_planes",
+        "n_buckets",
+        "max_bucket",
+        "CAST(pair_probes * 1000 div n_vecs AS BIGINT) AS avg_candidates_x1000",
+    )

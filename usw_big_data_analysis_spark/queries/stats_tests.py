@@ -956,3 +956,55 @@ def linreg_ridge_2f(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return s.selectExpr(*_RIDGE_OUT)
+
+
+# --- Wilson confidence interval on a proportion ------------------------------
+@query(
+    "proportion_wilson_ci",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(event_type = 'purchase' AND value > 80 AS INT))
+                  AS DOUBLE) AS x
+      FROM events
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(x AS BIGINT) AS x,
+           round(x / n, 6) AS p_hat,
+           round((x / n + 1.959964 * 1.959964 / (2.0 * n)
+                  - 1.959964 * sqrt((x / n) * (1.0 - x / n) / n
+                                    + 1.959964 * 1.959964 / (4.0 * n * n)))
+                 / (1.0 + 1.959964 * 1.959964 / n), 6) AS ci_lo,
+           round((x / n + 1.959964 * 1.959964 / (2.0 * n)
+                  + 1.959964 * sqrt((x / n) * (1.0 - x / n) / n
+                                    + 1.959964 * 1.959964 / (4.0 * n * n)))
+                 / (1.0 + 1.959964 * 1.959964 / n), 6) AS ci_hi
+    FROM c
+    """,
+)
+def proportion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% confidence interval on the high-value purchase rate —
+    the proportion CI that behaves at extreme rates where the normal
+    (Wald) interval collapses (statsmodels proportion_confint
+    method='wilson'). One counting aggregate; the interval is a single
+    shared double tree over exact counts, rounded 6dp."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.agg(
+        F.expr("CAST(count(*) AS DOUBLE) AS n"),
+        F.expr(
+            "CAST(sum(CAST(event_type = 'purchase' AND value > 80 AS INT))"
+            " AS DOUBLE) AS x"
+        ),
+    )
+    return c.selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        "CAST(x AS BIGINT) AS x",
+        "round(x / n, 6) AS p_hat",
+        "round((x / n + 1.959964D * 1.959964D / (2.0D * n)"
+        " - 1.959964D * sqrt((x / n) * (1.0D - x / n) / n"
+        " + 1.959964D * 1.959964D / (4.0D * n * n)))"
+        " / (1.0D + 1.959964D * 1.959964D / n), 6) AS ci_lo",
+        "round((x / n + 1.959964D * 1.959964D / (2.0D * n)"
+        " + 1.959964D * sqrt((x / n) * (1.0D - x / n) / n"
+        " + 1.959964D * 1.959964D / (4.0D * n * n)))"
+        " / (1.0D + 1.959964D * 1.959964D / n), 6) AS ci_hi",
+    )
