@@ -1010,3 +1010,61 @@ def weekly_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("min(CASE WHEN cum * 10 >= 9 * n_rows THEN x END) AS p90_disc"),
         )
     )
+
+
+# --- data-sufficiency: running-mean convergence curve ------------------------
+@query(
+    "mean_convergence_curve",
+    oracle="""
+    WITH b AS (SELECT max(o_orderkey) + 1 AS nk FROM orders),
+    chk AS (SELECT unnest([1, 2, 4, 8]) AS k),
+    pre AS (
+      SELECT chk.k,
+             CAST(sum(CASE WHEN o.o_orderkey * 8 < b.nk * chk.k
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o.o_orderkey * 8 < b.nk * chk.k
+                           THEN CAST(o.o_totalprice AS DECIMAL(25,6))
+                           ELSE 0 END) AS DOUBLE) AS s
+      FROM orders o CROSS JOIN b CROSS JOIN chk
+      GROUP BY chk.k
+    ),
+    fin AS (SELECT s / n AS mu FROM pre WHERE k = 8)
+    SELECT p.k AS prefix_eighths, p.n,
+           round(p.s / p.n, 6) AS mean_prefix,
+           round(abs(p.s / p.n - f.mu), 6) AS abs_delta_vs_full
+    FROM pre p CROSS JOIN fin f
+    """,
+)
+def mean_convergence_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-sufficiency audit: the running mean of order value at nested
+    key prefixes (1/8..1) and its distance from the full-data mean — a
+    flat curve says a sample suffices for this statistic (the cheap
+    precursor to bootstrap_resample's CI). One scan with the broadcast
+    checkpoint dimension (conditional decimal sums — the
+    vocab_growth_curve trick on a numeric statistic)."""
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.agg(F.expr("max(o_orderkey) + 1 AS nk"))
+    chk = spark.range(4).selectExpr("CAST(pow(2, id) AS INT) AS k")
+    pre = (
+        orders.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(chk))
+        .groupBy("k")
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN o_orderkey * 8 < nk * k THEN 1 ELSE 0 END)"
+                " AS BIGINT) AS n"
+            ),
+            F.expr(
+                "CAST(sum(CASE WHEN o_orderkey * 8 < nk * k"
+                " THEN CAST(o_totalprice AS DECIMAL(25,6))"
+                " ELSE 0 END) AS DOUBLE) AS s"
+            ),
+        )
+    )
+    fin = pre.filter("k = 8").selectExpr("s / n AS mu")
+    return pre.crossJoin(F.broadcast(fin)).selectExpr(
+        "k AS prefix_eighths",
+        "n",
+        "round(s / n, 6) AS mean_prefix",
+        "round(abs(s / n - mu), 6) AS abs_delta_vs_full",
+    )

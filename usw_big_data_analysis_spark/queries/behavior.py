@@ -1487,3 +1487,33 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents"
         ),
     )
+
+
+# --- weekly event-type mix shares --------------------------------------------
+@query(
+    "weekly_type_mix",
+    oracle=f"""
+    WITH c AS (
+      SELECT epoch_us(ts) // {7 * _US_DAY} AS wk, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY wk, event_type
+    ),
+    t AS (SELECT wk, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY wk)
+    SELECT c.wk, c.event_type, c.n,
+           CAST(c.n * 1000000 // t.total AS BIGINT) AS share_ppm
+    FROM c JOIN t ON c.wk = t.wk
+    """,
+)
+def weekly_type_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly event-type mix shares (ppm) — the composition-over-time
+    drift view product and data-quality teams watch (a sudden error-share
+    jump is the alert). Two map-side aggregates and a weekly-totals
+    broadcast join; all-integer output."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.expr(f"unix_micros(ts) div {7 * _US_DAY}").alias("wk"), "event_type"
+    ).agg(F.expr("CAST(count(*) AS BIGINT) AS n"))
+    t = c.groupBy("wk").agg(F.expr("CAST(sum(n) AS BIGINT) AS total"))
+    return c.join(F.broadcast(t), "wk").selectExpr(
+        "wk", "event_type", "n", "CAST(n * 1000000 div total AS BIGINT) AS share_ppm"
+    )
