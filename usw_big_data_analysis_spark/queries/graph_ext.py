@@ -392,3 +392,37 @@ def graph_link_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), F.asc("u"), F.asc("v"))
         .limit(100)
     )
+
+
+# --- degree distribution of the co-purchase graph ----------------------------
+@query(
+    "graph_degree_dist",
+    oracle=f"""
+    WITH {_EDGE_CTES}
+    SELECT CAST(least(floor(ln(CAST(d.d AS DOUBLE)) / ln(2.0)), 15) AS INT)
+             AS log2_degree_bin,
+           count(*) AS n_nodes,
+           CAST(min(d.d) AS BIGINT) AS min_degree,
+           CAST(max(d.d) AS BIGINT) AS max_degree
+    FROM deg d GROUP BY log2_degree_bin
+    """,
+)
+def graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-binned degree distribution of the co-purchase graph — the
+    heavy-tail check run before any iterative graph algorithm (a fat
+    tail predicts pagerank/k-core hotspot partitions and motivates the
+    salting operators). Degree aggregation + a 16-bin rollup; the bin is
+    floor(log2 degree) — integer-exact in both engines because degrees
+    are whole numbers and ln ratios hit no representable boundary below
+    2^53."""
+    edges = _edges_spark(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.expr("count(*) AS d"))
+    return deg.groupBy(
+        F.expr(
+            "CAST(least(floor(ln(CAST(d AS DOUBLE)) / ln(2.0D)), 15) AS INT)"
+        ).alias("log2_degree_bin")
+    ).agg(
+        F.expr("count(*) AS n_nodes"),
+        F.expr("CAST(min(d) AS BIGINT) AS min_degree"),
+        F.expr("CAST(max(d) AS BIGINT) AS max_degree"),
+    )

@@ -973,3 +973,87 @@ def fairness_group_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(CAST(fp AS DOUBLE) / nullif(neg, 0), 6) AS fpr",
         "round(CAST(pred_pos AS DOUBLE) / n, 6) AS pred_pos_rate",
     )
+
+
+# --- learning curve: accuracy vs training-set size ---------------------------
+@query(
+    "learning_curve_threshold",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS key, o_orderpriority AS grp, o_totalprice AS y,
+             CAST(o_orderkey % 4 AS INT) AS part,
+             CAST(o_totalprice > 150000.0 AS INT) AS label
+      FROM orders
+    ),
+    nk AS (SELECT max(key) + 1 AS nk FROM base),
+    chk AS (SELECT unnest([1, 2, 4, 8]) AS k),
+    tr AS (
+      SELECT chk.k, CAST(count(*) AS BIGINT) AS n_train
+      FROM base b CROSS JOIN nk CROSS JOIN chk
+      WHERE b.part <= 1 AND b.key * 8 < nk.nk * chk.k
+      GROUP BY chk.k
+    ),
+    fit AS (
+      SELECT chk.k, b.grp,
+             CAST(sum(CAST(b.y AS DECIMAL(25,6))) AS DOUBLE) / count(*)
+               AS yhat
+      FROM base b CROSS JOIN nk CROSS JOIN chk
+      WHERE b.part <= 1 AND b.key * 8 < nk.nk * chk.k
+      GROUP BY chk.k, b.grp
+    ),
+    acc AS (
+      SELECT f.k, count(*) AS n_test,
+             round(CAST(sum(CAST(CAST(b.y > f.yhat AS INT) = b.label AS INT))
+                        AS DOUBLE) / count(*), 6) AS accuracy
+      FROM base b JOIN fit f ON b.grp = f.grp
+      WHERE b.part = 3
+      GROUP BY f.k
+    )
+    SELECT acc.k AS prefix_eighths, tr.n_train, acc.n_test, acc.accuracy
+    FROM acc JOIN tr ON acc.k = tr.k
+    """,
+)
+def learning_curve_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning curve: fit the per-priority mean-price threshold model on
+    nested training prefixes (1/8..1 of the train split by key) and score
+    the SAME held-out test each time — the accuracy-vs-data-volume curve
+    that says whether more data still buys model quality (the model-side
+    sibling of mean_convergence_curve). One scan builds every prefix's
+    parameters via the broadcast checkpoint dimension; the test scan
+    scores all four models through one broadcast parameter frame."""
+    base = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey AS key",
+        "o_orderpriority AS grp",
+        "o_totalprice AS y",
+        "CAST(o_orderkey % 4 AS INT) AS part",
+        "CAST(o_totalprice > 150000.0D AS INT) AS label",
+    )
+    nk = base.agg(F.expr("max(key) + 1 AS nk"))
+    chk = spark.range(4).selectExpr("CAST(pow(2, id) AS INT) AS k")
+    train = (
+        base.filter("part <= 1")
+        .crossJoin(F.broadcast(nk))
+        .crossJoin(F.broadcast(chk))
+        .filter("key * 8 < nk * k")
+    )
+    tr = train.groupBy("k").agg(F.expr("CAST(count(*) AS BIGINT) AS n_train"))
+    fit = train.groupBy("k", "grp").agg(
+        F.expr(
+            "CAST(sum(CAST(y AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS yhat"
+        )
+    )
+    acc = (
+        base.filter("part = 3")
+        .join(F.broadcast(fit), "grp")
+        .groupBy("k")
+        .agg(
+            F.expr("count(*) AS n_test"),
+            F.expr(
+                "round(CAST(sum(CAST(CAST(y > yhat AS INT) = label AS INT))"
+                " AS DOUBLE) / count(*), 6) AS accuracy"
+            ),
+        )
+    )
+    return acc.join(F.broadcast(tr), "k").selectExpr(
+        "k AS prefix_eighths", "n_train", "n_test", "accuracy"
+    )
