@@ -1517,3 +1517,123 @@ def weekly_type_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(F.broadcast(t), "wk").selectExpr(
         "wk", "event_type", "n", "CAST(n * 1000000 div total AS BIGINT) AS share_ppm"
     )
+
+
+# --- integer-mass Markov stationary distribution over event types ------------
+_MK_MASS = 10**12
+_MK_ITERS = 4
+
+
+def _markov_sql() -> str:
+    ctes = [
+        f"""bi AS (
+      SELECT user_id, event_type AS a,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS b
+      FROM events
+    ),
+    tm AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM bi
+      WHERE b IS NOT NULL GROUP BY a, b
+    ),
+    rowt AS (SELECT a, CAST(sum(c) AS BIGINT) AS tot FROM tm GROUP BY a),
+    states AS (SELECT DISTINCT a AS s FROM tm),
+    ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM states),
+    p0 AS (SELECT s, CAST({_MK_MASS} AS BIGINT) AS mass FROM states)""",
+    ]
+    for k in range(_MK_ITERS):
+        ctes.append(
+            f"""p{k + 1} AS (
+      SELECT t.b AS s,
+             CAST(sum(p.mass * t.c // r.tot) AS BIGINT) AS mass
+      FROM p{k} p
+      JOIN tm t ON p.s = t.a
+      JOIN rowt r ON t.a = r.a
+      GROUP BY t.b
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT s AS state, mass FROM p{_MK_ITERS}"""
+    )
+
+
+@query("event_markov_stationary", oracle=_markov_sql())
+def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quasi-stationary distribution of the per-user event-type Markov
+    chain: {_MK_ITERS} integer-mass power iterations of the empirical
+    transition matrix (the pagerank_int arithmetic — mass·count // rowsum
+    floor division, bit-identical on any engine/layout; remainders are
+    deliberately dropped). Where user traffic settles — the long-run mix
+    the chain predicts, versus weekly_type_mix's observed shares.
+
+    Scale shape: transitions come from a user-partitioned lead window;
+    everything after runs on the |types|² matrix."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    bi = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).filter("b IS NOT NULL")
+    tm = bi.groupBy("a", "b").agg(F.expr("CAST(count(*) AS BIGINT) AS c"))
+    rowt = tm.groupBy("a").agg(F.expr("CAST(sum(c) AS BIGINT) AS tot"))
+    states = tm.select(F.col("a").alias("s")).distinct().localCheckpoint()
+    tmr = tm.join(rowt, "a").localCheckpoint()
+    p = states.select("s", F.lit(_MK_MASS).cast("bigint").alias("mass"))
+    for _ in range(_MK_ITERS):
+        p = (
+            p.join(tmr, p["s"] == tmr["a"])
+            .selectExpr("b AS s2", "mass * c div tot AS m")
+            .groupBy(F.col("s2").alias("s"))
+            .agg(F.expr("CAST(sum(m) AS BIGINT) AS mass"))
+            .localCheckpoint()
+        )
+    return p.selectExpr("s AS state", "mass")
+
+
+# --- UCB1 bandit allocation readout ------------------------------------------
+@query(
+    "bandit_ucb_allocation",
+    oracle="""
+    WITH arm AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_pulls,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS reward_c
+      FROM events GROUP BY event_type
+    ),
+    t AS (SELECT CAST(sum(n_pulls) AS BIGINT) AS n_total FROM arm)
+    SELECT a.event_type AS arm, a.n_pulls,
+           round(a.reward_c / (100.0 * a.n_pulls), 6) AS mean_reward,
+           round(a.reward_c / (100.0 * a.n_pulls)
+                 + sqrt(2.0 * round(ln(CAST(t.n_total AS DOUBLE)), 8)
+                        / a.n_pulls), 6) AS ucb1
+    FROM arm CROSS JOIN t
+    """,
+)
+def bandit_ucb_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 scores per arm (event type as arm, value as reward): mean
+    reward + sqrt(2 ln N / n) exploration bonus — the index an adaptive
+    experiment allocator pulls next (the bandit view of the A/B data
+    ab_test_ztest reads frequentist-ly). One counting aggregate + a
+    scalar broadcast; ln rounds at 8dp (the repo convention) inside one
+    shared double tree."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = ev.groupBy("event_type").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_pulls"),
+        F.expr(
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+            " AS reward_c"
+        ),
+    )
+    t = arm.agg(F.expr("CAST(sum(n_pulls) AS BIGINT) AS n_total"))
+    return arm.crossJoin(F.broadcast(t)).selectExpr(
+        "event_type AS arm",
+        "n_pulls",
+        "round(reward_c / (100.0D * n_pulls), 6) AS mean_reward",
+        "round(reward_c / (100.0D * n_pulls)"
+        " + sqrt(2.0D * round(ln(CAST(n_total AS DOUBLE)), 8)"
+        " / n_pulls), 6) AS ucb1",
+    )
