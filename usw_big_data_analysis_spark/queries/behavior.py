@@ -1605,11 +1605,11 @@ def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type
     ),
     t AS (SELECT CAST(sum(n_pulls) AS BIGINT) AS n_total FROM arm)
-    SELECT a.event_type AS arm, a.n_pulls,
-           round(a.reward_c / (100.0 * a.n_pulls), 6) AS mean_reward,
-           round(a.reward_c / (100.0 * a.n_pulls)
+    SELECT arm.event_type AS arm, arm.n_pulls,
+           round(arm.reward_c / (100.0 * arm.n_pulls), 6) AS mean_reward,
+           round(arm.reward_c / (100.0 * arm.n_pulls)
                  + sqrt(2.0 * round(ln(CAST(t.n_total AS DOUBLE)), 8)
-                        / a.n_pulls), 6) AS ucb1
+                        / arm.n_pulls), 6) AS ucb1
     FROM arm CROSS JOIN t
     """,
 )
