@@ -1637,3 +1637,69 @@ def bandit_ucb_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         " + sqrt(2.0D * round(ln(CAST(n_total AS DOUBLE)), 8)"
         " / n_pulls), 6) AS ucb1",
     )
+
+
+# --- cumulative cohort LTV curve ---------------------------------------------
+@query(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH fo AS (
+      SELECT o_custkey,
+             epoch_us(date_trunc('month', min(o_orderdate))) AS cohort_us
+      FROM orders GROUP BY o_custkey
+    ),
+    rev AS (
+      SELECT fo.cohort_us,
+             CAST((date_diff('month',
+                   CAST(to_timestamp(fo.cohort_us / 1000000.0) AS TIMESTAMP),
+                   date_trunc('month', o.o_orderdate))) AS INT) AS age_m,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o JOIN fo ON o.o_custkey = fo.o_custkey
+      GROUP BY fo.cohort_us, age_m
+    )
+    SELECT cohort_us, age_m, cents,
+           CAST(sum(cents) OVER (PARTITION BY cohort_us ORDER BY age_m
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_cents
+    FROM rev
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative LTV curve per acquisition cohort: revenue by months
+    since first order, accumulated within each cohort — the curve whose
+    plateau height is cohort lifetime value (repeat_purchase_rate's
+    dollar-denominated sibling). Month age via calendar month_diff
+    (year-boundary safe); the cumulative pass is a COHORT-partitioned
+    window over the months-sized rollup (parallel across cohorts, never
+    a global sort); cents exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    fo = orders.groupBy("o_custkey").agg(
+        F.expr(
+            "unix_micros(date_trunc('month',"
+            " CAST(min(o_orderdate) AS TIMESTAMP))) AS cohort_us"
+        )
+    )
+    rev = (
+        orders.join(fo, "o_custkey")
+        .groupBy(
+            "cohort_us",
+            F.expr(
+                "CAST(months_between(date_trunc('month',"
+                " CAST(o_orderdate AS TIMESTAMP)),"
+                " timestamp_micros(cohort_us)) AS INT)"
+            ).alias("age_m"),
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+                " AS cents"
+            )
+        )
+    )
+    w = Window.partitionBy("cohort_us").orderBy("age_m").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return rev.withColumn(
+        "cum_cents", F.sum("cents").over(w).cast("bigint")
+    )
