@@ -1057,3 +1057,109 @@ def learning_curve_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acc.join(F.broadcast(tr), "k").selectExpr(
         "k AS prefix_eighths", "n_train", "n_test", "accuracy"
     )
+
+
+# --- average precision (area under the PR curve, sklearn step form) ----------
+@query(
+    "metric_average_precision",
+    oracle=f"""
+    WITH s AS ({_SCORED_SQL}),
+    v AS (
+      SELECT round(prob, {_PROB_SCALE}) AS p,
+             CAST(count(*) AS BIGINT) AS t,
+             CAST(sum(label) AS BIGINT) AS tp
+      FROM s GROUP BY p
+    ),
+    tot AS (
+      SELECT CAST(sum(t) AS BIGINT) AS n, CAST(sum(tp) AS BIGINT) AS npos
+      FROM v
+    ),
+    c AS (
+      SELECT p, t, tp,
+             coalesce(sum(t) OVER (ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below_all,
+             coalesce(sum(tp) OVER (ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below_tp
+      FROM v
+    ),
+    terms AS (
+      SELECT round((CAST(c.tp AS DOUBLE) / tot.npos)
+                   * (CAST(tot.npos - c.below_tp AS DOUBLE)
+                      / (tot.n - c.below_all)), 8) AS term
+      FROM c CROSS JOIN tot WHERE c.tp > 0
+    )
+    SELECT round(CAST(sum(CAST(term AS DECIMAL(20,8))) AS DOUBLE), 6)
+             AS average_precision,
+           CAST(max(tot.npos) AS BIGINT) AS npos
+    FROM terms CROSS JOIN tot
+    """,
+)
+def metric_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (area under the precision-recall curve, sklearn's
+    step interpolation): AP = Σ_t ΔR_t · P_t over DESCENDING distinct
+    score thresholds, where ΔR is the positive mass AT the threshold and
+    P the precision of everything at-or-above it — the ranking metric
+    that, unlike AUROC, punishes false positives among the top scores.
+
+    Distribution: scores quantize at {_PROB_SCALE}dp (the AUROC
+    contract), so the distinct-score table is bounded; at-or-above
+    cumulatives are total-minus-strict-below with the strict-below
+    prefixes from the bounded_seq bucket machinery — no unpartitioned
+    window ever runs. Each AP term rounds at 8dp and sums through
+    DECIMAL(20,8) (order-independent)."""
+    s = scored_frame(spark, sf_dir)
+    vb = (
+        s.groupBy(F.expr(f"round(prob, {_PROB_SCALE})").alias("p"))
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS t"),
+             F.expr("CAST(sum(label) AS BIGINT) AS tp"))
+        .withColumn(
+            "b",
+            F.expr(
+                f"greatest(least(CAST(floor(p * {_RANK_BUCKETS}) AS INT),"
+                f" {_RANK_BUCKETS - 1}), 0)"
+            ),
+        )
+    )
+    hist = vb.groupBy("b").agg(
+        F.expr("sum(t) AS bt"), F.expr("sum(tp) AS btp")
+    )
+    offs = (
+        exclusive_prefix_sums(hist, "b", ["bt", "btp"])
+        .withColumnRenamed("prev_bt", "bucket_all")
+        .withColumnRenamed("prev_btp", "bucket_tp")
+    )
+    wv = Window.partitionBy("b").orderBy("p").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tot = vb.agg(
+        F.expr("CAST(sum(t) AS BIGINT) AS n"),
+        F.expr("CAST(sum(tp) AS BIGINT) AS npos"),
+    )
+    c = (
+        vb.join(F.broadcast(offs), "b")
+        .withColumn("in_all", F.coalesce(F.sum("t").over(wv), F.lit(0)))
+        .withColumn("in_tp", F.coalesce(F.sum("tp").over(wv), F.lit(0)))
+        .selectExpr(
+            "tp",
+            "bucket_all + in_all AS below_all",
+            "bucket_tp + in_tp AS below_tp",
+        )
+    )
+    terms = (
+        c.crossJoin(F.broadcast(tot))
+        .filter("tp > 0")
+        .selectExpr(
+            "round((CAST(tp AS DOUBLE) / npos)"
+            " * (CAST(npos - below_tp AS DOUBLE) / (n - below_all)), 8)"
+            " AS term"
+        )
+    )
+    return terms.crossJoin(F.broadcast(tot)).agg(
+        F.expr(
+            "round(CAST(sum(CAST(term AS DECIMAL(20,8))) AS DOUBLE), 6)"
+            " AS average_precision"
+        ),
+        F.expr("CAST(max(npos) AS BIGINT) AS npos"),
+    )
