@@ -1262,3 +1262,68 @@ def dedup_two_stage_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- unified near-dup evidence per candidate pair ----------------------------
+@query(
+    "dedup_pair_evidence",
+    oracle=f"""
+    WITH pairs AS ({_MINHASH_PAIRS_SQL}),
+    sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.id_a, p.id_b, p.n_shared_bands,
+           round(CAST(coalesce(i.n_common, 0) AS DOUBLE)
+                 / (sa.n + sb.n - coalesce(i.n_common, 0)), 6) AS jaccard,
+           round(CAST(coalesce(i.n_common, 0) AS DOUBLE)
+                 / least(sa.n, sb.n), 6) AS containment
+    FROM pairs p
+    LEFT JOIN inter i ON p.id_a = i.id_a AND p.id_b = i.id_b
+    JOIN sizes sa ON p.id_a = sa.doc_id
+    JOIN sizes sb ON p.id_b = sb.doc_id
+    """,
+)
+def dedup_pair_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup review table: every MinHash candidate pair with ALL
+    its evidence in one row — shared signature bands, exact shingle
+    Jaccard, and max-direction containment — what a human (or an
+    auto-threshold policy) adjudicates borderline pairs from, instead of
+    flipping between three operator outputs.
+
+    Scale shape: candidates come from the banded pipeline (never
+    all-pairs); exact scores are computed ONLY for candidates (the
+    intersection join restricts through the pair list via the LEFT
+    join); doc sizes broadcast."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.selectExpr("doc_id AS id_a", "n AS na")
+    sb = sizes.selectExpr("doc_id AS id_b", "n AS nb")
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .selectExpr(
+            "id_a",
+            "id_b",
+            "n_shared_bands",
+            "round(CAST(coalesce(n_common, 0) AS DOUBLE)"
+            " / (na + nb - coalesce(n_common, 0)), 6) AS jaccard",
+            "round(CAST(coalesce(n_common, 0) AS DOUBLE)"
+            " / least(na, nb), 6) AS containment",
+        )
+    )
