@@ -1008,3 +1008,107 @@ def proportion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         " + 1.959964D * 1.959964D / (4.0D * n * n)))"
         " / (1.0D + 1.959964D * 1.959964D / n), 6) AS ci_hi",
     )
+
+
+# --- two-way ANOVA with interaction ------------------------------------------
+_AOV2_CELL_SQL = """
+  SELECT l_returnflag AS a, l_linestatus AS b,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS s,
+         CAST(sum(CAST(CAST(l_quantity AS DECIMAL(25,6))
+                       * CAST(l_quantity AS DECIMAL(25,6)) AS DECIMAL(38,10)))
+              AS DOUBLE) AS ss
+  FROM lineitem GROUP BY a, b
+"""
+
+
+@query(
+    "anova_two_way",
+    oracle=f"""
+    WITH cell AS ({_AOV2_CELL_SQL}),
+    tot AS (
+      SELECT sum(n) AS n, sum(s) AS s, sum(ss) AS ss,
+             CAST(count(*) AS DOUBLE) AS n_cells
+      FROM cell
+    ),
+    ma AS (SELECT a, sum(n) AS n, sum(s) AS s FROM cell GROUP BY a),
+    mb AS (SELECT b, sum(n) AS n, sum(s) AS s FROM cell GROUP BY b),
+    comp AS (
+      SELECT (SELECT sum(s * s / n) FROM ma) - t.s * t.s / t.n AS ss_a,
+             (SELECT sum(s * s / n) FROM mb) - t.s * t.s / t.n AS ss_b,
+             (SELECT sum(s * s / n) FROM cell) - t.s * t.s / t.n AS ss_cells,
+             t.ss - (SELECT sum(s * s / n) FROM cell) AS ss_within,
+             (SELECT CAST(count(*) AS DOUBLE) FROM ma) - 1.0 AS df_a,
+             (SELECT CAST(count(*) AS DOUBLE) FROM mb) - 1.0 AS df_b,
+             t.n - t.n_cells AS df_w,
+             t.n_cells - (SELECT CAST(count(*) AS DOUBLE) FROM ma)
+               - (SELECT CAST(count(*) AS DOUBLE) FROM mb) + 1.0 AS df_ab
+      FROM tot t
+    )
+    SELECT round((ss_a / df_a) / (ss_within / df_w), 6) AS f_a,
+           round((ss_b / df_b) / (ss_within / df_w), 6) AS f_b,
+           round(((ss_cells - ss_a - ss_b) / df_ab)
+                 / (ss_within / df_w), 6) AS f_interaction,
+           CAST(df_w AS BIGINT) AS df_within
+    FROM comp
+    """,
+)
+def anova_two_way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way ANOVA of l_quantity on (returnflag x linestatus) with the
+    interaction term — anova_f's factorial extension (statsmodels
+    anova_lm type-1 on a balanced-ish design): F for each main effect
+    and for the interaction, from cell sufficient statistics only.
+
+    Distribution: ONE map-side cell aggregate (|A|x|B| rows); every sum
+    of squares is marginal arithmetic over that tiny table (sum(s²/n)
+    identities — no residual pass over the fact); decimal-exact sums,
+    one shared double tree, 6dp rounding."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cell = li.groupBy(
+        F.col("l_returnflag").alias("a"), F.col("l_linestatus").alias("b")
+    ).agg(
+        F.expr("CAST(count(*) AS DOUBLE) AS n"),
+        F.expr("CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS s"),
+        F.expr(
+            "CAST(sum(CAST(CAST(l_quantity AS DECIMAL(25,6))"
+            " * CAST(l_quantity AS DECIMAL(25,6)) AS DECIMAL(38,10)))"
+            " AS DOUBLE) AS ss"
+        ),
+    )
+    tot = cell.agg(
+        F.expr("sum(n) AS n"),
+        F.expr("sum(s) AS s"),
+        F.expr("sum(ss) AS ss"),
+        F.expr("CAST(count(*) AS DOUBLE) AS n_cells"),
+    )
+    ma = cell.groupBy("a").agg(F.expr("sum(n) AS n"), F.expr("sum(s) AS s"))
+    mb = cell.groupBy("b").agg(F.expr("sum(n) AS n"), F.expr("sum(s) AS s"))
+    sa = ma.agg(
+        F.expr("sum(s * s / n) AS qa"), F.expr("CAST(count(*) AS DOUBLE) AS ka")
+    )
+    sb = mb.agg(
+        F.expr("sum(s * s / n) AS qb"), F.expr("CAST(count(*) AS DOUBLE) AS kb")
+    )
+    sc = cell.agg(F.expr("sum(s * s / n) AS qc"))
+    comp = (
+        tot.crossJoin(F.broadcast(sa))
+        .crossJoin(F.broadcast(sb))
+        .crossJoin(F.broadcast(sc))
+        .selectExpr(
+            "qa - s * s / n AS ss_a",
+            "qb - s * s / n AS ss_b",
+            "qc - s * s / n AS ss_cells",
+            "ss - qc AS ss_within",
+            "ka - 1.0D AS df_a",
+            "kb - 1.0D AS df_b",
+            "n - n_cells AS df_w",
+            "n_cells - ka - kb + 1.0D AS df_ab",
+        )
+    )
+    return comp.selectExpr(
+        "round((ss_a / df_a) / (ss_within / df_w), 6) AS f_a",
+        "round((ss_b / df_b) / (ss_within / df_w), 6) AS f_b",
+        "round(((ss_cells - ss_a - ss_b) / df_ab)"
+        " / (ss_within / df_w), 6) AS f_interaction",
+        "CAST(df_w AS BIGINT) AS df_within",
+    )
