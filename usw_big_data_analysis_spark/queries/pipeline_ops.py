@@ -756,3 +756,74 @@ def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(name).alias("violation"), "n")
         out = orphans if out is None else out.unionByName(orphans)
     return out
+
+
+# --- association rules: confidence + lift over basket pairs ------------------
+_AR_MIN_PAIR = 3
+
+
+@query(
+    "basket_association_rules",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM items),
+    freq AS (
+      SELECT pk, CAST(count(*) AS BIGINT) AS cnt FROM items GROUP BY pk
+    ),
+    pairs AS (
+      SELECT a.pk AS ante, b.pk AS cons, CAST(count(*) AS BIGINT) AS pair_cnt
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk <> b.pk
+      GROUP BY a.pk, b.pk
+      HAVING count(*) >= {_AR_MIN_PAIR}
+    )
+    SELECT p.ante, p.cons, p.pair_cnt,
+           round(CAST(p.pair_cnt AS DOUBLE) / fa.cnt, 6) AS confidence,
+           round(CAST(p.pair_cnt AS DOUBLE) * nb.n_baskets
+                 / (CAST(fa.cnt AS DOUBLE) * fb.cnt), 6) AS lift
+    FROM pairs p
+    JOIN freq fa ON p.ante = fa.pk
+    JOIN freq fb ON p.cons = fb.pk
+    CROSS JOIN nb
+    ORDER BY lift DESC, p.ante, p.cons LIMIT 20
+    """,
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules ante→cons over order baskets with the
+    full metric triple — support (pair count), confidence
+    (P(cons|ante)) and lift (observed / independence) — the
+    market-basket output basket_pairs' raw counts feed; top-20 by lift.
+
+    Scale shape: one distinct-items pass, the wedge self-join bounded by
+    basket width, item frequencies and the basket count broadcast;
+    minimum pair support prunes before the metric join; top-k is
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.selectExpr("l_orderkey AS ok", "l_partkey AS pk").distinct()
+    nb = items.agg(F.expr("CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets"))
+    freq = items.groupBy("pk").agg(F.expr("CAST(count(*) AS BIGINT) AS cnt"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") != F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("ante"), F.col("b.pk").alias("cons"))
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS pair_cnt"))
+        .filter(f"pair_cnt >= {_AR_MIN_PAIR}")
+    )
+    fa = freq.selectExpr("pk AS ante", "cnt AS cnt_a")
+    fb = freq.selectExpr("pk AS cons", "cnt AS cnt_b")
+    return (
+        pairs.join(F.broadcast(fa), "ante")
+        .join(F.broadcast(fb), "cons")
+        .crossJoin(F.broadcast(nb))
+        .selectExpr(
+            "ante",
+            "cons",
+            "pair_cnt",
+            "round(CAST(pair_cnt AS DOUBLE) / cnt_a, 6) AS confidence",
+            "round(CAST(pair_cnt AS DOUBLE) * n_baskets"
+            " / (CAST(cnt_a AS DOUBLE) * cnt_b), 6) AS lift",
+        )
+        .orderBy(F.desc("lift"), F.asc("ante"), F.asc("cons"))
+        .limit(20)
+    )
