@@ -1387,3 +1387,104 @@ def retrieval_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS BIGINT) AS rrf_e9",
     )
     return fused.orderBy(F.desc("rrf_e9"), F.asc("doc_id")).limit(_RRF_TOP)
+
+
+# --- nDCG@10 of the BM25 ranking against term-coverage relevance -------------
+@query(
+    "retrieval_ndcg",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents) t
+      GROUP BY doc_id, word
+    ),
+    rel AS (
+      SELECT doc_id, CAST(count(DISTINCT word) AS BIGINT) AS gain
+      FROM tf WHERE word IN ('{"', '".join(_BM25_TERMS)}')
+      GROUP BY doc_id
+    ),
+    hits AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS qtf
+      FROM tf WHERE word IN ('{"', '".join(_BM25_TERMS)}')
+      GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT h.doc_id, r.gain,
+             row_number() OVER (ORDER BY h.qtf DESC, h.doc_id) AS rnk
+      FROM hits h JOIN rel r ON h.doc_id = r.doc_id
+      QUALIFY rnk <= 10
+    ),
+    ideal AS (
+      SELECT gain, row_number() OVER (ORDER BY gain DESC, doc_id) AS rnk
+      FROM rel QUALIFY rnk <= 10
+    ),
+    dcg AS (
+      SELECT CAST(sum(CAST(round(gain / round(log2(rnk + 1.0), 8) * 100000000)
+                           AS BIGINT)) AS BIGINT) AS dcg8
+      FROM ranked
+    ),
+    idcg AS (
+      SELECT CAST(sum(CAST(round(gain / round(log2(rnk + 1.0), 8) * 100000000)
+                           AS BIGINT)) AS BIGINT) AS idcg8
+      FROM ideal
+    )
+    SELECT round(CAST(dcg.dcg8 AS DOUBLE) / idcg.idcg8, 6) AS ndcg_at_10,
+           dcg.dcg8, idcg.idcg8
+    FROM dcg CROSS JOIN idcg
+    """,
+)
+def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the raw-term-frequency ranking against a term-coverage
+    relevance label (gain = number of distinct query terms the document
+    contains) — the retrieval-quality gate for the IR family
+    (bm25_doc_ranking / retrieval_rank_fusion). DCG discounts are
+    1/log2(rank+1) with the 8dp-rounded log convention; each
+    contribution is an exact 1e-8 integer so both sums are
+    order-independent bigints; one double division at the end.
+
+    Scale shape: ranking and ideal lists are 10-row shortlists
+    (TakeOrderedAndProject); ranks come from bounded_seq's triangular
+    row numbers; everything upstream is query-term posting lists."""
+    from ..operators.bounded_seq import ordered_row_numbers
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS tf"))
+    )
+    qterms = tf.filter(F.col("word").isin(*_BM25_TERMS))
+    rel = qterms.groupBy("doc_id").agg(
+        F.expr("CAST(count(DISTINCT word) AS BIGINT) AS gain")
+    )
+    hits = qterms.groupBy("doc_id").agg(F.expr("CAST(sum(tf) AS BIGINT) AS qtf"))
+    ranked_top = (
+        hits.join(rel, "doc_id")
+        .orderBy(F.desc("qtf"), F.asc("doc_id"))
+        .limit(10)
+    )
+    ranked = ordered_row_numbers(
+        ranked_top, [("qtf", False), ("doc_id", True)], out="rnk"
+    )
+    ideal_top = rel.orderBy(F.desc("gain"), F.asc("doc_id")).limit(10)
+    ideal = ordered_row_numbers(
+        ideal_top, [("gain", False), ("doc_id", True)], out="rnk"
+    )
+    dcg = ranked.agg(
+        F.expr(
+            "CAST(sum(CAST(round(gain / round(log2(rnk + 1.0D), 8)"
+            " * 100000000, 0) AS BIGINT)) AS BIGINT) AS dcg8"
+        )
+    )
+    idcg = ideal.agg(
+        F.expr(
+            "CAST(sum(CAST(round(gain / round(log2(rnk + 1.0D), 8)"
+            " * 100000000, 0) AS BIGINT)) AS BIGINT) AS idcg8"
+        )
+    )
+    return dcg.crossJoin(F.broadcast(idcg)).selectExpr(
+        "round(CAST(dcg8 AS DOUBLE) / idcg8, 6) AS ndcg_at_10",
+        "dcg8",
+        "idcg8",
+    )
