@@ -668,3 +668,68 @@ def doc_length_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in _CTX_SIZES
         ],
     )
+
+
+# --- the shipping manifest: what actually goes to training -------------------
+@query(
+    "training_data_manifest",
+    oracle="""
+    WITH exact_w AS (
+      SELECT md5(text) AS h, min(doc_id) AS keeper FROM documents
+      GROUP BY md5(text)
+    ),
+    kept AS (
+      SELECT d.doc_id, d.source, d.lang,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+      FROM documents d
+      JOIN exact_w w ON md5(d.text) = w.h AND d.doc_id = w.keeper
+      WHERE d.lang = 'en' AND len(string_split(d.text, ' ')) >= 10
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(min(n_tok) AS BIGINT) AS min_tok,
+           CAST(max(n_tok) AS BIGINT) AS max_tok,
+           CAST(sum(n_tok) * 1000000
+                // sum(sum(n_tok)) OVER () AS BIGINT) AS token_share_ppm
+    FROM kept GROUP BY source
+    """,
+)
+def training_data_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shipping manifest: per source, exactly what survives the
+    baseline hygiene gates (language = en, length >= 10 tokens, exact
+    dedup keep-min) with document/token counts, length envelope, and
+    each source's token share of the final mix — the one table a
+    training run records next to its data card. One composed Catalyst
+    plan: exact-winner min aggregate, gate filters in the scan
+    projection, a single rollup; the share uses a window over the
+    |sources| aggregate (bounded)."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact_w = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.expr("min(doc_id) AS keeper")
+    )
+    kept = (
+        docs.withColumn("h", F.md5("text"))
+        .join(exact_w, "h")
+        .filter("doc_id = keeper")
+        .filter("lang = 'en' AND size(split(text, ' ')) >= 10")
+        .selectExpr(
+            "doc_id", "source",
+            "CAST(size(split(text, ' ')) AS BIGINT) AS n_tok",
+        )
+    )
+    per_src = kept.groupBy("source").agg(
+        F.expr("count(*) AS n_docs"),
+        F.expr("CAST(sum(n_tok) AS BIGINT) AS n_tokens"),
+        F.expr("CAST(min(n_tok) AS BIGINT) AS min_tok"),
+        F.expr("CAST(max(n_tok) AS BIGINT) AS max_tok"),
+    )
+    tot = per_src.agg(F.expr("CAST(sum(n_tokens) AS BIGINT) AS total_tok"))
+    return per_src.crossJoin(F.broadcast(tot)).selectExpr(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "min_tok",
+        "max_tok",
+        "CAST(n_tokens * 1000000 div total_tok AS BIGINT) AS token_share_ppm",
+    )
