@@ -1163,3 +1163,38 @@ def metric_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("CAST(max(npos) AS BIGINT) AS npos"),
     )
+
+
+# --- Brier score (exact integer form) ----------------------------------------
+@query(
+    "metric_brier",
+    oracle=f"""
+    WITH s AS ({_SCORED_SQL}),
+    m AS (
+      SELECT CAST(round(prob * 1000) AS BIGINT) - 1000 * label AS m
+      FROM s
+    )
+    SELECT count(*) AS n,
+           CAST(sum(m * m) AS BIGINT) AS sum_sq_milli,
+           round(CAST(sum(m * m) AS DOUBLE) / (1000000.0 * count(*)), 6)
+             AS brier
+    FROM m
+    """,
+)
+def metric_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score of the scored frame — the proper scoring rule that
+    complements logloss (bounded, decomposable into
+    reliability/resolution via metric_calibration's bins). The scored
+    probabilities are exact milli-units by construction, so (prob −
+    label)² = m²/10⁶ with m an integer: the whole score is ONE exact
+    bigint sum and a final division — no float summation anywhere."""
+    s = scored_frame(spark, sf_dir)
+    m = s.selectExpr("CAST(round(prob * 1000, 0) AS BIGINT) - 1000 * label AS m")
+    return m.agg(
+        F.expr("count(*) AS n"),
+        F.expr("CAST(sum(m * m) AS BIGINT) AS sum_sq_milli"),
+        F.expr(
+            "round(CAST(sum(m * m) AS DOUBLE) / (1000000.0D * count(*)), 6)"
+            " AS brier"
+        ),
+    )
