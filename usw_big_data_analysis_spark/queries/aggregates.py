@@ -1068,3 +1068,36 @@ def mean_convergence_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(s / n, 6) AS mean_prefix",
         "round(abs(s / n - mu), 6) AS abs_delta_vs_full",
     )
+
+
+# --- conditional demand curve: mean quantity per price band ------------------
+@query(
+    "price_quantity_curve",
+    oracle=f"""
+    SELECT CAST(least(floor(l_extendedprice / 10000), 9) AS INT)
+             AS price_band,
+           count(*) AS n,
+           {N.sql_davg('l_quantity')} AS mean_qty,
+           round({N.sql_dstd('l_quantity')}
+                 / sqrt(CAST(count(*) AS DOUBLE)), 6) AS sem_qty
+    FROM lineitem
+    GROUP BY price_band
+    """,
+)
+def price_quantity_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional demand curve: mean ordered quantity (with its standard
+    error) per price band — the elasticity-shaped readout hist2d's joint
+    counts feed (a downward-sloping curve is the textbook signal). One
+    map-side aggregate over 10 bands; decimal-exact moments."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.expr("CAST(least(floor(l_extendedprice / 10000), 9) AS INT)").alias(
+            "price_band"
+        )
+    ).agg(
+        F.count("*").alias("n"),
+        N.davg("l_quantity").alias("mean_qty"),
+        F.round(
+            N.dstd("l_quantity") / F.sqrt(F.count("*").cast("double")), 6
+        ).alias("sem_qty"),
+    )
