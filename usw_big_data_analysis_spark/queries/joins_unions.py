@@ -401,3 +401,79 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id_r AS purchase_id",
         "us_r AS purchase_ts_us",
     )
+
+
+# --- cogrouped-pandas as-of merge (API twin of join_asof) --------------------
+@query(
+    "cogroup_asof_pandas",
+    oracle="""
+    SELECT l.user_id,
+           count(*) AS n_clicks,
+           CAST(sum(CAST(r.event_id IS NOT NULL AS INT)) AS BIGINT)
+             AS n_matched,
+           CAST(sum(coalesce(r.event_id, 0)) AS BIGINT) AS sum_purchase_ids
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    GROUP BY l.user_id
+    """,
+)
+def cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of join executed through the COGROUPED Arrow interface:
+    clicks and purchases cogroup by user and each group pair merges with
+    pandas.merge_asof inside the UDF — the per-key escape hatch for
+    temporal logic the relational union-and-carry operator (join_asof)
+    can't host (model scoring between the match and the emit, say).
+    Same semantics, independently verified: the oracle is DuckDB's
+    native ASOF JOIN, and the relational twin covers the plan-quality
+    side. Output is a per-user match summary (counts + id checksum), so
+    the comparison pins every match without hashing wide rows.
+
+    Scale shape: ONE hash shuffle of each side on user_id; each group
+    pair is an Arrow batch; no global sort."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter("event_type = 'click'").select("user_id", "ts")
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "user_id", "ts", "event_id"
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values("ts")
+        uid = int(left["user_id"].iloc[0]) if len(left) else None
+        if uid is None:
+            return pd.DataFrame(
+                {"user_id": [], "n_clicks": [], "n_matched": [],
+                 "sum_purchase_ids": []}
+            )
+        if len(right):
+            right = right.sort_values("ts")
+            m = pd.merge_asof(
+                left, right.rename(columns={"ts": "pts"}),
+                left_on="ts", right_on="pts", by="user_id",
+                direction="backward", allow_exact_matches=True,
+            )
+            matched = m["event_id"].notna()
+            sum_ids = int(m["event_id"].fillna(0).sum())
+        else:
+            matched = pd.Series([False] * len(left))
+            sum_ids = 0
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_clicks": [len(left)],
+                "n_matched": [int(matched.sum())],
+                "sum_purchase_ids": [sum_ids],
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id long, n_clicks long, n_matched long,"
+            " sum_purchase_ids long",
+        )
+    )

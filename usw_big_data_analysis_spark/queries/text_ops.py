@@ -1568,3 +1568,43 @@ def source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("rn <= 3")
         .select("source", "word", "zscore")
     )
+
+
+# --- mapInArrow twin of the token counter ------------------------------------
+@query(
+    "text_token_count_arrow",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def text_token_count_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token totals computed INSIDE a mapInArrow batch — the
+    zero-copy Arrow RecordBatch interface below mapInPandas (no pandas
+    materialization; pyarrow compute splits and counts columnar-ly).
+    Semantically a twin of text_token_count's relational form, kept
+    oracle-checked so the Arrow path itself is verified bit-exact — the
+    template for vectorized tokenizers that outgrow JVM string
+    functions. Partial counts aggregate map-side after the UDF."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+
+    def count_tokens(batches):
+        for batch in batches:
+            source = batch.column("source")
+            toks = pc.list_value_length(
+                pc.split_pattern(batch.column("text"), " ")
+            ).cast(pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [source, toks], names=["source", "n_tok"]
+            )
+
+    counted = docs.mapInArrow(count_tokens, "source string, n_tok long")
+    return counted.groupBy("source").agg(
+        F.expr("count(*) AS n_docs"),
+        F.expr("CAST(sum(n_tok) AS BIGINT) AS n_tokens"),
+    )
