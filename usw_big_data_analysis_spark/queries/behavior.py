@@ -1703,3 +1703,55 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rev.withColumn(
         "cum_cents", F.sum("cents").over(w).cast("bigint")
     )
+
+
+# --- error-vs-volume correlation over hourly buckets -------------------------
+@query(
+    "error_volume_correlation",
+    oracle=f"""
+    WITH h AS (
+      SELECT epoch_us(ts) // {_US_HOUR} AS hr,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(sum(CAST(event_type = 'error' AS INT)) AS BIGINT) AS y
+      FROM events GROUP BY hr
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy
+      FROM h
+    )
+    SELECT CAST(n AS BIGINT) AS n_hours,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS pearson_r
+    FROM s
+    """,
+)
+def error_volume_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between hourly traffic volume and hourly error
+    count — the load-vs-failure diagnostic (r near 1 = errors scale with
+    load, a capacity smell; r near 0 = load-independent faults). Both
+    series are integer counts, so every sufficient statistic is an exact
+    bigint sum — no decimal casts needed — and the correlation is one
+    shared double tree over the hours-bounded rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(F.expr(f"unix_micros(ts) div {_US_HOUR}").alias("hr")).agg(
+        F.expr("CAST(count(*) AS BIGINT) AS x"),
+        F.expr("CAST(sum(CAST(event_type = 'error' AS INT)) AS BIGINT) AS y"),
+    )
+    s = h.agg(
+        F.expr("CAST(count(*) AS DOUBLE) AS n"),
+        F.expr("CAST(sum(x) AS DOUBLE) AS sx"),
+        F.expr("CAST(sum(y) AS DOUBLE) AS sy"),
+        F.expr("CAST(sum(x * x) AS DOUBLE) AS sxx"),
+        F.expr("CAST(sum(y * y) AS DOUBLE) AS syy"),
+        F.expr("CAST(sum(x * y) AS DOUBLE) AS sxy"),
+    )
+    return s.selectExpr(
+        "CAST(n AS BIGINT) AS n_hours",
+        "round((n * sxy - sx * sy)"
+        " / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS pearson_r",
+    )
