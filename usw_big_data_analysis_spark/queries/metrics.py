@@ -1198,3 +1198,60 @@ def metric_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS brier"
         ),
     )
+
+
+# --- split-integrity audit: entity leakage across splits ---------------------
+@query(
+    "split_leakage_audit",
+    oracle="""
+    WITH row_split AS (
+      SELECT o_custkey,
+             CAST(max(CAST(o_orderkey % 5 = 4 AS INT)) AS INT) AS in_test,
+             CAST(max(CAST(o_orderkey % 5 <> 4 AS INT)) AS INT) AS in_train
+      FROM orders GROUP BY o_custkey
+    ),
+    grp_split AS (
+      SELECT o_custkey,
+             CAST(max(CAST(o_custkey % 5 = 4 AS INT)) AS INT) AS in_test,
+             CAST(max(CAST(o_custkey % 5 <> 4 AS INT)) AS INT) AS in_train
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT 'row_split' AS scheme,
+           count(*) AS n_entities,
+           CAST(sum(CAST(in_test = 1 AND in_train = 1 AS INT)) AS BIGINT)
+             AS n_leaked
+    FROM row_split
+    UNION ALL
+    SELECT 'group_split', count(*),
+           CAST(sum(CAST(in_test = 1 AND in_train = 1 AS INT)) AS BIGINT)
+    FROM grp_split
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-integrity audit: how many ENTITIES (customers) appear on
+    both sides of the train/test boundary under a row-keyed split versus
+    a group-keyed split — the contamination check that motivates
+    GroupKFold (a row split leaks nearly every multi-order customer; the
+    group split must leak zero). One per-entity aggregate per scheme,
+    unioned; all-integer."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def scheme(name: str, test_pred: str) -> DataFrame:
+        per = orders.groupBy("o_custkey").agg(
+            F.expr(f"CAST(max(CAST({test_pred} AS INT)) AS INT) AS in_test"),
+            F.expr(
+                f"CAST(max(CAST(NOT ({test_pred}) AS INT)) AS INT) AS in_train"
+            ),
+        )
+        return per.agg(
+            F.expr(f"'{name}' AS scheme"),
+            F.expr("count(*) AS n_entities"),
+            F.expr(
+                "CAST(sum(CAST(in_test = 1 AND in_train = 1 AS INT))"
+                " AS BIGINT) AS n_leaked"
+            ),
+        )
+
+    return scheme("row_split", "o_orderkey % 5 = 4").unionByName(
+        scheme("group_split", "o_custkey % 5 = 4")
+    )

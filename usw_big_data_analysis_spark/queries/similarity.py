@@ -1621,3 +1621,66 @@ def embed_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_bucket",
         "CAST(pair_probes * 1000 div n_vecs AS BIGINT) AS avg_candidates_x1000",
     )
+
+
+# --- per-vector standardization (layernorm-prep) audit -----------------------
+@query(
+    "embed_standardize_audit",
+    oracle=f"""
+    WITH expl AS ({_EXPL_SQL}),
+    pv AS (
+      SELECT vec_id,
+             CAST(count(*) AS DOUBLE) AS d,
+             CAST(sum(CAST(v AS DECIMAL(25,12))) AS DOUBLE) AS s,
+             CAST(sum(CAST(v * v AS DECIMAL(30,15))) AS DOUBLE) AS ss
+      FROM expl GROUP BY vec_id
+    ),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    st AS (
+      SELECT l.label,
+             round(p.s / p.d, 8) AS mu,
+             round(sqrt(greatest(p.ss / p.d - (p.s / p.d) * (p.s / p.d),
+                                 1e-15)), 8) AS sigma
+      FROM pv p JOIN lab l ON p.vec_id = l.vec_id
+    )
+    SELECT label, count(*) AS n_vecs,
+           round(CAST(sum(CAST(mu AS DECIMAL(20,8))) AS DOUBLE) / count(*), 6)
+             AS mean_mu,
+           round(CAST(sum(CAST(sigma AS DECIMAL(20,8))) AS DOUBLE)
+                 / count(*), 6) AS mean_sigma,
+           CAST(sum(CAST(abs(mu) > 0.25 AS INT)) AS BIGINT) AS n_off_center
+    FROM st GROUP BY label
+    """,
+)
+def embed_standardize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector standardization audit (the layernorm-prep check): each
+    embedding's across-dimension mean and sigma, rolled up per label —
+    mean_mu far from 0 or wildly varying sigma flags vectors that need
+    per-vector normalization before cosine/ANN work treats them
+    comparably. One pass over the exploded vectors; per-vector moments
+    decimal-summed, 8dp-rounded before the decimal label means; the
+    1e-15 variance clip absorbs constant vectors."""
+    expl = _exploded(spark, sf_dir)
+    pv = expl.groupBy("vec_id").agg(
+        F.expr("CAST(count(*) AS DOUBLE) AS d"),
+        F.expr("CAST(sum(CAST(v AS DECIMAL(25,12))) AS DOUBLE) AS s"),
+        F.expr("CAST(sum(CAST(v * v AS DECIMAL(30,15))) AS DOUBLE) AS ss"),
+    )
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    st = pv.join(lab, "vec_id").selectExpr(
+        "label",
+        "round(s / d, 8) AS mu",
+        "round(sqrt(greatest(ss / d - (s / d) * (s / d), 1e-15)), 8) AS sigma",
+    )
+    return st.groupBy("label").agg(
+        F.expr("count(*) AS n_vecs"),
+        F.expr(
+            "round(CAST(sum(CAST(mu AS DECIMAL(20,8))) AS DOUBLE)"
+            " / count(*), 6) AS mean_mu"
+        ),
+        F.expr(
+            "round(CAST(sum(CAST(sigma AS DECIMAL(20,8))) AS DOUBLE)"
+            " / count(*), 6) AS mean_sigma"
+        ),
+        F.expr("CAST(sum(CAST(abs(mu) > 0.25D AS INT)) AS BIGINT) AS n_off_center"),
+    )
