@@ -1608,3 +1608,100 @@ def text_token_count_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("count(*) AS n_docs"),
         F.expr("CAST(sum(n_tok) AS BIGINT) AS n_tokens"),
     )
+
+
+# --- PMI-graph word clusters -------------------------------------------------
+_WC_PMI_MIN_X1000 = 1300  # keep edges with N*c_xy/(c_x*c_y) > 1.3
+_WC_MIN_CXY = 5
+
+
+@query(
+    "word_cooccurrence_clusters",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM d, UNNEST(range(1, len(t))) AS r(i)
+    ),
+    bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy FROM bg
+           WHERE w1 <> w2 GROUP BY w1, w2),
+    uni AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c_w FROM uni GROUP BY w),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM uni),
+    sel AS (
+      SELECT least(bc.w1, bc.w2) AS a, greatest(bc.w1, bc.w2) AS b
+      FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w, n
+      WHERE bc.c_xy >= {_WC_MIN_CXY}
+        AND bc.c_xy * n.n_total * 1000 > {_WC_PMI_MIN_X1000} * u1.c_w * u2.c_w
+    ),
+    edges AS (
+      SELECT DISTINCT a, b FROM sel
+      UNION SELECT b, a FROM sel
+    ),
+    walk(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, w.label FROM walk w JOIN edges e ON w.node = e.a
+      WHERE w.label < e.b
+    ),
+    comp AS (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node),
+    sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz FROM comp
+              GROUP BY cluster_id)
+    SELECT sz AS cluster_size, count(*) AS n_clusters
+    FROM sizes GROUP BY sz
+    """,
+)
+def word_cooccurrence_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-ish word communities: adjacent-word pairs whose PMI ratio
+    clears a threshold (with minimum co-occurrence support) form an
+    undirected graph; connected components give word clusters, reported
+    as a size histogram — the cheap distributional-semantics grouping
+    run before any embedding-based topic model exists.
+
+    Exactness: the PMI gate cross-multiplies integers (c_xy·N·1000 >
+    θ·c_x·c_y — no division, no logs). Scale shape: bigram counts are
+    map-side; components come from the iterative min-label operator
+    (graph_ops, localCheckpointed rounds); the oracle's recursive CTE is
+    an independent fixpoint formulation."""
+    from ..operators.graph_ops import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(F.split("text", " ").alias("t")).filter("size(t) >= 2")
+    bg = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1,"
+                " element_at(t, i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bc = (
+        bg.filter("w1 <> w2")
+        .groupBy("w1", "w2")
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS c_xy"))
+    )
+    uni = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    uc = uni.groupBy("w").agg(F.expr("CAST(count(*) AS BIGINT) AS c_w"))
+    n = uni.agg(F.expr("CAST(count(*) AS BIGINT) AS n_total"))
+    sel = (
+        bc.join(F.broadcast(uc.selectExpr("w AS w1", "c_w AS c1")), "w1")
+        .join(F.broadcast(uc.selectExpr("w AS w2", "c_w AS c2")), "w2")
+        .crossJoin(F.broadcast(n))
+        .filter(
+            f"c_xy >= {_WC_MIN_CXY} AND"
+            f" c_xy * n_total * 1000 > {_WC_PMI_MIN_X1000} * c1 * c2"
+        )
+        .selectExpr("least(w1, w2) AS a", "greatest(w1, w2) AS b")
+        .distinct()
+    )
+    comp = connected_components(sel, "a", "b")
+    sizes = comp.groupBy("component").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS sz")
+    )
+    return sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.expr("count(*) AS n_clusters")
+    )
