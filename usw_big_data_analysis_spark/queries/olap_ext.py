@@ -1071,3 +1071,44 @@ def recs_popularity_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("rnk <= 3")
         .selectExpr("CAST(nation AS INT) AS nation", "l_partkey", "n_bought", "rnk")
     )
+
+
+# --- duplicate order submissions ---------------------------------------------
+@query(
+    "duplicate_order_detection",
+    oracle="""
+    SELECT o_custkey,
+           epoch_us(o_orderdate) AS date_us,
+           count(*) AS n_orders,
+           CAST(max(CAST(round(o_totalprice * 100) AS BIGINT))
+                - min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents_spread
+    FROM orders
+    GROUP BY o_custkey, date_us
+    HAVING count(*) >= 2
+    """,
+)
+def duplicate_order_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential duplicate submissions: customers with 2+ orders on the
+    SAME day, with the price spread inside each group (near-zero spread
+    = the strongest double-charge suspicion) — the order-hygiene audit
+    that runs before revenue reporting. One map-side aggregate with a
+    HAVING prune; exact cents."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            "o_custkey",
+            F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").alias(
+                "date_us"
+            ),
+        )
+        .agg(
+            F.expr("count(*) AS n_orders"),
+            F.expr(
+                "CAST(max(CAST(round(o_totalprice * 100) AS BIGINT))"
+                " - min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+                " AS cents_spread"
+            ),
+        )
+        .filter("n_orders >= 2")
+    )
