@@ -1755,3 +1755,49 @@ def error_volume_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round((n * sxy - sx * sy)"
         " / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS pearson_r",
     )
+
+
+# --- night-activity user segments --------------------------------------------
+@query(
+    "night_activity_segments",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST((epoch_us(ts) % {_US_DAY}) // 3600000000 < 6
+                           AS INT)) AS BIGINT) AS n_night
+      FROM events GROUP BY user_id
+    ),
+    seg AS (
+      SELECT user_id, n_events,
+             CAST(least(n_night * 4 // n_events, 3) AS INT) AS night_band
+      FROM u
+    )
+    SELECT night_band, count(*) AS n_users,
+           CAST(sum(n_events) AS BIGINT) AS n_events
+    FROM seg GROUP BY night_band
+    """,
+)
+def night_activity_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Night-owl segmentation: each user's share of activity in the
+    00:00-06:00 UTC window, banded into quartile-width buckets (integer
+    cross-multiplied — no float shares) — the temporal-behavior feature
+    fraud and engagement models both consume. One per-user aggregate +
+    a 4-row rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_events"),
+        F.expr(
+            f"CAST(sum(CAST((unix_micros(ts) % {_US_DAY}) div 3600000000 < 6"
+            " AS INT)) AS BIGINT) AS n_night"
+        ),
+    )
+    seg = u.selectExpr(
+        "user_id",
+        "n_events",
+        "CAST(least(n_night * 4 div n_events, 3) AS INT) AS night_band",
+    )
+    return seg.groupBy("night_band").agg(
+        F.expr("count(*) AS n_users"),
+        F.expr("CAST(sum(n_events) AS BIGINT) AS n_events"),
+    )
