@@ -1327,3 +1327,108 @@ def dedup_pair_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / least(na, nb), 6) AS containment",
         )
     )
+
+
+# --- MinHash banding-parameter sweep -----------------------------------------
+# (bands, rows-per-band) layouts over the SAME 8 minhashes; band keys are
+# md5 over the concatenated member hashes (the _band_frame convention).
+_BSWEEP = ((2, 4), (4, 2), (8, 1))
+
+_BSWEEP_SIG_CTE = f"""
+    sh AS ({_SHINGLES_SQL}),
+    sh9 AS (SELECT doc_id, ({_h_sql('s')}) % {_MH_P} AS h9 FROM sh),
+    sig AS (SELECT doc_id, {_SIG_COLS} FROM sh9 GROUP BY doc_id)
+"""
+
+
+def _bsweep_union_sql() -> str:
+    parts = []
+    for nb, r in _BSWEEP:
+        band_keys = ", ".join(
+            "md5(concat_ws(',', "
+            + ", ".join(f"h{b * r + j}" for j in range(r))
+            + f")) AS k{b}"
+            for b in range(nb)
+        )
+        band_rows = " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, k{b} AS band_key FROM keyed{nb}"
+            for b in range(nb)
+        )
+        parts.append(
+            f"""keyed{nb} AS (SELECT doc_id, {band_keys} FROM sig),
+    bands{nb} AS ({band_rows}),
+    pairs{nb} AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands{nb} a JOIN bands{nb} b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {nb} AS n_bands, {r} AS rows_per_band,"
+        f" CAST(count(*) AS BIGINT) AS n_candidate_pairs FROM pairs{nb}"
+        for nb, r in _BSWEEP
+    )
+    return (
+        "WITH " + _BSWEEP_SIG_CTE + ",\n    " + ",\n    ".join(parts)
+        + "\n    " + selects
+    )
+
+
+@query("dedup_minhash_band_sweep", oracle=_bsweep_union_sql())
+def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash S-curve knob, measured: candidate-pair counts when the
+    SAME 8-hash signatures are banded as (2x4), (4x2) and (8x1) — more
+    bands = more candidates = higher recall at higher cost (P(cand) =
+    1-(1-J^r)^b). This is the table that justifies dedup_minhash_lsh's
+    4x2 choice, the signature-level sibling of embed_lsh_tuning_curve.
+
+    Scale shape: the signature pipeline runs once; each layout is a
+    projection + bucket equi-join (never all-pairs); counts only — the
+    pair sets themselves never leave the executors."""
+    sig = _sig_frame(spark, sf_dir).localCheckpoint()
+    frames = []
+    for nb, r in _BSWEEP:
+        bands = sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.md5(
+                                F.concat_ws(
+                                    ",",
+                                    *[
+                                        F.col(f"h{b * r + j}").cast("string")
+                                        for j in range(r)
+                                    ],
+                                )
+                            ).alias("band_key"),
+                        )
+                        for b in range(nb)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("doc_id", "bk.band", "bk.band_key")
+        a, c = bands.alias("a"), bands.alias("c")
+        pairs = (
+            a.join(
+                c,
+                (F.col("a.band") == F.col("c.band"))
+                & (F.col("a.band_key") == F.col("c.band_key"))
+                & (F.col("a.doc_id") < F.col("c.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("id_a"), F.col("c.doc_id").alias("id_b"))
+            .distinct()
+        )
+        frames.append(
+            pairs.agg(
+                F.expr(f"{nb} AS n_bands"),
+                F.expr(f"{r} AS rows_per_band"),
+                F.expr("CAST(count(*) AS BIGINT) AS n_candidate_pairs"),
+            )
+        )
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, frames)
