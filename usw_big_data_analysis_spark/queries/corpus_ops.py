@@ -733,3 +733,56 @@ def training_data_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_tok",
         "CAST(n_tokens * 1000000 div total_tok AS BIGINT) AS token_share_ppm",
     )
+
+
+# --- composite document quality score ----------------------------------------
+@query(
+    "doc_quality_score_composite",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tok,
+             len(list_distinct(string_split(text, ' '))) AS n_types,
+             CAST(lang = 'en' AS INT) AS is_en
+      FROM documents
+    ),
+    sc AS (
+      SELECT source,
+             CAST(least(n_tok, 50) * 40 // 50
+                  + (n_types * 100 // n_tok) * 40 // 100
+                  + is_en * 20 AS BIGINT) AS score
+      FROM f
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CAST(score >= 60 AS INT)) AS BIGINT) AS n_pass,
+           CAST(sum(score) AS BIGINT) AS score_sum
+    FROM sc GROUP BY source
+    """,
+)
+def doc_quality_score_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite 0-100 document quality score — 40 points for length (to
+    a 50-token cap), 40 for type-token diversity, 20 for the target
+    language — with a pass threshold at 60: the single-number gate that
+    replaces chained booleans when a pipeline wants RANKED quality
+    (curriculum ordering, budget-constrained selection). Pure integer
+    arithmetic throughout (scaled divisions, no floats); one scan, one
+    per-source rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.selectExpr(
+        "source",
+        "size(split(text, ' ')) AS n_tok",
+        "size(array_distinct(split(text, ' '))) AS n_types",
+        "CAST(lang = 'en' AS INT) AS is_en",
+    )
+    sc = f.selectExpr(
+        "source",
+        "CAST(least(n_tok, 50) * 40 div 50"
+        " + (n_types * 100 div n_tok) * 40 div 100"
+        " + is_en * 20 AS BIGINT) AS score",
+    )
+    return sc.groupBy("source").agg(
+        F.expr("count(*) AS n_docs"),
+        F.expr("CAST(sum(CAST(score >= 60 AS INT)) AS BIGINT) AS n_pass"),
+        F.expr("CAST(sum(score) AS BIGINT) AS score_sum"),
+    )
