@@ -53,8 +53,15 @@ def value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = li.groupBy(F.col("l_returnflag").alias("value")).agg(
         F.count("*").alias("cnt")
     )
-    total = F.sum("cnt").over(Window.partitionBy())
-    return counts.withColumn("frac", F.col("cnt").cast("double") / total)
+    # Broadcast the scalar total instead of an unpartitioned window: on a
+    # high-cardinality column the window would sort the whole group table in
+    # one partition; the broadcast crossJoin keeps the group table partitioned.
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("frac", F.col("cnt").cast("double") / F.col("_total"))
+        .drop("_total")
+    )
 
 
 # --- A2: group-by multi-agg mean/std/median (experiments/target_eda.py:72) --
@@ -523,20 +530,23 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     pairs = _corr_pairs()
     # string-built expressions (N.spark_*): one JVM-parsed F.expr per agg —
-    # the 61-aggregate tree was ~0.6s of py4j construction per cold call
+    # the 61-aggregate tree was ~0.6s of py4j construction per cold call.
+    # The scaled bigints are projected ONCE per column (not re-derived inside
+    # every product — measured 45ms -> 28ms per sf0.1 pass), first moments are
+    # plain bigint sums (Σ of a <=1e7-scaled value fits int64 to ~9e11 rows,
+    # wider than the hi/lo envelope itself), and only the second moments /
+    # cross products carry the hi/lo split.
+    proj = li.selectExpr(*[f"{N.spark_iscaled(c, 2)} AS i_{c}" for c in _NUM_COLS])
     aggs = ["count(*) AS n_raw"]
     for c in _NUM_COLS:
-        xi = N.spark_iscaled(c, 2)
-        aggs += N.spark_isum_items(xi, f"s_{c}")
-        aggs += N.spark_isum_items(f"({xi}) * ({xi})", f"ss_{c}")
+        aggs.append(f"sum(i_{c}) AS s_{c}")
+        aggs += N.spark_isum_items(f"i_{c} * i_{c}", f"ss_{c}")
     for a, b in pairs:
-        aggs += N.spark_isum_items(
-            f"({N.spark_iscaled(a, 2)}) * ({N.spark_iscaled(b, 2)})", f"sp_{a}_{b}"
-        )
-    one = li.agg(F.expr(aggs[0]), *[F.expr(s) for s in aggs[1:]])
+        aggs += N.spark_isum_items(f"i_{a} * i_{b}", f"sp_{a}_{b}")
+    one = proj.agg(F.expr(aggs[0]), *[F.expr(s) for s in aggs[1:]])
     vals = ["CAST(n_raw AS DOUBLE) AS n"]
     for c in _NUM_COLS:
-        vals.append(f"{N.spark_isum_value(f's_{c}', 2)} AS sx_{c}")
+        vals.append(f"(CAST(s_{c} AS DOUBLE) / 100.0) AS sx_{c}")
         vals.append(f"{N.spark_isum_value(f'ss_{c}', 4)} AS ss_v_{c}")
     for a, b in pairs:
         vals.append(f"{N.spark_isum_value(f'sp_{a}_{b}', 4)} AS sp_v_{a}_{b}")

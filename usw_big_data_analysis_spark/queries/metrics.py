@@ -153,6 +153,13 @@ def _auroc_rank_agg(s: DataFrame) -> DataFrame:
                 f" {_RANK_BUCKETS - 1}), 0)"
             ),
         )
+        # vb feeds BOTH the histogram and the in-bucket window; without a cut
+        # here each branch gets its own column pruning, the subtrees stop
+        # being identical, ReuseExchange never fires, and the whole
+        # scan→groupBy(prob) pipeline runs twice (VERDICT r3 #5). The table
+        # is ≤10^_PROB_SCALE+1 rows BY CONSTRUCTION (quantization contract),
+        # so materializing it once is bounded at any fact scale.
+        .localCheckpoint()
     )
     hist = vb.groupBy("b").agg(F.expr("sum(t) AS bc"))
     offsets = exclusive_prefix_sums(hist, "b", ["bc"]).withColumnRenamed(
