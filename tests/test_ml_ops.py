@@ -54,3 +54,39 @@ def test_stacking_oof_covers_every_row(spark, sf_dir):
     # every input row appears exactly once in the OOF meta-feature table
     assert meta.count() == base.count()
     assert meta.select("row_id").distinct().count() == base.count()
+
+
+def test_zoo_has_multiclass_gbm_member():
+    zoo = ml_ops.classifier_zoo()
+    assert len(zoo) == 9 and "gbt_ovr" in zoo
+
+
+def test_gbt_ovr_multiclass_deterministic(spark, sf_dir):
+    # 3-class task (l_returnflag A/N/R) — GBTClassifier alone is binary-only;
+    # the OneVsRest wrapper is the zoo's multiclass GBM shape.
+    from usw_big_data_analysis_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 40 == 0)
+    base = li.select(
+        F.monotonically_increasing_id().alias("row_id"),
+        (
+            F.when(F.col("l_returnflag") == "A", 0.0)
+            .when(F.col("l_returnflag") == "N", 1.0)
+            .otherwise(2.0)
+        ).alias("label"),
+        *_FEATURES,
+    )
+    df = ml_ops.assemble(base, _FEATURES)
+    preds = []
+    for _ in range(2):
+        model = ml_ops.classifier_zoo()["gbt_ovr"]
+        _, pred = ml_ops.fit_predict(model, df, df)
+        preds.append(
+            sorted(
+                (r["row_id"], r["prediction"])
+                for r in pred.select("row_id", "prediction").collect()
+            )
+        )
+    assert preds[0] == preds[1]
+    classes = {p for _, p in preds[0]}
+    assert classes <= {0.0, 1.0, 2.0} and len(classes) >= 2

@@ -43,7 +43,13 @@ def build_scaled_dir(spark, sf_dir: str, factor: int) -> str:
     out = tempfile.mkdtemp(prefix="usw_scale_")
     for name in os.listdir(sf_dir):
         if name != "lineitem.parquet":
-            shutil.copy(os.path.join(sf_dir, name), os.path.join(out, name))
+            src, dst = os.path.join(sf_dir, name), os.path.join(out, name)
+            # a fixture table may be a parquet DIRECTORY (this probe itself
+            # writes lineitem as one) — copy accordingly (ADVICE r3 #4)
+            if os.path.isdir(src):
+                shutil.copytree(src, dst)
+            else:
+                shutil.copy(src, dst)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     shift = li.agg(F.expr("max(l_orderkey) + 1 AS s")).collect()[0]["s"]
     copies = [

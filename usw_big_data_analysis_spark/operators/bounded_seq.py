@@ -90,7 +90,15 @@ def ordered_row_numbers(
     """Add ``out`` = ``row_number() OVER (ORDER BY …)`` to a BOUNDED ``df``
     whose ``order`` spec ``[(col, ascending), …]`` is a total order (unique —
     with ties row_number itself is underdetermined), as 1 + the count of
-    rows sorting strictly before. All order columns must be non-null."""
+    rows sorting strictly before. All order columns must be non-null.
+
+    PRECONDITION VIOLATIONS FAIL SILENTLY (ADVICE r3 #3): fully-duplicate
+    rows are collapsed by the ``groupBy(*df.columns)`` below (the output has
+    fewer rows than the input), and ties in the order spec produce equal —
+    not consecutive — numbers rather than raising. Callers adding a new call
+    site must guarantee uniqueness structurally (every current site orders by
+    a key that is distinct by construction); when in doubt, assert
+    ``df.count() == result.count()`` in a test, not in this hot path."""
     order = [(c, bool(a)) for c, a in order]
     cols = [c for c, _ in order]
     right = df.select(*[F.col(c).alias(f"__r_{c}") for c in cols])

@@ -27,6 +27,7 @@ from pyspark.ml.classification import (
     LogisticRegression,
     MultilayerPerceptronClassifier,
     NaiveBayes,
+    OneVsRest,
     RandomForestClassifier,
 )
 from pyspark.ml.feature import Imputer, StandardScaler, StringIndexer, VectorAssembler
@@ -55,6 +56,14 @@ def classifier_zoo(seed: int = SEED, n_features: int = 4) -> dict:
         "fm": FMClassifier(factorSize=4, stepSize=0.1, maxIter=30, seed=seed),
         "mlp": MultilayerPerceptronClassifier(
             layers=[n_features, 8, 2], maxIter=40, seed=seed
+        ),
+        # The reference's dominant model family is multiclass gradient
+        # boosting (LightGBM/XGBoost/CatBoost, teamProject/models/
+        # tree_models.py:100-366); GBTClassifier is binary-only, so the
+        # multiclass GBM shape is OneVsRest over per-class GBTs — each
+        # binary fit is a distributed spark.ml job.
+        "gbt_ovr": OneVsRest(
+            classifier=GBTClassifier(maxIter=10, maxDepth=3, seed=seed)
         ),
     }
 

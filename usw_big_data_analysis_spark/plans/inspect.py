@@ -29,23 +29,53 @@ def shuffle_count(plan: str | DataFrame) -> int:
     return len(re.findall(r"^\s*(?:\+-|:-)? ?Exchange", text, re.M))
 
 
+def _top_level_groups(s: str) -> list[str]:
+    """Top-level ``[...]`` groups of ``s`` via a bracket-depth scan — robust
+    to nested brackets inside expression text (unlike counting ``], [``
+    separators, which a window expression containing that text would fool;
+    ADVICE r3 #1)."""
+    groups: list[str] = []
+    depth, start = 0, 0
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == "]" and depth > 0:
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start:i])
+    return groups
+
+
+_ORDER_SPEC = re.compile(r"(ASC|DESC) NULLS (FIRST|LAST)")
+
+
 def unpartitioned_window_count(df: DataFrame) -> int:
     """Number of ``WindowExec`` nodes with an empty partition spec — the
     ones that log ``No Partition Defined`` and move the input to a single
     partition. The suite invariant (bounded_seq convention) is zero,
     everywhere: bounded tables use triangular joins instead.
 
-    Detection: in ``treeString`` a Window node prints its expression,
-    partition and order groups as ``Window [...], [...], [...]`` — an
-    unpartitioned one omits the middle group, leaving one ``], [``
-    separator instead of two.
+    Detection: a Window node prints ``Window [exprs], [partition], [order]``
+    in ``treeString``, OMITTING empty groups (verified empirically on
+    Spark 4: partitioned-but-unordered prints 2 groups, unpartitioned-but-
+    ordered also prints 2). Groups are parsed positionally with a
+    bracket-depth scan; the 2-group ambiguity resolves by whether the last
+    group is an order spec (its entries always end ``ASC|DESC NULLS
+    FIRST|LAST``) — order spec ⇒ partition group was omitted ⇒ unpartitioned.
     """
     tree = df._jdf.queryExecution().executedPlan().treeString()
     n = 0
     for line in tree.splitlines():
-        m = re.search(r"(?:^|[\s\-:])Window \[", line)
-        if m and line.count("], [") < 2:
+        m = re.search(r"(?:^|[\s\-:])Window (\[.*)$", line)
+        if not m:
+            continue
+        groups = _top_level_groups(m.group(1))
+        if len(groups) <= 1:  # exprs only: unpartitioned, unordered
             n += 1
+        elif len(groups) == 2 and _ORDER_SPEC.search(groups[1]):
+            n += 1  # [exprs], [order] — the partition group was omitted
     return n
 
 

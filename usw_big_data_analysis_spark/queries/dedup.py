@@ -220,7 +220,8 @@ def _band_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH candidate pairs; the candidate join is on
     (band, band_key): linear shuffle, no cross product. Verify candidates
-    with dedup_ngram_jaccard."""
+    with dedup_ngram_jaccard. Run dedup_bucket_stats first to check bucket
+    skew — a dominant bucket means use dedup_minhash_salted instead."""
     bands = _band_frame(spark, sf_dir)
     # bucket-collect instead of self-join: the signature pipeline runs ONCE
     # (a self-join recomputes the shingle+md5+min pipeline for both sides —
@@ -1432,3 +1433,85 @@ def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
     return reduce(DataFrame.unionByName, frames)
+
+
+# --- bucket-size-distribution audit (VERDICT r3 #8) ---------------------------
+_BUCKET_STATS_SQL = f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sh9 AS (SELECT doc_id, {_h_sql('s')} % {_MH_P} AS h9 FROM sh),
+    sig AS (SELECT doc_id, {_SIG_COLS} FROM sh9 GROUP BY doc_id),
+    bands AS (
+      {' UNION ALL '.join(
+        f"SELECT doc_id, {b} AS band, concat(h{2*b}, '_', h{2*b+1}) AS band_key FROM sig"
+        for b in range(_BANDS))}
+    ),
+    sizes AS (
+      SELECT band, band_key, count(*) AS sz FROM bands GROUP BY band, band_key
+    ),
+    agg AS (
+      SELECT band, CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(sum(sz) AS BIGINT) AS n_docs,
+             CAST(max(sz) AS BIGINT) AS max_size
+      FROM sizes GROUP BY band
+    ),
+    hist AS (SELECT band, sz, count(*) AS nb FROM sizes GROUP BY band, sz),
+    cum AS (
+      SELECT a.band, a.sz, sum(b.nb) AS cb
+      FROM hist a JOIN hist b ON a.band = b.band AND b.sz <= a.sz
+      GROUP BY a.band, a.sz
+    ),
+    p99 AS (
+      SELECT c.band, CAST(min(c.sz) AS BIGINT) AS p99_size
+      FROM cum c JOIN agg g ON c.band = g.band
+      WHERE c.cb * 100 >= 99 * g.n_buckets
+      GROUP BY c.band
+    )
+    SELECT agg.band, n_buckets, n_docs, max_size, p99_size
+    FROM agg JOIN p99 ON agg.band = p99.band
+    """
+
+
+@query("dedup_bucket_stats", oracle=_BUCKET_STATS_SQL)
+def dedup_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band LSH bucket-size audit: (band, n_buckets, n_docs, max_size,
+    p99_size). An operator running MinHash dedup at 100 TB reads this BEFORE
+    choosing dedup_minhash_lsh vs dedup_minhash_salted — a max_size holding a
+    large corpus fraction (boilerplate pages all landing in one bucket) means
+    the plain bucket-collect would buffer that bucket in one task and the
+    salted variant is required (VERDICT r3 #8).
+
+    Scale shape: one (band, band_key) groupBy of the band frame (the same
+    shuffle the dedup join itself needs), then a size-histogram — bounded by
+    max bucket size, not corpus size — so p99 comes from a per-band
+    triangular join over the bounded histogram, never a percentile buffer or
+    an unpartitioned window. p99_size = smallest size s with
+    cum_buckets(<=s) >= ceil(0.99 * n_buckets), in exact integer arithmetic
+    on both engines."""
+    bands = _band_frame(spark, sf_dir)
+    sizes = bands.groupBy("band", "band_key").agg(F.count("*").alias("sz"))
+    agg = sizes.groupBy("band").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("sz").alias("n_docs"),
+        F.max("sz").alias("max_size"),
+    )
+    hist = sizes.groupBy("band", "sz").agg(F.count("*").alias("nb"))
+    h2 = hist.select(
+        F.col("band").alias("band2"), F.col("sz").alias("sz2"), F.col("nb").alias("nb2")
+    )
+    cum = (
+        hist.join(
+            F.broadcast(h2),
+            (F.col("band") == F.col("band2")) & (F.col("sz2") <= F.col("sz")),
+        )
+        .groupBy("band", "sz")
+        .agg(F.sum("nb2").alias("cb"))
+    )
+    p99 = (
+        cum.join(F.broadcast(agg.select("band", "n_buckets")), "band")
+        .filter(F.col("cb") * 100 >= 99 * F.col("n_buckets"))
+        .groupBy("band")
+        .agg(F.min("sz").alias("p99_size"))
+    )
+    return agg.join(F.broadcast(p99), "band").select(
+        "band", "n_buckets", "n_docs", "max_size", "p99_size"
+    )

@@ -95,8 +95,10 @@ _PINNED_FIRST: tuple[str, ...] = (
 # decontam / quality gates, the streaming real-engine family (hardest
 # correctness claims in the repo), then clustering + embedding audits.
 _PRIORITY_FRESH: tuple[str, ...] = (
-    # ANN quality contracts (VERDICT r3 item 1)
+    # ANN quality contracts (VERDICT r3 item 1) + the new bucket-skew audit
+    # (VERDICT r3 item 8 — new this round, driver row wanted immediately)
     'embed_ann_recall', 'embed_ann_multitable', 'embed_ann_ivf', 'embed_pq_search',
+    'dedup_bucket_stats',
     # multimodal family — zero driver rows so far
     'multimodal_meta', 'multimodal_decode', 'multimodal_decode_image',
     'multimodal_decode_audio', 'multimodal_frame_sample', 'multimodal_resize_image',

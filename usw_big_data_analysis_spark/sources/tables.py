@@ -40,10 +40,18 @@ _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
+    # Evict entries from other applications before inserting: a long-lived
+    # driver that stops/starts sessions would otherwise accumulate DataFrames
+    # pinning dead SparkSessions (ADVICE r3 #2). Entries for the CURRENT app
+    # stay — that's the cache's whole point (≤ #sf_dirs × #tables ≈ tens).
+    stale = [k for k in _TABLE_CACHE if k[0] != app_id]
+    for k in stale:
+        del _TABLE_CACHE[k]
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # Normalize events.ts to TIMESTAMP regardless of how the fixture was
