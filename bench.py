@@ -145,6 +145,22 @@ def main() -> None:
             best = min(best, time.time() - t0)
         prepared[name] = round(best, 3)
 
+    # regression guard (VERDICT r3 #9): compare per-query cold times to the
+    # newest recorded BENCH_r*.json and flag anything >10% slower
+    regressions: dict[str, dict[str, float]] = {}
+    try:
+        import glob
+
+        prior = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+        if prior:
+            with open(prior[-1]) as fh:
+                prev = json.load(fh).get("queries", {})
+            for n, t in times.items():
+                if n in prev and prev[n] > 0 and t > prev[n] * 1.10:
+                    regressions[n] = {"prev_s": prev[n], "now_s": t}
+    except (OSError, ValueError):
+        pass  # bench must never fail on a malformed prior record
+
     duck = _duck_times(sf_dir, all_oracles())
     ratio = {
         n: round(times[n] / duck[n], 2) for n in times if n in duck and duck[n] > 0
@@ -168,6 +184,7 @@ def main() -> None:
                 if total_duck
                 else None,
                 "plan_build_s": plan_build,
+                "regressions_vs_prev": regressions,
                 "prepared_s": prepared,
                 "prepared_total_s": round(sum(prepared.values()), 3),
                 "prepared_total_ratio": round(

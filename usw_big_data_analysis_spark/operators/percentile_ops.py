@@ -92,8 +92,14 @@ def percentiles_from_hist(
     here so the fact is not scanned a second time for the histogram."""
     spark = with_b.sparkSession
 
-    # locate target buckets on the tiny histogram
-    wcum = Window.partitionBy("col_name").orderBy("b").rowsBetween(
+    # locate target buckets on the tiny histogram. The partition spec
+    # includes ntot — an aggregate OUTPUT, never foldable — because callers
+    # that melt a single column use a LITERAL col_name, which Catalyst
+    # constant-folds OUT of the spec; partitioning on col_name alone then
+    # plans as an unpartitioned WindowExec at runtime (the warning the repo
+    # invariant bans). ntot is functionally dependent on col_name, so the
+    # grouping is identical and the window input stays histogram-bounded.
+    wcum = Window.partitionBy("col_name", "ntot").orderBy("b").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     marks = hist.select(

@@ -408,11 +408,17 @@ def ensemble_stacking_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(((F.col("s1") >= 0.5) == (F.col("label") == 1)).cast("bigint")).alias("c1"),
         F.sum(((F.col("s2") >= 0.5) == (F.col("label") == 1)).cast("bigint")).alias("c2"),
     )
-    wall = Window.partitionBy()
-    weights = per_fold.select(
+    # leave-one-fold-out totals via broadcast crossJoin, not an unpartitioned
+    # window — per_fold is 5 rows so the window was bounded, but the repo
+    # invariant is ZERO WindowExec-without-partition anywhere (this was the
+    # last one; bounded_seq.py explains why the invariant is absolute)
+    totals = per_fold.agg(
+        F.sum("c1").alias("tc1"), F.sum("c2").alias("tc2"), F.sum("n").alias("tn")
+    )
+    weights = per_fold.crossJoin(F.broadcast(totals)).select(
         "fold",
-        ((F.sum("c1").over(wall) - F.col("c1")).cast("double") / (F.sum("n").over(wall) - F.col("n")).cast("double")).alias("w1"),
-        ((F.sum("c2").over(wall) - F.col("c2")).cast("double") / (F.sum("n").over(wall) - F.col("n")).cast("double")).alias("w2"),
+        ((F.col("tc1") - F.col("c1")).cast("double") / (F.col("tn") - F.col("n")).cast("double")).alias("w1"),
+        ((F.col("tc2") - F.col("c2")).cast("double") / (F.col("tn") - F.col("n")).cast("double")).alias("w2"),
     )
     meta = base.join(F.broadcast(weights), "fold").select(
         "fold",
