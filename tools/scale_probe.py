@@ -1,13 +1,15 @@
-"""Scale-up probe — measures how the headline plans behave when the fact
-grows and the scan becomes genuinely splittable.
+"""Scale-up probe — measures how the headline plans behave when the facts
+grow and the scans become genuinely splittable.
 
 The driver fixture writes each table as ONE parquet row group, so every
 scan stage is a single task regardless of cores — bench numbers are
 therefore single-core execution plus fixed overhead, and say nothing about
-how the plans parallelize. This probe builds an N-fold lineitem (orderkeys
-shifted per copy, written through a repartition so the output has many
-files/row groups), re-runs the lineitem-only headline queries at 1x and
-Nx, and prints per-query wall times plus the scale ratio.
+how the plans parallelize. This probe rebuilds the five fact tables
+(lineitem, orders, customer, events, documents, embeddings) at 1x and Nx —
+keys shifted per copy, documents token-salted per copy so MinHash buckets
+don't artificially collapse across copies, everything written through a
+repartition so scans split — and re-runs ALL 12 headline queries at both
+scales under the SAME layout and transform.
 
 Reading the output: a query whose plan parallelizes cleanly shows an Nx
 time well BELOW N (fixed overhead amortizes, 32 tasks share the work); a
@@ -16,6 +18,7 @@ empirical side of the plan-shape pins in tests/test_plan_quality.py.
 
 Usage:
     python tools/scale_probe.py [--sf-dir /root/testdata/sf0.1] [--factor 16]
+                                [--queries q1_pricing_summary,describe]
 """
 
 from __future__ import annotations
@@ -31,45 +34,93 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-# lineitem-only headline queries (the probe scales only the fact table)
-QUERIES = ["q1_pricing_summary", "describe", "corr_matrix", "topk_per_group"]
+QUERIES = [
+    "q1_pricing_summary",
+    "join_xy",
+    "crosstab_margins",
+    "describe",
+    "corr_matrix",
+    "topk_per_group",
+    "wordcount",
+    "metric_auroc",
+    "threshold_sweep",
+    "dedup_minhash_lsh",
+    "embed_cosine_topk",
+    "stream_session",
+]
+
+# facts the headline set touches; each scaled copy shifts its key space so
+# copies never collide. The dimension tables (region/nation/supplier/part)
+# stay 1x — dims broadcast at any fact scale, that's the point.
+_SHIFT_KEYS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+    "embeddings": ["vec_id"],
+    "documents": ["doc_id"],
+}
 
 
-def build_scaled_dir(spark, sf_dir: str, factor: int) -> str:
-    """Write a fixture-layout dir whose lineitem is `factor` copies with
-    shifted orderkeys, partitioned so scans split across cores."""
+def _scaled_table(spark, sf_dir: str, name: str, factor: int):
     from pyspark.sql import functions as F
 
-    out = tempfile.mkdtemp(prefix="usw_scale_")
-    for name in os.listdir(sf_dir):
-        if name != "lineitem.parquet":
-            src, dst = os.path.join(sf_dir, name), os.path.join(out, name)
-            # a fixture table may be a parquet DIRECTORY (this probe itself
-            # writes lineitem as one) — copy accordingly (ADVICE r3 #4)
-            if os.path.isdir(src):
-                shutil.copytree(src, dst)
-            else:
-                shutil.copy(src, dst)
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    shift = li.agg(F.expr("max(l_orderkey) + 1 AS s")).collect()[0]["s"]
-    copies = [
-        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * shift))
-        for i in range(factor)
-    ]
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    keys = [k for k in _SHIFT_KEYS[name] if k in df.columns]
+    shifts = {
+        k: df.agg(F.expr(f"max({k}) + 1 AS s")).collect()[0]["s"] for k in keys
+    }
+    copies = []
+    for i in range(factor):
+        c = df
+        for k in keys:
+            c = c.withColumn(k, F.col(k) + F.lit(i * shifts[k]))
+        if name == "documents":
+            # salt every inter-token gap with a copy marker so every 3-token
+            # shingle differs across copies — without this, 16 identical
+            # texts per doc put 16x members in every MinHash bucket and the
+            # within-bucket pair explode grows 256x (a fixture artifact, not
+            # a property of the plan). Copy 0 keeps the transform too so the
+            # 1x baseline has the identical per-doc shape.
+            c = c.withColumn(
+                "text", F.regexp_replace("text", " ", f" c{i} ")
+            ).withColumn("n_chars", F.length("text"))
+        copies.append(c)
     scaled = copies[0]
     for c in copies[1:]:
         scaled = scaled.unionByName(c)
-    (
-        scaled.repartition(spark.sparkContext.defaultParallelism)
-        .write.mode("overwrite")
-        .parquet(f"{out}/lineitem.parquet")
-    )
+    return scaled
+
+
+def build_scaled_dir(spark, sf_dir: str, factor: int) -> str:
+    """Write a fixture-layout dir whose fact tables are `factor` shifted
+    copies, partitioned so scans split across cores. Dims copy through."""
+    out = tempfile.mkdtemp(prefix=f"usw_scale_{factor}x_")
+    for name in os.listdir(sf_dir):
+        table = name.removesuffix(".parquet")
+        src, dst = os.path.join(sf_dir, name), os.path.join(out, name)
+        if table in _SHIFT_KEYS:
+            continue
+        # a fixture table may be a parquet DIRECTORY — copy accordingly
+        # (ADVICE r3 #4)
+        if os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy(src, dst)
+    par = spark.sparkContext.defaultParallelism
+    for table in _SHIFT_KEYS:
+        (
+            _scaled_table(spark, sf_dir, table, factor)
+            .repartition(par)
+            .write.mode("overwrite")
+            .parquet(f"{out}/{table}.parquet")
+        )
     return out
 
 
-def time_queries(qs, spark, sf_dir: str) -> dict[str, float]:
+def time_queries(qs, spark, sf_dir: str, names) -> dict[str, float]:
     times = {}
-    for name in QUERIES:
+    for name in names:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = float("inf")
         for _ in range(3):
@@ -84,7 +135,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--factor", type=int, default=16)
+    ap.add_argument("--queries", default=None, help="comma list; default all 12")
     args = ap.parse_args()
+    names = args.queries.split(",") if args.queries else QUERIES
 
     from usw_big_data_analysis_spark.registry import all_queries
     from usw_big_data_analysis_spark.session import get_spark
@@ -92,10 +145,14 @@ def main() -> None:
     spark = get_spark("scale_probe")
     qs = all_queries()
 
+    # the 1x baseline goes through the SAME builder (factor=1): identical
+    # multi-file layout and identical document transform, so the ratio
+    # isolates data volume — not layout or text-shape differences
+    base_dir = build_scaled_dir(spark, args.sf_dir, 1)
     scaled_dir = build_scaled_dir(spark, args.sf_dir, args.factor)
     try:
-        base = time_queries(qs, spark, args.sf_dir)
-        big = time_queries(qs, spark, scaled_dir)
+        base = time_queries(qs, spark, base_dir, names)
+        big = time_queries(qs, spark, scaled_dir, names)
         print(
             json.dumps(
                 {
@@ -111,6 +168,7 @@ def main() -> None:
             )
         )
     finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
         shutil.rmtree(scaled_dir, ignore_errors=True)
     spark.stop()
 

@@ -731,3 +731,134 @@ def perplexity_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)) AS BIGINT) AS n_filtered"
         ),
     )
+
+
+# --- model-based quality filtering: multinomial Naive Bayes -------------------
+# The FineWeb/DCLM-style component: train a cheap classifier that separates a
+# reference slice of the corpus from the rest, score every unseen document,
+# keep the reference-like ones. Multinomial NB is the classical fully-
+# relational form: training IS a groupBy (per-token class counts), scoring IS
+# a join + sum — no gradient loop, so the whole fit+predict is one oracle-
+# checkable plan.
+@query(
+    "quality_nb_classifier",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text,
+             CAST(substr(source, 4) AS INT) < 5 AS is_ref,
+             doc_id % 2 = 0 AS is_train
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, is_ref, is_train, unnest(string_split(text, ' ')) AS t
+      FROM base
+    ),
+    cnt AS (
+      SELECT t,
+             CAST(sum(CAST(is_ref AS BIGINT)) AS BIGINT) AS cr,
+             CAST(sum(CAST(NOT is_ref AS BIGINT)) AS BIGINT) AS co
+      FROM tok WHERE is_train AND t <> '' GROUP BY t
+    ),
+    tot AS (
+      SELECT CAST(sum(cr) AS BIGINT) AS tr, CAST(sum(co) AS BIGINT) AS toth,
+             CAST(count(*) AS BIGINT) AS v
+      FROM cnt
+    ),
+    pri AS (
+      SELECT CAST(round((ln(CAST(sum(CAST(is_ref AS BIGINT)) AS DOUBLE))
+                   - ln(CAST(sum(CAST(NOT is_ref AS BIGINT)) AS DOUBLE)))
+                  * 1000000000, 0) AS BIGINT) AS prior_e9
+      FROM base WHERE is_train
+    ),
+    llr AS (
+      SELECT t,
+             CAST(round((ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + v AS DOUBLE))
+                   - ln(CAST(co + 1 AS DOUBLE) / CAST(toth + v AS DOUBLE)))
+                  * 1000000000, 0) AS BIGINT) AS llr_e9
+      FROM cnt, tot
+    ),
+    unseen AS (
+      SELECT CAST(round((ln(1.0 / CAST(tr + v AS DOUBLE))
+                   - ln(1.0 / CAST(toth + v AS DOUBLE)))
+                  * 1000000000, 0) AS BIGINT) AS u_e9
+      FROM tot
+    ),
+    scored AS (
+      SELECT k.doc_id, k.is_ref,
+             CAST(sum(coalesce(l.llr_e9, u.u_e9)) AS BIGINT) AS sum_e9
+      FROM tok k LEFT JOIN llr l ON k.t = l.t, unseen u
+      WHERE NOT k.is_train AND k.t <> ''
+      GROUP BY k.doc_id, k.is_ref
+    )
+    SELECT s.doc_id, s.is_ref,
+           CAST(s.sum_e9 + p.prior_e9 AS BIGINT) AS llr_e9,
+           (s.sum_e9 + p.prior_e9) > 0 AS pred_ref
+    FROM scored s, pri p
+    """,
+)
+def quality_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes reference-vs-rest quality classifier
+    (FineWeb's "edu classifier" shape, CCNet's ref-LM shape): train on the
+    even-doc_id half (reference class = src0-src4), Laplace-smoothed token
+    log-likelihood ratios, score the odd half per document.
+
+    Cross-engine exactness: one IEEE ln + one round per DISTINCT token
+    (integer-scaled to 1e9, same recipe as quality_perplexity_proxy), then
+    pure bigint sums per document — order-independent everywhere. Scale
+    shape: training is one token groupBy (vocab-bounded output that
+    broadcasts at real vocab sizes), scoring is one probe join over the
+    token stream + a per-doc sum — nothing quadratic, no fact re-shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.selectExpr(
+        "doc_id",
+        "text",
+        "CAST(substr(source, 4) AS INT) < 5 AS is_ref",
+        "doc_id % 2 = 0 AS is_train",
+    )
+    tok = base.select(
+        "doc_id", "is_ref", "is_train", F.explode(F.split("text", " ")).alias("t")
+    )
+    cnt = (
+        tok.filter("is_train AND t <> ''")
+        .groupBy("t")
+        .agg(
+            F.expr("CAST(sum(CAST(is_ref AS BIGINT)) AS BIGINT) AS cr"),
+            F.expr("CAST(sum(CAST(NOT is_ref AS BIGINT)) AS BIGINT) AS co"),
+        )
+    )
+    tot = cnt.agg(
+        F.expr("CAST(sum(cr) AS BIGINT) AS tr"),
+        F.expr("CAST(sum(co) AS BIGINT) AS toth"),
+        F.expr("CAST(count(*) AS BIGINT) AS v"),
+    )
+    pri = base.filter("is_train").agg(
+        F.expr(
+            "CAST(round((ln(CAST(sum(CAST(is_ref AS BIGINT)) AS DOUBLE))"
+            " - ln(CAST(sum(CAST(NOT is_ref AS BIGINT)) AS DOUBLE)))"
+            " * 1000000000, 0) AS BIGINT) AS prior_e9"
+        )
+    )
+    llr = cnt.crossJoin(F.broadcast(tot)).selectExpr(
+        "t",
+        "CAST(round((ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + v AS DOUBLE))"
+        " - ln(CAST(co + 1 AS DOUBLE) / CAST(toth + v AS DOUBLE)))"
+        " * 1000000000, 0) AS BIGINT) AS llr_e9",
+    )
+    unseen = tot.selectExpr(
+        "CAST(round((ln(1.0 / CAST(tr + v AS DOUBLE))"
+        " - ln(1.0 / CAST(toth + v AS DOUBLE)))"
+        " * 1000000000, 0) AS BIGINT) AS u_e9"
+    )
+    scored = (
+        tok.filter("NOT is_train AND t <> ''")
+        .join(llr, "t", "left")
+        .crossJoin(F.broadcast(unseen))
+        .groupBy("doc_id", "is_ref")
+        .agg(F.expr("CAST(sum(coalesce(llr_e9, u_e9)) AS BIGINT) AS sum_e9"))
+    )
+    return scored.crossJoin(F.broadcast(pri)).selectExpr(
+        "doc_id",
+        "is_ref",
+        "CAST(sum_e9 + prior_e9 AS BIGINT) AS llr_e9",
+        "(sum_e9 + prior_e9) > 0 AS pred_ref",
+    )
