@@ -403,6 +403,71 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- nearest as-of: pandas merge_asof(direction='nearest') -------------------
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+               FROM events WHERE event_type = 'click'),
+    r AS (SELECT event_id, user_id, epoch_us(ts) AS pts
+          FROM events WHERE event_type = 'purchase'),
+    best AS (
+      SELECT event_id, user_id, ts_us, pid, pts FROM (
+        SELECT l.event_id, l.user_id, l.ts_us, r.event_id AS pid, r.pts,
+               row_number() OVER (
+                 PARTITION BY l.event_id
+                 ORDER BY abs(r.pts - l.ts_us), r.pts, r.event_id) AS rn
+        FROM l JOIN r ON l.user_id = r.user_id
+      ) WHERE rn = 1
+    )
+    SELECT l.event_id, l.user_id, l.ts_us,
+           b.pid AS purchase_id, b.pts AS purchase_ts_us
+    FROM l LEFT JOIN best b ON l.event_id = b.event_id
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click matched to the user's NEAREST purchase in time — pandas
+    ``merge_asof(direction='nearest')``, the third asof direction after
+    join_asof (backward) and join_asof_forward. Spark side composes the two
+    directional union-and-carry asof joins (each one key-partitioned
+    window, no inequality join) and picks the closer side per row; a
+    distance tie takes the earlier purchase (pts_b <= ts <= pts_f makes
+    that the backward match, matching the oracle's ORDER BY abs, pts). The
+    oracle is an independent brute-force per-user argmin, deliberately NOT
+    two ASOF joins."""
+    from ..operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").selectExpr(
+        "event_id", "user_id", "unix_micros(ts) AS us"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").selectExpr(
+        "event_id", "user_id", "unix_micros(ts) AS us"
+    )
+    back = asof_join(
+        clicks, purchases, on=["user_id"], ts="us", right_cols=["event_id", "us"]
+    ).selectExpr("event_id", "user_id", "us", "event_id_r AS pid_b", "us_r AS pts_b")
+    fwd = asof_join(
+        clicks.withColumn("tsn", F.expr("-us")),
+        purchases.withColumn("tsn", F.expr("-us")),
+        on=["user_id"],
+        ts="tsn",
+        right_cols=["event_id", "us"],
+    ).selectExpr("event_id", "event_id_r AS pid_f", "us_r AS pts_f")
+    both = back.join(fwd, "event_id")
+    pick_b = F.col("pts_f").isNull() | (
+        F.col("pts_b").isNotNull()
+        & (F.col("us") - F.col("pts_b") <= F.col("pts_f") - F.col("us"))
+    )
+    return both.select(
+        "event_id",
+        "user_id",
+        F.col("us").alias("ts_us"),
+        F.when(pick_b, F.col("pid_b")).otherwise(F.col("pid_f")).alias("purchase_id"),
+        F.when(pick_b, F.col("pts_b")).otherwise(F.col("pts_f")).alias("purchase_ts_us"),
+    )
+
+
 # --- cogrouped-pandas as-of merge (API twin of join_asof) --------------------
 @query(
     "cogroup_asof_pandas",

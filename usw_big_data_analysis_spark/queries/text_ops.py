@@ -1705,3 +1705,184 @@ def word_cooccurrence_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
         F.expr("count(*) AS n_clusters")
     )
+
+
+# --- unigram-LM tokenizer: one Viterbi-EM step (SentencePiece-style) ----------
+_UNI_V = 200  # seed vocab size (plus all single chars, which never prune)
+_UNI_MAXP = 4  # max piece length
+_UNI_MAXW = 12  # words longer than this are excluded from training
+
+
+@query(
+    "tokenizer_unigram_viterbi",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    words AS (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM toks WHERE w <> '' AND length(w) <= {_UNI_MAXW} GROUP BY w
+    ),
+    subs AS (
+      SELECT substr(word, s.g, l.g) AS piece, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM words, generate_series(1, {_UNI_MAXW}) s(g),
+           generate_series(1, {_UNI_MAXP}) l(g)
+      WHERE s.g + l.g - 1 <= length(word)
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+      FROM subs
+    ),
+    vocab AS (
+      SELECT piece, max(cnt) AS cnt FROM (
+        SELECT piece, cnt FROM ranked WHERE rn <= {_UNI_V}
+        UNION ALL
+        SELECT piece, cnt FROM subs WHERE length(piece) = 1
+      ) GROUP BY piece
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tc FROM vocab),
+    lp AS (
+      SELECT piece, cnt AS seed_cnt,
+             CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(tc AS DOUBLE))
+                        * 1000000000, 0) AS BIGINT) AS lp_e9
+      FROM vocab, tot
+    ),
+    seg(word, pos, score, pieces) AS (
+      SELECT word, 0, CAST(0 AS BIGINT), CAST([] AS VARCHAR[]) FROM words
+      UNION ALL
+      SELECT s.word, s.pos + length(l.piece), s.score + l.lp_e9,
+             list_append(s.pieces, l.piece)
+      FROM seg s JOIN lp l
+        ON l.piece = substr(s.word, s.pos + 1, length(l.piece))
+      WHERE s.pos < length(s.word)
+    ),
+    best AS (
+      SELECT word, pieces FROM (
+        SELECT word, pieces,
+               row_number() OVER (
+                 PARTITION BY word
+                 ORDER BY score DESC,
+                          list_reverse(list_transform(pieces,
+                                                      p -> length(p))) DESC
+               ) AS rn
+        FROM seg WHERE pos = length(word)
+      ) WHERE rn = 1
+    ),
+    em AS (
+      SELECT u.piece, CAST(sum(w.freq) AS BIGINT) AS em_cnt
+      FROM (SELECT word, unnest(pieces) AS piece FROM best) u
+      JOIN words w ON u.word = w.word
+      GROUP BY u.piece
+    )
+    SELECT l.piece, l.seed_cnt, em.em_cnt
+    FROM lp l JOIN em ON l.piece = em.piece
+    """,
+)
+def tokenizer_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Viterbi-EM step of a unigram-LM tokenizer (Kudo 2018, the
+    SentencePiece unigram model; sibling of the BPE trainer above): seed the
+    piece vocabulary with the corpus's most frequent substrings (length <= 4,
+    top 200 by count plus every single character so segmentation never
+    fails), segment every DISTINCT word by max-log-likelihood (Viterbi), and
+    emit per-piece expected counts — the M-step input whose low-count tail
+    SentencePiece prunes each round.
+
+    Scale shape — the reason unigram EM distributes cleanly: the DP runs on
+    the WORD-FREQUENCY TABLE, never the corpus. The corpus contributes one
+    groupBy (word counts); the DP is a driver loop over word positions
+    (<= 12 rounds) of broadcast-joined candidate extensions on a
+    vocab-bounded frame, localCheckpointed per round (BPE-loop convention,
+    lineage stays flat). Tie-breaks are total: max score, then longest last
+    piece recursively (= reverse-length sequence, lexicographically
+    maximal) — the greedy per-position resolution provably equals the
+    global order the oracle's brute-force path enumeration uses.
+
+    Cross-engine exactness: one ln + round per piece (1e9-scaled bigint,
+    quality_perplexity_proxy recipe), bigint path sums thereafter."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(f"word <> '' AND length(word) <= {_UNI_MAXW}")
+        .groupBy("word")
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS freq"))
+        .localCheckpoint()
+    )
+    subs = (
+        words.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, length(word)), s ->"
+                    f" transform(sequence(1, least({_UNI_MAXP},"
+                    " length(word) - s + 1)), l -> substring(word, s, l))))"
+                )
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.expr("CAST(sum(freq) AS BIGINT) AS cnt"))
+    )
+    top = subs.orderBy(F.desc("cnt"), "piece").limit(_UNI_V)
+    vocab = (
+        top.unionByName(subs.filter(F.length("piece") == 1))
+        .groupBy("piece")
+        .agg(F.max("cnt").alias("cnt"))
+    )
+    tot = vocab.agg(F.expr("CAST(sum(cnt) AS BIGINT) AS tc"))
+    lp = (
+        vocab.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "piece",
+            "cnt AS seed_cnt",
+            "CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(tc AS DOUBLE))"
+            " * 1000000000, 0) AS BIGINT) AS lp_e9",
+        )
+        .localCheckpoint()
+    )
+    lpj = F.broadcast(lp.select("piece", "lp_e9"))
+    maxlen = words.agg(F.max(F.length("word"))).collect()[0][0] or 0
+    dp = {
+        0: words.select(
+            "word",
+            "freq",
+            F.lit(0).cast("bigint").alias("score"),
+            F.expr("CAST(array() AS ARRAY<STRING>)").alias("seg"),
+        ).localCheckpoint()
+    }
+    for i in range(1, maxlen + 1):
+        cands = None
+        for k in range(1, min(_UNI_MAXP, i) + 1):
+            c = (
+                dp[i - k]
+                .filter(F.length("word") >= i)
+                .withColumn("piece", F.expr(f"substring(word, {i - k + 1}, {k})"))
+                .join(lpj, "piece")
+                .select(
+                    "word",
+                    "freq",
+                    (F.col("score") + F.col("lp_e9")).alias("score"),
+                    F.expr("array_append(seg, piece)").alias("seg"),
+                    F.lit(k).alias("k"),
+                )
+            )
+            cands = c if cands is None else cands.unionByName(c)
+        # (score, k) ties imply the identical candidate (same piece, same
+        # dp[i-k] winner), so max_by is deterministic here — see docstring
+        dp[i] = (
+            cands.groupBy("word", "freq")
+            .agg(F.expr("max_by(struct(score, seg), struct(score, k)) AS b"))
+            .select("word", "freq", F.col("b.score").alias("score"), F.col("b.seg").alias("seg"))
+            .localCheckpoint()
+        )
+    final = None
+    for i in range(1, maxlen + 1):
+        f_i = dp[i].filter(F.length("word") == i)
+        final = f_i if final is None else final.unionByName(f_i)
+    em = (
+        final.select("freq", F.explode("seg").alias("piece"))
+        .groupBy("piece")
+        .agg(F.expr("CAST(sum(freq) AS BIGINT) AS em_cnt"))
+    )
+    return lp.select("piece", "seed_cnt").join(em, "piece").select(
+        "piece", "seed_cnt", "em_cnt"
+    )
