@@ -1684,3 +1684,142 @@ def embed_standardize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("CAST(sum(CAST(abs(mu) > 0.25D AS INT)) AS BIGINT) AS n_off_center"),
     )
+
+
+# --- IVF+PQ composed search: the FAISS IVFADC shape ---------------------------
+@query(
+    "embed_ann_ivfpq",
+    oracle=f"""
+    WITH expl AS ({_EXPL_SQL}),
+    norms AS ({_NORMS_SQL}),
+    {_IVF_ASSIGN_SQL},
+    assign AS (SELECT vec_id, cell FROM ranked_cells WHERE crn = 1),
+    probes AS (SELECT vec_id AS qid, cell FROM ranked_cells
+               WHERE crn <= {_NPROBE} AND vec_id < {_NQ}),
+    cand AS (
+      SELECT p.qid, a.vec_id AS cid
+      FROM probes p JOIN assign a ON p.cell = a.cell
+      WHERE p.qid <> a.vec_id
+    ),
+    cb AS (SELECT vec_id AS code, pos, v AS cv FROM expl WHERE vec_id < {_PQ_CODES}),
+    pqd AS (
+      SELECT e.vec_id, CAST(e.pos // 8 AS INT) AS subspace, c.code,
+             sum(CAST((e.v - c.cv) * (e.v - c.cv) AS DECIMAL(25,12))) AS d2
+      FROM expl e JOIN cb c ON e.pos = c.pos
+      GROUP BY e.vec_id, subspace, c.code
+    ),
+    codes AS (
+      SELECT vec_id AS cid, subspace, code FROM (
+        SELECT vec_id, subspace, code,
+               row_number() OVER (PARTITION BY vec_id, subspace
+                                  ORDER BY d2, code) AS rn
+        FROM pqd
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT vec_id AS qid, subspace, code, d2 FROM pqd WHERE vec_id < {_NQ}
+    ),
+    adc AS (
+      SELECT cd.qid, cd.cid, CAST(sum(l.d2) AS DOUBLE) AS adc_d2
+      FROM cand cd
+      JOIN codes c ON c.cid = cd.cid
+      JOIN lut l ON l.qid = cd.qid AND l.subspace = c.subspace
+                AND l.code = c.code
+      GROUP BY cd.qid, cd.cid
+    )
+    SELECT qid, cid, round(adc_d2, 6) AS adc_d2, rn FROM (
+      SELECT qid, cid, adc_d2,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY adc_d2, cid) AS rn
+      FROM adc
+    ) WHERE rn <= {_TOPK}
+    """,
+)
+def embed_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed — FAISS's IVFADC, the production billion-scale
+    index, assembled from the repo's two halves: coarse IVF cells prune the
+    corpus to {nprobe}/{ncells} of its cells (embed_ann_ivf), and within
+    the probed cells candidate distance is PQ asymmetric lookup — the sum
+    of 8 per-subspace table entries against the query's LUT, touching NO
+    corpus floats at query time (embed_pq_search). At scale: inverted
+    lists partition by cell, the codebook and per-query LUT broadcast
+    (nq x 8 x {codes} rows), and the ADC join is (cid)+(subspace, code)
+    equi — nothing quadratic, nothing nested-loop. Exact decimal subvector
+    distances keep every argmin and the final (adc_d2, cid) top-k order
+    identical across engines."""
+    expl = _exploded(spark, sf_dir)
+    norms = _norms(expl)
+    cent = expl.filter(F.col("vec_id") < _NCELLS).select(
+        F.col("vec_id").alias("cell"), "pos", F.col("v").alias("cv")
+    )
+    cdots = (
+        expl.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "cell")
+        .agg(
+            F.sum((F.col("v") * F.col("cv")).cast("decimal(20,12)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    cnorm = cent.groupBy("cell").agg(
+        F.sqrt(
+            F.sum((F.col("cv") * F.col("cv")).cast("decimal(20,12)")).cast("double")
+        ).alias("cnrm")
+    )
+    ccos = (
+        cdots.join(norms, "vec_id")
+        .join(F.broadcast(cnorm), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.round(F.col("dot") / (F.col("nrm") * F.col("cnrm")), 6).alias("ccos"),
+        )
+    )
+    wcell = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    ranked = ccos.withColumn("crn", F.row_number().over(wcell))
+    assign = ranked.filter(F.col("crn") == 1).select(
+        F.col("vec_id").alias("cid"), "cell"
+    )
+    probes = ranked.filter(
+        (F.col("crn") <= _NPROBE) & (F.col("vec_id") < _NQ)
+    ).select(F.col("vec_id").alias("qid"), "cell")
+    cand = probes.join(assign, "cell").filter(F.col("qid") != F.col("cid")).select(
+        "qid", "cid"
+    )
+    cb = expl.filter(F.col("vec_id") < _PQ_CODES).select(
+        F.col("vec_id").alias("code"), "pos", F.col("v").alias("cv")
+    )
+    pqd = (
+        expl.join(F.broadcast(cb), "pos")
+        .groupBy(
+            "vec_id", F.expr("CAST(pos div 8 AS INT)").alias("subspace"), "code"
+        )
+        .agg(
+            F.sum(
+                ((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))).cast(
+                    "decimal(25,12)"
+                )
+            ).alias("d2")
+        )
+    )
+    wsub = Window.partitionBy("vec_id", "subspace").orderBy("d2", "code")
+    codes = (
+        pqd.withColumn("rn", F.row_number().over(wsub))
+        .filter(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("cid"), "subspace", "code")
+    )
+    lut = pqd.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("qid"), "subspace", "code", "d2"
+    )
+    adc = (
+        cand.join(codes, "cid")
+        .join(F.broadcast(lut), ["qid", "subspace", "code"])
+        .groupBy("qid", "cid")
+        .agg(F.sum("d2").cast("double").alias("adc_d2"))
+    )
+    wq = Window.partitionBy("qid").orderBy("adc_d2", "cid")
+    return (
+        adc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _TOPK)
+        .select("qid", "cid", F.round("adc_d2", 6).alias("adc_d2"), "rn")
+    )
