@@ -173,3 +173,23 @@ def test_bm25_scores_only_query_term_postings(spark, sf_dir):
     # every nested-loop join is a broadcast of the one-row stats frame,
     # never a raw-table cartesian
     assert a.sort_merge_joins == 0
+
+
+def test_no_unpartitioned_window_in_any_registered_plan(spark, sf_dir):
+    """Suite-wide invariant (VERDICT r3 #4, closed in r4): ZERO WindowExec
+    nodes with an empty partition spec across every registered query's
+    final plan. Catalyst constant-folds foldable partition keys out of the
+    spec (a literal col_name melts to an unpartitioned window at runtime —
+    the percentile_ops regression this sweep would have caught), so the
+    check runs on the executed-plan treeString, not the API-level spec.
+    Build-only — nothing executes except eager parameter estimation some
+    queries do during construction. ~2 min; this is the repo's central
+    scale invariant and worth the wall time."""
+    from usw_big_data_analysis_spark.plans import unpartitioned_window_count
+
+    offenders = {}
+    for name, fn in sorted(_QUERIES.items()):
+        n = unpartitioned_window_count(fn(spark, sf_dir))
+        if n:
+            offenders[name] = n
+    assert offenders == {}

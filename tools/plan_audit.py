@@ -72,6 +72,7 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
     from usw_big_data_analysis_spark.plans import audit, explain_formatted
+    from usw_big_data_analysis_spark.plans.inspect import unpartitioned_window_count
     from usw_big_data_analysis_spark.session import get_spark
 
     spark = get_spark("plan_audit", master="local[8]", shuffle_partitions=8)
@@ -84,10 +85,11 @@ def main() -> None:
             df = qs[name](spark, args.sf_dir)
             a = audit(df)
             raw_sp = raw_singlepartition(explain_formatted(df))
+            uw = unpartitioned_window_count(df)
         except Exception as exc:  # plan construction failed — report, keep going
             print(f"{name:36s} ERROR {type(exc).__name__}: {exc}")
             continue
-        rows.append((name, a, raw_sp))
+        rows.append((name, a, raw_sp, uw))
 
     key = {
         "name": lambda r: r[0],
@@ -95,11 +97,16 @@ def main() -> None:
         "python": lambda r: -r[1].python_evals,
     }[args.sort_by]
     flagged = 0
-    for name, a, raw_sp in sorted(rows, key=key):
-        flag = "  RAW-SP!" if raw_sp else ""
+    uw_flagged = 0
+    for name, a, raw_sp, uw in sorted(rows, key=key):
+        flag = ("  RAW-SP!" if raw_sp else "") + (f"  UNPART-WINDOW({uw})!" if uw else "")
         flagged += bool(raw_sp)
+        uw_flagged += bool(uw)
         print(f"{name:36s} {a}{flag}")
-    print(f"== {len(rows)} plans, {flagged} with raw-row SinglePartition ==")
+    print(
+        f"== {len(rows)} plans, {flagged} with raw-row SinglePartition, "
+        f"{uw_flagged} with unpartitioned WindowExec =="
+    )
 
 
 if __name__ == "__main__":
