@@ -201,20 +201,25 @@ def describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays O(1); every rank/interp value is bit-identical to the oracle's
     window-cumsum form."""
     melted = _melt_lineitem(spark, sf_dir).filter(F.col("x").isNotNull())
-    xi = N.spark_iscaled("x", 2)
     _SHIFT = 4096
-    b_sql = f"CAST(FLOOR(({xi}) / {_SHIFT}) AS INT)"
+    # scaled bigint projected ONCE per row — embedding it in the bucket
+    # expression plus both hi/lo pairs would evaluate the round+cast ~7x
+    # per row (same fix as q1/corr_matrix)
+    proj = melted.selectExpr(
+        "col_name", "x", f"{N.spark_iscaled('x', 2)} AS i"
+    )
+    b_sql = f"CAST(FLOOR(i / {_SHIFT}) AS INT)"
 
     hist_aggs = [
         "count(*) AS cnt",
         "min(x) AS mn",
         "max(x) AS mx",
         "sum(CAST(x = 0.0D AS BIGINT)) AS nz",
-        *N.spark_isum_items(xi, "s"),
-        *N.spark_isum_items(f"({xi}) * ({xi})", "ss"),
+        *N.spark_isum_items("i", "s"),
+        *N.spark_isum_items("i * i", "ss"),
     ]
     hist = (
-        melted.groupBy("col_name", F.expr(b_sql).alias("b"))
+        proj.groupBy("col_name", F.expr(b_sql).alias("b"))
         .agg(F.expr(hist_aggs[0]), *[F.expr(s) for s in hist_aggs[1:]])
         .toPandas()
     )
@@ -279,7 +284,13 @@ def describe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return f"CASE {whens} END"
 
-    with_b = melted.selectExpr("col_name", "x", f"{b_sql} AS b")
+    # pass 2 derives the bucket from x directly (its scan has no `i`
+    # projection — only pass 1's histogram needed the scaled moments)
+    with_b = melted.selectExpr(
+        "col_name",
+        "x",
+        f"CAST(FLOOR(({N.spark_iscaled('x', 2)}) / {_SHIFT}) AS INT) AS b",
+    )
 
     # pass 2 (returned plan): literal-predicate scan of the located
     # buckets only, tiny in-bucket rank window, interpolate

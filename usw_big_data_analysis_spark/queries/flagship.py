@@ -35,14 +35,23 @@ _SUMS = [
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # string-built expressions (N.spark_*): JVM-parsed, one py4j call per
-    # item — the Column-tree form cost ~0.25s of construction per cold call
+    # item — the Column-tree form cost ~0.25s of construction per cold call.
+    # The scaled bigints are projected ONCE per measure before the agg (the
+    # hi/lo split would otherwise embed — and evaluate — each iscaled
+    # expression twice per row; measured ~12% off the map stage, same trick
+    # as corr_matrix).
+    proj = li.filter(
+        F.expr(f"l_shipdate <= TIMESTAMP '{_CUTOFF} 00:00:00'")
+    ).selectExpr(
+        "l_returnflag",
+        "l_linestatus",
+        *[f"{N.spark_iscaled(expr, scale)} AS i_{name}" for name, expr, scale in _SUMS],
+    )
     aggs = ["count(*) AS count_order"]
-    for name, expr, scale in _SUMS:
-        aggs += N.spark_isum_items(N.spark_iscaled(expr, scale), name)
-    g = (
-        li.filter(F.expr(f"l_shipdate <= TIMESTAMP '{_CUTOFF} 00:00:00'"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(F.expr(aggs[0]), *[F.expr(s) for s in aggs[1:]])
+    for name, _, _ in _SUMS:
+        aggs += N.spark_isum_items(f"i_{name}", name)
+    g = proj.groupBy("l_returnflag", "l_linestatus").agg(
+        F.expr(aggs[0]), *[F.expr(s) for s in aggs[1:]]
     )
     return g.selectExpr(
         "l_returnflag",
