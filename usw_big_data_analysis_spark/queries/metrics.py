@@ -1262,3 +1262,42 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scheme("row_split", "o_orderkey % 5 = 4").unionByName(
         scheme("group_split", "o_custkey % 5 = 4")
     )
+
+
+# --- Matthews correlation coefficient -----------------------------------------
+@query(
+    "metric_mcc",
+    oracle=f"""
+    WITH c AS ({_CONF_SQL})
+    SELECT round((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+                  - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+                 / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+                        * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)),
+                 6) AS mcc,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn
+    FROM c
+    """,
+)
+def metric_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient — the balanced single-number
+    confusion summary sklearn reports as matthews_corrcoef; robust to class
+    imbalance where accuracy and F1 mislead. One shuffle-free partial agg
+    (the shared confusion counts), then pure expression arithmetic: the
+    numerator and the four marginals are exact integers, converted to
+    double in a fixed textual order so the product/sqrt/division sequence
+    is the identical IEEE computation on both engines, rounded at 6dp."""
+    s = scored_frame(spark, sf_dir)
+    c = s.agg(
+        F.sum(((F.col("label") == 1) & (F.col("pred") == 1)).cast("bigint")).alias("tp"),
+        F.sum(((F.col("label") == 0) & (F.col("pred") == 1)).cast("bigint")).alias("fp"),
+        F.sum(((F.col("label") == 1) & (F.col("pred") == 0)).cast("bigint")).alias("fn"),
+        F.sum(((F.col("label") == 0) & (F.col("pred") == 0)).cast("bigint")).alias("tn"),
+    )
+    return c.selectExpr(
+        "round((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)"
+        " - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))"
+        " / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)"
+        " * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)), 6) AS mcc",
+        "tp", "fp", "fn", "tn",
+    )

@@ -819,3 +819,74 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sum_value",
     )
+
+
+# --- real streaming session windows (gap-merged state) ------------------------
+@query(
+    "stream_session_window",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, event_id, value, epoch(ts) AS tsd,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                    PARTITION BY user_id ORDER BY epoch(ts), event_id) > 1800
+                  OR lag(epoch(ts)) OVER (
+                    PARTITION BY user_id ORDER BY epoch(ts), event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, value, tsd,
+             CAST(sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY tsd, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM t
+    )
+    SELECT user_id,
+           CAST(floor(min(tsd)) AS BIGINT) AS session_start,
+           CAST(floor(max(tsd)) + 1800 AS BIGINT) AS session_end,
+           count(*) AS n_events,
+           {N.sql_dsum('value')} AS sum_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization through the ACTUAL streaming engine using
+    the built-in ``session_window`` (gap-merged state rows, watermark-evicted
+    — the stateful twin of the batch lag/cumsum `stream_session`). Complete
+    output mode + a fully drained bounded source makes the final memory
+    table the exact batch answer, so the oracle is the independent
+    lag-formulation per (user, session): Spark's session end is
+    last-event-ts + gap, hence the oracle's floor(max(ts)) + 1800. The
+    fixture's microsecond-resolution timestamps mean no gap lands exactly
+    on the 1800 s boundary (where the two formulations' strict-vs-inclusive
+    merge rules would differ). State at scale: one row per OPEN session per
+    user, closed sessions evicted at the watermark."""
+    import uuid
+
+    from ..streaming import ops
+
+    name = f"q_sesswin_{uuid.uuid4().hex[:8]}"
+    stream = ops.read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), N.dsum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").alias("session_start"),
+            F.unix_timestamp("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    return spark.table(name)
