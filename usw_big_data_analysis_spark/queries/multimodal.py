@@ -446,10 +446,10 @@ def multimodal_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- perceptual average-hash near-dup groups ---------------------------------
-@query(
-    "multimodal_phash_groups",
-    oracle="""
-    WITH dims AS (
+# closed-form pHash oracle CTE chain, shared by the exact-group and the
+# banded-Hamming queries
+_PHASH_CTES = """
+    dims AS (
       SELECT doc_id, 8 + doc_id % 5 AS w, 4 + doc_id % 3 AS h FROM documents
     ),
     cells AS (
@@ -473,6 +473,13 @@ def multimodal_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM gr g JOIN tot t ON g.doc_id = t.doc_id
       GROUP BY g.doc_id
     )
+"""
+
+
+@query(
+    "multimodal_phash_groups",
+    oracle=f"""
+    WITH {_PHASH_CTES}
     SELECT phash, count(*) AS n_docs FROM ph GROUP BY phash
     """,
 )
@@ -489,6 +496,14 @@ def multimodal_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-order bug breaks oracle parity. Scale shape: one mapInPandas
     decode pass (Arrow-batched), one hash groupBy — exactly how an image
     near-dup pass runs over a binary parquet column at 100 TB."""
+    hashes = _phash_frame(spark, sf_dir)
+    return hashes.groupBy("phash").agg(F.expr("count(*) AS n_docs"))
+
+
+def _phash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, phash) — generate PPM payloads (closed-form pixels from
+    doc_id), decode with the vendored codec, 4x4 average-hash. Shared head
+    of multimodal_phash_groups and multimodal_phash_near."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import BinaryType, LongType, StructField, StructType
@@ -536,13 +551,12 @@ def multimodal_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["phash"].append(int((bits << shifts).sum()))
             yield pd.DataFrame(out)
 
-    hashes = payloads.mapInPandas(
+    return payloads.mapInPandas(
         hash_batches,
         StructType(
             [StructField("doc_id", LongType()), StructField("phash", LongType())]
         ),
     )
-    return hashes.groupBy("phash").agg(F.expr("count(*) AS n_docs"))
 
 
 # --- energy-threshold activity segments over decoded audio -------------------
@@ -661,3 +675,72 @@ def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("count(*) AS n_docs"),
         F.expr("CAST(sum(longest_run) AS BIGINT) AS sum_longest"),
     )
+
+
+# --- banded-Hamming pHash near-dup pairs --------------------------------------
+_PH_RADIUS = 2
+
+
+@query(
+    "multimodal_phash_near",
+    oracle=f"""
+    WITH {_PHASH_CTES},
+    bands AS (
+      SELECT doc_id, phash, b.b AS band,
+             CASE b.b WHEN 0 THEN phash % 64
+                      WHEN 1 THEN (phash // 64) % 32
+                      ELSE (phash // 2048) % 32 END AS band_val
+      FROM ph CROSS JOIN (SELECT unnest([0, 1, 2]) AS b) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, a.phash AS ph_a,
+                      c.doc_id AS id_b, c.phash AS ph_b
+      FROM bands a JOIN bands c
+        ON a.band = c.band AND a.band_val = c.band_val
+       AND a.doc_id < c.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ph_a, ph_b)) <= {_PH_RADIUS}
+    """,
+)
+def multimodal_phash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visually-NEAR-duplicate image pairs: pHash Hamming distance <=
+    {2} via pigeonhole banding — the 16-bit hash splits into three bands
+    (6+5+5 bits); any pair within radius 2 leaves at least one band intact,
+    so the candidate join is an equi-join on (band, band_val), never an
+    all-pairs XOR scan (the image-side sibling of dedup_simhash_hamming).
+    Exact bit_count(xor) verifies candidates. Decode runs ONCE (the
+    bounded (doc_id, phash) frame is checkpointed, then self-joined); at
+    100 TB the phash table is the only thing shuffled — 16 bytes per
+    image, regardless of image size."""
+    hashes = _phash_frame(spark, sf_dir).localCheckpoint()
+    bands = hashes.selectExpr(
+        "doc_id",
+        "phash",
+        "stack(3, 0, phash % 64,"
+        " 1, CAST(phash div 64 AS BIGINT) % 32,"
+        " 2, CAST(phash div 2048 AS BIGINT) % 32) AS (band, band_val)",
+    )
+    a = bands.selectExpr(
+        "doc_id AS id_a", "phash AS ph_a", "band", "band_val"
+    )
+    c = bands.selectExpr(
+        "doc_id AS id_b", "phash AS ph_b", "band AS band2", "band_val AS band_val2"
+    )
+    cand = (
+        a.join(
+            c,
+            (F.col("band") == F.col("band2"))
+            & (F.col("band_val") == F.col("band_val2"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "ph_a", "id_b", "ph_b")
+        .distinct()
+    )
+    return cand.selectExpr(
+        "id_a",
+        "id_b",
+        "CAST(bit_count(ph_a ^ ph_b) AS INT) AS hamming",
+    ).filter(F.expr(f"bit_count(ph_a ^ ph_b) <= {_PH_RADIUS}"))
