@@ -908,15 +908,19 @@ def embed_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- vectorized (Arrow) brute-force top-k — the throughput path --------------
-@query("embed_cosine_topk_pandas")
+@query("embed_cosine_topk_pandas", oracle=_EXACT_TOPK_ORACLE)
 def embed_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """numpy-matmul-per-Arrow-batch form of embed_cosine_topk (rows-only:
-    float matmul is not bit-stable against the decimal oracle; equivalence
-    to the exact form is asserted in tests/test_similarity_ops.py)."""
+    """numpy-per-Arrow-batch form of embed_cosine_topk, upgraded from
+    rows-only to fully oracle-checked: the kernel's exact_int mode performs
+    the SAME per-product round(x·y·1e12) integer fold as the decimal oracle
+    (similarity_ops._round_half_up_e12 mirrors F.round's HALF_UP), so the
+    Python path hash-matches DuckDB bit-for-bit. The float-matmul mode of
+    the same operator remains the throughput variant bench.py times;
+    float-vs-exact equivalence is asserted in tests/test_similarity_ops.py."""
     from ..operators.similarity_ops import cosine_topk_vectorized
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_topk_vectorized(emb, n_queries=_NQ, k=_TOPK)
+    return cosine_topk_vectorized(emb, n_queries=_NQ, k=_TOPK, exact_int=True)
 
 
 # --- IVF (inverted-file) ANN: coarse quantizer + cell-restricted search -----
