@@ -47,3 +47,21 @@ def test_bench_headline_keys_registered():
     for name in bench.HEADLINE:
         assert name in qs, name
         assert name in oracles, f"{name} lost its oracle (ratio would vanish)"
+
+
+def test_r04_rotation_pins_stale_reds_then_priority_fresh():
+    """The driver samples queries() in iteration order; r04's window must
+    open with the six stale r01 reds (driver ledger still shows them red
+    from the fixed HUGEINT era) followed by never-driver-checked priority
+    keys (VERDICT r3 #1)."""
+    from usw_big_data_analysis_spark.registry import (
+        _DRIVER_CHECKED,
+        _PINNED_FIRST,
+        all_queries,
+    )
+
+    order = list(all_queries())
+    assert tuple(order[:6]) == _PINNED_FIRST
+    # everything after the pins, up to the window edge, is fresh
+    window_tail = order[6:50]
+    assert all(k not in _DRIVER_CHECKED for k in window_tail)
