@@ -893,3 +893,149 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+# --- Q2: minimum-cost supplier (decorrelated scalar subquery) -----------------
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice) AS supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    euro AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    scoped AS (
+      SELECT p.p_partkey, p.p_type, e.s_name, e.s_acctbal, e.n_name,
+             s.supplycost
+      FROM supply s
+      JOIN euro e ON s.l_suppkey = e.s_suppkey
+      JOIN part p ON s.l_partkey = p.p_partkey
+      WHERE p.p_size % 10 = 3
+    ),
+    minc AS (
+      SELECT p_partkey AS m_partkey, min(supplycost) AS min_cost
+      FROM scoped GROUP BY p_partkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, supplycost
+    FROM scoped JOIN minc
+      ON p_partkey = m_partkey AND supplycost = min_cost
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's shape — for each qualifying part, the supplier(s)
+    offering the regional minimum supply cost. The fixture has no partsupp
+    table, so supply costs derive from lineitem's (partkey, suppkey) pairs
+    (min extended price — stored values, so the min and the equality join
+    back are engine-exact). The signature relational pattern is the
+    CORRELATED SCALAR SUBQUERY (cost = min cost for that part) DECORRELATED
+    into a per-part min aggregate joined back on (part, cost) — one shuffle
+    each side, no per-row subquery execution; dims (supplier x nation x
+    region, part) broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("supplycost")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    euro = (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") % 10 == 3)
+        .select("p_partkey", "p_type")
+    )
+    scoped = (
+        supply.join(F.broadcast(euro), supply["l_suppkey"] == euro["s_suppkey"])
+        .join(F.broadcast(part), supply["l_partkey"] == part["p_partkey"])
+        .select("p_partkey", "p_type", "s_name", "s_acctbal", "n_name", "supplycost")
+    )
+    minc = scoped.groupBy(F.col("p_partkey").alias("m_partkey")).agg(
+        F.min("supplycost").alias("min_cost")
+    )
+    return scoped.join(
+        minc,
+        (F.col("p_partkey") == F.col("m_partkey"))
+        & (F.col("supplycost") == F.col("min_cost")),
+    ).select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "supplycost")
+
+
+# --- Q11: important stock (HAVING against a global scalar) --------------------
+_Q11_NATION = "NATION_7"
+
+
+@query(
+    "q11_important_stock",
+    oracle=f"""
+    WITH nsup AS (
+      SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = '{_Q11_NATION}'
+    ),
+    pv AS (
+      SELECT l_partkey,
+             {N.sql_isum_items(
+                 N.sql_iscaled('l_extendedprice * (1 - l_discount)', 4), 'v')}
+      FROM lineitem JOIN nsup ON l_suppkey = s_suppkey
+      GROUP BY l_partkey
+    ),
+    pvi AS (
+      SELECT l_partkey,
+             CAST(v__hi AS DECIMAL(38,0)) * 1000000000
+               + CAST(v__lo AS DECIMAL(38,0)) AS vint
+      FROM pv
+    ),
+    tot AS (SELECT sum(vint) AS tint FROM pvi)
+    SELECT l_partkey AS p_partkey,
+           CAST(vint AS DOUBLE) / 10000.0 AS part_value
+    FROM pvi, tot
+    WHERE vint * 1000 > tint
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11's shape — parts whose stock value within one nation's
+    suppliers exceeds a fraction (0.001 here) of the national total: the
+    HAVING-against-a-GLOBAL-SCALAR-subquery pattern. Value derives from
+    lineitem (extprice x (1-disc), no partsupp in the fixture) as exact
+    scaled integers, the global total is a one-row aggregate broadcast
+    back (never an unpartitioned window), and the threshold predicate is
+    pure integer arithmetic (vint * 1000 > tint) — the qualifying set is
+    bit-identical across engines with no epsilon."""
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == _Q11_NATION
+    )
+    nsup = sup.join(
+        F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"]
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = li.join(
+        F.broadcast(nsup), li["l_suppkey"] == F.col("s_suppkey")
+    ).selectExpr(
+        "l_partkey",
+        f"{N.spark_iscaled('l_extendedprice * (1 - l_discount)', 4)} AS iv",
+    )
+    pv = rows.groupBy("l_partkey").agg(
+        *[F.expr(s) for s in N.spark_isum_items("iv", "v")]
+    )
+    pvi = pv.selectExpr(
+        "l_partkey",
+        "CAST(v__hi AS DECIMAL(38,0)) * 1000000000"
+        " + CAST(v__lo AS DECIMAL(38,0)) AS vint",
+    )
+    tot = pvi.agg(F.expr("sum(vint) AS tint"))
+    return (
+        pvi.crossJoin(F.broadcast(tot))
+        .filter(F.expr("vint * 1000 > tint"))
+        .selectExpr(
+            "l_partkey AS p_partkey",
+            "CAST(vint AS DOUBLE) / 10000.0 AS part_value",
+        )
+    )
