@@ -88,12 +88,16 @@ def main() -> None:
     qs = all_queries()
     qs.update(_bench_variants())
 
-    # Queries whose build step eagerly materializes bounded intermediate
-    # state (metric_auroc localCheckpoints its <=10^6-row distinct-prob
-    # table). Re-executing a cached DataFrame would skip that fact scan, so
-    # these are rebuilt inside every timed iteration — build + execute both
-    # land in the measured region.
-    SELF_MATERIALIZING = {"metric_auroc"}
+    # Queries whose build step eagerly computes DATA-DEPENDENT state
+    # (metric_auroc localCheckpoints its <=10^6-row distinct-prob table;
+    # describe runs its pass-1 moment/histogram aggregation and bakes the
+    # results in as plan literals). A cached DataFrame would skip that fact
+    # work — and is only valid for one data snapshot anyway — so these are
+    # rebuilt inside every timed iteration: build + execute both land in
+    # the measured region. (Verified by job-count probe: all other headline
+    # builds run zero compute jobs beyond footer reads / tiny query-vector
+    # collects.)
+    SELF_MATERIALIZING = {"metric_auroc", "describe"}
 
     # Plan-cache methodology (VERDICT r3 #2): each headline DataFrame is
     # analyzed ONCE (the production shape — a plan compiles once and runs

@@ -200,16 +200,20 @@ def describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     every one plus multi-stage window/join scaffolding. Executor memory
     stays O(1); every rank/interp value is bit-identical to the oracle's
     window-cumsum form."""
-    melted = _melt_lineitem(spark, sf_dir).filter(F.col("x").isNotNull())
+    from functools import reduce
+
+    li = load_table(spark, sf_dir, "lineitem")
     _SHIFT = 4096
-    # scaled bigint projected ONCE per row — embedding it in the bucket
-    # expression plus both hi/lo pairs would evaluate the round+cast ~7x
-    # per row (same fix as q1/corr_matrix)
-    proj = melted.selectExpr(
-        "col_name", "x", f"{N.spark_iscaled('x', 2)} AS i"
-    )
     b_sql = f"CAST(FLOOR(i / {_SHIFT}) AS INT)"
 
+    # one aggregation BRANCH per column, unioned — not a 4x stack melt:
+    # each branch scans exactly one parquet column (columnar pruning makes
+    # total bytes identical to the single melt scan) and the branches run
+    # as independent parallel stages instead of one 4x-wider single-split
+    # map task (measured 0.85s -> 0.3s on the one-row-group fixture; at
+    # 100 TB per-branch pruning is strictly better than melting 4 columns
+    # through one generator). The scaled bigint is projected once per row
+    # (q1/corr_matrix fix).
     hist_aggs = [
         "count(*) AS cnt",
         "min(x) AS mn",
@@ -218,11 +222,20 @@ def describe(spark: SparkSession, sf_dir: str) -> DataFrame:
         *N.spark_isum_items("i", "s"),
         *N.spark_isum_items("i * i", "ss"),
     ]
-    hist = (
-        proj.groupBy("col_name", F.expr(b_sql).alias("b"))
-        .agg(F.expr(hist_aggs[0]), *[F.expr(s) for s in hist_aggs[1:]])
-        .toPandas()
-    )
+
+    def _col_hist(c: str):
+        return (
+            li.select(F.col(c).alias("x"))
+            .filter(F.col("x").isNotNull())
+            .selectExpr("x", f"{N.spark_iscaled('x', 2)} AS i")
+            .groupBy(F.expr(b_sql).alias("b"))
+            .agg(F.expr(hist_aggs[0]), *[F.expr(s) for s in hist_aggs[1:]])
+            .selectExpr(f"'{c}' AS col_name", "*")
+        )
+
+    hist = reduce(
+        DataFrame.unionByName, [_col_hist(c) for c in _NUM_COLS]
+    ).toPandas()
 
     from decimal import ROUND_HALF_UP, Decimal
 
@@ -284,22 +297,23 @@ def describe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return f"CASE {whens} END"
 
-    # pass 2 derives the bucket from x directly (its scan has no `i`
-    # projection — only pass 1's histogram needed the scaled moments)
-    with_b = melted.selectExpr(
-        "col_name",
-        "x",
-        f"CAST(FLOOR(({N.spark_iscaled('x', 2)}) / {_SHIFT}) AS INT) AS b",
-    )
+    # pass 2 (returned plan): per-column literal-predicate scans of the
+    # located buckets only (same union-of-pruned-branches shape as pass 1 —
+    # the bucket predicate is a literal IN-list per branch), tiny in-bucket
+    # rank window, interpolate
+    def _col_narrow(c: str):
+        bucket = f"CAST(FLOOR(({N.spark_iscaled('x', 2)}) / {_SHIFT}) AS INT)"
+        keep = ", ".join(str(b) for b in sorted(targets[c]))
+        return (
+            li.select(F.col(c).alias("x"))
+            .filter(F.col("x").isNotNull())
+            .selectExpr("x", f"{bucket} AS b")
+            .filter(F.expr(f"b IN ({keep})"))
+            .selectExpr(f"'{c}' AS col_name", "x", "b")
+        )
 
-    # pass 2 (returned plan): literal-predicate scan of the located
-    # buckets only, tiny in-bucket rank window, interpolate
-    keep = " OR ".join(
-        f"(col_name = '{c}' AND b IN ({', '.join(str(b) for b in sorted(targets[c]))}))"
-        for c in _NUM_COLS
-    )
     vals = (
-        with_b.filter(F.expr(keep))
+        reduce(DataFrame.unionByName, [_col_narrow(c) for c in _NUM_COLS])
         .groupBy("col_name", "b", "x")
         .agg(F.count("*").alias("cnt"))
     )
