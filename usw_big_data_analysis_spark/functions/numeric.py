@@ -152,9 +152,19 @@ _ISPLIT = 1_000_000_000
 
 
 def iscaled(c: Column | str, scale: int) -> Column:
-    """round(x * 10^scale) as bigint — exact when x has <= scale decimals."""
+    """round(x * 10^scale) as bigint — exact when x has <= scale decimals.
+
+    Implemented as ``floor(x*10^s + 0.5)`` rather than ``round(x*10^s, 0)``:
+    Spark's double ``round`` boxes every row through java.math.BigDecimal
+    (measured ~2x the whole map-stage cost on the q1 hot path), while
+    floor(+0.5) stays a primitive double op inside whole-stage codegen.
+    The two agree for every double except exact NEGATIVE half-integers
+    (-12.5: HALF_UP -> -13, floor(+0.5) -> -12) — unreachable under this
+    helper's contract (x carries <= scale decimals, so x*10^s sits within
+    ~1 ulp of an integer, never near .5); the full oracle-parity suite
+    pins the equivalence against DuckDB's round() at every call site."""
     col = F.col(c) if isinstance(c, str) else c
-    return F.round(col * (10**scale), 0).cast("bigint")
+    return F.floor(col * (10**scale) + F.lit(0.5)).cast("bigint")
 
 
 def isum_aggs(expr: Column, name: str) -> list[Column]:
@@ -207,8 +217,15 @@ def isum_value(name: str, scale: int) -> Column:
 
 
 def spark_iscaled(expr: str, scale: int) -> str:
-    """Spark-SQL twin of ``iscaled``: round(x * 10^scale) as bigint."""
-    return f"CAST(round(({expr}) * {10**scale}, 0) AS BIGINT)"
+    """Spark-SQL twin of ``iscaled``: round(x * 10^scale) as bigint.
+
+    Same floor(+0.5) form as ``iscaled`` — Spark's double round() allocates
+    a BigDecimal per row; floor stays primitive in codegen (q1 map stage
+    measured 0.60s -> 0.31s at sf0.1). Equivalent to HALF_UP under the
+    <= scale-decimals contract (see ``iscaled``); the DuckDB twin
+    ``sql_iscaled`` keeps round() — its vectorized version is cheap — and
+    the parity suite pins cross-engine equality."""
+    return f"CAST(FLOOR(({expr}) * {10**scale} + 0.5D) AS BIGINT)"
 
 
 def spark_isum_items(expr: str, name: str) -> list[str]:
