@@ -143,16 +143,19 @@ def _auroc_rank_agg(s: DataFrame) -> DataFrame:
     size grows with the fact; results are bit-identical to row-level
     rank() because below/tie counts are integers and r_avg is a
     half-integer."""
+    # Integer quantization key: q = floor(prob*10^s + 0.5) is exactly
+    # DuckDB's round(prob, s) for non-negative doubles (std::round is
+    # multiply-then-half-away there), maps 1:1 onto the oracle's distinct
+    # rounded probs (q/10^s are distinct doubles for distinct q), and keeps
+    # the group key a BIGINT — no per-row BigDecimal boxing (Spark's double
+    # round), cheaper group hashing, and bucket assignment becomes a pure
+    # integer DIV (any monotone function of q preserves the rank order).
+    _Q = 10**_PROB_SCALE
+    _BW = _Q // _RANK_BUCKETS + 1  # ceil: q in [0, 10^s] -> b in [0, 1023]
     vb = (
-        s.groupBy(F.expr(f"round(prob, {_PROB_SCALE})").alias("prob"))
+        s.groupBy(F.expr(f"CAST(FLOOR(prob * {_Q} + 0.5D) AS BIGINT)").alias("prob"))
         .agg(F.expr("count(*) AS t"), F.expr("CAST(sum(label) AS BIGINT) AS tp"))
-        .withColumn(
-            "b",
-            F.expr(
-                f"greatest(least(CAST(floor(prob * {_RANK_BUCKETS}) AS INT),"
-                f" {_RANK_BUCKETS - 1}), 0)"
-            ),
-        )
+        .withColumn("b", F.expr(f"CAST(prob DIV {_BW} AS INT)"))
         # vb feeds BOTH the histogram and the in-bucket window; without a cut
         # here each branch gets its own column pruning, the subtrees stop
         # being identical, ReuseExchange never fires, and the whole
