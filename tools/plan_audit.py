@@ -72,7 +72,10 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
     from usw_big_data_analysis_spark.plans import audit, explain_formatted
-    from usw_big_data_analysis_spark.plans.inspect import unpartitioned_window_count
+    from usw_big_data_analysis_spark.plans.inspect import (
+        perrow_round_count,
+        unpartitioned_window_count,
+    )
     from usw_big_data_analysis_spark.session import get_spark
 
     spark = get_spark("plan_audit", master="local[8]", shuffle_partitions=8)
@@ -84,12 +87,14 @@ def main() -> None:
         try:
             df = qs[name](spark, args.sf_dir)
             a = audit(df)
-            raw_sp = raw_singlepartition(explain_formatted(df))
+            plan = explain_formatted(df)
+            raw_sp = raw_singlepartition(plan)
             uw = unpartitioned_window_count(df)
+            prr = perrow_round_count(plan)
         except Exception as exc:  # plan construction failed — report, keep going
             print(f"{name:36s} ERROR {type(exc).__name__}: {exc}")
             continue
-        rows.append((name, a, raw_sp, uw))
+        rows.append((name, a, raw_sp, uw, prr))
 
     key = {
         "name": lambda r: r[0],
@@ -98,14 +103,21 @@ def main() -> None:
     }[args.sort_by]
     flagged = 0
     uw_flagged = 0
-    for name, a, raw_sp, uw in sorted(rows, key=key):
-        flag = ("  RAW-SP!" if raw_sp else "") + (f"  UNPART-WINDOW({uw})!" if uw else "")
+    prr_flagged = 0
+    for name, a, raw_sp, uw, prr in sorted(rows, key=key):
+        flag = (
+            ("  RAW-SP!" if raw_sp else "")
+            + (f"  UNPART-WINDOW({uw})!" if uw else "")
+            + (f"  ROUND@ROW({prr})" if prr else "")
+        )
         flagged += bool(raw_sp)
         uw_flagged += bool(uw)
+        prr_flagged += bool(prr)
         print(f"{name:36s} {a}{flag}")
     print(
         f"== {len(rows)} plans, {flagged} with raw-row SinglePartition, "
-        f"{uw_flagged} with unpartitioned WindowExec =="
+        f"{uw_flagged} with unpartitioned WindowExec, "
+        f"{prr_flagged} with per-row BigDecimal round =="
     )
 
 

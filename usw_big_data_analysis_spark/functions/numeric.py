@@ -167,6 +167,43 @@ def iscaled(c: Column | str, scale: int) -> Column:
     return F.floor(col * (10**scale) + F.lit(0.5)).cast("bigint")
 
 
+def fround_int(c: Column) -> Column:
+    """Nearest-integer round of a double, half away from zero, as BIGINT —
+    primitive ops only. Drop-in for ``F.round(x, 0).cast("bigint")``:
+    Spark's double round boxes a java.math.BigDecimal per row (ROUND@ROW in
+    tools/plan_audit.py), while sign·floor(abs+0.5) stays inside
+    whole-stage codegen. At representable halves both round away from zero
+    (|-k-0.5| → k+0.5 → floor(k+1.0) = k+1, re-signed), so the two agree
+    everywhere except doubles within 1 ulp of a half (e.g.
+    nextafter(0.5, 0), where BigDecimal sees the exact decimal expansion
+    but the +0.5 add rounds up) — the oracle-parity suite gates every call
+    site. Precondition: |x| < 2^53 (bigint floor of larger magnitudes is
+    meaningless for doubles anyway)."""
+    return F.floor(F.abs(c) + F.lit(0.5)).cast("bigint") * F.when(
+        c < 0, F.lit(-1)
+    ).otherwise(F.lit(1))
+
+
+def fround(c: Column, scale: int) -> Column:
+    """Primitive half-away-from-zero round of a double to ``scale``
+    decimals — drop-in for per-row ``F.round(x, scale)`` (see
+    ``fround_int`` for the BigDecimal rationale and the half-boundary
+    caveat). Matches DuckDB's round() for doubles (std::round of x·10^s,
+    half away from zero, divided back; one correctly-rounded IEEE
+    division). Precondition: |x·10^scale| < 2^53."""
+    s = float(10**scale)
+    return (fround_int(c * s).cast("double") / F.lit(s)).cast("double")
+
+
+def spark_fround(expr: str, scale: int) -> str:
+    """Spark-SQL string twin of ``fround`` for the hot string-built paths."""
+    s = float(10**scale)
+    return (
+        f"(CAST(FLOOR(ABS(({expr}) * {s}) + 0.5D) AS BIGINT)"
+        f" * CASE WHEN ({expr}) < 0 THEN -1 ELSE 1 END) / {s}"
+    )
+
+
 def isum_aggs(expr: Column, name: str) -> list[Column]:
     """Two aggregate columns (<name>__hi, <name>__lo) for an exact bigint
     sum of a non-negative bigint expression. Per-row values must stay below

@@ -79,6 +79,75 @@ def unpartitioned_window_count(df: DataFrame) -> int:
     return n
 
 
+_AGG_NODE = re.compile(r"(?:HashAggregate|ObjectHashAggregate|SortAggregate)")
+_ROUND_CALL = re.compile(r"(?<![a-z_])round\(")
+
+
+def perrow_round_count(plan: str | DataFrame) -> int:
+    """Number of plan nodes that evaluate a double ``round(...)`` per RAW
+    scan row — i.e. on the path between a file scan and the first
+    cardinality-compressing aggregate.
+
+    Why it matters at 100 TB: Spark's ``round(double, d)`` boxes every row
+    through java.math.BigDecimal (measured ~2x an entire q1 map stage);
+    rounds that run once per group (post-aggregate) are free. Hot per-row
+    quantization should use the primitive floor(+0.5) forms in
+    ``functions/numeric.py`` instead. Detection walks the formatted plan's
+    indent tree: for nodes strictly between a scan and its first
+    aggregate, any ``round(`` in the node's detail block counts; for the
+    first (partial) aggregate itself only its per-input-row sections
+    (``Keys``/``Functions``) count — its ``Results`` run once per group."""
+    text = plan if isinstance(plan, str) else explain_formatted(plan)
+    lines = text.splitlines()
+    try:
+        tree = lines[: lines.index("")]
+    except ValueError:
+        tree = lines
+    # detail blocks: "(id) NodeName" header through next blank line
+    details: dict[int, str] = {}
+    block_id: int | None = None
+    block: list[str] = []
+    for line in lines[len(tree):]:
+        m = re.match(r"\((\d+)\) \S", line)
+        if m:
+            if block_id is not None:
+                details[block_id] = "\n".join(block)
+            block_id, block = int(m.group(1)), [line]
+        elif block_id is not None:
+            block.append(line)
+    if block_id is not None:
+        details[block_id] = "\n".join(block)
+
+    def node_flags(nid: int, name_line: str) -> bool:
+        d = details.get(nid, name_line)
+        if _AGG_NODE.search(name_line):
+            perrow = [
+                ln for ln in d.splitlines()
+                if ln.startswith(("Keys", "Functions"))
+            ]
+            return any(_ROUND_CALL.search(ln) for ln in perrow)
+        return bool(_ROUND_CALL.search(d))
+
+    flagged: set[int] = set()
+    stack: list[tuple[int, int, str]] = []  # (indent, id, line)
+    for line in tree:
+        m = re.search(r"\((\d+)\)\s*$", line)
+        if not m:
+            continue
+        node_id = int(m.group(1))
+        indent = len(line) - len(line.lstrip(" *+-:"))
+        while stack and stack[-1][0] >= indent:
+            stack.pop()
+        if "Scan parquet" in line or "Scan ExistingRDD" in line:
+            for _, nid, nline in reversed(stack):  # scan upward to root
+                if node_flags(nid, nline):
+                    flagged.add(nid)
+                if _AGG_NODE.search(nline):
+                    break  # past the first aggregate: per-group territory
+        stack.append((indent, node_id, line))
+    return len(flagged)
+
+
 @dataclass
 class PlanAudit:
     shuffles: int

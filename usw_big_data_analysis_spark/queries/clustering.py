@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import numeric as N
 from ..registry import query
 from ..sources import load_table
 
@@ -59,7 +60,7 @@ def _assign(expl: DataFrame, vn: DataFrame, cent: DataFrame) -> DataFrame:
         .select(
             "vec_id",
             "cell",
-            F.round(
+            N.fround(
                 F.col("dot").cast("double") / (F.col("nx") * F.col("nc")), 6
             ).alias("cos"),
         )
@@ -155,8 +156,7 @@ def kmeans_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id",
         "pos",
-        F.round(F.col("fv").cast("double") * F.lit(_SCALE), 0)
-        .cast("bigint")
+        N.fround_int(F.col("fv").cast("double") * F.lit(_SCALE))
         .alias("xi"),
     )
     vn = expl.groupBy("vec_id").agg(
@@ -276,8 +276,7 @@ def embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id",
         "pos",
-        F.round(F.col("fv").cast("double") * F.lit(_SCALE), 0)
-        .cast("bigint")
+        N.fround_int(F.col("fv").cast("double") * F.lit(_SCALE))
         .alias("xi"),
     )
     vn = expl.groupBy("vec_id").agg(

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import numeric as N
 from ..registry import query
 from ..sources import load_table
 
@@ -58,13 +59,14 @@ def _dec_dot(a: F.Column, b: F.Column) -> F.Column:
     sum(CAST(x*y AS DECIMAL(20,12))): round(x*y * 1e12) as bigint IS that
     decimal's unscaled value (verified bit-identical over every fixture
     pair), and 64 of them sum within 2^53 — so the fold is plain integer
-    adds instead of BigDecimal allocation (GC-visible at scale)."""
+    adds instead of BigDecimal allocation (GC-visible at scale). The
+    per-element round is N.fround_int (sign·floor(abs+0.5), half away
+    from zero like DuckDB's decimal cast) — the F.round form it replaced
+    boxed a BigDecimal per ELEMENT, 64x per pair (ROUND@ROW audit)."""
     prods = F.zip_with(
         a,
         b,
-        lambda x, y: F.round(x.cast("double") * y.cast("double") * 1e12, 0).cast(
-            "bigint"
-        ),
+        lambda x, y: N.fround_int(x.cast("double") * y.cast("double") * 1e12),
     )
     return (
         F.aggregate(prods, F.lit(0).cast("bigint"), lambda acc, x: acc + x).cast(
@@ -136,7 +138,7 @@ def embed_cosine_topk(
     cos = pairs.select(
         "qid",
         "cid",
-        F.round(
+        N.fround(
             _dec_dot(F.col("qemb"), F.col("cemb")) / (F.col("nrm_q") * F.col("nrm_c")),
             6,
         ).alias("cosine"),
@@ -245,7 +247,7 @@ def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             "cid",
-            F.round(F.col("dot") / (F.col("nrm_q") * F.col("nrm_c")), 6).alias(
+            N.fround(F.col("dot") / (F.col("nrm_q") * F.col("nrm_c")), 6).alias(
                 "cosine"
             ),
         )
@@ -358,7 +360,7 @@ def _dup_candidate_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a",
         "id_b",
-        F.round(_dec_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        N.fround(_dec_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6).alias("cosine"),
     )
 
 
@@ -597,7 +599,7 @@ def embed_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         adc.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= _TOPK)
-        .select("qid", "cid", F.round("adc_d2", 6).alias("adc_d2"), "rn")
+        .select("qid", "cid", N.fround(F.col("adc_d2"), 6).alias("adc_d2"), "rn")
     )
 
 
@@ -706,7 +708,7 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid",
         "cid",
         "label",
-        F.round(
+        N.fround(
             _dec_dot(F.col("qemb"), F.col("cemb")) / (F.col("nrm_q") * F.col("nrm_c")),
             6,
         ).alias("cosine"),
@@ -858,7 +860,7 @@ def embed_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = cand.select(
         "qid",
         "cid",
-        F.round(
+        N.fround(
             _dec_dot(F.col("qemb"), F.col("cemb")) / (F.col("nrm_q") * F.col("nrm_c")),
             6,
         ).alias("cosine"),
@@ -1012,7 +1014,7 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
             "nrm",
             "cell",
-            F.round(
+            N.fround(
                 _dec_dot(F.col("embedding"), F.col("cemb"))
                 / (F.col("nrm") * F.col("cnrm")),
                 6,
@@ -1042,7 +1044,7 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = cand.select(
         "qid",
         "cid",
-        F.round(
+        N.fround(
             _dec_dot(F.col("qemb"), F.col("cemb")) / (F.col("nrm_q") * F.col("nrm_c")),
             6,
         ).alias("cosine"),
@@ -1092,7 +1094,7 @@ def embed_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("dim").alias("dim_max"),
         F.round(F.min("nrm"), 6).alias("norm_min"),
         F.round(
-            F.sum(F.round("nrm", 9).cast("decimal(25,12)")).cast("double")
+            F.sum(N.fround(F.col("nrm"), 9).cast("decimal(25,12)")).cast("double")
             / F.count("*"),
             6,
         ).alias("norm_mean"),
@@ -1195,7 +1197,7 @@ def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "qid",
                 "cid",
-                F.round(
+                N.fround(
                     F.col("dot") / (F.col("nrm_q") * F.col("nrm_c")), 6
                 ).alias("cos"),
             )
@@ -1297,7 +1299,7 @@ def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_label",
         "cid",
         "neg_label",
-        F.round(
+        N.fround(
             _dec_dot(F.col("qemb"), F.col("cemb"))
             / (F.col("nrm_q") * F.col("nrm_c")),
             6,
@@ -1776,7 +1778,7 @@ def embed_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "cell",
-            F.round(F.col("dot") / (F.col("nrm") * F.col("cnrm")), 6).alias("ccos"),
+            N.fround(F.col("dot") / (F.col("nrm") * F.col("cnrm")), 6).alias("ccos"),
         )
     )
     wcell = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
@@ -1825,5 +1827,5 @@ def embed_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         adc.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= _TOPK)
-        .select("qid", "cid", F.round("adc_d2", 6).alias("adc_d2"), "rn")
+        .select("qid", "cid", N.fround(F.col("adc_d2"), 6).alias("adc_d2"), "rn")
     )
