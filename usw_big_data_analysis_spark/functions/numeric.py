@@ -198,9 +198,20 @@ def fround(c: Column, scale: int) -> Column:
 def spark_fround(expr: str, scale: int) -> str:
     """Spark-SQL string twin of ``fround`` for the hot string-built paths."""
     s = float(10**scale)
+    # {s}D: Spark parses a bare decimal literal as DECIMAL, which would
+    # type the whole expression DECIMAL instead of DOUBLE
     return (
-        f"(CAST(FLOOR(ABS(({expr}) * {s}) + 0.5D) AS BIGINT)"
-        f" * CASE WHEN ({expr}) < 0 THEN -1 ELSE 1 END) / {s}"
+        f"(CAST(FLOOR(ABS(({expr}) * {s}D) + 0.5D) AS BIGINT)"
+        f" * CASE WHEN ({expr}) < 0 THEN -1 ELSE 1 END) / {s}D"
+    )
+
+
+def spark_fround_int(expr: str) -> str:
+    """Spark-SQL string twin of ``fround_int`` — nearest bigint, half away
+    from zero, primitive ops only (codegen CSE dedups the repeated expr)."""
+    return (
+        f"(CAST(FLOOR(ABS({expr}) + 0.5D) AS BIGINT)"
+        f" * CASE WHEN ({expr}) < 0 THEN -1 ELSE 1 END)"
     )
 
 

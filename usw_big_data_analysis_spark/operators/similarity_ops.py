@@ -16,6 +16,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions import numeric as N
 from pyspark.sql.types import (
     DoubleType,
     IntegerType,
@@ -127,5 +129,5 @@ def cosine_topk_vectorized(
     return (
         partial.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .select("qid", "cid", F.round("cosine", 6).alias("cosine"), "rn")
+        .select("qid", "cid", N.fround(F.col("cosine"), 6).alias("cosine"), "rn")
     )

@@ -96,7 +96,13 @@ def perrow_round_count(plan: str | DataFrame) -> int:
     indent tree: for nodes strictly between a scan and its first
     aggregate, any ``round(`` in the node's detail block counts; for the
     first (partial) aggregate itself only its per-input-row sections
-    (``Keys``/``Functions``) count — its ``Results`` run once per group."""
+    (``Keys``/``Functions``) count — its ``Results`` run once per group.
+
+    Known accepted flag: ``embed_jl_projection_audit`` rounds a
+    DECIMAL-typed norm (exact decimal arithmetic is the point there —
+    converting to the double floor form would change the value); the
+    detector cannot see expression types in the plan text, so that one
+    stays flagged by design."""
     text = plan if isinstance(plan, str) else explain_formatted(plan)
     lines = text.splitlines()
     try:

@@ -985,7 +985,7 @@ def hist2d_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.expr("count(*) AS n"),
         F.expr(
-            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)"
+            f"CAST(sum({N.spark_fround_int('l_extendedprice * 100')}) AS BIGINT)"
             " AS cents"
         ),
     )

@@ -24,6 +24,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import numeric as N
 from ..registry import query
 from ..sources import load_table
 
@@ -294,8 +295,7 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # decimal product: value-micros x duration-micros reaches
                 # ~1e20 for long idle gaps, past bigint — exactness via
                 # DECIMAL(38,0), still order-independent
-                F.round(F.col("value") * 1000000, 0)
-                .cast("bigint")
+                N.fround_int(F.col("value") * 1000000)
                 .cast("decimal(38,0)")
                 * F.col("dur_us")
             ).cast("double")
@@ -558,7 +558,7 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("r"),
         F.count("*").alias("f"),
-        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        F.sum(N.fround_int(F.col("o_totalprice") * 100))
         .cast("bigint")
         .alias("m"),
     )
@@ -1066,7 +1066,7 @@ def events_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         F.expr(f"unix_micros(ts) div {_US_DAY}").alias("d")
     ).agg(
-        F.expr("CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents"),
+        F.expr(f"CAST(sum({N.spark_fround_int('value * 100')}) AS BIGINT) AS cents"),
         F.expr("CAST(count(*) AS BIGINT) AS n"),
     )
     tot = daily.agg(
@@ -1146,7 +1146,7 @@ def ltv_decile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     ltv = orders.groupBy("o_custkey").agg(
         F.expr(
-            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+            f"CAST(sum({N.spark_fround_int('o_totalprice * 100')}) AS BIGINT)"
             " AS cents"
         )
     )
@@ -1278,9 +1278,9 @@ def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "n_types", "n")
         .agg(
             F.expr(
-                "CAST(sum(CAST(k AS DECIMAL(38,0))"
-                " * CAST(round(ln(CAST(n AS DOUBLE) / k) * 100000000, 0)"
-                " AS BIGINT)) AS DOUBLE) AS hs"
+                "CAST(sum(CAST(k AS DECIMAL(38,0)) * "
+                f"{N.spark_fround_int('ln(CAST(n AS DOUBLE) / k) * 100000000')}"
+                ") AS DOUBLE) AS hs"
             )
         )
         .selectExpr("n_types", "hs / (n * 1e8) AS h")
@@ -1288,7 +1288,7 @@ def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ent.groupBy(F.expr("CAST(n_types AS INT)").alias("n_types")).agg(
         F.expr("count(*) AS n_users"),
         F.expr(
-            "round(CAST(sum(CAST(round(h, 8) AS DECIMAL(20,8))) AS DOUBLE)"
+            f"round(CAST(sum(CAST({N.spark_fround('h', 8)} AS DECIMAL(20,8))) AS DOUBLE)"
             " / count(*), 6) AS mean_entropy"
         ),
     )
@@ -1484,7 +1484,7 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.expr("count(*) AS n_events"),
         F.expr(
-            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents"
+            f"CAST(sum({N.spark_fround_int('value * 100')}) AS BIGINT) AS cents"
         ),
     )
 
@@ -1624,7 +1624,7 @@ def bandit_ucb_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     arm = ev.groupBy("event_type").agg(
         F.expr("CAST(count(*) AS BIGINT) AS n_pulls"),
         F.expr(
-            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+            f"CAST(sum({N.spark_fround_int('value * 100')}) AS BIGINT)"
             " AS reward_c"
         ),
     )
@@ -1692,7 +1692,7 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.expr(
-                "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+                f"CAST(sum({N.spark_fround_int('o_totalprice * 100')}) AS BIGINT)"
                 " AS cents"
             )
         )

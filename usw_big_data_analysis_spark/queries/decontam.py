@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import numeric as N
 from ..registry import query
 from ..sources import load_table
 
@@ -436,8 +437,7 @@ def quality_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "lang",
-            F.round(F.log2(F.col("c").cast("double") / F.col("n")) * 1e9, 0)
-            .cast("bigint")
+            N.fround_int(F.log2(F.col("c").cast("double") / F.col("n")) * 1e9)
             .alias("nlog"),
         )
     )
@@ -714,8 +714,10 @@ def perplexity_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "p",
             "q",
-            "CAST(round(log2((cb + CAST(cu AS DOUBLE) / n)"
-            " / (cp + 1.0D)) * 1000000000, 0) AS BIGINT) AS nlog",
+            N.spark_fround_int(
+                "log2((cb + CAST(cu AS DOUBLE) / n) / (cp + 1.0D))"
+                " * 1000000000"
+            ) + " AS nlog",
         )
     )
     per_doc = bg.join(scored_pairs, ["p", "q"]).groupBy("doc_id", "lang").agg(

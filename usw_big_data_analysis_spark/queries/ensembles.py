@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import numeric as N
 from ..registry import query
 from ..sources import load_table
 
@@ -67,7 +68,7 @@ def ensemble_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / _WSUM
     return p.select(
         "id",
-        F.round(w, 6).alias("p_ens"),
+        N.fround(w, 6).alias("p_ens"),
         (w >= 0.5).cast("int").alias("pred"),
     )
 
@@ -106,17 +107,17 @@ def ensemble_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = p.select("id", *qs)
     q1, q2, q3 = F.col("q1"), F.col("q2"), F.col("q3")
     geom = F.exp(
-        (F.round(F.log(q1), 8) + F.round(F.log(q2), 8) + F.round(F.log(q3), 8)) / 3.0
+        (N.fround(F.log(q1), 8) + N.fround(F.log(q2), 8) + N.fround(F.log(q3), 8)) / 3.0
     )
     return c.select(
         "id",
-        F.round((q1 + q2 + q3) / 3.0, 6).alias("p_mean"),
-        F.round(geom, 6).alias("p_geom"),
-        F.round(3.0 / (1.0 / q1 + 1.0 / q2 + 1.0 / q3), 6).alias("p_harm"),
-        F.round(q1 + q2 + q3 - F.least(q1, q2, q3) - F.greatest(q1, q2, q3), 6).alias(
+        N.fround((q1 + q2 + q3) / 3.0, 6).alias("p_mean"),
+        N.fround(geom, 6).alias("p_geom"),
+        N.fround(3.0 / (1.0 / q1 + 1.0 / q2 + 1.0 / q3), 6).alias("p_harm"),
+        N.fround(q1 + q2 + q3 - F.least(q1, q2, q3) - F.greatest(q1, q2, q3), 6).alias(
             "p_median"
         ),
-        F.round(
+        N.fround(
             (F.pow(q1, F.lit(2)) + F.pow(q2, F.lit(2)) + F.pow(q3, F.lit(2)))
             / F.nullif(q1 + q2 + q3, F.lit(0.0)),
             6,

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import numeric as N
 from ..registry import query
 from ..sources import load_table
 
@@ -386,8 +387,8 @@ def graph_link_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "u",
             "v",
             "n_common",
-            "round(CAST(n_common AS DOUBLE) / (du + dv - n_common), 6)"
-            " AS jaccard",
+            N.spark_fround("CAST(n_common AS DOUBLE) / (du + dv - n_common)", 6)
+            + " AS jaccard",
         )
         .orderBy(F.desc("jaccard"), F.asc("u"), F.asc("v"))
         .limit(100)

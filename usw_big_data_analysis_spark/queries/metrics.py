@@ -247,7 +247,7 @@ def metric_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
     8dp (libm ulp) then decimal-summed (order independence)."""
     s = scored_frame(spark, sf_dir)
     p_true = F.when(F.col("label") == 1, F.col("prob")).otherwise(1.0 - F.col("prob"))
-    lp = F.round(
+    lp = N.fround(
         F.log(F.greatest(F.least(p_true, F.lit(1.0 - 1e-15)), F.lit(1e-15))), 8
     )
     return s.select(lp.alias("lp")).agg(
@@ -838,19 +838,19 @@ def metric_regression_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = sc.crossJoin(F.broadcast(ym)).agg(
         F.expr("CAST(count(*) AS DOUBLE) AS n"),
         F.expr(
-            "CAST(sum(CAST(round(abs(y - yhat) * 100) AS BIGINT)) AS BIGINT)"
+            f"CAST(sum({N.spark_fround_int('abs(y - yhat) * 100')}) AS BIGINT)"
             " AS sae_c"
         ),
         F.expr(
-            "CAST(sum(CAST(round((y - yhat) * (y - yhat)) AS BIGINT))"
+            f"CAST(sum({N.spark_fround_int('(y - yhat) * (y - yhat)')})"
             " AS BIGINT) AS sse_u"
         ),
         F.expr(
-            "CAST(sum(CAST(round(abs(y - yhat) / greatest(abs(y), 1e-9)"
-            " * 1000000) AS BIGINT)) AS BIGINT) AS sape_m"
+            f"CAST(sum({N.spark_fround_int('abs(y - yhat) / greatest(abs(y), 1e-9) * 1000000')})"
+            " AS BIGINT) AS sape_m"
         ),
         F.expr(
-            "CAST(sum(CAST(round((y - ybar) * (y - ybar)) AS BIGINT))"
+            f"CAST(sum({N.spark_fround_int('(y - ybar) * (y - ybar)')})"
             " AS BIGINT) AS sst_u"
         ),
     )
@@ -1121,7 +1121,7 @@ def metric_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(20,8) (order-independent)."""
     s = scored_frame(spark, sf_dir)
     vb = (
-        s.groupBy(F.expr(f"round(prob, {_PROB_SCALE})").alias("p"))
+        s.groupBy(F.expr(N.spark_fround("prob", _PROB_SCALE)).alias("p"))
         .agg(F.expr("CAST(count(*) AS BIGINT) AS t"),
              F.expr("CAST(sum(label) AS BIGINT) AS tp"))
         .withColumn(
@@ -1199,7 +1199,7 @@ def metric_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
     label)² = m²/10⁶ with m an integer: the whole score is ONE exact
     bigint sum and a final division — no float summation anywhere."""
     s = scored_frame(spark, sf_dir)
-    m = s.selectExpr("CAST(round(prob * 1000, 0) AS BIGINT) - 1000 * label AS m")
+    m = s.selectExpr(f"{N.spark_fround_int('prob * 1000')} - 1000 * label AS m")
     return m.agg(
         F.expr("count(*) AS n"),
         F.expr("CAST(sum(m * m) AS BIGINT) AS sum_sq_milli"),

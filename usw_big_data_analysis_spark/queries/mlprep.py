@@ -269,7 +269,7 @@ def scale_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     a driver-side 1-D optimization over decimal-summed log-likelihood terms
     (operators/ml_ops.py); the transform itself is pure Catalyst."""
     li = load_table(spark, sf_dir, "lineitem")
-    y = F.round((F.pow(F.col("l_quantity") + 1.0, F.lit(0.5)) - 1.0) / 0.5, 8)
+    y = N.fround((F.pow(F.col("l_quantity") + 1.0, F.lit(0.5)) - 1.0) / 0.5, 8)
     yj = li.select("l_returnflag", y.alias("y"))
     return yj.groupBy("l_returnflag").agg(
         F.round(

@@ -34,6 +34,10 @@ from ..sources import load_table
 
 _US_DAY = 86_400_000_000
 _CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
+# Spark-side twin: primitive floor(abs+0.5) rounding (no per-row BigDecimal
+# boxing — see functions/numeric.spark_fround_int); o_totalprice >= 0 so the
+# value is identical to the oracle's round()
+_CENTS_S = N.spark_fround_int("o_totalprice * 100")
 
 
 # --- ROLLUP -----------------------------------------------------------------
@@ -53,7 +57,7 @@ def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     the data, so NULL is unambiguous)."""
     orders = load_table(spark, sf_dir, "orders")
     return (
-        orders.withColumn("cents", F.expr(_CENTS))
+        orders.withColumn("cents", F.expr(_CENTS_S))
         .rollup("o_orderpriority", "o_orderstatus")
         .agg(F.count("*").alias("n"), F.sum("cents").alias("sum_cents"))
     )
@@ -77,7 +81,7 @@ def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(
             "o_orderstatus",
             F.year("o_orderdate").cast("int").alias("order_year"),
-            F.expr(_CENTS).alias("cents"),
+            F.expr(_CENTS_S).alias("cents"),
         )
         .cube("o_orderstatus", "order_year")
         .agg(F.count("*").alias("n"), F.sum("cents").alias("sum_cents"))
@@ -103,7 +107,7 @@ def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         SELECT o_orderpriority, o_orderstatus, count(*) AS n,
-               CAST(sum({_CENTS}) AS BIGINT) AS sum_cents
+               CAST(sum({_CENTS_S}) AS BIGINT) AS sum_cents
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         """
@@ -228,7 +232,7 @@ def window_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_US_DAY}").alias(
             "d"
         ),
-        F.expr(_CENTS).alias("cents"),
+        F.expr(_CENTS_S).alias("cents"),
     )
     w = Window.partitionBy("o_custkey").orderBy("d").rangeBetween(-6, 0)
     return o.select(
@@ -256,7 +260,7 @@ def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     a total sort). The (cents, o_orderkey) order key is unique, so bucket
     assignment is tie-free and engine-independent."""
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(F.expr(_CENTS), F.col("o_orderkey"))
+    w = Window.partitionBy("o_custkey").orderBy(F.expr(_CENTS_S), F.col("o_orderkey"))
     return orders.select(
         "o_custkey", "o_orderkey", F.ntile(4).over(w).alias("quartile")
     )
@@ -304,7 +308,7 @@ def percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulated float sums); the (cents, orderkey) order key is unique so
     ranks are tie-free. Key-partitioned window — no global sort."""
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(F.expr(_CENTS), F.col("o_orderkey"))
+    w = Window.partitionBy("o_custkey").orderBy(F.expr(_CENTS_S), F.col("o_orderkey"))
     return orders.select(
         "o_custkey",
         "o_orderkey",
@@ -340,7 +344,7 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.expr("CAST(round(l_quantity * 100) AS BIGINT)")).alias("sq"))
+        .agg(F.sum(F.expr(N.spark_fround_int("l_quantity * 100"))).alias("sq"))
         .filter(F.col("sq") > _Q18_MIN_QTY_SCALED)
     )
     return big.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
@@ -407,7 +411,7 @@ def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.select(
             F.date_trunc("month", F.col("o_orderdate")).alias("month"),
-            F.expr(_CENTS).alias("cents"),
+            F.expr(_CENTS_S).alias("cents"),
         )
         .groupBy("month")
         .agg(F.count("*").alias("n_orders"), F.sum("cents").alias("sum_cents"))
@@ -440,7 +444,7 @@ def first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    cents = F.expr(_CENTS)
+    cents = F.expr(_CENTS_S)
     return orders.select(
         "o_custkey",
         F.first(cents).over(w).alias("first_cents"),
@@ -473,7 +477,7 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.count(F.when(is_open, 1)).alias("n_open"),
         F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
-        F.sum(F.when(is_open, F.expr(_CENTS))).alias("open_cents"),
+        F.sum(F.when(is_open, F.expr(_CENTS_S))).alias("open_cents"),
     )
 
 
@@ -690,7 +694,7 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "unix_micros(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)))"
         ).alias("mo_us")
-    ).agg(F.expr(f"CAST(sum({_CENTS}) AS BIGINT) AS cents"))
+    ).agg(F.expr(f"CAST(sum({_CENTS_S}) AS BIGINT) AS cents"))
     prev = m.selectExpr("mo_us AS pmo_us", "cents AS prev_cents")
     cur = m.withColumn(
         "pkey",
@@ -753,7 +757,7 @@ def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "l_suppkey")
         .agg(
             F.expr(
-                "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
+                f"CAST(sum({N.spark_fround_int('l_extendedprice * 100')})"
                 " AS BIGINT) AS cents"
             )
         )
@@ -867,7 +871,7 @@ def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = orders.groupBy(
         F.expr("CAST(month(CAST(o_orderdate AS TIMESTAMP)) AS INT)").alias("moy")
     ).agg(
-        F.expr(f"CAST(sum({_CENTS}) AS BIGINT) AS cents"),
+        F.expr(f"CAST(sum({_CENTS_S}) AS BIGINT) AS cents"),
         F.expr("count(*) AS n_orders"),
     )
     t = m.agg(
@@ -963,7 +967,7 @@ def fraud_ring_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.groupBy(
             "c_nationkey",
             F.expr(
-                "(CAST(round(c_acctbal * 100) AS BIGINT) + 100000000) div 10000"
+                f"({N.spark_fround_int('c_acctbal * 100')} + 100000000) div 10000"
             ).alias("bal_band"),
         )
         .agg(
@@ -1005,24 +1009,24 @@ def revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.expr(
-            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)"
+            f"CAST(sum({N.spark_fround_int('l_extendedprice * 100')}) AS BIGINT)"
             " AS gross_c"
         ),
         F.expr(
-            "CAST(sum(CAST(round(l_extendedprice * l_discount * 10000)"
-            " AS BIGINT)) AS BIGINT) AS discount_e4"
+            f"CAST(sum({N.spark_fround_int('l_extendedprice * l_discount * 10000')})"
+            " AS BIGINT) AS discount_e4"
         ),
         F.expr(
-            "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)"
-            " AS BIGINT)) AS BIGINT) AS net_e4"
+            f"CAST(sum({N.spark_fround_int('l_extendedprice * (1 - l_discount) * 10000')})"
+            " AS BIGINT) AS net_e4"
         ),
         F.expr(
-            "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * l_tax"
-            " * 1000000) AS BIGINT)) AS BIGINT) AS tax_e6"
+            f"CAST(sum({N.spark_fround_int('l_extendedprice * (1 - l_discount) * l_tax * 1000000')})"
+            " AS BIGINT) AS tax_e6"
         ),
         F.expr(
-            "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)"
-            " * (1 + l_tax) * 1000000) AS BIGINT)) AS BIGINT) AS charged_e6"
+            f"CAST(sum({N.spark_fround_int('l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000')})"
+            " AS BIGINT) AS charged_e6"
         ),
     )
 
@@ -1105,8 +1109,8 @@ def duplicate_order_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.expr("count(*) AS n_orders"),
             F.expr(
-                "CAST(max(CAST(round(o_totalprice * 100) AS BIGINT))"
-                " - min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+                f"CAST(max({N.spark_fround_int('o_totalprice * 100')})"
+                f" - min({N.spark_fround_int('o_totalprice * 100')}) AS BIGINT)"
                 " AS cents_spread"
             ),
         )

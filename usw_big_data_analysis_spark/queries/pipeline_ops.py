@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import numeric as N
 from ..registry import query
 from ..sources import load_table
 
@@ -36,6 +37,8 @@ _US_DAY = 86_400_000_000
 _SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
 
 _CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
+# Spark-side twin (primitive rounding, o_totalprice >= 0 — see olap_ext)
+_CENTS_S = N.spark_fround_int("o_totalprice * 100")
 
 
 # --- latest-record-wins compaction (SCD / upsert dedup) ---------------------
@@ -67,7 +70,7 @@ def latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             "o_orderkey",
-            F.expr(_CENTS).alias("price_cents"),
+            F.expr(_CENTS_S).alias("price_cents"),
         )
     )
 
@@ -106,7 +109,7 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single co-partitioned shuffle join, no windows."""
     orders = load_table(spark, sf_dir, "orders")
     base = orders.select(
-        F.col("o_orderkey").alias("k"), F.expr(_CENTS).alias("cents")
+        F.col("o_orderkey").alias("k"), F.expr(_CENTS_S).alias("cents")
     )
     old = base.filter(F.col("k") % 10 != 3)
     new = base.filter(F.col("k") % 10 != 7).withColumn(
@@ -484,7 +487,7 @@ def benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast of the scalar total."""
     orders = load_table(spark, sf_dir, "orders")
     digits = orders.select(
-        F.substring(F.expr(_CENTS).cast("string"), 1, 1).cast("int").alias("digit")
+        F.substring(F.expr(_CENTS_S).cast("string"), 1, 1).cast("int").alias("digit")
     )
     counts = digits.groupBy("digit").agg(F.count("*").alias("n"))
     total = orders.agg(F.count("*").alias("total"))
@@ -601,7 +604,7 @@ def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("value") < F.col("p5")).cast("bigint")).alias("n_clip_lo"),
         F.sum((F.col("value") > F.col("p95")).cast("bigint")).alias("n_clip_hi"),
         F.round(
-            F.sum(F.round(clipped * 1_000_000, 0).cast("decimal(38,0)")).cast(
+            F.sum(N.fround_int(clipped * 1_000_000).cast("decimal(38,0)")).cast(
                 "double"
             )
             / 1_000_000.0,
@@ -675,12 +678,12 @@ def merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     updates = base.filter(F.col("hb").isin(1, 2)).select(
         F.col("o_orderkey").alias("key"), F.lit("U").alias("op"),
-        F.round(F.col("o_totalprice") + 10.0, 2).alias("new_total"),
+        N.fround(F.col("o_totalprice") + 10.0, 2).alias("new_total"),
     )
     inserts = base.filter(F.col("hb") == 3).select(
         (F.col("o_orderkey") + _MERGE_SHIFT).alias("key"),
         F.lit("I").alias("op"),
-        F.round(F.col("o_totalprice"), 2).alias("new_total"),
+        N.fround(F.col("o_totalprice"), 2).alias("new_total"),
     )
     changes = deletes.unionByName(updates).unionByName(inserts)
     joined = base.join(changes, base.o_orderkey == changes.key, "full_outer")
@@ -697,7 +700,7 @@ def merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return merged.groupBy("status").agg(
         F.count("*").alias("n"),
-        F.sum(F.round(F.col("total") * 100, 0).cast("bigint")).alias(
+        F.sum(N.fround_int(F.col("total") * 100)).alias(
             "total_cents"
         ),
     )
@@ -820,7 +823,7 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ante",
             "cons",
             "pair_cnt",
-            "round(CAST(pair_cnt AS DOUBLE) / cnt_a, 6) AS confidence",
+            N.spark_fround("CAST(pair_cnt AS DOUBLE) / cnt_a", 6) + " AS confidence",
             "round(CAST(pair_cnt AS DOUBLE) * n_baskets"
             " / (CAST(cnt_a AS DOUBLE) * cnt_b), 6) AS lift",
         )

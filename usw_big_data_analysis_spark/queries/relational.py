@@ -305,7 +305,7 @@ def sql_api_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(
         """
-        SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000)
+        SELECT CAST(sum(CAST(FLOOR(ABS(l_extendedprice * l_discount * 10000) + 0.5D)
                              AS BIGINT)) AS BIGINT) AS revenue_e4,
                count(*) AS n_rows
         FROM lineitem

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import numeric as N
 from ..registry import query
 from ..sources import load_table
 from ._shared import _PRED_SQL, _TRUTH_SQL, pred_frame, truth_frame
@@ -228,10 +229,10 @@ def math_elementwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.log(F.col("l_quantity") + 1.0), 6).alias("log_qty"),
-        F.round(F.exp("l_discount"), 6).alias("exp_disc"),
-        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
-        F.round(F.pow("l_tax", F.lit(2)), 6).alias("tax_sq"),
+        N.fround(F.log(F.col("l_quantity") + 1.0), 6).alias("log_qty"),
+        N.fround(F.exp("l_discount"), 6).alias("exp_disc"),
+        N.fround(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        N.fround(F.pow("l_tax", F.lit(2)), 6).alias("tax_sq"),
         F.abs(F.col("l_quantity") - 25.0).alias("abs_dev"),
     )
 

@@ -31,6 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import numeric as N
 from ..registry import query
 from ..sources import load_table
 
@@ -92,7 +93,7 @@ def approx_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     parameter, not the data)."""
     orders = load_table(spark, sf_dir, "orders")
     qlist = "array(" + ", ".join(f"{q}D" for q in _QS) + ")"
-    cents = "CAST(round(o_totalprice * 100) AS BIGINT)"
+    cents = N.spark_fround_int("o_totalprice * 100")
     wide = orders.agg(
         F.expr(f"percentile_approx({cents}, {qlist}, 10000)").alias("apx"),
         F.expr(f"percentile({cents}, {qlist})").alias("exact"),

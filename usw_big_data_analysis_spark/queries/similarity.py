@@ -1675,8 +1675,9 @@ def embed_standardize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     st = pv.join(lab, "vec_id").selectExpr(
         "label",
-        "round(s / d, 8) AS mu",
-        "round(sqrt(greatest(ss / d - (s / d) * (s / d), 1e-15)), 8) AS sigma",
+        N.spark_fround("s / d", 8) + " AS mu",
+        N.spark_fround("sqrt(greatest(ss / d - (s / d) * (s / d), 1e-15))", 8)
+        + " AS sigma",
     )
     return st.groupBy("label").agg(
         F.expr("count(*) AS n_vecs"),

@@ -681,7 +681,7 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     between reruns at scale). Two passes: a per-type sufficient-stats
     aggregate (tiny, broadcast back) and one map-side flag per row."""
     ev = load_table(spark, sf_dir, "events")
-    vi = F.round(F.col("value") * 1000000, 0).cast("bigint")
+    vi = N.fround_int(F.col("value") * 1000000)
     s = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum(vi).alias("sv"),

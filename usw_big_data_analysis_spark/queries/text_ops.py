@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import numeric as N
 from ..registry import query
 from ..sources import load_table
 
@@ -84,9 +85,9 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return t.select(
         "doc_id",
-        F.round(F.col("n_stop") / F.col("n_tokens"), 6).alias("stopword_ratio"),
-        F.round(F.col("n_chars") / F.col("n_tokens"), 6).alias("avg_token_len"),
-        F.round(
+        N.fround(F.col("n_stop") / F.col("n_tokens"), 6).alias("stopword_ratio"),
+        N.fround(F.col("n_chars") / F.col("n_tokens"), 6).alias("avg_token_len"),
+        N.fround(
             F.least(F.col("n_tokens") / 50.0, F.lit(1.0)) * 0.5
             + (1.0 - F.col("n_stop") / F.col("n_tokens")) * 0.5,
             6,
@@ -123,7 +124,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "doc_id",
         "lang",
-        F.round("en_score", 6).alias("en_score"),
+        N.fround(F.col("en_score"), 6).alias("en_score"),
         F.when(F.col("en_score") >= 0.05, "en").otherwise("other").alias("guess"),
     )
 
@@ -236,7 +237,7 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", rn)
         .filter(F.col("rn") <= 3)
-        .select("doc_id", "term", "tf_count", "doc_freq", F.round("w", 6).alias("tfidf"))
+        .select("doc_id", "term", "tf_count", "doc_freq", N.fround(F.col("w"), 6).alias("tfidf"))
     )
 
 
@@ -848,8 +849,8 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nt = r.agg(F.expr("CAST(sum(cnt) AS BIGINT) AS n_types"))
     pt = r.crossJoin(F.broadcast(nt)).selectExpr(
         "cnt",
-        "CAST(round(ln(n_types + 1 - r_avg) * 100000000, 0) AS BIGINT) AS lxi",
-        "CAST(round(ln(CAST(f AS DOUBLE)) * 100000000, 0) AS BIGINT) AS lyi",
+        f"{N.spark_fround_int('ln(n_types + 1 - r_avg) * 100000000')} AS lxi",
+        f"{N.spark_fround_int('ln(CAST(f AS DOUBLE)) * 100000000')} AS lyi",
     )
     s = pt.agg(
         F.expr("CAST(sum(cnt) AS DOUBLE) AS n"),
@@ -996,12 +997,16 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "c",
             "q",
-            "CAST(round(ln(2.0D * (CAST(c AS DOUBLE) / tp)"
-            " / (CAST(c AS DOUBLE) / tp + CAST(q AS DOUBLE) / tq))"
-            " * 100000000, 0) AS BIGINT) AS lp",
-            "CAST(round(ln(2.0D * (CAST(q AS DOUBLE) / tq)"
-            " / (CAST(c AS DOUBLE) / tp + CAST(q AS DOUBLE) / tq))"
-            " * 100000000, 0) AS BIGINT) AS lq",
+            N.spark_fround_int(
+                "ln(2.0D * (CAST(c AS DOUBLE) / tp)"
+                " / (CAST(c AS DOUBLE) / tp + CAST(q AS DOUBLE) / tq))"
+                " * 100000000"
+            ) + " AS lp",
+            N.spark_fround_int(
+                "ln(2.0D * (CAST(q AS DOUBLE) / tq)"
+                " / (CAST(c AS DOUBLE) / tp + CAST(q AS DOUBLE) / tq))"
+                " * 100000000"
+            ) + " AS lq",
         )
     )
     agg = terms.groupBy("source").agg(
@@ -1151,7 +1156,7 @@ def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(f"df * {_TFIDF_MAXDF_DEN} <= n")
         .selectExpr(
             "word",
-            "CAST(round(ln(CAST(n AS DOUBLE) / df) * 100000000, 0) AS BIGINT)"
+            f"{N.spark_fround_int('ln(CAST(n AS DOUBLE) / df) * 100000000')}"
             " AS idf8",
         )
     )
@@ -1182,7 +1187,7 @@ def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dots.join(F.broadcast(na), "id_a")
         .join(F.broadcast(nb), "id_b")
-        .selectExpr("id_a", "id_b", "round(dot / sqrt(na * nb), 6) AS cosine")
+        .selectExpr("id_a", "id_b", N.spark_fround("dot / sqrt(na * nb)", 6) + " AS cosine")
         .orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))
         .limit(_TFIDF_TOPP)
     )
@@ -1271,8 +1276,10 @@ def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(st))
         .selectExpr(
             "word",
-            "CAST(round(ln((CAST(n AS DOUBLE) - df + 0.5D)"
-            " / (df + 0.5D) + 1.0D) * 100000000, 0) AS BIGINT) AS idf8",
+            N.spark_fround_int(
+                "ln((CAST(n AS DOUBLE) - df + 0.5D)"
+                " / (df + 0.5D) + 1.0D) * 100000000"
+            ) + " AS idf8",
         )
     )
     scored = (
@@ -1282,12 +1289,15 @@ def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.expr(
-                f"round(CAST(sum(CAST(round("
-                f"idf8 / 1e8 * (tf * ({_BM25_K1_X10} + 10) / 10.0D)"
-                f" / (tf + {_BM25_K1_X10} / 10.0D"
-                f" * (1.0D - {_BM25_B_X100} / 100.0D"
-                f" + {_BM25_B_X100} / 100.0D * len / avglen)), 8)"
-                f" AS DECIMAL(20,8))) AS DOUBLE), 6) AS bm25"
+                "round(CAST(sum(CAST("
+                + N.spark_fround(
+                    f"idf8 / 1e8 * (tf * ({_BM25_K1_X10} + 10) / 10.0D)"
+                    f" / (tf + {_BM25_K1_X10} / 10.0D"
+                    f" * (1.0D - {_BM25_B_X100} / 100.0D"
+                    f" + {_BM25_B_X100} / 100.0D * len / avglen))",
+                    8,
+                )
+                + " AS DECIMAL(20,8))) AS DOUBLE), 6) AS bm25"
             )
         )
     )

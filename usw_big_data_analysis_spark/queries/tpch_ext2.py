@@ -824,7 +824,7 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("cents"),
+        N.fround_int(F.col("c_acctbal") * 100).alias("cents"),
     )
     stats = c.filter(F.col("cents") > 0).agg(
         F.count("*").alias("n_pos"), F.sum("cents").alias("sum_pos")
