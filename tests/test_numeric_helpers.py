@@ -42,3 +42,49 @@ def test_sql_fragments_parse_in_duckdb(duck):
         f"{N.sql_dcorr('l_quantity', 'l_extendedprice')} AS r FROM lineitem"
     ).fetchone()
     assert row[0] > 0 and row[1] > 0 and -1.0 <= row[2] <= 1.0
+
+
+def test_fround_matches_duckdb_round_on_random_doubles(spark, duck):
+    """The primitive floor(abs+0.5) rounding must equal DuckDB's double
+    round() (the oracle convention) across random magnitudes and both
+    signs — this is the contract every converted ROUND@ROW site relies
+    on (plans/inspect.perrow_round_count)."""
+    import random
+
+    rng = random.Random(20260814)
+    vals = [
+        (rng.uniform(-1e6, 1e6),) for _ in range(2000)
+    ] + [(x,) for x in (0.0, -0.5, 0.5, 1.5, -1.5, 2.675, -2.675, 0.1234565)]
+    df = spark.createDataFrame(vals, "x double")
+    got = [
+        r["y"]
+        for r in df.select(N.fround(F.col("x"), 6).alias("y"))
+        .collect()
+    ]
+    exp = [
+        r[0]
+        for r in duck.execute(
+            "SELECT round(x, 6) FROM (SELECT unnest(?) AS x)", [[v[0] for v in vals]]
+        ).fetchall()
+    ]
+    assert got == exp  # bit-equal, both signs
+
+
+def test_fround_int_half_away_from_zero(spark):
+    df = spark.createDataFrame(
+        [(-2.5,), (-1.5,), (-0.5,), (0.5,), (1.5,), (2.5,), (2.4999,), (-2.4999,)],
+        "x double",
+    )
+    got = [r["y"] for r in df.select(N.fround_int(F.col("x")).alias("y")).collect()]
+    assert got == [-3, -2, -1, 1, 2, 3, 2, -2]
+
+
+def test_spark_fround_string_twin_is_double_typed(spark):
+    df = spark.createDataFrame([(1.2345675,), (-1.2345675,)], "x double")
+    out = df.selectExpr(N.spark_fround("x", 6) + " AS y")
+    assert dict(out.dtypes)["y"] == "double"
+    col = [r["y"] for r in out.collect()]
+    ref = [
+        r["y"] for r in df.select(N.fround(F.col("x"), 6).alias("y")).collect()
+    ]
+    assert col == ref

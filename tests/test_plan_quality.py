@@ -185,11 +185,24 @@ def test_no_unpartitioned_window_in_any_registered_plan(spark, sf_dir):
     Build-only — nothing executes except eager parameter estimation some
     queries do during construction. ~2 min; this is the repo's central
     scale invariant and worth the wall time."""
-    from usw_big_data_analysis_spark.plans import unpartitioned_window_count
+    from usw_big_data_analysis_spark.plans.inspect import (
+        perrow_round_count,
+        unpartitioned_window_count,
+    )
 
     offenders = {}
+    rounders = {}
     for name, fn in sorted(_QUERIES.items()):
-        n = unpartitioned_window_count(fn(spark, sf_dir))
+        df = fn(spark, sf_dir)
+        n = unpartitioned_window_count(df)
         if n:
             offenders[name] = n
+        r = perrow_round_count(explain_formatted(df))
+        if r:
+            rounders[name] = r
     assert offenders == {}
+    # Sibling invariant (same pass): no per-row BigDecimal round between a
+    # scan and its first aggregate — the one accepted flag rounds a
+    # DECIMAL-typed norm where exact decimal arithmetic is deliberate
+    # (see plans/inspect.perrow_round_count).
+    assert set(rounders) <= {"embed_jl_projection_audit"}, rounders
