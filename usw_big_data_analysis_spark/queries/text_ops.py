@@ -1896,3 +1896,168 @@ def tokenizer_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lp.select("piece", "seed_cnt").join(em, "piece").select(
         "piece", "seed_cnt", "em_cnt"
     )
+
+
+# --- WordPiece apply: greedy longest-match with ## continuations -------------
+# Completes the tokenizer family (BPE merges/apply, unigram Viterbi): the
+# BERT-style maximal munch. The vocab is a LITERAL artifact (as in real
+# inference — the vocab file ships with the model): multi-char stems +
+# continuation suffixes tuned to the fixture lexicon, plus full a-z
+# single-char coverage in both initial and continuation positions, so no
+# corpus word can hit the [UNK] path (asserted by construction; words with
+# characters outside a-z would [UNK] in Spark and silently drop in the
+# recursive oracle — the coverage vocab keeps both engines identical).
+_WP_STEMS = [
+    "join", "hash", "row", "scan", "col", "cust", "filt", "wind", "str",
+    "sort", "que", "gro", "val", "ord", "tab", "ve",
+]
+_WP_CONTS = [
+    "##umn", "##omer", "##er", "##ch", "##le", "##ort", "##ream", "##ue",
+    "##ow", "##at", "##up", "##ry", "##ta", "##ctor", "##all", "##ine",
+]
+_WP_VOCAB = (
+    _WP_STEMS
+    + _WP_CONTS
+    + [c for c in "abcdefghijklmnopqrstuvwxyz"]
+    + ["##" + c for c in "abcdefghijklmnopqrstuvwxyz"]
+)
+_WP_MAXW = 8   # corpus max word length (munch loop unrolls this many steps)
+_WP_MAXP = 6   # longest raw piece length
+
+
+def _wp_oracle() -> str:
+    vlist = ", ".join(f"('{v}')" for v in _WP_VOCAB)
+    return f"""
+    WITH RECURSIVE tok AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wf AS (SELECT word, count(*) AS freq FROM tok WHERE word <> '' GROUP BY word),
+    vocab(piece) AS (SELECT * FROM (VALUES {vlist}) v(p)),
+    vnorm AS (
+      SELECT piece,
+             CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END AS raw,
+             (piece LIKE '##%') AS cont
+      FROM vocab
+    ),
+    seg AS (
+      SELECT word, freq, 1 AS pos, CAST([] AS VARCHAR[]) AS pieces FROM wf
+      UNION ALL
+      SELECT s.word, s.freq,
+             s.pos + (SELECT max(length(v.raw)) FROM vnorm v
+                      WHERE v.cont = (s.pos > 1)
+                        AND v.raw = substr(s.word, s.pos, length(v.raw))),
+             list_append(s.pieces,
+               (SELECT max_by(v.piece, length(v.raw)) FROM vnorm v
+                WHERE v.cont = (s.pos > 1)
+                  AND v.raw = substr(s.word, s.pos, length(v.raw))))
+      FROM seg s
+      WHERE s.pos <= length(s.word)
+    ),
+    final AS (
+      SELECT word, freq, unnest(pieces) AS piece
+      FROM seg WHERE pos > length(word)
+    )
+    SELECT piece,
+           CAST(sum(freq) AS BIGINT) AS uses,
+           CAST(count(DISTINCT word) AS BIGINT) AS n_words
+    FROM final
+    GROUP BY piece
+    ORDER BY uses DESC, piece
+    LIMIT 30
+    """
+
+
+@query("tokenizer_wordpiece_apply", oracle=_wp_oracle())
+def tokenizer_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BERT-style WordPiece over the corpus: greedy longest-prefix match,
+    continuations carry the ## marker and only match past position 1.
+    Output: per-piece corpus usage (occurrence-weighted) + distinct words
+    containing it, top-30.
+
+    Scale shape: the munch loop runs over the DISTINCT-word table (the
+    corpus vocabulary — bounded far below the corpus at any scale; the
+    same compression BPE training uses), with the literal vocab broadcast
+    into every step's equi-join; the raw corpus is touched exactly once
+    (word-frequency groupBy) and piece counts re-weight by word frequency
+    at the end. The loop unrolls ``_WP_MAXW`` plan-side steps — each step
+    consumes >= 1 character, so words up to that length segment fully;
+    candidate generation explodes <= ``_WP_MAXP`` prefixes per live word.
+    Oracle: the same munch as a DuckDB recursive CTE (correlated
+    longest-match subqueries), weighted identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter("word <> ''")
+        .groupBy("word")
+        .agg(F.expr("count(*) AS freq"))
+    )
+
+    # The vocab is a LITERAL, so the whole munch compiles to ONE per-row
+    # expression over the distinct-word table — no joins, no iterative
+    # shuffles, fully inside codegen. Two parts:
+    #   1. `bl`: per-position best-match length via transform(sequence...)
+    #      — longest match at position p is a length-descending CASE over
+    #      IN-lists (split by raw length and initial/continuation role);
+    #      the lambda is a single expression evaluated per element at
+    #      RUNTIME, so plan size stays constant.
+    #   2. the greedy walk as an aggregate() fold over MAXW step indices,
+    #      carrying (pos, pieces) in a struct accumulator.
+    # (A join-per-step formulation costs 8 shuffle rounds / 15-35s on this
+    # fixture; a chained-projection unroll inlines the position arithmetic
+    # multiplicatively and hangs Catalyst. This shape is a map-only pass
+    # at any corpus scale.)
+    by_len: dict[tuple[bool, int], list[str]] = {}
+    for p in _WP_VOCAB:
+        cont, raw = p.startswith("##"), p.removeprefix("##")
+        by_len.setdefault((cont, len(raw)), []).append(raw)
+
+    def match_len(pos: str, cont: bool) -> str:
+        whens = []
+        for l in range(_WP_MAXP, 0, -1):
+            raws = by_len.get((cont, l))
+            if not raws:
+                continue
+            inlist = ", ".join(f"'{r}'" for r in sorted(raws))
+            whens.append(f"WHEN substr(word, {pos}, {l}) IN ({inlist}) THEN {l}")
+        return "CASE " + " ".join(whens) + " END"
+
+    seg = wf.selectExpr(
+        "word",
+        "freq",
+        f"transform(sequence(1, length(word)),"
+        f" p -> CASE WHEN p = 1 THEN ({match_len('p', False)})"
+        f" ELSE ({match_len('p', True)}) END) AS bl",
+    ).selectExpr(
+        "word",
+        "freq",
+        f"""
+        aggregate(
+          sequence(1, {_WP_MAXW}),
+          struct(1 AS pos, CAST(array() AS ARRAY<STRING>) AS pieces),
+          (acc, i) -> CASE WHEN acc.pos > length(word) THEN acc
+            ELSE struct(
+              CAST(acc.pos + coalesce(bl[acc.pos - 1], {_WP_MAXW + 1}) AS INT)
+                AS pos,
+              CASE WHEN bl[acc.pos - 1] IS NULL THEN acc.pieces
+                   ELSE array_append(acc.pieces,
+                     CASE WHEN acc.pos = 1
+                          THEN substr(word, acc.pos, bl[acc.pos - 1])
+                          ELSE '##' || substr(word, acc.pos, bl[acc.pos - 1])
+                     END)
+              END AS pieces)
+            END,
+          acc -> CASE WHEN acc.pos > length(word) THEN acc.pieces END
+        ) AS pieces
+        """,
+    )
+    return (
+        seg.filter("pieces IS NOT NULL")
+        .select("word", "freq", F.explode("pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(
+            F.expr("CAST(sum(freq) AS BIGINT) AS uses"),
+            F.expr("CAST(count(DISTINCT word) AS BIGINT) AS n_words"),
+        )
+        .orderBy(F.desc("uses"), F.asc("piece"))
+        .limit(30)
+    )
