@@ -1830,3 +1830,107 @@ def embed_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TOPK)
         .select("qid", "cid", N.fround(F.col("adc_d2"), 6).alias("adc_d2"), "rn")
     )
+
+
+# --- PQ codebook training: one exact Lloyd refinement ------------------------
+@query(
+    "embed_pq_train",
+    oracle=f"""
+    WITH expl AS ({_EXPL_SQL}),
+    cb AS (SELECT vec_id AS code, pos, v AS cv FROM expl WHERE vec_id < {_PQ_CODES}),
+    dist AS (
+      SELECT e.vec_id, CAST(e.pos // 8 AS INT) AS subspace, c.code,
+             sum(CAST((e.v - c.cv) * (e.v - c.cv) AS DECIMAL(25,12))) AS d2
+      FROM expl e JOIN cb c ON e.pos = c.pos
+      GROUP BY e.vec_id, subspace, c.code
+    ),
+    assign AS (
+      SELECT vec_id, subspace, code FROM (
+        SELECT vec_id, subspace, code,
+               row_number() OVER (PARTITION BY vec_id, subspace
+                                  ORDER BY d2, code) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ),
+    newc AS (
+      SELECT a.subspace, a.code, e.pos,
+             CAST(sum(CAST(e.v AS DECIMAL(25,12))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS nv
+      FROM assign a JOIN expl e
+        ON a.vec_id = e.vec_id AND a.subspace = CAST(e.pos // 8 AS INT)
+      GROUP BY a.subspace, a.code, e.pos
+    )
+    SELECT n.subspace, n.code,
+           CAST(count(*) AS BIGINT) AS n_dims,
+           round(sqrt(CAST(sum(CAST((n.nv - c.cv) * (n.nv - c.cv)
+                                    AS DECIMAL(30,15))) AS DOUBLE)), 6)
+             AS movement
+    FROM newc n JOIN cb c ON n.pos = c.pos AND n.code = c.code
+    GROUP BY n.subspace, n.code
+    ORDER BY n.subspace, n.code
+    """,
+)
+def embed_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd refinement of the PQ codebook — the training step
+    ``embed_pq_assign`` seeds (its docstring calls k-means training the
+    non-portable piece; this makes the refinement itself portable):
+    assign every subvector to its nearest seed centroid (same exact
+    decimal argmin as the assign query), recompute each (subspace, code)
+    centroid as the exact decimal mean of its members per dimension, and
+    report how far every centroid moved (L2 over the subspace's
+    dimensions) — the convergence signal a PQ build monitors per
+    iteration.
+
+    Scale shape: codebook broadcasts into the one corpus-explode scan;
+    assignment and the recompute are map-side-combined aggregations keyed
+    by (vec_id, subspace) then (subspace, code, pos) — no all-pairs
+    work, shuffles bounded by corpus x subspaces. Determinism: member
+    sums are decimal-exact, the mean is one IEEE division, movement sums
+    the 8 per-dimension squared deltas through decimal before one sqrt."""
+    expl = _exploded(spark, sf_dir)
+    cb = expl.filter(F.col("vec_id") < _PQ_CODES).select(
+        F.col("vec_id").alias("code"), "pos", F.col("v").alias("cv")
+    )
+    dist = (
+        expl.join(F.broadcast(cb), "pos")
+        .groupBy(
+            "vec_id",
+            F.expr("CAST(pos div 8 AS INT)").alias("subspace"),
+            "code",
+        )
+        .agg(
+            F.sum(
+                ((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))).cast(
+                    "decimal(25,12)"
+                )
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id", "subspace").orderBy("d2", "code")
+    assign = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "subspace", "code")
+    )
+    members = assign.join(
+        expl.withColumn("subspace", F.expr("CAST(pos div 8 AS INT)")),
+        ["vec_id", "subspace"],
+    )
+    newc = members.groupBy("subspace", "code", "pos").agg(
+        F.expr(
+            "CAST(sum(CAST(v AS DECIMAL(25,12))) AS DOUBLE)"
+            " / CAST(count(*) AS DOUBLE) AS nv"
+        )
+    )
+    return (
+        newc.join(F.broadcast(cb), ["pos", "code"])
+        .groupBy("subspace", "code")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT) AS n_dims"),
+            F.expr(
+                "round(sqrt(CAST(sum(CAST((nv - cv) * (nv - cv)"
+                " AS DECIMAL(30,15))) AS DOUBLE)), 6) AS movement"
+            ),
+        )
+        .orderBy("subspace", "code")
+    )
