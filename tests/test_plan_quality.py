@@ -206,3 +206,22 @@ def test_no_unpartitioned_window_in_any_registered_plan(spark, sf_dir):
     # DECIMAL-typed norm where exact decimal arithmetic is deliberate
     # (see plans/inspect.perrow_round_count).
     assert set(rounders) <= {"embed_jl_projection_audit"}, rounders
+
+
+def test_observe_metrics_node_and_values(spark, sf_dir):
+    """observe() must add a CollectMetrics node (computed during the same
+    action — no second scan) and the observed values must equal the
+    result's own totals."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from usw_big_data_analysis_spark.sources import load_table
+
+    plan = _plan(spark, sf_dir, "observe_metrics_audit")
+    assert "CollectMetrics" in plan
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = Observation("t_audit")
+    audited = orders.observe(obs, F.count(F.lit(1)).alias("rows_seen"))
+    total = audited.count()
+    assert obs.get["rows_seen"] == total

@@ -830,3 +830,46 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), F.asc("ante"), F.asc("cons"))
         .limit(20)
     )
+
+
+# --- in-flight pipeline observability: Dataset.observe / CollectMetrics ------
+@query(
+    "observe_metrics_audit",
+    oracle=f"""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           CAST(sum({{_C}}) AS BIGINT) AS status_cents
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """.replace("{_C}", _CENTS),
+)
+def observe_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status revenue rollup with an ``observe()`` audit attached to
+    the SCAN side: production pipelines hang row-count / null-count /
+    checksum metrics off intermediate frames (a `CollectMetrics` node in
+    the plan) and alert on them without a second pass over the data — the
+    Spark-native form of the reference's ad-hoc `df.shape` / `isna().sum()`
+    checkpoints between cleaning steps (teamProject/
+    1-1.data_processing.ipynb). The observation computes during the SAME
+    action that produces the result (zero extra scans at any scale); the
+    returned rollup is oracle-checked, and tests pin both the
+    CollectMetrics plan node and the observed values themselves."""
+    from pyspark.sql import Observation
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = Observation("ingest_audit")
+    audited = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.expr(_CENTS_S)).alias("cents_seen"),
+        F.sum(F.col("o_custkey").isNull().cast("bigint")).alias("null_custkeys"),
+    )
+    return (
+        audited.groupBy("o_orderstatus")
+        .agg(
+            F.expr("count(*) AS n"),
+            F.expr(f"CAST(sum({_CENTS_S}) AS BIGINT) AS status_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
