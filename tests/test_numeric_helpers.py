@@ -52,9 +52,17 @@ def test_fround_matches_duckdb_round_on_random_doubles(spark, duck):
     import random
 
     rng = random.Random(20260814)
+    import math
+
+    b = math.nextafter(0.5e-6, 0)  # scaled: just under a half — the value
+    # where the naive floor(y+0.5) form rounds up one early
     vals = [
         (rng.uniform(-1e6, 1e6),) for _ in range(2000)
-    ] + [(x,) for x in (0.0, -0.5, 0.5, 1.5, -1.5, 2.675, -2.675, 0.1234565)]
+    ] + [
+        (x,)
+        for x in (0.0, -0.5, 0.5, 1.5, -1.5, 2.675, -2.675, 0.1234565,
+                  b, -b, 1 + b, -(1 + b))
+    ]
     df = spark.createDataFrame(vals, "x double")
     got = [
         r["y"]

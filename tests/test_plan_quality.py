@@ -215,12 +215,14 @@ def test_observe_metrics_node_and_values(spark, sf_dir):
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
-    from usw_big_data_analysis_spark.sources import load_table
-
     plan = _plan(spark, sf_dir, "observe_metrics_audit")
     assert "CollectMetrics" in plan
 
-    orders = load_table(spark, sf_dir, "orders")
+    # isolated child session — observe() initializes the session-global,
+    # non-serializable ObservationManager (see observe_metrics_audit's
+    # docstring); keep the shared fixture session clean for ML tests
+    s2 = spark.newSession()
+    orders = s2.read.parquet(f"{sf_dir}/orders.parquet")
     obs = Observation("t_audit")
     audited = orders.observe(obs, F.count(F.lit(1)).alias("rows_seen"))
     total = audited.count()

@@ -171,24 +171,27 @@ def fround_int(c: Column) -> Column:
     """Nearest-integer round of a double, half away from zero, as BIGINT —
     primitive ops only. Drop-in for ``F.round(x, 0).cast("bigint")``:
     Spark's double round boxes a java.math.BigDecimal per row (ROUND@ROW in
-    tools/plan_audit.py), while sign·floor(abs+0.5) stays inside
-    whole-stage codegen. At representable halves both round away from zero
-    (|-k-0.5| → k+0.5 → floor(k+1.0) = k+1, re-signed), so the two agree
-    everywhere except doubles within 1 ulp of a half (e.g.
-    nextafter(0.5, 0), where BigDecimal sees the exact decimal expansion
-    but the +0.5 add rounds up) — the oracle-parity suite gates every call
-    site. Precondition: |x| < 2^53 (bigint floor of larger magnitudes is
-    meaningless for doubles anyway)."""
-    return F.floor(F.abs(c) + F.lit(0.5)).cast("bigint") * F.when(
-        c < 0, F.lit(-1)
-    ).otherwise(F.lit(1))
+    tools/plan_audit.py), while this stays inside whole-stage codegen.
+
+    Form: ``sign · (floor(|y|) + [|y| − floor(|y|) ≥ 0.5])``. The
+    fractional part is EXACT in IEEE (for |y| ≥ 1 the subtraction is exact
+    by Sterbenz's lemma; below 1 it is trivial), so the half comparison
+    sees the true value — this is bit-identical to BigDecimal HALF_UP and
+    to C++ std::round (DuckDB's double round) for every |y| < 2^53,
+    including the adversarial near-half doubles where the naive
+    ``floor(y+0.5)`` rounds up one early (verified over 200k random +
+    boundary cases; codegen CSE dedups the repeated floor/abs)."""
+    a = F.abs(c)
+    f = F.floor(a)  # bigint
+    mag = f + F.when(a - f.cast("double") >= 0.5, F.lit(1)).otherwise(F.lit(0))
+    return mag * F.when(c < 0, F.lit(-1)).otherwise(F.lit(1))
 
 
 def fround(c: Column, scale: int) -> Column:
     """Primitive half-away-from-zero round of a double to ``scale``
     decimals — drop-in for per-row ``F.round(x, scale)`` (see
-    ``fround_int`` for the BigDecimal rationale and the half-boundary
-    caveat). Matches DuckDB's round() for doubles (std::round of x·10^s,
+    ``fround_int`` for the BigDecimal rationale and the exactness
+    argument). Matches DuckDB's round() for doubles (std::round of x·10^s,
     half away from zero, divided back; one correctly-rounded IEEE
     division). Precondition: |x·10^scale| < 2^53."""
     s = float(10**scale)
@@ -200,17 +203,16 @@ def spark_fround(expr: str, scale: int) -> str:
     s = float(10**scale)
     # {s}D: Spark parses a bare decimal literal as DECIMAL, which would
     # type the whole expression DECIMAL instead of DOUBLE
-    return (
-        f"(CAST(FLOOR(ABS(({expr}) * {s}D) + 0.5D) AS BIGINT)"
-        f" * CASE WHEN ({expr}) < 0 THEN -1 ELSE 1 END) / {s}D"
-    )
+    return f"({spark_fround_int(f'({expr}) * {s}D')}) / {s}D"
 
 
 def spark_fround_int(expr: str) -> str:
     """Spark-SQL string twin of ``fround_int`` — nearest bigint, half away
-    from zero, primitive ops only (codegen CSE dedups the repeated expr)."""
+    from zero via the exact-fraction form (see ``fround_int``); codegen
+    CSE dedups the repeated floor/abs subexpressions."""
+    a = f"ABS({expr})"
     return (
-        f"(CAST(FLOOR(ABS({expr}) + 0.5D) AS BIGINT)"
+        f"((FLOOR({a}) + CASE WHEN {a} - FLOOR({a}) >= 0.5D THEN 1 ELSE 0 END)"
         f" * CASE WHEN ({expr}) < 0 THEN -1 ELSE 1 END)"
     )
 

@@ -857,7 +857,17 @@ def observe_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     CollectMetrics plan node and the observed values themselves."""
     from pyspark.sql import Observation
 
-    orders = load_table(spark, sf_dir, "orders")
+    # Isolated session: observe() lazily initializes the session-global
+    # ObservationManager, which is NOT java-serializable — once created,
+    # any later task closure that captures the session (e.g. a fitted
+    # LogisticRegressionModel whose trainingSummary holds it, as in
+    # pipeline_fit) fails with Task not serializable. A child session
+    # shares the SparkContext and catalog but keeps its own manager, so
+    # the observation never poisons the caller's session. (Found by the
+    # full-suite ordering: this query runs before the ML family in the
+    # rotation.)
+    obs_spark = spark.newSession()
+    orders = obs_spark.read.parquet(f"{sf_dir}/orders.parquet")
     obs = Observation("ingest_audit")
     audited = orders.observe(
         obs,

@@ -305,8 +305,10 @@ def sql_api_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(
         """
-        SELECT CAST(sum(CAST(FLOOR(ABS(l_extendedprice * l_discount * 10000) + 0.5D)
-                             AS BIGINT)) AS BIGINT) AS revenue_e4,
+        SELECT CAST(sum(FLOOR(ABS(l_extendedprice * l_discount * 10000))
+                         + CASE WHEN ABS(l_extendedprice * l_discount * 10000)
+                                     - FLOOR(ABS(l_extendedprice * l_discount * 10000)) >= 0.5D
+                                THEN 1 ELSE 0 END) AS BIGINT) AS revenue_e4,
                count(*) AS n_rows
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
