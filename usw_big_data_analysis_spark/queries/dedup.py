@@ -1515,3 +1515,88 @@ def dedup_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.join(F.broadcast(p99), "band").select(
         "band", "n_buckets", "n_docs", "max_size", "p99_size"
     )
+
+
+# --- LSH recall contract: does banding surface the true near-dups? -----------
+_RECALL_TAU = 0.8
+
+
+@query(
+    "dedup_lsh_recall",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    truth AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON id_a = sa.doc_id
+                 JOIN sizes sb ON id_b = sb.doc_id
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
+              >= {_RECALL_TAU}
+    ),
+    cand AS ({_MINHASH_PAIRS_SQL})
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM truth t
+                 JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b)
+                AS BIGINT) AS n_hit,
+           round(CAST((SELECT count(*) FROM truth t
+                       JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b)
+                      AS DOUBLE)
+                 / greatest((SELECT count(*) FROM truth), 1), 6) AS recall
+    """,
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified-approximation contract for TEXT dedup — the
+    ``embed_ann_recall`` shape applied to MinHash-LSH: of all TRUE
+    near-dup pairs (exact shingle Jaccard >= {tau}), what fraction does
+    the banded candidate generation surface? The number an operator
+    checks before trusting a (k, bands) configuration to not silently
+    keep duplicates at 100 TB; its analytic expectation is the S-curve
+    1-(1-J^r)^b that dedup_minhash_band_sweep measures.
+
+    Scale shape: ground truth comes from the shared-shingle equi-join
+    (work ~ co-shingle fanout — the verifier path, bounded at audit
+    sample sizes; at full scale you run this on a sampled stratum),
+    candidates from the banded pipeline (linear); both reduce to one-row
+    counts before the final broadcast combine.""".format(tau=_RECALL_TAU)
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    truth = (
+        inter.join(sizes.selectExpr("doc_id AS id_a", "n AS na"), "id_a")
+        .join(sizes.selectExpr("doc_id AS id_b", "n AS nb"), "id_b")
+        .filter(
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common"))
+            >= _RECALL_TAU
+        )
+        .select("id_a", "id_b")
+    )
+    cand = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    nt = truth.agg(F.expr("count(*) AS n_truth"))
+    nc = cand.agg(F.expr("count(*) AS n_candidates"))
+    nh = truth.join(cand, ["id_a", "id_b"]).agg(F.expr("count(*) AS n_hit"))
+    return (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+        .selectExpr(
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            "round(CAST(n_hit AS DOUBLE) / greatest(n_truth, 1), 6) AS recall",
+        )
+    )
