@@ -542,3 +542,107 @@ def cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             " sum_purchase_ids long",
         )
     )
+
+
+# --- J9 extension: interval-overlap join via bin equi-join -------------------
+_IV_GAP_US = 30 * 60 * 1_000_000  # session inactivity gap (pipeline_ops twin)
+_IV_HOUR_US = 3_600 * 1_000_000
+_IV_TOP_BURSTS = 5
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+    flagged AS (
+      SELECT user_id, us,
+        CASE WHEN lag(us) OVER w IS NULL
+                  OR us - lag(us) OVER w > {_IV_GAP_US}
+             THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sess AS (
+      SELECT user_id,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id,
+             us
+      FROM flagged
+    ),
+    iv AS (
+      SELECT user_id, session_id, min(us) AS s_us, max(us) AS e_us
+      FROM sess GROUP BY user_id, session_id
+    ),
+    bursts AS (
+      SELECT h FROM (
+        SELECT us // {_IV_HOUR_US} AS h, count(*) AS cnt
+        FROM e GROUP BY h
+        ORDER BY cnt DESC, h LIMIT {_IV_TOP_BURSTS}
+      )
+    )
+    SELECT iv.user_id, iv.session_id, b.h AS burst_hour,
+           CAST(least(iv.e_us, (b.h + 1) * {_IV_HOUR_US})
+                - greatest(iv.s_us, b.h * {_IV_HOUR_US}) AS BIGINT)
+             AS overlap_us
+    FROM iv JOIN bursts b
+      ON b.h * {_IV_HOUR_US} <= iv.e_us
+     AND iv.s_us < (b.h + 1) * {_IV_HOUR_US}
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval OVERLAP join — the shape join_asof (point to
+    latest) and join_range (point in window) don't cover: per-user
+    activity sessions matched to the corpus-wide burst hours they touch,
+    with the overlap duration. The oracle states it as the natural
+    inequality join (DuckDB plans an IEJoin); the Spark side turns it
+    into an EQUI-join by exploding each session into the hour bins it
+    covers (sequence(floor(s/H), floor(e/H)) — exactly the rows where
+    h·H <= e AND s < (h+1)·H) and joining bins to the broadcast burst
+    dim — hash joins only, no BroadcastNestedLoop over raw sessions.
+
+    Scale: the session build is one shuffle by user; bin fan-out is
+    |session| / 1h (bounded — pick the bin width at the interval scale);
+    the burst dim is top-{_IV_TOP_BURSTS} by construction, so it always
+    broadcasts. Overlap can be 0 us only when a session's closed end
+    touches a burst's half-open start; both engines keep the row."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("unix_micros(ts)").alias("us")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > _IV_GAP_US),
+            1,
+        ).otherwise(0),
+    ).withColumn("session_id", F.sum("new_s").over(wc))
+    iv = sess.groupBy("user_id", "session_id").agg(
+        F.expr("min(us) AS s_us"), F.expr("max(us) AS e_us")
+    )
+    bursts = (
+        ev.groupBy(F.expr(f"us div {_IV_HOUR_US}").alias("h"))
+        .agg(F.expr("count(*) AS cnt"))
+        .orderBy(F.desc("cnt"), F.asc("h"))
+        .limit(_IV_TOP_BURSTS)
+        .select("h")
+    )
+    binned = iv.select(
+        "user_id",
+        "session_id",
+        "s_us",
+        "e_us",
+        F.explode(
+            F.expr(f"sequence(s_us div {_IV_HOUR_US}, e_us div {_IV_HOUR_US})")
+        ).alias("h"),
+    )
+    return binned.join(F.broadcast(bursts), "h").selectExpr(
+        "user_id",
+        "session_id",
+        "h AS burst_hour",
+        f"CAST(least(e_us, (h + 1) * {_IV_HOUR_US})"
+        f" - greatest(s_us, h * {_IV_HOUR_US}) AS BIGINT) AS overlap_us",
+    )
