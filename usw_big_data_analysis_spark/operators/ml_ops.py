@@ -120,7 +120,26 @@ def stratified_fold_column(
     return df.withColumn("fold", (F.row_number().over(w) % k).cast("int"))
 
 
+def require_trainable(train: DataFrame, label_col: str = "label") -> None:
+    """Fail FAST with a clear message on degenerate training data — an
+    empty or single-class train split otherwise surfaces as a deep
+    JVM/py4j error from inside the estimator ('Nothing has been added to
+    this summarizer', NPEs from tree learners). One bounded aggregate; the
+    callers that split/sample first call this on the split result."""
+    row = train.agg(
+        F.count("*").alias("n"),
+        F.countDistinct(label_col).alias("k"),
+    ).collect()[0]
+    if row["n"] == 0 or row["k"] < 2:
+        raise ValueError(
+            f"degenerate training data: {row['n']} rows, "
+            f"{row['k']} distinct {label_col!r} classes — need >= 1 row of "
+            "each of >= 2 classes to fit a classifier"
+        )
+
+
 def fit_predict(model, train: DataFrame, test: DataFrame, label_col: str = "label"):
+    require_trainable(train, label_col)
     m = model.setLabelCol(label_col).setFeaturesCol("features")
     fitted = m.fit(train)
     return fitted, fitted.transform(test)

@@ -747,7 +747,7 @@ def perplexity_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
       SELECT doc_id, text,
-             CAST(substr(source, 4) AS INT) < 5 AS is_ref,
+             coalesce(TRY_CAST(substr(source, 4) AS INT) < 5, false) AS is_ref,
              doc_id % 2 = 0 AS is_train
       FROM documents
     ),
@@ -814,7 +814,9 @@ def quality_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.selectExpr(
         "doc_id",
         "text",
-        "CAST(substr(source, 4) AS INT) < 5 AS is_ref",
+        # TRY_CAST (both dialects): a source label that doesn't parse as
+        # srcN is simply non-reference, not a job-killing cast error
+        "coalesce(TRY_CAST(substr(source, 4) AS INT) < 5, false) AS is_ref",
         "doc_id % 2 = 0 AS is_train",
     )
     tok = base.select(

@@ -76,6 +76,7 @@ def pipeline_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("row_id") % 7 == 0, None).otherwise(F.col("l_quantity")),
     )
     train, test = base.filter(~F.col("is_test")), base.filter(F.col("is_test"))
+    ml_ops.require_trainable(train)
     pipe = ml_ops.preprocessing_pipeline(_FEATURES)
     fitted = pipe.fit(train)
     from pyspark.ml.classification import LogisticRegression
@@ -129,6 +130,7 @@ def model_save_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         .setFeaturesCol("features")
     )
     pipe = Pipeline(stages=[pre, lr])
+    ml_ops.require_trainable(train)
     fitted = pipe.fit(train)
 
     out = tempfile.mkdtemp(prefix="usw_model_save_")
@@ -163,6 +165,7 @@ def feature_importance_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rf = RandomForestClassifier(
         numTrees=20, maxDepth=5, seed=ml_ops.SEED, labelCol="label"
     )
+    ml_ops.require_trainable(df)
     model = rf.fit(df)
     imps = model.featureImportances.toArray()
     rows = [(f, round(float(v), 6)) for f, v in zip(_FEATURES, imps)]
@@ -205,6 +208,12 @@ def early_stopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     train = base.filter(~F.col("is_test"))
     val = base.filter(F.col("is_test"))
+    ml_ops.require_trainable(train)
+    if val.limit(1).count() == 0:
+        raise ValueError(
+            "degenerate validation split: 0 rows — early stopping needs a "
+            "non-empty held-out slice to compute the stop metric"
+        )
 
     w1 = w2 = b = 0.0
     lr_rate, patience, max_rounds = 0.5, 3, 25
@@ -256,6 +265,7 @@ def hpo_optuna(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = ml_ops.assemble(_task_frame(spark, sf_dir, keep_mod=20), _FEATURES).persist()
     train = df.filter(~F.col("is_test"))
     test = df.filter(F.col("is_test"))
+    ml_ops.require_trainable(train)
 
     def objective(reg: float) -> float:
         lr = LogisticRegression(maxIter=25, regParam=reg).setLabelCol("label")

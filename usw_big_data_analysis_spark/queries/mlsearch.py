@@ -607,19 +607,27 @@ def pandas_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         sy = float(sy_i) / 100.0
         sxx = float(sxx_i) / 10000.0
         sxy = float(sxy_i) / 10000.0
-        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-        intercept = (sy - slope * sx) / n
+        denom = n * sxx - sx * sx
         from decimal import ROUND_HALF_UP, Decimal
 
         r6 = lambda v: float(  # noqa: E731 — mirrors round(double, 6)
             Decimal(repr(v)).quantize(Decimal("1e-6"), ROUND_HALF_UP)
         )
+        # degenerate group (single row / constant x): the oracle's double
+        # division by zero is NULL in DuckDB — mirror it instead of
+        # raising ZeroDivisionError out of the Arrow kernel
+        if denom == 0.0:
+            slope_v = intercept_v = None
+        else:
+            slope = (n * sxy - sx * sy) / denom
+            slope_v = r6(slope)
+            intercept_v = r6((sy - slope * sx) / n)
         return pd.DataFrame(
             {
                 "grp": [pdf["grp"].iloc[0]],
                 "n_rows": [n_i],
-                "slope": [r6(slope)],
-                "intercept": [r6(intercept)],
+                "slope": [slope_v],
+                "intercept": [intercept_v],
             }
         )
 

@@ -43,14 +43,26 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming and batch timelines agree bit-for-bit."""
     import pyspark.sql.types as T
 
+    import os
+
     schema = _events_schema(spark, sf_dir)
-    raw = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        # file-source streams take a directory; glob to just the events table
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    table_path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(table_path):
+        # directory-form table (the production layout; Spark sinks and
+        # tools/scale_probe write this): stream the directory itself — a
+        # pathGlobFilter of 'events.parquet' would match ZERO leaf files
+        # (they are part-*.parquet) and silently yield an empty stream
+        # (caught by tests/test_degenerate_data.py's sweep)
+        raw = spark.readStream.schema(schema).format("parquet").load(table_path)
+    else:
+        # flat fixture layout (one file per table, siblings in sf_dir):
+        # file-source streams take a directory; glob to just this table
+        raw = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
     ts_type = schema["ts"].dataType
     if isinstance(ts_type, LongType):
         # epoch-nanos long (TIMESTAMP(NANOS) fixture under nanosAsLong);
