@@ -786,3 +786,111 @@ def doc_quality_score_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(sum(CAST(score >= 60 AS INT)) AS BIGINT) AS n_pass"),
         F.expr("CAST(sum(score) AS BIGINT) AS score_sum"),
     )
+
+
+# --- deterministic shard assignment ------------------------------------------
+_N_SHARDS = 8
+
+
+@query(
+    "shard_assignment",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_h_sql("concat('shard:', CAST(doc_id AS VARCHAR))")}
+                % {_N_SHARDS} AS INT) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY {_h_sql("concat('shard:', CAST(doc_id AS VARCHAR))")}
+                          % {_N_SHARDS}
+             ORDER BY {_h_sql("concat('pos:', CAST(doc_id AS VARCHAR))")},
+                      doc_id) AS BIGINT) AS pos
+    FROM documents
+    """,
+)
+def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into {_N_SHARDS} training shards —
+    the step that turns a cleaned corpus into the randomized, resumable
+    file layout a data loader streams: shard = md5-hash of doc_id (stable
+    under repartitioning and task retries, unlike seeded RNG), position
+    within shard = a second independent hash order, so both the shard
+    membership AND the intra-shard read order are reproducible from the
+    doc_id alone. One hash shuffle + per-shard sort — exactly the
+    repartition(shard).sortWithinPartitions plan a shard writer runs. At
+    100 TB the shard count is chosen so each shard is ~file-sized
+    (O(100k) shards of ~1 GB), so the per-shard sort is bounded by
+    design; the window never sees unbounded cardinality. Reference
+    analogue: the train/test row split materialized to files
+    (/root/reference/teamProject/sap.py:31-42)."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        _h_spark(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+        % _N_SHARDS
+    ).cast("int")
+    posh = _h_spark(F.concat(F.lit("pos:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("shard").orderBy("posh", "doc_id")
+    return (
+        docs.select("doc_id", shard.alias("shard"), posh.alias("posh"))
+        .select(
+            "doc_id", "shard",
+            F.row_number().over(w).cast("bigint").alias("pos"),
+        )
+    )
+
+
+# --- per-source cap with drop accounting -------------------------------------
+_SRC_CAP = 120
+
+
+@query(
+    "corpus_source_cap_audit",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_h_sql("concat('cap:', CAST(doc_id AS VARCHAR))")},
+                        doc_id) AS rn,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CAST(rn <= {_SRC_CAP} AS INT)) AS BIGINT) AS n_kept,
+           CAST(sum(CAST(rn > {_SRC_CAP} AS INT)) AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN rn <= {_SRC_CAP} THEN n_tok ELSE 0 END)
+                AS BIGINT) AS kept_tokens,
+           CAST(sum(CASE WHEN rn > {_SRC_CAP} THEN n_tok ELSE 0 END)
+                AS BIGINT) AS dropped_tokens
+    FROM ranked GROUP BY source
+    """,
+)
+def corpus_source_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap ({_SRC_CAP}) with full drop accounting —
+    the over-represented-domain throttle (RefinedWeb/C4-style per-host
+    caps) in its auditable form: before running the cap at 100 TB an
+    operator wants kept/dropped doc AND token counts per source, not
+    just the surviving rows (mixture_quota emits those). Hash-order
+    rank makes the cap a deterministic uniform draw; the window
+    partitions by source and everything above it is a single per-source
+    rollup, so the only scale hazard is a single mega-source, the same
+    documented skew case as mixture_quota (per-salt top-k swap)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = _h_spark(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h, F.col("doc_id"))
+    ranked = docs.select(
+        "source",
+        F.row_number().over(w).alias("rn"),
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_tok"),
+    )
+    return ranked.groupBy("source").agg(
+        F.expr("count(*) AS n_docs"),
+        F.expr(f"CAST(sum(CAST(rn <= {_SRC_CAP} AS INT)) AS BIGINT) AS n_kept"),
+        F.expr(f"CAST(sum(CAST(rn > {_SRC_CAP} AS INT)) AS BIGINT) AS n_dropped"),
+        F.expr(
+            f"CAST(sum(CASE WHEN rn <= {_SRC_CAP} THEN n_tok ELSE 0 END)"
+            " AS BIGINT) AS kept_tokens"
+        ),
+        F.expr(
+            f"CAST(sum(CASE WHEN rn > {_SRC_CAP} THEN n_tok ELSE 0 END)"
+            " AS BIGINT) AS dropped_tokens"
+        ),
+    )

@@ -294,7 +294,13 @@ def scan_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = pd.read_parquet(os.path.join(sf_dir, "nation.parquet"))[
         ["n_nationkey", "n_name", "n_regionkey"]
     ]
-    path = os.path.join(_process_tmp(), "usw_q_bad.csv")
+    # Unique staging path per call: the scan below is cache()d, and Spark's
+    # CacheManager matches by analyzed plan — a fixed path would hand back a
+    # PREVIOUS call's cached rows after the file is rewritten (e.g. the
+    # degenerate-corpus sweep staging a different nation table first).
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="usw_q_bad_", dir=_process_tmp()), "bad.csv"
+    )
     with open(path, "w") as f:
         f.write("n_nationkey,n_name,n_regionkey\n")
         for _, r in nation.iterrows():
