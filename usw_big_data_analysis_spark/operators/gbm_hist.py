@@ -1,0 +1,251 @@
+"""Distributed histogram-based gradient boosting (LightGBM/XGBoost-hist
+semantics, re-expressed Spark-first).
+
+The reference's winning models are LightGBM/XGBoost/CatBoost
+(/root/reference/teamProject/models/tree_models.py:100-366,
+best_score.ipynb:328) — none installable here, and spark.ml's GBTClassifier
+uses exact (sorted-feature) split finding. This module implements the
+algorithm those libraries actually run, in its distributed form:
+
+1. **Pre-binning** — each feature is quantized ONCE into ``N_BINS``
+   fixed-width bins from its global min/max (one aggregate). After this the
+   fact table is never touched again; every boosting round works on the
+   narrow (label, bin_0..bin_k) frame. This is LightGBM's core trick: split
+   finding over histograms of bounded width instead of sorted raw values.
+2. **Gradient histograms as aggregation** — per round, per tree level, one
+   ``groupBy(node, feature, bin)`` computes (Σ gradient, Σ hessian, count).
+   The histogram has at most ``2^depth · |features| · N_BINS`` rows — a
+   few hundred — regardless of fact row count: THE map-side-combinable
+   reduction that makes GBM horizontally scalable.
+3. **Driver split selection** — the driver scans the bounded histogram for
+   the best gain split per node (the only O(1)-sized, inherently serial
+   step), then routes rows with a generated CASE expression; leaf values
+   update the margin column the same way. No per-row Python anywhere.
+
+Determinism contract (same discipline as functions/numeric.py): gradients
+and hessians are scaled to integers per row (``round(g · 10^9)`` via the
+primitive fround_int) and summed as BIGINT — exact, overflow-safe to ~9e9
+rows per node, and **order-independent**, so the trained model is
+bit-identical under any partitioning, executor count, or task retry.
+Driver-side gain math runs on those exact integer sums.
+
+Scale notes (100 TB): per round the plan touches the checkpointed binned
+frame ``depth + 2`` times (level histograms + leaf aggregate + metric), each
+a full map-side-combined aggregation with a shuffle of only the bounded
+histogram; the margin column is re-materialized once per round
+(localCheckpoint) so lineage stays O(1) instead of O(rounds). Driver memory
+holds only histograms and the model. Deeper trees / more features only widen
+the bounded shuffle, never the data motion.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.numeric import fround_int
+
+N_BINS = 16
+_GSCALE = 10**9  # gradient/hessian fixed-point scale
+
+
+@dataclass
+class ModelRow:
+    round: int
+    node: int
+    kind: str  # 'split' | 'leaf' | 'metric'
+    feature: str
+    bin: int
+    gain: float
+    value: float
+    n: int
+
+
+def _bin_frame(df: DataFrame, features: list[str], label: str) -> DataFrame:
+    """Quantize every feature into fixed-width bins from its global
+    min/max (one aggregate job), returning the narrow training frame."""
+    stats = df.agg(
+        *[F.min(f).alias(f"mn_{f}") for f in features],
+        *[F.max(f).alias(f"mx_{f}") for f in features],
+    ).first()
+    if stats[f"mn_{features[0]}"] is None:  # empty frame (degenerate fixture)
+        return None
+    cols = [F.col(label).alias("y")]
+    for f in features:
+        lo, hi = float(stats[f"mn_{f}"]), float(stats[f"mx_{f}"])
+        width = (hi - lo) / N_BINS if hi > lo else 1.0
+        b = F.least(
+            F.floor((F.col(f) - F.lit(lo)) / F.lit(width)).cast("int"),
+            F.lit(N_BINS - 1),
+        )
+        cols.append(F.greatest(b, F.lit(0)).alias(f"b_{f}"))
+    return df.select(*cols)
+
+
+def _best_split(hist: dict, node: int, features: list[str], lam: float):
+    """Scan one node's histogram for the max-gain split. hist maps
+    (feature, bin) -> (G_int, H_int, n). Returns (feature, bin, gain,
+    G, H, n) or None. Ties break on (feature order, bin) — deterministic."""
+    best = None
+    for f in features:
+        bins = [(b, *hist[(f, b)]) for b in range(N_BINS) if (f, b) in hist]
+        if len(bins) < 2:
+            continue
+        tg = sum(r[1] for r in bins) / _GSCALE
+        th = sum(r[2] for r in bins) / _GSCALE
+        tn = sum(r[3] for r in bins)
+        parent = tg * tg / (th + lam)
+        gl = hl = 0.0
+        nl = 0
+        for b, gi, hi, n in bins[:-1]:
+            gl += gi / _GSCALE
+            hl += hi / _GSCALE
+            nl += n
+            gr, hr, nr = tg - gl, th - hl, tn - nl
+            if nl == 0 or nr == 0:
+                continue
+            gain = 0.5 * (gl * gl / (hl + lam) + gr * gr / (hr + lam) - parent)
+            if best is None or gain > best[2] + 1e-12:
+                best = (f, b, gain, tg, th, tn)
+    return best
+
+
+def train_gbm(
+    df: DataFrame,
+    features: list[str],
+    label: str = "label",
+    n_rounds: int = 4,
+    depth: int = 2,
+    lr: float = 0.3,
+    lam: float = 1.0,
+) -> list[ModelRow]:
+    """Train the boosted ensemble; returns the model dump (split rows with
+    gains, leaf rows with values, one train-logloss metric row per round)."""
+    binned = _bin_frame(df, features, label)
+    if binned is None:  # empty training frame — no model, no metric rows
+        return []
+    binned = binned.localCheckpoint()
+    cur = binned.withColumn("score", F.lit(0.0))
+    model: list[ModelRow] = []
+
+    for t in range(n_rounds):
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score")))
+        work = (
+            cur.withColumn("p", p)
+            .withColumn("gi", fround_int((F.col("p") - F.col("y")) * _GSCALE))
+            .withColumn(
+                "hi", fround_int(F.col("p") * (1.0 - F.col("p")) * _GSCALE)
+            )
+            .withColumn("node", F.lit(0))
+        )
+
+        # per-round train logloss (exact integer-scaled sum -> deterministic)
+        ll = work.agg(
+            F.sum(
+                fround_int(
+                    -(
+                        F.col("y") * F.log(F.greatest(F.col("p"), F.lit(1e-15)))
+                        + (1.0 - F.col("y"))
+                        * F.log(F.greatest(1.0 - F.col("p"), F.lit(1e-15)))
+                    )
+                    * _GSCALE
+                )
+            ).alias("s"),
+            F.count("*").alias("n"),
+        ).first()
+        model.append(
+            ModelRow(t, -1, "metric", "train_logloss", -1, 0.0,
+                     round(ll["s"] / _GSCALE / ll["n"], 9), ll["n"])
+        )
+
+        splits: dict[int, tuple] = {}
+        for _level in range(depth):
+            pairs = F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(f).alias("f"), F.col(f"b_{f}").alias("b")
+                        )
+                        for f in features
+                    ]
+                )
+            ).alias("fb")
+            hist_rows = (
+                work.select("node", "gi", "hi", pairs)
+                .groupBy("node", "fb.f", "fb.b")
+                .agg(
+                    F.sum("gi").alias("g"),
+                    F.sum("hi").alias("h"),
+                    F.count("*").alias("n"),
+                )
+                .collect()
+            )
+            by_node: dict[int, dict] = {}
+            for r in hist_rows:
+                by_node.setdefault(r["node"], {})[(r["f"], r["b"])] = (
+                    r["g"], r["h"], r["n"],
+                )
+            level_splits = {}
+            for node in sorted(by_node):
+                # a node with rows is live by construction; one that already
+                # failed to split just fails again identically (no-op retry)
+                s = _best_split(by_node[node], node, features, lam)
+                if s is not None and s[2] > 1e-12:
+                    level_splits[node] = s
+            if not level_splits:
+                break
+            route = F.col("node")
+            for node, (f, b, gain, tg, th, tn) in level_splits.items():
+                model.append(
+                    ModelRow(t, node, "split", f, b, round(gain, 9), 0.0, tn)
+                )
+                route = F.when(
+                    F.col("node") == node,
+                    F.when(
+                        F.col(f"b_{f}") <= b, F.lit(2 * node + 1)
+                    ).otherwise(F.lit(2 * node + 2)),
+                ).otherwise(route)
+            work = work.withColumn("node", route)
+            splits.update(level_splits)
+
+        leaf_rows = work.groupBy("node").agg(
+            F.sum("gi").alias("g"),
+            F.sum("hi").alias("h"),
+            F.count("*").alias("n"),
+        ).collect()
+        upd = F.lit(0.0)
+        for r in sorted(leaf_rows, key=lambda r: r["node"]):
+            if r["node"] in splits:  # routed past — not a leaf
+                continue
+            w = -lr * (r["g"] / _GSCALE) / (r["h"] / _GSCALE + lam)
+            model.append(
+                ModelRow(t, r["node"], "leaf", "", -1, 0.0, round(w, 9), r["n"])
+            )
+            upd = F.when(F.col("node") == r["node"], F.lit(w)).otherwise(upd)
+        cur = work.select(
+            "y",
+            *[f"b_{f}" for f in features],
+            (F.col("score") + upd).alias("score"),
+        ).localCheckpoint()
+
+    # final logloss after the last round's update
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score")))
+    ll = cur.select(p.alias("p"), "y").agg(
+        F.sum(
+            fround_int(
+                -(
+                    F.col("y") * F.log(F.greatest(F.col("p"), F.lit(1e-15)))
+                    + (1.0 - F.col("y"))
+                    * F.log(F.greatest(1.0 - F.col("p"), F.lit(1e-15)))
+                )
+                * _GSCALE
+            )
+        ).alias("s"),
+        F.count("*").alias("n"),
+    ).first()
+    model.append(
+        ModelRow(n_rounds, -1, "metric", "train_logloss", -1, 0.0,
+                 round(ll["s"] / _GSCALE / ll["n"], 9), ll["n"])
+    )
+    return model

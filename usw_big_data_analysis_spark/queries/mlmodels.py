@@ -467,3 +467,35 @@ def recsys_als_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rnk") + 1).alias("rnk"),
         F.col("rec.item").alias("item"),
     )
+
+
+# --- distributed histogram-GBM (LightGBM/XGBoost-hist semantics) -------------
+@query("gbm_histogram_train")
+def gbm_histogram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's dominant model family (LightGBM/XGBoost hist-mode
+    boosting, teamProject/models/tree_models.py:100-366) in its genuinely
+    distributed form — not a wrapper: per round, per tree level, ONE
+    map-side-combined groupBy(node, feature, bin) over integer-scaled
+    gradients produces a few-hundred-row histogram; the driver picks
+    max-gain splits from it and routes rows with generated CASE
+    expressions (operators/gbm_hist.py has the full algorithm + scale
+    notes). Output is the model dump itself — split rows with exact
+    gains, leaf rows with values, and one train-logloss metric row per
+    round (the boosting curve) — deterministic under any partitioning
+    because every per-row gradient is fixed-point summed as BIGINT.
+    Rows-only by design (driver split decisions are float comparisons no
+    SQL oracle can restate); equivalence against a single-node numpy
+    reimplementation is pinned in tests/test_gbm_hist.py."""
+    from ..operators.gbm_hist import train_gbm
+
+    df = _task_frame(spark, sf_dir).filter(~F.col("is_test"))
+    model = train_gbm(df, _FEATURES, n_rounds=4, depth=2)
+    rows = [
+        (m.round, m.node, m.kind, m.feature, m.bin, m.gain, m.value, m.n)
+        for m in model
+    ]
+    schema = (
+        "round int, node int, kind string, feature string, bin int,"
+        " gain double, value double, n bigint"
+    )
+    return spark.createDataFrame(rows, schema).orderBy("round", "kind", "node")
