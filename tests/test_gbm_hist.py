@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from usw_big_data_analysis_spark.operators.gbm_hist import (
     N_BINS,
     _GSCALE,
+    score_gbm,
     train_gbm,
 )
 from usw_big_data_analysis_spark.queries.mlmodels import _FEATURES, _task_frame
@@ -113,18 +114,20 @@ def test_partition_invariance(train_df):
                    n_rounds=N_ROUNDS, depth=DEPTH, lr=LR, lam=LAM)
     m7 = train_gbm(train_df.repartition(7), _FEATURES,
                    n_rounds=N_ROUNDS, depth=DEPTH, lr=LR, lam=LAM)
+    assert m1.bins == m7.bins
     assert [
         (r.round, r.node, r.kind, r.feature, r.bin, r.gain, r.value, r.n)
-        for r in m1
+        for r in m1.rows
     ] == [
         (r.round, r.node, r.kind, r.feature, r.bin, r.gain, r.value, r.n)
-        for r in m7
+        for r in m7.rows
     ]
 
 
 def test_matches_single_node_numpy(train_df):
     spark_model = train_gbm(train_df, _FEATURES,
-                            n_rounds=N_ROUNDS, depth=DEPTH, lr=LR, lam=LAM)
+                            n_rounds=N_ROUNDS, depth=DEPTH, lr=LR, lam=LAM
+                            ).rows
     pdf = train_df.toPandas()
     X = pdf[_FEATURES].to_numpy(dtype=float)
     y = pdf["label"].to_numpy(dtype=float)
@@ -155,6 +158,47 @@ def test_matches_single_node_numpy(train_df):
 def test_logloss_strictly_decreases(train_df):
     model = train_gbm(train_df, _FEATURES,
                       n_rounds=N_ROUNDS, depth=DEPTH, lr=LR, lam=LAM)
-    curve = [r.value for r in model if r.kind == "metric"]
+    curve = [r.value for r in model.rows if r.kind == "metric"]
     assert len(curve) == N_ROUNDS + 1
     assert all(b < a for a, b in zip(curve, curve[1:])), curve
+
+
+def test_score_gbm_routes_like_numpy(train_df):
+    """score_gbm's generated CASE routing reproduces a numpy re-route of
+    the same model dump bit-for-bit (margins are sums of the same driver
+    floats in the same per-round order)."""
+    model = train_gbm(train_df, _FEATURES,
+                      n_rounds=N_ROUNDS, depth=DEPTH, lr=LR, lam=LAM)
+    scored = score_gbm(train_df, _FEATURES, model)
+    pdf = scored.toPandas()
+    X = pdf[_FEATURES].to_numpy(dtype=float)
+
+    lo = np.array([model.bins[f][0] for f in _FEATURES])
+    width = np.array([model.bins[f][1] for f in _FEATURES])
+    B = np.clip(np.floor((X - lo) / width).astype(int), 0, N_BINS - 1)
+
+    by_round = {}
+    for r in model.rows:
+        if r.kind == "split":
+            by_round.setdefault(r.round, {"s": {}, "l": {}})["s"][r.node] = (
+                _FEATURES.index(r.feature), r.bin)
+        elif r.kind == "leaf":
+            by_round.setdefault(r.round, {"s": {}, "l": {}})["l"][r.node] = r.value
+
+    margin = np.zeros(len(pdf))
+    for t in sorted(by_round):
+        s_, l_ = by_round[t]["s"], by_round[t]["l"]
+        node = np.zeros(len(pdf), dtype=int)
+        max_d = max(((n + 1).bit_length() - 1 for n in s_), default=-1)
+        for d in range(max_d + 1):
+            for n, (fi, b) in sorted(s_.items()):
+                if (n + 1).bit_length() - 1 != d:
+                    continue
+                m = node == n
+                node[m & (B[:, fi] <= b)] = 2 * n + 1
+                node[m & (B[:, fi] > b)] = 2 * n + 2
+        w = np.zeros(len(pdf))
+        for n, v in l_.items():
+            w[node == n] = v
+        margin += w
+    assert pdf["margin"].to_numpy().tolist() == margin.tolist()

@@ -62,25 +62,42 @@ class ModelRow:
     n: int
 
 
-def _bin_frame(df: DataFrame, features: list[str], label: str) -> DataFrame:
+@dataclass
+class GbmModel:
+    """Everything needed to score unseen rows: the dump plus the bin
+    edges the training pass derived (a real model artifact stores its
+    binning — predictions must quantize with the TRAINING edges)."""
+
+    rows: list[ModelRow]
+    bins: dict[str, tuple[float, float]]  # feature -> (lo, width)
+
+
+def _bin_expr(f: str, lo: float, width: float):
+    b = F.least(
+        F.floor((F.col(f) - F.lit(lo)) / F.lit(width)).cast("int"),
+        F.lit(N_BINS - 1),
+    )
+    return F.greatest(b, F.lit(0))
+
+
+def _bin_frame(df: DataFrame, features: list[str], label: str):
     """Quantize every feature into fixed-width bins from its global
-    min/max (one aggregate job), returning the narrow training frame."""
+    min/max (one aggregate job), returning the narrow training frame and
+    the (lo, width) edges per feature."""
     stats = df.agg(
         *[F.min(f).alias(f"mn_{f}") for f in features],
         *[F.max(f).alias(f"mx_{f}") for f in features],
     ).first()
     if stats[f"mn_{features[0]}"] is None:  # empty frame (degenerate fixture)
-        return None
+        return None, {}
     cols = [F.col(label).alias("y")]
+    bins: dict[str, tuple[float, float]] = {}
     for f in features:
         lo, hi = float(stats[f"mn_{f}"]), float(stats[f"mx_{f}"])
         width = (hi - lo) / N_BINS if hi > lo else 1.0
-        b = F.least(
-            F.floor((F.col(f) - F.lit(lo)) / F.lit(width)).cast("int"),
-            F.lit(N_BINS - 1),
-        )
-        cols.append(F.greatest(b, F.lit(0)).alias(f"b_{f}"))
-    return df.select(*cols)
+        bins[f] = (lo, width)
+        cols.append(_bin_expr(f, lo, width).alias(f"b_{f}"))
+    return df.select(*cols), bins
 
 
 def _best_split(hist: dict, node: int, features: list[str], lam: float):
@@ -119,12 +136,13 @@ def train_gbm(
     depth: int = 2,
     lr: float = 0.3,
     lam: float = 1.0,
-) -> list[ModelRow]:
-    """Train the boosted ensemble; returns the model dump (split rows with
-    gains, leaf rows with values, one train-logloss metric row per round)."""
-    binned = _bin_frame(df, features, label)
+) -> GbmModel:
+    """Train the boosted ensemble; returns the model (dump rows: splits
+    with gains, leaves with values, one train-logloss metric row per
+    round; plus the training bin edges for scoring)."""
+    binned, bins = _bin_frame(df, features, label)
     if binned is None:  # empty training frame — no model, no metric rows
-        return []
+        return GbmModel([], {})
     binned = binned.localCheckpoint()
     cur = binned.withColumn("score", F.lit(0.0))
     model: list[ModelRow] = []
@@ -248,4 +266,57 @@ def train_gbm(
         ModelRow(n_rounds, -1, "metric", "train_logloss", -1, 0.0,
                  round(ll["s"] / _GSCALE / ll["n"], 9), ll["n"])
     )
-    return model
+    return GbmModel(model, bins)
+
+
+def score_gbm(
+    df: DataFrame, features: list[str], model: GbmModel, lr_margin: str = "margin"
+) -> DataFrame:
+    """Apply a trained model to unseen rows — pure generated expressions
+    (bin with the TRAINING edges, route each tree with nested CASEs, sum
+    leaf values), zero shuffles, zero Python in the row path: the
+    embarrassingly-parallel scoring pass that runs at full scan speed on
+    any cluster. Adds a `margin` column (sum of leaf values; sigmoid for
+    probability)."""
+    out = df
+    for f in features:
+        lo, width = model.bins[f]
+        out = out.withColumn(f"__b_{f}", _bin_expr(f, lo, width))
+
+    by_round: dict[int, dict] = {}
+    for r in model.rows:
+        if r.kind in ("split", "leaf"):
+            by_round.setdefault(r.round, {"splits": {}, "leaves": {}})
+    for r in model.rows:
+        if r.kind == "split":
+            by_round[r.round]["splits"][r.node] = (r.feature, r.bin)
+        elif r.kind == "leaf":
+            by_round[r.round]["leaves"][r.node] = r.value
+
+    margin = F.lit(0.0)
+    for t in sorted(by_round):
+        splits = by_round[t]["splits"]
+        leaves = by_round[t]["leaves"]
+        node = F.lit(0)
+        # route level by level: node n sits at depth floor(log2(n+1))
+        depth_of = lambda n: (n + 1).bit_length() - 1  # noqa: E731
+        max_d = max((depth_of(n) for n in splits), default=-1)
+        for d in range(max_d + 1):
+            route = node
+            for n, (f, b) in sorted(splits.items()):
+                if depth_of(n) != d:
+                    continue
+                route = F.when(
+                    node == n,
+                    F.when(
+                        F.col(f"__b_{f}") <= b, F.lit(2 * n + 1)
+                    ).otherwise(F.lit(2 * n + 2)),
+                ).otherwise(route)
+            node = route
+        w = F.lit(0.0)
+        for n, v in sorted(leaves.items()):
+            w = F.when(node == n, F.lit(v)).otherwise(w)
+        margin = margin + w
+    return out.select(
+        *df.columns, margin.alias(lr_margin)
+    )

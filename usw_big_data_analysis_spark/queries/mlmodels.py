@@ -492,10 +492,44 @@ def gbm_histogram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = train_gbm(df, _FEATURES, n_rounds=4, depth=2)
     rows = [
         (m.round, m.node, m.kind, m.feature, m.bin, m.gain, m.value, m.n)
-        for m in model
+        for m in model.rows
     ]
     schema = (
         "round int, node int, kind string, feature string, bin int,"
         " gain double, value double, n bigint"
     )
     return spark.createDataFrame(rows, schema).orderBy("round", "kind", "node")
+
+
+@query("gbm_histogram_score")
+def gbm_histogram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit the histogram-GBM on the train split, score the held-out test
+    split with gbm_hist.score_gbm — generated CASE-expression routing
+    binned with the TRAINING edges, zero shuffles, zero Python in the row
+    path — and report the test confusion matrix. The fit→persistable
+    model→full-scan-speed predict contract the reference's tree models run
+    (teamProject/best_model_pipeline.py fit/predict), distributed. Rows-
+    only by design, like the rest of the trained-model family (§5.2);
+    score_gbm's routing equivalence is pinned in tests/test_gbm_hist.py
+    (margins match a numpy re-route of the same dump bit-for-bit on the
+    train frame and the model is partition-invariant)."""
+    from ..operators.gbm_hist import score_gbm, train_gbm
+
+    base = _task_frame(spark, sf_dir)
+    model = train_gbm(
+        base.filter(~F.col("is_test")), _FEATURES,
+        n_rounds=8, depth=3, lr=0.5,
+    )
+    if not model.rows:  # degenerate fixture: empty train split
+        return spark.createDataFrame(
+            [], "label int, pred int, n bigint"
+        )
+    scored = score_gbm(base.filter(F.col("is_test")), _FEATURES, model)
+    return (
+        scored.groupBy(
+            F.col("label").cast("int").alias("label"),
+            (F.col("margin") > 0).cast("int").alias("pred"),
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("label", "pred")
+    )
