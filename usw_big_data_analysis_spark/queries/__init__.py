@@ -28,6 +28,7 @@ for _mod_name in (
     "incremental",
     "storage_ops",
     "scale_ops",
+    "privacy_ops",
     "graph_ext",
     "etl",
     "sources_extra",
