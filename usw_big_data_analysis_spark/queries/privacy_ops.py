@@ -31,8 +31,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import numeric as N
 from ..registry import query
 from ..sources import load_table
+from .dedup import _h_spark, _h_sql
 
 # Quasi-identifiers for the customer table: nation + market segment +
 # account-balance band (floor(bal/1000) — the granularity a published
@@ -198,4 +200,79 @@ def privacy_qi_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             uniq.cast("double") / F.sum("k").cast("double"), 6
         ).alias("uniq_share"),
+    )
+
+
+# --- differentially-private count release ------------------------------------
+# Laplace mechanism, scale b = sensitivity/epsilon = 1/1.0 for count queries.
+# The noise draw is a DETERMINISTIC function of the cell key (portable md5
+# hash -> uniform in (0,1), inverse-CDF to Laplace): the draw is reproducible
+# across engines, partitionings, and task retries — the property a distributed
+# release job needs anyway (a retried task must not re-roll its noise), and
+# what makes the mechanism oracle-checkable. A production release would keep
+# the hash input secret (key + private salt) and drop n_true/noise from the
+# output; they are emitted here so the gate verifies the mechanism itself.
+_DP_EPS = 1.0
+_DP_M = 1048576  # 2^20: u = ((h % (M-1)) + 0.5) / M lies strictly in (0,1),
+# is never exactly 0.5 (half-integer numerator over even M), so sign(u-1/2)
+# is well-defined and ln(1-2|u-1/2|) never sees 0.
+
+
+@query(
+    "privacy_dp_count_release",
+    oracle=f"""
+    WITH t AS (
+      SELECT c_nationkey AS nation, count(*) AS n_true
+      FROM customer GROUP BY 1
+    ),
+    u AS (
+      SELECT nation, n_true,
+             (({_h_sql("concat_ws('', 'dp:', CAST(nation AS VARCHAR))")}
+               % {_DP_M - 1}) + 0.5) / {_DP_M}.0 AS u
+      FROM t
+    ),
+    n AS (
+      SELECT nation, n_true,
+             round((0.0 - 1.0 / {_DP_EPS})
+                   * (CASE WHEN u < 0.5 THEN -1.0 ELSE 1.0 END)
+                   * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noise
+      FROM u
+    )
+    SELECT nation, n_true, noise,
+           CAST(greatest(0, CAST(round(n_true + noise, 0) AS BIGINT))
+                AS BIGINT) AS n_released
+    FROM n
+    """,
+)
+def privacy_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP (ε=1) noised histogram of customers per nation: Laplace noise
+    via inverse CDF over a key-seeded portable hash, added to exact counts,
+    rounded and clamped at zero. Embarrassingly parallel after the count
+    agg; noise is generated engine-side from the group key (no RNG state,
+    no driver round-trip). Per-row ln() is rounded to 6dp before use (libm
+    ulp convention, functions/numeric.py) and the final round is the
+    primitive half-away form — bit-identical across engines."""
+    t = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(F.count("*").alias("n_true"))
+    )
+    # concat_ws, not concat: both engines drop a NULL key instead of
+    # nulling the whole hash input, so a NULL group still gets noise.
+    h = _h_spark(F.concat_ws("", F.lit("dp:"), F.col("nation").cast("string")))
+    u = ((h % (_DP_M - 1)) + 0.5) / float(_DP_M)
+    lap = (
+        (0.0 - 1.0 / _DP_EPS)
+        * F.when(u < 0.5, -1.0).otherwise(1.0)
+        * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    )
+    noised = t.withColumn("noise", N.fround(lap, 6))
+    return noised.select(
+        "nation",
+        "n_true",
+        "noise",
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            N.fround_int(F.col("n_true") + F.col("noise")),
+        ).alias("n_released"),
     )
