@@ -203,6 +203,66 @@ def privacy_qi_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- k-anonymity enforcement: generalization ladder ---------------------------
+_GRANS = (1000, 2000, 5000)  # candidate balance-band widths, finest first
+
+
+@query(
+    "privacy_generalization_ladder",
+    oracle=f"""
+    WITH qi AS ({_QI_CTE}),
+    lad AS (
+      SELECT g.gran, nation, segment,
+             CAST(floor(bal_band * 1000.0 / g.gran) AS INT) AS band,
+             count(*) AS k
+      FROM qi CROSS JOIN (
+        SELECT unnest(ARRAY{list(_GRANS)}) AS gran
+      ) g
+      GROUP BY g.gran, nation, segment, band
+    )
+    SELECT gran, CAST(min(k) AS BIGINT) AS min_k, count(*) AS n_classes,
+           CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+             AS rows_below_k5,
+           min(k) >= 5 AS passes_k5
+    FROM lad GROUP BY gran
+    """,
+)
+def privacy_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity ENFORCEMENT, not just audit: evaluate every candidate
+    generalization of the balance attribute (band widths 1000/2000/5000) in one
+    pass and report, per width, the minimum class size, class count, and
+    rows still below k=5 — the reviewer picks the finest width with
+    passes_k5. One explode(×len(_GRANS)) before the single QI aggregation
+    — the cube trick applied to a generalization lattice, instead of one
+    full scan per candidate (at 100 TB the rescans are the cost; the
+    explode adds map-side rows that partial-agg absorbs immediately).
+    bal_band (width 1000) is the finest lattice level, so coarser bands
+    derive from it without re-reading c_acctbal: floor-of-floor composes
+    exactly for integer width ratios."""
+    qi = _qi_frame(spark, sf_dir)
+    lad = qi.select(
+        "nation",
+        "segment",
+        "bal_band",
+        F.explode(F.array(*[F.lit(g) for g in _GRANS])).alias("gran"),
+    ).groupBy(
+        "gran",
+        "nation",
+        "segment",
+        F.floor(F.col("bal_band") * 1000.0 / F.col("gran"))
+        .cast("int")
+        .alias("band"),
+    ).agg(F.count("*").alias("k"))
+    return lad.groupBy("gran").agg(
+        F.min("k").alias("min_k"),
+        F.count("*").alias("n_classes"),
+        F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0)).alias(
+            "rows_below_k5"
+        ),
+        (F.min("k") >= 5).alias("passes_k5"),
+    )
+
+
 # --- differentially-private count release ------------------------------------
 # Laplace mechanism, scale b = sensitivity/epsilon = 1/1.0 for count queries.
 # The noise draw is a DETERMINISTIC function of the cell key (portable md5
