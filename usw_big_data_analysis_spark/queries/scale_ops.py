@@ -175,3 +175,136 @@ def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") * _MG_CAP > F.col("n_total"))
         .select("pk", "n")
     )
+
+
+# --- Neyman-allocation stratified sampling ------------------------------------
+# Variance-optimal survey sampling (Neyman 1934): sample n_h ∝ N_h·S_h rows
+# from stratum h — the allocation that minimizes the estimator variance of a
+# stratified mean at a fixed total budget. The training-mix use: spend a
+# labeling/eval budget where the target variable is most dispersed instead of
+# uniformly or proportionally.
+from .dedup import _h_spark, _h_sql  # noqa: E402  (portable md5 hash)
+
+_NEY_TARGET = 1000
+_NEY_M = 1_000_000
+_NEY_KEY = "concat_ws(':', 'ney', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR))"
+
+
+@query(
+    "stratified_sample_neyman",
+    oracle=f"""
+    WITH proj AS (
+      SELECT l_returnflag AS stratum, {N.sql_iscaled('l_extendedprice', 2)} AS i,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    st AS (
+      SELECT stratum, count(*) AS n_rows, sum(i) AS s,
+             {N.sql_isum_items('i * i', 'ss')}
+      FROM proj GROUP BY stratum
+    ),
+    sw0 AS (
+      SELECT stratum, n_rows,
+             round(sqrt(greatest({N.sql_isum_value('ss', 4)} / n_rows
+                   - (CAST(s AS DOUBLE) / 100.0 / n_rows)
+                   * (CAST(s AS DOUBLE) / 100.0 / n_rows), 0.0)), 6) AS s_h
+      FROM st
+    ),
+    sw AS (
+      SELECT stratum, n_rows, s_h,
+             CAST(round(s_h * {_NEY_M}.0, 0) AS DECIMAL(38,0))
+               * CAST(n_rows AS DECIMAL(38,0)) AS w
+      FROM sw0
+    ),
+    tot AS (SELECT sum(w) AS w_tot, CAST(sum(n_rows) AS DOUBLE) AS nt FROM sw),
+    alloc AS (
+      SELECT stratum, n_rows, s_h,
+             CASE WHEN w_tot > 0
+                  THEN CAST(round({_NEY_TARGET}.0 * CAST(w AS DOUBLE)
+                                  / CAST(w_tot AS DOUBLE), 0) AS BIGINT)
+                  ELSE CAST(round({_NEY_TARGET}.0 * n_rows / nt, 0) AS BIGINT)
+             END AS n_target
+      FROM sw, tot
+    ),
+    kept AS (
+      SELECT p.stratum, count(*) AS n_sampled
+      FROM proj p JOIN alloc a USING (stratum)
+      WHERE {_h_sql(_NEY_KEY)} % {_NEY_M}
+            < least(CAST(round({_NEY_M}.0 * a.n_target / a.n_rows, 0) AS BIGINT),
+                    {_NEY_M})
+      GROUP BY p.stratum
+    )
+    SELECT a.stratum, a.n_rows, a.s_h, a.n_target,
+           CAST(coalesce(k.n_sampled, 0) AS BIGINT) AS n_sampled
+    FROM alloc a LEFT JOIN kept k USING (stratum)
+    """,
+)
+def stratified_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample of lineitem (strata = returnflag,
+    budget 1000 rows): per-stratum size and EXACT population std from one
+    integer-sufficient-statistics agg; allocation n_h ∝ N_h·S_h computed
+    through exact DECIMAL weights (micro-scaled std × count — order-free,
+    unlike a double sum); the draw is a hash-Bernoulli keep at rate
+    n_h/N_h (state-free, partition/retry-independent — `sample()`'s
+    seeded RNG guarantees none of that). Zero-variance corpora fall back
+    to proportional allocation. Two fact scans (stats, then draw) is the
+    honest cost of calibrated sampling; both are shuffle-light (one
+    3-group agg; one broadcast join + filter + 3-group count). sqrt is
+    IEEE-correctly-rounded on exact integer-sum inputs, so both engines
+    see identical doubles before the 6dp round."""
+    li = load_table(spark, sf_dir, "lineitem")
+    proj = li.selectExpr(
+        "l_returnflag AS stratum",
+        f"{N.spark_iscaled('l_extendedprice', 2)} AS i",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    st = proj.groupBy("stratum").agg(
+        F.expr("count(*) AS n_rows"),
+        F.expr("sum(i) AS s"),
+        *[F.expr(e) for e in N.spark_isum_items("i * i", "ss")],
+    )
+    std = (
+        f"sqrt(greatest({N.spark_isum_value('ss', 4)} / n_rows"
+        " - (CAST(s AS DOUBLE) / 100.0 / n_rows)"
+        " * (CAST(s AS DOUBLE) / 100.0 / n_rows), 0.0D))"
+    )
+    sw = st.selectExpr(
+        "stratum", "n_rows", f"{N.spark_fround(std, 6)} AS s_h"
+    ).selectExpr(
+        "stratum",
+        "n_rows",
+        "s_h",
+        f"CAST({N.spark_fround_int(f's_h * {_NEY_M}.0D')} AS DECIMAL(38,0))"
+        " * CAST(n_rows AS DECIMAL(38,0)) AS w",
+    )
+    tot = sw.agg(
+        F.expr("sum(w) AS w_tot"), F.expr("CAST(sum(n_rows) AS DOUBLE) AS nt")
+    )
+    alloc = sw.crossJoin(F.broadcast(tot)).selectExpr(
+        "stratum",
+        "n_rows",
+        "s_h",
+        f"""CASE WHEN w_tot > 0 THEN {N.spark_fround_int(
+            f"{_NEY_TARGET}.0D * CAST(w AS DOUBLE) / CAST(w_tot AS DOUBLE)"
+        )} ELSE {N.spark_fround_int(f"{_NEY_TARGET}.0D * n_rows / nt")} END
+        AS n_target""",
+    )
+    thr = F.least(
+        F.expr(N.spark_fround_int(f"{_NEY_M}.0D * n_target / n_rows")),
+        F.lit(_NEY_M).cast("bigint"),
+    )
+    h = _h_spark(F.expr(_NEY_KEY.replace("VARCHAR", "STRING")))
+    kept = (
+        proj.join(F.broadcast(alloc.select("stratum", "n_rows", "n_target")), "stratum")
+        .filter(h % _NEY_M < thr)
+        .groupBy("stratum")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    return alloc.join(kept, "stratum", "left").select(
+        "stratum",
+        "n_rows",
+        "s_h",
+        "n_target",
+        F.coalesce(F.col("n_sampled"), F.lit(0).cast("bigint")).alias("n_sampled"),
+    )
