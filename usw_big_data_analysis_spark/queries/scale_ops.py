@@ -308,3 +308,72 @@ def stratified_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_target",
         F.coalesce(F.col("n_sampled"), F.lit(0).cast("bigint")).alias("n_sampled"),
     )
+
+
+# --- join-explosion pre-flight audit ------------------------------------------
+_JX_TOPK = 5
+
+
+@query(
+    "join_explosion_audit",
+    oracle=f"""
+    WITH f AS (
+      SELECT l_partkey AS k, count(*) AS n FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_all,
+             CAST(sum(CAST(n AS DECIMAL(38,0)) * n) AS DOUBLE) AS pairs_all
+      FROM f
+    ),
+    top AS (
+      SELECT CAST(k AS VARCHAR) AS key_label, n AS n_rows,
+             CAST(CAST(n AS DECIMAL(38,0)) * n AS DOUBLE) AS pair_rows
+      FROM f ORDER BY n DESC, k ASC LIMIT {_JX_TOPK}
+    )
+    SELECT key_label, n_rows, pair_rows,
+           round(pair_rows / (SELECT pairs_all FROM tot), 6) AS pair_share
+    FROM top
+    UNION ALL
+    SELECT 'ALL', n_all, pairs_all, 1.0 FROM tot
+    """,
+)
+def join_explosion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predict a self-equi-join's output size BEFORE running it: the
+    exact row count of lineitem x lineitem ON l_partkey is sum over keys
+    of f(k)^2 — computable from the key histogram alone at a tiny
+    fraction of the join's cost. Emits the total predicted pair count
+    and the top-{k} offending keys with their share — the pre-flight a
+    100 TB pipeline runs to choose broadcast/salt/abort instead of
+    discovering the explosion as a 10-hour shuffle. One groupBy for the
+    histogram; top keys via TakeOrderedAndProject; exact DECIMAL pair
+    sums (f^2 overflows int64 once a key holds >3e9 rows).""".format(
+        k=_JX_TOPK
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.groupBy(F.col("l_partkey").alias("k")).agg(F.count("*").alias("n"))
+    tot = f.agg(
+        F.expr("CAST(sum(n) AS BIGINT) AS n_all"),
+        F.expr("CAST(sum(CAST(n AS DECIMAL(38,0)) * n) AS DOUBLE) AS pairs_all"),
+    )
+    top = (
+        f.orderBy(F.desc("n"), F.asc("k"))
+        .limit(_JX_TOPK)
+        .selectExpr(
+            "CAST(k AS STRING) AS key_label",
+            "n AS n_rows",
+            "CAST(CAST(n AS DECIMAL(38,0)) * n AS DOUBLE) AS pair_rows",
+        )
+    )
+    top_shared = top.crossJoin(F.broadcast(tot)).select(
+        "key_label",
+        "n_rows",
+        "pair_rows",
+        F.round(F.col("pair_rows") / F.col("pairs_all"), 6).alias("pair_share"),
+    )
+    all_row = tot.select(
+        F.lit("ALL").alias("key_label"),
+        F.col("n_all").alias("n_rows"),
+        F.col("pairs_all").alias("pair_rows"),
+        F.lit(1.0).alias("pair_share"),
+    )
+    return top_shared.unionByName(all_row)
