@@ -376,3 +376,82 @@ def sink_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("lang").isNull().cast("bigint")).alias("n_missing_lang"),
         F.sum("n_chars").alias("sum_chars"),
     )
+
+
+# --- S2 at scale: distributed SAS ingest via the Python Data Source API -----
+@query(
+    "scan_sas_pages",
+    oracle="""
+    WITH landed AS (
+      SELECT CAST(l_linenumber AS DOUBLE) AS line_no,
+             CASE WHEN l_linenumber % 11 = 0 THEN '.'
+                  ELSE CAST(l_quantity AS VARCHAR) END AS qty_raw
+      FROM lineitem
+    ),
+    cleaned AS (
+      SELECT CAST(line_no AS INT) % 4 AS bucket,
+             CASE WHEN qty_raw = '.' THEN NULL
+                  ELSE CAST(qty_raw AS DOUBLE) END AS qty
+      FROM landed
+    )
+    SELECT bucket, count(*) AS n_rows,
+           CAST(sum(CAST(qty IS NULL AS BIGINT)) AS BIGINT) AS n_missing,
+           round(CAST(sum(CAST(qty AS DECIMAL(25,6))) AS DOUBLE)
+                 / count(qty), 6) AS mean_qty
+    FROM cleaned GROUP BY bucket
+    """,
+)
+def scan_sas_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed SAS ingest — the scale path `scan_sas` documents as
+    missing: the same genuine .sas7bdat bytes (vendored writer), read back
+    through ``spark.read.format("sas_lite")`` — a Spark 4 Python Data
+    Source (sources/sas_datasource.py) that plans ONE InputPartition per
+    SAS data page and decodes pages executor-side into Arrow batches
+    (sources/sas7bdat_reader.py). The "unsplittable" format is split on
+    its own page structure; no driver-side pandas pass touches row data.
+    Cleaning (SAS '.' missing sentinel → NULL + cast,
+    1-1.data_processing.ipynb:1910-1914) and the per-bucket aggregate run
+    as ordinary Catalyst plans over the connector's output — which also
+    pins per-page row/column alignment: any page-boundary slip would
+    shuffle qty values across line-number buckets and break the hash."""
+    import numpy as np
+
+    from ..sources.sas7bdat_lite import write_sas7bdat
+    from ..sources.sas_datasource import register
+
+    qty = pd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"))[
+        ["l_linenumber", "l_quantity"]
+    ]
+    raw = np.where(
+        qty["l_linenumber"].to_numpy() % 11 == 0,
+        ".",
+        qty["l_quantity"].map(str).to_numpy(dtype=object),
+    ).astype(object)
+    line = qty["l_linenumber"].to_numpy(dtype=float)
+    dest = os.path.join(
+        _process_tmp(),
+        f"scan_sas_pages_{os.path.basename(os.path.normpath(sf_dir))}.sas7bdat",
+    )
+    if not os.path.exists(dest):
+        # 16 KiB pages => ~1000 rows/page (many pages even at sf0.001);
+        # atomic rename so a concurrent reader never sees a partial file.
+        part = dest + ".part"
+        write_sas7bdat(part, ["line_no", "qty_raw"], [line, raw], page_size=16384)
+        os.replace(part, dest)
+    register(spark)
+    landed = spark.read.format("sas_lite").load(dest)
+    cleaned = landed.select(
+        (F.col("line_no").cast("int") % 4).alias("bucket"),
+        F.when(F.col("qty_raw") == ".", None)
+        .otherwise(F.col("qty_raw").cast("double"))
+        .alias("qty"),
+    )
+    return cleaned.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("qty").isNull().cast("bigint")).alias("n_missing"),
+        F.round(
+            F.sum(F.col("qty").cast("decimal(25,6)")).cast("double")
+            / F.count("qty"),
+            6,
+        ).alias("mean_qty"),
+    )
