@@ -890,3 +890,68 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.stop()
     q.awaitTermination(60)
     return spark.table(name)
+
+
+# --- custom streaming source through the real engine -------------------------
+@query(
+    "stream_custom_source",
+    oracle="""
+    WITH e AS (
+      SELECT i AS event_id,
+             1704067200 + i * 7 AS ts_epoch,
+             CAST(i % 7 AS INT) AS uid,
+             (i * 2654435761) % 100000 AS value_cents
+      FROM range(0, 2400) t(i)
+    )
+    SELECT CAST(floor(ts_epoch / 600) * 600 AS BIGINT) AS window_start,
+           uid, count(*) AS n, CAST(sum(value_cents) AS BIGINT) AS sum_cents
+    FROM e GROUP BY 1, 2
+    """,
+)
+def stream_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A Python STREAMING Data Source driving the real engine: the
+    events_replay connector (sources/replay_datasource.py — full
+    DataSourceStreamReader: dict offsets advanced one micro-batch per
+    trigger, partitions() fan-out, executor-side Arrow reads) feeds a
+    watermarked tumbling aggregate in append mode through readStream →
+    memory sink → processAllAvailable. Five real triggers run (4 data
+    batches + the far-future sentinel that pushes the watermark past
+    every real window, the stream_join_outer flush pattern), so the
+    drained table is exactly the closed windows — hash-matched against a
+    closed-form DuckDB oracle over the same arithmetic (the source is a
+    pure function of its offsets, which is also why a checkpoint replay
+    reproduces batches bit-for-bit: exactly-once from the source side).
+    `sf_dir` is unused: the source is self-describing, like a Kafka
+    topic."""
+    import uuid
+
+    from ..sources.replay_datasource import _BASE_EPOCH, register
+
+    register(spark)
+    stream = spark.readStream.format("events_replay").load()
+    evs = stream.select(
+        F.col("ts_epoch").cast("timestamp").alias("ts"),
+        "uid",
+        "value_cents",
+    )
+    agg = (
+        evs.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "uid")
+        .agg(F.count("*").alias("n"), F.sum("value_cents").alias("sum_cents"))
+    )
+    name = f"q_custom_src_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    return spark.table(name).select(
+        F.unix_timestamp(F.col("w.start")).alias("window_start"),
+        "uid",
+        "n",
+        "sum_cents",
+    ).filter(F.col("window_start") < _BASE_EPOCH + 100_000)
