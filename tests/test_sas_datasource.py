@@ -80,3 +80,45 @@ def test_datasource_row_alignment(spark, sas_file):
     }
     expect = pd.Series(labs).value_counts().to_dict()
     assert got == expect
+
+
+def test_distributed_write_roundtrip(spark, tmp_path):
+    """8-task write -> two-phase commit -> single valid SAS file that
+    pandas' independent parser accepts; staging fully cleaned up."""
+    dest = os.path.join(str(tmp_path), "dist.sas7bdat")
+    register(spark)
+    df = (
+        spark.range(0, 4000)
+        .selectExpr("CAST(id AS DOUBLE) * 0.25D AS v", "concat('k', id % 5) AS lab")
+        .repartition(8, "v")
+    )
+    (
+        df.write.format("sas_lite")
+        .option("path", dest)
+        .option("width_lab", "4")
+        .mode("overwrite")
+        .save()
+    )
+    ref = pd.read_sas(dest, encoding="utf-8")
+    assert len(ref) == 4000
+    assert float(ref["v"].sum()) == sum(i * 0.25 for i in range(4000))
+    assert ref["lab"].nunique() == 5
+    assert [f for f in os.listdir(str(tmp_path)) if ".part" in f] == []
+    # reader agrees with pandas bit-for-bit
+    mine = read_frame(dest)
+    assert np.array_equal(np.sort(mine["v"]), np.sort(ref["v"].to_numpy()))
+
+
+def test_distributed_write_declared_width_enforced(spark, tmp_path):
+    dest = os.path.join(str(tmp_path), "narrow.sas7bdat")
+    register(spark)
+    df = spark.range(0, 10).selectExpr("CAST(id AS DOUBLE) AS v", "'toolong' AS lab")
+    with pytest.raises(Exception, match="exceeds declared width|toolong"):
+        (
+            df.write.format("sas_lite")
+            .option("path", dest)
+            .option("width_lab", "3")
+            .mode("overwrite")
+            .save()
+        )
+    assert not os.path.exists(dest)  # abort left no torn file

@@ -455,3 +455,78 @@ def scan_sas_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_qty"),
     )
+
+
+# --- S6-at-scale sibling: distributed SAS SINK via the writer API -----------
+@query(
+    "sink_sas_distributed",
+    oracle="""
+    WITH landed AS (
+      SELECT CAST(l_linenumber AS DOUBLE) AS line_no,
+             CASE WHEN l_linenumber % 11 = 0 THEN '.'
+                  ELSE CAST(l_quantity AS VARCHAR) END AS qty_raw
+      FROM lineitem
+    ),
+    cleaned AS (
+      SELECT CAST(line_no AS INT) % 3 AS bucket,
+             CASE WHEN qty_raw = '.' THEN NULL
+                  ELSE CAST(qty_raw AS DOUBLE) END AS qty
+      FROM landed
+    )
+    SELECT bucket, count(*) AS n_rows,
+           CAST(sum(CAST(qty IS NULL AS BIGINT)) AS BIGINT) AS n_missing,
+           round(CAST(sum(CAST(qty AS DECIMAL(25,6))) AS DOUBLE)
+                 / count(qty), 6) AS mean_qty
+    FROM cleaned GROUP BY bucket
+    """,
+)
+def sink_sas_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed SAS WRITE through the Python Data Source writer API
+    (sources/sas_datasource.py SasLiteWriter): every Spark task encodes
+    its partition into whole SAS DATA pages (partial last page —
+    block_count makes that legal) staged as a part file; the two-phase
+    commit writes header+meta with the global row/page totals,
+    concatenates parts in partition order, and renames atomically
+    (abort() removes staged parts — no torn files). String widths are
+    DECLARED via writer options because a distributed task cannot derive
+    a global max width. The written bytes are then read back through the
+    page-partitioned sas_lite reader and SAS '.'-sentinel-cleaned — a
+    full write→read round trip over genuine SAS format, both directions
+    distributed."""
+    from ..sources.sas_datasource import register
+
+    register(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    landed = li.select(
+        F.col("l_linenumber").cast("double").alias("line_no"),
+        F.when(F.col("l_linenumber") % 11 == 0, ".")
+        .otherwise(F.col("l_quantity").cast("string"))
+        .alias("qty_raw"),
+    ).repartition(8, "line_no")
+    dest = os.path.join(
+        _process_tmp(),
+        f"sink_sas_dist_{os.path.basename(os.path.normpath(sf_dir))}.sas7bdat",
+    )
+    (
+        landed.write.format("sas_lite")
+        .option("path", dest)
+        .option("width_qty_raw", "24")
+        .mode("overwrite")
+        .save()
+    )
+    back = spark.read.format("sas_lite").load(dest)
+    cleaned = back.select(
+        (F.col("line_no").cast("int") % 3).alias("bucket"),
+        F.when(F.col("qty_raw") == ".", None)
+        .otherwise(F.col("qty_raw").cast("double"))
+        .alias("qty"),
+    )
+    return cleaned.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("qty").isNull().cast("bigint")).alias("n_missing"),
+        F.round(
+            F.sum(F.col("qty").cast("decimal(25,6)")).cast("double")
+            / F.count("qty"),
+            6,
+        ).alias("mean_qty"),
+    )

@@ -27,6 +27,12 @@ File layout written here:
   required even when empty).
 - DATA pages (type 256): block_count rows packed back-to-back from
   bit_offset+8; doubles little-endian IEEE, strings space-padded.
+
+The page builders (``build_header`` / ``build_meta_page`` /
+``build_data_page`` / ``layout_from_spec`` / ``encode_rowmat``) are public
+so the distributed sink (``sas_datasource.py``: every Spark task encodes
+its own DATA pages, the commit step writes header+meta and concatenates)
+shares one encoding with the driver-side ``write_sas7bdat``.
 """
 
 from __future__ import annotations
@@ -57,52 +63,91 @@ def _pad(b: bytes, n: int) -> bytes:
     return b + b"\x00" * (n - len(b))
 
 
-def write_sas7bdat(
-    path: str,
-    columns: list[str],
-    arrays: list[np.ndarray],
-    page_size: int = 0x10000,
-) -> None:
-    """Write columns (each float64 or fixed-width bytes/str ndarray) as an
-    uncompressed u64 little-endian sas7bdat."""
-    if len(columns) != len(arrays):
-        raise ValueError("columns/arrays length mismatch")
-    ncols = len(columns)
-    nrows = len(arrays[0]) if arrays else 0
-    for a in arrays:
-        if len(a) != nrows:
-            raise ValueError("ragged columns")
-
-    # column physical layout: row offset, width, type (1=double, 2=string)
+def layout_from_spec(spec: list[tuple[str, int]]) -> tuple[list, int]:
+    """Physical layout from a declared column spec: (name, 0) for a
+    float64 column, (name, width>0) for a fixed-width string column.
+    Returns ([(row_offset, width, type)], row_length) — the declared form
+    a DISTRIBUTED writer needs (every task must agree on widths without
+    seeing the other tasks' data)."""
     col_meta: list[tuple[int, int, int]] = []
-    encoded: list[np.ndarray] = []
     off = 0
-    for a in arrays:
-        if np.issubdtype(a.dtype, np.floating) or np.issubdtype(a.dtype, np.integer):
-            a = np.asarray(a, dtype="<f8")
+    for _name, w in spec:
+        if w <= 0:
             col_meta.append((off, 8, 1))
             off += 8
-            encoded.append(a)
         else:
-            raw = np.asarray(
-                [str(x).encode("utf-8") for x in a], dtype=object
-            )
-            width = max((len(b) for b in raw), default=1) or 1
-            col_meta.append((off, width, 2))
-            off += width
-            encoded.append(
-                np.asarray([b.ljust(width, b" ") for b in raw], dtype=object)
-            )
-    row_length = off
-    if row_length == 0:
+            col_meta.append((off, w, 2))
+            off += w
+    if off == 0:
         raise ValueError("no columns")
+    return col_meta, off
 
-    rows_per_page = (page_size - _PAGE_BIT_OFFSET - 8) // row_length
-    if rows_per_page < 1:
+
+def rows_per_page(page_size: int, row_length: int) -> int:
+    n = (page_size - _PAGE_BIT_OFFSET - 8) // row_length
+    if n < 1:
         raise ValueError("page_size too small for one row")
-    n_data_pages = (nrows + rows_per_page - 1) // rows_per_page if nrows else 0
+    return n
 
-    # --- subheaders ---------------------------------------------------------
+
+def encode_rowmat(
+    arrays: list[np.ndarray], col_meta: list[tuple[int, int, int]]
+) -> np.ndarray:
+    """Pack columns into the (nrows, row_length) byte matrix. Doubles are
+    little-endian IEEE; strings utf-8, space-padded to the declared width
+    (ValueError on overflow — a distributed task must fail loudly rather
+    than silently truncate)."""
+    nrows = len(arrays[0]) if arrays else 0
+    row_length = sum(w for _, w, _ in col_meta)
+    rowmat = np.zeros((nrows, row_length), dtype=np.uint8)
+    for (coff, cwidth, ctype), col in zip(col_meta, arrays):
+        if len(col) != nrows:
+            raise ValueError("ragged columns")
+        if ctype == 1:
+            a = np.asarray(col, dtype="<f8")
+            rowmat[:, coff : coff + 8] = a.view(np.uint8).reshape(nrows, 8)
+        else:
+            padded = []
+            for x in col:
+                b = x if isinstance(x, bytes) else str(x).encode("utf-8")
+                if len(b) > cwidth:
+                    raise ValueError(
+                        f"string {b!r} exceeds declared width {cwidth}"
+                    )
+                padded.append(b.ljust(cwidth, b" "))
+            block = b"".join(padded)
+            rowmat[:, coff : coff + cwidth] = np.frombuffer(
+                block, dtype=np.uint8
+            ).reshape(nrows, cwidth)
+    return rowmat
+
+
+def build_header(page_size: int, n_pages: int) -> bytes:
+    hdr = bytearray(_HEADER_SIZE)
+    hdr[0:32] = _MAGIC
+    hdr[32] = 0x33  # u64 marker
+    hdr[35] = 0x33  # align1 = 4
+    hdr[37] = 0x01  # little-endian
+    hdr[70] = 20  # encoding: utf-8
+    hdr[84:92] = b"SAS FILE"
+    struct.pack_into("<d", hdr, 164 + 4, 0.0)  # created (1960 epoch)
+    struct.pack_into("<d", hdr, 172 + 4, 0.0)  # modified
+    struct.pack_into("<I", hdr, 196 + 4, _HEADER_SIZE)
+    struct.pack_into("<I", hdr, 200 + 4, page_size)
+    struct.pack_into("<I", hdr, 204 + 4, n_pages)
+    return bytes(hdr)
+
+
+def build_meta_page(
+    columns: list[str],
+    col_meta: list[tuple[int, int, int]],
+    row_length: int,
+    nrows: int,
+    page_size: int,
+) -> bytes:
+    """The single META page: subheader pointer array + payloads."""
+    ncols = len(columns)
+
     # column-text block: [u16 size][6 pad][utf-8 names...]
     name_bytes = [c.encode("utf-8") for c in columns]
     text_payload = bytearray(b"\x00" * 8)
@@ -159,7 +204,6 @@ def write_sas7bdat(
     subheaders = [sh_rowsize, sh_colsize, sh_coltext, sh_colname, sh_colattr]
     subheaders.extend(sh_formats)
 
-    # --- meta page ----------------------------------------------------------
     meta = bytearray(page_size)
     nsub = len(subheaders)
     struct.pack_into("<H", meta, _PAGE_BIT_OFFSET + 0, 0)  # page_meta_type
@@ -178,42 +222,59 @@ def write_sas7bdat(
         meta[p + 17] = 0  # type
         payload_at += len(sh)
         payload_at += (-payload_at) % 8
+    return bytes(meta)
 
-    # --- data pages ---------------------------------------------------------
-    # vectorized row assembly: one byte matrix, column slices filled per type
-    rowmat = np.zeros((nrows, row_length), dtype=np.uint8)
-    for (coff, cwidth, ctype), col in zip(col_meta, encoded):
-        if ctype == 1:
-            rowmat[:, coff : coff + 8] = col.view(np.uint8).reshape(nrows, 8)
+
+def build_data_page(rowmat_slice: np.ndarray, page_size: int) -> bytes:
+    """One DATA page (type 256) holding the given pre-encoded rows."""
+    nrows = rowmat_slice.shape[0]
+    page = bytearray(page_size)
+    struct.pack_into("<H", page, _PAGE_BIT_OFFSET + 0, 256)
+    struct.pack_into("<H", page, _PAGE_BIT_OFFSET + 2, nrows)
+    struct.pack_into("<H", page, _PAGE_BIT_OFFSET + 4, 0)
+    body = rowmat_slice.tobytes()
+    start = _PAGE_BIT_OFFSET + 8
+    if start + len(body) > page_size:
+        raise ValueError("rows exceed page capacity")
+    page[start : start + len(body)] = body
+    return bytes(page)
+
+
+def write_sas7bdat(
+    path: str,
+    columns: list[str],
+    arrays: list[np.ndarray],
+    page_size: int = 0x10000,
+) -> None:
+    """Write columns (each float64 or fixed-width bytes/str ndarray) as an
+    uncompressed u64 little-endian sas7bdat (driver-side, single pass;
+    string widths derived from the data)."""
+    if len(columns) != len(arrays):
+        raise ValueError("columns/arrays length mismatch")
+    nrows = len(arrays[0]) if arrays else 0
+    for a in arrays:
+        if len(a) != nrows:
+            raise ValueError("ragged columns")
+
+    spec: list[tuple[str, int]] = []
+    for name, a in zip(columns, arrays):
+        if np.issubdtype(a.dtype, np.floating) or np.issubdtype(a.dtype, np.integer):
+            spec.append((name, 0))
         else:
-            block = b"".join(col.tolist())
-            rowmat[:, coff : coff + cwidth] = np.frombuffer(
-                block, dtype=np.uint8
-            ).reshape(nrows, cwidth)
+            width = max(
+                (len(str(x).encode("utf-8")) for x in a), default=1
+            ) or 1
+            spec.append((name, width))
+    col_meta, row_length = layout_from_spec(spec)
+
+    rpp = rows_per_page(page_size, row_length)
+    n_data_pages = (nrows + rpp - 1) // rpp if nrows else 0
+    rowmat = encode_rowmat(list(arrays), col_meta)
 
     with open(path, "wb") as f:
-        hdr = bytearray(_HEADER_SIZE)
-        hdr[0:32] = _MAGIC
-        hdr[32] = 0x33  # u64 marker
-        hdr[35] = 0x33  # align1 = 4
-        hdr[37] = 0x01  # little-endian
-        hdr[70] = 20  # encoding: utf-8
-        hdr[84:92] = b"SAS FILE"
-        struct.pack_into("<d", hdr, 164 + 4, 0.0)  # created (1960 epoch)
-        struct.pack_into("<d", hdr, 172 + 4, 0.0)  # modified
-        struct.pack_into("<I", hdr, 196 + 4, _HEADER_SIZE)
-        struct.pack_into("<I", hdr, 200 + 4, page_size)
-        struct.pack_into("<I", hdr, 204 + 4, 1 + n_data_pages)
-        f.write(hdr)
-        f.write(meta)
+        f.write(build_header(page_size, 1 + n_data_pages))
+        f.write(build_meta_page(columns, col_meta, row_length, nrows, page_size))
         for p in range(n_data_pages):
-            lo = p * rows_per_page
-            hi = min(nrows, lo + rows_per_page)
-            page = bytearray(page_size)
-            struct.pack_into("<H", page, _PAGE_BIT_OFFSET + 0, 256)  # data page
-            struct.pack_into("<H", page, _PAGE_BIT_OFFSET + 2, hi - lo)
-            struct.pack_into("<H", page, _PAGE_BIT_OFFSET + 4, 0)
-            body = rowmat[lo:hi].tobytes()
-            start = _PAGE_BIT_OFFSET + 8
-            page[start : start + len(body)] = body
-            f.write(page)
+            lo = p * rpp
+            hi = min(nrows, lo + rpp)
+            f.write(build_data_page(rowmat[lo:hi], page_size))

@@ -21,7 +21,13 @@ connector is that ingest re-expressed as a first-class Spark source.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 class SasPagePartition(InputPartition):
@@ -54,6 +60,30 @@ class SasLiteDataSource(DataSource):
     def reader(self, schema) -> "SasLiteReader":
         return SasLiteReader(self._path())
 
+    def writer(self, schema, overwrite: bool) -> "SasLiteWriter":
+        # Declared layout: every task must agree on string widths WITHOUT
+        # seeing other tasks' data (the driver-side write_sas7bdat derives
+        # widths from the whole column; a distributed writer cannot).
+        spec: list[tuple[str, int]] = []
+        for field in schema.fields:
+            t = field.dataType.typeName()
+            if t == "double":
+                spec.append((field.name, 0))
+            elif t == "string":
+                w = self.options.get(f"width_{field.name.lower()}")
+                if not w:
+                    raise ValueError(
+                        f"sas_lite write requires option width_{field.name}"
+                        " for string columns (declared fixed width)"
+                    )
+                spec.append((field.name, int(w)))
+            else:
+                raise ValueError(
+                    f"sas_lite writes double/string columns only, got {t}"
+                )
+        page_size = int(self.options.get("page_size", "16384"))
+        return SasLiteWriter(self._path(), spec, page_size, overwrite)
+
 
 class SasLiteReader(DataSourceReader):
     def __init__(self, path: str):
@@ -81,6 +111,122 @@ class SasLiteReader(DataSourceReader):
             for c in meta.columns
         ]
         yield pa.RecordBatch.from_arrays(arrays, [c.name for c in meta.columns])
+
+
+class SasPartCommit(WriterCommitMessage):
+    """Per-task result: where the task's pages landed and how many."""
+
+    def __init__(self, part_file: str, n_rows: int, n_pages: int, pid: int):
+        self.part_file = part_file
+        self.n_rows = n_rows
+        self.n_pages = n_pages
+        self.pid = pid
+
+
+class SasLiteWriter(DataSourceArrowWriter):
+    """Distributed SAS sink with the writer API's two-phase commit: each
+    task encodes ITS rows into whole DATA pages (partial last page —
+    block_count makes that legal SAS) and stages them as a part file;
+    commit() writes header+meta (now knowing the global row/page totals)
+    and concatenates parts in partition order, then atomically renames.
+    abort() removes the staged parts — a failed job leaves no torn file.
+    Part files live next to the destination, so on a real cluster the
+    path must be shared storage — the same contract as any file sink."""
+
+    def __init__(
+        self, path: str, spec: list, page_size: int, overwrite: bool
+    ):
+        self.path = path
+        self.spec = spec
+        self.page_size = page_size
+        self.overwrite = overwrite
+
+    def write(self, batches) -> SasPartCommit:
+        import os
+        import uuid
+
+        import numpy as np
+        import pyarrow as pa
+
+        from pyspark import TaskContext
+
+        from .sas7bdat_lite import (
+            build_data_page,
+            encode_rowmat,
+            layout_from_spec,
+            rows_per_page,
+        )
+
+        col_meta, row_length = layout_from_spec(self.spec)
+        rpp = rows_per_page(self.page_size, row_length)
+        names = [n for n, _ in self.spec]
+        blist = list(batches)
+        empty_schema = pa.schema(
+            [(n, pa.float64() if w <= 0 else pa.string()) for n, w in self.spec]
+        )
+        tbl = (
+            pa.Table.from_batches(blist)
+            if blist
+            else empty_schema.empty_table()
+        )
+        arrays = [
+            tbl.column(n).to_numpy(zero_copy_only=False)
+            if w <= 0
+            else np.asarray(tbl.column(n).to_pylist(), dtype=object)
+            for n, w in self.spec
+        ]
+        nrows = len(arrays[0]) if arrays else 0
+        rowmat = encode_rowmat(arrays, col_meta)
+        pid = TaskContext.get().partitionId()
+        part_file = f"{self.path}.part-{pid:05d}-{uuid.uuid4().hex[:8]}"
+        n_pages = (nrows + rpp - 1) // rpp if nrows else 0
+        with open(part_file, "wb") as f:
+            for p in range(n_pages):
+                lo, hi = p * rpp, min(nrows, (p + 1) * rpp)
+                f.write(build_data_page(rowmat[lo:hi], self.page_size))
+        _ = names  # layout order == spec order == schema order
+        return SasPartCommit(part_file, nrows, n_pages, pid)
+
+    def commit(self, messages) -> None:
+        import os
+
+        from .sas7bdat_lite import build_header, build_meta_page, layout_from_spec
+
+        parts = sorted(
+            (m for m in messages if m is not None), key=lambda m: m.pid
+        )
+        col_meta, row_length = layout_from_spec(self.spec)
+        n_rows = sum(m.n_rows for m in parts)
+        n_pages = sum(m.n_pages for m in parts)
+        if os.path.exists(self.path) and not self.overwrite:
+            raise FileExistsError(self.path)
+        tmp = self.path + ".assembling"
+        with open(tmp, "wb") as out:
+            out.write(build_header(self.page_size, 1 + n_pages))
+            out.write(
+                build_meta_page(
+                    [n for n, _ in self.spec],
+                    col_meta,
+                    row_length,
+                    n_rows,
+                    self.page_size,
+                )
+            )
+            for m in parts:
+                with open(m.part_file, "rb") as f:
+                    out.write(f.read())
+                os.unlink(m.part_file)
+        os.replace(tmp, self.path)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages or []:
+            if m is not None:
+                try:
+                    os.unlink(m.part_file)
+                except OSError:
+                    pass
 
 
 def register(spark) -> None:
