@@ -1136,3 +1136,58 @@ def price_quantity_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             N.dstd("l_quantity") / F.sqrt(F.count("*").cast("double")), 6
         ).alias("sem_qty"),
     )
+
+
+# --- grouped exact quantiles via applyInArrow ---------------------------------
+def _arrow_group_quantiles(tbl):
+    """Per-group kernel (executor-side, zero pandas/py-row boxing): exact
+    interpolated quartiles of l_quantity with numpy over the Arrow table.
+    numpy 'linear' interpolation == DuckDB quantile_cont."""
+    import numpy as np
+    import pyarrow as pa
+
+    x = np.sort(tbl.column("l_quantity").to_numpy(zero_copy_only=False))
+    q1, med, q3 = (round(float(v), 6) for v in np.percentile(x, [25, 50, 75]))
+    return pa.table(
+        {
+            "l_returnflag": [tbl.column("l_returnflag")[0].as_py()],
+            "l_linestatus": [tbl.column("l_linestatus")[0].as_py()],
+            "n": [len(x)],
+            "q1": [q1],
+            "median": [med],
+            "q3": [q3],
+        }
+    )
+
+
+@query(
+    "group_quantiles_arrow",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(quantile_cont(l_quantity, 0.25), 6) AS q1,
+           round(quantile_cont(l_quantity, 0.50), 6) AS median,
+           round(quantile_cont(l_quantity, 0.75), 6) AS q3
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def group_quantiles_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped exact quartiles through ``groupBy().applyInArrow`` — the
+    Arrow-native grouped-map API (one pyarrow.Table per group, no pandas
+    conversion, no row boxing), completing the repo's Arrow UDF taxonomy
+    (scalar mapInArrow: text_token_count_arrow; grouped pandas:
+    pandas_group_ols; grouped arrow: here). Per-group value buffers are
+    the documented cost of the API — right when groups are bounded (4
+    flag/status groups here); the bucketed two-phase percentile operator
+    remains the unbounded-group path (operators/percentile_ops.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", "l_linestatus", "l_quantity")
+        .groupBy("l_returnflag", "l_linestatus")
+        .applyInArrow(
+            _arrow_group_quantiles,
+            schema=(
+                "l_returnflag string, l_linestatus string, n bigint,"
+                " q1 double, median double, q3 double"
+            ),
+        )
+    )
