@@ -122,3 +122,26 @@ def test_distributed_write_declared_width_enforced(spark, tmp_path):
             .save()
         )
     assert not os.path.exists(dest)  # abort left no torn file
+
+
+def test_distributed_write_null_string_is_blank(spark, tmp_path):
+    """NULL string cells write as the SAS blank missing value, never the
+    Python repr."""
+    dest = os.path.join(str(tmp_path), "nulls.sas7bdat")
+    register(spark)
+    df = spark.range(0, 6).selectExpr(
+        "CAST(id AS DOUBLE) AS v",
+        "CASE WHEN id % 2 = 0 THEN concat('x', id) ELSE NULL END AS lab",
+    )
+    (
+        df.write.format("sas_lite")
+        .option("path", dest)
+        .option("width_lab", "4")
+        .mode("overwrite")
+        .save()
+    )
+    ref = pd.read_sas(dest, encoding="utf-8")
+    # pandas maps the SAS blank missing string to NaN — the round trip
+    # preserves missingness, never a Python 'None' repr
+    got = [x if isinstance(x, str) and x else None for x in ref["lab"]]
+    assert got == ["x0", None, "x2", None, "x4", None]

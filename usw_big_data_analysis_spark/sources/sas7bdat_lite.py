@@ -109,7 +109,10 @@ def encode_rowmat(
         else:
             padded = []
             for x in col:
-                b = x if isinstance(x, bytes) else str(x).encode("utf-8")
+                if x is None:
+                    b = b""  # SAS missing character value = blank
+                else:
+                    b = x if isinstance(x, bytes) else str(x).encode("utf-8")
                 if len(b) > cwidth:
                     raise ValueError(
                         f"string {b!r} exceeds declared width {cwidth}"
