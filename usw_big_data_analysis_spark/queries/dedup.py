@@ -1600,3 +1600,98 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round(CAST(n_hit AS DOUBLE) / greatest(n_truth, 1), 6) AS recall",
         )
     )
+
+
+# --- URL canonicalization dedup -----------------------------------------------
+# The fixture has no URL column, so a deterministic raw URL is derived per
+# document carrying the real-world mess: mixed-case hosts, optional www.
+# prefix, trailing-slash variants, utm tracking params. Canonicalization
+# (lowercase host, strip www., strip trailing slash, drop tracking params)
+# collapses variants of the same resource — the first dedup a web corpus
+# runs, BEFORE any content hashing (CommonCrawl dedup stage 0).
+_URL_HOST_SQL = """
+  concat(
+    CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END,
+    CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END,
+    CASE WHEN doc_id % 4 = 1 THEN '.Example.COM' ELSE '.example.com' END
+  )
+"""
+_URL_PATH_SQL = """
+  concat('/p/', CAST(doc_id % 40 AS STRING),
+         CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+"""
+_URL_QUERY_SQL = """
+  CASE WHEN doc_id % 2 = 0
+       THEN concat('?utm_campaign=c', CAST(doc_id % 6 AS STRING))
+       ELSE '' END
+"""
+_URL_RAW_SQL = (
+    f"concat('https://', {_URL_HOST_SQL}, {_URL_PATH_SQL}, {_URL_QUERY_SQL})"
+)
+# canonical: lowercase host, strip leading www., strip trailing slash,
+# drop the (tracking-only) query string. NOTE trailing-slash strip is a
+# CASE + left(), not rtrim(s, '/'): Spark SQL's two-arg rtrim takes
+# (trimStr, str) — REVERSED from DuckDB's (str, chars) — so a shared
+# rtrim expression silently trims the wrong argument in one engine.
+_URL_CANON_SQL = f"""
+  concat('https://',
+         CASE WHEN lower({_URL_HOST_SQL}) LIKE 'www.%'
+              THEN substring(lower({_URL_HOST_SQL}), 5)
+              ELSE lower({_URL_HOST_SQL}) END,
+         CASE WHEN {_URL_PATH_SQL} LIKE '%/'
+              THEN left({_URL_PATH_SQL}, length({_URL_PATH_SQL}) - 1)
+              ELSE {_URL_PATH_SQL} END)
+"""
+
+
+@query(
+    "dedup_url_canonical",
+    oracle=f"""
+    WITH u AS (
+      SELECT source,
+             {_URL_RAW_SQL.replace("AS STRING", "AS VARCHAR")} AS url_raw,
+             {_URL_CANON_SQL.replace("AS STRING", "AS VARCHAR")} AS url_canon
+      FROM documents
+    ),
+    g AS (
+      SELECT source, url_canon,
+             count(DISTINCT url_raw) AS n_variants, count(*) AS n_docs
+      FROM u GROUP BY source, url_canon
+    )
+    SELECT source,
+           count(*) AS n_canonical,
+           CAST(sum(n_variants) AS BIGINT) AS n_raw,
+           CAST(max(n_variants) AS BIGINT) AS max_variants,
+           CAST(sum(CASE WHEN n_variants > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_collapsed_groups
+    FROM g GROUP BY source
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup accounting per source: how many raw URL
+    forms collapse into each canonical resource (lowercased host, www.
+    stripped, trailing slash trimmed, tracking params dropped), the
+    largest variant group, and how many groups actually collapsed. Two
+    stacked map-combinable aggs on the canonical key — one shuffle on
+    (source, url_canon) whose cardinality is the RESOURCE count, then a
+    per-source rollup; at crawl scale this is the cheap stage-0 dedup
+    that runs before any content hash. The canonicalizer is a pure
+    generated expression (no UDF): whole-stage codegen string ops."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.selectExpr(
+        "source",
+        f"{_URL_RAW_SQL} AS url_raw",
+        f"{_URL_CANON_SQL} AS url_canon",
+    )
+    g = u.groupBy("source", "url_canon").agg(
+        F.countDistinct("url_raw").alias("n_variants"),
+        F.count("*").alias("n_docs"),
+    )
+    return g.groupBy("source").agg(
+        F.count("*").alias("n_canonical"),
+        F.sum("n_variants").alias("n_raw"),
+        F.max("n_variants").alias("max_variants"),
+        F.sum((F.col("n_variants") > 1).cast("bigint")).alias(
+            "n_collapsed_groups"
+        ),
+    )
