@@ -310,3 +310,41 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# --- VARIANT (Spark 4 semi-structured type) over events.props -----------------
+@query(
+    "json_variant_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(sum(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_field
+    FROM events GROUP BY 1
+    """,
+)
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 VARIANT path for semi-structured columns: ``parse_json``
+    once into the binary VARIANT encoding, then typed ``variant_get``
+    extraction (and null-safe ``try_variant_get`` for absent fields) —
+    the open-format answer to schemaless JSON columns that, unlike
+    per-access ``get_json_object`` string re-parsing
+    (json_extract_props), parses each row ONCE however many fields are
+    read, and shreds into columnar storage in the table formats that
+    support it. All JVM-side expressions; one map-combined shuffle.
+    DuckDB's JSON extension is the independent parser on the oracle
+    side."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(F.parse_json("props").alias("v"))
+    k = F.expr("variant_get(v, '$.k', 'bigint')")
+    missing = F.expr("try_variant_get(v, '$.missing', 'double')")
+    return (
+        v.groupBy((k % 10).cast("int").alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.sum(missing.isNull().cast("bigint")).alias("n_missing_field"),
+        )
+    )
