@@ -352,3 +352,43 @@ def catalog_rowcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in TABLES
     ]
     return reduce(DataFrame.unionByName, parts)
+
+
+# --- SQL pipe syntax (Spark 4) ------------------------------------------------
+@query(
+    "sql_pipe_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS qty_cents,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql_pipe_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Q1 pricing rollup expressed in Spark 4's SQL PIPE syntax
+    (`FROM t |> WHERE … |> EXTEND … |> AGGREGATE … GROUP BY …`) — the
+    linear query form SQL:2023-adjacent engines are converging on.
+    Same Catalyst plan as the keyword form (the parser is the only thing
+    that changes), so pushdown/partial-agg behavior is identical; sums
+    are exact integer cents per the repo convention."""
+    from ..functions.numeric import spark_fround_int
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    qty = spark_fround_int("l_quantity * 100")
+    price = spark_fround_int("l_extendedprice * 100")
+    return spark.sql(
+        f"""
+        FROM lineitem
+        |> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |> EXTEND {qty} AS qty_c, {price} AS price_c
+        |> AGGREGATE count(*) AS n_rows,
+                     CAST(sum(qty_c) AS BIGINT) AS qty_cents,
+                     CAST(sum(price_c) AS BIGINT) AS price_cents
+           GROUP BY l_returnflag, l_linestatus
+        """
+    )
