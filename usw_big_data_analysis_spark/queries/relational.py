@@ -392,3 +392,55 @@ def sql_pipe_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY l_returnflag, l_linestatus
         """
     )
+
+
+# --- case-insensitive collation (Spark 4) -------------------------------------
+@query(
+    "collate_group_ci",
+    oracle="""
+    WITH messy AS (
+      SELECT CASE c_custkey % 3
+               WHEN 0 THEN c_mktsegment
+               WHEN 1 THEN lower(c_mktsegment)
+               ELSE concat(upper(left(c_mktsegment, 1)),
+                           lower(substring(c_mktsegment, 2)))
+             END AS seg_messy
+      FROM customer
+    )
+    SELECT lower(seg_messy) AS segment, count(*) AS n,
+           count(DISTINCT seg_messy) AS n_case_variants
+    FROM messy GROUP BY lower(seg_messy)
+    """,
+)
+def collate_group_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via Spark 4 COLLATIONS: the messy-case
+    segment column groups under UTF8_LCASE while a UTF8_BINARY distinct
+    inside each group counts how many case variants collapsed — the
+    engine-level answer to the lower()-wrapper pattern (the collation
+    participates in hashing/comparison directly, so joins and aggs on
+    collated columns need no derived column and keep any index/layout on
+    the original). The emitted key is normalized with lower() because a
+    collated group's representative value is whichever row the hash agg
+    saw first — deliberately nondeterministic across partitionings."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH messy AS (
+          SELECT CASE c_custkey % 3
+                   WHEN 0 THEN c_mktsegment
+                   WHEN 1 THEN lower(c_mktsegment)
+                   ELSE concat(upper(left(c_mktsegment, 1)),
+                               lower(substring(c_mktsegment, 2)))
+                 END AS seg_messy
+          FROM customer
+        )
+        SELECT lower(min(seg_messy COLLATE UTF8_BINARY)) AS segment,
+               count(*) AS n,
+               count(DISTINCT seg_messy COLLATE UTF8_BINARY)
+                 AS n_case_variants
+        FROM messy
+        GROUP BY seg_messy COLLATE UTF8_LCASE
+        """
+    )
