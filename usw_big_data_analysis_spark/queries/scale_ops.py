@@ -377,3 +377,43 @@ def join_explosion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0).alias("pair_share"),
     )
     return top_shared.unionByName(all_row)
+
+
+# --- df.stat.freqItems containment audit --------------------------------------
+_FI_SUPPORT = 0.04  # the 7 hot keys hold ~4.8% each; tail keys ~0.03%
+
+
+@query(
+    "freq_items_audit",
+    oracle=f"""
+    WITH keyed AS (SELECT {_SKEW_KEY_SQL} AS pk FROM lineitem)
+    SELECT pk, count(*) AS n, TRUE AS in_sketch
+    FROM keyed GROUP BY pk
+    HAVING count(*) > (SELECT count(*) FROM keyed) * {_FI_SUPPORT}
+    """,
+)
+def freq_items_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in single-pass frequent-items sketch
+    (``df.stat.freqItems``, the Karp-Schenker-Papadimitriou one-pass
+    counter) under the verified-approximation contract: the sketch
+    GUARANTEES a superset of every item above the support threshold, so
+    the audit emits the exact over-threshold items with an in_sketch
+    containment flag the oracle pins to TRUE — a sketch regression breaks
+    the hash. Same two-phase shape as heavy_hitters_mg but exercising the
+    engine's own implementation; the exact companion groupBy is the
+    test-SF referee only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = li.select(F.expr(_SKEW_KEY_SQL).alias("pk"))
+    fi = keyed.stat.freqItems(["pk"], support=_FI_SUPPORT)  # 1-row array
+    tot = keyed.agg(F.count("*").alias("n_total"))
+    exact = (
+        keyed.groupBy("pk")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n") > F.col("n_total") * _FI_SUPPORT)
+    )
+    return exact.crossJoin(F.broadcast(fi)).select(
+        "pk",
+        "n",
+        F.array_contains(F.col("pk_freqItems"), F.col("pk")).alias("in_sketch"),
+    )
