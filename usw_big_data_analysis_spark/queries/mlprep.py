@@ -927,3 +927,72 @@ def rare_category_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("value")
         .agg(F.expr("count(*) AS n_test"))
     )
+
+
+# --- leave-one-out target encoding --------------------------------------------
+@query(
+    "target_encoding_loo",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS cat,
+             CAST(o_totalprice > 150000.0 AS INT) AS y
+      FROM orders
+    ),
+    g AS (
+      SELECT cat, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s
+      FROM base GROUP BY cat
+    ),
+    enc AS (
+      SELECT b.cat, g.n, g.s,
+             CAST(g.s - b.y AS DOUBLE) / (g.n - 1) AS loo
+      FROM base b JOIN g USING (cat)
+      WHERE g.n > 1
+    )
+    SELECT cat, n,
+           round(CAST(s AS DOUBLE) / n, 6) AS naive_mean,
+           round(CAST(sum(CAST(round(loo * 1000000) AS BIGINT)) AS DOUBLE)
+                 / 1000000.0 / n, 6) AS loo_mean_avg,
+           round(max(loo) - min(loo), 6) AS loo_spread
+    FROM enc GROUP BY cat, n, s
+    """,
+)
+def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the self-exclusion form that kills
+    target leakage WITHOUT a train/apply split: enc_i = (S_c − y_i)/(n_c − 1),
+    from one category aggregate broadcast back onto the scan (no window,
+    no EXCLUDE-frame support needed — the algebra does it). The audit
+    output pins the defining law avg_i(enc_i) == naive category mean
+    (exact: Σ(S−y_i) = nS − S) plus the spread the self-exclusion
+    introduces. Per-row encodings are 6dp-quantized and integer-summed so
+    the averaged emission is partition-order-proof."""
+    from ..functions import numeric as N
+
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("cat"),
+        (F.col("o_totalprice") > 150000.0).cast("int").alias("y"),
+    )
+    g = base.groupBy("cat").agg(
+        F.count("*").alias("n"), F.sum("y").cast("bigint").alias("s")
+    )
+    enc = (
+        base.join(F.broadcast(g), "cat")
+        .filter(F.col("n") > 1)
+        .withColumn(
+            "loo",
+            (F.col("s") - F.col("y")).cast("double") / (F.col("n") - 1),
+        )
+    )
+    return enc.groupBy("cat", "n", "s").agg(
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias("naive_mean"),
+        # fround_int, not iscaled: loo carries arbitrary decimals (the
+        # /(n-1) division), outside iscaled's <=scale-decimals contract —
+        # the exact-fraction half-away form matches DuckDB round() on
+        # every double
+        F.round(
+            F.sum(N.fround_int(F.col("loo") * 1000000.0)).cast("double")
+            / 1000000.0
+            / F.col("n"),
+            6,
+        ).alias("loo_mean_avg"),
+        F.round(F.max("loo") - F.min("loo"), 6).alias("loo_spread"),
+    ).drop("s")
