@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import numeric as N
 from ..registry import query
 from ..sources import load_table
 
@@ -1694,4 +1695,109 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("n_variants") > 1).cast("bigint")).alias(
             "n_collapsed_groups"
         ),
+    )
+
+
+# --- B-cubed evaluation of the LSH clustering vs exact-dup truth --------------
+@query(
+    "dedup_bcubed_eval",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_PAIRS_CTES},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, w.label FROM walk w JOIN edges e ON w.node = e.a
+      WHERE w.label < e.b
+    ),
+    comp AS (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node),
+    assign AS (
+      SELECT d.doc_id,
+             coalesce(c.cluster_id, d.doc_id) AS c,
+             t.t_id AS t
+      FROM documents d
+      LEFT JOIN comp c ON d.doc_id = c.node
+      JOIN (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS t_id
+        FROM documents
+      ) t ON d.doc_id = t.doc_id
+    ),
+    ct AS (SELECT c, t, count(*) AS n_ct FROM assign GROUP BY c, t),
+    cs AS (SELECT c, CAST(sum(n_ct) AS BIGINT) AS n_c FROM ct GROUP BY c),
+    ts AS (SELECT t, CAST(sum(n_ct) AS BIGINT) AS n_t FROM ct GROUP BY t),
+    terms AS (
+      SELECT ct.n_ct,
+             CAST(round(1000000000.0 * (ct.n_ct * ct.n_ct) / cs.n_c)
+                  AS BIGINT) AS p9,
+             CAST(round(1000000000.0 * (ct.n_ct * ct.n_ct) / ts.n_t)
+                  AS BIGINT) AS r9
+      FROM ct JOIN cs USING (c) JOIN ts USING (t)
+    ),
+    agg AS (
+      SELECT CAST(sum(n_ct) AS BIGINT) AS n_docs,
+             CAST(sum(CAST(p9 AS DECIMAL(38,0))) AS DOUBLE) / 1e9 AS ps,
+             CAST(sum(CAST(r9 AS DECIMAL(38,0))) AS DOUBLE) / 1e9 AS rs
+      FROM terms
+    )
+    SELECT n_docs,
+           round(ps / n_docs, 6) AS bcubed_p,
+           round(rs / n_docs, 6) AS bcubed_r,
+           round(2.0 * (ps / n_docs) * (rs / n_docs)
+                 / (ps / n_docs + rs / n_docs), 6) AS bcubed_f1
+    FROM agg
+    """,
+)
+def dedup_bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed precision/recall/F1 of the MinHash-LSH connected-component
+    clustering against exact-content-hash truth — the standard extrinsic
+    clustering metric (Bagga & Baldwin 1998) a dedup pipeline reports
+    before committing a near-dup config. Entirely relational: per-item
+    terms collapse to (cluster, truth) intersection counts, so the cost
+    is one groupBy over assignments plus two bounded side aggregates —
+    never per-item loops. Per-term ratios are 1e-9-quantized and
+    decimal-summed (partition-order-proof); n_ct*n_ct stays exact as
+    bigint→double below 2^53 (documented bound: clusters of <=3e7 docs;
+    beyond that switch the term scale)."""
+    clus = dedup_clusters(spark, sf_dir)  # doc_id, cluster_id
+    docs = load_table(spark, sf_dir, "documents")
+    truth = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("t"))
+        .join(docs.select("doc_id", F.md5("text").alias("h")), "h")
+        .select("doc_id", "t")
+    )
+    assign = clus.join(truth, "doc_id").select(
+        F.col("cluster_id").alias("c"), "t"
+    )
+    ct = assign.groupBy("c", "t").agg(F.count("*").alias("n_ct"))
+    cs = ct.groupBy("c").agg(F.sum("n_ct").alias("n_c"))
+    ts = ct.groupBy("t").agg(F.sum("n_ct").alias("n_t"))
+    terms = (
+        ct.join(cs, "c")
+        .join(ts, "t")
+        .select(
+            "n_ct",
+            N.fround_int(
+                1000000000.0 * (F.col("n_ct") * F.col("n_ct")) / F.col("n_c")
+            ).alias("p9"),
+            N.fround_int(
+                1000000000.0 * (F.col("n_ct") * F.col("n_ct")) / F.col("n_t")
+            ).alias("r9"),
+        )
+    )
+    agg = terms.agg(
+        F.sum("n_ct").alias("n_docs"),
+        (F.sum(F.col("p9").cast("decimal(38,0)")).cast("double") / 1e9).alias("ps"),
+        (F.sum(F.col("r9").cast("decimal(38,0)")).cast("double") / 1e9).alias("rs"),
+    )
+    p = F.col("ps") / F.col("n_docs")
+    r = F.col("rs") / F.col("n_docs")
+    return agg.select(
+        "n_docs",
+        F.round(p, 6).alias("bcubed_p"),
+        F.round(r, 6).alias("bcubed_r"),
+        F.round(2.0 * p * r / (p + r), 6).alias("bcubed_f1"),
     )
