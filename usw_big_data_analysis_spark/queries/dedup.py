@@ -1801,3 +1801,99 @@ def dedup_bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r, 6).alias("bcubed_r"),
         F.round(2.0 * p * r / (p + r), 6).alias("bcubed_f1"),
     )
+
+
+# --- Adjusted Rand Index of LSH clustering vs exact-dup truth -----------------
+@query(
+    "dedup_ari_eval",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_PAIRS_CTES},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, w.label FROM walk w JOIN edges e ON w.node = e.a
+      WHERE w.label < e.b
+    ),
+    comp AS (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node),
+    assign AS (
+      SELECT coalesce(c.cluster_id, d.doc_id) AS c, t.t_id AS t
+      FROM documents d
+      LEFT JOIN comp c ON d.doc_id = c.node
+      JOIN (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS t_id
+        FROM documents
+      ) t ON d.doc_id = t.doc_id
+    ),
+    ct AS (SELECT c, t, count(*) AS n_ct FROM assign GROUP BY c, t),
+    sums AS (
+      SELECT
+        CAST(sum(n_ct) AS BIGINT) AS n,
+        CAST(sum(CAST(n_ct * (n_ct - 1) / 2 AS DECIMAL(38,0))) AS DOUBLE)
+          AS s_ct
+      FROM ct
+    ),
+    sc AS (
+      SELECT CAST(sum(CAST(n_c * (n_c - 1) / 2 AS DECIMAL(38,0))) AS DOUBLE)
+               AS s_c
+      FROM (SELECT CAST(sum(n_ct) AS BIGINT) AS n_c FROM ct GROUP BY c)
+    ),
+    st AS (
+      SELECT CAST(sum(CAST(n_t * (n_t - 1) / 2 AS DECIMAL(38,0))) AS DOUBLE)
+               AS s_t
+      FROM (SELECT CAST(sum(n_ct) AS BIGINT) AS n_t FROM ct GROUP BY t)
+    )
+    SELECT n AS n_docs,
+           round(
+             (s_ct - s_c * s_t / (n * (n - 1) / 2.0))
+             / ((s_c + s_t) / 2.0 - s_c * s_t / (n * (n - 1) / 2.0)),
+             6
+           ) AS ari
+    FROM sums, sc, st
+    """,
+)
+def dedup_ari_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index (Hubert & Arabie 1985) of the LSH clustering
+    against exact-content truth — the chance-corrected pair-counting
+    companion to dedup_bcubed_eval, from the SAME (cluster, truth)
+    contingency table. Every term is integer combinatorics C(n,2)
+    (exact through the even-product/2 double for counts < 2^26, i.e.
+    C(n,2) < 2^53 — same bound both engines, identical beyond it) summed
+    as DECIMAL(38,0); only the final ratio is double — so the metric is
+    bit-stable under any partitioning, unlike a naive double-sum of
+    per-pair indicators."""
+    clus = dedup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    truth = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("t"))
+        .join(docs.select("doc_id", F.md5("text").alias("h")), "h")
+        .select("doc_id", "t")
+    )
+    assign = clus.join(truth, "doc_id").select(
+        F.col("cluster_id").alias("c"), "t"
+    )
+    ct = assign.groupBy("c", "t").agg(F.count("*").alias("n_ct"))
+
+    def choose2_sum(df, col, out):
+        pairs = (F.col(col) * (F.col(col) - 1) / 2).cast("decimal(38,0)")
+        return df.agg(F.sum(pairs).cast("double").alias(out))
+
+    sums = ct.agg(
+        F.sum("n_ct").alias("n"),
+        F.sum((F.col("n_ct") * (F.col("n_ct") - 1) / 2).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s_ct"),
+    )
+    sc = choose2_sum(ct.groupBy("c").agg(F.sum("n_ct").alias("n_c")), "n_c", "s_c")
+    st = choose2_sum(ct.groupBy("t").agg(F.sum("n_ct").alias("n_t")), "n_t", "s_t")
+    j = sums.crossJoin(F.broadcast(sc)).crossJoin(F.broadcast(st))
+    npairs = F.col("n") * (F.col("n") - 1) / 2.0
+    expected = F.col("s_c") * F.col("s_t") / npairs
+    ari = (F.col("s_ct") - expected) / (
+        (F.col("s_c") + F.col("s_t")) / 2.0 - expected
+    )
+    return j.select(F.col("n").alias("n_docs"), F.round(ari, 6).alias("ari"))
