@@ -336,3 +336,60 @@ def privacy_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             N.fround_int(F.col("n_true") + F.col("noise")),
         ).alias("n_released"),
     )
+
+
+# --- column masking / suppression release view --------------------------------
+@query(
+    "privacy_column_mask",
+    oracle=f"""
+    WITH qi AS ({_QI_CTE}),
+    freq AS (
+      SELECT nation, count(*) AS n_nat FROM qi GROUP BY nation
+    ),
+    masked AS (
+      SELECT concat(left(c.c_name, 9), '***') AS name_masked,
+             CASE WHEN f.n_nat < 30 THEN -1 ELSE q.nation END AS nation_rel,
+             q.segment,
+             CAST(floor(q.bal_band / 2) * 2 AS INT) AS bal_band_coarse
+      FROM customer c
+      JOIN ({_QI_CTE.replace('FROM customer', ', c_custkey FROM customer')}) q
+        ON TRUE AND c.c_custkey = q.c_custkey
+      JOIN freq f ON q.nation = f.nation
+    )
+    SELECT nation_rel, segment, bal_band_coarse,
+           count(*) AS n,
+           count(DISTINCT name_masked) AS n_name_stubs
+    FROM masked GROUP BY nation_rel, segment, bal_band_coarse
+    """,
+)
+def privacy_column_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The masking/suppression RELEASE VIEW that pairs with the audits:
+    direct identifiers stubbed (name -> 9-char prefix + '***'), rare
+    nation codes suppressed to -1 (frequency < 30 — the small-cell rule
+    statistical agencies apply), the balance band coarsened 2x. Emitted
+    as the released table's group profile so the oracle pins every
+    masking rule. One broadcast frequency join + generated expressions —
+    masking at 100 TB is scan-speed work, the audits are where the
+    shuffles live."""
+    cust = load_table(spark, sf_dir, "customer")
+    qi = _qi_frame(spark, sf_dir)
+    withkey = cust.select(
+        "c_custkey",
+        F.concat(F.substring("c_name", 1, 9), F.lit("***")).alias("name_masked"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.expr(_QI_SQL[2]).alias("bal_band"),
+    )
+    freq = qi.groupBy("nation").agg(F.count("*").alias("n_nat"))
+    masked = withkey.join(F.broadcast(freq), "nation").select(
+        "name_masked",
+        F.when(F.col("n_nat") < 30, -1).otherwise(F.col("nation")).alias(
+            "nation_rel"
+        ),
+        "segment",
+        (F.floor(F.col("bal_band") / 2) * 2).cast("int").alias("bal_band_coarse"),
+    )
+    return masked.groupBy("nation_rel", "segment", "bal_band_coarse").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("name_masked").alias("n_name_stubs"),
+    )
