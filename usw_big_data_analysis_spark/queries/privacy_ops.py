@@ -393,3 +393,77 @@ def privacy_column_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.countDistinct("name_masked").alias("n_name_stubs"),
     )
+
+
+# --- DP mean release with clipping --------------------------------------------
+_DP_CLIP = 5000.0  # per-record contribution bound => sum sensitivity = clip
+
+
+@query(
+    "privacy_dp_mean_release",
+    oracle=f"""
+    WITH t AS (
+      SELECT c_nationkey AS nation,
+             count(*) AS n_true,
+             CAST(sum(CAST(round(
+               greatest(least(c_acctbal, {_DP_CLIP}), 0.0) * 100
+             ) AS BIGINT)) AS BIGINT) AS clip_cents
+      FROM customer GROUP BY 1
+    ),
+    u AS (
+      SELECT nation, n_true, clip_cents,
+             (({_h_sql("concat_ws('', 'dpm:', CAST(nation AS VARCHAR))")}
+               % {_DP_M - 1}) + 0.5) / {_DP_M}.0 AS u
+      FROM t
+    ),
+    n AS (
+      SELECT nation, n_true, clip_cents,
+             round((0.0 - {_DP_CLIP} / {_DP_EPS})
+                   * (CASE WHEN u < 0.5 THEN -1.0 ELSE 1.0 END)
+                   * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noise
+      FROM u
+    )
+    SELECT nation, n_true,
+           round((clip_cents / 100.0 + noise) / n_true, 6) AS mean_released
+    FROM n
+    """,
+)
+def privacy_dp_mean_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP (ε=1) mean account balance per nation with CLIPPING — the
+    step the count release doesn't need but every numeric release does:
+    each record's contribution is clamped to [0, 5000] so the sum's
+    sensitivity is the clip bound, and Laplace(clip/ε) noise on the
+    clipped sum makes the release private; dividing by the (public here)
+    count yields the mean. Clipped sums are exact integer cents; the
+    noise draw is the same key-seeded portable inverse-CDF as
+    privacy_dp_count_release (reproducible under retries, oracle-
+    checkable). A real release would noise the count too and keep the
+    hash salt secret."""
+    clip = F.lit(_DP_CLIP)
+    clipped = F.greatest(F.least(F.col("c_acctbal"), clip), F.lit(0.0))
+    t = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count("*").alias("n_true"),
+            F.sum(N.iscaled(clipped, 2)).alias("clip_cents"),
+        )
+    )
+    h = _h_spark(F.concat_ws("", F.lit("dpm:"), F.col("nation").cast("string")))
+    u = ((h % (_DP_M - 1)) + 0.5) / float(_DP_M)
+    lap = (
+        (0.0 - _DP_CLIP / _DP_EPS)
+        * F.when(u < 0.5, -1.0).otherwise(1.0)
+        * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    )
+    noised = t.withColumn("noise", N.fround(lap, 6))
+    return noised.select(
+        "nation",
+        "n_true",
+        # N.fround, not F.round: the released mean is an arbitrary double
+        # and BigDecimal HALF_UP disagrees with DuckDB's std::round by one
+        # ulp on boundary values (seen at sf0.001, nation 4)
+        N.fround(
+            (F.col("clip_cents") / 100.0 + F.col("noise")) / F.col("n_true"), 6
+        ).alias("mean_released"),
+    )
