@@ -866,3 +866,89 @@ def quality_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(sum_e9 + prior_e9 AS BIGINT) AS llr_e9",
         "(sum_e9 + prior_e9) > 0 AS pred_ref",
     )
+
+
+# --- Kneser-Ney smoothed bigram LM --------------------------------------------
+_KN_D = 0.75  # absolute discount
+
+
+@query(
+    "lm_kneser_ney_bigram",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT p, q, CAST(count(*) AS BIGINT) AS c
+      FROM (
+        SELECT w[i] AS p, w[i + 1] AS q
+        FROM toks, LATERAL unnest(range(1, len(w))) t(i)
+        WHERE len(w) >= 2
+      ) GROUP BY p, q
+    ),
+    ctx AS (
+      SELECT p, CAST(sum(c) AS BIGINT) AS c_p, count(*) AS n1p
+      FROM bg GROUP BY p
+    ),
+    cont AS (SELECT q, count(*) AS n1q FROM bg GROUP BY q),
+    tot AS (SELECT count(*) AS t FROM bg)
+    SELECT bg.p, bg.q, bg.c,
+           round(
+             (greatest(bg.c - {_KN_D}, 0.0) / ctx.c_p)
+             + ({_KN_D} * ctx.n1p / ctx.c_p) * (cont.n1q * 1.0 / tot.t),
+             9
+           ) AS p_kn
+    FROM bg JOIN ctx USING (p) JOIN cont USING (q) CROSS JOIN tot
+    ORDER BY bg.c DESC, bg.p, bg.q LIMIT 20
+    """,
+)
+def lm_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM estimation, fully distributed —
+    the smoothing every serious n-gram LM uses (Kneser & Ney 1995; Chen &
+    Goodman 1999): absolute discount D=0.75 on observed bigrams, with the
+    discounted mass re-allocated by CONTINUATION probability (how many
+    distinct contexts a word completes, not how often it occurs — the
+    'San Francisco' correction). Every ingredient is a count aggregate of
+    the bigram-type table: c(p,q); per-context totals and distinct-
+    successor counts; per-word distinct-predecessor counts; the bigram-
+    type total. One explode + three map-combinable aggs + two equi-joins
+    on the type table (vocabulary-sized — standard shuffle joins, no
+    corpus reshuffle); emits the 20 most frequent bigrams' KN
+    probabilities via TakeOrderedAndProject. Upgrade path from
+    perplexity_bigram_backoff's pseudo-count interpolation."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("w"))
+    bg = (
+        toks.filter(F.expr("size(w) >= 2"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(element_at(w, i) AS p,"
+                    " element_at(w, i + 1) AS q))"
+                )
+            ).alias("pq")
+        )
+        .groupBy("pq.p", "pq.q")
+        .agg(F.count("*").alias("c"))
+    )
+    ctx = bg.groupBy("p").agg(
+        F.sum("c").alias("c_p"), F.count("*").alias("n1p")
+    )
+    cont = bg.groupBy("q").agg(F.count("*").alias("n1q"))
+    tot = bg.agg(F.count("*").alias("t"))
+    j = (
+        bg.join(ctx, "p")
+        .join(cont, "q")
+        .crossJoin(F.broadcast(tot))
+    )
+    p_kn = (
+        F.greatest(F.col("c") - _KN_D, F.lit(0.0)) / F.col("c_p")
+        + (_KN_D * F.col("n1p") / F.col("c_p"))
+        * (F.col("n1q") * 1.0 / F.col("t"))
+    )
+    return (
+        j.select("p", "q", "c", N.fround(p_kn, 9).alias("p_kn"))
+        .orderBy(F.desc("c"), "p", "q")
+        .limit(20)
+    )
