@@ -2061,3 +2061,109 @@ def tokenizer_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("uses"), F.asc("piece"))
         .limit(30)
     )
+
+
+# --- MRR + recall@10 per single-term query against full-coverage relevance --
+@query(
+    "retrieval_mrr_recall",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents) t
+      GROUP BY doc_id, word
+    ),
+    rel AS (
+      SELECT doc_id
+      FROM tf WHERE word IN ('{"', '".join(_BM25_TERMS)}')
+      GROUP BY doc_id
+      HAVING count(DISTINCT word) = {len(_BM25_TERMS)}
+    ),
+    nrel AS (SELECT CAST(count(*) AS BIGINT) AS n_relevant FROM rel),
+    postings AS (
+      SELECT word, doc_id, tf,
+             row_number() OVER (
+               PARTITION BY word ORDER BY tf DESC, doc_id) AS rnk
+      FROM tf WHERE word IN ('{"', '".join(_BM25_TERMS)}')
+    ),
+    marked AS (
+      SELECT p.word, p.rnk,
+             CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS is_rel
+      FROM postings p LEFT JOIN rel r ON p.doc_id = r.doc_id
+    ),
+    per_term AS (
+      SELECT word AS term,
+             min(CASE WHEN is_rel = 1 THEN rnk END) AS first_rel,
+             CAST(sum(CASE WHEN is_rel = 1 AND rnk <= 10 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hits_at_10
+      FROM marked GROUP BY word
+    )
+    SELECT t.term,
+           CAST(coalesce(CAST(round(1000000000.0 / t.first_rel) AS BIGINT), 0)
+                AS BIGINT) AS rr_e9,
+           t.hits_at_10,
+           n.n_relevant,
+           CASE WHEN n.n_relevant = 0 THEN 0.0
+                ELSE round(CAST(t.hits_at_10 AS DOUBLE) / n.n_relevant, 6)
+           END AS recall_at_10
+    FROM per_term t CROSS JOIN nrel n
+    """,
+)
+def retrieval_mrr_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR and recall@10 per single-term query — the multi-query companion
+    to retrieval_ndcg: each query term is its own query, ranked by raw
+    term frequency, scored against full-coverage relevance (a document is
+    relevant iff it contains EVERY query term — labels independent of any
+    single ranker's signal). Reciprocal ranks are exact 1e-9 integer
+    units (no float rank math); recall's single double division is
+    guarded for the zero-relevant corpus.
+
+    Scale shape: postings are per-term partitions, so the ranking window
+    is PARTITIONED (never global); a pathologically hot term makes one
+    big sorted partition — at that point swap in topk_per_group's
+    sketch-and-refine bound for the @10 cut and the first-relevant rank
+    becomes 1 + count(strictly-ahead docs) of the best relevant doc, both
+    aggregation-only. The relevance set is a semi-join-sized frame
+    (docs containing ALL terms), broadcast onto the postings.
+
+    Reference parity: the reference reports per-model ranking quality by
+    hand in notebooks (teamProject/best_score.ipynb); here the IR-side
+    equivalent is a closed-form multi-query eval."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS tf"))
+    )
+    qpost = tf.filter(F.col("word").isin(*_BM25_TERMS))
+    rel = (
+        qpost.groupBy("doc_id")
+        .agg(F.countDistinct("word").alias("cov"))
+        .filter(F.col("cov") == len(_BM25_TERMS))
+        .select("doc_id")
+    )
+    nrel = rel.agg(F.expr("CAST(count(*) AS BIGINT) AS n_relevant"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("word").orderBy(F.desc("tf"), F.asc("doc_id"))
+    postings = qpost.withColumn("rnk", F.row_number().over(w))
+    marked = postings.join(
+        F.broadcast(rel.withColumn("is_rel", F.lit(1))), "doc_id", "left"
+    ).na.fill({"is_rel": 0})
+    per_term = marked.groupBy(F.col("word").alias("term")).agg(
+        F.expr("min(CASE WHEN is_rel = 1 THEN rnk END) AS first_rel"),
+        F.expr(
+            "CAST(sum(CASE WHEN is_rel = 1 AND rnk <= 10 THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS hits_at_10"
+        ),
+    )
+    return per_term.crossJoin(F.broadcast(nrel)).selectExpr(
+        "term",
+        "CAST(coalesce(CAST(round(1000000000.0D / first_rel, 0) AS BIGINT), 0)"
+        " AS BIGINT) AS rr_e9",
+        "hits_at_10",
+        "n_relevant",
+        "CASE WHEN n_relevant = 0 THEN 0.0D"
+        " ELSE round(CAST(hits_at_10 AS DOUBLE) / n_relevant, 6)"
+        " END AS recall_at_10",
+    )
