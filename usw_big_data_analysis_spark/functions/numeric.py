@@ -313,3 +313,35 @@ def sql_isum_value(name: str, scale: int) -> str:
         f"(CAST(CAST({name}__hi AS DECIMAL(38,0)) * {_ISPLIT} "
         f"+ CAST({name}__lo AS DECIMAL(38,0)) AS DOUBLE) / {float(10**scale)})"
     )
+
+
+# --- portable standard-normal upper tail -------------------------------------
+# Abramowitz & Stegun 7.1.26-style polynomial (Zelen & Severo 26.2.17),
+# |error| < 7.5e-8 — a DEFINED portable approximation, not the engines'
+# (absent) erf: both engines evaluate the SAME Horner-form expression on the
+# same double, so the result is bit-identical wherever exp() agrees (the
+# parity suite already relies on cross-engine ln/exp agreement for logloss
+# and perplexity). Used where a p-value must live INSIDE the plan (e.g.
+# Benjamini-Hochberg needs p, not just the statistic).
+_NORM_P = 0.2316419
+_NORM_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def norm_sf(c):
+    """P(Z > c) for a NON-NEGATIVE Column c (pass abs(t) for two-sided)."""
+    from pyspark.sql import functions as F
+
+    b1, b2, b3, b4, b5 = _NORM_B
+    t = 1.0 / (F.lit(1.0) + _NORM_P * c)
+    poly = t * (b1 + t * (b2 + t * (b3 + t * (b4 + t * F.lit(b5)))))
+    return _INV_SQRT_2PI * F.exp(-0.5 * c * c) * poly
+
+
+def sql_norm_sf(expr: str) -> str:
+    """DuckDB twin of :func:`norm_sf` — same Horner form, same literals.
+    ``expr`` must be non-negative."""
+    b1, b2, b3, b4, b5 = _NORM_B
+    t = f"(1.0 / (1.0 + {_NORM_P} * ({expr})))"
+    poly = f"({t} * ({b1} + {t} * ({b2} + {t} * ({b3} + {t} * ({b4} + {t} * {b5})))))"
+    return f"({_INV_SQRT_2PI} * exp(-0.5 * ({expr}) * ({expr})) * {poly})"

@@ -1112,3 +1112,359 @@ def anova_two_way(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / (ss_within / df_w), 6) AS f_interaction",
         "CAST(df_w AS BIGINT) AS df_within",
     )
+
+
+# --- normality check: Jarque-Bera per group ----------------------------------
+# The assumption gate the reference's t-test/ANOVA workflow
+# (Statistical_test_iris_analysis.ipynb:37-160) runs first in scipy
+# (`stats.jarque_bera`): JB = n/6 * (S^2 + (K-3)^2 / 4) from the 3rd/4th
+# standardized moments. All four raw power sums are exact decimal aggregates
+# (quantity is 2dp-bounded, so x^2/x^3/x^4 fit lossless in the declared
+# scales on BOTH engines); every derived moment is row-local per group, so
+# the double expression tree is identical — m2^1.5 is written m2*sqrt(m2)
+# because sqrt is IEEE-correctly-rounded on both engines while pow is not.
+_JB_SUMS = """
+  SELECT l_returnflag AS grp, CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2))
+                       * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(18,4)))
+              AS DOUBLE) AS s2,
+         CAST(sum(CAST(CAST(CAST(l_quantity AS DECIMAL(12,2))
+                            * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(18,4))
+                       * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(24,6)))
+              AS DOUBLE) AS s3,
+         CAST(sum(CAST(CAST(CAST(l_quantity AS DECIMAL(12,2))
+                            * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(18,4))
+                       * CAST(CAST(l_quantity AS DECIMAL(12,2))
+                              * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(18,4))
+                       AS DECIMAL(30,8)))
+              AS DOUBLE) AS s4
+  FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query(
+    "normality_jarque_bera",
+    oracle=f"""
+    WITH g AS ({_JB_SUMS}),
+    m AS (
+      SELECT grp, n, s1 / n AS mu,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3.0 * (s1 / n) * (s2 / n)
+                    + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             s4 / n - 4.0 * (s1 / n) * (s3 / n)
+                    + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+                    - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      FROM g
+    ),
+    sk AS (
+      SELECT grp, n, m3 / (m2 * sqrt(m2)) AS skew, m4 / (m2 * m2) - 3.0 AS kurt_x
+      FROM m
+    )
+    SELECT grp, CAST(n AS BIGINT) AS n, round(skew, 6) AS skewness,
+           round(kurt_x, 6) AS kurtosis_excess,
+           round(n / 6.0 * (skew * skew + kurt_x * kurt_x / 4.0), 6) AS jb_stat
+    FROM sk ORDER BY grp
+    """,
+)
+def normality_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality statistic per returnflag group on l_quantity.
+
+    One map-side-combined groupBy carrying four exact decimal power sums —
+    the same single-pass shape at any scale; no second data pass, no window.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    xd = F.col("l_quantity").cast("decimal(12,2)")
+    x2 = (xd * xd).cast("decimal(18,4)")
+    x3 = (x2 * xd).cast("decimal(24,6)")
+    x4 = (x2 * x2).cast("decimal(30,8)")
+    g = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(xd).cast("double").alias("s1"),
+        F.sum(x2).cast("double").alias("s2"),
+        F.sum(x3).cast("double").alias("s3"),
+        F.sum(x4).cast("double").alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - F.lit(3.0) * mu * (s2 / n) + F.lit(2.0) * mu * mu * mu
+    m4 = (
+        s4 / n
+        - F.lit(4.0) * mu * (s3 / n)
+        + F.lit(6.0) * mu * mu * (s2 / n)
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    m = g.select("grp", "n", m2.alias("m2"), m3.alias("m3"), m4.alias("m4"))
+    skew = F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2")))
+    kurt_x = F.col("m4") / (F.col("m2") * F.col("m2")) - 3.0
+    sk = m.select("grp", "n", skew.alias("skew"), kurt_x.alias("kurt_x"))
+    jb = F.col("n") / 6.0 * (
+        F.col("skew") * F.col("skew") + F.col("kurt_x") * F.col("kurt_x") / 4.0
+    )
+    return sk.select(
+        "grp",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("skew", 6).alias("skewness"),
+        F.round("kurt_x", 6).alias("kurtosis_excess"),
+        F.round(jb, 6).alias("jb_stat"),
+    ).orderBy("grp")
+
+
+# --- equal-variance check: Brown-Forsythe (median-centered Levene) -----------
+# scipy.stats.levene(center='median') — the homoscedasticity gate before the
+# pooled-variance tests above. W is a one-way ANOVA F on z = |x - median_g|:
+# group medians come from the bounded per-(group, value) histogram exactly as
+# groupby_median (windows PARTITIONED by group — never unpartitioned), and
+# because l_quantity is integer-valued the interpolated medians are
+# half-integers, making every z*c / z*z*c product an exact quarter-integer:
+# the double sums are order-independent bit-exact, like the rank sums.
+@query(
+    "levene_brown_forsythe",
+    oracle="""
+    WITH cnts AS (
+      SELECT l_returnflag AS grp, l_quantity AS x, count(*) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    marks AS (
+      SELECT grp, x, c,
+             sum(c) OVER (PARTITION BY grp ORDER BY x) AS cum,
+             sum(c) OVER (PARTITION BY grp ORDER BY x) - c AS prev,
+             sum(c) OVER (PARTITION BY grp) AS ntot
+      FROM cnts
+    ),
+    med AS (
+      SELECT grp,
+             max(CASE WHEN prev < floor((ntot - 1) * 0.5 + 1)
+                       AND cum >= floor((ntot - 1) * 0.5 + 1) THEN x END)
+             + max((ntot - 1) * 0.5 + 1 - floor((ntot - 1) * 0.5 + 1))
+               * (max(CASE WHEN prev < ceil((ntot - 1) * 0.5 + 1)
+                            AND cum >= ceil((ntot - 1) * 0.5 + 1) THEN x END)
+                  - max(CASE WHEN prev < floor((ntot - 1) * 0.5 + 1)
+                             AND cum >= floor((ntot - 1) * 0.5 + 1) THEN x END))
+               AS med
+      FROM marks GROUP BY grp
+    ),
+    g AS (
+      SELECT c.grp, CAST(sum(c.c) AS DOUBLE) AS n,
+             sum(abs(c.x - m.med) * c.c) AS sz,
+             sum(abs(c.x - m.med) * abs(c.x - m.med) * c.c) AS szz
+      FROM cnts c JOIN med m ON c.grp = m.grp GROUP BY c.grp
+    ),
+    tot AS (
+      SELECT count(*) AS k, sum(n) AS nn, sum(sz) AS s_all,
+             sum(szz) AS ss_all, sum(sz * sz / n) AS s_grp
+      FROM g
+    )
+    SELECT round(((s_grp - s_all * s_all / nn) / (k - 1.0))
+                 / ((ss_all - s_grp) / (nn - k)), 6) AS w_stat,
+           CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(nn - k AS BIGINT) AS df_within
+    FROM tot
+    """,
+)
+def levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe W for equal variance of l_quantity across returnflag
+    groups. Data passes: ONE distinct-value histogram groupBy; everything
+    after runs on the ≤(groups × 50)-row histogram."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cnts = li.groupBy(
+        F.col("l_returnflag").alias("grp"), F.col("l_quantity").alias("x")
+    ).agg(F.count("*").alias("c"))
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("grp")
+    marks = cnts.select(
+        "grp",
+        "x",
+        "c",
+        F.sum("c").over(wcum).alias("cum"),
+        (F.sum("c").over(wcum) - F.col("c")).alias("prev"),
+        F.sum("c").over(wtot).alias("ntot"),
+    )
+    r = (F.col("ntot") - 1) * 0.5 + 1
+    vlo = F.max(
+        F.when((F.col("prev") < F.floor(r)) & (F.col("cum") >= F.floor(r)), F.col("x"))
+    )
+    vhi = F.max(
+        F.when((F.col("prev") < F.ceil(r)) & (F.col("cum") >= F.ceil(r)), F.col("x"))
+    )
+    med = marks.groupBy("grp").agg(
+        (vlo + F.max(r - F.floor(r)) * (vhi - vlo)).alias("med")
+    )
+    z = F.abs(F.col("x") - F.col("med"))
+    g = (
+        cnts.join(F.broadcast(med), "grp")
+        .groupBy("grp")
+        .agg(
+            F.sum("c").cast("double").alias("n"),
+            F.sum(z * F.col("c")).alias("sz"),
+            F.sum(z * z * F.col("c")).alias("szz"),
+        )
+    )
+    tot = g.agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("sz").alias("s_all"),
+        F.sum("szz").alias("ss_all"),
+        F.sum(F.col("sz") * F.col("sz") / F.col("n")).alias("s_grp"),
+    )
+    ssb = F.col("s_grp") - F.col("s_all") * F.col("s_all") / F.col("nn")
+    ssw = F.col("ss_all") - F.col("s_grp")
+    w = (ssb / (F.col("k") - 1.0)) / (ssw / (F.col("nn") - F.col("k")))
+    return tot.select(
+        F.round(w, 6).alias("w_stat"),
+        (F.col("k") - 1).cast("bigint").alias("df_between"),
+        (F.col("nn") - F.col("k")).cast("bigint").alias("df_within"),
+    )
+
+
+# --- multiple-testing correction: Benjamini-Hochberg FDR ---------------------
+# The reference runs FAMILIES of scipy tests (one per group pair/feature,
+# Statistical_test_iris_analysis.ipynb:37-160) with no multiplicity control —
+# the step a statistician adds when the family has 25 members. Family here:
+# per-nation Welch t of c_acctbal vs the complement (rest-of-world stats are
+# an exact decimal SUBTRACTION from the broadcast global sums — one scan
+# total). p-values use the portable A&S normal-tail polynomial
+# (functions/numeric.py norm_sf — identical Horner expression both engines);
+# BH ranks + suffix-min run as bounded triangular joins on the 25-row frame
+# (the repo's no-unpartitioned-window convention), and min() is
+# order-independent so the adjusted q is bit-stable.
+@query(
+    "multiple_test_fdr_bh",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_nationkey, count(*) AS n,
+             sum(CAST(c_acctbal AS DECIMAL(18,6))) AS sxd,
+             -- one factor at 19 digits: HUGEINT-backed multiply in DuckDB,
+             -- total 19+18=37 <= 38 so Spark's product is lossless too
+             sum(CAST(CAST(c_acctbal AS DECIMAL(19,6))
+                      * CAST(c_acctbal AS DECIMAL(18,6)) AS DECIMAL(37,12))) AS sxxd
+      FROM customer GROUP BY c_nationkey
+    ),
+    tot AS (
+      SELECT sum(n) AS nn_all, sum(sxd) AS sx_all, sum(sxxd) AS sxx_all FROM g
+    ),
+    d AS (
+      SELECT nt.n_name,
+             CAST(g.n AS DOUBLE) AS n1, CAST(g.sxd AS DOUBLE) AS sx1,
+             CAST(g.sxxd AS DOUBLE) AS sxx1,
+             CAST(t.nn_all - g.n AS DOUBLE) AS n2,
+             CAST(t.sx_all - g.sxd AS DOUBLE) AS sx2,
+             CAST(t.sxx_all - g.sxxd AS DOUBLE) AS sxx2
+      FROM g CROSS JOIN tot t JOIN nation nt ON nt.n_nationkey = g.c_nationkey
+    ),
+    se AS (
+      -- family members must be testable: both sides >= 2 obs and a positive
+      -- standard error (always true on the fixture; guards the degenerate
+      -- micro-corpus where ANSI double/0 raises)
+      SELECT n_name, n1, n2, sx1, sx2,
+             ((sxx1 - sx1 * sx1 / n1) / (n1 - 1.0)) / n1
+             + ((sxx2 - sx2 * sx2 / n2) / (n2 - 1.0)) / n2 AS se2
+      FROM d WHERE n1 >= 2 AND n2 >= 2
+    ),
+    w AS (
+      SELECT n_name, (sx1 / n1 - sx2 / n2) / sqrt(se2) AS t
+      FROM se WHERE se2 > 0
+    ),
+    p AS (
+      SELECT n_name, t, 2.0 * {N.sql_norm_sf('abs(t)')} AS p FROM w
+    ),
+    r AS (
+      SELECT n_name, t, p,
+             row_number() OVER (ORDER BY p, n_name) AS r,
+             CAST(count(*) OVER () AS DOUBLE) AS mm
+      FROM p
+    ),
+    q AS (
+      SELECT a.n_name, a.t, a.p, a.r,
+             least(1.0, min(b.p * b.mm / b.r)) AS q
+      FROM r a JOIN r b ON b.r >= a.r
+      GROUP BY a.n_name, a.t, a.p, a.r
+    )
+    SELECT n_name, round(t, 6) AS t_stat, round(p, 9) AS p_value,
+           CAST(r AS BIGINT) AS rank_p, round(q, 9) AS q_bh,
+           CAST(q <= 0.05 AS INT) AS reject_05
+    FROM q ORDER BY rank_p
+    """,
+)
+def multiple_test_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BH-adjusted per-nation Welch t family (c_acctbal vs rest-of-world).
+
+    One scan of customer; the complement's sufficient statistics are exact
+    decimal subtractions from the broadcast global sums, so the family costs
+    one groupBy at any scale. Ranks and the BH suffix-min are triangular
+    joins over the bounded 25-row family frame.
+    """
+    from ..operators.bounded_seq import ordered_row_numbers
+
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    xd = F.col("c_acctbal").cast("decimal(18,6)")
+    xw = F.col("c_acctbal").cast("decimal(19,6)")
+    g = cust.groupBy("c_nationkey").agg(
+        F.count("*").alias("n"),
+        F.sum(xd).alias("sxd"),
+        F.sum((xw * xd).cast("decimal(37,12)")).alias("sxxd"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("nn_all"),
+        F.sum("sxd").alias("sx_all"),
+        F.sum("sxxd").alias("sxx_all"),
+    )
+    d = (
+        g.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .select(
+            "n_name",
+            F.col("n").cast("double").alias("n1"),
+            F.col("sxd").cast("double").alias("sx1"),
+            F.col("sxxd").cast("double").alias("sxx1"),
+            (F.col("nn_all") - F.col("n")).cast("double").alias("n2"),
+            (F.col("sx_all") - F.col("sxd")).cast("double").alias("sx2"),
+            (F.col("sxx_all") - F.col("sxxd")).cast("double").alias("sxx2"),
+        )
+    )
+    n1, sx1, sxx1 = F.col("n1"), F.col("sx1"), F.col("sxx1")
+    n2, sx2, sxx2 = F.col("n2"), F.col("sx2"), F.col("sxx2")
+    se2 = ((sxx1 - sx1 * sx1 / n1) / (n1 - 1.0)) / n1 + (
+        (sxx2 - sx2 * sx2 / n2) / (n2 - 1.0)
+    ) / n2
+    se = (
+        d.filter((n1 >= 2) & (n2 >= 2))
+        .select("n_name", "n1", "n2", "sx1", "sx2", se2.alias("se2"))
+    )
+    t = (sx1 / n1 - sx2 / n2) / F.sqrt(F.col("se2"))
+    w = se.filter(F.col("se2") > 0).select("n_name", t.alias("t"))
+    p = w.select(
+        "n_name", "t", (F.lit(2.0) * N.norm_sf(F.abs(F.col("t")))).alias("p")
+    )
+    ranked = ordered_row_numbers(p, [("p", True), ("n_name", True)], out="r")
+    fr = ranked.crossJoin(
+        F.broadcast(ranked.agg(F.count("*").cast("double").alias("mm")))
+    )
+    b = fr.select(
+        F.col("r").alias("rj"),
+        (F.col("p") * F.col("mm") / F.col("r")).alias("step"),
+    )
+    q = (
+        fr.join(F.broadcast(b), F.col("rj") >= F.col("r"))
+        .groupBy("n_name", "t", "p", "r")
+        .agg(F.least(F.lit(1.0), F.min("step")).alias("q"))
+    )
+    return q.select(
+        "n_name",
+        F.round("t", 6).alias("t_stat"),
+        F.round("p", 9).alias("p_value"),
+        F.col("r").cast("bigint").alias("rank_p"),
+        F.round("q", 9).alias("q_bh"),
+        (F.col("q") <= 0.05).cast("int").alias("reject_05"),
+    ).orderBy("rank_p")
