@@ -1468,3 +1468,102 @@ def multiple_test_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("q", 9).alias("q_bh"),
         (F.col("q") <= 0.05).cast("int").alias("reject_05"),
     ).orderBy("rank_p")
+
+
+# --- effect sizes: Cohen's d / Hedges' g / Cliff's delta ---------------------
+# The reporting companion to ttest_ind and mannwhitney above: the reference
+# reports raw p-values only (Statistical_test_iris_analysis.ipynb:37-160);
+# effect sizes are what a reviewer asks for next. Parametric d/g from the
+# same per-group decimal sufficient statistics as ttest_ind; nonparametric
+# Cliff's delta = 2*U1/(n1*n2) - 1 from the same bucketed mean-rank U as
+# mannwhitney — so the whole row costs the two aggregations those tests
+# already pay, merged by a broadcast of two single-row frames.
+@query(
+    "effect_sizes_two_group",
+    oracle=f"""
+    WITH g AS ({_GRP_SQL}),
+    ab AS (
+      SELECT max(CASE WHEN grp = 'A' THEN n END) AS n1,
+             max(CASE WHEN grp = 'A' THEN sx END) AS sx1,
+             max(CASE WHEN grp = 'A' THEN sxx END) AS sxx1,
+             max(CASE WHEN grp = 'R' THEN n END) AS n2,
+             max(CASE WHEN grp = 'R' THEN sx END) AS sx2,
+             max(CASE WHEN grp = 'R' THEN sxx END) AS sxx2
+      FROM g
+    ),
+    d AS (
+      SELECT n1, n2,
+             (sx1 / n1 - sx2 / n2)
+             / sqrt(((sxx1 - sx1 * sx1 / n1) + (sxx2 - sx2 * sx2 / n2))
+                    / (n1 + n2 - 2.0)) AS cohens_d
+      FROM ab
+    ),
+    two AS (
+      SELECT l_returnflag AS grp, l_quantity AS x
+      FROM lineitem WHERE l_returnflag IN ('A', 'R')
+    ),
+    r AS (
+      SELECT grp,
+             rank() OVER (ORDER BY x)
+               + (count(*) OVER (PARTITION BY x) - 1) / 2.0 AS r_avg
+      FROM two
+    ),
+    s AS (
+      SELECT sum(CASE WHEN grp = 'A' THEN r_avg END) AS r1,
+             CAST(sum(CAST(grp = 'A' AS BIGINT)) AS BIGINT) AS rn1,
+             CAST(sum(CAST(grp = 'R' AS BIGINT)) AS BIGINT) AS rn2
+      FROM r
+    )
+    SELECT round(cohens_d, 6) AS cohens_d,
+           round(cohens_d * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6) AS hedges_g,
+           round(2.0 * (r1 - rn1 * (rn1 + 1) / 2.0)
+                 / (CAST(rn1 AS DOUBLE) * rn2) - 1.0, 6) AS cliffs_delta,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+    FROM d CROSS JOIN s
+    """,
+)
+def effect_sizes_two_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effect sizes between returnflag groups A and R on l_quantity."""
+    g = _grp_stats(spark, sf_dir)
+    ab = g.agg(
+        *[
+            F.max(F.when(F.col("grp") == grp, F.col(c))).alias(f"{c}{i}")
+            for i, grp in ((1, "A"), (2, "R"))
+            for c in ("n", "sx", "sxx")
+        ]
+    )
+    n1, sx1, sxx1 = F.col("n1"), F.col("sx1"), F.col("sxx1")
+    n2, sx2, sxx2 = F.col("n2"), F.col("sx2"), F.col("sxx2")
+    cohens = (sx1 / n1 - sx2 / n2) / F.sqrt(
+        ((sxx1 - sx1 * sx1 / n1) + (sxx2 - sx2 * sx2 / n2)) / (n1 + n2 - 2.0)
+    )
+    d = ab.select("n1", "n2", cohens.alias("cohens_d"))
+
+    li = load_table(spark, sf_dir, "lineitem")
+    two = li.filter(F.col("l_returnflag").isin("A", "R")).select(
+        F.col("l_returnflag").alias("grp"), F.col("l_quantity").alias("x")
+    )
+    ranks = mean_ranks(two, "x")
+    cg = two.groupBy("x", "grp").agg(F.count("*").alias("c"))
+    s = (
+        cg.join(ranks.select("x", "r_avg"), "x")
+        .agg(
+            F.sum(F.when(F.col("grp") == "A", F.col("c") * F.col("r_avg"))).alias("r1"),
+            F.sum(F.when(F.col("grp") == "A", F.col("c"))).cast("bigint").alias("rn1"),
+            F.sum(F.when(F.col("grp") == "R", F.col("c"))).cast("bigint").alias("rn2"),
+        )
+    )
+    j = d.crossJoin(F.broadcast(s))
+    u1 = F.col("r1") - F.col("rn1") * (F.col("rn1") + 1) / 2.0
+    delta = F.lit(2.0) * u1 / (F.col("rn1").cast("double") * F.col("rn2")) - 1.0
+    return j.select(
+        F.round("cohens_d", 6).alias("cohens_d"),
+        F.round(
+            F.col("cohens_d")
+            * (1.0 - 3.0 / (4.0 * (F.col("n1") + F.col("n2")) - 9.0)),
+            6,
+        ).alias("hedges_g"),
+        F.round(delta, 6).alias("cliffs_delta"),
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+    )
