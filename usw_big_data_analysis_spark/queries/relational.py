@@ -394,6 +394,65 @@ def sql_pipe_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- recursive CTE (Spark 4.1) -------------------------------------------------
+# A clamped inventory walk: bal_k = clamp(bal_{k-1} + rev_k - draw, 0, cap)
+# over the monthly revenue series. The clamp makes the recurrence
+# NON-ASSOCIATIVE — no window/prefix-sum formulation exists, which is exactly
+# the class of computation WITH RECURSIVE (Catalyst's new UnionLoopExec) adds
+# to the engine. Each iterate is ONE row (the next month), so the recursion
+# is scale-sane at any fact-table size: the heavy work is the ordinary
+# map-side-combined monthly rollup; the walk itself touches 80 bounded rows.
+# Both engines run the IDENTICAL statement text (Spark 4.1 supports UNION ALL
+# recursion only; the k < 96 guard keeps both engines under Spark's
+# 100-iteration default limit). Cross-engine traps pinned here: integer '/'
+# yields DOUBLE in both engines, but CAST(double AS BIGINT) truncates in
+# Spark and ROUNDS in DuckDB — the year split must go through floor().
+_RECURSIVE_BALANCE_SQL = """
+WITH RECURSIVE mrev AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS idx,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM orders GROUP BY year(o_orderdate) * 12 + month(o_orderdate)
+),
+params AS (
+  SELECT min(idx) AS idx0,
+         CAST(floor(sum(rev_c) / count(*)) AS BIGINT) AS draw_c,
+         CAST(2 * floor(sum(rev_c) / count(*)) AS BIGINT) AS cap_c
+  FROM mrev
+),
+walk(idx, k, rev_c, bal_c) AS (
+    SELECT m.idx, 0, m.rev_c,
+           least(p.cap_c, greatest(CAST(0 AS BIGINT),
+                                   p.cap_c + m.rev_c - p.draw_c))
+    FROM mrev m JOIN params p ON m.idx = p.idx0
+  UNION ALL
+    SELECT m.idx, w.k + 1, m.rev_c,
+           least(p.cap_c, greatest(CAST(0 AS BIGINT),
+                                   w.bal_c + m.rev_c - p.draw_c))
+    FROM walk w
+    JOIN mrev m ON m.idx = w.idx + 1
+    CROSS JOIN params p
+    WHERE w.k < 96
+)
+SELECT CAST(floor((idx - 1) / 12) AS BIGINT) AS yr,
+       CAST((idx - 1) % 12 + 1 AS BIGINT) AS mo,
+       rev_c, bal_c
+FROM walk ORDER BY idx
+"""
+
+
+@query("sql_recursive_capped_balance", oracle=_RECURSIVE_BALANCE_SQL)
+def sql_recursive_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.1 WITH RECURSIVE: month-over-month budget pool with draw and
+    cap (starts full; clamped to [0, cap] each step) in exact integer cents.
+    The oracle is the same statement run by DuckDB's recursive executor —
+    two independent engines, one SQL text."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_BALANCE_SQL)
+
+
 # --- case-insensitive collation (Spark 4) -------------------------------------
 @query(
     "collate_group_ci",
