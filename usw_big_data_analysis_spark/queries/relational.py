@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions import numeric as N
 from ..registry import query
 from ._shared import process_tmp as _process_tmp
 from ..sources import load_table
@@ -451,6 +452,49 @@ def sql_recursive_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_BALANCE_SQL)
+
+
+# --- SQL scripting (Spark 4) ----------------------------------------------------
+# The reference's notebooks constantly do "compute a threshold, then filter
+# by it" as two Python steps (eda.ipynb outlier cells); Spark 4's SQL
+# scripting (BEGIN / DECLARE / SET with scalar-subquery assignment) expresses
+# that whole protocol as ONE engine-side statement. Variables declared inside
+# the compound are block-scoped, so nothing leaks into the session. The
+# threshold uses the repo's exact decimal mean/std kernels; the oracle is the
+# same computation as a plain scalar CTE (DuckDB has no scripting).
+def _scripting_sql(body: bool) -> str:
+    mu, sd = N.sql_davg("l_extendedprice"), N.sql_dstd("l_extendedprice")
+    select = """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_outliers,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS price_cents,
+         round({mu} + 1.5 * {sd}, 2) AS cutoff
+  FROM lineitem WHERE l_extendedprice > {mu} + 1.5 * {sd}
+  GROUP BY l_returnflag{extra} ORDER BY l_returnflag"""
+    if body:
+        return f"""
+BEGIN
+  DECLARE mu DOUBLE;
+  DECLARE sd DOUBLE;
+  SET mu = (SELECT {mu} FROM lineitem);
+  SET sd = (SELECT {sd} FROM lineitem);
+  {select.format(mu='mu', sd='sd', extra='')};
+END
+"""
+    return f"""
+    WITH s AS (SELECT {mu} AS mu, {sd} AS sd FROM lineitem)
+    {select.format(mu='s.mu', sd='s.sd', extra=', s.mu, s.sd').replace('FROM lineitem WHERE', 'FROM lineitem, s WHERE')}
+    """
+
+
+@query("sql_scripting_outlier_gate", oracle=_scripting_sql(body=False))
+def sql_scripting_outlier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL scripting: declare the mu+1.5*sigma cutoff from one
+    aggregate pass, then run the gated rollup — the notebook two-step as a
+    single compound statement."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_scripting_sql(body=True))
 
 
 # --- case-insensitive collation (Spark 4) -------------------------------------
