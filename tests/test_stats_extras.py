@@ -116,3 +116,32 @@ def test_fdr_bh_procedure_laws(spark, sf_dir):
     # independent recomputation of q from the emitted p-values
     ref = np.minimum(np.minimum.accumulate((p * m / np.arange(1, m + 1))[::-1])[::-1], 1.0)
     assert np.allclose(q, np.round(ref, 9), atol=2e-9)
+
+
+def test_recursive_capped_balance_matches_python_fold(spark, sf_dir, duck):
+    """The recursive walk must equal a literal Python fold over the monthly
+    revenue series (clamp at each step) — pins that the engine recursion is
+    the sequential recurrence and not some reassociated shortcut."""
+    months = duck.execute(
+        f"""
+        SELECT year(o_orderdate) * 12 + month(o_orderdate) AS idx,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_c
+        FROM '{sf_dir}/orders.parquet' GROUP BY 1 ORDER BY idx
+        """
+    ).fetchall()
+    total = sum(r for _, r in months)
+    draw = int(np.floor(total / len(months)))
+    cap = 2 * draw
+    bal, expect = cap, {}
+    prev_idx = None
+    for idx, rev in months:
+        if prev_idx is not None and idx != prev_idx + 1:
+            break  # the walk only follows the contiguous chain
+        bal = min(cap, max(0, bal + rev - draw))
+        expect[idx] = bal
+        prev_idx = idx
+    out = _pdf(spark, sf_dir, "sql_recursive_capped_balance")
+    got = {int(r.yr) * 12 + int(r.mo): int(r.bal_c) for r in out.itertuples()}
+    assert got == expect
+    assert all(0 <= b <= cap for b in got.values())
