@@ -454,6 +454,40 @@ def sql_recursive_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_RECURSIVE_BALANCE_SQL)
 
 
+# --- correlated LATERAL subquery ------------------------------------------------
+# The correlated top-n-per-group form (`JOIN LATERAL (... WHERE corr ORDER BY
+# ... LIMIT n) ON true`) — the third engine mechanism for this semantics next
+# to topk_per_group's sketch-and-refine and the window-rank form: Catalyst's
+# DecorrelateInnerQuery rewrites it to a rank window PARTITIONED by the
+# correlation key plus a broadcast join to the outer (verified in the plan —
+# no unpartitioned window, no per-outer-row re-execution), so the declarative
+# correlated form pays exactly the distributed plan you'd hand-write. DuckDB
+# runs the identical statement text. ORDER BY ties are broken by the unique
+# c_name so the LIMIT frontier is total-ordered in both engines.
+_LATERAL_TOPN_SQL = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n
+JOIN LATERAL (
+  SELECT c_name, c_acctbal
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name
+  LIMIT 2
+) t ON true
+ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+"""
+
+
+@query("join_lateral_topn", oracle=_LATERAL_TOPN_SQL)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 customers by account balance per nation via a correlated
+    LATERAL subquery — one statement text, two engines."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_TOPN_SQL)
+
+
 # --- SQL scripting (Spark 4) ----------------------------------------------------
 # The reference's notebooks constantly do "compute a threshold, then filter
 # by it" as two Python steps (eda.ipynb outlier cells); Spark 4's SQL
