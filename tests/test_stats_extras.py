@@ -145,3 +145,35 @@ def test_recursive_capped_balance_matches_python_fold(spark, sf_dir, duck):
     got = {int(r.yr) * 12 + int(r.mo): int(r.bal_c) for r in out.itertuples()}
     assert got == expect
     assert all(0 <= b <= cap for b in got.values())
+
+
+def test_isotonic_minimax_equals_pav(spark, sf_dir):
+    """fit(i) = max_{j<=i} min_{k>=i} avg[j..k] must equal the classic
+    pool-adjacent-violators algorithm, and the fit must be monotone and
+    total-preserving (pooling preserves the weighted sum)."""
+    out = _pdf(spark, sf_dir, "calibration_isotonic").sort_values("bucket")
+    n = out["n"].to_numpy(dtype=float)
+    pos = out["pos"].to_numpy(dtype=float)
+    # independent PAV: stack of (weight, mean) blocks, merge while decreasing
+    blocks: list[list[float]] = []
+    for w, p in zip(n, pos):
+        blocks.append([w, p / w])
+        while len(blocks) > 1 and blocks[-2][1] >= blocks[-1][1]:
+            w2, m2 = blocks.pop()
+            w1, m1 = blocks.pop()
+            blocks.append([w1 + w2, (w1 * m1 + w2 * m2) / (w1 + w2)])
+    # expand blocks back to per-bucket values
+    vals: list[float] = []
+    bi = 0
+    for w, m2 in blocks:
+        acc = 0.0
+        while acc < w - 1e-9:
+            acc += n[bi]
+            vals.append(m2)
+            bi += 1
+    pav = np.array(vals)
+    iso = out["iso_rate"].to_numpy()
+    assert len(pav) == len(iso)
+    assert np.allclose(iso, np.round(pav, 6), atol=2e-6)
+    assert (np.diff(iso) >= -1e-9).all()  # monotone non-decreasing
+    assert abs((iso * n).sum() - pos.sum()) < 1e-4 * pos.sum() + 1.0

@@ -1304,3 +1304,97 @@ def metric_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)), 6) AS mcc",
         "tp", "fp", "fn", "tn",
     )
+
+
+# --- isotonic calibration (PAV as a closed-form minimax) ---------------------
+@query(
+    "calibration_isotonic",
+    oracle=f"""
+    WITH g AS (
+      SELECT CAST(floor(prob * 20.0) AS BIGINT) AS b,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(label AS BIGINT)) AS BIGINT) AS pos
+      FROM ({_SCORED_SQL}) GROUP BY 1
+    ),
+    seg AS (
+      SELECT j.b AS jb, k.b AS kb,
+             CAST(sum(m.pos) AS DOUBLE) / CAST(sum(m.n) AS DOUBLE) AS seg_avg
+      FROM g j JOIN g k ON j.b <= k.b
+      JOIN g m ON m.b BETWEEN j.b AND k.b
+      GROUP BY j.b, k.b
+    ),
+    lo AS (
+      SELECT i.b, s.jb, min(s.seg_avg) AS mn
+      FROM g i JOIN seg s ON s.jb <= i.b AND i.b <= s.kb
+      GROUP BY i.b, s.jb
+    ),
+    fit AS (
+      SELECT b, max(mn) AS iso FROM lo GROUP BY b
+    )
+    SELECT g.b AS bucket, g.n, g.pos,
+           round(CAST(g.pos AS DOUBLE) / CAST(g.n AS DOUBLE), 6) AS raw_rate,
+           round(f.iso, 6) AS iso_rate
+    FROM g JOIN fit f ON g.b = f.b
+    ORDER BY g.b
+    """,
+)
+def calibration_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of the scored frame, exactly — via the
+    closed-form minimax identity fit(i) = max_{j<=i} min_{k>=i} avg[j..k],
+    which equals the pool-adjacent-violators solution (sklearn's
+    IsotonicRegression / CalibratedClassifierCV backbone the reference's
+    model stack would call next).
+
+    Scale shape: ONE map-side-combined groupBy compresses the corpus to
+    <=20 (bucket, n, pos) rows; every minimax term is then a triangular
+    join over that bounded frame (~20^3 rows), with min/max aggregation —
+    order-independent, so the doubles are bit-stable on both engines. The
+    driver never holds row-level data, and the heavy pass is the same
+    single aggregation any reliability curve pays."""
+    s = scored_frame(spark, sf_dir)
+    g = s.groupBy(
+        F.floor(F.col("prob") * 20.0).cast("bigint").alias("b")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("label").cast("bigint")).cast("bigint").alias("pos"),
+    )
+    j = g.select(F.col("b").alias("jb"))
+    k = g.select(F.col("b").alias("kb"))
+    m = g.select(F.col("b").alias("mb"), "n", "pos")
+    seg = (
+        F.broadcast(j)
+        .join(F.broadcast(k), F.col("jb") <= F.col("kb"))
+        .join(
+            F.broadcast(m),
+            (F.col("mb") >= F.col("jb")) & (F.col("mb") <= F.col("kb")),
+        )
+        .groupBy("jb", "kb")
+        .agg(
+            (
+                F.sum("pos").cast("double") / F.sum("n").cast("double")
+            ).alias("seg_avg")
+        )
+    )
+    lo = (
+        g.select(F.col("b").alias("ib"))
+        .join(
+            F.broadcast(seg),
+            (F.col("jb") <= F.col("ib")) & (F.col("ib") <= F.col("kb")),
+        )
+        .groupBy("ib", "jb")
+        .agg(F.min("seg_avg").alias("mn"))
+    )
+    fit = lo.groupBy("ib").agg(F.max("mn").alias("iso"))
+    return (
+        g.join(F.broadcast(fit), g["b"] == fit["ib"])
+        .select(
+            F.col("b").alias("bucket"),
+            "n",
+            "pos",
+            F.round(F.col("pos").cast("double") / F.col("n").cast("double"), 6).alias(
+                "raw_rate"
+            ),
+            F.round("iso", 6).alias("iso_rate"),
+        )
+        .orderBy("bucket")
+    )
