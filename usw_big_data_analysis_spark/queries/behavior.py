@@ -705,6 +705,152 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- log-rank test between two survival cohorts -------------------------------
+@query(
+    "survival_logrank_test",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             min(epoch_us(ts) // {_US_DAY}) AS d0,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(ts) // {_US_DAY} END) AS dp,
+             max(epoch_us(ts) // {_US_DAY}) AS dl
+      FROM events GROUP BY user_id
+    ),
+    u AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS grp,
+             CAST(coalesce(dp, dl) - d0 AS BIGINT) AS t,
+             CAST(dp IS NOT NULL AS BIGINT) AS died
+      FROM per_user
+    ),
+    byg AS (
+      SELECT grp, t, CAST(sum(died) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS dc
+      FROM u GROUP BY grp, t
+    ),
+    grid AS (
+      SELECT tt.t, gg.grp, coalesce(b.d, 0) AS d, coalesce(b.dc, 0) AS dc
+      FROM (SELECT DISTINCT t FROM byg) tt
+      CROSS JOIN (SELECT DISTINCT grp FROM byg) gg
+      LEFT JOIN byg b ON b.t = tt.t AND b.grp = gg.grp
+    ),
+    risk AS (
+      SELECT t, grp, d,
+             sum(dc) OVER (PARTITION BY grp) - coalesce(sum(dc) OVER (
+               PARTITION BY grp ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at
+      FROM grid
+    ),
+    byt AS (
+      SELECT t,
+             CAST(sum(CASE WHEN grp = 0 THEN d END) AS BIGINT) AS d1t,
+             CAST(sum(d) AS BIGINT) AS dt,
+             CAST(sum(CASE WHEN grp = 0 THEN n_at END) AS BIGINT) AS n1t,
+             CAST(sum(n_at) AS BIGINT) AS nt
+      FROM risk GROUP BY t
+    ),
+    terms AS (
+      SELECT CAST(round(CAST(d1t AS DOUBLE)
+                        - CAST(dt AS DOUBLE) * n1t / nt, 8)
+                  AS DECIMAL(20,8)) AS oe,
+             CAST(round(CAST(dt AS DOUBLE) * (CAST(n1t AS DOUBLE) / nt)
+                        * (CAST(nt - n1t AS DOUBLE) / nt)
+                        * (CAST(nt - dt AS DOUBLE) / (nt - 1.0)), 8)
+                  AS DECIMAL(20,8)) AS v
+      FROM byt WHERE dt > 0 AND nt > 1
+    ),
+    s AS (
+      SELECT CAST(sum(oe) AS DOUBLE) AS oe_sum, CAST(sum(v) AS DOUBLE) AS v_sum
+      FROM terms
+    )
+    SELECT round(oe_sum, 6) AS oe_sum, round(v_sum, 6) AS v_sum,
+           round(oe_sum * oe_sum / v_sum, 6) AS logrank_chi2,
+           CAST(1 AS BIGINT) AS df
+    FROM s WHERE v_sum > 0
+    """,
+)
+def survival_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-cohort log-rank test (user_id parity as the A/B arm) on
+    time-to-first-purchase: death = conversion, users who never purchase
+    are right-censored at their last-seen day. At each conversion time,
+    observed-minus-expected group-0 conversions under the hypergeometric
+    null, chi2 = (sum O-E)^2 / sum V with df=1 — scipy/lifelines'
+    logrank_test statistic.
+
+    Scale shape: one per-user agg, then everything lives on the bounded
+    (grp x duration) grid (~2 x calendar-span rows). At-risk counts come
+    from a cumulative window PARTITIONED by group over that compressed
+    grid (never an unpartitioned window over raw rows). Cross-time sums
+    use the per-term round-to-8dp DECIMAL summation convention (exact and
+    order-independent, like the KM log-product). Times with no deaths and
+    the nt<=1 tail contribute exactly zero and are filtered identically in
+    both engines (also keeps ANSI double/0 out of the degenerate corpus).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.expr(f"min(unix_micros(ts) div {_US_DAY}) AS d0"),
+        F.expr(
+            "min(CASE WHEN event_type = 'purchase'"
+            f" THEN unix_micros(ts) div {_US_DAY} END) AS dp"
+        ),
+        F.expr(f"max(unix_micros(ts) div {_US_DAY}) AS dl"),
+    )
+    u = per_user.selectExpr(
+        "CAST(user_id % 2 AS BIGINT) AS grp",
+        "CAST(coalesce(dp, dl) - d0 AS BIGINT) AS t",
+        "CAST(dp IS NOT NULL AS BIGINT) AS died",
+    )
+    byg = u.groupBy("grp", "t").agg(
+        F.expr("CAST(sum(died) AS BIGINT) AS d"),
+        F.expr("CAST(count(*) AS BIGINT) AS dc"),
+    )
+    grid = (
+        byg.select("t").distinct()
+        .crossJoin(F.broadcast(byg.select("grp").distinct()))
+        .join(F.broadcast(byg), ["t", "grp"], "left")
+        .selectExpr("t", "grp", "coalesce(d, 0) AS d", "coalesce(dc, 0) AS dc")
+    )
+    wtot = Window.partitionBy("grp")
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = grid.select(
+        "t",
+        "grp",
+        "d",
+        (
+            F.sum("dc").over(wtot)
+            - F.coalesce(F.sum("dc").over(wcum), F.lit(0))
+        ).alias("n_at"),
+    )
+    byt = risk.groupBy("t").agg(
+        F.expr("CAST(sum(CASE WHEN grp = 0 THEN d END) AS BIGINT) AS d1t"),
+        F.expr("CAST(sum(d) AS BIGINT) AS dt"),
+        F.expr("CAST(sum(CASE WHEN grp = 0 THEN n_at END) AS BIGINT) AS n1t"),
+        F.expr("CAST(sum(n_at) AS BIGINT) AS nt"),
+    )
+    terms = byt.filter("dt > 0 AND nt > 1").selectExpr(
+        "CAST(round(CAST(d1t AS DOUBLE)"
+        " - CAST(dt AS DOUBLE) * n1t / nt, 8) AS DECIMAL(20,8)) AS oe",
+        "CAST(round(CAST(dt AS DOUBLE) * (CAST(n1t AS DOUBLE) / nt)"
+        " * (CAST(nt - n1t AS DOUBLE) / nt)"
+        " * (CAST(nt - dt AS DOUBLE) / (nt - 1.0)), 8)"
+        " AS DECIMAL(20,8)) AS v",
+    )
+    s = terms.agg(
+        F.expr("CAST(sum(oe) AS DOUBLE) AS oe_sum"),
+        F.expr("CAST(sum(v) AS DOUBLE) AS v_sum"),
+    )
+    return s.filter("v_sum > 0").selectExpr(
+        "round(oe_sum, 6) AS oe_sum",
+        "round(v_sum, 6) AS v_sum",
+        "round(oe_sum * oe_sum / v_sum, 6) AS logrank_chi2",
+        "CAST(1 AS BIGINT) AS df",
+    )
+
+
 # --- conversion-latency quantiles per experiment arm -------------------------
 _US_MIN = 60_000_000
 
