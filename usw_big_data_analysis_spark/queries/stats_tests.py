@@ -1567,3 +1567,76 @@ def effect_sizes_two_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1").cast("bigint").alias("n1"),
         F.col("n2").cast("bigint").alias("n2"),
     )
+
+
+# --- Cochran-Armitage trend test ----------------------------------------------
+# The ordered companion to T8's chi2 independence test: when the grouping is
+# ORDINAL (order priority 1..5), the question is a monotone trend in the
+# success proportion, not mere dependence. T = sum_i w_i (r_i - R/N n_i) with
+# scores w_i = the priority rank; Var(T) = R/N (1 - R/N) (sum w^2 n
+# - (sum w n)^2 / N); chi2 = T^2 / Var, df = 1. Every sufficient statistic
+# is an exact BIGINT from ONE map-side-combined groupBy; the statistic is a
+# fixed double expression over the pivoted single row, so both engines
+# compute the identical IEEE sequence.
+@query(
+    "trend_cochran_armitage",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS w,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(o_totalprice > 150000.0 AS BIGINT)) AS BIGINT) AS r
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS nn, CAST(sum(r) AS DOUBLE) AS rr,
+             CAST(sum(w * r) AS DOUBLE) AS swr,
+             CAST(sum(w * n) AS DOUBLE) AS swn,
+             CAST(sum(w * w * n) AS DOUBLE) AS swwn,
+             CAST(count(*) AS BIGINT) AS k
+      FROM g
+    ),
+    t AS (
+      SELECT k, nn, rr, swr - rr / nn * swn AS tt,
+             rr / nn * (1.0 - rr / nn) * (swwn - swn * swn / nn) AS vv
+      FROM s
+    )
+    SELECT round(tt, 6) AS t_stat, round(vv, 6) AS var_t,
+           round(tt * tt / vv, 6) AS ca_chi2, CAST(1 AS BIGINT) AS df,
+           k AS n_levels
+    FROM t WHERE vv > 0
+    """,
+)
+def trend_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend in P(high-value order) across the ordered priority levels."""
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy(
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("w")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum((F.col("o_totalprice") > 150000.0).cast("bigint"))
+        .cast("bigint")
+        .alias("r"),
+    )
+    s = g.agg(
+        F.sum("n").cast("double").alias("nn"),
+        F.sum("r").cast("double").alias("rr"),
+        F.sum(F.col("w") * F.col("r")).cast("double").alias("swr"),
+        F.sum(F.col("w") * F.col("n")).cast("double").alias("swn"),
+        F.sum(F.col("w") * F.col("w") * F.col("n")).cast("double").alias("swwn"),
+        F.count("*").alias("k"),
+    )
+    tt = F.col("swr") - F.col("rr") / F.col("nn") * F.col("swn")
+    vv = (
+        F.col("rr")
+        / F.col("nn")
+        * (1.0 - F.col("rr") / F.col("nn"))
+        * (F.col("swwn") - F.col("swn") * F.col("swn") / F.col("nn"))
+    )
+    t = s.select("k", "nn", "rr", tt.alias("tt"), vv.alias("vv"))
+    return t.filter("vv > 0").select(
+        F.round("tt", 6).alias("t_stat"),
+        F.round("vv", 6).alias("var_t"),
+        F.round(F.col("tt") * F.col("tt") / F.col("vv"), 6).alias("ca_chi2"),
+        F.lit(1).cast("bigint").alias("df"),
+        F.col("k").alias("n_levels"),
+    )
