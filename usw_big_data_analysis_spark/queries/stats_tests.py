@@ -1640,3 +1640,217 @@ def trend_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("bigint").alias("df"),
         F.col("k").alias("n_levels"),
     )
+
+
+# --- Bartlett's test for homogeneity of variances ----------------------------
+# The parametric companion to levene_brown_forsythe: the reference checks the
+# equal-variance assumption before its pooled-variance t tests
+# (Statistical_test_iris_analysis.ipynb:37-160 runs scipy tests whose
+# textbook precondition this is). Sufficient statistics are one decimal-exact
+# groupBy (n, sum x, sum x^2 per returnflag group); the <=3-row group frame is
+# PIVOTED into fixed (A, N, R) columns so every double reduction is written in
+# one textual order — bit-identical across engines and partitionings (a
+# 3-term double SUM would be order-dependent).
+@query(
+    "bartlett_test",
+    oracle=f"""
+    WITH g AS ({_GRP_SQL}),
+    ab AS (
+      SELECT max(CASE WHEN grp = 'A' THEN n END) AS n1,
+             max(CASE WHEN grp = 'A' THEN sx END) AS sx1,
+             max(CASE WHEN grp = 'A' THEN sxx END) AS sxx1,
+             max(CASE WHEN grp = 'N' THEN n END) AS n2,
+             max(CASE WHEN grp = 'N' THEN sx END) AS sx2,
+             max(CASE WHEN grp = 'N' THEN sxx END) AS sxx2,
+             max(CASE WHEN grp = 'R' THEN n END) AS n3,
+             max(CASE WHEN grp = 'R' THEN sx END) AS sx3,
+             max(CASE WHEN grp = 'R' THEN sxx END) AS sxx3
+      FROM g
+    ),
+    v AS (
+      SELECT n1, n2, n3, n1 + n2 + n3 AS nn,
+             (sxx1 - sx1 * sx1 / n1) / (n1 - 1.0) AS v1,
+             (sxx2 - sx2 * sx2 / n2) / (n2 - 1.0) AS v2,
+             (sxx3 - sx3 * sx3 / n3) / (n3 - 1.0) AS v3
+      FROM ab
+    ),
+    p AS (
+      SELECT nn,
+             ((n1 - 1.0) * v1 + (n2 - 1.0) * v2 + (n3 - 1.0) * v3)
+               / (nn - 3.0) AS sp2,
+             (n1 - 1.0) * ln(v1) + (n2 - 1.0) * ln(v2)
+               + (n3 - 1.0) * ln(v3) AS slnv,
+             1.0 + (1.0 / (n1 - 1.0) + 1.0 / (n2 - 1.0) + 1.0 / (n3 - 1.0)
+                    - 1.0 / (nn - 3.0)) / 6.0 AS cc
+      FROM v
+    )
+    SELECT round(((nn - 3.0) * ln(sp2) - slnv) / cc, 6) AS bartlett_stat,
+           CAST(2 AS BIGINT) AS df, round(cc, 6) AS c_factor
+    FROM p
+    """,
+)
+def bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett T for equal variance of l_quantity across the three
+    returnflag groups. One decimal-exact sufficient-statistics scan; the
+    group frame is pivoted to fixed columns so the ln/variance arithmetic
+    has a single evaluation order (cross-engine bit-stable)."""
+    g = _grp_stats(spark, sf_dir)
+    ab = g.agg(
+        *[
+            F.max(F.when(F.col("grp") == grp, F.col(c))).alias(f"{c}{i}")
+            for i, grp in ((1, "A"), (2, "N"), (3, "R"))
+            for c in ("n", "sx", "sxx")
+        ]
+    )
+
+    def var_i(i: int):
+        n, sx, sxx = F.col(f"n{i}"), F.col(f"sx{i}"), F.col(f"sxx{i}")
+        return (sxx - sx * sx / n) / (n - 1.0)
+
+    v = ab.select(
+        "n1", "n2", "n3",
+        (F.col("n1") + F.col("n2") + F.col("n3")).alias("nn"),
+        var_i(1).alias("v1"), var_i(2).alias("v2"), var_i(3).alias("v3"),
+    )
+    sp2 = (
+        (F.col("n1") - 1.0) * F.col("v1")
+        + (F.col("n2") - 1.0) * F.col("v2")
+        + (F.col("n3") - 1.0) * F.col("v3")
+    ) / (F.col("nn") - 3.0)
+    slnv = (
+        (F.col("n1") - 1.0) * F.log(F.col("v1"))
+        + (F.col("n2") - 1.0) * F.log(F.col("v2"))
+        + (F.col("n3") - 1.0) * F.log(F.col("v3"))
+    )
+    cc = 1.0 + (
+        1.0 / (F.col("n1") - 1.0)
+        + 1.0 / (F.col("n2") - 1.0)
+        + 1.0 / (F.col("n3") - 1.0)
+        - 1.0 / (F.col("nn") - 3.0)
+    ) / 6.0
+    p = v.select(F.col("nn"), sp2.alias("sp2"), slnv.alias("slnv"), cc.alias("cc"))
+    t = ((F.col("nn") - 3.0) * F.log(F.col("sp2")) - F.col("slnv")) / F.col("cc")
+    return p.select(
+        F.round(t, 6).alias("bartlett_stat"),
+        F.lit(2).cast("bigint").alias("df"),
+        F.round(F.col("cc"), 6).alias("c_factor"),
+    )
+
+
+# --- Mood's median test ------------------------------------------------------
+# The k-sample median test: does each returnflag group straddle the GRAND
+# median of l_quantity the same way? Convention pinned here (and in the
+# oracle): the grand median is the lower weighted median — the smallest
+# distinct value whose cumulative count reaches ceil(N/2) — and ties at the
+# median count as "not above" (scipy.stats.median_test ties='below'). Data
+# passes: ONE (group, value) histogram groupBy; the cumulative scan runs as a
+# broadcast triangular join on the <=50-row value histogram (repo convention:
+# no unpartitioned window), and the k x 2 chi-square is evaluated over fixed
+# pivoted (A, N, R) columns in one textual order.
+@query(
+    "mood_median_test",
+    oracle="""
+    WITH gh AS (
+      SELECT l_returnflag AS grp, l_quantity AS x, CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    xh AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM gh GROUP BY x),
+    nt AS (SELECT CAST(sum(cx) AS BIGINT) AS n FROM xh),
+    cum AS (
+      SELECT a.x, CAST(sum(b.cx) AS BIGINT) AS cumc
+      FROM xh a JOIN xh b ON b.x <= a.x GROUP BY a.x
+    ),
+    med AS (
+      SELECT min(x) AS med FROM cum, nt
+      WHERE cumc >= CAST(ceil(n / 2.0) AS BIGINT)
+    ),
+    g AS (
+      SELECT grp, CAST(sum(c) AS BIGINT) AS ni,
+             CAST(sum(CASE WHEN x > med THEN c ELSE 0 END) AS BIGINT) AS ai
+      FROM gh, med GROUP BY grp
+    ),
+    ab AS (
+      SELECT CAST(max(CASE WHEN grp = 'A' THEN ni END) AS DOUBLE) AS n1,
+             CAST(max(CASE WHEN grp = 'A' THEN ai END) AS DOUBLE) AS a1,
+             CAST(max(CASE WHEN grp = 'N' THEN ni END) AS DOUBLE) AS n2,
+             CAST(max(CASE WHEN grp = 'N' THEN ai END) AS DOUBLE) AS a2,
+             CAST(max(CASE WHEN grp = 'R' THEN ni END) AS DOUBLE) AS n3,
+             CAST(max(CASE WHEN grp = 'R' THEN ai END) AS DOUBLE) AS a3
+      FROM g
+    ),
+    t AS (
+      SELECT n1, a1, n2, a2, n3, a3,
+             n1 + n2 + n3 AS nn, a1 + a2 + a3 AS aa
+      FROM ab
+    )
+    SELECT round(
+             pow(a1 - n1 * aa / nn, 2) / (n1 * aa / nn)
+             + pow((n1 - a1) - n1 * (nn - aa) / nn, 2) / (n1 * (nn - aa) / nn)
+             + pow(a2 - n2 * aa / nn, 2) / (n2 * aa / nn)
+             + pow((n2 - a2) - n2 * (nn - aa) / nn, 2) / (n2 * (nn - aa) / nn)
+             + pow(a3 - n3 * aa / nn, 2) / (n3 * aa / nn)
+             + pow((n3 - a3) - n3 * (nn - aa) / nn, 2) / (n3 * (nn - aa) / nn),
+             6) AS chi2_stat,
+           CAST(2 AS BIGINT) AS df,
+           (SELECT CAST(med AS DOUBLE) FROM med) AS grand_median,
+           CAST(aa AS BIGINT) AS above_total
+    FROM t
+    """,
+)
+def mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median chi-square across returnflag groups of l_quantity."""
+    from ..operators.bounded_seq import exclusive_prefix_sums
+
+    li = load_table(spark, sf_dir, "lineitem")
+    gh = li.groupBy(
+        F.col("l_returnflag").alias("grp"), F.col("l_quantity").alias("x")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    xh = gh.groupBy("x").agg(F.sum("c").cast("bigint").alias("cx"))
+    nt = xh.agg(F.sum("cx").cast("bigint").alias("n"))
+    cum = (
+        exclusive_prefix_sums(xh, "x", ["cx"])
+        .join(xh, "x")
+        .select("x", (F.col("prev_cx") + F.col("cx")).alias("cumc"))
+    )
+    med = (
+        cum.crossJoin(F.broadcast(nt))
+        .filter(F.col("cumc") >= F.ceil(F.col("n") / 2.0).cast("bigint"))
+        .agg(F.min("x").alias("med"))
+    )
+    g = (
+        gh.crossJoin(F.broadcast(med))
+        .groupBy("grp")
+        .agg(
+            F.sum("c").cast("bigint").alias("ni"),
+            F.sum(F.when(F.col("x") > F.col("med"), F.col("c")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("ai"),
+        )
+    )
+    ab = g.agg(
+        *[
+            F.max(F.when(F.col("grp") == grp, F.col(c))).cast("double").alias(f"{c[0]}{i}")
+            for i, grp in ((1, "A"), (2, "N"), (3, "R"))
+            for c in ("ni", "ai")
+        ]
+    )
+    t = ab.select(
+        "n1", "a1", "n2", "a2", "n3", "a3",
+        (F.col("n1") + F.col("n2") + F.col("n3")).alias("nn"),
+        (F.col("a1") + F.col("a2") + F.col("a3")).alias("aa"),
+    )
+
+    def cell(i: int):
+        n, a = F.col(f"n{i}"), F.col(f"a{i}")
+        nn, aa = F.col("nn"), F.col("aa")
+        ea = n * aa / nn
+        eb = n * (nn - aa) / nn
+        return F.pow(a - ea, F.lit(2)) / ea + F.pow((n - a) - eb, F.lit(2)) / eb
+
+    chi2 = cell(1) + cell(2) + cell(3)
+    return t.crossJoin(F.broadcast(med)).select(
+        F.round(chi2, 6).alias("chi2_stat"),
+        F.lit(2).cast("bigint").alias("df"),
+        F.col("med").cast("double").alias("grand_median"),
+        F.col("aa").cast("bigint").alias("above_total"),
+    )
