@@ -1854,3 +1854,193 @@ def mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("med").cast("double").alias("grand_median"),
         F.col("aa").cast("bigint").alias("above_total"),
     )
+
+
+# --- Mann-Kendall trend test -------------------------------------------------
+# Nonparametric monotone-trend test over the monthly revenue series — the
+# robust companion to trend_cochran_armitage (which needs pre-binned ordered
+# groups). The series is the calendar-bounded monthly rollup (<=84 rows at
+# ANY scale factor: one exact-cents groupBy scan is the only full-table
+# pass); S and the tie-corrected variance run as a broadcast triangular
+# pair join + tie-group histogram on that bounded frame. All pair terms are
+# integers, so S is exact; the z continuity correction and two-sided p
+# (portable A&S normal tail) are closed-form doubles.
+_MK_CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
+_MK_MONTHLY = f"""
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
+         CAST(sum({_MK_CENTS}) AS BIGINT) AS v
+  FROM orders GROUP BY m
+"""
+
+
+@query(
+    "mann_kendall_trend",
+    oracle=f"""
+    WITH monthly AS ({_MK_MONTHLY}),
+    pairs AS (
+      SELECT CAST(sum(CASE WHEN b.v > a.v THEN 1
+                           WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s
+      FROM monthly a JOIN monthly b ON a.m < b.m
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM monthly),
+    ties AS (
+      SELECT coalesce(CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0) AS tsum
+      FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM monthly GROUP BY v)
+      WHERE t > 1
+    ),
+    z AS (
+      SELECT s, n,
+             (n * (n - 1.0) * (2.0 * n + 5.0) - tsum) / 18.0 AS var_s
+      FROM pairs, nn, ties
+    ),
+    zz AS (
+      SELECT s, n, var_s,
+             CASE WHEN s > 0 THEN (s - 1.0) / sqrt(var_s)
+                  WHEN s < 0 THEN (s + 1.0) / sqrt(var_s)
+                  ELSE 0.0 END AS z
+      FROM z
+    )
+    SELECT s AS s_stat, n AS n_periods, round(var_s, 6) AS var_s,
+           round(z, 6) AS z_stat,
+           round(2.0 * {N.sql_norm_sf('abs(z)')}, 6) AS p_two_sided
+    FROM zz
+    """,
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall S / z / p over the monthly revenue series."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.select(
+            F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+            F.expr(N.spark_fround_int("o_totalprice * 100")).alias("cents"),
+        )
+        .groupBy("m")
+        .agg(F.sum("cents").cast("bigint").alias("v"))
+    )
+    a = monthly.select(F.col("m").alias("am"), F.col("v").alias("av"))
+    b = monthly.select(F.col("m").alias("bm"), F.col("v").alias("bv"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("am") < F.col("bm"))
+        .agg(
+            F.sum(
+                F.when(F.col("bv") > F.col("av"), 1)
+                .when(F.col("bv") < F.col("av"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    nn = monthly.agg(F.count("*").cast("bigint").alias("n"))
+    t = F.col("t")
+    ties = (
+        monthly.groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .filter(t > 1)
+        .agg(
+            F.coalesce(
+                F.sum(t * (t - 1) * (2 * t + 5)).cast("bigint"), F.lit(0).cast("bigint")
+            ).alias("tsum")
+        )
+    )
+    z = pairs.crossJoin(F.broadcast(nn)).crossJoin(F.broadcast(ties)).select(
+        "s",
+        "n",
+        (
+            (F.col("n") * (F.col("n") - 1.0) * (2.0 * F.col("n") + 5.0) - F.col("tsum"))
+            / 18.0
+        ).alias("var_s"),
+    )
+    zexpr = (
+        F.when(F.col("s") > 0, (F.col("s") - 1.0) / F.sqrt(F.col("var_s")))
+        .when(F.col("s") < 0, (F.col("s") + 1.0) / F.sqrt(F.col("var_s")))
+        .otherwise(F.lit(0.0))
+    )
+    zz = z.select("s", "n", "var_s", zexpr.alias("z"))
+    return zz.select(
+        F.col("s").alias("s_stat"),
+        F.col("n").alias("n_periods"),
+        F.round("var_s", 6).alias("var_s"),
+        F.round("z", 6).alias("z_stat"),
+        F.round(2.0 * N.norm_sf(F.abs(F.col("z"))), 6).alias("p_two_sided"),
+    )
+
+
+# --- Theil-Sen robust slope --------------------------------------------------
+# The estimator Mann-Kendall tests for: median pairwise slope of the monthly
+# revenue series. Convention pinned in both engines: the LOWER median — the
+# smallest slope whose <=-count reaches ceil(n_pairs/2) — selected by a
+# broadcast triangular join over the bounded distinct-slope histogram (repo
+# convention: no unpartitioned window). Slopes divide an exact integer cents
+# difference by an exact integer month gap, so both engines compare
+# identical doubles.
+@query(
+    "theil_sen_slope",
+    oracle=f"""
+    WITH monthly AS ({_MK_MONTHLY}),
+    slopes AS (
+      SELECT CAST(b.v - a.v AS DOUBLE)
+               / CAST(date_diff('month', a.m, b.m) AS DOUBLE) AS slope
+      FROM monthly a JOIN monthly b ON a.m < b.m
+    ),
+    np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM slopes),
+    dist AS (SELECT slope, CAST(count(*) AS BIGINT) AS c FROM slopes GROUP BY slope),
+    cum AS (
+      SELECT d1.slope, CAST(sum(d2.c) AS BIGINT) AS cumc
+      FROM dist d1 JOIN dist d2 ON d2.slope <= d1.slope GROUP BY d1.slope
+    ),
+    med AS (
+      SELECT min(slope) AS med FROM cum, np
+      WHERE cumc >= CAST(ceil(n_pairs / 2.0) AS BIGINT)
+    )
+    SELECT round((SELECT med FROM med), 6) AS slope_cents_per_month,
+           (SELECT CAST(count(*) AS BIGINT) FROM monthly) AS n_points,
+           (SELECT n_pairs FROM np) AS n_pairs
+    """,
+)
+def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen median slope (cents/month) of monthly revenue."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.select(
+            F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+            F.expr(N.spark_fround_int("o_totalprice * 100")).alias("cents"),
+        )
+        .groupBy("m")
+        .agg(F.sum("cents").cast("bigint").alias("v"))
+    )
+    a = monthly.select(F.col("m").alias("am"), F.col("v").alias("av"))
+    b = monthly.select(F.col("m").alias("bm"), F.col("v").alias("bv"))
+    # try_divide, not "/": the downstream s2 <= slope join infers an
+    # isnotnull(slope) constraint that Catalyst pushes INTO this join's
+    # condition ahead of am < bm, so ANSI "/" would raise DIVIDE_BY_ZERO on
+    # the am >= bm pairs it probes. Real pairs always have gap >= 1 month.
+    slopes = a.join(F.broadcast(b), F.col("am") < F.col("bm")).select(
+        F.try_divide(
+            (F.col("bv") - F.col("av")).cast("double"),
+            F.months_between(F.col("bm"), F.col("am")).cast("double"),
+        ).alias("slope")
+    )
+    np_ = slopes.agg(F.count("*").cast("bigint").alias("n_pairs"))
+    dist = slopes.groupBy("slope").agg(F.count("*").cast("bigint").alias("c"))
+    d2 = dist.select(F.col("slope").alias("s2"), F.col("c").alias("c2"))
+    cum = (
+        dist.join(F.broadcast(d2), F.col("s2") <= F.col("slope"))
+        .groupBy("slope")
+        .agg(F.sum("c2").cast("bigint").alias("cumc"))
+    )
+    med = (
+        cum.crossJoin(F.broadcast(np_))
+        .filter(F.col("cumc") >= F.ceil(F.col("n_pairs") / 2.0).cast("bigint"))
+        .agg(F.min("slope").alias("med"))
+    )
+    npoints = monthly.agg(F.count("*").cast("bigint").alias("n_points"))
+    return (
+        med.crossJoin(F.broadcast(npoints))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            F.round("med", 6).alias("slope_cents_per_month"),
+            F.col("n_points"),
+            F.col("n_pairs"),
+        )
+    )
