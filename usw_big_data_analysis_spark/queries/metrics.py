@@ -1398,3 +1398,88 @@ def calibration_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- cumulative gains / lift table ------------------------------------------
+# The marketing-facing view of the same ranking AUROC scores: sort by
+# predicted probability descending, cut into ten deciles, report cumulative
+# capture (gain) and lift per decile. Decile assignment is pinned at the
+# DISTINCT-SCORE level so it is partitioning- and engine-independent: every
+# row with the same prob lands in decile ceil(10 * inclusive_cum_n / N)
+# computed over the <=1000-row score histogram (ntile() over raw rows would
+# split tied scores arbitrarily). Gains/lift stay integer until the final
+# two divisions.
+@query(
+    "metric_lift_gains",
+    oracle=f"""
+    WITH s AS ({_SCORED_SQL}),
+    hist AS (
+      SELECT prob, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(label AS BIGINT)) AS BIGINT) AS pos
+      FROM s GROUP BY prob
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(pos) AS BIGINT) AS np FROM hist),
+    dec AS (
+      SELECT CAST(ceil(10.0 * (sum(n) OVER (ORDER BY prob DESC)) / nn) AS BIGINT) AS decile,
+             n, pos
+      FROM hist, tot
+    ),
+    d AS (
+      SELECT decile, CAST(sum(n) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS pos
+      FROM dec GROUP BY decile
+    ),
+    c AS (
+      SELECT decile, n, pos,
+             CAST(sum(n) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+             CAST(sum(pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos
+      FROM d
+    )
+    SELECT decile, n, pos, cum_n, cum_pos,
+           round(CAST(cum_pos AS DOUBLE) / np, 6) AS gain,
+           round((CAST(cum_pos AS DOUBLE) / cum_n) / (CAST(np AS DOUBLE) / nn), 6) AS lift
+    FROM c, tot
+    """,
+)
+def metric_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile cumulative-gains/lift table of the scored frame."""
+    s = scored_frame(spark, sf_dir)
+    hist = s.groupBy("prob").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("label").cast("bigint")).cast("bigint").alias("pos"),
+    )
+    tot = hist.agg(
+        F.sum("n").cast("bigint").alias("nn"), F.sum("pos").cast("bigint").alias("np")
+    )
+    # inclusive cum count from the TOP score down, on the bounded histogram
+    keyed = hist.withColumn("negp", -F.col("prob"))
+    cum = (
+        exclusive_prefix_sums(keyed, "negp", ["n"])
+        .join(keyed, "negp")
+        .select("prob", "n", "pos", (F.col("prev_n") + F.col("n")).alias("cumn"))
+    )
+    dec = cum.crossJoin(F.broadcast(tot)).select(
+        F.ceil(10.0 * F.col("cumn") / F.col("nn")).cast("bigint").alias("decile"),
+        "n",
+        "pos",
+    )
+    d = dec.groupBy("decile").agg(
+        F.sum("n").cast("bigint").alias("n"), F.sum("pos").cast("bigint").alias("pos")
+    )
+    c = (
+        exclusive_prefix_sums(d, "decile", ["n", "pos"])
+        .join(d, "decile")
+        .select(
+            "decile", "n", "pos",
+            (F.col("prev_n") + F.col("n")).cast("bigint").alias("cum_n"),
+            (F.col("prev_pos") + F.col("pos")).cast("bigint").alias("cum_pos"),
+        )
+    )
+    return c.crossJoin(F.broadcast(tot)).select(
+        "decile", "n", "pos", "cum_n", "cum_pos",
+        F.round(F.col("cum_pos").cast("double") / F.col("np"), 6).alias("gain"),
+        F.round(
+            (F.col("cum_pos").cast("double") / F.col("cum_n"))
+            / (F.col("np").cast("double") / F.col("nn")),
+            6,
+        ).alias("lift"),
+    )

@@ -2044,3 +2044,96 @@ def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_pairs"),
         )
     )
+
+
+# --- CUPED variance reduction ------------------------------------------------
+# The experimentation-platform companion to ab_test_ztest: variance reduction
+# of a post-period metric using the pre-period value of the same metric as
+# the CUPED covariate (Deng et al., WSDM 2013). Units are customers; X = pre-1998
+# revenue cents, Y = 1998+ revenue cents, both exact integer sums from
+# ONE orders scan + one per-customer groupBy. theta = cov(X,Y)/var(X) and
+# var(Y - theta X) = var(Y) - cov^2/var(X) come closed-form from the global
+# sufficient statistics (single row; fixed evaluation order, so double math
+# is engine- and partitioning-stable). Cross products are summed as
+# DECIMAL(38,0) — one factor widened to 19 digits so DuckDB leaves its
+# int64 multiply kernel.
+@query(
+    "ab_cuped_adjustment",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                           THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                           THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS y
+      FROM orders GROUP BY o_custkey
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) AS sx,
+             CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS sy,
+             CAST(sum(CAST(CAST(x AS DECIMAL(19,0))
+                           * CAST(y AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(CAST(x AS DECIMAL(19,0))
+                           * CAST(x AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(CAST(y AS DECIMAL(19,0))
+                           * CAST(y AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DOUBLE) AS syy
+      FROM per_cust
+    ),
+    m AS (
+      SELECT n,
+             (sxx - sx * sx / n) / n AS var_x,
+             (syy - sy * sy / n) / n AS var_y,
+             (sxy - sx * sy / n) / n AS cov_xy
+      FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n_units,
+           round(cov_xy / var_x, 6) AS theta,
+           round(var_y, 6) AS var_y,
+           round(var_y - cov_xy * cov_xy / var_x, 6) AS var_y_adj,
+           round(cov_xy * cov_xy / (var_x * var_y), 6) AS var_reduction
+    FROM m
+    """,
+)
+def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED theta and variance reduction from pre/post per-customer revenue."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.expr(N.spark_fround_int("o_totalprice * 100"))
+    cut = F.lit("1998-01-01").cast("timestamp_ntz")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.when(F.col("o_orderdate") < cut, cents).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("o_orderdate") >= cut, cents).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("y"),
+    )
+    x19 = F.col("x").cast("decimal(19,0)")
+    y19 = F.col("y").cast("decimal(19,0)")
+    s = per_cust.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("bigint").cast("double").alias("sx"),
+        F.sum("y").cast("bigint").cast("double").alias("sy"),
+        F.sum((x19 * y19).cast("decimal(38,0)")).cast("double").alias("sxy"),
+        F.sum((x19 * x19).cast("decimal(38,0)")).cast("double").alias("sxx"),
+        F.sum((y19 * y19).cast("decimal(38,0)")).cast("double").alias("syy"),
+    )
+    m = s.select(
+        "n",
+        ((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / F.col("n")).alias("var_x"),
+        ((F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")) / F.col("n")).alias("var_y"),
+        ((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / F.col("n")).alias("cov_xy"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_units"),
+        F.round(F.col("cov_xy") / F.col("var_x"), 6).alias("theta"),
+        F.round(F.col("var_y"), 6).alias("var_y"),
+        F.round(
+            F.col("var_y") - F.col("cov_xy") * F.col("cov_xy") / F.col("var_x"), 6
+        ).alias("var_y_adj"),
+        F.round(
+            F.col("cov_xy") * F.col("cov_xy") / (F.col("var_x") * F.col("var_y")), 6
+        ).alias("var_reduction"),
+    )
