@@ -1191,3 +1191,37 @@ def group_quantiles_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- grouped mode with deterministic tie-break -------------------------------
+@query(
+    "groupby_mode",
+    oracle="""
+    WITH cnts AS (
+      SELECT l_returnflag AS grp, l_quantity AS v, CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    mx AS (SELECT grp, max(c) AS mc FROM cnts GROUP BY grp)
+    SELECT c.grp, min(c.v) AS mode_value, CAST(m.mc AS BIGINT) AS mode_count
+    FROM cnts c JOIN mx m ON c.grp = m.grp AND c.c = m.mc
+    GROUP BY c.grp, m.mc
+    """,
+)
+def groupby_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group modal value of l_quantity, ties broken to the SMALLEST
+    value (df.mode() semantics pinned deterministically; impute_mode uses
+    the same convention for its fill constant). Two map-side-combinable
+    aggregations over the bounded (group, value) histogram — no window, no
+    sort; the argmax is a self-join on the <=groups-row max frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cnts = li.groupBy(
+        F.col("l_returnflag").alias("grp"), F.col("l_quantity").alias("v")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    mx = cnts.groupBy("grp").agg(F.max("c").alias("mc"))
+    return (
+        cnts.join(F.broadcast(mx), ["grp"])
+        .filter(F.col("c") == F.col("mc"))
+        .groupBy("grp", "mc")
+        .agg(F.min("v").alias("mode_value"))
+        .select("grp", "mode_value", F.col("mc").cast("bigint").alias("mode_count"))
+    )

@@ -2137,3 +2137,108 @@ def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cov_xy") * F.col("cov_xy") / (F.col("var_x") * F.col("var_y")), 6
         ).alias("var_reduction"),
     )
+
+
+# --- post-hoc power + minimum detectable effect for the A/B readout ----------
+# Completes the experimentation trio (ab_test_ztest -> ab_cuped_adjustment ->
+# here): given the observed arms, how much power did the test have, and what
+# effect COULD it have detected at 80% power? Same per-user conversion frame
+# as ab_test_ztest; both normal tails of the power integral use the portable
+# A&S polynomial (power = SF(z_crit - e) + SF(z_crit + e), e = |d|/se_alt),
+# so Spark and DuckDB evaluate the identical Horner text. z constants are
+# literals: 1.959964 = z_{0.975}, 0.841621 = z_{0.8}.
+@query(
+    "ab_test_power",
+    oracle=f"""
+    WITH conv AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS INT) AS grp,
+             CAST(max(CAST(event_type = 'purchase' AND value > 80 AS INT))
+                  AS BIGINT) AS converted
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN grp = 0 THEN converted ELSE 0 END) AS BIGINT) AS x_a,
+             CAST(sum(CASE WHEN grp = 1 THEN converted ELSE 0 END) AS BIGINT) AS x_b
+      FROM conv
+    ),
+    p AS (
+      SELECT n_a, n_b,
+             CAST(x_a AS DOUBLE) / n_a AS p_a,
+             CAST(x_b AS DOUBLE) / n_b AS p_b,
+             CAST(x_a + x_b AS DOUBLE) / (n_a + n_b) AS pp
+      FROM g
+    ),
+    e AS (
+      SELECT n_a, n_b, p_a, p_b,
+             abs(p_a - p_b) AS d,
+             sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b)) AS se_null,
+             sqrt(p_a * (1.0 - p_a) / n_a + p_b * (1.0 - p_b) / n_b) AS se_alt
+      FROM p
+    ),
+    z AS (SELECT n_a, n_b, p_a, p_b, d, se_null,
+                 d / nullif(se_alt, 0) AS eff FROM e)
+    SELECT n_a, n_b, round(p_a, 6) AS p_a, round(p_b, 6) AS p_b,
+           round(d, 6) AS abs_diff,
+           round({N.sql_norm_sf('1.959964 - eff')}
+                 + {N.sql_norm_sf('1.959964 + eff')}, 6) AS power_posthoc,
+           round((1.959964 + 0.841621) * se_null, 6) AS mde_80
+    FROM z
+    """,
+)
+def ab_test_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-hoc power and 80%-power MDE of the two-proportion A/B test."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.groupBy("user_id").agg(
+        F.expr("CAST(user_id % 2 AS INT) AS grp"),
+        F.expr(
+            "CAST(max(CAST(event_type = 'purchase' AND value > 80 AS INT))"
+            " AS BIGINT) AS converted"
+        ),
+    )
+    g = conv.agg(
+        F.expr("CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a"),
+        F.expr("CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b"),
+        F.expr("CAST(sum(CASE WHEN grp = 0 THEN converted ELSE 0 END) AS BIGINT) AS x_a"),
+        F.expr("CAST(sum(CASE WHEN grp = 1 THEN converted ELSE 0 END) AS BIGINT) AS x_b"),
+    )
+    p = g.select(
+        "n_a",
+        "n_b",
+        (F.col("x_a").cast("double") / F.col("n_a")).alias("p_a"),
+        (F.col("x_b").cast("double") / F.col("n_b")).alias("p_b"),
+        ((F.col("x_a") + F.col("x_b")).cast("double") / (F.col("n_a") + F.col("n_b"))).alias("pp"),
+    )
+    e = p.select(
+        "n_a", "n_b", "p_a", "p_b",
+        F.abs(F.col("p_a") - F.col("p_b")).alias("d"),
+        F.sqrt(
+            F.col("pp") * (1.0 - F.col("pp")) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+        ).alias("se_null"),
+        F.sqrt(
+            F.col("p_a") * (1.0 - F.col("p_a")) / F.col("n_a")
+            + F.col("p_b") * (1.0 - F.col("p_b")) / F.col("n_b")
+        ).alias("se_alt"),
+    )
+    # nullif guard: a degenerate split (every arm-user converted or none
+    # did) gives se_alt = 0; both engines then emit NULL power, not a crash
+    # (Spark ANSI raises DIVIDE_BY_ZERO even for doubles).
+    z = e.select(
+        "n_a", "n_b", "p_a", "p_b", "d", "se_null",
+        (F.col("d") / F.expr("nullif(se_alt, 0.0D)")).alias("eff"),
+    )
+    return z.select(
+        "n_a",
+        "n_b",
+        F.round("p_a", 6).alias("p_a"),
+        F.round("p_b", 6).alias("p_b"),
+        F.round("d", 6).alias("abs_diff"),
+        F.round(
+            N.norm_sf(F.lit(1.959964) - F.col("eff"))
+            + N.norm_sf(F.lit(1.959964) + F.col("eff")),
+            6,
+        ).alias("power_posthoc"),
+        F.round((1.959964 + 0.841621) * F.col("se_null"), 6).alias("mde_80"),
+    )

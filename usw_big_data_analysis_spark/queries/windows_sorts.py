@@ -446,3 +446,48 @@ def skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.expr("p_size = pmax AND p_size > strict_max"))
         .select("p_partkey", "p_retailprice", "p_size")
     )
+
+
+# --- per-key rolling (trailing-7) exact median over event time ---------------
+@query(
+    "rolling_median_user",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             list_sort(list(value)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS l
+      FROM events
+    )
+    SELECT event_id, user_id, ts_us,
+           CASE WHEN len(l) % 2 = 1 THEN l[(len(l) + 1) // 2]
+                ELSE (l[len(l) // 2] + l[len(l) // 2 + 1]) / 2.0 END
+             AS rolling_median7
+    FROM w
+    """,
+)
+def rolling_median_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-event exact median per user — the robust companion to
+    rolling_mean_user. The frame's values are collected and sorted per row
+    (bounded: 7 doubles), and the even-count interpolation is written as the
+    same (a+b)/2 expression in both engines, so results are bit-exact.
+    User-partitioned window only; parallel across users at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts").rowsBetween(-6, 0)
+    l = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(l)
+    med = F.when(
+        n % 2 == 1, F.element_at(l, ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        (
+            F.element_at(l, (n / 2).cast("int"))
+            + F.element_at(l, (n / 2 + 1).cast("int"))
+        )
+        / 2.0
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        med.alias("rolling_median7"),
+    )
