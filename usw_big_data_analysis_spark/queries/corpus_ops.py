@@ -894,3 +894,76 @@ def corpus_source_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT) AS dropped_tokens"
         ),
     )
+
+
+# --- curriculum ordering: difficulty-sorted, source-interleaved --------------
+# The training-order step of a data pipeline: feed easy (short) documents
+# first, but round-robin across sources so no single source dominates any
+# phase of training (curriculum learning + source balancing in one order).
+@query(
+    "curriculum_interleave",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS INT) AS difficulty
+      FROM documents
+    ),
+    r AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY source
+                       ORDER BY difficulty, doc_id) AS INT) AS rn
+      FROM t
+    )
+    SELECT doc_id, source, difficulty, rn,
+           CAST(row_number() OVER (ORDER BY rn, source) AS INT) AS global_pos
+    FROM r
+    """,
+)
+def curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum order: rank docs inside each source by
+    difficulty (whitespace token count, doc_id tie-break), then interleave
+    sources round-robin — global order = (rn, source).
+
+    The oracle states the semantics with a global row_number; the Spark plan
+    must NOT (unpartitioned window = single-partition sort of the corpus).
+    Instead the interleaved position is closed-form from the bounded
+    per-source size table S (sources are a curated catalog, ~dozens):
+
+        global_pos = 1 + SUM_{s'} min(n_{s'}, rn-1)
+                       + |{s' < source : n_{s'} >= rn}|
+
+    (docs of any source with smaller rn, plus same-rn docs of earlier
+    sources). S is collected into ONE array struct, broadcast, and each row
+    evaluates the two terms with higher-order array functions — the only
+    shuffles are the source-partitioned window and the 20-row count agg;
+    everything after is map-only at any corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("int").alias("difficulty"),
+    )
+    w = Window.partitionBy("source").orderBy("difficulty", "doc_id")
+    r = t.withColumn("rn", F.row_number().over(w).cast("int"))
+    counts = r.groupBy("source").agg(F.count("*").cast("int").alias("n"))
+    arr = counts.agg(
+        F.collect_list(
+            F.struct(F.col("source").alias("s"), F.col("n").alias("n"))
+        ).alias("__cnts")
+    )
+    pos = (
+        F.expr(
+            "aggregate(__cnts, 0, (acc, x) -> acc + least(x.n, rn - 1))"
+        )
+        + F.expr("size(filter(__cnts, x -> x.s < source AND x.n >= rn))")
+        + F.lit(1)
+    )
+    return (
+        r.crossJoin(F.broadcast(arr))
+        .select(
+            "doc_id",
+            "source",
+            "difficulty",
+            "rn",
+            pos.cast("int").alias("global_pos"),
+        )
+    )
