@@ -1225,3 +1225,56 @@ def groupby_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("v").alias("mode_value"))
         .select("grp", "mode_value", F.col("mc").cast("bigint").alias("mode_count"))
     )
+
+
+# --- pandas-.T parity: transposed per-flag summary ---------------------------
+# The reference's EDA leans on small-frame `.T` (reference:
+# final-assignment/experiments/target_eda.py:155, teamProject/eda.ipynb);
+# Spark 4's DataFrame.transpose covers that surface natively.
+@query(
+    "transpose_stats",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag AS f,
+             CAST(count(*) AS DOUBLE) AS n_items,
+             CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DECIMAL(38,2))
+                  AS DOUBLE) AS sum_qty,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2)))
+                       AS DECIMAL(38,2)) AS DOUBLE) AS sum_price,
+             max(l_tax) AS max_tax,
+             min(l_discount) AS min_disc
+      FROM lineitem GROUP BY 1
+    )
+    SELECT u.key,
+           max(CASE WHEN g.f = 'A' THEN u.v END) AS A,
+           max(CASE WHEN g.f = 'N' THEN u.v END) AS N,
+           max(CASE WHEN g.f = 'R' THEN u.v END) AS R
+    FROM g, LATERAL (VALUES ('n_items', g.n_items), ('sum_qty', g.sum_qty),
+                            ('sum_price', g.sum_price), ('max_tax', g.max_tax),
+                            ('min_disc', g.min_disc)) AS u(key, v)
+    GROUP BY u.key
+    """,
+)
+def transpose_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag summary flipped metrics-as-rows via Spark 4's native
+    DataFrame.transpose — the pandas `.T` EDA idiom. The transposed frame is
+    the BOUNDED 3-row aggregate (one row per flag), so the driver-side
+    column-name materialization transpose needs is over grouped output, never
+    raw rows; the only shuffle is the map-side-combined groupBy. Sums run
+    exact (DECIMAL(38,2)) before the final double cast, so each cell is the
+    identical IEEE value in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_returnflag").alias("f")).agg(
+        F.count("*").cast("double").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(38,2)"))
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(38,2)"))
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("sum_price"),
+        F.max("l_tax").alias("max_tax"),
+        F.min("l_discount").alias("min_disc"),
+    )
+    return g.transpose("f")  # transpose names the metric column "key"
