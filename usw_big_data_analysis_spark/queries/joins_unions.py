@@ -200,7 +200,7 @@ def intersect_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p.p_brand,
            count(*) AS n,
-           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,10))) AS DOUBLE)
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
              AS sum_price
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_brand ORDER BY p.p_brand
@@ -211,7 +211,14 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     salt = pmod(hash(orderkey), 16), the dim side is exploded 16× — the
     join key (partkey, salt) spreads any hot partkey over 16 partitions.
     Salting is semantically invisible, so the oracle is the PLAIN join —
-    hash-matching proves the salt introduced no duplication or loss."""
+    hash-matching proves the salt introduced no duplication or loss.
+
+    Oracle decimal scale is 6, mirroring dsum's decimal(25,6), NOT a higher
+    scale: DuckDB's DECIMAL->DOUBLE cast double-rounds once the scaled
+    integer exceeds 2^53, so a scale-10 sum of ~1e9 money values (1e19
+    scaled) drifts a last ulp from Spark's correctly-rounded cast — caught
+    by the full sf0.1 parity sweep (round 4). Scale 6 keeps per-brand sums
+    ~1e15 < 2^53 and quantizes 2dp money identically in both engines."""
     from ..functions import numeric as N
     from ..operators.skew import salted_join
 
@@ -236,7 +243,7 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderstatus,
            count(*) AS n,
-           CAST(sum(CAST(l.l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sum_qty
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
     """,

@@ -289,7 +289,7 @@ def elementwise_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
            count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1 ORDER BY 1
     """,
@@ -306,7 +306,7 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(k.alias("k"))
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(38,10)")).cast("double").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
         )
         .orderBy("k")
     )

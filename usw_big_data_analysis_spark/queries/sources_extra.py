@@ -199,7 +199,7 @@ def sink_excel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sink_partitioned_scan",
     oracle="""
     SELECT event_type, count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
     FROM events WHERE event_type IN ('click', 'purchase')
     GROUP BY event_type ORDER BY event_type
     """,
@@ -221,7 +221,7 @@ def sink_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(38,10)")).cast("double").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
         )
         .orderBy("event_type")
     )
