@@ -1116,3 +1116,88 @@ def duplicate_order_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter("n_orders >= 2")
     )
+
+
+# --- exponential-smoothing level over the monthly series ----------------------
+# Forecasting cap for the time-series family (acf / seasonal decompose /
+# Mann-Kendall / Theil-Sen are diagnostics; this is the smoother). alpha is
+# FIXED at 1/2 so every weight is a power of two: the windowed weighted sum
+# stays an exact dyadic integer in both engines (monthly cents < 2^46,
+# weights <= 2^11, 12 terms -> < 2^53), the 2^k divisions only shift the
+# exponent, and the single /100 rounding is the one IEEE operation — so the
+# level is bit-identical cross-engine with NO decimal machinery.
+@query(
+    "forecast_ses_monthly",
+    oracle="""
+    WITH mo AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS mi,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT month, mi, cents,
+             list(mi)    OVER fr AS mis,
+             list(cents) OVER fr AS vs
+      FROM mo
+      WINDOW fr AS (ORDER BY mi RANGE BETWEEN 11 PRECEDING AND CURRENT ROW)
+    )
+    SELECT month, cents,
+           CAST(len(vs) AS INT) AS n_window,
+           CAST(list_sum(list_transform(range(1, len(vs) + 1),
+                  i -> CAST(vs[i] AS DOUBLE)
+                       * (2 ** greatest(len(vs) - (mi - mis[i]) - 2, 0))))
+                AS DOUBLE)
+             / (2 ** (len(vs) - 1)) / 100.0 AS ses_level
+    FROM w
+    """,
+)
+def forecast_ses_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple exponential smoothing (alpha = 1/2) of monthly revenue over a
+    trailing 12-calendar-month window; `ses_level` is the smoothed level =
+    the flat one-step-ahead forecast.
+
+    Semantics (both engines compute the same closed form of the SES
+    recursion s := (s + y)/2 seeded at the window's oldest month): with
+    frame values v_1..v_n oldest-to-newest,
+        level = ( v_1 + sum_{i>=2} v_i * 2^(i-2) ) / 2^(n-1).
+
+    Plan: the monthly rollup is the only full-table shuffle; the trailing
+    window is a broadcast self-join of the BOUNDED month series on a
+    calendar-month band (never an unpartitioned window), aggregated back
+    with struct-min for the oldest term. The oracle formulates the same
+    series through DuckDB's native RANGE frame + list fold — independent
+    implementations, identical dyadic arithmetic."""
+    orders = load_table(spark, sf_dir, "orders")
+    mo = (
+        orders.select(
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+            F.expr(
+                "CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT)"
+            ).alias("mi"),
+            F.expr(_CENTS_S).alias("c"),
+        )
+        .groupBy("month", "mi")
+        .agg(F.expr("CAST(sum(c) AS BIGINT) AS cents"))
+    )
+    right = mo.select(F.col("mi").alias("mi2"), F.col("cents").alias("v2"))
+    j = mo.join(
+        F.broadcast(right),
+        (F.col("mi2") >= F.col("mi") - 11) & (F.col("mi2") <= F.col("mi")),
+    )
+    # U = sum(v * 2^(11-g)) + v_oldest * 2^(12-n)  ==  level * 2^12 exactly
+    g = j.groupBy("month", "mi", "cents").agg(
+        F.expr("CAST(count(*) AS INT) AS n_window"),
+        F.expr("sum(v2 * shiftleft(CAST(1 AS BIGINT), 11 - (mi - mi2))) AS part"),
+        F.expr("min(struct(mi2, v2)).v2 AS v_oldest"),
+    )
+    return g.select(
+        "month",
+        "cents",
+        "n_window",
+        F.expr(
+            "CAST(part + v_oldest * shiftleft(CAST(1 AS BIGINT), 12 - n_window)"
+            " AS DOUBLE) / 4096.0 / 100.0"
+        ).alias("ses_level"),
+    )
