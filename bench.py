@@ -31,7 +31,58 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "embed_cosine_topk",
     "stream_session",
+    # LLM-pipeline extension surface (VERDICT r4 #5): the families that now
+    # dominate the registry get perf tracking too. gbm_histogram_train is
+    # rows-only (no DuckDB oracle) — wall-time trend only, excluded from
+    # the ratio aggregate.
+    "tokenizer_bpe_merges",
+    "pipeline_docs_clean",
+    "gbm_histogram_train",
+    "embed_ann_ivfpq",
 ]
+
+# Methodology tag recorded in the output and required to match before
+# cold-vs-cold regression comparisons: r01-r03 rebuilt the plan inside every
+# cold iteration, r04+ executes the pre-analyzed plan (except
+# SELF_MATERIALIZING keys) — mixing the two under-detects regressions
+# (ADVICE r4). prepared_s has been methodology-stable since r02 and is the
+# primary regression signal.
+METHODOLOGY = "cold_prebuilt_v2"
+
+# Queries whose build step eagerly computes DATA-DEPENDENT state
+# (metric_auroc localCheckpoints its <=10^6-row distinct-prob table; describe
+# runs its pass-1 moment/histogram aggregation and bakes the results in as
+# plan literals; the BPE/GBM/pipeline trainers run driver loops). A cached
+# DataFrame would skip that fact work — and is only valid for one data
+# snapshot anyway — so these are rebuilt inside every timed iteration:
+# build + execute both land in the measured region. (Verified by job-count
+# probe: all other headline builds run zero compute jobs beyond footer reads
+# / tiny query-vector collects.)
+SELF_MATERIALIZING_DOC = {
+    # metric_auroc left this set in r5: its rank fold is now a pure
+    # declarative chain (no localCheckpoint, zero build-time jobs)
+    "describe",
+    # driver-loop trainers: BPE collects one top pair per round, GBM
+    # aggregates one histogram per tree level, and the cleaning pipeline's
+    # connected-components iterates to fixpoint — the build IS the
+    # computation, so it must land inside the timed region
+    "tokenizer_bpe_merges",
+    "gbm_histogram_train",
+    "pipeline_docs_clean",
+}
+
+
+def _load_prev_bench(path: str) -> dict:
+    """Parse a prior bench record: either bench.py's raw JSON line or the
+    driver's BENCH_r*.json, which nests that line under "parsed" (ADVICE r4
+    — the guard previously read the top level and always saw {})."""
+    with open(path) as fh:
+        d = json.load(fh)
+    if not isinstance(d, dict):
+        return {}
+    if "queries" not in d and isinstance(d.get("parsed"), dict):
+        d = d["parsed"]
+    return d
 
 
 def _bench_variants() -> dict:
@@ -88,16 +139,7 @@ def main() -> None:
     qs = all_queries()
     qs.update(_bench_variants())
 
-    # Queries whose build step eagerly computes DATA-DEPENDENT state
-    # (metric_auroc localCheckpoints its <=10^6-row distinct-prob table;
-    # describe runs its pass-1 moment/histogram aggregation and bakes the
-    # results in as plan literals). A cached DataFrame would skip that fact
-    # work — and is only valid for one data snapshot anyway — so these are
-    # rebuilt inside every timed iteration: build + execute both land in
-    # the measured region. (Verified by job-count probe: all other headline
-    # builds run zero compute jobs beyond footer reads / tiny query-vector
-    # collects.)
-    SELF_MATERIALIZING = {"metric_auroc", "describe"}
+    SELF_MATERIALIZING = SELF_MATERIALIZING_DOC
 
     # Plan-cache methodology (VERDICT r3 #2): each headline DataFrame is
     # analyzed ONCE (the production shape — a plan compiles once and runs
@@ -149,19 +191,30 @@ def main() -> None:
             best = min(best, time.time() - t0)
         prepared[name] = round(best, 3)
 
-    # regression guard (VERDICT r3 #9): compare per-query cold times to the
-    # newest recorded BENCH_r*.json and flag anything >10% slower
+    # regression guard (VERDICT r3 #9, loader fixed per ADVICE r4): compare
+    # to the newest recorded BENCH_r*.json. prepared_s is methodology-stable
+    # across rounds and is always compared; cold is compared only when the
+    # prior record carries the same methodology tag.
     regressions: dict[str, dict[str, float]] = {}
     try:
         import glob
 
         prior = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
         if prior:
-            with open(prior[-1]) as fh:
-                prev = json.load(fh).get("queries", {})
-            for n, t in times.items():
-                if n in prev and prev[n] > 0 and t > prev[n] * 1.10:
-                    regressions[n] = {"prev_s": prev[n], "now_s": t}
+            prev = _load_prev_bench(prior[-1])
+            prev_prep = prev.get("prepared_s") or {}
+            for n, t in prepared.items():
+                if n in prev_prep and prev_prep[n] > 0 and t > prev_prep[n] * 1.10:
+                    regressions[n] = {
+                        "prev_prepared_s": prev_prep[n], "now_prepared_s": t
+                    }
+            if prev.get("methodology") == METHODOLOGY:
+                prev_cold = prev.get("queries") or {}
+                for n, t in times.items():
+                    if n in prev_cold and prev_cold[n] > 0 and t > prev_cold[n] * 1.10:
+                        regressions.setdefault(n, {}).update(
+                            {"prev_s": prev_cold[n], "now_s": t}
+                        )
     except (OSError, ValueError):
         pass  # bench must never fail on a malformed prior record
 
@@ -169,18 +222,22 @@ def main() -> None:
     ratio = {
         n: round(times[n] / duck[n], 2) for n in times if n in duck and duck[n] > 0
     }
-    total_spark = round(sum(times.values()), 3)
+    # the 2x aggregate contract is graded over oracle-comparable keys only;
+    # rows-only keys (no DuckDB oracle) are reported as wall-time trend
+    total_spark = round(sum(t for n, t in times.items() if n in duck), 3)
     total_duck = round(sum(duck.values()), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    prepared_comparable = sum(t for n, t in prepared.items() if n in duck)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": total_spark,
+                "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "methodology": METHODOLOGY,
                 "duck_s": duck,
                 "ratio": ratio,
                 "duck_total_s": total_duck,
@@ -192,7 +249,7 @@ def main() -> None:
                 "prepared_s": prepared,
                 "prepared_total_s": round(sum(prepared.values()), 3),
                 "prepared_total_ratio": round(
-                    sum(prepared.values()) / total_duck, 2
+                    prepared_comparable / total_duck, 2
                 )
                 if total_duck
                 else None,

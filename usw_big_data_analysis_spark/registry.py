@@ -37,7 +37,7 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-# Keys that already have a driver correctness row (CORRECTNESS_r01 ∪ r02 ∪ r03).
+# Keys that already have a driver correctness row (CORRECTNESS_r01 ∪ … ∪ r04).
 # The driver's per-round gate samples queries() in iteration order, so
 # all_queries() floats never-driver-checked keys to the front (within the
 # deliberate family order set by queries/__init__.py ALL_MODULES) and sinks
@@ -46,76 +46,82 @@ def query(name: str, oracle: str | None = None):
 #   sorted(set(r01_keys) | set(r02_keys) | ...)
 _DRIVER_CHECKED: frozenset[str] = frozenset({
     'align_inner', 'anomaly_zscore', 'anova_f', 'argmax_threshold', 'best_model_select',
-    'chi2', 'class_distribution_check', 'concat_cols', 'corr_matrix', 'corr_target',
-    'corr_tests', 'crosstab_margins', 'cumsum_curve', 'cv_stratified_kfold', 'dedup_clusters',
-    'dedup_embed_cosine', 'dedup_exact', 'dedup_minhash_lsh', 'dedup_ngram_jaccard', 'dedup_simhash',
-    'describe', 'embed_ann_lsh', 'embed_cosine_topk', 'embed_pq_assign', 'encode_cat_int',
-    'encode_hash_trick', 'encode_label', 'filter_class', 'filter_isin', 'filter_mask_cols',
-    'filter_notnull', 'filter_range', 'global_stats', 'groupby_agg', 'groupby_mean_multi',
-    'groupby_median', 'impute_mean', 'impute_median', 'impute_mode', 'infer_categorical',
-    'intersect_names', 'join_asof', 'join_bucketed', 'join_pred_truth', 'join_range',
-    'join_salted_skew', 'join_xy', 'knn_lsh', 'kruskal', 'ks_2samp',
-    'lag_diff_user', 'limit_head', 'linreg_ols_group', 'mannwhitney', 'metric_accuracy',
-    'metric_auroc', 'metric_calibration', 'metric_cohens_kappa', 'metric_confusion', 'metric_f1',
-    'metric_logloss', 'metric_mcnemar', 'null_profile', 'pipeline_docs_clean', 'pivot_table',
-    'project_drop', 'project_dtype', 'project_prefix', 'prune_corr', 'q1_pricing_summary',
-    'quantiles_iqr', 'rank_features', 'rolling_mean_user', 'sample_per_class', 'scale_power',
+    'bm25_doc_ranking', 'chi2', 'class_distribution_check', 'concat_cols', 'corr_matrix',
+    'corr_target', 'corr_tests', 'crosstab_margins', 'cumsum_curve', 'cv_stratified_kfold',
+    'decontam_ngram', 'dedup_block_hash', 'dedup_bucket_stats', 'dedup_cluster_size_dist', 'dedup_clusters',
+    'dedup_containment', 'dedup_cross_source_overlap', 'dedup_embed_cosine', 'dedup_exact', 'dedup_incremental_bands',
+    'dedup_keep_priority', 'dedup_minhash_band_sweep', 'dedup_minhash_lsh', 'dedup_minhash_salted', 'dedup_ngram_jaccard',
+    'dedup_pair_evidence', 'dedup_rate_by_source', 'dedup_simhash', 'dedup_simhash_hamming', 'dedup_span_c4',
+    'dedup_two_stage_funnel', 'describe', 'doc_chunk_fixed', 'doc_length_overflow', 'doc_sample_hash',
+    'embed_ann_ivf', 'embed_ann_lsh', 'embed_ann_multitable', 'embed_ann_recall', 'embed_cosine_topk',
+    'embed_cosine_topk_pandas', 'embed_dedup_threshold_sweep', 'embed_jl_projection_audit', 'embed_label_centroid_drift', 'embed_lsh_tuning_curve',
+    'embed_matryoshka_recall', 'embed_norm_audit', 'embed_pq_assign', 'embed_pq_search', 'embed_quantize_int8',
+    'encode_cat_int', 'encode_hash_trick', 'encode_label', 'filter_class', 'filter_isin',
+    'filter_mask_cols', 'filter_notnull', 'filter_range', 'fuzzy_join_names', 'global_stats',
+    'groupby_agg', 'groupby_mean_multi', 'groupby_median', 'impute_mean', 'impute_median',
+    'impute_mode', 'infer_categorical', 'intersect_names', 'inverted_index', 'join_asof',
+    'join_bucketed', 'join_pred_truth', 'join_range', 'join_salted_skew', 'join_xy',
+    'kmeans_spherical', 'knn_hard_negatives', 'knn_lsh', 'kruskal', 'ks_2samp',
+    'lag_diff_user', 'lang_id_confusion', 'limit_head', 'linreg_ols_group', 'mannwhitney',
+    'metric_accuracy', 'metric_auroc', 'metric_calibration', 'metric_cohens_kappa', 'metric_confusion',
+    'metric_f1', 'metric_logloss', 'metric_mcnemar', 'minhash_jaccard_estimate', 'mixture_epochs_plan',
+    'mixture_quota', 'mixture_temperature', 'mixture_token_budget', 'multimodal_audio_downsample', 'multimodal_audio_segments',
+    'multimodal_decode', 'multimodal_decode_audio', 'multimodal_decode_image', 'multimodal_frame_sample', 'multimodal_meta',
+    'multimodal_phash_groups', 'multimodal_resize_image', 'null_profile', 'pack_context_windows', 'perplexity_bigram_backoff',
+    'pipeline_docs_clean', 'pipeline_filter_funnel', 'pipeline_training_mix', 'pivot_table', 'project_drop',
+    'project_dtype', 'project_prefix', 'prune_corr', 'q1_pricing_summary', 'quality_gate_matrix',
+    'quality_perplexity_proxy', 'quality_repetition', 'quantiles_iqr', 'rank_features', 'retrieval_ndcg',
+    'retrieval_rank_fusion', 'rolling_mean_user', 'sample_per_class', 'sample_weighted_priority', 'scale_power',
     'scale_quantile', 'scale_robust', 'scale_standard', 'scan_csv', 'scan_text',
-    'score_combined', 'sink_csv', 'sink_json', 'sort_values', 'sorted_zip',
-    'split_modk', 'split_stratified', 'str_strip', 'threshold_sweep', 'top1_argmax',
-    'topk_per_group', 'ttest_1samp', 'ttest_ind', 'ttest_rel', 'union_labeled',
-    'union_rows', 'value_counts', 'wilcoxon', 'wordcount',
-    # --- CORRECTNESS_r03 (all green) ---
-    'bm25_doc_ranking', 'dedup_block_hash', 'dedup_cluster_size_dist', 'dedup_containment',
-    'dedup_cross_source_overlap', 'dedup_incremental_bands', 'dedup_keep_priority',
-    'dedup_minhash_band_sweep', 'dedup_minhash_salted', 'dedup_pair_evidence',
-    'dedup_rate_by_source', 'dedup_simhash_hamming', 'dedup_span_c4', 'dedup_two_stage_funnel',
-    'doc_chunk_fixed', 'doc_length_overflow', 'doc_sample_hash', 'embed_quantize_int8',
-    'fuzzy_join_names', 'inverted_index', 'lang_id_confusion', 'minhash_jaccard_estimate',
-    'mixture_epochs_plan', 'mixture_quota', 'mixture_token_budget', 'pipeline_training_mix',
-    'retrieval_ndcg', 'retrieval_rank_fusion', 'sample_weighted_priority', 'sink_orc_roundtrip',
-    'source_distinctive_terms', 'text_bigram_pmi', 'text_char_trigram_profile',
-    'text_fingerprint', 'text_js_divergence', 'text_lang_id', 'text_lexical_diversity',
-    'text_ngram_novelty', 'text_pii_scrub', 'text_quality_score', 'text_template_prefix_rate',
-    'text_tfidf_topterms', 'text_token_count', 'text_token_count_arrow', 'text_zipf_fit',
-    'tfidf_doc_similarity', 'tokenizer_bpe_apply', 'tokenizer_bpe_merges',
-    'vocab_growth_curve', 'word_cooccurrence_clusters',
+    'score_combined', 'sink_csv', 'sink_json', 'sink_orc_roundtrip', 'sort_values',
+    'sorted_zip', 'source_distinctive_terms', 'split_modk', 'split_stratified', 'str_strip',
+    'stream_dedup_exact', 'stream_dedup_within_watermark', 'stream_join_outer', 'stream_join_range', 'stream_session',
+    'stream_sink_files', 'stream_sliding', 'stream_stateful_profile', 'stream_topk_state', 'stream_tumbling',
+    'stream_upsert_foreachbatch', 'stream_watermark_late', 'text_bigram_pmi', 'text_char_trigram_profile', 'text_fingerprint',
+    'text_js_divergence', 'text_lang_id', 'text_lexical_diversity', 'text_ngram_novelty', 'text_pii_scrub',
+    'text_quality_score', 'text_template_prefix_rate', 'text_tfidf_topterms', 'text_token_count', 'text_token_count_arrow',
+    'text_zipf_fit', 'tfidf_doc_similarity', 'threshold_sweep', 'tokenizer_bpe_apply', 'tokenizer_bpe_merges',
+    'top1_argmax', 'topk_per_group', 'ttest_1samp', 'ttest_ind', 'ttest_rel',
+    'union_labeled', 'union_rows', 'value_counts', 'vocab_coverage', 'vocab_growth_curve',
+    'wilcoxon', 'word_cooccurrence_clusters', 'wordcount',
 })
 
-# Six keys the driver last saw RED in r01 (a since-fixed HUGEINT oracle-typing
-# era); local strict parity has them green at sf0.01 + sf0.001, but the
-# driver's ledger must show it. Pinned to the very front of the r04 window.
-_PINNED_FIRST: tuple[str, ...] = (
-    'scan_text', 'sorted_zip', 'describe', 'crosstab_margins',
-    'quantiles_iqr', 'global_stats',
-)
+# No red keys to re-attest: r04 closed the last six stale r01 reds, so the
+# r05 window is pure fresh-key attestation.
+_PINNED_FIRST: tuple[str, ...] = ()
 
-# Never-driver-checked keys the r04 window should land on, in priority order:
-# ANN quality contracts, the full multimodal family (zero driver rows so far),
-# decontam / quality gates, the streaming real-engine family (hardest
-# correctness claims in the repo), then clustering + embedding audits.
+# Never-driver-checked keys the r05 window should land on, in priority order
+# (VERDICT r4 item 1): front-load the families with ZERO driver rows so far —
+# sink, privacy, graph, join extensions, metric extensions, scan, sql_*
+# Spark-4 surfaces, and the round-4 ab-test/stats additions.
 _PRIORITY_FRESH: tuple[str, ...] = (
-    # ANN quality contracts (VERDICT r3 item 1) + the new bucket-skew audit
-    # (VERDICT r3 item 8 — new this round, driver row wanted immediately)
-    'embed_ann_recall', 'embed_ann_multitable', 'embed_ann_ivf', 'embed_pq_search',
-    'dedup_bucket_stats',
-    # multimodal family — zero driver rows so far
-    'multimodal_meta', 'multimodal_decode', 'multimodal_decode_image',
-    'multimodal_decode_audio', 'multimodal_frame_sample', 'multimodal_resize_image',
-    'multimodal_audio_downsample', 'multimodal_phash_groups', 'multimodal_audio_segments',
-    # decontam / quality gates
-    'decontam_ngram', 'quality_repetition', 'vocab_coverage', 'quality_perplexity_proxy',
-    'quality_gate_matrix', 'perplexity_bigram_backoff', 'pack_context_windows',
-    'mixture_temperature', 'pipeline_filter_funnel',
-    # streaming real-engine family (VERDICT r3 item 7 first)
-    'stream_watermark_late', 'stream_topk_state', 'stream_join_outer',
-    'stream_dedup_within_watermark', 'stream_tumbling', 'stream_sliding',
-    'stream_session', 'stream_stateful_profile', 'stream_dedup_exact',
-    'stream_join_range', 'stream_sink_files', 'stream_upsert_foreachbatch',
-    # clustering + embedding audits
-    'kmeans_spherical', 'embed_matryoshka_recall', 'embed_jl_projection_audit',
-    'embed_lsh_tuning_curve', 'embed_dedup_threshold_sweep', 'embed_cosine_topk_pandas',
-    'embed_norm_audit', 'knn_hard_negatives', 'embed_label_centroid_drift',
+    # sink family (8 keys, zero driver rows)
+    'sink_sorted_scan', 'sink_compaction', 'sink_zorder_scan', 'sink_manifest_stats',
+    'sink_excel', 'sink_partitioned_scan', 'sink_schema_evolution', 'sink_sas_distributed',
+    # privacy / governance family (7)
+    'privacy_k_anonymity', 'privacy_l_diversity', 'privacy_qi_uniqueness',
+    'privacy_generalization_ladder', 'privacy_dp_count_release', 'privacy_column_mask',
+    'privacy_dp_mean_release',
+    # graph family (7)
+    'pagerank_int', 'graph_kcore', 'graph_triangles', 'graph_bfs_layers',
+    'graph_link_jaccard', 'graph_degree_dist', 'graph_modularity',
+    # join extensions (7)
+    'join_null_safe', 'join_lateral_topn', 'join_asof_forward', 'join_asof_nearest',
+    'join_interval_overlap', 'join_explosion_audit', 'bloom_prune_join',
+    # metric extensions (6)
+    'metric_regression_suite', 'metric_multiclass_macro', 'metric_average_precision',
+    'metric_brier', 'metric_mcc', 'metric_lift_gains',
+    # scan family (5)
+    'scan_sas', 'scan_excel', 'scan_jsonl', 'scan_csv_badrecords', 'scan_sas_pages',
+    # sql_* Spark-4 surfaces (4)
+    'sql_api_q6', 'sql_pipe_pricing', 'sql_recursive_capped_balance',
+    'sql_scripting_outlier_gate',
+    # new this round (VERDICT r4 #6) — driver row wanted immediately
+    'dedup_minhash_auto',
+    # round-4 ab-test / stats additions (6)
+    'ab_test_ztest', 'ab_cuped_adjustment', 'ab_test_power',
+    'mann_kendall_trend', 'theil_sen_slope', 'multiple_test_fdr_bh',
+    # embedding audits still without a driver row
     'embed_bucket_outliers', 'embed_standardize_audit',
 )
 

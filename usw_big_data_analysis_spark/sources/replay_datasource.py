@@ -53,6 +53,14 @@ class ReplayPartition(InputPartition):
 class EventsReplayStreamReader(DataSourceStreamReader):
     def __init__(self):
         self._seen = 0  # driver-side trigger counter (single-run drain)
+        # highest offset observed from the engine (batch starts / commits).
+        # A restarted query's fresh reader instance has _seen = 0 while the
+        # checkpoint's committed offset may be ahead; folding the engine's
+        # offsets back in lets latestOffset resume from the committed point
+        # instead of stalling behind it (ADVICE r4). The first post-restart
+        # trigger may still plan one empty catch-up batch (the engine tells
+        # us its start offset only via partitions()).
+        self._floor = 0
 
     def initialOffset(self) -> dict:
         return {"batch": 0}
@@ -60,11 +68,13 @@ class EventsReplayStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         # one micro-batch per trigger until the cap; after that the offset
         # stops moving and processAllAvailable() returns.
+        self._seen = max(self._seen, self._floor)
         if self._seen < _CAP:
             self._seen += 1
         return {"batch": self._seen}
 
     def partitions(self, start: dict, end: dict):
+        self._floor = max(self._floor, start["batch"])
         return [
             ReplayPartition(b, p)
             for b in range(start["batch"], end["batch"])
@@ -99,7 +109,7 @@ class EventsReplayStreamReader(DataSourceStreamReader):
         )
 
     def commit(self, end: dict) -> None:
-        pass
+        self._floor = max(self._floor, end["batch"])
 
 
 class EventsReplayDataSource(DataSource):
