@@ -100,6 +100,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--json",
+        default=None,
+        metavar="PATH",
+        help="also write a per-key result artifact (e.g. PARITY_SF01_r05.json "
+        "— the recorded full-registry sweep, VERDICT r4 #7)",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
@@ -112,6 +119,7 @@ def main() -> int:
     con = duck_con(args.sf_dir)
 
     n_pass = n_fail = n_err = n_rows_only = 0
+    results: dict[str, dict] = {}
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
@@ -122,10 +130,12 @@ def main() -> int:
         except Exception:
             print(f"ERROR {name} (spark):\n{traceback.format_exc()}")
             n_err += 1
+            results[name] = {"status": "error", "side": "spark"}
             continue
         if name not in oracles:
             print(f"rows-only  {name}: {len(spdf)} rows [{time.time()-t0:.1f}s]")
             n_rows_only += 1
+            results[name] = {"status": "rows_only", "rows": len(spdf)}
             continue
         try:
             type_problems = oracle_type_problems(con, oracles[name])
@@ -133,6 +143,7 @@ def main() -> int:
         except Exception:
             print(f"ERROR {name} (duckdb):\n{traceback.format_exc()}")
             n_err += 1
+            results[name] = {"status": "error", "side": "duckdb"}
             continue
         problems = type_problems + compare(name, spdf, dpdf)
         if problems:
@@ -140,10 +151,30 @@ def main() -> int:
             for p in problems:
                 print(f"   {p}")
             n_fail += 1
+            results[name] = {"status": "fail", "problems": problems}
         else:
             print(f"ok   {name}: {len(spdf)} rows [{time.time()-t0:.1f}s]")
             n_pass += 1
+            results[name] = {"status": "ok", "rows": len(spdf)}
     print(f"\n== {n_pass} ok, {n_fail} fail, {n_err} error, {n_rows_only} rows-only ==")
+    if args.json:
+        import json
+
+        with open(args.json, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": args.sf_dir,
+                    "summary": {
+                        "ok": n_pass,
+                        "fail": n_fail,
+                        "error": n_err,
+                        "rows_only": n_rows_only,
+                    },
+                    "results": results,
+                },
+                fh,
+                indent=1,
+            )
     spark.stop()
     return 1 if (n_fail or n_err) else 0
 

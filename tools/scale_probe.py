@@ -19,6 +19,14 @@ empirical side of the plan-shape pins in tests/test_plan_quality.py.
 Usage:
     python tools/scale_probe.py [--sf-dir /root/testdata/sf0.1] [--factor 16]
                                 [--queries q1_pricing_summary,describe]
+    python tools/scale_probe.py --gate          # regression gate (VERDICT r4 #8)
+
+--gate runs the pinned subset (GATE_QUERIES) and EXITS NONZERO if any
+query's wall(factor x)/wall(1x) exceeds GATE_MAX_RATIO — a plan change that
+introduces a serialization point (unpartitioned window, single-task
+collect, non-splittable scan) fails the round script loudly instead of
+silently shipping. The per-round output is committed as
+SCALE_PROBE_r{N}.json.
 """
 
 from __future__ import annotations
@@ -48,6 +56,19 @@ QUERIES = [
     "embed_cosine_topk",
     "stream_session",
 ]
+
+# Regression gate (VERDICT r4 #8): the four headline plans whose scale
+# behavior the verdicts track. 16x data must cost at most GATE_MAX_RATIO x
+# wall — r4 measured 0.92-2.41x across the headline set, so 3 gives real
+# headroom while still catching any serialization point (which would show
+# ~factor x).
+GATE_QUERIES = [
+    "q1_pricing_summary",
+    "topk_per_group",
+    "dedup_minhash_lsh",
+    "metric_auroc",
+]
+GATE_MAX_RATIO = 3.0
 
 # facts the headline set touches; each scaled copy shifts its key space so
 # copies never collide. The dimension tables (region/nation/supplier/part)
@@ -131,46 +152,64 @@ def time_queries(qs, spark, sf_dir: str, names) -> dict[str, float]:
     return times
 
 
+def run_probe(spark, sf_dir: str, factor: int, names) -> dict:
+    """Build 1x and Nx fixture dirs, time `names` at both, return the
+    probe record. Shared by main() and the gate/pytest callers."""
+    from usw_big_data_analysis_spark.registry import all_queries
+
+    qs = all_queries()
+    # the 1x baseline goes through the SAME builder (factor=1): identical
+    # multi-file layout and identical document transform, so the ratio
+    # isolates data volume — not layout or text-shape differences
+    base_dir = build_scaled_dir(spark, sf_dir, 1)
+    scaled_dir = build_scaled_dir(spark, sf_dir, factor)
+    try:
+        base = time_queries(qs, spark, base_dir, names)
+        big = time_queries(qs, spark, scaled_dir, names)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+        shutil.rmtree(scaled_dir, ignore_errors=True)
+    return {
+        "factor": factor,
+        "base_s": base,
+        "scaled_s": big,
+        # how much slower Nx data ran; << factor = plan parallelizes and
+        # fixed overhead amortizes
+        "time_ratio": {
+            n: round(big[n] / base[n], 2) for n in base if base[n] > 0
+        },
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--factor", type=int, default=16)
     ap.add_argument("--queries", default=None, help="comma list; default all 12")
+    ap.add_argument(
+        "--gate",
+        action="store_true",
+        help=f"run GATE_QUERIES and exit 1 if any ratio > {GATE_MAX_RATIO}",
+    )
     args = ap.parse_args()
-    names = args.queries.split(",") if args.queries else QUERIES
+    if args.gate:
+        names = args.queries.split(",") if args.queries else GATE_QUERIES
+    else:
+        names = args.queries.split(",") if args.queries else QUERIES
 
-    from usw_big_data_analysis_spark.registry import all_queries
     from usw_big_data_analysis_spark.session import get_spark
 
     spark = get_spark("scale_probe")
-    qs = all_queries()
-
-    # the 1x baseline goes through the SAME builder (factor=1): identical
-    # multi-file layout and identical document transform, so the ratio
-    # isolates data volume — not layout or text-shape differences
-    base_dir = build_scaled_dir(spark, args.sf_dir, 1)
-    scaled_dir = build_scaled_dir(spark, args.sf_dir, args.factor)
-    try:
-        base = time_queries(qs, spark, base_dir, names)
-        big = time_queries(qs, spark, scaled_dir, names)
-        print(
-            json.dumps(
-                {
-                    "factor": args.factor,
-                    "base_s": base,
-                    "scaled_s": big,
-                    # how much slower Nx data ran; << factor = plan
-                    # parallelizes and fixed overhead amortizes
-                    "time_ratio": {
-                        n: round(big[n] / base[n], 2) for n in base if base[n] > 0
-                    },
-                }
-            )
-        )
-    finally:
-        shutil.rmtree(base_dir, ignore_errors=True)
-        shutil.rmtree(scaled_dir, ignore_errors=True)
+    rec = run_probe(spark, args.sf_dir, args.factor, names)
+    if args.gate:
+        rec["gate_max_ratio"] = GATE_MAX_RATIO
+        rec["gate_failures"] = {
+            n: r for n, r in rec["time_ratio"].items() if r > GATE_MAX_RATIO
+        }
+    print(json.dumps(rec))
     spark.stop()
+    if args.gate and rec["gate_failures"]:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
