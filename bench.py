@@ -90,11 +90,18 @@ def _bench_variants() -> dict:
     trades speed for bit-parity with the DuckDB oracle. The correctness gate
     still checks the exact form; the bench times what production would run
     (the variant's result equivalence is pinned in tests)."""
-    from usw_big_data_analysis_spark.queries.similarity import embed_cosine_topk
+    from usw_big_data_analysis_spark.queries.similarity import (
+        embed_ann_ivfpq,
+        embed_cosine_topk,
+    )
 
     return {
         # decimal-fold dot product -> Arrow/numpy matmul (same top-k)
         "embed_cosine_topk": lambda spark, sf: embed_cosine_topk(
+            spark, sf, exact=False
+        ),
+        # decimal codebook-distance sums -> plain double (FAISS arithmetic)
+        "embed_ann_ivfpq": lambda spark, sf: embed_ann_ivfpq(
             spark, sf, exact=False
         ),
     }

@@ -38,30 +38,35 @@ def test_no_duplicate_registration():
 
 def test_bench_headline_keys_registered():
     # bench.py must keep timing real registered queries (a renamed key
-    # would silently bench nothing)
+    # would silently bench nothing). Rows-only keys (no oracle by SURVEY
+    # §5.2 design) are benched for wall-time trend only.
     import bench
     from usw_big_data_analysis_spark.registry import all_oracles, all_queries
 
+    ROWS_ONLY = {"gbm_histogram_train"}
     qs = all_queries()
     oracles = all_oracles()
     for name in bench.HEADLINE:
         assert name in qs, name
-        assert name in oracles, f"{name} lost its oracle (ratio would vanish)"
+        if name not in ROWS_ONLY:
+            assert name in oracles, f"{name} lost its oracle (ratio would vanish)"
 
 
-def test_r04_rotation_pins_stale_reds_then_priority_fresh():
-    """The driver samples queries() in iteration order; r04's window must
-    open with the six stale r01 reds (driver ledger still shows them red
-    from the fixed HUGEINT era) followed by never-driver-checked priority
-    keys (VERDICT r3 #1)."""
+def test_r05_rotation_front_loads_fresh_families():
+    """The driver samples queries() in iteration order; r05's window must
+    open with the never-driver-checked priority families (VERDICT r4 #1:
+    sink, privacy, graph, join-ext, metric-ext, scan, sql, ab/stats) —
+    every key in the 50-key window must be fresh."""
     from usw_big_data_analysis_spark.registry import (
         _DRIVER_CHECKED,
-        _PINNED_FIRST,
+        _PRIORITY_FRESH,
         all_queries,
     )
 
     order = list(all_queries())
-    assert tuple(order[:6]) == _PINNED_FIRST
-    # everything after the pins, up to the window edge, is fresh
-    window_tail = order[6:50]
-    assert all(k not in _DRIVER_CHECKED for k in window_tail)
+    window = order[:50]
+    assert all(k not in _DRIVER_CHECKED for k in window)
+    # the window is exactly the head of the priority list
+    assert window == [k for k in _PRIORITY_FRESH if k not in _DRIVER_CHECKED][:50]
+    assert window[0].startswith("sink_")
+    assert "dedup_minhash_auto" in order[:51]  # new key gets a driver row

@@ -9,6 +9,28 @@ import __spark_entry__ as entrymod
 _QUERIES = entrymod.queries()
 
 
+def test_ivfpq_fast_variant_matches_exact(spark, sf_dir):
+    """bench.py times embed_ann_ivfpq(exact=False) — double codebook sums
+    instead of decimal (FAISS's own arithmetic). The two forms must emit
+    identical (qid, cid, rn) neighbor tables with distances within float
+    tolerance of each other."""
+    from usw_big_data_analysis_spark.queries.similarity import embed_ann_ivfpq
+
+    exact = {
+        (r["qid"], r["rn"]): (r["cid"], r["adc_d2"])
+        for r in embed_ann_ivfpq(spark, sf_dir, exact=True).collect()
+    }
+    fast = {
+        (r["qid"], r["rn"]): (r["cid"], r["adc_d2"])
+        for r in embed_ann_ivfpq(spark, sf_dir, exact=False).collect()
+    }
+    assert set(exact) == set(fast)
+    for key, (cid_e, d_e) in exact.items():
+        cid_f, d_f = fast[key]
+        assert cid_f == cid_e, f"{key}: neighbor {cid_f} != {cid_e}"
+        assert abs(d_f - d_e) < 1e-5, f"{key}: adc_d2 {d_f} vs {d_e}"
+
+
 def test_vectorized_topk_matches_exact(spark, sf_dir):
     exact = {
         (r["qid"], r["rn"]): (r["cid"], r["cosine"])

@@ -1742,7 +1742,9 @@ def embed_standardize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn <= {_TOPK}
     """,
 )
-def embed_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embed_ann_ivfpq(
+    spark: SparkSession, sf_dir: str, exact: bool = True
+) -> DataFrame:
     """IVF + PQ composed — FAISS's IVFADC, the production billion-scale
     index, assembled from the repo's two halves: coarse IVF cells prune the
     corpus to {nprobe}/{ncells} of its cells (embed_ann_ivf), and within
@@ -1753,7 +1755,16 @@ def embed_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nq x 8 x {codes} rows), and the ADC join is (cid)+(subspace, code)
     equi — nothing quadratic, nothing nested-loop. Exact decimal subvector
     distances keep every argmin and the final (adc_d2, cid) top-k order
-    identical across engines."""
+    identical across engines.
+
+    ``exact=False`` (bench variant, like embed_cosine_topk's) sums the
+    same products as plain doubles — FAISS's own arithmetic — instead of
+    decimals: the codebook-distance table build is the dominant cost and
+    decimal accumulation is ~3x a double sum. The registered/oracle path
+    stays exact; result equivalence of the two forms is pinned in
+    tests/test_similarity_ops.py."""
+    dec20 = "decimal(20,12)" if exact else "double"
+    dec25 = "decimal(25,12)" if exact else "double"
     expl = _exploded(spark, sf_dir)
     norms = _norms(expl)
     cent = expl.filter(F.col("vec_id") < _NCELLS).select(
@@ -1763,14 +1774,14 @@ def embed_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         expl.join(F.broadcast(cent), "pos")
         .groupBy("vec_id", "cell")
         .agg(
-            F.sum((F.col("v") * F.col("cv")).cast("decimal(20,12)"))
+            F.sum((F.col("v") * F.col("cv")).cast(dec20))
             .cast("double")
             .alias("dot")
         )
     )
     cnorm = cent.groupBy("cell").agg(
         F.sqrt(
-            F.sum((F.col("cv") * F.col("cv")).cast("decimal(20,12)")).cast("double")
+            F.sum((F.col("cv") * F.col("cv")).cast(dec20)).cast("double")
         ).alias("cnrm")
     )
     ccos = (
@@ -1804,7 +1815,7 @@ def embed_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 ((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))).cast(
-                    "decimal(25,12)"
+                    dec25
                 )
             ).alias("d2")
         )

@@ -399,9 +399,16 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_BPE_VOCAB)
     )
     chars = F.filter(F.split("word", "(?!^)"), lambda x: x != "")
+    # ONE materialization: the fact-scale vocab build (scan + explode +
+    # groupBy + top-N) is checkpointed; the per-round merge folds operate
+    # on this ≤_BPE_VOCAB-row frame and CHAIN as pure plan. Checkpointing
+    # every round (the previous shape) cost a full job per round — 12
+    # driver round-trips for 6 rounds; re-evaluating the chained fold
+    # lineage over the tiny state is microseconds, so only the per-round
+    # top-pair collect remains a job.
     state = vocab.select(
         "word", "freq", F.concat(chars, F.array(F.lit("</w>"))).alias("syms")
-    )
+    ).localCheckpoint(eager=True)
     pair_expr = F.expr(
         "CASE WHEN size(syms) >= 2 THEN "
         "transform(sequence(1, size(syms) - 1), "
@@ -431,9 +438,7 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ),
                 ).otherwise(F.concat(acc, F.array(s))),
             )
-            state = state.select("word", "freq", merge.alias("syms")).localCheckpoint(
-                eager=True
-            )
+            state = state.select("word", "freq", merge.alias("syms"))
     return spark.createDataFrame(
         results, "round int, left_sym string, right_sym string, pair_count bigint"
     )
@@ -518,7 +523,7 @@ def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     chars = F.filter(F.split("word", "(?!^)"), lambda x: x != "")
     state = vocab.select(
         "word", "freq", F.concat(chars, F.array(F.lit("</w>"))).alias("syms")
-    )
+    ).localCheckpoint(eager=True)
     pair_expr = F.expr(
         "CASE WHEN size(syms) >= 2 THEN "
         "transform(sequence(1, size(syms) - 1), "
@@ -550,9 +555,11 @@ def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         top = pc.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()[0]
         merges.append((top["a"], top["b"]))
         if r < _BPE_ROUNDS:
+            # merge folds chain as pure plan over the checkpointed vocab
+            # (see tokenizer_bpe_merges — one job per round, not two)
             state = state.select(
                 "word", "freq", _merge_fold(top["a"], top["b"])(F.col("syms")).alias("syms")
-            ).localCheckpoint(eager=True)
+            )
 
     # application: fold all merges over the per-source distinct-word table
     wsrc = (
