@@ -20,6 +20,12 @@ from usw_big_data_analysis_spark.sources.tables import TABLES  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# ordered_row_numbers' duplicate-collapse assertion is on by default for
+# test runs (two extra counts over bounded frames; the production hot path
+# keeps it off) — every production call site gets the precondition checked
+# whenever the suite exercises it.
+os.environ.setdefault("USWSPARK_BOUNDED_SEQ_CHECK", "1")
+
 
 @pytest.fixture(scope="session")
 def spark():

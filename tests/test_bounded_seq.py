@@ -84,6 +84,32 @@ def test_ordered_row_numbers_check_catches_duplicates(spark):
     assert {r["k"]: r["rn"] for r in out.collect()} == {1: 1, 2: 2}
 
 
+def test_window_detector_sees_cached_plans(spark):
+    """Code-review r5: InMemoryTableScanExec hides its wrapped plan in
+    relation().cachedPlan(), not children() — the JVM-tree walk must
+    descend into it or a cached unpartitioned window silently passes the
+    suite-wide zero-unpartitioned-window gate."""
+    from usw_big_data_analysis_spark.plans.inspect import (
+        unpartitioned_window_count,
+    )
+
+    df = spark.createDataFrame([(i, i % 3) for i in range(20)], "id int, g int")
+    bad = df.withColumn("rn", F.row_number().over(Window.orderBy("id"))).cache()
+    try:
+        bad.count()  # materialize so the scan is InMemoryTableScanExec
+        assert unpartitioned_window_count(bad.filter(F.col("rn") < 5)) >= 1
+        ok = df.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("g").orderBy("id"))
+        ).cache()
+        try:
+            ok.count()
+            assert unpartitioned_window_count(ok.filter(F.col("rn") < 5)) == 0
+        finally:
+            ok.unpersist()
+    finally:
+        bad.unpersist()
+
+
 def test_table_cache_evicts_dead_apps(spark, sf_dir):
     """VERDICT r4 blemish: _TABLE_CACHE must not accumulate entries keyed
     by dead SparkSessions — inserting under the live app evicts them."""

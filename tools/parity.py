@@ -164,6 +164,10 @@ def main() -> int:
             json.dump(
                 {
                     "sf_dir": args.sf_dir,
+                    # a subsetted run must be distinguishable from a
+                    # full-registry attestation (code-review r5)
+                    "full_sweep": only is None,
+                    "only": sorted(only) if only else None,
                     "summary": {
                         "ok": n_pass,
                         "fail": n_fail,

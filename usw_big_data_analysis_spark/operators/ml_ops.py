@@ -83,7 +83,13 @@ def optional_boosters(seed: int = SEED) -> dict:
         from xgboost.spark import SparkXGBClassifier
 
         zoo["xgboost"] = SparkXGBClassifier(
-            max_depth=3, n_estimators=10, random_state=seed
+            max_depth=3,
+            n_estimators=10,
+            random_state=seed,
+            # snake_case Params, no camelCase setters — bind the column
+            # contract here (fit_predict falls back to setParams)
+            label_col="label",
+            features_col="features",
         )
     except ImportError:
         pass
@@ -91,7 +97,11 @@ def optional_boosters(seed: int = SEED) -> dict:
         from synapse.ml.lightgbm import LightGBMClassifier
 
         zoo["lightgbm"] = LightGBMClassifier(
-            numIterations=10, maxDepth=3, seed=seed
+            numIterations=10,
+            maxDepth=3,
+            seed=seed,
+            labelCol="label",
+            featuresCol="features",
         )
     except ImportError:
         pass
@@ -170,7 +180,14 @@ def require_trainable(train: DataFrame, label_col: str = "label") -> None:
 
 def fit_predict(model, train: DataFrame, test: DataFrame, label_col: str = "label"):
     require_trainable(train, label_col)
-    m = model.setLabelCol(label_col).setFeaturesCol("features")
+    if hasattr(model, "setLabelCol"):
+        m = model.setLabelCol(label_col).setFeaturesCol("features")
+    else:
+        # xgboost.spark estimators expose snake_case Params (label_col)
+        # without pyspark's camelCase setters — configure via setParams;
+        # optional_boosters also passes these in the constructor, so this
+        # is a no-op unless the caller overrides label_col
+        m = model.setParams(label_col=label_col, features_col="features")
     fitted = m.fit(train)
     return fitted, fitted.transform(test)
 

@@ -31,10 +31,17 @@ def shuffle_count(plan: str | DataFrame) -> int:
 
 def _walk_jvm_plan(node):
     """Depth-first walk over a JVM SparkPlan tree, descending into the
-    adaptive plan's current physical tree and into subquery plans."""
+    adaptive plan's current physical tree, subquery plans, materialized
+    AQE query stages, and cached-relation plans (the latter two are leaf
+    nodes whose wrapped plan hides in fields, not children())."""
     yield node
-    if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+    cls = node.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
         yield from _walk_jvm_plan(node.executedPlan())
+    elif cls.endswith("QueryStageExec"):
+        yield from _walk_jvm_plan(node.plan())
+    elif cls == "InMemoryTableScanExec":
+        yield from _walk_jvm_plan(node.relation().cachedPlan())
     it = node.children().iterator()
     while it.hasNext():
         yield from _walk_jvm_plan(it.next())

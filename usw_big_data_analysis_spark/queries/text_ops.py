@@ -383,8 +383,9 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     total order, (3) a greedy left-to-right merge fold applied to every
     word's symbol array. The state lives in Spark (at 100 TB the word
     table is built by the same distributed groupBy); only the single top
-    pair is collected per round, and the state is locally checkpointed
-    between rounds to keep plan depth constant (graph_kcore pattern).
+    pair is collected per round. The vocab build is checkpointed ONCE and
+    the per-round merge folds chain as pure plan over the bounded state —
+    one job per round, and plan depth grows only by {rounds} folds.
     Output: (round, left_sym, right_sym, pair_count) — hash-checked
     against a 5-stage DuckDB oracle running the identical fold.
     """.format(rounds=_BPE_ROUNDS, vocab=_BPE_VOCAB)

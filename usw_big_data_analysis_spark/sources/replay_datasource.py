@@ -56,10 +56,18 @@ class EventsReplayStreamReader(DataSourceStreamReader):
         # highest offset observed from the engine (batch starts / commits).
         # A restarted query's fresh reader instance has _seen = 0 while the
         # checkpoint's committed offset may be ahead; folding the engine's
-        # offsets back in lets latestOffset resume from the committed point
-        # instead of stalling behind it (ADVICE r4). The first post-restart
-        # trigger may still plan one empty catch-up batch (the engine tells
-        # us its start offset only via partitions()).
+        # offsets back in lets latestOffset resume instead of stalling
+        # behind it (ADVICE r4). RESTART CONTRACT: recovery is correct only
+        # when the checkpoint holds a planned-but-uncommitted batch — the
+        # engine then replays it via partitions(start, end) BEFORE asking
+        # for a new latestOffset, which seeds _floor with the true start.
+        # After a CLEAN shutdown (everything committed) the engine's first
+        # call is latestOffset() with _floor still 0; the stale low offset
+        # it returns would make the engine re-plan earlier batches
+        # (duplicate emission), so a fully-committed checkpoint must not be
+        # reused — start the drain from a fresh checkpoint dir instead.
+        # The API surfaces the committed offset only through partitions()/
+        # commit(), so this is the strongest recovery expressible here.
         self._floor = 0
 
     def initialOffset(self) -> dict:
