@@ -139,3 +139,62 @@ def test_rank_stats_never_single_partition_raw_rows(spark, sf_dir):
     # (TakeOrderedAndProject) — still must never feed one raw rows
     plan = explain_formatted(_QUERIES["sort_values"](spark, sf_dir))
     assert _single_partition_exchanges_see_only_aggregates(plan, require_sp=False)
+
+
+# --- fold-AUROC property check (round 5: the window-free rank fold) ----------
+def _numpy_auroc(labels, probs):
+    """Direct Mann-Whitney mean-rank AUROC at the 6dp quantization the
+    engine contract pins — an independent single-node formulation."""
+    import numpy as np
+
+    q = np.floor(np.asarray(probs) * 10**6 + 0.5).astype(np.int64)
+    y = np.asarray(labels)
+    order = np.argsort(q, kind="stable")
+    ranks = np.empty(len(q), dtype=np.float64)
+    i = 0
+    qs = q[order]
+    while i < len(qs):
+        j = i
+        while j < len(qs) and qs[j] == qs[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0  # average rank of the tie run
+        i = j
+    npos = int(y.sum())
+    nneg = len(y) - npos
+    if npos == 0 or nneg == 0:
+        return None
+    u = ranks[y == 1].sum() - npos * (npos + 1) / 2.0
+    return round(u / (npos * nneg), 6), npos, nneg
+
+
+def test_fold_auroc_matches_numpy_property(spark):
+    """The sorted-array-fold _auroc_rank_agg must equal a direct numpy
+    rank computation on adversarial inputs: heavy ties, all-tied,
+    near-unique, tiny buckets."""
+    import numpy as np
+
+    from pyspark.sql import functions as SF
+    from usw_big_data_analysis_spark.queries.metrics import _auroc_rank_agg
+
+    rng = np.random.RandomState(7)
+    cases = [
+        ("heavy_ties", rng.randint(0, 5, 400) / 5.0, rng.randint(0, 2, 400)),
+        ("all_tied", np.full(50, 0.5), rng.randint(0, 2, 50)),
+        ("near_unique", rng.rand(300).round(6), rng.randint(0, 2, 300)),
+        ("two_rows", np.array([0.1, 0.9]), np.array([0, 1])),
+    ]
+    for name, probs, labels in cases:
+        want = _numpy_auroc(labels, probs)
+        if want is None:
+            continue
+        df = spark.createDataFrame(
+            [(int(l), float(p)) for l, p in zip(labels, probs)],
+            "label int, prob double",
+        )
+        row = _auroc_rank_agg(df).collect()[0]
+        auc = round(
+            (row["rank_sum_pos"] - row["npos"] * (row["npos"] + 1) / 2.0)
+            / (row["npos"] * row["nneg"]),
+            6,
+        )
+        assert (auc, row["npos"], row["nneg"]) == want, name
