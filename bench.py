@@ -133,8 +133,17 @@ def _duck_times(sf_dir: str, oracles: dict[str, str]) -> dict[str, float]:
             con.execute(sql).fetchall()
             best = min(best, time.time() - t0)
         times[name] = round(best, 3)
+        _phase(f"cold {name} best={times[name]}s")
     con.close()
     return times
+
+
+def _phase(msg: str) -> None:
+    """Wall-clock phase marker on stderr (stdout stays one JSON line)."""
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+_T0 = time.time()
 
 
 def main() -> None:
@@ -162,11 +171,13 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()  # warmup: codegen
         plan_build[name] = round(time.time() - t0, 3)
         built[name] = df
+        _phase(f"built {name} ({plan_build[name]}s)")
     # second warmup pass: the C2 JIT keeps compiling generated stages well
     # past the first execution — measured 30%+ drift between a loop run
     # cold-ish and the same loop run after the whole suite has executed twice
     for name in HEADLINE:
         built[name].write.format("noop").mode("overwrite").save()
+    _phase("second warmup pass done")
 
     # best-of-5 timed runs per query (both engines): the min is the standard
     # noise-robust estimator — this box shows multi-second co-tenant
@@ -185,6 +196,7 @@ def main() -> None:
                 built[name].write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         times[name] = round(best, 3)
+        _phase(f"cold {name} best={times[name]}s")
 
     # prepared-plan (steady-state) times, kept for round-over-round
     # comparability with r02/r03 (same key, same 3-run methodology).
@@ -197,6 +209,7 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         prepared[name] = round(best, 3)
+    _phase("prepared loop done")
 
     # regression guard (VERDICT r3 #9, loader fixed per ADVICE r4): compare
     # to the newest recorded BENCH_r*.json. prepared_s is methodology-stable
@@ -209,23 +222,27 @@ def main() -> None:
         prior = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
         if prior:
             prev = _load_prev_bench(prior[-1])
+            # a regression = >10% AND >50ms slower — the relative test alone
+            # flags scheduler noise on sub-0.2s queries every run
             prev_prep = prev.get("prepared_s") or {}
             for n, t in prepared.items():
-                if n in prev_prep and prev_prep[n] > 0 and t > prev_prep[n] * 1.10:
-                    regressions[n] = {
-                        "prev_prepared_s": prev_prep[n], "now_prepared_s": t
-                    }
+                p = prev_prep.get(n) or 0
+                if p > 0 and t > p * 1.10 and t - p > 0.05:
+                    regressions[n] = {"prev_prepared_s": p, "now_prepared_s": t}
             if prev.get("methodology") == METHODOLOGY:
                 prev_cold = prev.get("queries") or {}
                 for n, t in times.items():
-                    if n in prev_cold and prev_cold[n] > 0 and t > prev_cold[n] * 1.10:
+                    p = prev_cold.get(n) or 0
+                    if p > 0 and t > p * 1.10 and t - p > 0.05:
                         regressions.setdefault(n, {}).update(
-                            {"prev_s": prev_cold[n], "now_s": t}
+                            {"prev_s": p, "now_s": t}
                         )
     except (OSError, ValueError, TypeError, KeyError, AttributeError):
         pass  # bench must never fail on a malformed prior record
 
+    _phase("starting duck baseline")
     duck = _duck_times(sf_dir, all_oracles())
+    _phase("duck baseline done")
     ratio = {
         n: round(times[n] / duck[n], 2) for n in times if n in duck and duck[n] > 0
     }
