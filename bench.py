@@ -133,7 +133,7 @@ def _duck_times(sf_dir: str, oracles: dict[str, str]) -> dict[str, float]:
             con.execute(sql).fetchall()
             best = min(best, time.time() - t0)
         times[name] = round(best, 3)
-        _phase(f"cold {name} best={times[name]}s")
+        _phase(f"duck {name} best={times[name]}s")
     con.close()
     return times
 
