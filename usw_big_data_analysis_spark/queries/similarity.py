@@ -1053,6 +1053,121 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cos.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _TOPK)
 
 
+# New-ingest batch: every 10th vector (excluding the centroid seed rows)
+# plays the "today's embeddings" role; the rest are the standing index.
+_INCR_BATCH_PRED = f"vec_id % 10 = 7 AND vec_id >= {_NCELLS}"
+
+
+@query(
+    "embed_ann_incremental",
+    oracle=f"""
+    WITH expl AS ({_EXPL_SQL}),
+    norms AS ({_NORMS_SQL}),
+    {_IVF_ASSIGN_SQL},
+    probes AS (
+      SELECT vec_id AS bid, cell, crn FROM ranked_cells
+      WHERE crn <= {_NPROBE} AND ({_INCR_BATCH_PRED})
+    ),
+    ins AS (SELECT bid, cell AS ins_cell FROM probes WHERE crn = 1),
+    standing AS (
+      SELECT vec_id AS cid, cell FROM ranked_cells
+      WHERE crn = 1 AND NOT ({_INCR_BATCH_PRED})
+    ),
+    cand AS (
+      SELECT p.bid, s.cid FROM probes p JOIN standing s ON p.cell = s.cell
+    ),
+    dots AS (
+      SELECT c.bid, c.cid,
+             CAST(sum(CAST(q.v * e.v AS DECIMAL(20,12))) AS DOUBLE) AS dot
+      FROM cand c
+      JOIN expl q ON q.vec_id = c.bid
+      JOIN expl e ON e.vec_id = c.cid AND e.pos = q.pos
+      GROUP BY c.bid, c.cid
+    ),
+    cos AS (
+      SELECT bid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+      FROM dots JOIN norms nq ON bid = nq.vec_id
+                JOIN norms nc ON cid = nc.vec_id
+    ),
+    topk AS (
+      SELECT bid, cid, cosine, rn FROM (
+        SELECT bid, cid, cosine,
+               row_number() OVER (PARTITION BY bid
+                                  ORDER BY cosine DESC, cid) AS rn
+        FROM cos
+      ) WHERE rn <= {_TOPK}
+    )
+    SELECT t.bid, i.ins_cell, t.cid, t.cosine, t.rn
+    FROM topk t JOIN ins i ON t.bid = i.bid
+    """,
+)
+def embed_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN ingest — the daily-batch shape that never rebuilds
+    the standing index (the ANN twin of dedup_incremental_bands): each NEW
+    vector is (1) assigned its insertion cell (crn = 1 — the inverted-list
+    append a real ingest would perform) and (2) near-dup/neighbor-checked
+    against the STANDING corpus only, probing its {_NPROBE} closest cells.
+    Standing vectors are never re-scored against each other — per-ingest
+    cost is |batch| x probed-list sizes, independent of corpus size.
+    At scale the standing lists are partitioned by cell, so each probe is
+    a partition-local scan; centroids broadcast. Output: (bid, ins_cell,
+    cid, cosine, rn) — the append action and the top-{_TOPK} standing
+    neighbors per new vector, exact decimal cosine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    withn = emb.withColumn(
+        "nrm", F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding")))
+    )
+    is_batch = F.expr(_INCR_BATCH_PRED)
+    cent = withn.filter(F.col("vec_id") < _NCELLS).select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    ccos = withn.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        "cell",
+        N.fround(
+            _dec_dot(F.col("embedding"), F.col("cemb"))
+            / (F.col("nrm") * F.col("cnrm")),
+            6,
+        ).alias("ccos"),
+    )
+    wcell = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    ranked = ccos.withColumn("crn", F.row_number().over(wcell))
+    probes = ranked.filter(is_batch & (F.col("crn") <= _NPROBE)).select(
+        F.col("vec_id").alias("bid"),
+        "cell",
+        "crn",
+        F.col("embedding").alias("qemb"),
+        F.col("nrm").alias("nrm_q"),
+    )
+    ins = probes.filter(F.col("crn") == 1).select(
+        "bid", F.col("cell").alias("ins_cell")
+    )
+    standing = ranked.filter((F.col("crn") == 1) & ~is_batch).select(
+        F.col("vec_id").alias("cid"),
+        "cell",
+        F.col("embedding").alias("cemb"),
+        F.col("nrm").alias("nrm_c"),
+    )
+    cos = probes.join(standing, "cell").select(
+        "bid",
+        "cid",
+        N.fround(
+            _dec_dot(F.col("qemb"), F.col("cemb"))
+            / (F.col("nrm_q") * F.col("nrm_c")),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("bid").orderBy(F.desc("cosine"), F.asc("cid"))
+    topk = cos.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _TOPK
+    )
+    return topk.join(ins, "bid").select("bid", "ins_cell", "cid", "cosine", "rn")
+
+
 @query(
     "embed_norm_audit",
     oracle=f"""
