@@ -1169,6 +1169,79 @@ def embed_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embed_ivf_cell_stats",
+    oracle=f"""
+    WITH expl AS ({_EXPL_SQL}),
+    norms AS ({_NORMS_SQL}),
+    {_IVF_ASSIGN_SQL},
+    assign AS (SELECT vec_id, cell FROM ranked_cells WHERE crn = 1),
+    sizes AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_members
+              FROM assign GROUP BY cell),
+    tot AS (SELECT CAST(sum(n_members) AS BIGINT) AS n,
+                   CAST(sum(n_members * n_members) AS BIGINT) AS sq,
+                   CAST(count(*) AS BIGINT) AS nc
+            FROM sizes)
+    SELECT s.cell, s.n_members,
+           CAST(FLOOR(s.n_members * 1000000.0 / t.n + 0.5) AS BIGINT)
+             AS share_ppm,
+           CAST(FLOOR(t.nc * t.sq * 1000000.0 / (t.n * t.n) + 0.5) AS BIGINT)
+             AS imbalance_ppm
+    FROM sizes s CROSS JOIN tot t
+    """,
+)
+def embed_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list balance audit — the pre-flight an operator reads
+    BEFORE sizing ncells/nprobe at 100 TB (the ANN twin of
+    dedup_bucket_stats): per-cell member counts and shares, plus FAISS's
+    imbalance factor ncells·Σsz²/N² (1.0 = perfectly balanced; a skewed
+    coarse quantizer makes every probe of the fat cell scan a corpus
+    fraction and caps ANN speedup). One groupBy of the assignment — the
+    same shuffle the index build itself needs — then a broadcast of the
+    two-value total; exact integer arithmetic (ppm units) on both
+    engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    withn = emb.withColumn(
+        "nrm", F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding")))
+    )
+    cent = withn.filter(F.col("vec_id") < _NCELLS).select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    ccos = withn.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cell",
+        N.fround(
+            _dec_dot(F.col("embedding"), F.col("cemb"))
+            / (F.col("nrm") * F.col("cnrm")),
+            6,
+        ).alias("ccos"),
+    )
+    wcell = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    assign = (
+        ccos.withColumn("crn", F.row_number().over(wcell))
+        .filter(F.col("crn") == 1)
+        .select("vec_id", "cell")
+    )
+    sizes = assign.groupBy("cell").agg(F.count("*").alias("n_members"))
+    tot = sizes.agg(
+        F.sum("n_members").alias("n"),
+        F.sum(F.col("n_members") * F.col("n_members")).alias("sq"),
+        F.count("*").alias("nc"),
+    )
+    return sizes.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n_members",
+        F.expr(
+            "CAST(FLOOR(n_members * 1000000.0D / n + 0.5D) AS BIGINT)"
+        ).alias("share_ppm"),
+        F.expr(
+            "CAST(FLOOR(nc * sq * 1000000.0D / (n * n) + 0.5D) AS BIGINT)"
+        ).alias("imbalance_ppm"),
+    )
+
+
+@query(
     "embed_norm_audit",
     oracle=f"""
     WITH expl AS ({_EXPL_SQL}),

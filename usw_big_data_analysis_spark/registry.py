@@ -116,9 +116,9 @@ _PRIORITY_FRESH: tuple[str, ...] = (
     # sql_* Spark-4 surfaces (4)
     'sql_api_q6', 'sql_pipe_pricing', 'sql_recursive_capped_balance',
     'sql_scripting_outlier_gate',
-    # new this round (VERDICT r4 #6 + incremental-ANN ingest) — driver rows
-    # wanted immediately
-    'dedup_minhash_auto', 'embed_ann_incremental',
+    # new this round (VERDICT r4 #6 + incremental-ANN ingest + IVF balance
+    # audit) — driver rows wanted immediately
+    'dedup_minhash_auto', 'embed_ann_incremental', 'embed_ivf_cell_stats',
     # round-4 ab-test / stats additions (6)
     'ab_test_ztest', 'ab_cuped_adjustment', 'ab_test_power',
     'mann_kendall_trend', 'theil_sen_slope', 'multiple_test_fdr_bh',
