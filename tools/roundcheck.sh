@@ -1,0 +1,33 @@
+#!/usr/bin/env bash
+# One-command round verification — everything the driver/judge checks,
+# reproducible locally. Usage:
+#   bash tools/roundcheck.sh [round-tag, e.g. r06]
+# Artifacts land in the repo root as PARITY_SF01_<tag>.json and
+# SCALE_PROBE_<tag>.json; failures stop the script.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+TAG="${1:-local}"
+
+echo "== 1/6 entry smoke =="
+python -c "
+import __spark_entry__ as e
+from usw_big_data_analysis_spark.session import get_spark
+df = e.entry(get_spark('smoke')); print(len(df.collect()), df.schema.simpleString())" 2>/dev/null
+
+echo "== 2/6 full pytest =="
+python -m pytest tests/ -q
+
+echo "== 3/6 full-registry parity @ sf0.01 (the driver gate scale) =="
+python tools/parity.py --sf-dir /root/testdata/sf0.01 2>/dev/null | tail -1
+
+echo "== 4/6 full-registry parity @ sf0.1 (artifact) =="
+python tools/parity.py --sf-dir /root/testdata/sf0.1 \
+  --json "PARITY_SF01_${TAG}.json" 2>/dev/null | tail -1
+
+echo "== 5/6 scale-probe gate (16x splittability, ratio<=3) =="
+python tools/scale_probe.py --gate 2>/dev/null | tee "SCALE_PROBE_${TAG}.json"
+
+echo "== 6/6 bench @ sf0.1 =="
+python bench.py 2>/dev/null
+
+echo "== roundcheck ${TAG}: ALL GREEN =="
