@@ -42,6 +42,7 @@ _SCALE_SENSITIVE = [
     "sink_partitioned_scan",
     "q1_pricing_summary",
     "forecast_ses_monthly",
+    "forecast_holt_monthly",
 ]
 
 

@@ -1201,3 +1201,117 @@ def forecast_ses_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DOUBLE) / 4096.0 / 100.0"
         ).alias("ses_level"),
     )
+
+
+# --- Holt linear-trend smoothing over the monthly series ----------------------
+# The trend-aware sibling of forecast_ses_monthly: alpha = beta = 1/2, zero
+# initial trend (l_1 = y_1, b_1 = 0). Unlike SES (whose dyadic closed form
+# fits a windowed weighted sum), the coupled (level, trend) recursion has no
+# power-of-two closed form — so BOTH engines run the IDENTICAL sequential
+# left fold over the calendar-bounded monthly series (~80 rows at every SF:
+# the orders table spans the same calendar range regardless of scale) in
+# float64. Same operations in the same
+# order => bit-identical doubles; every multiply-by-0.5 is an exact IEEE
+# exponent shift, the only rounding is in the adds.
+@query(
+    "forecast_holt_monthly",
+    oracle="""
+    WITH RECURSIVE mo AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS mi,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT month, cents, ROW_NUMBER() OVER (ORDER BY mi) AS p FROM mo
+    ),
+    rec AS (
+      SELECT p, month, cents, CAST(cents AS DOUBLE) AS l,
+             CAST(0 AS DOUBLE) AS b
+      FROM s WHERE p = 1
+      UNION ALL
+      SELECT s.p, s.month, s.cents,
+             0.5e0 * CAST(s.cents AS DOUBLE) + 0.5e0 * (rec.l + rec.b),
+             0.25e0 * (CAST(s.cents AS DOUBLE) - rec.l) + 0.75e0 * rec.b
+      FROM rec JOIN s ON s.p = rec.p + 1
+    )
+    SELECT month, cents,
+           l / 100.0e0 AS holt_level,
+           b / 100.0e0 AS holt_trend,
+           (l + b) / 100.0e0 AS forecast_next
+    FROM rec
+    """,
+)
+def forecast_holt_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing (alpha = beta = 1/2) of
+    monthly revenue; `forecast_next` = level + trend is the one-step-ahead
+    forecast (the SES column can't see drift; this one tracks it).
+
+    Recursion (both engines, same op order, fold seeded by the oldest
+    month as (l, b) = (y_1, 0)):
+        l_t = 0.5*y_t + 0.5*(l_{t-1} + b_{t-1})
+        b_t = 0.25*(y_t - l_{t-1}) + 0.75*b_{t-1}
+    The b_t form is the algebraic expansion of the textbook
+    0.5*(l_t - l_{t-1}) + 0.5*b_{t-1}, so neither engine references l_t
+    while computing b_t (Spark's struct fields must not cross-reference
+    within one fold step, and DuckDB 1.0's list_reduce aliases the
+    accumulator with its output vector from the third step on — a
+    struct-state fold there reads partially-updated fields, which is why
+    the oracle uses a recursive CTE instead of a list fold).
+
+    Plan: the monthly rollup is the only fact-scale stage (map-side
+    combined groupBy); the series then collapses to a calendar-bounded
+    array (<= ~84 rows REGARDLESS of SF — more data widens the rollup,
+    never this array), and each month's state is a JVM-side aggregate()
+    fold over the array prefix — O(n^2) on n<=84, zero extra shuffles.
+    The oracle chains the identical per-step arithmetic through a
+    recursive CTE (state_t from state_{t-1}); each prefix fold replays
+    exactly the op sequence the recursion accumulates, so the doubles
+    agree bit-for-bit."""
+    orders = load_table(spark, sf_dir, "orders")
+    mo = (
+        orders.select(
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+            F.expr(
+                "CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT)"
+            ).alias("mi"),
+            F.expr(_CENTS_S).alias("c"),
+        )
+        .groupBy("month", "mi")
+        .agg(F.expr("CAST(sum(c) AS BIGINT) AS cents"))
+    )
+    arr = mo.agg(
+        F.expr("array_sort(collect_list(struct(mi, month, cents))) AS a")
+    )
+    ex = arr.select(F.expr("posexplode(a) AS (p0, x)"), F.col("a"))
+    # i = 0 marks the empty state; the first element seeds (y_1, 0.0) so the
+    # merge arithmetic below starts at t = 2 exactly like the oracle's
+    # first-element-as-accumulator reduce.
+    return ex.select(
+        F.expr("x.month AS month"),
+        F.expr("x.cents AS cents"),
+        F.expr(
+            """
+            aggregate(
+              transform(slice(a, 1, p0 + 1),
+                e -> struct(CAST(e.cents AS DOUBLE) AS l, 0.0D AS b)),
+              struct(CAST(0.0D AS DOUBLE) AS l, CAST(0.0D AS DOUBLE) AS b,
+                     CAST(0 AS INT) AS i),
+              (s, v) -> IF(s.i = 0,
+                struct(v.l AS l, 0.0D AS b, 1 AS i),
+                struct(
+                  0.5D * v.l + 0.5D * (s.l + s.b) AS l,
+                  0.25D * (v.l - s.l) + 0.75D * s.b AS b,
+                  s.i + 1 AS i)),
+              s -> s
+            ) AS st
+            """
+        ),
+    ).select(
+        "month",
+        "cents",
+        F.expr("st.l / 100.0D AS holt_level"),
+        F.expr("st.b / 100.0D AS holt_trend"),
+        F.expr("(st.l + st.b) / 100.0D AS forecast_next"),
+    )
