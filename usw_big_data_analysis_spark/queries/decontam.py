@@ -952,3 +952,115 @@ def lm_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c"), "p", "q")
         .limit(20)
     )
+
+
+# --- inter-rater agreement of independent quality heuristics -----------------
+# Label-QC closure for the quality family: quality_gate_matrix reports each
+# heuristic's pass rate; this reports whether the heuristics AGREE (Fleiss'
+# kappa, the k-rater generalization of Cohen's). Low kappa = the "quality"
+# gates measure different things and a vote among them is noise; high kappa
+# = redundant gates, safe to drop the expensive ones. The three raters are
+# deterministic single-pass expressions, so the whole operator is one scan
+# + one scalar aggregate (all integers until the final half-dozen double
+# ops, which both engines execute in the same order).
+@query(
+    "quality_rater_agreement",
+    oracle="""
+    WITH r AS (
+      SELECT CAST(length(text) >= 200 AS INT) AS r1,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> w <> '')) >= 40 AS INT) AS r2,
+             CAST(contains(text, 'the') AS INT) AS r3
+      FROM documents
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(r1) AS BIGINT) AS c1,
+             CAST(sum(r2) AS BIGINT) AS c2,
+             CAST(sum(r3) AS BIGINT) AS c3,
+             CAST(sum(r1 + r2 + r3) AS BIGINT) AS s1,
+             CAST(sum((r1 + r2 + r3) * (r1 + r2 + r3)
+                      + (3 - r1 - r2 - r3) * (3 - r1 - r2 - r3))
+                  AS BIGINT) AS sq
+      FROM r
+    ),
+    k AS (
+      SELECT n, c1, c2, c3,
+             (CAST(sq AS DOUBLE) - 3.0e0 * CAST(n AS DOUBLE))
+               / (6.0e0 * CAST(n AS DOUBLE)) AS pbar,
+             CAST(s1 AS DOUBLE) / (3.0e0 * CAST(n AS DOUBLE)) AS p1,
+             CAST(3 * n - s1 AS DOUBLE)
+               / (3.0e0 * CAST(n AS DOUBLE)) AS p0
+      FROM g
+    )
+    SELECT n AS n_docs,
+           CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE) AS rate_len,
+           CAST(c2 AS DOUBLE) / CAST(n AS DOUBLE) AS rate_tok,
+           CAST(c3 AS DOUBLE) / CAST(n AS DOUBLE) AS rate_stop,
+           pbar AS p_mean,
+           p1 * p1 + p0 * p0 AS p_expected,
+           (pbar - (p1 * p1 + p0 * p0)) / (1.0e0 - (p1 * p1 + p0 * p0))
+             AS fleiss_kappa
+    FROM k
+    """,
+)
+def quality_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa across three independent quality raters (length >= 200
+    chars; >= 40 whitespace tokens; stopword evidence — contains 'the',
+    the natural-text function-word signal) over the corpus.
+
+    With k = 3 raters and binary categories, item agreement is
+    P_i = (s^2 + (3-s)^2 - 3) / 6 for s raters voting "good"; the operator
+    aggregates N, sum(s) and sum(s^2 + (3-s)^2) as exact integers (one
+    map-side-combined scalar aggregate — the only shuffle ships six
+    numbers) and finishes with the identical double-precision op sequence
+    in both engines:
+        pbar  = (SQ - 3N) / 6N
+        p_e   = p1^2 + p0^2,  p1 = S/3N, p0 = (3N - S)/3N
+        kappa = (pbar - p_e) / (1 - p_e)"""
+    docs = load_table(spark, sf_dir, "documents")
+    r = docs.select(
+        F.expr("CAST(length(text) >= 200 AS INT) AS r1"),
+        F.expr(
+            "CAST(size(filter(split(text, ' '), w -> w != '')) >= 40"
+            " AS INT) AS r2"
+        ),
+        F.expr("CAST(contains(text, 'the') AS INT) AS r3"),
+    )
+    g = r.agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n"),
+        F.expr("CAST(sum(r1) AS BIGINT) AS c1"),
+        F.expr("CAST(sum(r2) AS BIGINT) AS c2"),
+        F.expr("CAST(sum(r3) AS BIGINT) AS c3"),
+        F.expr("CAST(sum(r1 + r2 + r3) AS BIGINT) AS s1"),
+        F.expr(
+            "CAST(sum((r1 + r2 + r3) * (r1 + r2 + r3)"
+            " + (3 - r1 - r2 - r3) * (3 - r1 - r2 - r3)) AS BIGINT) AS sq"
+        ),
+    )
+    k = g.select(
+        "n",
+        "c1",
+        "c2",
+        "c3",
+        F.expr(
+            "(CAST(sq AS DOUBLE) - 3.0D * CAST(n AS DOUBLE))"
+            " / (6.0D * CAST(n AS DOUBLE)) AS pbar"
+        ),
+        F.expr("CAST(s1 AS DOUBLE) / (3.0D * CAST(n AS DOUBLE)) AS p1"),
+        F.expr(
+            "CAST(3 * n - s1 AS DOUBLE) / (3.0D * CAST(n AS DOUBLE)) AS p0"
+        ),
+    )
+    return k.select(
+        F.expr("n AS n_docs"),
+        F.expr("CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE) AS rate_len"),
+        F.expr("CAST(c2 AS DOUBLE) / CAST(n AS DOUBLE) AS rate_tok"),
+        F.expr("CAST(c3 AS DOUBLE) / CAST(n AS DOUBLE) AS rate_stop"),
+        F.expr("pbar AS p_mean"),
+        F.expr("p1 * p1 + p0 * p0 AS p_expected"),
+        F.expr(
+            "(pbar - (p1 * p1 + p0 * p0)) / (1.0D - (p1 * p1 + p0 * p0))"
+            " AS fleiss_kappa"
+        ),
+    )
