@@ -1287,7 +1287,7 @@ def forecast_holt_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = arr.select(F.expr("posexplode(a) AS (p0, x)"), F.col("a"))
     # i = 0 marks the empty state; the first element seeds (y_1, 0.0) so the
     # merge arithmetic below starts at t = 2 exactly like the oracle's
-    # first-element-as-accumulator reduce.
+    # recursion, whose anchor row carries (y_1, 0).
     return ex.select(
         F.expr("x.month AS month"),
         F.expr("x.cents AS cents"),
