@@ -45,3 +45,66 @@ def test_vectorized_topk_matches_exact(spark, sf_dir):
         cid_f, cos_f = fast[key]
         assert cid_f == cid_e, f"{key}: neighbor {cid_f} != {cid_e}"
         assert abs(cos_f - cos_e) < 1e-5, f"{key}: cosine {cos_f} vs {cos_e}"
+
+
+def test_hard_negatives_laws(spark, sf_dir):
+    """embed_hard_negatives is the LSH-bucketed scale path: its mined
+    pairs must be a SUBSET of the brute-force band pairs (bucketing may
+    lose candidates — that's the recall trade — but must never invent
+    one), every cosine must sit inside [LO, HI), and no anchor may carry
+    more than K negatives."""
+    from usw_big_data_analysis_spark.queries.similarity import (
+        _HNM_BATCH,
+        _HNM_HI,
+        _HNM_K,
+        _HNM_LO,
+        _dec_dot,
+        embed_hard_negatives,
+    )
+    from usw_big_data_analysis_spark.sources import load_table
+    from pyspark.sql import functions as F
+    from usw_big_data_analysis_spark.functions import numeric as N
+
+    rows = embed_hard_negatives(spark, sf_dir).collect()
+    assert rows, "band/bucket must produce negatives on the fixture"
+    per_anchor = {}
+    for r in rows:
+        assert _HNM_LO <= r["cosine"] < _HNM_HI
+        assert 1 <= r["rn"] <= _HNM_K
+        per_anchor.setdefault(r["qid"], []).append(r)
+    assert all(len(v) <= _HNM_K for v in per_anchor.values())
+
+    # brute-force band pairs (no bucketing) — the superset
+    emb = load_table(spark, sf_dir, "embeddings")
+    withn = emb.withColumn(
+        "nrm", F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding")))
+    )
+    q = withn.filter(F.col("vec_id") < _HNM_BATCH).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
+        F.col("nrm").alias("nrm_q"),
+    )
+    c = withn.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cemb"),
+        F.col("nrm").alias("nrm_c"),
+    )
+    brute = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            N.fround(
+                _dec_dot(F.col("qemb"), F.col("cemb"))
+                / (F.col("nrm_q") * F.col("nrm_c")),
+                6,
+            ).alias("cosine"),
+        )
+        .filter((F.col("cosine") >= _HNM_LO) & (F.col("cosine") < _HNM_HI))
+        .collect()
+    )
+    superset = {(r["qid"], r["cid"]): r["cosine"] for r in brute}
+    for r in rows:
+        assert (r["qid"], r["cid"]) in superset
+        assert superset[(r["qid"], r["cid"])] == r["cosine"]

@@ -256,6 +256,123 @@ def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cos.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _TOPK)
 
 
+# --- hard-negative mining for contrastive embedding training -----------------
+# The training-loop shape: for every anchor in the CURRENT BATCH (not a
+# fixed tiny query set), surface the corpus vectors that are similar-but-
+# not-duplicate — the negatives that actually move a contrastive loss.
+# Candidates come from the anchor's LSH bucket (equi-join, linear in corpus
+# size — never all-pairs), the similarity band [LO, HI) drops both the easy
+# negatives (below LO, gradient≈0) and the near-duplicates (>= HI, likely
+# false negatives = same content), and each anchor keeps its K hardest.
+_HNM_BATCH = 64  # anchor batch: vec_id < 64 (one training step's anchors)
+_HNM_K = 3
+_HNM_LO = 0.15  # ~p90 of the corpus cosine distribution — "hard" territory
+_HNM_HI = 0.95  # near-dup ceiling: above this it's the same content
+
+_HARD_NEG_ORACLE = f"""
+    WITH expl AS ({_EXPL_SQL}),
+    norms AS ({_NORMS_SQL}),
+    buckets AS ({_BUCKET_SQL}),
+    q AS (SELECT e.vec_id AS qid, e.pos, e.v AS qv, b.bucket
+          FROM expl e JOIN buckets b ON e.vec_id = b.vec_id
+          WHERE e.vec_id < {_HNM_BATCH}),
+    cand AS (
+      SELECT q.qid, c.vec_id AS cid, q.pos, q.qv, c.v
+      FROM q JOIN expl c ON q.pos = c.pos
+      JOIN buckets cb ON c.vec_id = cb.vec_id AND cb.bucket = q.bucket
+      WHERE q.qid <> c.vec_id
+    ),
+    dots AS (
+      SELECT qid, cid,
+             CAST(sum(CAST(qv * v AS DECIMAL(20,12))) AS DOUBLE) AS dot
+      FROM cand GROUP BY qid, cid
+    ),
+    cos AS (
+      SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+      FROM dots JOIN norms nq ON qid = nq.vec_id
+                JOIN norms nc ON cid = nc.vec_id
+    )
+    SELECT qid, cid, cosine, rn FROM (
+      SELECT qid, cid, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rn
+      FROM cos
+      WHERE cosine >= {_HNM_LO} AND cosine < {_HNM_HI}
+    ) WHERE rn <= {_HNM_K}
+    """
+
+
+@query("embed_hard_negatives", oracle=_HARD_NEG_ORACLE)
+def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for a {nq}-anchor training batch: same-LSH-
+    bucket candidates, exact decimal cosine, band-filtered to
+    [{lo}, {hi}) — similar enough to be hard, below the near-duplicate
+    ceiling that would make them false negatives — then the {k} hardest
+    per anchor. This is the LSH-bucketed scale path that
+    knn_hard_negatives' docstring promises (that key is the brute-force
+    label-mismatch top-1 baseline; this one is unsupervised — the band
+    stands in for the label filter when labels don't exist, the normal
+    case for pretraining corpora). The band filter runs on the ROUNDED
+    cosine so the boundary is the same value in both engines. Plan: one
+    bucket equi-join (shuffle linear in corpus size), one grouped
+    dot-product aggregate, and a per-anchor window — the per-batch
+    mining cost is |batch| x bucket-size, independent of corpus size.""".format(
+        nq=_HNM_BATCH, lo=_HNM_LO, hi=_HNM_HI, k=_HNM_K
+    )
+    expl = _exploded(spark, sf_dir)
+    norms = _norms(expl)
+
+    def r_col(j: int) -> F.Column:
+        return ((F.lit(j) * 64 + F.col("pos")) * 2654435761 % 1000).cast(
+            "double"
+        ) / 1000.0 - 0.5
+
+    bucket_terms = [
+        F.when(
+            F.sum((F.col("v") * r_col(j)).cast("decimal(20,12)")).cast("double") > 0,
+            F.lit(1 << j),
+        ).otherwise(F.lit(0))
+        for j in range(_NPLANES)
+    ]
+    buckets = expl.groupBy("vec_id").agg(
+        sum(bucket_terms[1:], bucket_terms[0]).alias("bucket")
+    )
+    q = (
+        expl.join(buckets, "vec_id")
+        .filter(F.col("vec_id") < _HNM_BATCH)
+        .select(
+            F.col("vec_id").alias("qid"), "pos", F.col("v").alias("qv"), "bucket"
+        )
+    )
+    c = expl.select(F.col("vec_id").alias("cid"), "pos", "v").join(
+        buckets.select(F.col("vec_id").alias("cid"), F.col("bucket").alias("cbucket")),
+        "cid",
+    )
+    cand = q.join(
+        c, (q.pos == c.pos) & (F.col("bucket") == F.col("cbucket"))
+    ).filter(F.col("qid") != F.col("cid"))
+    dots = cand.groupBy("qid", "cid").agg(
+        F.sum((F.col("qv") * F.col("v")).cast("decimal(20,12)"))
+        .cast("double")
+        .alias("dot")
+    )
+    nq_ = norms.select(F.col("vec_id").alias("qid"), F.col("nrm").alias("nrm_q"))
+    nc_ = norms.select(F.col("vec_id").alias("cid"), F.col("nrm").alias("nrm_c"))
+    cos = (
+        dots.join(F.broadcast(nq_), "qid")
+        .join(nc_, "cid")
+        .select(
+            "qid",
+            "cid",
+            N.fround(F.col("dot") / (F.col("nrm_q") * F.col("nrm_c")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter((F.col("cosine") >= _HNM_LO) & (F.col("cosine") < _HNM_HI))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return cos.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _HNM_K)
+
+
 # --- embedding-cosine near-dup (north star dedup family) --------------------
 _DUP_TAU = 0.98
 _SHIFT = 100000
