@@ -43,6 +43,7 @@ _SCALE_SENSITIVE = [
     "q1_pricing_summary",
     "forecast_ses_monthly",
     "forecast_holt_monthly",
+    "forecast_hw_monthly",
 ]
 
 

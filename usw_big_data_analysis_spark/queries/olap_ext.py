@@ -1315,3 +1315,130 @@ def forecast_holt_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("st.b / 100.0D AS holt_trend"),
         F.expr("(st.l + st.b) / 100.0D AS forecast_next"),
     )
+
+
+# --- Holt-Winters additive seasonal smoothing over the monthly series --------
+# Completes the smoothing ladder (SES level -> Holt trend -> HW seasonality):
+# alpha = beta = gamma = 1/2, 12-month additive season, ZERO-seeDED seasonal
+# indices (pure Holt during the first year; the seasonal recursion learns the
+# cycle from month 2 on). State is (level, trend, rolling 12-vector of
+# seasonal indices) — both engines carry the vector through the identical
+# float64 op sequence: Spark folds each month's array prefix with an
+# array-valued struct state; the oracle chains a LIST column through a
+# recursive CTE. Every update is written with NO intra-step reference to
+# another updated field (the expansions below are verified equal to the
+# textbook l_t/b_t/s_t forms), per the struct-fold rule forecast_holt_monthly
+# established:
+#   l_t = 0.5*(y - s12) + 0.5*(l + b)
+#   b_t = 0.25*(y - s12) + 0.25*(l + b) - 0.5*l + 0.5*b
+#   s_t = 0.5*y - 0.25*(y - s12) - 0.25*(l + b) + 0.5*s12
+@query(
+    "forecast_hw_monthly",
+    oracle="""
+    WITH RECURSIVE mo AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS mi,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT month, cents, ROW_NUMBER() OVER (ORDER BY mi) AS p FROM mo
+    ),
+    rec AS (
+      SELECT p, month, cents, CAST(cents AS DOUBLE) AS l,
+             CAST(0 AS DOUBLE) AS b,
+             [CAST(0 AS DOUBLE) FOR x IN range(12)] AS sl
+      FROM s WHERE p = 1
+      UNION ALL
+      SELECT s.p, s.month, s.cents,
+             0.5e0 * (CAST(s.cents AS DOUBLE) - rec.sl[1])
+               + 0.5e0 * (rec.l + rec.b),
+             0.25e0 * (CAST(s.cents AS DOUBLE) - rec.sl[1])
+               + 0.25e0 * (rec.l + rec.b) - 0.5e0 * rec.l + 0.5e0 * rec.b,
+             rec.sl[2:12] || [
+               0.5e0 * CAST(s.cents AS DOUBLE)
+                 - 0.25e0 * (CAST(s.cents AS DOUBLE) - rec.sl[1])
+                 - 0.25e0 * (rec.l + rec.b) + 0.5e0 * rec.sl[1]
+             ]
+      FROM rec JOIN s ON s.p = rec.p + 1
+    )
+    SELECT month, cents,
+           l / 100.0e0 AS hw_level,
+           b / 100.0e0 AS hw_trend,
+           sl[12] / 100.0e0 AS hw_seasonal,
+           (l + b + sl[1]) / 100.0e0 AS forecast_next
+    FROM rec
+    """,
+)
+def forecast_hw_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive smoothing (alpha = beta = gamma = 1/2,
+    period 12) of monthly revenue. `hw_seasonal` is the seasonal index
+    learned THIS month (0 for the seed month); `forecast_next` =
+    level + trend + the index that applies next month (the rolling
+    vector's oldest slot after the update).
+
+    Seed: (l, b) = (y_1, 0), all 12 seasonal indices 0 — the recursion is
+    pure Holt until seasonal indices accumulate, then each month's index
+    is refreshed once per cycle. Plan shape is forecast_holt_monthly's:
+    one fact-scale monthly rollup, then per-month JVM aggregate() folds
+    over the calendar-bounded array prefix with an array<double>-valued
+    state; the oracle carries the same 12-slot LIST through a recursive
+    CTE, and every fold step runs the identical float64 op sequence, so
+    the doubles agree bit-for-bit."""
+    orders = load_table(spark, sf_dir, "orders")
+    mo = (
+        orders.select(
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+            F.expr(
+                "CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT)"
+            ).alias("mi"),
+            F.expr(_CENTS_S).alias("c"),
+        )
+        .groupBy("month", "mi")
+        .agg(F.expr("CAST(sum(c) AS BIGINT) AS cents"))
+    )
+    arr = mo.agg(
+        F.expr("array_sort(collect_list(struct(mi, month, cents))) AS a")
+    )
+    ex = arr.select(F.expr("posexplode(a) AS (p0, x)"), F.col("a"))
+    return ex.select(
+        F.expr("x.month AS month"),
+        F.expr("x.cents AS cents"),
+        F.expr(
+            """
+            aggregate(
+              slice(a, 1, p0 + 1),
+              struct(CAST(0.0D AS DOUBLE) AS l, CAST(0.0D AS DOUBLE) AS b,
+                     array_repeat(CAST(0.0D AS DOUBLE), 12) AS sl,
+                     CAST(0 AS INT) AS i),
+              (s, v) -> IF(s.i = 0,
+                struct(CAST(v.cents AS DOUBLE) AS l, 0.0D AS b,
+                       s.sl AS sl, 1 AS i),
+                struct(
+                  0.5D * (CAST(v.cents AS DOUBLE) - element_at(s.sl, 1))
+                    + 0.5D * (s.l + s.b) AS l,
+                  0.25D * (CAST(v.cents AS DOUBLE) - element_at(s.sl, 1))
+                    + 0.25D * (s.l + s.b) - 0.5D * s.l + 0.5D * s.b AS b,
+                  concat(slice(s.sl, 2, 11), array(
+                    0.5D * CAST(v.cents AS DOUBLE)
+                      - 0.25D * (CAST(v.cents AS DOUBLE)
+                                 - element_at(s.sl, 1))
+                      - 0.25D * (s.l + s.b)
+                      + 0.5D * element_at(s.sl, 1)
+                  )) AS sl,
+                  s.i + 1 AS i)),
+              s -> s
+            ) AS st
+            """
+        ),
+    ).select(
+        "month",
+        "cents",
+        F.expr("st.l / 100.0D AS hw_level"),
+        F.expr("st.b / 100.0D AS hw_trend"),
+        F.expr("element_at(st.sl, 12) / 100.0D AS hw_seasonal"),
+        F.expr(
+            "(st.l + st.b + element_at(st.sl, 1)) / 100.0D AS forecast_next"
+        ),
+    )
