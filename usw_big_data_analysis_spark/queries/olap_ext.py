@@ -1126,9 +1126,7 @@ def duplicate_order_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # weights <= 2^11, 12 terms -> < 2^53), the 2^k divisions only shift the
 # exponent, and the single /100 rounding is the one IEEE operation — so the
 # level is bit-identical cross-engine with NO decimal machinery.
-@query(
-    "forecast_ses_monthly",
-    oracle="""
+_SES_ORACLE = """
     WITH mo AS (
       SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
              CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS mi,
@@ -1151,8 +1149,10 @@ def duplicate_order_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS DOUBLE)
              / (2 ** (len(vs) - 1)) / 100.0 AS ses_level
     FROM w
-    """,
-)
+    """
+
+
+@query("forecast_ses_monthly", oracle=_SES_ORACLE)
 def forecast_ses_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simple exponential smoothing (alpha = 1/2) of monthly revenue over a
     trailing 12-calendar-month window; `ses_level` is the smoothed level =
@@ -1213,9 +1213,7 @@ def forecast_ses_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # float64. Same operations in the same
 # order => bit-identical doubles; every multiply-by-0.5 is an exact IEEE
 # exponent shift, the only rounding is in the adds.
-@query(
-    "forecast_holt_monthly",
-    oracle="""
+_HOLT_ORACLE = """
     WITH RECURSIVE mo AS (
       SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
              CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS mi,
@@ -1241,8 +1239,10 @@ def forecast_ses_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
            b / 100.0e0 AS holt_trend,
            (l + b) / 100.0e0 AS forecast_next
     FROM rec
-    """,
-)
+    """
+
+
+@query("forecast_holt_monthly", oracle=_HOLT_ORACLE)
 def forecast_holt_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt's linear-trend exponential smoothing (alpha = beta = 1/2) of
     monthly revenue; `forecast_next` = level + trend is the one-step-ahead
@@ -1332,9 +1332,7 @@ def forecast_holt_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   l_t = 0.5*(y - s12) + 0.5*(l + b)
 #   b_t = 0.25*(y - s12) + 0.25*(l + b) - 0.5*l + 0.5*b
 #   s_t = 0.5*y - 0.25*(y - s12) - 0.25*(l + b) + 0.5*s12
-@query(
-    "forecast_hw_monthly",
-    oracle="""
+_HW_ORACLE = """
     WITH RECURSIVE mo AS (
       SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
              CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS mi,
@@ -1369,8 +1367,10 @@ def forecast_holt_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
            sl[12] / 100.0e0 AS hw_seasonal,
            (l + b + sl[1]) / 100.0e0 AS forecast_next
     FROM rec
-    """,
-)
+    """
+
+
+@query("forecast_hw_monthly", oracle=_HW_ORACLE)
 def forecast_hw_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt-Winters additive smoothing (alpha = beta = gamma = 1/2,
     period 12) of monthly revenue. `hw_seasonal` is the seasonal index
@@ -1440,5 +1440,109 @@ def forecast_hw_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("element_at(st.sl, 12) / 100.0D AS hw_seasonal"),
         F.expr(
             "(st.l + st.b + element_at(st.sl, 1)) / 100.0D AS forecast_next"
+        ),
+    )
+
+
+# --- one-step-ahead backtest: model selection across the smoothing ladder ----
+_BACKTEST_ORACLE = f"""
+    WITH ses_q AS ({_SES_ORACLE}),
+    holt_q AS ({_HOLT_ORACLE}),
+    hw_q AS ({_HW_ORACLE}),
+    u AS (
+      SELECT 'ses' AS model, a.cents, p.ses_level AS f
+      FROM ses_q a JOIN ses_q p ON a.month = p.month + INTERVAL 1 MONTH
+      UNION ALL
+      SELECT 'holt' AS model, a.cents, p.forecast_next AS f
+      FROM holt_q a JOIN holt_q p ON a.month = p.month + INTERVAL 1 MONTH
+      UNION ALL
+      SELECT 'hw' AS model, a.cents, p.forecast_next AS f
+      FROM hw_q a JOIN hw_q p ON a.month = p.month + INTERVAL 1 MONTH
+    ),
+    e AS (
+      SELECT model,
+             CAST(round((CAST(cents AS DOUBLE) / 100.0e0 - f) * 100.0e0)
+                  AS BIGINT) AS ec,
+             CAST(round(abs(CAST(cents AS DOUBLE) / 100.0e0 - f)
+                        / (CAST(cents AS DOUBLE) / 100.0e0)
+                        * 1000000000.0e0) AS BIGINT) AS pct
+      FROM u
+    ),
+    g AS (
+      SELECT model, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(abs(ec)) AS BIGINT) AS sae,
+             CAST(sum(ec) AS BIGINT) AS se,
+             CAST(sum(pct) AS BIGINT) AS spct
+      FROM e GROUP BY model
+    )
+    SELECT model, n AS n_forecasts,
+           CAST(sae AS DOUBLE) / CAST(n AS DOUBLE) / 100.0e0 AS mae,
+           CAST(se AS DOUBLE) / CAST(n AS DOUBLE) / 100.0e0 AS bias,
+           CAST(spct AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000.0e0 AS mape
+    FROM g
+    """
+
+
+@query("forecast_backtest", oracle=_BACKTEST_ORACLE)
+def forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead backtest across the smoothing ladder: each model's
+    month-(t-1) forecast (SES: the flat level; Holt/HW: level + trend
+    [+ seasonal]) meets month t's actual revenue, and per-model MAE, bias,
+    and MAPE come out as exact quantized-integer sums (errors to cents,
+    relative errors to 1e-9) so the aggregation is order-independent and
+    bit-equal to the oracle, which recomputes all three models by
+    composing their own oracle CTEs — the whole comparison is
+    independently derived on both engines end to end.
+
+    The model-selection read at a glance: HW < Holt < SES in MAE iff the
+    series carries real trend + seasonality; a negative bias means the
+    model lags a growing series. Plan: three calendar-bounded series
+    frames (each one fact-scale rollup), a month+1 self-join on the
+    calendar key (never a window over an unpartitioned series), one
+    map-side-combined group-by(model)."""
+    ses = forecast_ses_monthly(spark, sf_dir).select(
+        "month", "cents", F.col("ses_level").alias("f")
+    )
+    holt = forecast_holt_monthly(spark, sf_dir).select(
+        "month", "cents", F.col("forecast_next").alias("f")
+    )
+    hw = forecast_hw_monthly(spark, sf_dir).select(
+        "month", "cents", F.col("forecast_next").alias("f")
+    )
+    parts = []
+    for name, fr in (("ses", ses), ("holt", holt), ("hw", hw)):
+        a = fr.select(F.col("month").alias("am"), "cents")
+        p = fr.select(
+            (F.col("month") + F.expr("INTERVAL 1 MONTH")).alias("am"),
+            F.col("f"),
+        )
+        parts.append(
+            a.join(p, "am").select(
+                F.lit(name).alias("model"),
+                F.expr("CAST(cents AS DOUBLE) / 100.0D - f").alias("e"),
+                F.expr("CAST(cents AS DOUBLE) / 100.0D").alias("y"),
+            )
+        )
+    u = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    e = u.select(
+        "model",
+        N.fround_int(F.col("e") * 100.0).alias("ec"),
+        N.fround_int(F.abs(F.col("e")) / F.col("y") * 1000000000.0).alias(
+            "pct"
+        ),
+    )
+    g = e.groupBy("model").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n"),
+        F.expr("CAST(sum(abs(ec)) AS BIGINT) AS sae"),
+        F.expr("CAST(sum(ec) AS BIGINT) AS se"),
+        F.expr("CAST(sum(pct) AS BIGINT) AS spct"),
+    )
+    return g.select(
+        "model",
+        F.col("n").alias("n_forecasts"),
+        F.expr("CAST(sae AS DOUBLE) / CAST(n AS DOUBLE) / 100.0D AS mae"),
+        F.expr("CAST(se AS DOUBLE) / CAST(n AS DOUBLE) / 100.0D AS bias"),
+        F.expr(
+            "CAST(spct AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000.0D AS mape"
         ),
     )
