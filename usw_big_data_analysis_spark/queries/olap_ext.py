@@ -1242,6 +1242,26 @@ _HOLT_ORACLE = """
     """
 
 
+# The per-month prefix-fold expression (shared with the randomized
+# bitwise property test in tests/test_smoothing_property.py — the test
+# must exercise the EXACT expression the query runs, not a copy).
+_HOLT_FOLD_SQL = """
+            aggregate(
+              transform(slice(a, 1, p0 + 1),
+                e -> struct(CAST(e.cents AS DOUBLE) AS l, 0.0D AS b)),
+              struct(CAST(0.0D AS DOUBLE) AS l, CAST(0.0D AS DOUBLE) AS b,
+                     CAST(0 AS INT) AS i),
+              (s, v) -> IF(s.i = 0,
+                struct(v.l AS l, 0.0D AS b, 1 AS i),
+                struct(
+                  0.5D * v.l + 0.5D * (s.l + s.b) AS l,
+                  0.25D * (v.l - s.l) + 0.75D * s.b AS b,
+                  s.i + 1 AS i)),
+              s -> s
+            ) AS st
+            """
+
+
 @query("forecast_holt_monthly", oracle=_HOLT_ORACLE)
 def forecast_holt_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt's linear-trend exponential smoothing (alpha = beta = 1/2) of
@@ -1291,23 +1311,7 @@ def forecast_holt_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.select(
         F.expr("x.month AS month"),
         F.expr("x.cents AS cents"),
-        F.expr(
-            """
-            aggregate(
-              transform(slice(a, 1, p0 + 1),
-                e -> struct(CAST(e.cents AS DOUBLE) AS l, 0.0D AS b)),
-              struct(CAST(0.0D AS DOUBLE) AS l, CAST(0.0D AS DOUBLE) AS b,
-                     CAST(0 AS INT) AS i),
-              (s, v) -> IF(s.i = 0,
-                struct(v.l AS l, 0.0D AS b, 1 AS i),
-                struct(
-                  0.5D * v.l + 0.5D * (s.l + s.b) AS l,
-                  0.25D * (v.l - s.l) + 0.75D * s.b AS b,
-                  s.i + 1 AS i)),
-              s -> s
-            ) AS st
-            """
-        ),
+        F.expr(_HOLT_FOLD_SQL),
     ).select(
         "month",
         "cents",
@@ -1370,6 +1374,33 @@ _HW_ORACLE = """
     """
 
 
+_HW_FOLD_SQL = """
+            aggregate(
+              slice(a, 1, p0 + 1),
+              struct(CAST(0.0D AS DOUBLE) AS l, CAST(0.0D AS DOUBLE) AS b,
+                     array_repeat(CAST(0.0D AS DOUBLE), 12) AS sl,
+                     CAST(0 AS INT) AS i),
+              (s, v) -> IF(s.i = 0,
+                struct(CAST(v.cents AS DOUBLE) AS l, 0.0D AS b,
+                       s.sl AS sl, 1 AS i),
+                struct(
+                  0.5D * (CAST(v.cents AS DOUBLE) - element_at(s.sl, 1))
+                    + 0.5D * (s.l + s.b) AS l,
+                  0.25D * (CAST(v.cents AS DOUBLE) - element_at(s.sl, 1))
+                    + 0.25D * (s.l + s.b) - 0.5D * s.l + 0.5D * s.b AS b,
+                  concat(slice(s.sl, 2, 11), array(
+                    0.5D * CAST(v.cents AS DOUBLE)
+                      - 0.25D * (CAST(v.cents AS DOUBLE)
+                                 - element_at(s.sl, 1))
+                      - 0.25D * (s.l + s.b)
+                      + 0.5D * element_at(s.sl, 1)
+                  )) AS sl,
+                  s.i + 1 AS i)),
+              s -> s
+            ) AS st
+            """
+
+
 @query("forecast_hw_monthly", oracle=_HW_ORACLE)
 def forecast_hw_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt-Winters additive smoothing (alpha = beta = gamma = 1/2,
@@ -1405,33 +1436,7 @@ def forecast_hw_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.select(
         F.expr("x.month AS month"),
         F.expr("x.cents AS cents"),
-        F.expr(
-            """
-            aggregate(
-              slice(a, 1, p0 + 1),
-              struct(CAST(0.0D AS DOUBLE) AS l, CAST(0.0D AS DOUBLE) AS b,
-                     array_repeat(CAST(0.0D AS DOUBLE), 12) AS sl,
-                     CAST(0 AS INT) AS i),
-              (s, v) -> IF(s.i = 0,
-                struct(CAST(v.cents AS DOUBLE) AS l, 0.0D AS b,
-                       s.sl AS sl, 1 AS i),
-                struct(
-                  0.5D * (CAST(v.cents AS DOUBLE) - element_at(s.sl, 1))
-                    + 0.5D * (s.l + s.b) AS l,
-                  0.25D * (CAST(v.cents AS DOUBLE) - element_at(s.sl, 1))
-                    + 0.25D * (s.l + s.b) - 0.5D * s.l + 0.5D * s.b AS b,
-                  concat(slice(s.sl, 2, 11), array(
-                    0.5D * CAST(v.cents AS DOUBLE)
-                      - 0.25D * (CAST(v.cents AS DOUBLE)
-                                 - element_at(s.sl, 1))
-                      - 0.25D * (s.l + s.b)
-                      + 0.5D * element_at(s.sl, 1)
-                  )) AS sl,
-                  s.i + 1 AS i)),
-              s -> s
-            ) AS st
-            """
-        ),
+        F.expr(_HW_FOLD_SQL),
     ).select(
         "month",
         "cents",
