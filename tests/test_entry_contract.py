@@ -52,11 +52,11 @@ def test_bench_headline_keys_registered():
             assert name in oracles, f"{name} lost its oracle (ratio would vanish)"
 
 
-def test_r05_rotation_front_loads_fresh_families():
-    """The driver samples queries() in iteration order; r05's window must
-    open with the never-driver-checked priority families (VERDICT r4 #1:
-    sink, privacy, graph, join-ext, metric-ext, scan, sql, ab/stats) —
-    every key in the 50-key window must be fresh."""
+def test_r06_rotation_front_loads_fresh_families():
+    """The driver samples queries() in iteration order; r06's window must
+    open with the never-driver-checked priority families (VERDICT r5 #1:
+    forecast, TPC-H tail, behavior/session, olap rollup/window, lakehouse,
+    stats extras) — every key in the 50-key window must be fresh."""
     from usw_big_data_analysis_spark.registry import (
         _DRIVER_CHECKED,
         _PRIORITY_FRESH,
@@ -68,5 +68,41 @@ def test_r05_rotation_front_loads_fresh_families():
     assert all(k not in _DRIVER_CHECKED for k in window)
     # the window is exactly the head of the priority list
     assert window == [k for k in _PRIORITY_FRESH if k not in _DRIVER_CHECKED][:50]
-    assert window[0].startswith("sink_")
-    assert "dedup_minhash_auto" in order[:51]  # new key gets a driver row
+    assert window[0].startswith("forecast_")
+    assert "q22_global_sales" in window  # the TPC-H tail gets driver rows
+
+
+def test_registry_hygiene():
+    """Pinned invariants at 449+ keys (VERDICT r5 #10): every registered key
+    lives in exactly one queries-package family module that ALL_MODULES
+    imported, the rotation bookkeeping references only real keys, and the
+    attestation trajectory is monotone (fresh keys always precede seen ones,
+    so _DRIVER_CHECKED ∪ per-round windows eventually covers the registry)."""
+    from usw_big_data_analysis_spark import registry
+    from usw_big_data_analysis_spark.queries import ALL_MODULES
+
+    qs = registry.all_queries()
+    regkeys = set(qs)
+    modnames = {m.__name__ for m in ALL_MODULES}
+    # exactly-one-module: the @query decorator rejects duplicate keys at
+    # import time, so each key has one owning function; assert the owner is
+    # one of the imported family modules (no stray registration site).
+    for key, fn in qs.items():
+        assert fn.__module__ in modnames, (key, fn.__module__)
+    # rotation bookkeeping references only live keys, with no overlap
+    assert registry._DRIVER_CHECKED <= regkeys
+    pf = registry._PRIORITY_FRESH
+    assert len(pf) == len(set(pf)), "duplicate priority keys"
+    assert set(pf) <= regkeys
+    assert not (set(pf) & registry._DRIVER_CHECKED)
+    # monotone attestation: in all_queries() order every never-checked key
+    # precedes every already-checked key, so each round's window is spent
+    # entirely on fresh keys until none remain.
+    order = list(qs)
+    first_seen = next(
+        (i for i, k in enumerate(order) if k in registry._DRIVER_CHECKED),
+        len(order),
+    )
+    assert all(k in registry._DRIVER_CHECKED for k in order[first_seen:])
+    # oracles are a subset of queries (rows-only keys may lack oracles)
+    assert set(registry.all_oracles()) <= regkeys

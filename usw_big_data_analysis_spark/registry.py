@@ -37,7 +37,7 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-# Keys that already have a driver correctness row (CORRECTNESS_r01 ∪ … ∪ r04).
+# Keys that already have a driver correctness row (CORRECTNESS_r01 ∪ … ∪ r05).
 # The driver's per-round gate samples queries() in iteration order, so
 # all_queries() floats never-driver-checked keys to the front (within the
 # deliberate family order set by queries/__init__.py ALL_MODULES) and sinks
@@ -45,36 +45,46 @@ def query(name: str, oracle: str | None = None):
 # until every family has a driver row. Regenerate after each round:
 #   sorted(set(r01_keys) | set(r02_keys) | ...)
 _DRIVER_CHECKED: frozenset[str] = frozenset({
-    'align_inner', 'anomaly_zscore', 'anova_f', 'argmax_threshold', 'best_model_select',
-    'bm25_doc_ranking', 'chi2', 'class_distribution_check', 'concat_cols', 'corr_matrix',
-    'corr_target', 'corr_tests', 'crosstab_margins', 'cumsum_curve', 'cv_stratified_kfold',
-    'decontam_ngram', 'dedup_block_hash', 'dedup_bucket_stats', 'dedup_cluster_size_dist', 'dedup_clusters',
-    'dedup_containment', 'dedup_cross_source_overlap', 'dedup_embed_cosine', 'dedup_exact', 'dedup_incremental_bands',
-    'dedup_keep_priority', 'dedup_minhash_band_sweep', 'dedup_minhash_lsh', 'dedup_minhash_salted', 'dedup_ngram_jaccard',
+    'ab_cuped_adjustment', 'ab_test_power', 'ab_test_ztest', 'align_inner', 'anomaly_zscore',
+    'anova_f', 'argmax_threshold', 'best_model_select', 'bloom_prune_join', 'bm25_doc_ranking',
+    'chi2', 'class_distribution_check', 'concat_cols', 'corr_matrix', 'corr_target',
+    'corr_tests', 'crosstab_margins', 'cumsum_curve', 'cv_stratified_kfold', 'decontam_ngram',
+    'dedup_block_hash', 'dedup_bucket_stats', 'dedup_cluster_size_dist', 'dedup_clusters', 'dedup_containment',
+    'dedup_cross_source_overlap', 'dedup_embed_cosine', 'dedup_exact', 'dedup_incremental_bands', 'dedup_keep_priority',
+    'dedup_minhash_auto', 'dedup_minhash_band_sweep', 'dedup_minhash_lsh', 'dedup_minhash_salted', 'dedup_ngram_jaccard',
     'dedup_pair_evidence', 'dedup_rate_by_source', 'dedup_simhash', 'dedup_simhash_hamming', 'dedup_span_c4',
     'dedup_two_stage_funnel', 'describe', 'doc_chunk_fixed', 'doc_length_overflow', 'doc_sample_hash',
-    'embed_ann_ivf', 'embed_ann_lsh', 'embed_ann_multitable', 'embed_ann_recall', 'embed_cosine_topk',
-    'embed_cosine_topk_pandas', 'embed_dedup_threshold_sweep', 'embed_jl_projection_audit', 'embed_label_centroid_drift', 'embed_lsh_tuning_curve',
-    'embed_matryoshka_recall', 'embed_norm_audit', 'embed_pq_assign', 'embed_pq_search', 'embed_quantize_int8',
-    'encode_cat_int', 'encode_hash_trick', 'encode_label', 'filter_class', 'filter_isin',
-    'filter_mask_cols', 'filter_notnull', 'filter_range', 'fuzzy_join_names', 'global_stats',
-    'groupby_agg', 'groupby_mean_multi', 'groupby_median', 'impute_mean', 'impute_median',
-    'impute_mode', 'infer_categorical', 'intersect_names', 'inverted_index', 'join_asof',
-    'join_bucketed', 'join_pred_truth', 'join_range', 'join_salted_skew', 'join_xy',
-    'kmeans_spherical', 'knn_hard_negatives', 'knn_lsh', 'kruskal', 'ks_2samp',
-    'lag_diff_user', 'lang_id_confusion', 'limit_head', 'linreg_ols_group', 'mannwhitney',
-    'metric_accuracy', 'metric_auroc', 'metric_calibration', 'metric_cohens_kappa', 'metric_confusion',
-    'metric_f1', 'metric_logloss', 'metric_mcnemar', 'minhash_jaccard_estimate', 'mixture_epochs_plan',
+    'embed_ann_incremental', 'embed_ann_ivf', 'embed_ann_lsh', 'embed_ann_multitable', 'embed_ann_recall',
+    'embed_cosine_topk', 'embed_cosine_topk_pandas', 'embed_dedup_threshold_sweep', 'embed_ivf_cell_stats', 'embed_jl_projection_audit',
+    'embed_label_centroid_drift', 'embed_lsh_tuning_curve', 'embed_matryoshka_recall', 'embed_norm_audit', 'embed_pq_assign',
+    'embed_pq_search', 'embed_quantize_int8', 'encode_cat_int', 'encode_hash_trick', 'encode_label',
+    'filter_class', 'filter_isin', 'filter_mask_cols', 'filter_notnull', 'filter_range',
+    'fuzzy_join_names', 'global_stats', 'graph_bfs_layers', 'graph_degree_dist', 'graph_kcore',
+    'graph_link_jaccard', 'graph_modularity', 'graph_triangles', 'groupby_agg', 'groupby_mean_multi',
+    'groupby_median', 'impute_mean', 'impute_median', 'impute_mode', 'infer_categorical',
+    'intersect_names', 'inverted_index', 'join_asof', 'join_asof_forward', 'join_asof_nearest',
+    'join_bucketed', 'join_explosion_audit', 'join_interval_overlap', 'join_lateral_topn', 'join_null_safe',
+    'join_pred_truth', 'join_range', 'join_salted_skew', 'join_xy', 'kmeans_spherical',
+    'knn_hard_negatives', 'knn_lsh', 'kruskal', 'ks_2samp', 'lag_diff_user',
+    'lang_id_confusion', 'limit_head', 'linreg_ols_group', 'mannwhitney', 'metric_accuracy',
+    'metric_auroc', 'metric_average_precision', 'metric_brier', 'metric_calibration', 'metric_cohens_kappa',
+    'metric_confusion', 'metric_f1', 'metric_lift_gains', 'metric_logloss', 'metric_mcc',
+    'metric_mcnemar', 'metric_multiclass_macro', 'metric_regression_suite', 'minhash_jaccard_estimate', 'mixture_epochs_plan',
     'mixture_quota', 'mixture_temperature', 'mixture_token_budget', 'multimodal_audio_downsample', 'multimodal_audio_segments',
     'multimodal_decode', 'multimodal_decode_audio', 'multimodal_decode_image', 'multimodal_frame_sample', 'multimodal_meta',
-    'multimodal_phash_groups', 'multimodal_resize_image', 'null_profile', 'pack_context_windows', 'perplexity_bigram_backoff',
-    'pipeline_docs_clean', 'pipeline_filter_funnel', 'pipeline_training_mix', 'pivot_table', 'project_drop',
-    'project_dtype', 'project_prefix', 'prune_corr', 'q1_pricing_summary', 'quality_gate_matrix',
-    'quality_perplexity_proxy', 'quality_repetition', 'quantiles_iqr', 'rank_features', 'retrieval_ndcg',
-    'retrieval_rank_fusion', 'rolling_mean_user', 'sample_per_class', 'sample_weighted_priority', 'scale_power',
-    'scale_quantile', 'scale_robust', 'scale_standard', 'scan_csv', 'scan_text',
-    'score_combined', 'sink_csv', 'sink_json', 'sink_orc_roundtrip', 'sort_values',
-    'sorted_zip', 'source_distinctive_terms', 'split_modk', 'split_stratified', 'str_strip',
+    'multimodal_phash_groups', 'multimodal_resize_image', 'null_profile', 'pack_context_windows', 'pagerank_int',
+    'perplexity_bigram_backoff', 'pipeline_docs_clean', 'pipeline_filter_funnel', 'pipeline_training_mix', 'pivot_table',
+    'privacy_column_mask', 'privacy_dp_count_release', 'privacy_dp_mean_release', 'privacy_generalization_ladder', 'privacy_k_anonymity',
+    'privacy_l_diversity', 'privacy_qi_uniqueness', 'project_drop', 'project_dtype', 'project_prefix',
+    'prune_corr', 'q1_pricing_summary', 'quality_gate_matrix', 'quality_perplexity_proxy', 'quality_repetition',
+    'quantiles_iqr', 'rank_features', 'retrieval_ndcg', 'retrieval_rank_fusion', 'rolling_mean_user',
+    'sample_per_class', 'sample_weighted_priority', 'scale_power', 'scale_quantile', 'scale_robust',
+    'scale_standard', 'scan_csv', 'scan_csv_badrecords', 'scan_excel', 'scan_jsonl',
+    'scan_sas', 'scan_sas_pages', 'scan_text', 'score_combined', 'sink_compaction',
+    'sink_csv', 'sink_excel', 'sink_json', 'sink_manifest_stats', 'sink_orc_roundtrip',
+    'sink_partitioned_scan', 'sink_sas_distributed', 'sink_schema_evolution', 'sink_sorted_scan', 'sink_zorder_scan',
+    'sort_values', 'sorted_zip', 'source_distinctive_terms', 'split_modk', 'split_stratified',
+    'sql_api_q6', 'sql_pipe_pricing', 'sql_recursive_capped_balance', 'sql_scripting_outlier_gate', 'str_strip',
     'stream_dedup_exact', 'stream_dedup_within_watermark', 'stream_join_outer', 'stream_join_range', 'stream_session',
     'stream_sink_files', 'stream_sliding', 'stream_stateful_profile', 'stream_topk_state', 'stream_tumbling',
     'stream_upsert_foreachbatch', 'stream_watermark_late', 'text_bigram_pmi', 'text_char_trigram_profile', 'text_fingerprint',
@@ -86,44 +96,39 @@ _DRIVER_CHECKED: frozenset[str] = frozenset({
     'wilcoxon', 'word_cooccurrence_clusters', 'wordcount',
 })
 
-# No red keys to re-attest: r04 closed the last six stale r01 reds, so the
-# r05 window is pure fresh-key attestation.
+# No red keys to re-attest: CORRECTNESS_r05 was 50/50 green, so the r06
+# window is pure fresh-key attestation.
 _PINNED_FIRST: tuple[str, ...] = ()
 
-# Never-driver-checked keys the r05 window should land on, in priority order
-# (VERDICT r4 item 1): front-load the families with ZERO driver rows so far —
-# sink, privacy, graph, join extensions, metric extensions, scan, sql_*
-# Spark-4 surfaces, and the round-4 ab-test/stats additions.
+# Never-driver-checked keys the r06 window should land on, in priority order
+# (VERDICT r5 item 1): front-load the families with ZERO driver rows so far —
+# forecast, the TPC-H tail q2–q22, behavior/session, olap_ext rollup/window,
+# pipeline_ops lakehouse keys, and the stats extras.
 _PRIORITY_FRESH: tuple[str, ...] = (
-    # sink family (8 keys, zero driver rows)
-    'sink_sorted_scan', 'sink_compaction', 'sink_zorder_scan', 'sink_manifest_stats',
-    'sink_excel', 'sink_partitioned_scan', 'sink_schema_evolution', 'sink_sas_distributed',
-    # privacy / governance family (7)
-    'privacy_k_anonymity', 'privacy_l_diversity', 'privacy_qi_uniqueness',
-    'privacy_generalization_ladder', 'privacy_dp_count_release', 'privacy_column_mask',
-    'privacy_dp_mean_release',
-    # graph family (7)
-    'pagerank_int', 'graph_kcore', 'graph_triangles', 'graph_bfs_layers',
-    'graph_link_jaccard', 'graph_degree_dist', 'graph_modularity',
-    # join extensions (7)
-    'join_null_safe', 'join_lateral_topn', 'join_asof_forward', 'join_asof_nearest',
-    'join_interval_overlap', 'join_explosion_audit', 'bloom_prune_join',
-    # metric extensions (6)
-    'metric_regression_suite', 'metric_multiclass_macro', 'metric_average_precision',
-    'metric_brier', 'metric_mcc', 'metric_lift_gains',
-    # scan family (5)
-    'scan_sas', 'scan_excel', 'scan_jsonl', 'scan_csv_badrecords', 'scan_sas_pages',
-    # sql_* Spark-4 surfaces (4)
-    'sql_api_q6', 'sql_pipe_pricing', 'sql_recursive_capped_balance',
-    'sql_scripting_outlier_gate',
-    # new this round (VERDICT r4 #6 + incremental-ANN ingest + IVF balance
-    # audit) — driver rows wanted immediately
-    'dedup_minhash_auto', 'embed_ann_incremental', 'embed_ivf_cell_stats',
-    # round-4 ab-test / stats additions (6)
-    'ab_test_ztest', 'ab_cuped_adjustment', 'ab_test_power',
-    'mann_kendall_trend', 'theil_sen_slope', 'multiple_test_fdr_bh',
-    # embedding audits still without a driver row
-    'embed_bucket_outliers', 'embed_standardize_audit',
+    # forecast family (4, zero driver rows)
+    'forecast_ses_monthly', 'forecast_holt_monthly', 'forecast_hw_monthly',
+    'forecast_backtest',
+    # TPC-H tail (21 unchecked: q2–q22 minus the already-green q1/q3-adjacent)
+    'q2_min_cost_supplier', 'q3_shipping_priority', 'q4_order_priority',
+    'q5_local_supplier_volume', 'q6_forecast_revenue', 'q7_volume_shipping',
+    'q8_market_share', 'q9_product_profit', 'q10_returned_items',
+    'q11_important_stock', 'q12_priority_shipping', 'q13_customer_distribution',
+    'q14_promo_effect', 'q15_top_supplier', 'q16_parts_suppliers',
+    'q17_small_qty_revenue', 'q18_large_volume', 'q19_discounted_revenue',
+    'q20_potential_promotion', 'q21_suppliers_waiting', 'q22_global_sales',
+    # behavior / session family (10)
+    'funnel_steps', 'cohort_retention', 'customer_rfm', 'session_gap_sweep',
+    'event_transition_matrix', 'survival_kaplan_meier', 'rolling_wau',
+    'dau_mau_stickiness', 'attribution_last_touch', 'order_gap_islands',
+    # olap_ext rollup / window keys (8)
+    'rollup_sales', 'cube_sales', 'grouping_sets_sales', 'monthly_revenue_growth',
+    'window_range_7d', 'ntile_quartiles', 'percent_rank_cume', 'star_sales_by_region',
+    # pipeline_ops lakehouse keys (7)
+    'merge_cow', 'scd2_history', 'snapshot_diff', 'latest_by_key',
+    'dq_audit', 'dq_referential', 'observe_metrics_audit',
+    # stats extras (5)
+    'anova_two_way', 'levene_brown_forsythe', 'normality_jarque_bera',
+    'proportion_wilson_ci', 'effect_sizes_two_group',
 )
 
 
