@@ -49,6 +49,14 @@ HEADLINE = [
 # primary regression signal.
 METHODOLOGY = "cold_prebuilt_v2"
 
+# Prepared-time methodology (VERDICT r5 #3): r02-r05 recorded min-of-3,
+# which let single-run host-load spikes through as phantom ±15-20%
+# regression flags (r5 re-run churn). r06+ records the MEDIAN of 5
+# iterations — robust to one slow outlier in either direction. Prepared
+# regressions are only compared against a prior record carrying the same
+# tag (min-of-3 and median-of-5 aren't comparable estimators).
+PREPARED_METHODOLOGY = "prepared_median5_v3"
+
 # Queries whose build step eagerly computes DATA-DEPENDENT state
 # (metric_auroc localCheckpoints its <=10^6-row distinct-prob table; describe
 # runs its pass-1 moment/histogram aggregation and bakes the results in as
@@ -83,6 +91,29 @@ def _load_prev_bench(path: str) -> dict:
     if "queries" not in d and isinstance(d.get("parsed"), dict):
         d = d["parsed"]
     return d
+
+
+def _regressions(
+    prev: dict, times: dict[str, float], prepared: dict[str, float]
+) -> dict[str, dict[str, float]]:
+    """Per-query slowdowns vs the prior record. A regression = >10% AND
+    >50ms slower — the relative test alone flags scheduler noise on
+    sub-0.2s queries every run. Each series is gated on its own
+    methodology tag."""
+    out: dict[str, dict[str, float]] = {}
+    if prev.get("prepared_methodology") == PREPARED_METHODOLOGY:
+        prev_prep = prev.get("prepared_s") or {}
+        for n, t in prepared.items():
+            p = prev_prep.get(n) or 0
+            if p > 0 and t > p * 1.10 and t - p > 0.05:
+                out[n] = {"prev_prepared_s": p, "now_prepared_s": t}
+    if prev.get("methodology") == METHODOLOGY:
+        prev_cold = prev.get("queries") or {}
+        for n, t in times.items():
+            p = prev_cold.get(n) or 0
+            if p > 0 and t > p * 1.10 and t - p > 0.05:
+                out.setdefault(n, {}).update({"prev_s": p, "now_s": t})
+    return out
 
 
 def _bench_variants() -> dict:
@@ -198,23 +229,25 @@ def main() -> None:
         times[name] = round(best, 3)
         _phase(f"cold {name} best={times[name]}s")
 
-    # prepared-plan (steady-state) times, kept for round-over-round
-    # comparability with r02/r03 (same key, same 3-run methodology).
+    # prepared-plan (steady-state) times: median of 5 runs per query
+    # (PREPARED_METHODOLOGY above).
+    import statistics
+
     prepared: dict[str, float] = {}
     for name in HEADLINE:
         df = built[name]
-        best = float("inf")
-        for _ in range(3):
+        samples = []
+        for _ in range(5):
             t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        prepared[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        prepared[name] = round(statistics.median(samples), 3)
     _phase("prepared loop done")
 
     # regression guard (VERDICT r3 #9, loader fixed per ADVICE r4): compare
-    # to the newest recorded BENCH_r*.json. prepared_s is methodology-stable
-    # across rounds and is always compared; cold is compared only when the
-    # prior record carries the same methodology tag.
+    # to the newest recorded BENCH_r*.json. Each series (cold / prepared) is
+    # compared only when the prior record carries the same methodology tag —
+    # min-of-3 vs median-of-5 prepared estimators aren't comparable.
     regressions: dict[str, dict[str, float]] = {}
     try:
         import glob
@@ -222,21 +255,7 @@ def main() -> None:
         prior = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
         if prior:
             prev = _load_prev_bench(prior[-1])
-            # a regression = >10% AND >50ms slower — the relative test alone
-            # flags scheduler noise on sub-0.2s queries every run
-            prev_prep = prev.get("prepared_s") or {}
-            for n, t in prepared.items():
-                p = prev_prep.get(n) or 0
-                if p > 0 and t > p * 1.10 and t - p > 0.05:
-                    regressions[n] = {"prev_prepared_s": p, "now_prepared_s": t}
-            if prev.get("methodology") == METHODOLOGY:
-                prev_cold = prev.get("queries") or {}
-                for n, t in times.items():
-                    p = prev_cold.get(n) or 0
-                    if p > 0 and t > p * 1.10 and t - p > 0.05:
-                        regressions.setdefault(n, {}).update(
-                            {"prev_s": p, "now_s": t}
-                        )
+            regressions = _regressions(prev, times, prepared)
     except (OSError, ValueError, TypeError, KeyError, AttributeError):
         pass  # bench must never fail on a malformed prior record
 
@@ -262,15 +281,23 @@ def main() -> None:
     ]
     prepared_comparable = sum(prepared[n] for n in prep_keys)
     prepared_duck = sum(duck[n] for n in prep_keys)
+    # "value" aggregates the SAME key set as total_ratio (oracle-comparable
+    # only); rows-only trainers are summed separately so round-over-round
+    # consumers never compare mixed compositions (ADVICE r5).
+    rows_only_total = round(
+        sum(t for n, t in times.items() if n not in duck), 3
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": round(sum(times.values()), 3),
+                "value": total_spark,
                 "unit": "sec",
                 "queries": times,
+                "rows_only_total_s": rows_only_total,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "methodology": METHODOLOGY,
+                "prepared_methodology": PREPARED_METHODOLOGY,
                 "duck_s": duck,
                 "ratio": ratio,
                 "duck_total_s": total_duck,

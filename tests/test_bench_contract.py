@@ -75,3 +75,30 @@ def test_load_prev_bench_driver_format(tmp_path):
     raw.write_text(json.dumps(driver_record["parsed"]))
     prev2 = bench._load_prev_bench(str(raw))
     assert prev2["queries"] == {"q1_pricing_summary": 0.258}
+
+
+def test_regression_guard_gates_on_methodology_tags():
+    """VERDICT r5 #3 / ADVICE r5: prepared times switched to median-of-5 in
+    r06 — comparing them against a min-of-3 prior record would flag phantom
+    regressions, so each series only compares when the prior record carries
+    its methodology tag."""
+    bench = _bench_module()
+    times = {"q1_pricing_summary": 0.40}
+    prepared = {"q1_pricing_summary": 0.40}
+    # prior record from the min-of-3 era: prepared must NOT be compared,
+    # cold (same tag) must be.
+    prev_old = {
+        "methodology": bench.METHODOLOGY,
+        "queries": {"q1_pricing_summary": 0.20},
+        "prepared_s": {"q1_pricing_summary": 0.20},
+    }
+    regs = bench._regressions(prev_old, times, prepared)
+    assert regs == {"q1_pricing_summary": {"prev_s": 0.20, "now_s": 0.40}}
+    # prior record with matching prepared tag: both series compare.
+    prev_new = dict(prev_old, prepared_methodology=bench.PREPARED_METHODOLOGY)
+    regs = bench._regressions(prev_new, times, prepared)
+    assert regs["q1_pricing_summary"]["now_prepared_s"] == 0.40
+    # sub-50ms or sub-10% deltas never flag
+    assert bench._regressions(
+        prev_new, {"q1_pricing_summary": 0.22}, {"q1_pricing_summary": 0.24}
+    ) == {}

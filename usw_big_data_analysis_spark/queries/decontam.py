@@ -999,8 +999,10 @@ def lm_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(c3 AS DOUBLE) / CAST(n AS DOUBLE) AS rate_stop,
            pbar AS p_mean,
            p1 * p1 + p0 * p0 AS p_expected,
-           (pbar - (p1 * p1 + p0 * p0)) / (1.0e0 - (p1 * p1 + p0 * p0))
-             AS fleiss_kappa
+           CASE WHEN p1 * p1 + p0 * p0 = 1.0e0 THEN NULL
+                ELSE (pbar - (p1 * p1 + p0 * p0))
+                       / (1.0e0 - (p1 * p1 + p0 * p0))
+           END AS fleiss_kappa
     FROM k
     """,
 )
@@ -1017,7 +1019,10 @@ def quality_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     in both engines:
         pbar  = (SQ - 3N) / 6N
         p_e   = p1^2 + p0^2,  p1 = S/3N, p0 = (3N - S)/3N
-        kappa = (pbar - p_e) / (1 - p_e)"""
+        kappa = (pbar - p_e) / (1 - p_e)
+    kappa is NULL when p_e = 1 (unanimous raters leave it undefined; the
+    identical CASE guard on both sides keeps engine parity — Spark's ANSI
+    double division would otherwise error while DuckDB yields inf/nan)."""
     docs = load_table(spark, sf_dir, "documents")
     r = docs.select(
         F.expr("CAST(length(text) >= 200 AS INT) AS r1"),
@@ -1060,7 +1065,8 @@ def quality_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("pbar AS p_mean"),
         F.expr("p1 * p1 + p0 * p0 AS p_expected"),
         F.expr(
-            "(pbar - (p1 * p1 + p0 * p0)) / (1.0D - (p1 * p1 + p0 * p0))"
-            " AS fleiss_kappa"
+            "CASE WHEN p1 * p1 + p0 * p0 = 1.0D THEN NULL"
+            " ELSE (pbar - (p1 * p1 + p0 * p0))"
+            " / (1.0D - (p1 * p1 + p0 * p0)) END AS fleiss_kappa"
         ),
     )

@@ -152,8 +152,12 @@ def _auroc_rank_agg(s: DataFrame) -> DataFrame:
          the local terms.
 
     rank_sum_pos = Σ_b (offset_b · tp_b + local_b); every term is an
-    integer or half-integer < 2^52, so double sums are exact and
-    order-independent — bit-identical to row-level rank() in any engine.
+    integer or half-integer, so double sums are exact and
+    order-independent — bit-identical to row-level rank() in any engine —
+    WHILE npos · N < 2^53 (the largest accumulated term is offset·tp ≈
+    npos·N half-units; beyond ~2^26 fact rows the half-integers exceed the
+    double mantissa and parity would need the two-lane bigint split of
+    isum_aggs, the documented upgrade path).
     No window ever sees a table whose size grows with the fact, and the
     plan is one job of three stages with a single fact-scale shuffle."""
     # Integer quantization key: q = floor(prob*10^s + 0.5) is exactly

@@ -314,30 +314,33 @@ def _torch_train_fn(Xs, y, h, seed):  # pragma: no cover - needs torch
     import torch.distributed as dist
 
     dist.init_process_group("gloo")
-    torch.manual_seed(seed)
-    rank, world = dist.get_rank(), dist.get_world_size()
-    Xt = torch.tensor(Xs[rank::world], dtype=torch.float64)
-    yt = torch.tensor(y[rank::world], dtype=torch.float64)
-    model = torch.nn.Sequential(
-        torch.nn.Linear(Xs.shape[1], h, dtype=torch.float64),
-        torch.nn.Tanh(),
-        torch.nn.Linear(h, 1, dtype=torch.float64),
-    )
-    ddp = torch.nn.parallel.DistributedDataParallel(model)
-    opt = torch.optim.SGD(ddp.parameters(), lr=0.5)
-    loss_fn = torch.nn.BCEWithLogitsLoss()
-    for _ in range(300):
-        opt.zero_grad()
-        loss = loss_fn(ddp(Xt).squeeze(-1), yt)
-        loss.backward()  # DDP all-reduces gradients across workers
-        opt.step()
-    lin1, lin2 = model[0], model[2]
-    return (
-        lin1.weight.detach().numpy().T,
-        lin1.bias.detach().numpy(),
-        lin2.weight.detach().numpy().ravel(),
-        float(lin2.bias.detach().numpy()[0]),
-    )
+    try:
+        torch.manual_seed(seed)
+        rank, world = dist.get_rank(), dist.get_world_size()
+        Xt = torch.tensor(Xs[rank::world], dtype=torch.float64)
+        yt = torch.tensor(y[rank::world], dtype=torch.float64)
+        model = torch.nn.Sequential(
+            torch.nn.Linear(Xs.shape[1], h, dtype=torch.float64),
+            torch.nn.Tanh(),
+            torch.nn.Linear(h, 1, dtype=torch.float64),
+        )
+        ddp = torch.nn.parallel.DistributedDataParallel(model)
+        opt = torch.optim.SGD(ddp.parameters(), lr=0.5)
+        loss_fn = torch.nn.BCEWithLogitsLoss()
+        for _ in range(300):
+            opt.zero_grad()
+            loss = loss_fn(ddp(Xt).squeeze(-1), yt)
+            loss.backward()  # DDP all-reduces gradients across workers
+            opt.step()
+        lin1, lin2 = model[0], model[2]
+        return (
+            lin1.weight.detach().numpy().T,
+            lin1.bias.detach().numpy(),
+            lin2.weight.detach().numpy().ravel(),
+            float(lin2.bias.detach().numpy()[0]),
+        )
+    finally:
+        dist.destroy_process_group()
 
 
 def _numpy_train_fn(Xs, y, h, seed):
@@ -392,8 +395,17 @@ def nn_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         import torch  # noqa: F401
         from pyspark.ml.torch.distributor import TorchDistributor
 
+        # Size the DDP world from the cluster: local masters run worker
+        # processes on the driver; a real cluster gets one process per
+        # executor so the loop actually trains ON executors.
+        local = (spark.sparkContext.master or "local").startswith("local")
+        nproc = (
+            2
+            if local
+            else max(2, int(spark.conf.get("spark.executor.instances", "2")))
+        )
         W1, b1, W2, b2 = TorchDistributor(
-            num_processes=2, local_mode=True, use_gpu=False
+            num_processes=nproc, local_mode=local, use_gpu=False
         ).run(_torch_train_fn, Xs, y, h, ml_ops.SEED)
     except ImportError:
         W1, b1, W2, b2 = _numpy_train_fn(Xs, y, h, ml_ops.SEED)

@@ -1472,6 +1472,7 @@ _BACKTEST_ORACLE = f"""
                         / (CAST(cents AS DOUBLE) / 100.0e0)
                         * 1000000000.0e0) AS BIGINT) AS pct
       FROM u
+      WHERE cents > 0
     ),
     g AS (
       SELECT model, CAST(count(*) AS BIGINT) AS n,
@@ -1528,7 +1529,14 @@ def forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("CAST(cents AS DOUBLE) / 100.0D").alias("y"),
             )
         )
-    u = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    # A zero-revenue month would make the MAPE term divide by zero (NULL in
+    # Spark ANSI vs inf in DuckDB) — drop it identically on both sides.
+    u = (
+        parts[0]
+        .unionByName(parts[1])
+        .unionByName(parts[2])
+        .filter(F.expr("y > 0.0D"))
+    )
     e = u.select(
         "model",
         N.fround_int(F.col("e") * 100.0).alias("ec"),
