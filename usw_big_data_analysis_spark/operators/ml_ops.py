@@ -105,6 +105,25 @@ def optional_boosters(seed: int = SEED) -> dict:
         )
     except ImportError:
         pass
+    try:  # CatBoost's distributed Spark binding (ai.catboost:catboost-spark)
+        # — the third booster family the reference tunes
+        # (teamProject/models/tree_models.py:236-299). catboost_spark
+        # follows spark.ml conventions (camelCase Params + setters), so
+        # fit_predict's setLabelCol path applies unchanged. The native
+        # histogram GBM (operators/gbm_hist.py) is the always-available
+        # functional stand-in, and CatBoost-style ordered target statistics
+        # are covered by queries/mlprep.py target_encoding_loo/_smoothed.
+        import catboost_spark
+
+        zoo["catboost"] = catboost_spark.CatBoostClassifier(
+            iterations=10,
+            depth=3,
+            randomSeed=seed,
+            labelCol="label",
+            featuresCol="features",
+        )
+    except ImportError:
+        pass
     return zoo
 
 
