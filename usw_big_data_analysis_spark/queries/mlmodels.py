@@ -600,3 +600,121 @@ def gbm_histogram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("label", "pred")
     )
+
+
+# --- SURVEY §2.10 hard parts: LDA / QDA, driver-fit on a sample --------------
+# The reference runs entire sklearn pipelines around these two closed-form
+# Gaussian discriminants (teamProject/lda_single_model.py:70-76 LDA inside a
+# 5-fold CV; teamProject/qda_single_model_search.py:81-150 QDA random-search
+# with reg_param regularization). Neither has a spark.ml estimator; SURVEY
+# scoped them driver-side-on-sample: the moments are fit from a
+# deterministic stratum of the task frame on the driver (closed-form numpy,
+# no iteration), and SCORING — the part that must scale — is the fitted
+# discriminant broadcast as pure Catalyst column arithmetic over the full
+# distributed frame. Rows-only keys (the fit is not SQL-expressible);
+# pytest goldens pin the Spark-scored predictions bitwise against a hand
+# numpy implementation of the same formulas (tests/test_discriminants.py).
+_QDA_REG = 1e-6  # sklearn-style covariance regularizer: (1-r)·Σ + r·I
+
+
+def _discriminant_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same binary task as _task_frame but keeping the natural key so the
+    driver-side sample sort (and therefore the fitted moments) is
+    deterministic under any partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") % 10 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_returnflag") == "R").cast("int").alias("label"),
+        *_FEATURES,
+    )
+
+
+def _fit_discriminants(base: DataFrame, shared_cov: bool) -> list[dict]:
+    """Collect the deterministic sample stratum (every 3rd kept orderkey),
+    sort by the natural key (collect order is partitioning-dependent;
+    float summation is not associative), and fit class priors, means and
+    (pooled or per-class, reg-ridged) covariances in closed form."""
+    pdf = (
+        base.filter(F.col("l_orderkey") % 30 == 0)
+        .toPandas()
+        .sort_values(["l_orderkey", "l_linenumber"])
+    )
+    X = pdf[_FEATURES].to_numpy(dtype=np.float64)
+    y = pdf["label"].to_numpy(dtype=np.int64)
+    d = len(_FEATURES)
+    n = len(X)
+    stats = []
+    for k in (0, 1):
+        Xk = X[y == k]
+        mu = Xk.mean(axis=0)
+        cov = np.cov(Xk, rowvar=False, ddof=1)
+        stats.append((len(Xk), mu, cov))
+    if shared_cov:
+        pooled = (
+            (stats[0][0] - 1) * stats[0][2] + (stats[1][0] - 1) * stats[1][2]
+        ) / (n - 2)
+        stats = [(nk, mu, pooled) for nk, mu, _ in stats]
+    fitted = []
+    for nk, mu, cov in stats:
+        reg = (1.0 - _QDA_REG) * cov + _QDA_REG * np.eye(d)
+        prec = np.linalg.inv(reg)
+        _, logdet = np.linalg.slogdet(reg)
+        fitted.append(
+            {
+                "prior": nk / n,
+                "mu": mu,
+                "prec": prec,
+                "logdet": float(logdet),
+            }
+        )
+    return fitted
+
+
+def _delta_expr(p: dict):
+    """log-discriminant δ_k(x) = log π_k − ½ log|Σ_k| − ½ (x−μ_k)'Σ_k⁻¹(x−μ_k)
+    unrolled into one Catalyst expression (d² products — whole-stage
+    codegen, no UDF)."""
+    quad = None
+    for i, fi in enumerate(_FEATURES):
+        for j, fj in enumerate(_FEATURES):
+            t = (
+                (F.col(fi) - float(p["mu"][i]))
+                * (F.col(fj) - float(p["mu"][j]))
+                * float(p["prec"][i][j])
+            )
+            quad = t if quad is None else quad + t
+    return F.lit(math.log(p["prior"]) - 0.5 * p["logdet"]) - 0.5 * quad
+
+
+def _discriminant_confusion(
+    spark: SparkSession, sf_dir: str, shared_cov: bool
+) -> DataFrame:
+    base = _discriminant_frame(spark, sf_dir)
+    fitted = _fit_discriminants(base, shared_cov)
+    pred = (_delta_expr(fitted[1]) > _delta_expr(fitted[0])).cast("int")
+    return (
+        base.groupBy("label", pred.alias("pred"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("label", "pred")
+    )
+
+
+@query("lda_sampled")
+def lda_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear discriminant analysis (shared pooled covariance — the
+    discriminant difference is linear in x, sklearn LDA semantics;
+    reference teamProject/lda_single_model.py:70-76): driver fit on the
+    deterministic sample, full-table confusion matrix scored by the
+    broadcast linear rule."""
+    return _discriminant_confusion(spark, sf_dir, shared_cov=True)
+
+
+@query("qda_sampled")
+def qda_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratic discriminant analysis (per-class covariances with
+    sklearn-style reg_param ridge; reference
+    teamProject/qda_single_model_search.py:81-150): driver fit on the
+    deterministic sample, full-table confusion matrix scored by the
+    broadcast quadratic rule."""
+    return _discriminant_confusion(spark, sf_dir, shared_cov=False)
