@@ -253,52 +253,107 @@ def early_stopping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- E21: HPO driver loop (Optuna when present, portable sampler otherwise) --
+# Mid-trial pruning knobs (reference: tree_models.py:126-176 reports each
+# CV fold's score and MedianPruner(n_startup_trials=5, n_warmup_steps=2)
+# kills hopeless trials — with this demo's 8 trials × 3 folds the
+# reference constants would never fire, so both are scaled down 5→3, 2→1;
+# the SEMANTICS are optuna's: prune at step s when the running value is
+# below the median of prior trials' reports at step s).
+_HPO_TRIALS = 8
+_HPO_FOLDS = 3
+_PRUNE_STARTUP = 3
+_PRUNE_WARMUP = 1
+
+
 @query("hpo_optuna")
 def hpo_optuna(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPE-style HPO driving Spark-evaluated objectives. Optuna is engine-
-    agnostic — when installed it supplies the sampler/pruner; this container
-    lacks it, so the gated fallback is a seeded numpy log-uniform sampler
-    with the identical trial loop (objective = held-out accuracy of a
-    spark.ml LogisticRegression fit)."""
+    """TPE-style HPO driving Spark-evaluated objectives, with the
+    reference's mid-trial pruning contract (VERDICT r5 #6): each trial
+    runs a stratified 3-fold CV, reports the running mean after every
+    fold, and a MedianPruner stops trials whose partial score trails the
+    field — optuna's own sampler/pruner when installed, a seeded numpy
+    log-uniform sampler plus a same-semantics portable median pruner in
+    this container. Every fold evaluation is a distributed spark.ml
+    LogisticRegression fit; pruning saves (folds - step) Spark jobs per
+    killed trial, which is the entire point at scale."""
     from pyspark.ml.classification import LogisticRegression
 
-    df = ml_ops.assemble(_task_frame(spark, sf_dir, keep_mod=20), _FEATURES).persist()
-    train = df.filter(~F.col("is_test"))
-    test = df.filter(F.col("is_test"))
-    ml_ops.require_trainable(train)
+    base = ml_ops.assemble(_task_frame(spark, sf_dir, keep_mod=20), _FEATURES)
+    df = ml_ops.stratified_fold_column(
+        base.filter(~F.col("is_test")), "label", k=_HPO_FOLDS,
+        order_cols=["row_id"],
+    ).persist()
+    ml_ops.require_trainable(df)
 
-    def objective(reg: float) -> float:
+    def fold_score(reg: float, fold: int) -> float:
         lr = LogisticRegression(maxIter=25, regParam=reg).setLabelCol("label")
-        return ml_ops.accuracy_of(lr.fit(train).transform(test))
+        tr = df.filter(F.col("fold") != fold)
+        va = df.filter(F.col("fold") == fold)
+        return ml_ops.accuracy_of(lr.fit(tr).transform(va))
 
-    n_trials = 8
-    results = []
+    # results: (trial, reg, value, pruned, steps)
+    results: list[tuple[int, float, float, bool, int]] = []
     try:
         import optuna
 
         def obj(trial):
-            return objective(trial.suggest_float("reg", 1e-4, 10.0, log=True))
+            reg = trial.suggest_float("reg", 1e-4, 10.0, log=True)
+            scores: list[float] = []
+            for i in range(_HPO_FOLDS):
+                scores.append(fold_score(reg, i))
+                trial.report(float(np.mean(scores)), i)
+                if trial.should_prune():
+                    raise optuna.TrialPruned()
+            return float(np.mean(scores))
 
         study = optuna.create_study(
             direction="maximize",
             sampler=optuna.samplers.TPESampler(seed=ml_ops.SEED),
+            pruner=optuna.pruners.MedianPruner(
+                n_startup_trials=_PRUNE_STARTUP, n_warmup_steps=_PRUNE_WARMUP
+            ),
         )
-        study.optimize(obj, n_trials=n_trials)
+        study.optimize(obj, n_trials=_HPO_TRIALS)
         for t in study.trials:
-            results.append((t.number, float(t.params["reg"]), float(t.value)))
+            pruned = t.state == optuna.trial.TrialState.PRUNED
+            steps = len(t.intermediate_values)
+            val = (
+                float(t.value)
+                if t.value is not None
+                else float(t.intermediate_values[max(t.intermediate_values)])
+            )
+            results.append((t.number, float(t.params["reg"]), val, pruned, steps))
     except ImportError:
         rng = np.random.RandomState(ml_ops.SEED)
-        for t in range(n_trials):
+        reported: list[list[float]] = []  # per trial: running mean per step
+        for t in range(_HPO_TRIALS):
             reg = float(10.0 ** rng.uniform(-4, 1))
-            results.append((t, reg, objective(reg)))
+            scores: list[float] = []
+            running: list[float] = []
+            pruned = False
+            for i in range(_HPO_FOLDS):
+                scores.append(fold_score(reg, i))
+                running.append(float(np.mean(scores)))
+                if i >= _PRUNE_WARMUP and len(reported) >= _PRUNE_STARTUP:
+                    prior = [r[i] for r in reported if len(r) > i]
+                    if prior and running[-1] < float(np.median(prior)):
+                        pruned = True
+                        break
+            reported.append(running)
+            results.append((t, reg, running[-1], pruned, len(running)))
     df.unpersist()
     best = -1.0
     rows = []
-    for t, reg, acc in results:
-        best = max(best, acc)
-        rows.append((t, round(reg, 6), round(acc, 4), round(best, 4)))
+    for t, reg, acc, pruned, steps in results:
+        if not pruned:  # pruned trials never become the incumbent
+            best = max(best, acc)
+        rows.append(
+            (t, round(reg, 6), round(acc, 4), round(best, 4), pruned, steps)
+        )
     return spark.createDataFrame(
-        rows, "trial int, reg_param double, val_acc double, best_so_far double"
+        rows,
+        "trial int, reg_param double, val_acc double, best_so_far double,"
+        " pruned boolean, steps int",
     )
 
 
@@ -430,6 +485,206 @@ def nn_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("int").alias("label"),
         F.col("pred").cast("int").alias("pred"),
     ).agg(F.count("*").alias("n")).orderBy("label", "pred")
+    base.unpersist()
+    return out
+
+
+# --- E24b: tabular Transformer (torch-distributed when available) ------------
+_TT_DMODEL = 8  # token embedding width (reference uses 128 over 52 features)
+
+
+def _tt_init(seed: int, d: int = _TT_DMODEL) -> dict:
+    """Seeded single-head encoder weights in the reference's
+    TabularTransformer shape (neural_networks.py:67-121): scalar→d_model
+    input projection, learned positional embedding per feature token,
+    Q/K/V/O attention projections. In the torch-less fallback these stay
+    FROZEN (a random-features encoder) and only the classifier head
+    trains; with torch installed the whole stack trains under
+    TorchDistributor."""
+    rng = np.random.RandomState(seed)
+    f = len(_FEATURES)
+    return {
+        "win": rng.randn(1, d) * 0.5,
+        "bin": rng.randn(d) * 0.1,
+        "pos": rng.randn(f, d) * 0.5,
+        "wq": rng.randn(d, d) / np.sqrt(d),
+        "wk": rng.randn(d, d) / np.sqrt(d),
+        "wv": rng.randn(d, d) / np.sqrt(d),
+        "wo": rng.randn(d, d) / np.sqrt(d),
+    }
+
+
+def _tt_encode(X: np.ndarray, W: dict) -> np.ndarray:
+    """Vectorized numpy forward pass of the encoder: each standardized
+    feature becomes a token (reference forward(), neural_networks.py:99-121
+    — unsqueeze → project → +pos → self-attention → mean pool). Returns the
+    pooled (n, d_model) representation."""
+    T = X[:, :, None] @ W["win"] + W["bin"]  # (n, f, d)
+    T = T + W["pos"][None, :, :]
+    Q, K, V = T @ W["wq"], T @ W["wk"], T @ W["wv"]
+    A = Q @ K.transpose(0, 2, 1) / np.sqrt(T.shape[2])  # (n, f, f)
+    A = A - A.max(axis=2, keepdims=True)
+    E = np.exp(A)
+    A = E / E.sum(axis=2, keepdims=True)
+    H = np.tanh((A @ V) @ W["wo"] + T)  # residual + nonlinearity
+    return H.mean(axis=1)
+
+
+def _tt_head_input(X: np.ndarray, W: dict) -> np.ndarray:
+    """Classifier-head input: pooled encoder representation concatenated
+    with the raw standardized features (skip connection — keeps the head
+    at least as expressive as a linear model when the frozen fallback
+    encoder is uninformative)."""
+    return np.hstack([_tt_encode(X, W), X])
+
+
+def _tt_train_head(
+    Z: np.ndarray, y: np.ndarray, seed: int
+) -> tuple[np.ndarray, float]:
+    """Seeded full-batch logistic GD on the head input — the deterministic
+    fallback head (same recipe as _numpy_train_fn's output layer)."""
+    rng = np.random.RandomState(seed)
+    w = rng.randn(Z.shape[1]) * 0.1
+    b = 0.0
+    for _ in range(300):
+        p = 1.0 / (1.0 + np.exp(-(Z @ w + b)))
+        err = p - y
+        w -= 0.5 * (Z.T @ err / len(y))
+        b -= 0.5 * err.mean()
+    return w, b
+
+
+def _torch_transformer_fn(Xs, y, seed):  # pragma: no cover - needs torch
+    """TorchDistributor payload: the reference's TabularTransformer
+    (neural_networks.py:67-121) trained end to end as a DDP loop; returns
+    the encoder weights + head in the numpy layout _tt_encode consumes.
+    Never executes in this container (torch absent)."""
+    import torch
+    import torch.distributed as dist
+
+    dist.init_process_group("gloo")
+    try:
+        torch.manual_seed(seed)
+        d = _TT_DMODEL
+        f = Xs.shape[1]
+        rank, world = dist.get_rank(), dist.get_world_size()
+        Xt = torch.tensor(Xs[rank::world], dtype=torch.float64)
+        yt = torch.tensor(y[rank::world], dtype=torch.float64)
+
+        class TT(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.proj = torch.nn.Linear(1, d, dtype=torch.float64)
+                self.pos = torch.nn.Parameter(
+                    torch.randn(f, d, dtype=torch.float64) * 0.5
+                )
+                self.q = torch.nn.Linear(d, d, bias=False, dtype=torch.float64)
+                self.k = torch.nn.Linear(d, d, bias=False, dtype=torch.float64)
+                self.v = torch.nn.Linear(d, d, bias=False, dtype=torch.float64)
+                self.o = torch.nn.Linear(d, d, bias=False, dtype=torch.float64)
+                # head over [pooled, raw] — the same skip-connected layout
+                # _tt_head_input feeds the fallback head
+                self.head = torch.nn.Linear(d + f, 1, dtype=torch.float64)
+
+            def forward(self, x):
+                t = self.proj(x.unsqueeze(-1)) + self.pos
+                a = torch.softmax(
+                    self.q(t) @ self.k(t).transpose(1, 2) / d**0.5, dim=-1
+                )
+                h = torch.tanh(self.o(a @ self.v(t)) + t).mean(dim=1)
+                return self.head(torch.cat([h, x], dim=1)).squeeze(-1)
+
+        model = TT()
+        ddp = torch.nn.parallel.DistributedDataParallel(model)
+        opt = torch.optim.Adam(ddp.parameters(), lr=0.01)
+        loss_fn = torch.nn.BCEWithLogitsLoss()
+        for _ in range(200):
+            opt.zero_grad()
+            loss_fn(ddp(Xt), yt).backward()
+            opt.step()
+        W = {
+            "win": model.proj.weight.detach().numpy().T,
+            "bin": model.proj.bias.detach().numpy(),
+            "pos": model.pos.detach().numpy(),
+            "wq": model.q.weight.detach().numpy().T,
+            "wk": model.k.weight.detach().numpy().T,
+            "wv": model.v.weight.detach().numpy().T,
+            "wo": model.o.weight.detach().numpy().T,
+        }
+        return (
+            W,
+            model.head.weight.detach().numpy().ravel(),
+            float(model.head.bias.detach().numpy()[0]),
+        )
+    finally:
+        dist.destroy_process_group()
+
+
+@query("nn_train_transformer")
+def nn_train_transformer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's second NN family (VERDICT r5 #6): the tabular
+    Transformer (neural_networks.py:123-183 trains it alongside the MLP).
+    Fit on a deterministic collected sample — end-to-end DDP under
+    TorchDistributor when torch is installed, else frozen random-features
+    encoder + seeded trained head (both return the same weight layout).
+    Scoring is the part that must scale: the forward pass needs batched
+    softmax attention, which is NOT sane Catalyst arithmetic, so it runs
+    as an Arrow-batched mapInPandas over the full table with the weights
+    in the closure (broadcast once per task) — the canonical NN batch
+    inference shape. Output: full-table confusion counts."""
+    base = _task_frame(spark, sf_dir).persist()
+    sample = (
+        base.filter(~F.col("is_test"))
+        .filter(F.col("row_id") % 3 == 0)
+        .limit(2000)
+        .select("label", *_FEATURES)
+        .toPandas()
+    )
+    X = sample[_FEATURES].to_numpy(dtype=np.float64)
+    y = sample["label"].to_numpy(dtype=np.float64)
+    mu, sd = X.mean(axis=0), X.std(axis=0) + 1e-9
+    Xs = (X - mu) / sd
+
+    try:  # pragma: no cover - torch absent in this container
+        import torch  # noqa: F401
+        from pyspark.ml.torch.distributor import TorchDistributor
+
+        local = (spark.sparkContext.master or "local").startswith("local")
+        nproc = (
+            2
+            if local
+            else max(2, int(spark.conf.get("spark.executor.instances", "2")))
+        )
+        W, hw, hb = TorchDistributor(
+            num_processes=nproc, local_mode=local, use_gpu=False
+        ).run(_torch_transformer_fn, Xs, y, ml_ops.SEED)
+    except ImportError:
+        W = _tt_init(ml_ops.SEED)
+        hw, hb = _tt_train_head(_tt_head_input(Xs, W), y, ml_ops.SEED)
+
+    feats = list(_FEATURES)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            Xb = (pdf[feats].to_numpy(dtype=np.float64) - mu) / sd
+            p = 1.0 / (1.0 + np.exp(-(_tt_head_input(Xb, W) @ hw + hb)))
+            yield pd.DataFrame(
+                {
+                    "label": pdf["label"].astype("int32"),
+                    "pred": (p >= 0.5).astype("int32"),
+                }
+            )
+
+    scored = base.select("label", *feats).mapInPandas(
+        score, "label int, pred int"
+    )
+    out = (
+        scored.groupBy("label", "pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("label", "pred")
+    )
     base.unpersist()
     return out
 
