@@ -286,7 +286,9 @@ def hpo_optuna(spark: SparkSession, sf_dir: str) -> DataFrame:
     ml_ops.require_trainable(df)
 
     def fold_score(reg: float, fold: int) -> float:
-        lr = LogisticRegression(maxIter=25, regParam=reg).setLabelCol("label")
+        # maxIter 12: the 4-feature LR plateaus well before that; each
+        # extra lbfgs iteration is a full treeAggregate pass × 24 fits
+        lr = LogisticRegression(maxIter=12, regParam=reg).setLabelCol("label")
         tr = df.filter(F.col("fold") != fold)
         va = df.filter(F.col("fold") == fold)
         return ml_ops.accuracy_of(lr.fit(tr).transform(va))
