@@ -35,8 +35,13 @@ from usw_big_data_analysis_spark.sources.tables import TABLES  # noqa: E402
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            # Spark-written table = a parquet DIRECTORY (the scaled-parity
+            # fixtures, tools/parity_at_scale.py); glob its part files
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
     return con
 

@@ -1,0 +1,171 @@
+"""One-decade-up parity (VERDICT r5 #8): rebuild the fixture at N× the
+sf0.1 facts with REFERENTIALLY CONSISTENT key shifts, then run the
+bit-exact Spark-vs-DuckDB parity gate on the scale-sensitive families.
+
+Why a separate builder from tools/scale_probe.py: the probe only times
+Spark, so it shifts each table's keys independently — at 10× that breaks
+lineitem↔orders↔customer joins (copies 1..9 dangle), which is fine for
+wall-clock but would hollow out join-heavy money-sum parity. Here every
+FK DOMAIN shifts by one shared span, so each copy is a self-contained
+TPC-H-shaped world and join cardinalities scale with the data. Dimension
+tables (region/nation/supplier/part) copy through at 1×, exactly like a
+real scale-up. Document text is salted per copy (same transform as the
+probe) so the near-dup structure is per-copy, not a 10×-collapsed
+MinHash fixture artifact.
+
+The r4 full-sf0.1 sweep caught a real DECIMAL double-rounding defect that
+sf0.01 could not see (sums crossing 2^53); this pushes the same class of
+checks one more decade: ~6M-row lineitem, money sums ~10× larger.
+
+Usage:
+    python tools/parity_at_scale.py [--factor 10] [--sf-dir .../sf0.1]
+                                    [--json PARITY_SF10_r06.json]
+                                    [--only k1,k2 | default: SCALE_KEYS]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# the families the verdict names: money sums, forecast, rank/AUROC, dedup
+SCALE_KEYS = [
+    # money sums (exact decimal/bigint lanes under 10x magnitude)
+    "q1_pricing_summary",
+    "monthly_revenue",
+    "monthly_revenue_growth",
+    "region_revenue_share",
+    "revenue_waterfall",
+    "rollup_sales",
+    "cube_sales",
+    "grouping_sets_sales",
+    "star_sales_by_region",
+    "q18_large_volume",
+    "supplier_hhi",
+    # forecast ladder (fold-vs-recursive-CTE bit parity over a longer series
+    # of 10x-larger monthly sums)
+    "forecast_ses_monthly",
+    "forecast_holt_monthly",
+    "forecast_hw_monthly",
+    "forecast_backtest",
+    # rank / AUROC (order statistics whose integer-sum exactness claims
+    # depend on N)
+    "metric_auroc",
+    "metric_average_precision",
+    "metric_lift_gains",
+    "topk_per_group",
+    "rank_features",
+    "ntile_quartiles",
+    "percent_rank_cume",
+    # dedup (bucket-join pair sets at 10x corpus)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_minhash_salted",
+    "dedup_minhash_auto",
+    "dedup_bucket_stats",
+    "dedup_simhash",
+    "dedup_clusters",
+]
+
+# FK domain -> the (table, column) pairs that must shift by the SAME span
+_DOMAINS: dict[str, list[tuple[str, str]]] = {
+    "orderkey": [("lineitem", "l_orderkey"), ("orders", "o_orderkey")],
+    "custkey": [("customer", "c_custkey"), ("orders", "o_custkey")],
+    "event_id": [("events", "event_id")],
+    "user_id": [("events", "user_id")],
+    "vec_id": [("embeddings", "vec_id")],
+    "doc_id": [("documents", "doc_id")],
+}
+_FACTS = sorted({t for pairs in _DOMAINS.values() for t, _ in pairs})
+
+
+def build_consistent_dir(spark, sf_dir: str, factor: int) -> str:
+    """Write a fixture-layout dir whose facts are `factor` key-shifted
+    copies with one shared span per FK domain."""
+    from pyspark.sql import functions as F
+
+    spans: dict[str, int] = {}
+    frames = {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in _FACTS}
+    for dom, pairs in _DOMAINS.items():
+        spans[dom] = 1 + max(
+            frames[t].agg(F.expr(f"max({c})")).collect()[0][0] for t, c in pairs
+        )
+
+    out = tempfile.mkdtemp(prefix=f"usw_parity_{factor}x_")
+    for name in os.listdir(sf_dir):
+        table = name.removesuffix(".parquet")
+        if table in _FACTS:
+            continue
+        src, dst = os.path.join(sf_dir, name), os.path.join(out, name)
+        (shutil.copytree if os.path.isdir(src) else shutil.copy)(src, dst)
+
+    par = spark.sparkContext.defaultParallelism
+    for t in _FACTS:
+        shifts = [
+            (c, spans[dom])
+            for dom, pairs in _DOMAINS.items()
+            for tt, c in pairs
+            if tt == t
+        ]
+        copies = []
+        for i in range(factor):
+            c = frames[t]
+            for col, span in shifts:
+                c = c.withColumn(col, F.col(col) + F.lit(i * span))
+            if t == "documents":
+                # per-copy token salt (same transform as scale_probe): keeps
+                # every 3-token shingle copy-local so MinHash buckets hold
+                # one copy's members, not factor× collapsed duplicates
+                c = c.withColumn(
+                    "text", F.regexp_replace("text", " ", f" c{i} ")
+                ).withColumn("n_chars", F.length("text"))
+            copies.append(c)
+        scaled = copies[0]
+        for c in copies[1:]:
+            scaled = scaled.unionByName(c)
+        scaled.repartition(par).write.mode("overwrite").parquet(
+            f"{out}/{t}.parquet"
+        )
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--only", default=None, help="comma list; default SCALE_KEYS")
+    ap.add_argument("--keep", action="store_true", help="keep the built dir")
+    args = ap.parse_args()
+
+    from usw_big_data_analysis_spark.session import get_spark
+
+    spark = get_spark("parity_at_scale")
+    built = build_consistent_dir(spark, args.sf_dir, args.factor)
+    spark.stop()  # parity.py runs its own session against the built dir
+    try:
+        cmd = [
+            sys.executable,
+            os.path.join(REPO, "tools", "parity.py"),
+            "--sf-dir",
+            built,
+            "--only",
+            args.only or ",".join(SCALE_KEYS),
+        ]
+        if args.json:
+            cmd += ["--json", args.json]
+        return subprocess.call(cmd)
+    finally:
+        if not args.keep:
+            shutil.rmtree(built, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -55,18 +55,26 @@ QUERIES = [
     "dedup_minhash_lsh",
     "embed_cosine_topk",
     "stream_session",
+    # r6: the LLM-pipeline headliners joined the gate (VERDICT r5 #7)
+    "pipeline_docs_clean",
+    "embed_ann_ivfpq",
+    "tokenizer_bpe_merges",
 ]
 
-# Regression gate (VERDICT r4 #8): the four headline plans whose scale
-# behavior the verdicts track. 16x data must cost at most GATE_MAX_RATIO x
-# wall — r4 measured 0.92-2.41x across the headline set, so 3 gives real
-# headroom while still catching any serialization point (which would show
-# ~factor x).
+# Regression gate (VERDICT r4 #8, widened per r5 #7): the headline plans
+# whose scale behavior the verdicts track. 16x data must cost at most
+# GATE_MAX_RATIO x wall — r4 measured 0.92-2.41x across the headline set,
+# so 3 gives real headroom while still catching any serialization point
+# (which would show ~factor x).
 GATE_QUERIES = [
     "q1_pricing_summary",
     "topk_per_group",
     "dedup_minhash_lsh",
     "metric_auroc",
+    "pipeline_docs_clean",
+    "embed_ann_ivfpq",
+    "tokenizer_bpe_merges",
+    "crosstab_margins",
 ]
 GATE_MAX_RATIO = 3.0
 
@@ -140,6 +148,8 @@ def build_scaled_dir(spark, sf_dir: str, factor: int) -> str:
 
 
 def time_queries(qs, spark, sf_dir: str, names) -> dict[str, float]:
+    import gc
+
     times = {}
     for name in names:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -149,6 +159,12 @@ def time_queries(qs, spark, sf_dir: str, names) -> dict[str, float]:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         times[name] = round(best, 3)
+        # drop dead localCheckpoint blocks between queries: each timed
+        # iteration of a checkpointing query pins new RDD blocks until the
+        # Python refs are collected and ContextCleaner runs; at 16x the
+        # accumulation starved the driver's broadcast builds (r6)
+        spark.catalog.clearCache()
+        gc.collect()
     return times
 
 

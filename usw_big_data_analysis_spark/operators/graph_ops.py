@@ -45,14 +45,26 @@ def connected_components(
         sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
     )
 
+    # shuffle_hash hint on both iterate joins: edge list and label table
+    # are BOTH node-cardinality — they grow together, so no side is ever
+    # legitimately broadcastable at scale, and a runtime broadcast (AQE
+    # re-plans from actual sizes) would rebuild + pin the label table on
+    # the driver EVERY round: O(rounds) driver copies of a fact-scale
+    # table, the exact failure the 16x probe caught (broadcast build OOM
+    # under accumulated checkpoint blocks). Shuffle-hash keeps every round
+    # a pure executor-side exchange at any graph size.
     for _ in range(max_rounds):
         nbr_min = (
-            sym.join(labels, sym["b"] == labels["node"])
+            sym.join(labels.hint("shuffle_hash"), sym["b"] == labels["node"])
             .groupBy("a")
             .agg(F.min("label").alias("nbr_min"))
         )
         updated = (
-            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+            labels.join(
+                nbr_min.hint("shuffle_hash"),
+                labels["node"] == nbr_min["a"],
+                "left",
+            )
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
