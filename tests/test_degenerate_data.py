@@ -36,6 +36,10 @@ _DEGENERATE_TRAINERS = {
     "hpo_optuna",
     "model_save_load",
     "pipeline_fit",
+    # Gaussian discriminants (r6): need >= 2 rows per class for a ddof=1
+    # covariance — the micro-corpus can't provide that
+    "lda_sampled",
+    "qda_sampled",
 }
 
 

@@ -16,7 +16,6 @@ from usw_big_data_analysis_spark.queries.mlmodels import (
     _FEATURES,
     _QDA_REG,
     _delta_expr,
-    _discriminant_confusion,
     _discriminant_frame,
     _fit_discriminants,
     lda_sampled,

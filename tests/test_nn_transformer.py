@@ -7,7 +7,6 @@ from __future__ import annotations
 import math
 
 import numpy as np
-from pyspark.sql import functions as F
 
 from usw_big_data_analysis_spark.operators import ml_ops
 from usw_big_data_analysis_spark.queries.mlmodels import (

@@ -901,6 +901,16 @@ def _fit_discriminants(base: DataFrame, shared_cov: bool) -> list[dict]:
     y = pdf["label"].to_numpy(dtype=np.int64)
     d = len(_FEATURES)
     n = len(X)
+    # Gaussian moments need >= 2 rows PER CLASS (ddof=1 covariance) —
+    # stricter than the generic 2-class gate, so check it here with the
+    # same documented ValueError contract (tests/test_degenerate_data.py)
+    if n < 4 or min((y == 0).sum(), (y == 1).sum()) < 2:
+        raise ValueError(
+            f"degenerate training data: {n} sample rows, class counts "
+            f"{[(k, int((y == k).sum())) for k in (0, 1)]} — Gaussian "
+            "discriminants need >= 2 rows of each class for a ddof=1 "
+            "covariance"
+        )
     stats = []
     for k in (0, 1):
         Xk = X[y == k]
