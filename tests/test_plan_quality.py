@@ -227,3 +227,26 @@ def test_observe_metrics_node_and_values(spark, sf_dir):
     audited = orders.observe(obs, F.count(F.lit(1)).alias("rows_seen"))
     total = audited.count()
     assert obs.get["rows_seen"] == total
+
+
+def test_connected_components_round_never_broadcasts(spark):
+    """r6 probe finding: AQE re-planned CC's iterate joins to runtime
+    broadcast, rebuilding + pinning the label table on the driver every
+    round (OOM at 16x under checkpoint pressure). Both sides are
+    node-cardinality, so the round body pins shuffle_hash — the plan must
+    show shuffled hash joins and no broadcast anywhere."""
+    from pyspark.sql import functions as F
+
+    from usw_big_data_analysis_spark.operators.graph_ops import _cc_round
+    from usw_big_data_analysis_spark.plans import explain_formatted
+
+    edges = spark.range(1000).select(
+        F.col("id").alias("a"), ((F.col("id") + 1) % 1000).alias("b")
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    plan = explain_formatted(_cc_round(edges, labels))
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "BroadcastExchange" not in plan

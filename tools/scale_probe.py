@@ -77,6 +77,14 @@ GATE_QUERIES = [
     "crosstab_margins",
 ]
 GATE_MAX_RATIO = 3.0
+# Per-query ceilings for OUTPUT-BOUND plans: dedup_minhash_lsh's candidate
+# pair OUTPUT grows 3.6x at 16x on this fixture (measured r6: 4.9M -> 17.9M
+# pairs; the 1x corpus's pathological 3065-member bucket dominates its pair
+# count, salted copies are bucket-local), so a 3.0 wall ceiling would flake
+# on a query whose useful work genuinely grows faster than 3.0 — r6 runs
+# measured 2.71/2.91 on identical code. 4.0 still catches a serialization
+# point (which shows ~16x).
+GATE_CEILING = {"dedup_minhash_lsh": 4.0}
 
 # facts the headline set touches; each scaled copy shifts its key space so
 # copies never collide. The dimension tables (region/nation/supplier/part)
@@ -219,8 +227,11 @@ def main() -> None:
     rec = run_probe(spark, args.sf_dir, args.factor, names)
     if args.gate:
         rec["gate_max_ratio"] = GATE_MAX_RATIO
+        rec["gate_ceilings"] = GATE_CEILING
         rec["gate_failures"] = {
-            n: r for n, r in rec["time_ratio"].items() if r > GATE_MAX_RATIO
+            n: r
+            for n, r in rec["time_ratio"].items()
+            if r > GATE_CEILING.get(n, GATE_MAX_RATIO)
         }
     print(json.dumps(rec))
     spark.stop()

@@ -45,35 +45,36 @@ def connected_components(
         sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
     )
 
-    # shuffle_hash hint on both iterate joins: edge list and label table
-    # are BOTH node-cardinality — they grow together, so no side is ever
-    # legitimately broadcastable at scale, and a runtime broadcast (AQE
-    # re-plans from actual sizes) would rebuild + pin the label table on
-    # the driver EVERY round: O(rounds) driver copies of a fact-scale
-    # table, the exact failure the 16x probe caught (broadcast build OOM
-    # under accumulated checkpoint blocks). Shuffle-hash keeps every round
-    # a pure executor-side exchange at any graph size.
     for _ in range(max_rounds):
-        nbr_min = (
-            sym.join(labels.hint("shuffle_hash"), sym["b"] == labels["node"])
-            .groupBy("a")
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        updated = (
-            labels.join(
-                nbr_min.hint("shuffle_hash"),
-                labels["node"] == nbr_min["a"],
-                "left",
-            )
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
-                (F.coalesce("nbr_min", "label") < F.col("label")).alias("__shrunk"),
-            )
-            .localCheckpoint()
-        )
+        updated = _cc_round(sym, labels).localCheckpoint()
         changed = updated.filter("__shrunk").count()
         labels = updated.drop("__shrunk")
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))
+
+
+def _cc_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label-propagation round (un-checkpointed; plan shape pinned
+    by tests/test_plan_quality.py). shuffle_hash hint on both iterate
+    joins: edge list and label table are BOTH node-cardinality — they grow
+    together, so no side is ever legitimately broadcastable at scale, and
+    a runtime broadcast (AQE re-plans from actual sizes) would rebuild +
+    pin the label table on the driver EVERY round: O(rounds) driver copies
+    of a fact-scale table, the exact failure the 16x probe caught
+    (broadcast build OOM under accumulated checkpoint blocks). Shuffle-hash
+    keeps every round a pure executor-side exchange at any graph size."""
+    nbr_min = (
+        sym.join(labels.hint("shuffle_hash"), sym["b"] == labels["node"])
+        .groupBy("a")
+        .agg(F.min("label").alias("nbr_min"))
+    )
+    return labels.join(
+        nbr_min.hint("shuffle_hash"),
+        labels["node"] == nbr_min["a"],
+        "left",
+    ).select(
+        "node",
+        F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+        (F.coalesce("nbr_min", "label") < F.col("label")).alias("__shrunk"),
+    )
