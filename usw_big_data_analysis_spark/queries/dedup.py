@@ -1226,6 +1226,124 @@ def dedup_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- preference-pair mining over near-dup clusters ---------------------------
+@query(
+    "preference_pairs_cluster",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_PAIRS_CTES},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, w.label FROM walk w JOIN edges e ON w.node = e.a
+      WHERE w.label < e.b
+    ),
+    comp AS (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node),
+    lab AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ),
+    q AS (
+      SELECT doc_id,
+             least(len(string_split(text, ' ')) / 50.0, 1.0) * 0.5
+             + (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                                           x -> x IN ('the', 'a'))) AS DOUBLE)
+                      / len(string_split(text, ' '))) * 0.5 AS quality
+      FROM documents
+    ),
+    ranked AS (
+      SELECT l.cluster_id, l.doc_id, q.quality,
+             row_number() OVER (PARTITION BY l.cluster_id
+                                ORDER BY q.quality DESC, l.doc_id ASC) AS rb,
+             row_number() OVER (PARTITION BY l.cluster_id
+                                ORDER BY q.quality ASC, l.doc_id DESC) AS rw,
+             count(*) OVER (PARTITION BY l.cluster_id) AS n
+      FROM lab l JOIN q ON l.doc_id = q.doc_id
+    )
+    SELECT cluster_id,
+           CAST(max(n) AS BIGINT) AS n_members,
+           max(CASE WHEN rb = 1 THEN doc_id END) AS chosen_id,
+           max(CASE WHEN rw = 1 THEN doc_id END) AS rejected_id,
+           round(max(CASE WHEN rb = 1 THEN quality END)
+                 - max(CASE WHEN rw = 1 THEN quality END), 6) AS quality_gap
+    FROM ranked WHERE n >= 2
+    GROUP BY cluster_id
+    """,
+)
+def preference_pairs_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair mining for reward-model / DPO training data: every
+    near-dup cluster (an LSH connected component = one content family,
+    reusing dedup_clusters) of size >= 2 yields ONE (chosen, rejected)
+    pair — the member with the highest composite quality score (the same
+    length + stopword heuristic pipeline_docs_clean gates on; ties break
+    to the smaller doc_id) against the lowest-quality member (ties to the
+    larger doc_id, so the pair is disjoint even on fully-tied clusters) —
+    plus the quality gap as the pair's training weight. This is the
+    standard way a data pipeline turns redundant crawl families into
+    supervision: same content, different quality = a labeled comparison.
+    Plan: quality is one scan of single-pass column expressions, the
+    ranking is THREE window functions over ONE cluster_id hash partition
+    (one shuffle, shared sort-free hash exchange), and the pair rollup is
+    a map-side-combinable groupBy — shuffle ∝ corpus, skew bounded by the
+    largest cluster (the salted dedup path guards that upstream)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    stop_arr = F.array(F.lit("the"), F.lit("a"))
+    q = docs.select(
+        "doc_id",
+        (
+            F.least(F.size(toks) / 50.0, F.lit(1.0)) * 0.5
+            + (
+                1.0
+                - F.size(
+                    F.filter(toks, lambda x: F.array_contains(stop_arr, x))
+                ).cast("double")
+                / F.size(toks)
+            )
+            * 0.5
+        ).alias("quality"),
+    )
+    from pyspark.sql import Window
+
+    j = dedup_clusters(spark, sf_dir).join(q, "doc_id")
+    wc = Window.partitionBy("cluster_id")
+    ranked = j.select(
+        "cluster_id",
+        "doc_id",
+        "quality",
+        F.row_number()
+        .over(wc.orderBy(F.desc("quality"), F.asc("doc_id")))
+        .alias("rb"),
+        F.row_number()
+        .over(wc.orderBy(F.asc("quality"), F.desc("doc_id")))
+        .alias("rw"),
+        F.count("*").over(wc).alias("n"),
+    )
+    agg = (
+        ranked.filter(F.col("n") >= 2)
+        .groupBy("cluster_id")
+        .agg(
+            F.expr("CAST(max(n) AS BIGINT) AS n_members"),
+            F.expr("max(CASE WHEN rb = 1 THEN doc_id END) AS chosen_id"),
+            F.expr("max(CASE WHEN rw = 1 THEN doc_id END) AS rejected_id"),
+            (
+                F.max(F.when(F.col("rb") == 1, F.col("quality")))
+                - F.max(F.when(F.col("rw") == 1, F.col("quality")))
+            ).alias("gap_raw"),
+        )
+    )
+    return agg.select(
+        "cluster_id",
+        "n_members",
+        "chosen_id",
+        "rejected_id",
+        N.fround(F.col("gap_raw"), 6).alias("quality_gap"),
+    )
+
+
 # --- two-stage dedup funnel: exact hash, then near-dup -----------------------
 @query(
     "dedup_two_stage_funnel",
