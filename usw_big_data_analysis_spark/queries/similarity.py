@@ -430,23 +430,19 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dup_candidate_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(id_a, id_b, cosine) for every LSH-bucket candidate pair of the
-    duplicated corpus — the shared head of dedup_embed_cosine and the
-    threshold sweep."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.select("vec_id", "embedding").unionByName(
-        emb.select((F.col("vec_id") + _SHIFT).alias("vec_id"), "embedding")
-    )
-    withn = corpus.withColumn(
+def _hyperplane_tagged(frame: DataFrame) -> DataFrame:
+    """(vec_id, embedding) frame + exact decimal norm + hyperplane bucket —
+    the no-explode bucket builder shared by the dup-candidate head and the
+    eval-decontamination scan. Bucket from the vector column directly: dot
+    each vector against the fixed pseudo-random hyperplane via aggregate
+    over positions."""
+    withn = frame.withColumn(
         "nrm", F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding")))
     )
 
     def r_col(j: int, pos: F.Column) -> F.Column:
         return ((F.lit(j) * 64 + pos) * 2654435761 % 1000).cast("double") / 1000.0 - 0.5
 
-    # bucket from the vector column directly (no explode): dot each vector
-    # against the fixed pseudo-random hyperplane via aggregate over positions
     def plane_dot(j: int) -> F.Column:
         idx = F.sequence(F.lit(0), F.size("embedding") - 1)
         prods = F.zip_with(
@@ -464,7 +460,18 @@ def _dup_candidate_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.when(plane_dot(j) > 0, F.lit(1 << j)).otherwise(0) for j in range(1, _NPLANES)),
         F.when(plane_dot(0) > 0, F.lit(1)).otherwise(0),
     )
-    tagged = withn.withColumn("bucket", bucket)
+    return withn.withColumn("bucket", bucket)
+
+
+def _dup_candidate_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b, cosine) for every LSH-bucket candidate pair of the
+    duplicated corpus — the shared head of dedup_embed_cosine and the
+    threshold sweep."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        emb.select((F.col("vec_id") + _SHIFT).alias("vec_id"), "embedding")
+    )
+    tagged = _hyperplane_tagged(corpus)
     a = tagged.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
         F.col("nrm").alias("na"), "bucket",
@@ -479,6 +486,146 @@ def _dup_candidate_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         N.fround(_dec_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6).alias("cosine"),
     )
+
+
+# --- semantic eval-set decontamination ---------------------------------------
+# n-gram decontamination (queries/decontam.py decontam_ngram) misses
+# paraphrased leakage; the semantic scan catches it in embedding space.
+# Eval set = vec_id % 97 == 0. The natural fixture has no leakage (max
+# eval-vs-corpus cosine measured 0.47), so the corpus re-inserts each eval
+# vector under a shifted id — the same guaranteed-positive trick as
+# dedup_embed_cosine — and tau 0.9 flags exactly the planted leaks.
+_EVAL_MOD = 97
+_EVAL_TAU = 0.9
+
+
+def _decontam_bucket_sql(src: str) -> str:
+    return _BUCKET_SQL.replace("FROM expl", f"FROM {src}")
+
+
+@query(
+    "decontam_embedding_eval",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, label, embedding FROM embeddings
+      WHERE vec_id % {_EVAL_MOD} <> 0
+      UNION ALL
+      SELECT vec_id + {_SHIFT} AS vec_id, label, embedding FROM embeddings
+      WHERE vec_id % {_EVAL_MOD} = 0
+    ),
+    ev AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id % {_EVAL_MOD} = 0),
+    cexpl AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM corpus
+    ),
+    eexpl AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM ev
+    ),
+    cnorm AS (
+      SELECT vec_id, sqrt(CAST(sum(CAST(v * v AS DECIMAL(20,12))) AS DOUBLE))
+               AS nrm
+      FROM cexpl GROUP BY vec_id
+    ),
+    enorm AS (
+      SELECT vec_id, sqrt(CAST(sum(CAST(v * v AS DECIMAL(20,12))) AS DOUBLE))
+               AS nrm
+      FROM eexpl GROUP BY vec_id
+    ),
+    cbuck AS ({_decontam_bucket_sql('cexpl')}),
+    ebuck AS ({_decontam_bucket_sql('eexpl')}),
+    dots AS (
+      SELECT cb.vec_id AS cid, eb.vec_id AS eid,
+             CAST(sum(CAST(a.v * b.v AS DECIMAL(20,12))) AS DOUBLE) AS dot
+      FROM cbuck cb
+      JOIN ebuck eb ON cb.bucket = eb.bucket
+      JOIN cexpl a ON a.vec_id = cb.vec_id
+      JOIN eexpl b ON b.vec_id = eb.vec_id AND a.pos = b.pos
+      GROUP BY 1, 2
+    ),
+    mc AS (
+      SELECT cid, round(max(dot / (cn.nrm * en.nrm)), 6) AS max_cos
+      FROM dots
+      JOIN cnorm cn ON cid = cn.vec_id
+      JOIN enorm en ON eid = en.vec_id
+      GROUP BY cid
+    )
+    SELECT c.label,
+           CAST(count(*) AS BIGINT) AS n_corpus,
+           CAST(sum(CASE WHEN mc.max_cos >= {_EVAL_TAU} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           round(CAST(sum(CASE WHEN mc.max_cos >= {_EVAL_TAU} THEN 1 ELSE 0
+                          END) AS DOUBLE) / count(*), 6) AS flag_rate
+    FROM corpus c LEFT JOIN mc ON c.vec_id = mc.cid
+    GROUP BY c.label
+    """,
+)
+def decontam_embedding_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic eval-set decontamination: flag corpus vectors whose cosine
+    to ANY eval vector reaches {tau} — the embedding-space complement of
+    decontam_ngram that catches paraphrased leakage n-gram overlap misses.
+    Candidates come from shared hyperplane-LSH buckets (equi-join on
+    bucket — corpus-linear shuffle, never eval×corpus all-pairs; identical
+    vectors always collide, so a true leak can't be missed), then the
+    exact decimal cosine confirms, and the per-label report gives the
+    release decision (which slices of the corpus are contaminated, at
+    what rate). At 100 TB the eval set is tiny — the bucket table on the
+    eval side could also broadcast — while the corpus side streams
+    map-side; per-candidate cost is one 64-element integer fold."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % _EVAL_MOD == 0).select(
+        "vec_id", "embedding"
+    )
+    corpus = (
+        emb.filter(F.col("vec_id") % _EVAL_MOD != 0)
+        .select("vec_id", "label", "embedding")
+        .unionByName(
+            emb.filter(F.col("vec_id") % _EVAL_MOD == 0).select(
+                (F.col("vec_id") + _SHIFT).alias("vec_id"),
+                "label",
+                "embedding",
+            )
+        )
+    )
+    c = _hyperplane_tagged(corpus).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ec"),
+        F.col("nrm").alias("nc"),
+        "bucket",
+    )
+    e = _hyperplane_tagged(ev).select(
+        F.col("vec_id").alias("eid"),
+        F.col("embedding").alias("ee"),
+        F.col("nrm").alias("ne"),
+        "bucket",
+    )
+    dots = c.join(e, "bucket").select(
+        "cid",
+        (_dec_dot(F.col("ec"), F.col("ee")) / (F.col("nc") * F.col("ne"))).alias(
+            "cos_raw"
+        ),
+    )
+    mc = dots.groupBy("cid").agg(
+        N.fround(F.max("cos_raw"), 6).alias("max_cos")
+    )
+    lab = corpus.select("vec_id", "label")
+    flagged = lab.join(mc, lab["vec_id"] == mc["cid"], "left")
+    flag = F.when(F.col("max_cos") >= _EVAL_TAU, 1).otherwise(0)
+    return flagged.groupBy("label").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_corpus"),
+        F.sum(flag).cast("bigint").alias("n_flagged"),
+        N.fround(
+            F.sum(flag).cast("double") / F.count("*"), 6
+        ).alias("flag_rate"),
+    )
+
+
+decontam_embedding_eval.__doc__ = decontam_embedding_eval.__doc__.format(
+    tau=_EVAL_TAU
+)
 
 
 _SWEEP_TAUS = [0.80, 0.85, 0.90, 0.95]
