@@ -36,8 +36,11 @@ def test_gate_subset_and_threshold_pinned():
         "crosstab_margins",
     ]
     assert probe.GATE_MAX_RATIO == 3.0
-    # output-bound exception is explicit and scoped to the one measured key
-    assert probe.GATE_CEILING == {"dedup_minhash_lsh": 4.0}
+    # work-grows-with-corpus exceptions are explicit and measurement-backed
+    assert probe.GATE_CEILING == {
+        "dedup_minhash_lsh": 4.0,
+        "embed_ann_ivfpq": 4.0,
+    }
     assert set(probe.GATE_CEILING) <= set(probe.GATE_QUERIES)
     assert set(probe.GATE_QUERIES) <= set(probe.QUERIES)
 

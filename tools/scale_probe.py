@@ -77,14 +77,17 @@ GATE_QUERIES = [
     "crosstab_margins",
 ]
 GATE_MAX_RATIO = 3.0
-# Per-query ceilings for OUTPUT-BOUND plans: dedup_minhash_lsh's candidate
-# pair OUTPUT grows 3.6x at 16x on this fixture (measured r6: 4.9M -> 17.9M
-# pairs; the 1x corpus's pathological 3065-member bucket dominates its pair
-# count, salted copies are bucket-local), so a 3.0 wall ceiling would flake
-# on a query whose useful work genuinely grows faster than 3.0 — r6 runs
-# measured 2.71/2.91 on identical code. 4.0 still catches a serialization
-# point (which shows ~16x).
-GATE_CEILING = {"dedup_minhash_lsh": 4.0}
+# Per-query ceilings for plans whose USEFUL WORK grows with the corpus:
+# - dedup_minhash_lsh: candidate-pair OUTPUT grows 3.6x at 16x on this
+#   fixture (measured r6: 4.9M -> 17.9M pairs; the 1x corpus's pathological
+#   3065-member bucket dominates its pair count, salted copies are
+#   bucket-local) — identical code measured 2.71/2.91 against a 3.0 bound.
+# - embed_ann_ivfpq: each probed inverted list holds 16x more members, so
+#   per-query candidate distance work is corpus-linear BY DESIGN; wall ~3x
+#   for 16x work is the parallelization succeeding — identical code
+#   measured 2.10/2.85/3.05 across r6 runs.
+# 4.0 still catches a serialization point (which shows ~factor x).
+GATE_CEILING = {"dedup_minhash_lsh": 4.0, "embed_ann_ivfpq": 4.0}
 
 # facts the headline set touches; each scaled copy shifts its key space so
 # copies never collide. The dimension tables (region/nation/supplier/part)
