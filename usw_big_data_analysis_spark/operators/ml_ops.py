@@ -78,6 +78,12 @@ def optional_boosters(seed: int = SEED) -> dict:
     optuna gate in queries/mlmodels.py. The native histogram-GBM
     (operators/gbm_hist.py) remains the always-available functional stand-in.
     """
+    # Gates catch Exception, not just ImportError: the synapse and catboost
+    # wheels are thin py4j wrappers whose ESTIMATOR CONSTRUCTORS need the
+    # matching JVM package on the session classpath — a pip-only install
+    # imports fine and then raises a Py4JError/TypeError at construction
+    # (code review r6). A zoo member that can't construct is absent, never
+    # a crash for every zoo caller.
     zoo: dict = {}
     try:  # xgboost>=1.7 ships a first-class PySpark estimator
         from xgboost.spark import SparkXGBClassifier
@@ -91,7 +97,7 @@ def optional_boosters(seed: int = SEED) -> dict:
             label_col="label",
             features_col="features",
         )
-    except ImportError:
+    except Exception:  # noqa: BLE001 — gated seam, see note above
         pass
     try:  # SynapseML's distributed LightGBM
         from synapse.ml.lightgbm import LightGBMClassifier
@@ -103,7 +109,7 @@ def optional_boosters(seed: int = SEED) -> dict:
             labelCol="label",
             featuresCol="features",
         )
-    except ImportError:
+    except Exception:  # noqa: BLE001 — gated seam, see note above
         pass
     try:  # CatBoost's distributed Spark binding (ai.catboost:catboost-spark)
         # — the third booster family the reference tunes
@@ -122,7 +128,7 @@ def optional_boosters(seed: int = SEED) -> dict:
             labelCol="label",
             featuresCol="features",
         )
-    except ImportError:
+    except Exception:  # noqa: BLE001 — gated seam, see note above
         pass
     return zoo
 

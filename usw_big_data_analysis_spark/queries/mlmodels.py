@@ -278,10 +278,24 @@ def hpo_optuna(spark: SparkSession, sf_dir: str) -> DataFrame:
     killed trial, which is the entire point at scale."""
     from pyspark.ml.classification import LogisticRegression
 
-    base = ml_ops.assemble(_task_frame(spark, sf_dir, keep_mod=20), _FEATURES)
+    # fold tags ordered by the NATURAL key: monotonically_increasing_id is
+    # partition-layout dependent, so ordering folds by it would change
+    # fold membership (and every output row) under a different scan split
+    # (code review r6) — l_orderkey/l_linenumber reproduce under any layout
+    li = load_table(spark, sf_dir, "lineitem")
+    base = (
+        li.filter(F.col("l_orderkey") % 20 == 0)
+        .filter((F.col("l_orderkey") / 20).cast("bigint") % 5 != 4)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_returnflag") == "R").cast("double").alias("label"),
+            *_FEATURES,
+        )
+    )
     df = ml_ops.stratified_fold_column(
-        base.filter(~F.col("is_test")), "label", k=_HPO_FOLDS,
-        order_cols=["row_id"],
+        ml_ops.assemble(base, _FEATURES), "label", k=_HPO_FOLDS,
+        order_cols=["l_orderkey", "l_linenumber"],
     ).persist()
     ml_ops.require_trainable(df)
 
@@ -327,7 +341,12 @@ def hpo_optuna(spark: SparkSession, sf_dir: str) -> DataFrame:
             results.append((t.number, float(t.params["reg"]), val, pruned, steps))
     except ImportError:
         rng = np.random.RandomState(ml_ops.SEED)
-        reported: list[list[float]] = []  # per trial: running mean per step
+        # optuna MedianPruner semantics exactly (code review r6): the
+        # startup count and the per-step median cover COMPLETED trials
+        # only (pruned trials' partial reports never pollute the bar), and
+        # the trial survives if its BEST intermediate so far beats the
+        # median (direction=maximize).
+        completed: list[list[float]] = []  # running means, COMPLETE trials
         for t in range(_HPO_TRIALS):
             reg = float(10.0 ** rng.uniform(-4, 1))
             scores: list[float] = []
@@ -336,12 +355,13 @@ def hpo_optuna(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_HPO_FOLDS):
                 scores.append(fold_score(reg, i))
                 running.append(float(np.mean(scores)))
-                if i >= _PRUNE_WARMUP and len(reported) >= _PRUNE_STARTUP:
-                    prior = [r[i] for r in reported if len(r) > i]
-                    if prior and running[-1] < float(np.median(prior)):
+                if i >= _PRUNE_WARMUP and len(completed) >= _PRUNE_STARTUP:
+                    prior = [r[i] for r in completed if len(r) > i]
+                    if prior and max(running) < float(np.median(prior)):
                         pruned = True
                         break
-            reported.append(running)
+            if not pruned:
+                completed.append(running)
             results.append((t, reg, running[-1], pruned, len(running)))
     df.unpersist()
     best = -1.0
@@ -633,14 +653,24 @@ def nn_train_transformer(spark: SparkSession, sf_dir: str) -> DataFrame:
     softmax attention, which is NOT sane Catalyst arithmetic, so it runs
     as an Arrow-batched mapInPandas over the full table with the weights
     in the closure (broadcast once per task) — the canonical NN batch
-    inference shape. Output: full-table confusion counts."""
+    inference shape. Output: full-table confusion counts. The training
+    sample is keyed and sorted on the NATURAL key (same discipline as
+    _fit_discriminants): a row_id/limit sample would change membership
+    and float-summation order — and therefore the learned weights — under
+    a different scan partitioning (code review r6)."""
     base = _task_frame(spark, sf_dir).persist()
+    li = load_table(spark, sf_dir, "lineitem")
     sample = (
-        base.filter(~F.col("is_test"))
-        .filter(F.col("row_id") % 3 == 0)
-        .limit(2000)
-        .select("label", *_FEATURES)
+        li.filter(F.col("l_orderkey") % 30 == 0)
+        .filter((F.col("l_orderkey") / 10).cast("bigint") % 5 != 4)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_returnflag") == "R").cast("double").alias("label"),
+            *_FEATURES,
+        )
         .toPandas()
+        .sort_values(["l_orderkey", "l_linenumber"])
     )
     X = sample[_FEATURES].to_numpy(dtype=np.float64)
     y = sample["label"].to_numpy(dtype=np.float64)

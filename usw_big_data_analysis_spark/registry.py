@@ -129,6 +129,11 @@ _PRIORITY_FRESH: tuple[str, ...] = (
     # stats extras (5)
     'anova_two_way', 'levene_brown_forsythe', 'normality_jarque_bera',
     'proportion_wilson_ci', 'effect_sizes_two_group',
+    # r05 priority keys the r05 window never reached (50-key cap) — kept
+    # explicitly in line so they stay ahead of the unprioritized pool
+    # instead of silently losing their front-loading (code review r6)
+    'mann_kendall_trend', 'theil_sen_slope', 'multiple_test_fdr_bh',
+    'embed_bucket_outliers', 'embed_standardize_audit',
 )
 
 
