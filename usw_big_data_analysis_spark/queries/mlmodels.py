@@ -453,14 +453,23 @@ def nn_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a seeded numpy MLP fit on a deterministic collected sample. Either
     way the *scoring* of the learned weights over the full table is pure
     Spark column arithmetic (matmul unrolled into expressions), which is
-    the part that must scale."""
+    the part that must scale. The training sample is keyed and sorted on
+    the natural key — the prior row_id%3/limit form made sample
+    membership and float-summation order partition-layout dependent
+    (same defect class the r6 review caught in the transformer sibling)."""
     base = _task_frame(spark, sf_dir).persist()
+    li = load_table(spark, sf_dir, "lineitem")
     sample = (
-        base.filter(~F.col("is_test"))
-        .filter(F.col("row_id") % 3 == 0)
-        .limit(2000)
-        .select("label", *_FEATURES)
+        li.filter(F.col("l_orderkey") % 30 == 0)
+        .filter((F.col("l_orderkey") / 10).cast("bigint") % 5 != 4)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_returnflag") == "R").cast("double").alias("label"),
+            *_FEATURES,
+        )
         .toPandas()
+        .sort_values(["l_orderkey", "l_linenumber"])
     )
     X = sample[_FEATURES].to_numpy(dtype=np.float64)
     y = sample["label"].to_numpy(dtype=np.float64)
