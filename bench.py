@@ -70,7 +70,8 @@ SELF_MATERIALIZING_DOC = {
     # metric_auroc left this set in r5: its rank fold is now a pure
     # declarative chain (no localCheckpoint, zero build-time jobs)
     "describe",
-    # driver-loop trainers: BPE collects one top pair per round, GBM
+    # driver-loop trainers: BPE collects the bounded word-frequency state
+    # and trains its merge rounds driver-side (r6 re-plan), GBM
     # aggregates one histogram per tree level, and the cleaning pipeline's
     # connected-components iterates to fixpoint — the build IS the
     # computation, so it must land inside the timed region
