@@ -967,3 +967,196 @@ def curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
             pos.cast("int").alias("global_pos"),
         )
     )
+
+
+# --- DSIR-style importance selection ------------------------------------------
+# target domain = these sources; the rest of the corpus is the raw pool
+_DSIR_TARGET = ("src0", "src1")
+_DSIR_TOPK = 50
+_DSIR_T_IN = "('src0', 'src1')"
+
+
+@query(
+    "select_dsir_importance",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    vocab AS (
+      SELECT word,
+             CAST(sum(CASE WHEN source IN {_DSIR_T_IN} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_t,
+             CAST(sum(CASE WHEN source IN {_DSIR_T_IN} THEN 0 ELSE 1 END)
+                  AS BIGINT) AS c_r
+      FROM tok GROUP BY word
+    ),
+    tot AS (
+      SELECT CAST(sum(c_t) AS BIGINT) AS n_t, CAST(sum(c_r) AS BIGINT) AS n_r,
+             CAST(count(*) AS BIGINT) AS v
+      FROM vocab
+    ),
+    wts AS (
+      SELECT word,
+             CAST(round(ln((c_t + 0.5) / (n_t + 0.5 * v)) * 1000000000)
+                  AS BIGINT)
+           - CAST(round(ln((c_r + 0.5) / (n_r + 0.5 * v)) * 1000000000)
+                  AS BIGINT) AS w
+      FROM vocab, tot
+    ),
+    pool AS (
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tok,
+             CAST(sum(w.w) AS BIGINT) AS w_sum
+      FROM tok t JOIN wts w ON t.word = w.word
+      WHERE t.source NOT IN {_DSIR_T_IN}
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tok, w_sum,
+           round(CAST(w_sum AS DOUBLE) / n_tok / 1000000000, 6) AS score
+    FROM pool
+    ORDER BY CAST(w_sum AS DOUBLE) / n_tok DESC, doc_id
+    LIMIT {_DSIR_TOPK}
+    """,
+)
+def select_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023, DSIR),
+    unigram form: estimate a target-domain LM (docs from _DSIR_TARGET
+    sources) and a raw-pool LM (everything else), score each pool document
+    by its length-normalized log importance ratio
+    mean_w[ ln p_target(w) - ln p_raw(w) ]  (add-1/2 smoothing over the
+    shared vocabulary), and keep the top-k most target-like documents —
+    the standard recipe for carving a domain-matched training subset out
+    of a web-scale crawl.
+
+    Exactness: one IEEE ln + one round to 1e-9 units per DISTINCT word per
+    LM (the quality_perplexity_proxy convention), then pure bigint sums;
+    the ranking key is the deterministic double division of those exact
+    integers, tie-broken by doc_id.
+
+    Scale shape: two corpus-linear aggregations (token counts), one
+    vocab-sized weight table probed back by broadcast equi-join, one
+    per-doc sum, and a TakeOrderedAndProject top-k — no corpus reshuffle,
+    no window. At 100 TB the vocab table is feature-hashed to a fixed
+    width (DSIR's actual trick) so the broadcast stays a few MB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    is_t = F.col("source").isin(*_DSIR_TARGET)
+    vocab = tok.groupBy("word").agg(
+        F.sum(is_t.cast("bigint")).alias("c_t"),
+        F.sum((~is_t).cast("bigint")).alias("c_r"),
+    )
+    tot = vocab.agg(
+        F.sum("c_t").alias("n_t"),
+        F.sum("c_r").alias("n_r"),
+        F.count("*").alias("v"),
+    )
+    from ..functions import numeric as N
+
+    def _lnw(c: F.Column, n: F.Column, v: F.Column) -> F.Column:
+        return N.fround_int(
+            F.log((c + F.lit(0.5)) / (n + F.lit(0.5) * v)) * 1e9
+        )
+
+    wts = vocab.crossJoin(F.broadcast(tot)).select(
+        "word",
+        (
+            _lnw(F.col("c_t"), F.col("n_t"), F.col("v"))
+            - _lnw(F.col("c_r"), F.col("n_r"), F.col("v"))
+        ).alias("w"),
+    )
+    pool = (
+        tok.filter(~is_t)
+        .join(F.broadcast(wts), "word")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tok"), F.sum("w").alias("w_sum"))
+    )
+    return (
+        pool.select(
+            "doc_id",
+            "n_tok",
+            "w_sum",
+            F.round(
+                F.col("w_sum").cast("double") / F.col("n_tok") / 1e9, 6
+            ).alias("score"),
+        )
+        .orderBy(
+            (F.col("w_sum").cast("double") / F.col("n_tok")).desc(), "doc_id"
+        )
+        .limit(_DSIR_TOPK)
+    )
+
+
+# --- sliding-window chunking with overlap ------------------------------------
+_SLIDE_SIZE = 64
+_SLIDE_STRIDE = 48
+
+
+@query(
+    "doc_chunk_sliding",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, toks, n,
+             unnest(generate_series(
+               0,
+               CAST(floor((greatest(n - {_SLIDE_SIZE}, 0) + {_SLIDE_STRIDE - 1})
+                          / {_SLIDE_STRIDE}.0) AS BIGINT)
+             )) AS j
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(j AS BIGINT) AS chunk_idx,
+           CAST(1 + {_SLIDE_STRIDE} * j AS BIGINT) AS chunk_start,
+           CAST(least({_SLIDE_SIZE}, n - (1 + {_SLIDE_STRIDE} * j) + 1)
+                AS BIGINT) AS chunk_len,
+           md5(array_to_string(
+             list_slice(toks, 1 + {_SLIDE_STRIDE} * j,
+                        least(1 + {_SLIDE_STRIDE} * j + {_SLIDE_SIZE - 1}, n)),
+             ' ')) AS chunk_hash
+    FROM idx
+    """,
+)
+def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap — the standard pretraining /
+    RAG chunker (window SIZE tokens, STRIDE < SIZE, so consecutive chunks
+    share SIZE-STRIDE tokens of context; the non-overlapping sibling is
+    doc_chunk_fixed). Chunk count per doc is 1 + ceil(max(0, n-SIZE)/STRIDE)
+    so every token lands in >=1 chunk and the final chunk always reaches the
+    end of the document; chunks carry their start/length and a content hash
+    for downstream dedup of chunk collisions.
+
+    Scale shape: a narrow per-row transform — chunk explode multiplies rows
+    by ~n/STRIDE with no exchange anywhere; the hash is computed inside the
+    same projection. Pure map-side at any scale.
+    """
+    size, stride = _SLIDE_SIZE, _SLIDE_STRIDE
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    n_chunks_m1 = F.floor(
+        (F.greatest(n - size, F.lit(0)) + (stride - 1)) / float(stride)
+    ).cast("bigint")
+    base = docs.select(
+        "doc_id", toks.alias("toks"), n.cast("bigint").alias("n"),
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks_m1)).alias("j"),
+    )
+    start = 1 + F.lit(stride) * F.col("j")
+    return base.select(
+        "doc_id",
+        F.col("j").alias("chunk_idx"),
+        start.cast("bigint").alias("chunk_start"),
+        F.least(F.lit(size).cast("bigint"), F.col("n") - start + 1)
+        .cast("bigint")
+        .alias("chunk_len"),
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("toks"), start.cast("int"), size))
+        ).alias("chunk_hash"),
+    )

@@ -15,7 +15,7 @@ worst case (kept as the verifier / small-corpus path).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import numeric as N
@@ -2176,4 +2176,139 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "intra_edges",
         "degree_sum",
         q.alias("q_contrib"),
+    )
+
+
+# --- exact duplicated-substring spans (k-gram fingerprint method) ------------
+_SUBSTR_K = 5  # tokens per fingerprint gram
+
+
+@query(
+    "dedup_substring_kgram",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    kg AS (
+      SELECT doc_id, n_tok, p,
+             concat_ws(' ', toks[p], toks[p+1], toks[p+2], toks[p+3], toks[p+4])
+               AS gram
+      FROM (SELECT doc_id, n_tok, toks,
+                   unnest(generate_series(1, n_tok - {_SUBSTR_K - 1})) AS p
+            FROM base WHERE n_tok >= {_SUBSTR_K})
+    ),
+    dup AS (SELECT gram FROM kg GROUP BY gram HAVING count(*) >= 2),
+    pos AS (
+      SELECT k.doc_id, k.n_tok, k.p, k.p + {_SUBSTR_K - 1} AS e
+      FROM kg k JOIN dup d ON k.gram = d.gram
+    ),
+    m AS (
+      SELECT doc_id, n_tok, p, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pmax
+      FROM pos
+    ),
+    isl AS (
+      SELECT doc_id, n_tok, p, e,
+             sum(CASE WHEN pmax IS NULL OR p > pmax + 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY p
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      FROM m
+    ),
+    spans AS (
+      SELECT doc_id, n_tok, isl, min(p) AS s, max(e) AS e
+      FROM isl GROUP BY doc_id, n_tok, isl
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           round(CAST(sum(e - s + 1) AS DOUBLE) / n_tok, 6) AS dup_frac
+    FROM spans GROUP BY doc_id, n_tok
+    """,
+)
+def dedup_substring_kgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring detection, the suffix-array dedup method
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better") re-expressed for a shuffle engine: every k-token gram is a
+    fingerprint of the substring starting at that position; a gram occurring
+    >= 2 times anywhere in the corpus marks its k tokens as duplicated text,
+    and overlapping/adjacent duplicated positions merge into maximal spans
+    (the gaps-and-islands interval merge). Output: per document, the number
+    of maximal duplicated spans, tokens covered, and coverage fraction —
+    the per-doc report a span-removal pass would consume. Docs with no
+    duplicated gram are absent by construction.
+
+    Scale shape: the gram table is corpus-linear (one row per token
+    position); duplicate detection is one hash-groupBy on the gram (at
+    100 TB, group on xxhash64(gram) instead of the string to shrink the
+    shuffle row — same semantics, collision risk 2^-64); the mark-back is
+    a corpus-linear equi-join; the interval merge is a doc-local window.
+    Nothing quadratic anywhere — unlike pairwise near-dup, exact substring
+    dedup is linear by nature, which is why it runs at trillion-token scale
+    in practice (reference scope: teamProject's corpus prep has no substring
+    pass; this is north-star extension surface).
+    """
+    k = _SUBSTR_K
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = F.split("text", " ")
+    # starts 1..n-k+1; same short-doc guard as _shingles (F.sequence with
+    # start > stop would step -1 and index out of range)
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    kg = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tok"),
+        F.posexplode(grams).alias("p0", "gram"),
+    ).select(
+        "doc_id", "n_tok", (F.col("p0") + 1).cast("bigint").alias("p"), "gram"
+    )
+    dup = kg.groupBy("gram").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
+    pos = kg.join(dup.select("gram"), "gram").select(
+        "doc_id", "n_tok", "p", (F.col("p") + (k - 1)).alias("e")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = pos.withColumn("pmax", F.max("e").over(w_prev)).withColumn(
+        "isl",
+        F.sum(
+            (
+                F.col("pmax").isNull() | (F.col("p") > F.col("pmax") + 1)
+            ).cast("bigint")
+        ).over(w_run),
+    )
+    spans = marked.groupBy("doc_id", "n_tok", "isl").agg(
+        F.min("p").alias("s"), F.max("e").alias("e")
+    )
+    return spans.groupBy("doc_id", "n_tok").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+    ).select(
+        "doc_id",
+        "n_spans",
+        "dup_tokens",
+        "n_tok",
+        F.round(F.col("dup_tokens").cast("double") / F.col("n_tok"), 6).alias(
+            "dup_frac"
+        ),
     )

@@ -2397,3 +2397,121 @@ def embed_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("subspace", "code")
     )
+
+
+# --- binary (sign-bit) quantization + Hamming shortlist + exact rerank -------
+_BQ_SHORTLIST = 16
+_BQ_TOPK = 5
+
+
+@query(
+    "embed_binary_quantize_hamming",
+    oracle=f"""
+    WITH expl AS ({_EXPL_SQL}),
+    norms AS ({_NORMS_SQL}),
+    q AS (SELECT vec_id AS qid, pos, v AS qv FROM expl WHERE vec_id < {_NQ}),
+    ham AS (
+      SELECT q.qid, c.vec_id AS cid,
+             CAST(sum(CASE WHEN (q.qv >= 0) <> (c.v >= 0) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hamming
+      FROM q JOIN expl c ON q.pos = c.pos
+      WHERE c.vec_id <> q.qid
+      GROUP BY q.qid, c.vec_id
+    ),
+    cand AS (
+      SELECT qid, cid, hamming FROM (
+        SELECT qid, cid, hamming,
+               row_number() OVER (PARTITION BY qid ORDER BY hamming, cid) AS rn
+        FROM ham
+      ) WHERE rn <= {_BQ_SHORTLIST}
+    ),
+    dots AS (
+      SELECT cand.qid, cand.cid, cand.hamming,
+             CAST(sum(CAST(q.qv * c.v AS DECIMAL(20,12))) AS DOUBLE) AS dot
+      FROM cand
+      JOIN q ON q.qid = cand.qid
+      JOIN expl c ON c.vec_id = cand.cid AND c.pos = q.pos
+      GROUP BY cand.qid, cand.cid, cand.hamming
+    ),
+    cos AS (
+      SELECT qid, cid, hamming,
+             round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+      FROM dots JOIN norms nq ON qid = nq.vec_id
+                JOIN norms nc ON cid = nc.vec_id
+    )
+    SELECT qid, cid, hamming, cosine, rn FROM (
+      SELECT qid, cid, hamming, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid)
+               AS rn
+      FROM cos
+    ) WHERE rn <= {_BQ_TOPK}
+    """,
+)
+def embed_binary_quantize_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary quantization ANN: each embedding collapses to its sign bits
+    (1 bit per dimension, a 32x memory cut — the standard first-stage filter
+    in production vector search); candidates are shortlisted per query by
+    Hamming distance on those bits (integer arithmetic, exact in any
+    engine), then the shortlist alone is reranked by exact cosine. The
+    two-stage shape is the point: the expensive float kernel touches
+    SHORTLIST << corpus rows per query.
+
+    Exactness: Hamming is a pure integer fold (no floats to tame); the
+    rerank reuses the decimal dot-product fold (_dec_dot), so every stage
+    is bit-equal to the oracle.
+
+    Scale shape: the corpus is scanned once against broadcast queries (the
+    same no-explode shape as embed_cosine_topk); at 100 TB the sign bits
+    pack into 1-2 bigints per vector (persisted alongside the parquet), the
+    Hamming fold becomes bit_count(a XOR b) per word, and the shortlist
+    stage prunes with an LSH/IVF bucket join first — this query pins the
+    two-stage semantics those variants must preserve.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    withn = emb.withColumn(
+        "nrm", F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding")))
+    )
+    q = withn.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
+        F.col("nrm").alias("nrm_q"),
+    )
+    c = withn.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cemb"),
+        F.col("nrm").alias("nrm_c"),
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("qid") != F.col("cid"))
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("qemb"),
+            F.col("cemb"),
+            lambda x, y: ((x >= 0) != (y >= 0)).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    shortlisted = (
+        pairs.withColumn("hamming", ham)
+        .withColumn(
+            "srn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy("hamming", "cid")
+            ),
+        )
+        .filter(F.col("srn") <= _BQ_SHORTLIST)
+    )
+    cos = shortlisted.select(
+        "qid",
+        "cid",
+        "hamming",
+        N.fround(
+            _dec_dot(F.col("qemb"), F.col("cemb"))
+            / (F.col("nrm_q") * F.col("nrm_c")),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return cos.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _BQ_TOPK
+    )
