@@ -41,6 +41,7 @@ for _mod_name in (
     "tpch_ext",
     "tpch_ext2",
     "metrics",
+    "model_compare",
     "stats_tests",
     "mlprep",
     "dedup",
