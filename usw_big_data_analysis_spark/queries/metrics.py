@@ -538,6 +538,73 @@ def metric_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- expected / maximum calibration error ------------------------------------
+@query(
+    "metric_ece",
+    oracle=f"""
+    WITH s AS ({_SCORED_SQL}),
+    binned AS (
+      SELECT least(CAST(floor(prob * 10) AS INT), 9) AS bin, label, prob
+      FROM s
+    ),
+    b AS (
+      SELECT bin, count(*) AS nb,
+             CAST(sum(CAST(label AS BIGINT)) AS BIGINT) AS pos,
+             sum(CAST(prob AS DECIMAL(38,10))) AS sprob
+      FROM binned GROUP BY bin
+    )
+    SELECT CAST(sum(nb) AS BIGINT) AS n,
+           count(*) AS n_bins,
+           round(CAST(sum(abs(pos - sprob)) AS DOUBLE)
+                 / CAST(sum(nb) AS DOUBLE), 6) AS ece,
+           round(max(CAST(abs(pos - sprob) AS DOUBLE)
+                     / CAST(nb AS DOUBLE)), 6) AS mce
+    FROM b
+    """,
+)
+def metric_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected and maximum calibration error — the scalar summary of the
+    metric_calibration reliability diagram (same decile binning):
+    ECE = Σ_b (n_b/N)·|acc_b − conf_b| = (1/N)·Σ_b |pos_b − Σprob_b|, and
+    MCE is the worst single bin. The one-number calibration diagnostic
+    behind the reference's threshold-move recommendation
+    (`model_improvement_recommendations.md` §1).
+
+    Scale shape: one map-side-combined aggregate into ≤10 bins, then a
+    10-row reduction. Per-bin |pos − Σprob| stays in exact DECIMAL (the
+    probability sum is decimal, the positive count integer), so the only
+    IEEE ops are the two final divisions — bit-identical across engines
+    and partition orders."""
+    s = scored_frame(spark, sf_dir)
+    b = (
+        s.select(
+            F.least(F.floor(F.col("prob") * 10).cast("int"), F.lit(9)).alias(
+                "bin"
+            ),
+            "label",
+            "prob",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("nb"),
+            F.expr("CAST(sum(CAST(label AS BIGINT)) AS BIGINT) AS pos"),
+            F.sum(F.col("prob").cast("decimal(38,10)")).alias("sprob"),
+        )
+    )
+    return b.agg(
+        F.expr("CAST(sum(nb) AS BIGINT) AS n"),
+        F.expr("count(*) AS n_bins"),
+        F.expr(
+            "round(CAST(sum(abs(pos - sprob)) AS DOUBLE)"
+            " / CAST(sum(nb) AS DOUBLE), 6) AS ece"
+        ),
+        F.expr(
+            "round(max(CAST(abs(pos - sprob) AS DOUBLE)"
+            " / CAST(nb AS DOUBLE)), 6) AS mce"
+        ),
+    )
+
+
 # --- Cohen's kappa (inter-rater / chance-corrected accuracy) ----------------
 @query(
     "metric_cohens_kappa",

@@ -879,6 +879,132 @@ def drift_ks_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- exact 1-D Wasserstein (earth-mover) drift -------------------------------
+# Quantization contract (both engines): prices bin at $100 granularity, so
+# the ordered pass runs over a range-bounded table (~1.1k bins for TPC-H
+# prices at ANY scale factor — cardinality is set by the price domain, not
+# the row count). W1 on the binned marginals is the exact EMD of the
+# quantized distributions.
+_EMD_BINW = 100
+_EMD_PIVOT = 1997
+
+
+@query(
+    "drift_emd_price",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(floor(l_extendedprice / {_EMD_BINW}.0) AS BIGINT) AS bin,
+             CAST(year(l_shipdate) <= {_EMD_PIVOT} AS INT) AS a
+      FROM lineitem
+    ),
+    c AS (
+      SELECT bin, CAST(sum(a) AS BIGINT) AS na,
+             CAST(sum(1 - a) AS BIGINT) AS nb
+      FROM b GROUP BY bin
+    ),
+    n AS (
+      SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb
+      FROM c
+    ),
+    cum AS (
+      SELECT bin,
+             CAST(sum(na) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+             CAST(sum(nb) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS cb,
+             lead(bin) OVER (ORDER BY bin) AS nxt
+      FROM c
+    ),
+    t AS (
+      SELECT count(*) AS n_bins,
+             CAST(sum(CAST(abs(n.tb * cum.ca - n.ta * cum.cb)
+                           * coalesce(cum.nxt - cum.bin, 0)
+                           AS DECIMAL(38,0))) AS DOUBLE) AS s,
+             CAST(max(abs(n.tb * cum.ca - n.ta * cum.cb)) AS BIGINT) AS dmax,
+             any_value(n.ta) AS ta, any_value(n.tb) AS tb
+      FROM cum CROSS JOIN n
+    )
+    SELECT ta AS n_a, tb AS n_b, n_bins,
+           round({_EMD_BINW}.0 * s
+                 / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)), 6) AS w1_price,
+           round(dmax / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)), 6)
+             AS ks_price
+    FROM t
+    """,
+)
+def drift_emd_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth-mover) distance between the early
+    (shipdate year ≤ {_EMD_PIVOT}) and late price distributions, the drift
+    metric PSI and KS can't replace: it weights mass by how FAR it moved
+    (W1 = ∫|F_A − F_B| dx). On the ${_EMD_BINW}-quantized ECDFs,
+    W1 = binw · Σᵢ |F_A(vᵢ) − F_B(vᵢ)| · (vᵢ₊₁ − vᵢ) over occupied bins;
+    the KS sup-gap on the same compression falls out for free.
+
+    Scale shape: ONE fact scan into a range-bounded (~1.1k-row) bin
+    histogram with map-side combine; cumulative counts and the next-bin
+    gap come from broadcast triangular joins over that bounded table
+    (operators/bounded_seq.py) — no single-partition window anywhere. ECDF
+    gaps are cross-multiplied (|tb·ca − ta·cb|, exact bigint: per-term
+    ≤ ta·tb·range < 2^63 through sf≈15; beyond that widen the product to
+    the DECIMAL(18,0) lanes) and accumulated in DECIMAL(38,0); the two
+    output stats each cost one final IEEE division."""
+    from ..operators.bounded_seq import exclusive_prefix_sums
+
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.selectExpr(
+        f"CAST(floor(l_extendedprice / {_EMD_BINW}.0D) AS BIGINT) AS bin",
+        f"CAST(year(l_shipdate) <= {_EMD_PIVOT} AS INT) AS a",
+    )
+    c = b.groupBy("bin").agg(
+        F.expr("CAST(sum(a) AS BIGINT) AS na"),
+        F.expr("CAST(sum(1 - a) AS BIGINT) AS nb"),
+    )
+    n = c.agg(
+        F.expr("CAST(sum(na) AS BIGINT) AS ta"),
+        F.expr("CAST(sum(nb) AS BIGINT) AS tb"),
+    )
+    prev = exclusive_prefix_sums(c, "bin", ["na", "nb"])
+    nxt = (
+        c.select("bin")
+        .join(
+            F.broadcast(c.select(F.col("bin").alias("__nb"))),
+            F.col("__nb") > F.col("bin"),
+            "left",
+        )
+        .groupBy("bin")
+        .agg(F.min("__nb").alias("nxt"))
+    )
+    cum = (
+        c.join(prev, "bin")
+        .join(nxt, "bin")
+        .selectExpr(
+            "bin",
+            "prev_na + na AS ca",
+            "prev_nb + nb AS cb",
+            "nxt",
+        )
+    )
+    t = cum.crossJoin(F.broadcast(n)).agg(
+        F.expr("count(*) AS n_bins"),
+        F.expr(
+            "CAST(sum(CAST(abs(tb * ca - ta * cb)"
+            " * coalesce(nxt - bin, 0) AS DECIMAL(38,0))) AS DOUBLE) AS s"
+        ),
+        F.expr("CAST(max(abs(tb * ca - ta * cb)) AS BIGINT) AS dmax"),
+        F.expr("any_value(ta) AS ta"),
+        F.expr("any_value(tb) AS tb"),
+    )
+    return t.selectExpr(
+        "ta AS n_a",
+        "tb AS n_b",
+        "n_bins",
+        f"round({_EMD_BINW}.0D * s"
+        " / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)), 6) AS w1_price",
+        "round(dmax / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)), 6)"
+        " AS ks_price",
+    )
+
+
 # --- rare-category collapse (fit on train) -----------------------------------
 _RARE_MIN = 50
 
