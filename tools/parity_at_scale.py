@@ -77,6 +77,25 @@ SCALE_KEYS = [
     "dedup_minhash_auto",
     "dedup_bucket_stats",
     "dedup_simhash",
+    # r6 training-pipeline additions whose exactness claims scale with N:
+    # k-gram interval merge, 1e9-quantized ln sums, Hamming shortlist +
+    # decimal-cosine rerank, stride coverage, decimal cosine decontam scan.
+    # preference_pairs_cluster is absent for the dedup_clusters reason (its
+    # oracle walks the LSH edge list with a recursive CTE — super-linear in
+    # the ~50M-pair 10x edge list; the Spark plan shares CC's gate coverage).
+    "dedup_substring_kgram",
+    "select_dsir_importance",
+    "embed_binary_quantize_hamming",
+    "doc_chunk_sliding",
+    "decontam_embedding_eval",
+    # model-comparison stats: integer sufficient statistics with N- and
+    # N²-growth terms (S², Tj², cross-multiplied ECDFs) — the exact class
+    # the r4 sweep caught a defect in
+    "cochran_q_models",
+    "friedman_nemenyi_cv",
+    "cv_corrected_ttest",
+    "drift_emd_price",
+    "metric_ece",
 ]
 
 # FK domain -> the (table, column) pairs that must shift by the SAME span

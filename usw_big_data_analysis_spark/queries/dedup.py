@@ -39,6 +39,12 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
+    return _shingles_of(docs)
+
+
+def _shingles_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, s) distinct 3-token shingles of an arbitrary documents
+    frame (the streaming ingest path signs per-micro-batch frames)."""
     toks = F.split("text", " ")
     # guard docs shorter than one shingle: F.sequence(1, 0) defaults its
     # step to -1 and the descending indices hit element_at(toks, 0) →
@@ -196,7 +202,10 @@ _PAIR_EXPR = (
 def _sig_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, h0..h{_K-1}) MinHash signatures — one portable md5 per
     shingle, k affine universal hashes over it."""
-    sh = _shingles(spark, sf_dir)
+    return _sig_of(_shingles(spark, sf_dir))
+
+
+def _sig_of(sh: DataFrame) -> DataFrame:
     sh9 = sh.select("doc_id", (_h_spark(F.col("s")) % _MH_P).alias("h9"))
     return sh9.groupBy("doc_id").agg(
         *[
@@ -208,13 +217,21 @@ def _sig_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _band_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, band, band_key) — MinHash signatures banded 4×2."""
-    sig = _sig_frame(spark, sf_dir)
+    return _bands_of_sig(_sig_frame(spark, sf_dir))
+
+
+def _bands_of_sig(sig: DataFrame) -> DataFrame:
     stack = ", ".join(
         f"{b}, concat(h{2*b}, '_', h{2*b+1})" for b in range(_BANDS)
     )
     return sig.selectExpr(
         "doc_id", f"stack({_BANDS}, {stack}) AS (band, band_key)"
     )
+
+
+def _bands_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) bands of an arbitrary documents frame."""
+    return _bands_of_sig(_sig_of(_shingles_of(docs)))
 
 
 @query("dedup_minhash_lsh", oracle=_MINHASH_PAIRS_SQL)
@@ -2312,3 +2329,179 @@ def dedup_substring_kgram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_frac"
         ),
     )
+
+
+# --- streaming dedup-on-ingest: LSH band state through the real engine -------
+_INGEST_BATCHES = 3
+_INGEST_ORD = 1_000_000_000  # order key = batch * _INGEST_ORD + doc_id
+
+
+@query(
+    "stream_dedup_lsh_ingest",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sh9 AS (SELECT doc_id, {_h_sql('s')} % {_MH_P} AS h9 FROM sh),
+    sig AS (
+      SELECT doc_id,
+             {_SIG_COLS}
+      FROM sh9 GROUP BY doc_id
+    ),
+    bands AS (
+      {' UNION ALL '.join(
+        f"SELECT doc_id, {b} AS band, concat(h{2*b}, '_', h{2*b+1}) AS band_key FROM sig"
+        for b in range(_BANDS))}
+    ),
+    keyed AS (
+      SELECT doc_id, band, band_key,
+             doc_id % {_INGEST_BATCHES} AS batch
+      FROM bands
+    ),
+    firstk AS (
+      SELECT band, band_key,
+             min((doc_id % {_INGEST_BATCHES}) * {_INGEST_ORD} + doc_id) AS win
+      FROM keyed GROUP BY band, band_key
+    ),
+    docflag AS (
+      SELECT k.doc_id, k.batch,
+             max(CAST(f.win < k.batch * {_INGEST_ORD} + k.doc_id AS INT))
+               AS is_dup
+      FROM keyed k
+      JOIN firstk f ON k.band = f.band AND k.band_key = f.band_key
+      GROUP BY k.doc_id, k.batch
+    ),
+    flags AS (
+      SELECT a.doc_id, a.doc_id % {_INGEST_BATCHES} AS batch_id,
+             coalesce(d.is_dup, 0) AS is_dup
+      FROM documents a LEFT JOIN docflag d ON a.doc_id = d.doc_id
+    )
+    SELECT batch_id,
+           count(*) AS n_docs,
+           CAST(sum(1 - is_dup) AS BIGINT) AS n_emitted,
+           CAST(sum(is_dup) AS BIGINT) AS n_suppressed,
+           CAST(sum(CASE WHEN is_dup = 0 THEN doc_id ELSE 0 END) AS BIGINT)
+             AS emitted_id_sum
+    FROM flags GROUP BY batch_id
+    """,
+)
+def stream_dedup_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup ON INGEST through the real streaming engine — the
+    composition a 100 TB corpus actually runs daily: documents arrive in
+    micro-batches; each batch is MinHash-signed, its bands probe the
+    STANDING band index (parquet state appended by prior batches), and a
+    document is suppressed if ANY band was already claimed — by an earlier
+    batch, or by a smaller-doc_id document within its own batch. State
+    registers every SEEN document's bands (winners and suppressed alike —
+    the aggressive first-claim rule), so the drained outcome is exactly
+    "a doc is a dup iff some band's global (batch, doc_id)-min precedes
+    it", which is what the oracle states batch-free. Lives beside the
+    batch LSH machinery it reuses (`_bands_of`); semantics =
+    dedup_incremental_bands generalized from one increment to a pinned
+    {_INGEST_BATCHES}-epoch ingest.
+
+    Scale shape: per micro-batch the probe is a (band, band_key)
+    equi-join of BATCH bands against the standing index — shuffle linear
+    in the batch, the index is append-only (never rewritten, bucket it by
+    band_key in production); within-batch claims are one map-side-combined
+    min per band. The drained summary is {_INGEST_BATCHES} rows."""
+    import shutil
+    import tempfile as _tf
+    import uuid
+
+    from pyspark.errors import AnalysisException
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = _tf.mkdtemp(prefix=f"usw_ingest_{uuid.uuid4().hex[:8]}_")
+    watch, ckpt = f"{base}/in", f"{base}/ckpt"
+    state, out = f"{base}/state", f"{base}/out"
+    import os as _os
+
+    _os.makedirs(watch)
+
+    for i in range(_INGEST_BATCHES):
+        stage = f"{base}/stage{i}"
+        docs.filter(F.col("doc_id") % _INGEST_BATCHES == i).coalesce(
+            1
+        ).write.parquet(stage)
+        part = next(
+            f
+            for f in _os.listdir(stage)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        dst = f"{watch}/{i:03d}.parquet"
+        shutil.move(f"{stage}/{part}", dst)
+        _os.utime(dst, (1_000_000 + i * 100, 1_000_000 + i * 100))
+
+    def _ingest(batch_df: DataFrame, _bid: int) -> None:
+        bands = _bands_of(batch_df).persist()
+        try:
+            try:
+                seen = (
+                    spark.read.parquet(state)
+                    .select("band", "band_key")
+                    .distinct()
+                    .withColumn("seen", F.lit(1))
+                )
+            except AnalysisException:  # first batch: no standing index yet
+                seen = None
+            claims = bands.groupBy("band", "band_key").agg(
+                F.min("doc_id").alias("batch_min")
+            )
+            probed = bands.join(claims, ["band", "band_key"])
+            if seen is not None:
+                probed = probed.join(seen, ["band", "band_key"], "left")
+            else:
+                probed = probed.withColumn("seen", F.lit(None).cast("int"))
+            flag = probed.groupBy("doc_id").agg(
+                F.max(
+                    (
+                        F.col("seen").isNotNull()
+                        | (F.col("doc_id") > F.col("batch_min"))
+                    ).cast("int")
+                ).alias("is_dup")
+            )
+            summary = (
+                batch_df.join(flag, "doc_id", "left")
+                .select(
+                    (F.col("doc_id") % _INGEST_BATCHES).alias("batch_id"),
+                    "doc_id",
+                    F.coalesce("is_dup", F.lit(0)).alias("is_dup"),
+                )
+                .groupBy("batch_id")
+                .agg(
+                    F.count("*").alias("n_docs"),
+                    F.sum(1 - F.col("is_dup")).alias("n_emitted"),
+                    F.sum("is_dup").alias("n_suppressed"),
+                    F.sum(
+                        F.when(F.col("is_dup") == 0, F.col("doc_id")).otherwise(
+                            0
+                        )
+                    ).alias("emitted_id_sum"),
+                )
+            )
+            summary.coalesce(1).write.mode("append").parquet(out)
+            # register every seen doc's bands (first-claim rule)
+            bands.coalesce(1).write.mode("append").parquet(state)
+        finally:
+            bands.unpersist()
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+        .writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    result = spark.read.parquet(out).select(
+        "batch_id",
+        "n_docs",
+        F.col("n_emitted").cast("bigint").alias("n_emitted"),
+        F.col("n_suppressed").cast("bigint").alias("n_suppressed"),
+        F.col("emitted_id_sum").cast("bigint").alias("emitted_id_sum"),
+    )
+    rows = result.collect()  # materialize before removing the staging dirs
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
