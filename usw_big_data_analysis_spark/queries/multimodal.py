@@ -744,3 +744,119 @@ def multimodal_phash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         "CAST(bit_count(ph_a ^ ph_b) AS INT) AS hamming",
     ).filter(F.expr(f"bit_count(ph_a ^ ph_b) <= {_PH_RADIUS}"))
+
+
+# --- cross-modal pair alignment filter (LAION-style plumbing) ----------------
+# A deterministic stand-in for a CLIP score (the container has no vision
+# model — brief: stub the model, make the Spark plumbing real): the image
+# signature is the mean gray of the REAL decoded pixels mod 97, the text
+# signature is the token count mod 97, and a pair "aligns" when the two
+# signatures sit within _ALIGN_T of each other. The generator (closed-form
+# pixels from doc_id) and the decode+reduce path are separate code routes,
+# so codec/layout/stride bugs break oracle parity exactly as in the phash
+# keys.
+_ALIGN_T = 10
+_ALIGN_MOD = 97
+
+
+@query(
+    "multimodal_pair_alignment",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, source, 8 + doc_id % 5 AS w, 4 + doc_id % 3 AS h,
+             len(string_split(text, ' ')) % {_ALIGN_MOD} AS txt_sig
+      FROM documents
+    ),
+    px AS (
+      SELECT d.doc_id, p.p * 3 AS base, d.w * d.h AS n_pix
+      FROM dims d
+      JOIN (SELECT unnest(generate_series(0, 71)) AS p) p
+        ON p.p < d.w * d.h
+    ),
+    gr AS (
+      SELECT doc_id, n_pix,
+             ((doc_id * 31 + 7 * base) % 256
+              + (doc_id * 31 + 7 * (base + 1)) % 256
+              + (doc_id * 31 + 7 * (base + 2)) % 256) // 3 AS gray
+      FROM px
+    ),
+    img AS (
+      SELECT doc_id, (sum(gray) // any_value(n_pix)) % {_ALIGN_MOD} AS img_sig
+      FROM gr GROUP BY doc_id
+    )
+    SELECT d.source,
+           count(*) AS n_pairs,
+           CAST(sum(CAST(abs(i.img_sig - d.txt_sig) <= {_ALIGN_T} AS INT))
+                AS BIGINT) AS n_aligned,
+           CAST(sum(CAST(abs(i.img_sig - d.txt_sig) <= {_ALIGN_T} AS INT))
+                * 1000000 // count(*) AS BIGINT) AS aligned_ppm,
+           CAST(sum(abs(i.img_sig - d.txt_sig)) AS BIGINT) AS sum_absdiff
+    FROM dims d JOIN img i ON d.doc_id = i.doc_id
+    GROUP BY d.source
+    """,
+)
+def multimodal_pair_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text pair alignment filter — the multimodal selection step a
+    LAION-style corpus build runs over billions of (image, caption) pairs:
+    decode every image (REAL vendored PPM codec), reduce it to a
+    signature, score it against the caption's signature, and report the
+    per-source aligned fraction. The model is a deterministic stub (mean
+    decoded gray mod {_ALIGN_MOD} vs token count mod {_ALIGN_MOD}); the
+    plumbing — binary payload column, Arrow-batched mapInPandas decode,
+    pair join, per-source rates — is the real 100 TB shape.
+
+    Scale shape: one mapInPandas decode pass over the payloads (vectorized
+    per Arrow batch, no Python row loop), one equi-join back to the text
+    side on doc_id, one map-side-combined per-source aggregate. All-integer
+    output (ppm by integer division) — bit-stable by construction."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..operators.image_codec import decode_image, encode_ppm
+
+    docs = load_table(spark, sf_dir, "documents")
+    txt = docs.select(
+        "doc_id",
+        "source",
+        (F.size(F.split("text", " ")) % _ALIGN_MOD).alias("txt_sig"),
+    )
+
+    def gen_and_reduce(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"doc_id": [], "img_sig": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 8 + doc_id % 5, 4 + doc_id % 3
+                i = np.arange(w * h * 3, dtype=np.int64)
+                arr = (
+                    ((doc_id * 31 + 7 * i) % 256).astype(np.uint8).reshape(h, w, 3)
+                )
+                payload = encode_ppm(arr)
+                dec = decode_image(bytes(payload)).astype(np.int64)
+                gray = dec.sum(axis=2) // 3
+                out["doc_id"].append(doc_id)
+                out["img_sig"].append(
+                    int((int(gray.sum()) // (w * h)) % _ALIGN_MOD)
+                )
+            yield pd.DataFrame(out)
+
+    img = docs.select("doc_id").mapInPandas(
+        gen_and_reduce,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("img_sig", LongType())]
+        ),
+    )
+    j = txt.join(img, "doc_id")
+    diff = F.abs(F.col("img_sig") - F.col("txt_sig"))
+    return j.groupBy("source").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum((diff <= _ALIGN_T).cast("int")).cast("bigint").alias("n_aligned"),
+        F.expr(
+            f"CAST(sum(CAST(abs(img_sig - txt_sig) <= {_ALIGN_T} AS INT))"
+            " * 1000000 div count(*) AS BIGINT) AS aligned_ppm"
+        ),
+        F.sum(diff).cast("bigint").alias("sum_absdiff"),
+    )
