@@ -2242,3 +2242,132 @@ def ab_test_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("power_posthoc"),
         F.round((1.959964 + 0.841621) * F.col("se_null"), 6).alias("mde_80"),
     )
+
+
+# --- sequential A/B monitoring: Wald SPRT over daily batches -----------------
+# Simple-vs-simple Bernoulli SPRT (Wald 1945): H0 p=_SPRT_P0 vs H1
+# p=_SPRT_P1 on the treatment arm's conversion stream, alpha=beta=0.05.
+# Per-trial log-likelihood ratios are CONSTANTS (only k and n-k vary), so
+# the whole walk is integer arithmetic over 1e9-quantized constants —
+# computed ONCE here in Python and embedded as identical literals in both
+# engines (the decontam llr_e9 idiom, hoisted from per-row to per-module).
+import math as _math
+
+_SPRT_P0, _SPRT_P1 = 0.03, 0.05
+_SPRT_ALPHA = 0.05  # = beta
+_SPRT_L1_E9 = round(_math.log(_SPRT_P1 / _SPRT_P0) * 1e9)  # per-success
+_SPRT_L0_E9 = round(
+    _math.log((1 - _SPRT_P1) / (1 - _SPRT_P0)) * 1e9
+)  # per-failure
+_SPRT_A_E9 = round(_math.log((1 - _SPRT_ALPHA) / _SPRT_ALPHA) * 1e9)
+
+
+@query(
+    "ab_sequential_sprt",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+             count(*) AS n_trials,
+             CAST(sum(CAST(event_type = 'purchase' AND value > 80 AS INT))
+                  AS BIGINT) AS n_success
+      FROM events WHERE user_id % 2 = 1
+      GROUP BY day
+    ),
+    w AS (
+      SELECT day, n_trials, n_success,
+             n_success * {_SPRT_L1_E9}
+               + (n_trials - n_success) * {_SPRT_L0_E9} AS llr_e9
+      FROM d
+    ),
+    c AS (
+      SELECT day, n_trials, n_success, llr_e9,
+             CAST(sum(llr_e9) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_llr_e9
+      FROM w
+    ),
+    s AS (
+      SELECT *,
+             CAST(cum_llr_e9 >= {_SPRT_A_E9}
+                  OR cum_llr_e9 <= {-_SPRT_A_E9} AS INT) AS crossed,
+             CAST(coalesce(sum(CAST(cum_llr_e9 >= {_SPRT_A_E9}
+                    OR cum_llr_e9 <= {-_SPRT_A_E9} AS INT))
+               OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS BIGINT) AS prev_crossed
+      FROM c
+    )
+    SELECT day, n_trials, n_success, llr_e9, cum_llr_e9,
+           CASE WHEN prev_crossed > 0 THEN 'stopped'
+                WHEN cum_llr_e9 >= {_SPRT_A_E9} THEN 'accept_h1'
+                WHEN cum_llr_e9 <= {-_SPRT_A_E9} THEN 'accept_h0'
+                ELSE 'continue' END AS state
+    FROM s
+    """,
+)
+def ab_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential A/B monitoring — Wald's SPRT, the always-valid
+    alternative to the fixed-horizon ab_test_ztest peeking problem: each
+    day's treatment-arm conversions advance a cumulative log-likelihood
+    walk (H0 p={_SPRT_P0} vs H1 p={_SPRT_P1}); the experiment accepts H1
+    the first day the walk reaches ln((1-α)/α), accepts H0 at the mirror
+    bound, and every later day reports 'stopped'. The whole readout a
+    sequential-testing dashboard renders.
+
+    Scale shape: one fact-scan aggregate into a DATE-bounded (~30-row)
+    daily table; because the Bernoulli LLR increments are constants, the
+    walk is pure bigint arithmetic (1e9-quantized module literals shared
+    verbatim by both engines — overflow at ~5·10^11 daily trials, far past
+    any fixture decade). Cumulative and look-back passes are broadcast
+    triangular prefix sums over the bounded table
+    (operators/bounded_seq.py) — no single-partition window."""
+    from ..operators.bounded_seq import exclusive_prefix_sums
+
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.filter(F.col("user_id") % 2 == 1)
+        .groupBy(
+            F.expr("CAST(CAST(ts AS DATE) AS TIMESTAMP)").alias("day")
+        )
+        .agg(
+            F.expr("count(*) AS n_trials"),
+            F.expr(
+                "CAST(sum(CAST(event_type = 'purchase' AND value > 80"
+                " AS INT)) AS BIGINT) AS n_success"
+            ),
+        )
+    )
+    w = d.selectExpr(
+        "day",
+        "n_trials",
+        "n_success",
+        f"n_success * {_SPRT_L1_E9}"
+        f" + (n_trials - n_success) * {_SPRT_L0_E9} AS llr_e9",
+    )
+    cum = w.join(exclusive_prefix_sums(w, "day", ["llr_e9"]), "day").selectExpr(
+        "day",
+        "n_trials",
+        "n_success",
+        "llr_e9",
+        "prev_llr_e9 + llr_e9 AS cum_llr_e9",
+    )
+    crossed = cum.withColumn(
+        "crossed",
+        F.expr(
+            f"CAST(cum_llr_e9 >= {_SPRT_A_E9}"
+            f" OR cum_llr_e9 <= {-_SPRT_A_E9} AS INT)"
+        ),
+    )
+    final = crossed.join(
+        exclusive_prefix_sums(crossed.select("day", "crossed"), "day", ["crossed"]),
+        "day",
+    )
+    return final.selectExpr(
+        "day",
+        "n_trials",
+        "n_success",
+        "llr_e9",
+        "cum_llr_e9",
+        f"CASE WHEN prev_crossed > 0 THEN 'stopped'"
+        f" WHEN cum_llr_e9 >= {_SPRT_A_E9} THEN 'accept_h1'"
+        f" WHEN cum_llr_e9 <= {-_SPRT_A_E9} THEN 'accept_h0'"
+        f" ELSE 'continue' END AS state",
+    )

@@ -2168,3 +2168,100 @@ def retrieval_mrr_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE round(CAST(hits_at_10 AS DOUBLE) / n_relevant, 6)"
         " END AS recall_at_10",
     )
+
+
+# --- LLM-watermark detection (green-list bigram test) ------------------------
+# Kirchenbauer-style detection re-expressed for corpus hygiene: a
+# watermarked generator biases each token toward a "green list" keyed by
+# the previous token's hash. Detection needs no model — per document,
+# count bigrams whose (prev, cur) hash lands green (null rate 1/2) and
+# flag documents whose one-proportion z exceeds the 97.5th percentile.
+# On natural text the flag rate sits near 2.5% by construction; a
+# watermarked/generated slice shows up as a per-source excess.
+_WM_Z = 1.959964
+
+
+@query(
+    "text_watermark_greenlist",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substring(md5(concat(w[i], '#', w[i+1])),
+                                         1, 15)) AS BIGINT) % 2 AS green
+      FROM toks, unnest(generate_series(1, len(w) - 1)) t(i)
+    ),
+    per_doc AS (
+      SELECT doc_id, source,
+             CAST(count(*) AS BIGINT) AS n_bg,
+             CAST(sum(CAST(green = 0 AS BIGINT)) AS BIGINT) AS n_green
+      FROM bg GROUP BY doc_id, source
+    ),
+    z AS (
+      SELECT source, n_bg, n_green,
+             round(CAST(2 * n_green - n_bg AS DOUBLE) / sqrt(CAST(n_bg AS
+               DOUBLE)), 6) AS z
+      FROM per_doc
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_bg) AS BIGINT) AS sum_bigrams,
+           CAST(sum(n_green) AS BIGINT) AS sum_green,
+           CAST(sum(CAST(z >= {_WM_Z} AS INT)) AS BIGINT) AS n_flagged,
+           CAST(sum(CAST(z >= {_WM_Z} AS INT)) * 1000000 // count(*)
+                AS BIGINT) AS flagged_ppm
+    FROM z GROUP BY source
+    """,
+)
+def text_watermark_greenlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic-text / LLM-watermark screening — the corpus-hygiene scan a
+    pretraining build runs to keep model-generated text out of the mix:
+    per document, the fraction of bigrams whose keyed hash falls in the
+    "green list" (null rate exactly 1/2 for unwatermarked text) gives a
+    one-proportion z; documents beyond z ≥ {_WM_Z} are flagged and the
+    per-source excess over the ~2.5% base rate is the contamination
+    signal (Kirchenbauer et al. detection, model-free form).
+
+    Scale shape: bigrams explode ≤ len per doc (the wordcount shape); the
+    per-doc reduction and the per-source rollup are both map-side-combined
+    integer aggregates — one fact scan, two narrowing shuffles, nothing
+    quadratic. The only float op is each doc's z (two exact ints → one
+    division, rounded 6dp identically in both engines)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select("doc_id", "source", F.split("text", " ").alias("w"))
+    bg = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> CAST(conv(substring(md5(concat(element_at(w, i), '#',"
+                " element_at(w, i + 1))), 1, 15), 16, 10) AS BIGINT) % 2)"
+            )
+        ).alias("green"),
+    )
+    per_doc = bg.groupBy("doc_id", "source").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_bg"),
+        F.expr("CAST(sum(CAST(green = 0 AS BIGINT)) AS BIGINT) AS n_green"),
+    )
+    z = per_doc.selectExpr(
+        "source",
+        "n_bg",
+        "n_green",
+        "round(CAST(2 * n_green - n_bg AS DOUBLE)"
+        " / sqrt(CAST(n_bg AS DOUBLE)), 6) AS z",
+    )
+    return z.groupBy("source").agg(
+        F.expr("count(*) AS n_docs"),
+        F.expr("CAST(sum(n_bg) AS BIGINT) AS sum_bigrams"),
+        F.expr("CAST(sum(n_green) AS BIGINT) AS sum_green"),
+        F.expr(f"CAST(sum(CAST(z >= {_WM_Z} AS INT)) AS BIGINT) AS n_flagged"),
+        F.expr(
+            f"CAST(sum(CAST(z >= {_WM_Z} AS INT)) * 1000000 div count(*)"
+            " AS BIGINT) AS flagged_ppm"
+        ),
+    )
