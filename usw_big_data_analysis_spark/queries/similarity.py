@@ -2515,3 +2515,169 @@ def embed_binary_quantize_hamming(spark: SparkSession, sf_dir: str) -> DataFrame
     return cos.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= _BQ_TOPK
     )
+
+
+# --- multi-probe LSH: probe the least-confident neighboring bucket -----------
+# Single-table hyperplane LSH recovers recall by probing MORE buckets per
+# query instead of building more tables (Lv et al., multi-probe LSH): the
+# query's strongest miss candidates live in the bucket reached by flipping
+# the sign bit whose hyperplane margin is smallest. T=2 probes (home bucket
+# + least-confident flip) at 4 planes scores ~2/16 of the corpus per query
+# — half the tables a 2-table scheme would need for similar recall.
+
+
+def _mp_flip_mask_sql() -> str:
+    """CASE expression: 1 << argmin_j |m_j| with smallest-index tie-break —
+    identical literal form in both engines (no engine-specific shift op)."""
+    conds = []
+    for j in range(_NPLANES):
+        others = [k for k in range(_NPLANES) if k != j]
+        cond = " AND ".join(f"abs(m{j}) <= abs(m{k})" for k in others)
+        conds.append(f"WHEN {cond} THEN {1 << j}")
+    return "CASE " + " ".join(conds) + " ELSE 1 END"
+
+
+_MP_MARGINS_SQL = f"""
+  SELECT vec_id,
+         {', '.join(
+           f"CAST(sum(CAST(v * {_r_sql(j)} AS DECIMAL(20,12))) AS DOUBLE)"
+           f" AS m{j}"
+           for j in range(_NPLANES))}
+  FROM expl GROUP BY vec_id
+"""
+
+
+@query(
+    "embed_ann_multiprobe",
+    oracle=f"""
+    WITH expl AS ({_EXPL_SQL}),
+    norms AS ({_NORMS_SQL}),
+    marg AS ({_MP_MARGINS_SQL}),
+    buckets AS (
+      SELECT vec_id,
+             {' + '.join(
+               f"(CASE WHEN m{j} > 0 THEN {1 << j} ELSE 0 END)"
+               for j in range(_NPLANES))} AS bucket,
+             {_mp_flip_mask_sql()} AS fmask
+      FROM marg
+    ),
+    q AS (
+      SELECT vec_id AS qid, bucket,
+             bucket + fmask - 2 * (bucket & fmask) AS bucket2
+      FROM buckets WHERE vec_id < {_NQ}
+    ),
+    cand AS (
+      SELECT q.qid, cb.vec_id AS cid
+      FROM q JOIN buckets cb
+        ON cb.bucket = q.bucket OR cb.bucket = q.bucket2
+      WHERE q.qid <> cb.vec_id
+    ),
+    dots AS (
+      SELECT c.qid, c.cid,
+             CAST(sum(CAST(qe.v * ce.v AS DECIMAL(20,12))) AS DOUBLE) AS dot
+      FROM cand c
+      JOIN expl qe ON qe.vec_id = c.qid
+      JOIN expl ce ON ce.vec_id = c.cid AND ce.pos = qe.pos
+      GROUP BY c.qid, c.cid
+    ),
+    cos AS (
+      SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+      FROM dots JOIN norms nq ON qid = nq.vec_id
+                JOIN norms nc ON cid = nc.vec_id
+    )
+    SELECT qid, cid, cosine, rn FROM (
+      SELECT qid, cid, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid)
+               AS rn
+      FROM cos
+    ) WHERE rn <= {_TOPK}
+    """,
+)
+def embed_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe hyperplane LSH top-k (Lv et al. 2007): each query scores
+    its home bucket AND the bucket across its least-confident hyperplane
+    (smallest |margin| sign flip), recovering most of the recall a second
+    hash table would buy without storing one. Margins fall out of the same
+    decimal plane-dot aggregate that signs the bucket, so the probe set
+    costs nothing extra at index time.
+
+    Scale shape: bucketing is one map-side-combined aggregate per vector
+    (margins and bucket in the same pass); the two probes are TWO bucket
+    equi-joins (expressed as a union in Spark — never an OR-join on the
+    fact side), candidates are exact-reranked with one decimal dot per
+    (query, candidate), and per-query top-k is a window over each query's
+    own candidates. Probe fan-out is 2/2^{_NPLANES} of the corpus per
+    query by construction."""
+    expl = _exploded(spark, sf_dir)
+    norms = _norms(expl)
+
+    def r_col(j: int) -> F.Column:
+        return ((F.lit(j) * 64 + F.col("pos")) * 2654435761 % 1000).cast(
+            "double"
+        ) / 1000.0 - 0.5
+
+    marg = expl.groupBy("vec_id").agg(
+        *[
+            F.sum((F.col("v") * r_col(j)).cast("decimal(20,12)"))
+            .cast("double")
+            .alias(f"m{j}")
+            for j in range(_NPLANES)
+        ]
+    )
+    bucket_expr = " + ".join(
+        f"(CASE WHEN m{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_NPLANES)
+    )
+    buckets = marg.selectExpr(
+        "vec_id",
+        f"{bucket_expr} AS bucket",
+        f"{_mp_flip_mask_sql()} AS fmask",
+    )
+    q = buckets.filter(F.col("vec_id") < _NQ).selectExpr(
+        "vec_id AS qid",
+        "bucket",
+        "bucket + fmask - 2 * (bucket & fmask) AS bucket2",
+    )
+    cb = buckets.select(F.col("vec_id").alias("cid"), F.col("bucket").alias("cb"))
+    # two equi-joins, not an OR-join: each probe is a proper shuffle-hash
+    # key; a vector lives in exactly one bucket and the two probe buckets
+    # differ, so the union is disjoint — no dedup pass needed.
+    cand = (
+        q.select("qid", F.col("bucket").alias("pb"))
+        .join(cb, F.col("pb") == F.col("cb"))
+        .unionByName(
+            q.select("qid", F.col("bucket2").alias("pb")).join(
+                cb, F.col("pb") == F.col("cb")
+            )
+        )
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid")
+    )
+    qe = expl.select(F.col("vec_id").alias("qid"), "pos", F.col("v").alias("qv"))
+    ce = expl.select(F.col("vec_id").alias("cid"), "pos", F.col("v").alias("cv"))
+    dots = (
+        cand.join(qe, "qid")
+        .join(ce, ["cid", "pos"])
+        .groupBy("qid", "cid")
+        .agg(
+            F.sum((F.col("qv") * F.col("cv")).cast("decimal(20,12)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    nq = norms.select(F.col("vec_id").alias("qid"), F.col("nrm").alias("nrm_q"))
+    nc = norms.select(F.col("vec_id").alias("cid"), F.col("nrm").alias("nrm_c"))
+    cos = (
+        dots.join(F.broadcast(nq), "qid")
+        .join(nc, "cid")
+        .select(
+            "qid",
+            "cid",
+            N.fround(
+                F.col("dot") / (F.col("nrm_q") * F.col("nrm_c")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return cos.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _TOPK
+    )
