@@ -1070,3 +1070,143 @@ def quality_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (1.0D - (p1 * p1 + p0 * p0)) END AS fleiss_kappa"
         ),
     )
+
+
+# --- no-split bin packing: next-fit arrival vs next-fit-decreasing -----------
+# pack_context_windows measures the concatenate-then-CUT packer (documents
+# may straddle context boundaries). The no-split packer is its loss-mask-
+# friendly sibling: every document stays whole, a context closes when the
+# next document doesn't fit — the packing a streaming tokenizer actually
+# performs. Bin count then DEPENDS ON ORDER, so the operator reports the
+# arrival-order walk against the size-sorted (next-fit-decreasing) walk:
+# the utilization gap is the training-cost lever sequence-packing papers
+# optimize. The walk is inherently sequential per source (state =
+# remaining capacity), so Spark runs it as a source-partitioned
+# applyInPandas pass — parallel ACROSS sources, sequential within, which
+# is exactly how a sharded packer runs at 100 TB.
+_NF_BUDGET = 128
+
+
+def _nf_walk_sql(order_by: str, name: str) -> str:
+    """Recursive-CTE next-fit walk over `ordered_{name}` (idx per source)."""
+    return f"""
+    ordered_{name} AS (
+      SELECT source, n_tok,
+             row_number() OVER (PARTITION BY source ORDER BY {order_by})
+               AS idx
+      FROM fit
+    ),
+    walk_{name} AS (
+      SELECT source, idx, 1 AS bins, {_NF_BUDGET} - n_tok AS rem
+      FROM ordered_{name} WHERE idx = 1
+      UNION ALL
+      SELECT o.source, o.idx,
+             CASE WHEN o.n_tok <= w.rem THEN w.bins ELSE w.bins + 1 END,
+             CASE WHEN o.n_tok <= w.rem THEN w.rem - o.n_tok
+                  ELSE {_NF_BUDGET} - o.n_tok END
+      FROM walk_{name} w
+      JOIN ordered_{name} o ON o.source = w.source AND o.idx = w.idx + 1
+    ),
+    bins_{name} AS (
+      SELECT source, max(bins) AS bins FROM walk_{name} GROUP BY source
+    )"""
+
+
+@query(
+    "pack_bins_nextfit",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    fit AS (SELECT * FROM t WHERE n_tok <= {_NF_BUDGET}),
+    {_nf_walk_sql('doc_id', 'arr')},
+    {_nf_walk_sql('n_tok DESC, doc_id', 'srt')},
+    base AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CAST(n_tok > {_NF_BUDGET} AS INT)) AS BIGINT)
+               AS n_oversize,
+             CAST(sum(CASE WHEN n_tok <= {_NF_BUDGET} THEN n_tok ELSE 0 END)
+                  AS BIGINT) AS sum_tok
+      FROM t GROUP BY source
+    )
+    SELECT b.source, b.n_docs, b.n_oversize, b.sum_tok,
+           CAST(a.bins AS BIGINT) AS bins_arrival,
+           CAST(s.bins AS BIGINT) AS bins_sorted,
+           CAST(b.sum_tok * 1000000 // (a.bins * {_NF_BUDGET}) AS BIGINT)
+             AS util_ppm_arrival,
+           CAST(b.sum_tok * 1000000 // (s.bins * {_NF_BUDGET}) AS BIGINT)
+             AS util_ppm_sorted
+    FROM base b
+    JOIN bins_arr a ON b.source = a.source
+    JOIN bins_srt s ON b.source = s.source
+    """,
+)
+def pack_bins_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split context packing efficiency: per source shard, walk the
+    documents in arrival order and in size-sorted order with a next-fit
+    packer (budget {_NF_BUDGET} tokens, documents never split, a context
+    closes when the next document doesn't fit; documents over budget are
+    skipped and counted). Reports bins and utilization for both walks
+    — the ORDER-SENSITIVITY audit of streaming packing. (For pure
+    next-fit, size-sorting can pack WORSE than arrival order — large-first
+    leaves mid-size remainders no later document fills; the fixture shows
+    exactly that — which is why packers that reorder also keep multiple
+    open bins. The audit quantifies the gap either way.)
+
+    Scale shape: one scan projects (source, n_tok); the walk itself is
+    inherently sequential (remaining-capacity state), so it runs as ONE
+    applyInPandas pass partitioned by source — parallel across shards,
+    O(shard) within, ~20 summary rows out. The oracle replays both walks
+    as recursive CTEs — independent implementations of the same
+    recursion."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        src = pdf["source"].iloc[0]
+        fit = pdf[pdf["n_tok"] <= _NF_BUDGET]
+
+        def walk(frame: pd.DataFrame) -> int:
+            bins, rem = 0, -1
+            for n in frame["n_tok"]:
+                n = int(n)
+                if n <= rem:
+                    rem -= n
+                else:
+                    bins += 1
+                    rem = _NF_BUDGET - n
+            return bins
+
+        bins_arr = walk(fit.sort_values("doc_id"))
+        bins_srt = walk(
+            fit.sort_values(["n_tok", "doc_id"], ascending=[False, True])
+        )
+        sum_tok = int(fit["n_tok"].sum())
+        return pd.DataFrame(
+            {
+                "source": [src],
+                "n_docs": [len(pdf)],
+                "n_oversize": [int((pdf["n_tok"] > _NF_BUDGET).sum())],
+                "sum_tok": [sum_tok],
+                "bins_arrival": [bins_arr],
+                "bins_sorted": [bins_srt],
+                "util_ppm_arrival": [
+                    sum_tok * 1_000_000 // (bins_arr * _NF_BUDGET)
+                ],
+                "util_ppm_sorted": [
+                    sum_tok * 1_000_000 // (bins_srt * _NF_BUDGET)
+                ],
+            }
+        )
+
+    schema = (
+        "source string, n_docs bigint, n_oversize bigint, sum_tok bigint,"
+        " bins_arrival bigint, bins_sorted bigint,"
+        " util_ppm_arrival bigint, util_ppm_sorted bigint"
+    )
+    return docs.groupBy("source").applyInPandas(pack, schema)
