@@ -883,3 +883,93 @@ def observe_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --- MERGE, merge-on-read: base + delete file + upsert log -------------------
+@query(
+    "merge_mor",
+    oracle=f"""
+    WITH h AS (SELECT o.*, {_mh_sql('o_orderkey')} AS hb FROM orders o),
+    changes AS (
+      SELECT o_orderkey AS key, 'D' AS op, NULL AS new_total
+      FROM h WHERE hb = 0
+      UNION ALL
+      SELECT o_orderkey, 'U', round(o_totalprice + 10.0, 2) FROM h WHERE hb IN (1, 2)
+      UNION ALL
+      SELECT o_orderkey + {_MERGE_SHIFT}, 'I', round(o_totalprice, 2) FROM h WHERE hb = 3
+    ),
+    merged AS (
+      SELECT coalesce(c.key, b.o_orderkey) AS key,
+             CASE WHEN c.op = 'U' THEN c.new_total
+                  WHEN c.op = 'I' THEN c.new_total
+                  ELSE b.o_totalprice END AS total,
+             CASE WHEN c.op = 'I' THEN 'O' ELSE b.o_orderstatus END AS status
+      FROM h b FULL OUTER JOIN changes c ON b.o_orderkey = c.key
+      WHERE c.op IS NULL OR c.op <> 'D'
+    )
+    SELECT status, count(*) AS n,
+           CAST(sum(CAST(round(total * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM merged GROUP BY status
+    """,
+)
+def merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE, merge-on-READ — the same change feed and final state as
+    merge_cow (identical oracle: mechanics must not change semantics), but
+    through the Iceberg-v2-style file mechanics a CDC writer produces:
+    the base stays IMMUTABLE on disk, the writer lands only (a) an
+    equality-delete file (keys whose base row is dead — deleted keys AND
+    updated keys' old versions) and (b) an upsert log (new row versions +
+    inserts); the reader composes base ∖ deletes ∪ log at scan time.
+    Write amplification: O(changes) files vs merge_cow's O(touched file
+    groups) rewrite — the trade MOR exists for.
+
+    Scale shape: the read path is one LEFT ANTI hash join of the base scan
+    against the (broadcastable) delete-key file plus a union with the log
+    — no full-outer join, no base rewrite. All three artifacts are REAL
+    parquet round trips through the per-process staging dir."""
+    import os as _os
+
+    from ._shared import process_tmp
+
+    root = _os.path.join(process_tmp(), "merge_mor")
+    base_p, del_p, log_p = (
+        f"{root}/base",
+        f"{root}/deletes",
+        f"{root}/log",
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    orders.write.mode("overwrite").parquet(base_p)
+    h = orders.withColumn("hb", _mh_spark(F.col("o_orderkey")))
+    # dead base rows: deletes AND the old versions of updated keys
+    h.filter(F.col("hb").isin(0, 1, 2)).select(
+        F.col("o_orderkey").alias("key")
+    ).write.mode("overwrite").parquet(del_p)
+    upserts = h.filter(F.col("hb").isin(1, 2)).select(
+        F.col("o_orderkey").alias("key"),
+        N.fround(F.col("o_totalprice") + 10.0, 2).alias("total"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    inserts = h.filter(F.col("hb") == 3).select(
+        (F.col("o_orderkey") + _MERGE_SHIFT).alias("key"),
+        N.fround(F.col("o_totalprice"), 2).alias("total"),
+        F.lit("O").alias("status"),
+    )
+    upserts.unionByName(inserts).write.mode("overwrite").parquet(log_p)
+
+    base = spark.read.parquet(base_p)
+    dels = spark.read.parquet(del_p)
+    log = spark.read.parquet(log_p)
+    live_base = base.join(
+        F.broadcast(dels), base.o_orderkey == dels.key, "left_anti"
+    ).select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("total"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    merged = live_base.unionByName(log)
+    return merged.groupBy("status").agg(
+        F.count("*").alias("n"),
+        F.sum(N.fround_int(F.col("total") * 100)).alias("total_cents"),
+    )
