@@ -1122,3 +1122,131 @@ def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("loo_mean_avg"),
         F.round(F.max("loo") - F.min("loo"), 6).alias("loo_spread"),
     ).drop("s")
+
+
+# --- variance inflation factors (multicollinearity audit) --------------------
+# The EDA step that sits next to prune_corr in any feature review: VIF_j =
+# 1/(1 - R²_j) of feature j regressed on the others, computed CLOSED-FORM
+# from the exact Pearson matrix via principal minors: VIF_j =
+# det(R₋ⱼ)/det(R). Determinant expressions are generated ONCE in Python
+# and embedded as identical literal arithmetic in both engines, over
+# correlations rounded to 6dp — every operation after the sufficient
+# statistics is deterministic IEEE on identical expression trees.
+_VIF_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _vif_r_sym(i: int, j: int) -> str:
+    if i == j:
+        return "1.0"
+    a, b = (i, j) if i < j else (j, i)
+    return f"r{a}{b}"
+
+
+def _vif_det_sql(idx: tuple[int, ...]) -> str:
+    """Leibniz determinant of the correlation submatrix R[idx, idx]."""
+    from itertools import permutations
+
+    def parity(p: tuple[int, ...]) -> int:
+        inv = sum(
+            1
+            for x in range(len(p))
+            for y in range(x + 1, len(p))
+            if p[x] > p[y]
+        )
+        return -1 if inv % 2 else 1
+
+    terms = []
+    for perm in permutations(range(len(idx))):
+        prod = " * ".join(_vif_r_sym(idx[i], idx[perm[i]]) for i in range(len(idx)))
+        terms.append(("+ " if parity(perm) > 0 else "- ") + f"({prod})")
+    return "(" + " ".join(terms) + ")"
+
+
+def _vif_stats_parts() -> list[str]:
+    """Sufficient-statistic aggregate list (identical text both engines)."""
+    parts = ["CAST(count(*) AS DOUBLE) AS n"]
+    for i, c in enumerate(_VIF_COLS):
+        parts.append(f"{N.sql_dsum(c)} AS sx{i}")
+        parts.append(
+            f"CAST(sum(CAST(CAST({c} AS DECIMAL(25,6))"
+            f" * CAST({c} AS DECIMAL(25,6)) AS DECIMAL(38,10)))"
+            f" AS DOUBLE) AS ss{i}"
+        )
+    for i in range(len(_VIF_COLS)):
+        for j in range(i + 1, len(_VIF_COLS)):
+            parts.append(
+                f"CAST(sum(CAST(CAST({_VIF_COLS[i]} AS DECIMAL(25,6))"
+                f" * CAST({_VIF_COLS[j]} AS DECIMAL(25,6)) AS DECIMAL(38,10)))"
+                f" AS DOUBLE) AS sp{i}{j}"
+            )
+    return parts
+
+
+def _vif_stats_sql() -> str:
+    return ", ".join(_vif_stats_parts())
+
+
+def _vif_corr_parts() -> list[str]:
+    parts = []
+    for i in range(len(_VIF_COLS)):
+        for j in range(i + 1, len(_VIF_COLS)):
+            parts.append(
+                f"round((n * sp{i}{j} - sx{i} * sx{j})"
+                f" / sqrt((n * ss{i} - sx{i} * sx{i})"
+                f" * (n * ss{j} - sx{j} * sx{j})), 6) AS r{i}{j}"
+            )
+    return parts
+
+
+def _vif_corr_sql() -> str:
+    return ", ".join(_vif_corr_parts())
+
+
+def _vif_select_sql() -> str:
+    k = len(_VIF_COLS)
+    full = _vif_det_sql(tuple(range(k)))
+    rows = []
+    for j, c in enumerate(_VIF_COLS):
+        minor = _vif_det_sql(tuple(i for i in range(k) if i != j))
+        rows.append(
+            f"'{c}', round(1.0 - {full} / nullif({minor}, 0), 6),"
+            f" round({minor} / nullif({full}, 0), 6)"
+        )
+    return (
+        f"stack({k}, " + ", ".join(rows) + ") AS (feature, r2_others, vif)"
+    )
+
+
+@query(
+    "feature_vif",
+    oracle=f"""
+    WITH s AS (SELECT {_vif_stats_sql()} FROM lineitem),
+    r AS (SELECT {_vif_corr_sql()} FROM s),
+    u AS (
+      {" UNION ALL ".join(
+        "SELECT '" + c + "' AS feature,"
+        + " round(1.0 - " + _vif_det_sql(tuple(range(len(_VIF_COLS))))
+        + " / nullif(" + _vif_det_sql(tuple(i for i in range(len(_VIF_COLS)) if i != j)) + ", 0), 6) AS r2_others,"
+        + " round(" + _vif_det_sql(tuple(i for i in range(len(_VIF_COLS)) if i != j))
+        + " / nullif(" + _vif_det_sql(tuple(range(len(_VIF_COLS)))) + ", 0), 6) AS vif"
+        + " FROM r"
+        for j, c in enumerate(_VIF_COLS))}
+    )
+    SELECT feature, r2_others, vif FROM u
+    """,
+)
+def feature_vif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance inflation factors over the lineitem numeric features — the
+    multicollinearity audit run before any linear model (and the principled
+    companion to prune_corr's threshold rule): VIF_j = det(R₋ⱼ)/det(R)
+    from the exact Pearson matrix, R²_j = 1 − det(R)/det(R₋ⱼ).
+
+    Scale shape: ONE map-side-combined aggregation pass collects all 15
+    decimal sufficient statistics; everything after is scalar arithmetic
+    on a one-row frame (Python-generated Leibniz determinants over
+    6dp-rounded correlations — identical literal expressions in both
+    engines, NULLIF-guarded against a singular matrix)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    one = li.agg(*[F.expr(p) for p in _vif_stats_parts()])
+    r = one.selectExpr(*_vif_corr_parts())
+    return r.selectExpr(_vif_select_sql())
