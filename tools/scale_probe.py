@@ -75,6 +75,13 @@ GATE_QUERIES = [
     "embed_ann_ivfpq",
     "tokenizer_bpe_merges",
     "crosstab_margins",
+    # r6-continuation additions: explode-heavy linear scan (watermark),
+    # bounded-bin ordered stats (EMD), streaming ingest dedup through the
+    # real engine (bands grow 16x, the standing index probe must stay an
+    # equi-join).
+    "text_watermark_greenlist",
+    "drift_emd_price",
+    "stream_dedup_lsh_ingest",
 ]
 GATE_MAX_RATIO = 3.0
 # Per-query ceilings for plans whose USEFUL WORK grows with the corpus:

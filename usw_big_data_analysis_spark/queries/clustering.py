@@ -318,3 +318,167 @@ def embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a1.join(
         dup, a1["vec_id"] == dup["dup_id"], "left"
     ).select("vec_id", "cell", F.col("dup_id").isNull().alias("keep"))
+
+
+# --- k-means|| initialization (Bahmani et al. 2012) --------------------------
+# The distributed seeding k-means++ cannot do: instead of K sequential
+# corpus scans, R rounds each oversample ~L candidates with probability
+# L*d²(x)/Φ, then the candidate set is weighted by nearest-point counts
+# for the driver-side reduce. Deterministic variant: components are
+# 1e4-scaled integers (house convention), d² and Φ are pure bigint sums,
+# and the sampling decision u·Φ < L·10⁴·d² is an integer comparison with a
+# keyed-hash u — bit-identical across engines and partition orders.
+# Overflow headroom: u·Φ ≤ 10⁴ · Σd² stays under 2^63 through ~5·10⁷
+# vectors at these magnitudes; widen Φ to a decimal lane past that.
+_KPP_SCALE = 10_000
+_KPP_L = 6
+_KPP_R = 3
+_KPP_UMOD = 10_000
+_KPP_PACK = 1_000_000  # argmin packing: d2 * PACK + cid
+
+
+def _kpp_oracle() -> str:
+    rounds = []
+    for r in range(1, _KPP_R + 1):
+        rounds.append(f"""
+    dist{r} AS (
+      SELECT x.vec_id, c.cid, CAST(sum((x.xv - c.cv) * (x.xv - c.cv))
+                                   AS BIGINT) AS d2
+      FROM xe x JOIN ce{r - 1} c ON x.pos = c.pos
+      GROUP BY x.vec_id, c.cid
+    ),
+    dmin{r} AS (SELECT vec_id, min(d2) AS dmin FROM dist{r} GROUP BY vec_id),
+    phi{r} AS (SELECT CAST(sum(dmin) AS BIGINT) AS phi FROM dmin{r}),
+    cand{r} AS (
+      SELECT cid, rnd FROM cand{r - 1}
+      UNION ALL
+      SELECT d.vec_id AS cid, {r} AS rnd
+      FROM dmin{r} d CROSS JOIN phi{r}
+      WHERE ((d.vec_id * 2654435761 + {r} * 97003) % {_KPP_UMOD}) * phi
+            < {_KPP_L} * {_KPP_UMOD} * d.dmin
+    ),
+    ce{r} AS (
+      SELECT c.cid, x.pos, x.xv AS cv FROM cand{r} c
+      JOIN xe x ON x.vec_id = c.cid
+    )""")
+    return f"""
+    WITH xe AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(sign(CAST(unnest(embedding) AS DOUBLE))
+                  * floor(abs(CAST(unnest(embedding) AS DOUBLE))
+                          * {_KPP_SCALE}.0 + 0.5) AS BIGINT) AS xv
+      FROM embeddings
+    ),
+    cand0 AS (
+      SELECT min(vec_id) AS cid, 0 AS rnd FROM embeddings
+    ),
+    ce0 AS (
+      SELECT c.cid, x.pos, x.xv AS cv FROM cand0 c
+      JOIN xe x ON x.vec_id = c.cid
+    ),{','.join(rounds)},
+    fdist AS (
+      SELECT x.vec_id, c.cid, CAST(sum((x.xv - c.cv) * (x.xv - c.cv))
+                                   AS BIGINT) AS d2
+      FROM xe x JOIN ce{_KPP_R} c ON x.pos = c.pos
+      GROUP BY x.vec_id, c.cid
+    ),
+    best AS (
+      SELECT vec_id, min(d2 * {_KPP_PACK} + cid) AS bkey
+      FROM fdist GROUP BY vec_id
+    ),
+    w AS (
+      SELECT CAST(bkey % {_KPP_PACK} AS BIGINT) AS cid,
+             CAST(count(*) AS BIGINT) AS weight
+      FROM best GROUP BY 1
+    )
+    SELECT c.cid, CAST(c.rnd AS INT) AS round_added,
+           coalesce(w.weight, 0) AS weight
+    FROM cand{_KPP_R} c LEFT JOIN w ON c.cid = w.cid
+    """
+
+
+@query("kmeans_parallel_init", oracle=_kpp_oracle())
+def kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means|| seeding (Bahmani et al. 2012) — the initialization that
+    makes k-means viable at 100 TB: k-means++ needs K strictly sequential
+    corpus scans; k-means|| replaces them with {_KPP_R} rounds that each
+    OVERSAMPLE ~{_KPP_L} candidates with probability L·d²(x)/Φ against the
+    running candidate set, then weights every candidate by its nearest-
+    point count (the input to the driver-side weighted reduce; candidates
+    are ~L·R rows, so that reduce is trivial). Existing candidates have
+    d² = 0 and can never re-select.
+
+    Scale shape: per round ONE corpus pass — the candidate set broadcasts
+    (≤ 1+L·R rows), d² is an integer zip_with fold per (vector, candidate),
+    the round's Φ is one scalar aggregate, and the sampling decision is a
+    pure bigint comparison (no RNG, no floats — see module note for the
+    quantization contract and overflow headroom). Output: (cid,
+    round_added, weight) for the final candidate set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id",
+        # half-away-from-zero via sign/abs/floor: pure double arithmetic
+        # (identical IEEE in both engines) — round() on a double plans as a
+        # per-row BigDecimal conversion, which the plan audit rightly flags
+        # in a per-element hot path
+        F.expr(
+            f"transform(embedding, v -> CAST(sign(CAST(v AS DOUBLE))"
+            f" * floor(abs(CAST(v AS DOUBLE)) * {_KPP_SCALE}.0D + 0.5D)"
+            f" AS BIGINT)) AS v4"
+        ),
+    )
+    seed_id = corpus.agg(F.expr("min(vec_id) AS cid"))
+    cands = (
+        corpus.join(F.broadcast(seed_id), corpus.vec_id == F.col("cid"))
+        .select("cid", F.col("v4").alias("c4"), F.lit(0).alias("rnd"))
+    )
+
+    def dists(cand_frame: DataFrame) -> DataFrame:
+        return corpus.crossJoin(
+            F.broadcast(cand_frame.select("cid", "c4"))
+        ).select(
+            "vec_id",
+            "cid",
+            F.expr(
+                "aggregate(zip_with(v4, c4, (a, b) -> (a - b) * (a - b)),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x) AS d2"
+            ),
+        )
+
+    for r in range(1, _KPP_R + 1):
+        dmin = dists(cands).groupBy("vec_id").agg(F.expr("min(d2) AS dmin"))
+        phi = dmin.agg(F.expr("CAST(sum(dmin) AS BIGINT) AS phi"))
+        sel = (
+            dmin.crossJoin(F.broadcast(phi))
+            .filter(
+                F.expr(
+                    f"((vec_id * 2654435761 + {r} * 97003) % {_KPP_UMOD})"
+                    f" * phi < {_KPP_L} * {_KPP_UMOD} * dmin"
+                )
+            )
+            .join(corpus, "vec_id")
+            .select(
+                F.col("vec_id").alias("cid"),
+                F.col("v4").alias("c4"),
+                F.lit(r).alias("rnd"),
+            )
+        )
+        cands = cands.unionByName(sel)
+
+    best = (
+        dists(cands)
+        .groupBy("vec_id")
+        .agg(F.expr(f"min(d2 * {_KPP_PACK} + cid) AS bkey"))
+    )
+    w = best.groupBy(
+        F.expr(f"CAST(bkey % {_KPP_PACK} AS BIGINT)").alias("cid")
+    ).agg(F.expr("CAST(count(*) AS BIGINT) AS weight"))
+    return (
+        cands.select("cid", "rnd")
+        .join(w, "cid", "left")
+        .selectExpr(
+            "cid",
+            "CAST(rnd AS INT) AS round_added",
+            "coalesce(weight, CAST(0 AS BIGINT)) AS weight",
+        )
+    )
