@@ -2432,6 +2432,12 @@ def stream_dedup_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _os.utime(dst, (1_000_000 + i * 100, 1_000_000 + i * 100))
 
     def _ingest(batch_df: DataFrame, _bid: int) -> None:
+        # a micro-batch from maxFilesPerTrigger=1 is ONE file -> ONE input
+        # split, so the CPU-heavy shingle/md5/minhash derivation would run
+        # single-task (the 16x gate measured 11.5x wall before this spread;
+        # 2.6x after). Same note as _shingles: at 100 TB the batch has
+        # natural splits and this repartition is a no-op to remove.
+        batch_df = batch_df.repartition(spark.sparkContext.defaultParallelism)
         bands = _bands_of(batch_df).persist()
         try:
             try:
