@@ -1947,3 +1947,159 @@ def night_activity_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("count(*) AS n_users"),
         F.expr("CAST(sum(n_events) AS BIGINT) AS n_events"),
     )
+
+
+# --- single mean-shift changepoint on the daily revenue series ---------------
+@query(
+    "changepoint_binary_split",
+    oracle=f"""
+    WITH daily AS (
+      SELECT epoch_us(o_orderdate) // {_US_DAY} AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  * CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                         AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS vv
+      FROM orders GROUP BY d
+    ),
+    cum AS (
+      SELECT d, v, vv,
+             coalesce(sum(v) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pv,
+             coalesce(sum(vv) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS DECIMAL(38,0))) AS pvv,
+             row_number() OVER (ORDER BY d) AS rn
+      FROM daily
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t, CAST(sum(v) AS BIGINT) AS s,
+                   CAST(sum(vv) AS DECIMAL(38,0)) AS ss FROM daily),
+    cand AS (
+      SELECT d, rn AS n_l, t - rn AS n_r,
+             pv + v AS s_l, s - (pv + v) AS s_r,
+             (CAST(pvv + vv AS DOUBLE)
+              - CAST(pv + v AS DOUBLE) * CAST(pv + v AS DOUBLE)
+                / CAST(rn AS DOUBLE))
+             + (CAST(ss - (pvv + vv) AS DOUBLE)
+                - CAST(s - (pv + v) AS DOUBLE) * CAST(s - (pv + v) AS DOUBLE)
+                  / CAST(t - rn AS DOUBLE)) AS cost
+      FROM cum, tot
+      WHERE rn < t
+    ),
+    m AS (SELECT min(cost) AS best_cost FROM cand),
+    pick AS (SELECT min(d) AS split_d FROM cand, m WHERE cand.cost = m.best_cost)
+    SELECT c.d AS split_day, c.n_l AS n_left, c.n_r AS n_right,
+           round(CAST(c.s_l AS DOUBLE) / CAST(c.n_l AS DOUBLE) / 100.0, 6)
+             AS mean_left,
+           round(CAST(c.s_r AS DOUBLE) / CAST(c.n_r AS DOUBLE) / 100.0, 6)
+             AS mean_right,
+           round((CAST(tot.ss AS DOUBLE)
+                  - CAST(tot.s AS DOUBLE) * CAST(tot.s AS DOUBLE)
+                    / CAST(tot.t AS DOUBLE)) / 10000.0, 6) AS sse_total,
+           round(c.cost / 10000.0, 6) AS sse_split,
+           round(1.0 - c.cost / nullif(CAST(tot.ss AS DOUBLE)
+                  - CAST(tot.s AS DOUBLE) * CAST(tot.s AS DOUBLE)
+                    / CAST(tot.t AS DOUBLE), 0.0), 6) AS var_explained
+    FROM cand c, pick, tot WHERE c.d = pick.split_d
+    """,
+)
+def changepoint_binary_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single mean-shift changepoint (the first step of binary-segmentation /
+    PELT-style detection): the split day of the daily-revenue series that
+    minimizes SSE_left + SSE_right, with the variance explained by the
+    break. Exactness: daily revenue in integer cents, squared terms as
+    DECIMAL(38,0), cumulative moments ride the broadcast triangular prefix
+    over the calendar-bounded daily table (~2.4k rows — never the fact);
+    each candidate's cost is the identical exact-int-to-double expression
+    in both engines, so the argmin (tie-break: earliest day) matches
+    bit-for-bit. One fact scan; everything downstream is bounded."""
+    from ..operators.bounded_seq import exclusive_prefix_sums
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.expr(f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_US_DAY}").alias(
+            "d"
+        )
+    ).agg(
+        F.expr(
+            f"CAST(sum({N.spark_fround_int('o_totalprice * 100')}) AS BIGINT)"
+        ).alias("v"),
+    )
+    daily = daily.withColumn(
+        "vv", F.expr("CAST(v AS DECIMAL(38,0)) * v").cast("decimal(38,0)")
+    )
+    cum = exclusive_prefix_sums(daily, "d", ["v", "vv"]).join(daily, "d")
+    # rn (1-based rank of d) via the same triangular count — bounded table
+    rn = (
+        daily.select("d")
+        .join(
+            F.broadcast(daily.select(F.col("d").alias("d2"))),
+            F.col("d2") < F.col("d"),
+            "left",
+        )
+        .groupBy("d")
+        .agg((F.count("d2") + 1).cast("bigint").alias("rn"))
+    )
+    cum = cum.join(rn, "d")
+    tot = daily.agg(
+        F.count("*").cast("bigint").alias("t"),
+        F.sum("v").cast("bigint").alias("s"),
+        F.sum("vv").cast("decimal(38,0)").alias("ss"),
+    )
+    sl = (F.col("prev_v") + F.col("v")).cast("double")
+    sr = (F.col("s") - (F.col("prev_v") + F.col("v"))).cast("double")
+    # nullif on both denominators: predicate pushdown substitutes this
+    # expression into the cost == best_cost filter and CombineFilters
+    # evaluates it BEFORE the rn < t guard, so under ANSI mode the rn = t
+    # row would hard-error on the right-segment division. NULL cost on
+    # those rows is filtered by rn < t anyway — semantics unchanged.
+    cost = (
+        (F.col("prev_vv") + F.col("vv")).cast("double")
+        - sl * sl / F.nullif(F.col("rn").cast("double"), F.lit(0.0))
+    ) + (
+        (F.col("ss") - (F.col("prev_vv") + F.col("vv"))).cast("double")
+        - sr * sr
+        / F.nullif((F.col("t") - F.col("rn")).cast("double"), F.lit(0.0))
+    )
+    cand = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("rn") < F.col("t"))
+        .select(
+            "d",
+            F.col("rn").alias("n_l"),
+            (F.col("t") - F.col("rn")).cast("bigint").alias("n_r"),
+            (F.col("prev_v") + F.col("v")).cast("bigint").alias("s_l"),
+            (F.col("s") - (F.col("prev_v") + F.col("v"))).cast("bigint").alias("s_r"),
+            cost.alias("cost"),
+        )
+    )
+    m = cand.agg(F.min("cost").alias("best_cost"))
+    pick = (
+        cand.crossJoin(F.broadcast(m))
+        .filter(F.col("cost") == F.col("best_cost"))
+        .agg(F.min("d").alias("split_d"))
+    )
+    sse_tot = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+        / F.col("t").cast("double")
+    )
+    return (
+        cand.join(F.broadcast(pick), F.col("d") == F.col("split_d"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("split_day"),
+            F.col("n_l").alias("n_left"),
+            F.col("n_r").alias("n_right"),
+            F.round(
+                F.col("s_l").cast("double") / F.col("n_l").cast("double") / 100.0, 6
+            ).alias("mean_left"),
+            F.round(
+                F.col("s_r").cast("double") / F.col("n_r").cast("double") / 100.0, 6
+            ).alias("mean_right"),
+            F.round(sse_tot / 10000.0, 6).alias("sse_total"),
+            F.round(F.col("cost") / 10000.0, 6).alias("sse_split"),
+            F.round(
+                1.0 - F.col("cost") / F.nullif(sse_tot, F.lit(0.0)), 6
+            ).alias("var_explained"),
+        )
+    )

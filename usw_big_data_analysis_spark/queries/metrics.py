@@ -1586,3 +1586,106 @@ def metric_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lift"),
     )
+
+
+# --- KS score separation + Gini (credit-scoring discrimination pair) --------
+@query(
+    "metric_ks_separation",
+    oracle=f"""
+    WITH d AS (
+      SELECT prob, sum(CAST(label AS BIGINT)) AS np_,
+             sum(CAST(1 - label AS BIGINT)) AS nn_
+      FROM ({_SCORED_SQL}) GROUP BY prob
+    ),
+    c AS (
+      SELECT prob, np_, nn_,
+             coalesce(sum(np_) OVER (ORDER BY prob
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pnp,
+             coalesce(sum(nn_) OVER (ORDER BY prob
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pnn
+      FROM d
+    ),
+    tot AS (SELECT CAST(sum(np_) AS BIGINT) AS p,
+                   CAST(sum(nn_) AS BIGINT) AS n FROM d),
+    per AS (
+      SELECT prob,
+             abs(CAST(pnp + np_ AS DOUBLE) / nullif(CAST(p AS DOUBLE), 0.0)
+               - CAST(pnn + nn_ AS DOUBLE) / nullif(CAST(n AS DOUBLE), 0.0))
+               AS ks_at,
+             CAST(np_ AS BIGINT) * CAST(2 * pnn + nn_ AS BIGINT) AS numer_i
+      FROM c, tot
+    ),
+    m AS (SELECT max(ks_at) AS ks, CAST(sum(numer_i) AS BIGINT) AS numer
+          FROM per),
+    th AS (SELECT min(prob) AS ks_threshold FROM per, m
+           WHERE per.ks_at = m.ks)
+    SELECT round(m.ks, 6) AS ks,
+           th.ks_threshold,
+           round(CAST(m.numer AS DOUBLE)
+                 / nullif(2.0 * CAST(tot.p AS DOUBLE) * CAST(tot.n AS DOUBLE),
+                          0.0), 6) AS auc,
+           round(2.0 * (CAST(m.numer AS DOUBLE)
+                 / nullif(2.0 * CAST(tot.p AS DOUBLE) * CAST(tot.n AS DOUBLE),
+                          0.0)) - 1.0, 6) AS gini,
+           tot.p AS n_pos, tot.n AS n_neg
+    FROM m, th, tot
+    """,
+)
+def metric_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov score separation + Gini coefficient — the credit-
+    scoring discrimination pair (KS = max CDF gap between positive and
+    negative score distributions; Gini = 2·AUC − 1, tie-aware trapezoidal
+    AUC from the same compression). One fact scan compresses to the ≤1000
+    distinct-score histogram; cumulative counts ride the broadcast
+    triangular prefix (no unpartitioned window); every accumulated term is
+    integer (exact while 2·P·N < 2^63 — beyond that split-lane sums as in
+    isum_aggs), the final divisions are single IEEE ops identical in both
+    engines, and the KS threshold is the SMALLEST score attaining the max
+    (deterministic tie-break via min over bit-equal doubles)."""
+    sc = scored_frame(spark, sf_dir)
+    d = sc.groupBy("prob").agg(
+        F.sum("label").cast("bigint").alias("np_"),
+        F.sum(1 - F.col("label")).cast("bigint").alias("nn_"),
+    )
+    c = exclusive_prefix_sums(d, "prob", ["np_", "nn_"]).join(d, "prob")
+    tot = d.agg(
+        F.sum("np_").cast("bigint").alias("p"),
+        F.sum("nn_").cast("bigint").alias("n"),
+    )
+    per = c.crossJoin(F.broadcast(tot)).select(
+        "prob",
+        F.abs(
+            (F.col("prev_np_") + F.col("np_")).cast("double")
+            / F.nullif(F.col("p").cast("double"), F.lit(0.0))
+            - (F.col("prev_nn_") + F.col("nn_")).cast("double")
+            / F.nullif(F.col("n").cast("double"), F.lit(0.0))
+        ).alias("ks_at"),
+        (F.col("np_") * (2 * F.col("prev_nn_") + F.col("nn_")))
+        .cast("bigint")
+        .alias("numer_i"),
+    )
+    m = per.agg(
+        F.max("ks_at").alias("ks"),
+        F.sum("numer_i").cast("bigint").alias("numer"),
+    )
+    th = (
+        per.crossJoin(F.broadcast(m))
+        .filter(F.col("ks_at") == F.col("ks"))
+        .agg(F.min("prob").alias("ks_threshold"))
+    )
+    auc = F.col("numer").cast("double") / F.nullif(
+        2.0 * F.col("p").cast("double") * F.col("n").cast("double"),
+        F.lit(0.0),
+    )
+    return (
+        m.crossJoin(F.broadcast(th))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(F.col("ks"), 6).alias("ks"),
+            "ks_threshold",
+            F.round(auc, 6).alias("auc"),
+            F.round(2.0 * auc - 1.0, 6).alias("gini"),
+            F.col("p").alias("n_pos"),
+            F.col("n").alias("n_neg"),
+        )
+    )

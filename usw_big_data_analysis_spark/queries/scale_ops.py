@@ -417,3 +417,107 @@ def freq_items_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.array_contains(F.col("pk_freqItems"), F.col("pk")).alias("in_sketch"),
     )
+
+
+# --- Count-Min Sketch heavy-key audit -----------------------------------------
+# The third sketch family next to HLL (distinct) and Misra-Gries (candidates):
+# a Count-Min Sketch (Cormode & Muthukrishnan 2005) answers point-frequency
+# queries from D*W integers of mergeable state with one-sided error
+# (estimate >= truth, overcount <= e/W * N w.p. 1 - e^-D per query). The
+# 100 TB shape: the sketch build is ONE scan whose groupBy cardinality is
+# bounded by D*W (4096 cells) after map-side combine — the per-partition
+# partial aggregate IS the per-partition sketch and the shuffle moves only
+# merged cells, never keys. The exact top-20 companion groupBy is the
+# test-SF referee (exactly what the sketch replaces at scale).
+_CMS_D = 4
+_CMS_W = 512
+_CMS_P = 2147483647
+_CMS_A = (2654435761, 2246822519, 3266489917, 668265263)
+_CMS_B = (1013904223, 1664525, 374761393, 2654435769)
+
+
+def _cms_bucket(j: int, key: str) -> str:
+    # key reduced mod P first so (k%P)*A stays under 2^63 however large the
+    # key domain grows at scale; all-bigint arithmetic, identical text in
+    # both engines (both follow dividend-sign %, inputs all non-negative).
+    return (
+        f"(((({key}) % {_CMS_P}) * {_CMS_A[j]} + {_CMS_B[j]})"
+        f" % {_CMS_P}) % {_CMS_W}"
+    )
+
+
+_CMS_TOPK = 20
+
+
+@query(
+    "heavy_hitters_cms",
+    oracle=f"""
+    WITH keyed AS (SELECT {_SKEW_KEY_SQL} AS pk FROM lineitem),
+    cells AS (
+      SELECT d, bucket, count(*) AS cell_n FROM (
+        {" UNION ALL ".join(
+            f"SELECT {j} AS d, {_cms_bucket(j, 'pk')} AS bucket FROM keyed"
+            for j in range(_CMS_D))}
+      ) GROUP BY d, bucket
+    ),
+    exact AS (
+      SELECT pk, count(*) AS n_exact,
+             row_number() OVER (ORDER BY count(*) DESC, pk ASC) AS rk
+      FROM keyed GROUP BY pk
+    ),
+    top AS (SELECT pk, n_exact FROM exact WHERE rk <= {_CMS_TOPK}),
+    probes AS (
+      {" UNION ALL ".join(
+          f"SELECT pk, n_exact, {j} AS d, {_cms_bucket(j, 'pk')} AS bucket FROM top"
+          for j in range(_CMS_D))}
+    )
+    SELECT p.pk, p.n_exact,
+           min(c.cell_n) AS n_est,
+           min(c.cell_n) - p.n_exact AS overcount
+    FROM probes p JOIN cells c USING (d, bucket)
+    GROUP BY p.pk, p.n_exact
+    """,
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch point-frequency audit over the skewed key domain:
+    build a {d}x{w} CMS in one scan (stack to (depth, bucket) pairs, map-
+    side-combined groupBy bounded at {d}*{w} cells), then probe it for the
+    exact top-{k} keys and emit estimate, truth, and the (always >= 0)
+    overcount — all-integer arithmetic, so the audit is bit-deterministic
+    and a sketch regression breaks the driver hash. The exact companion
+    groupBy exists only as the test-SF referee; at 100 TB the sketch (a
+    4 KiB mergeable state) replaces it for point lookups.""".format(
+        d=_CMS_D, w=_CMS_W, k=_CMS_TOPK
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = li.select(F.expr(_SKEW_KEY_SQL).alias("pk"))
+
+    stack_cells = ", ".join(
+        f"{j}L, CAST({_cms_bucket(j, 'pk')} AS BIGINT)" for j in range(_CMS_D)
+    )
+    cells = (
+        keyed.selectExpr(f"stack({_CMS_D}, {stack_cells}) AS (d, bucket)")
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("cell_n"))
+    )
+
+    exact = keyed.groupBy("pk").agg(F.count("*").alias("n_exact"))
+    # Deterministic top-20 via TakeOrderedAndProject (per-partition top-K
+    # merged at the driver) — never an unpartitioned row_number window over
+    # the full key domain, which would single-partition at scale.
+    top = exact.orderBy(F.col("n_exact").desc(), F.col("pk").asc()).limit(
+        _CMS_TOPK
+    )
+    probes = top.selectExpr(
+        "pk",
+        "n_exact",
+        f"stack({_CMS_D}, {stack_cells}) AS (d, bucket)",
+    )
+    return (
+        probes.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("pk", "n_exact")
+        .agg(
+            F.min("cell_n").alias("n_est"),
+            (F.min("cell_n") - F.col("n_exact")).alias("overcount"),
+        )
+    )

@@ -2371,3 +2371,133 @@ def ab_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" WHEN cum_llr_e9 <= {-_SPRT_A_E9} THEN 'accept_h0'"
         f" ELSE 'continue' END AS state",
     )
+
+
+# --- Wald-Wolfowitz runs test on the daily order series ----------------------
+_RT_DAILY = """
+  SELECT epoch_us(o_orderdate) // 86400000000 AS d, count(*) AS x
+  FROM orders GROUP BY d
+"""
+
+
+@query(
+    "runs_test_daily",
+    oracle=f"""
+    WITH daily AS ({_RT_DAILY}),
+    diff AS (
+      SELECT a.d, CASE WHEN a.x > b.x THEN 1 ELSE -1 END AS s
+      FROM daily a JOIN daily b ON b.d = a.d - 1
+      WHERE a.x <> b.x
+    ),
+    seq AS (SELECT d, s, lag(s) OVER (ORDER BY d) AS ps FROM diff),
+    c AS (
+      SELECT coalesce(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END), 0) AS n1,
+             coalesce(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END), 0) AS n2,
+             coalesce(sum(CASE WHEN ps IS NOT NULL AND ps <> s
+                               THEN 1 ELSE 0 END), 0)
+               + CASE WHEN count(*) > 0 THEN 1 ELSE 0 END AS r
+      FROM seq
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_up, CAST(n2 AS BIGINT) AS n_down,
+           CAST(r AS BIGINT) AS n_runs,
+           round(1.0 + 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                 / nullif(CAST(n1 + n2 AS DOUBLE), 0.0), 6) AS expected_runs,
+           round((CAST(r AS DOUBLE)
+                  - (1.0 + 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                     / nullif(CAST(n1 + n2 AS DOUBLE), 0.0)))
+                 / nullif(sqrt(
+                     (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                      * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                         - CAST(n1 + n2 AS DOUBLE)))
+                     / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                        * (CAST(n1 + n2 AS DOUBLE) - 1.0))), 0.0), 6) AS z
+    FROM c
+    """,
+)
+def runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the daily order-count
+    direction: sign of the day-over-day change (zero diffs dropped, gap
+    days excluded by the d-1 equi-join — NOT a lag that would silently
+    bridge calendar gaps), number of runs R, and the normal-approximation
+    z against E[R] = 1 + 2·n1·n2/n. All counting is integer and the z
+    formula is the identical double expression in both engines.
+
+    Scale shape: the fact compresses to the calendar-bounded daily table
+    in one map-side-combined agg; the diff is a self equi-join on d-1 and
+    the predecessor sign rides ONE broadcast triangular pass (sign packed
+    into max(2·d2 + [s2>0]) so no second join is needed) — no
+    unpartitioned window anywhere."""
+    from ..operators.bounded_seq import exclusive_prefix_sums  # noqa: F401
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").alias(
+            "d"
+        )
+    ).agg(F.count("*").alias("x"))
+    prev = daily.select((F.col("d") + 1).alias("d"), F.col("x").alias("xp"))
+    diff = (
+        daily.join(F.broadcast(prev), "d")
+        .filter(F.col("x") != F.col("xp"))
+        .select(
+            "d",
+            F.when(F.col("x") > F.col("xp"), F.lit(1)).otherwise(F.lit(-1)).alias("s"),
+        )
+    )
+    # predecessor sign via one triangular pass: max(2*d2 + [s2 = +1]) over
+    # d2 < d carries both the predecessor day (quotient) and its sign
+    # (parity) — decode with % 2
+    f2 = diff.select(F.col("d").alias("d2"), F.col("s").alias("s2"))
+    withprev = (
+        diff.join(F.broadcast(f2), F.col("d2") < F.col("d"), "left")
+        .groupBy("d", "s")
+        .agg(
+            F.max(
+                2 * F.col("d2") + F.when(F.col("s2") == 1, 1).otherwise(0)
+            ).alias("packed")
+        )
+        .select(
+            "d",
+            "s",
+            F.when(F.col("packed").isNull(), F.lit(None).cast("int"))
+            .otherwise(2 * (F.col("packed") % 2).cast("int") - 1)
+            .alias("ps"),
+        )
+    )
+    c = withprev.agg(
+        F.coalesce(F.sum(F.when(F.col("s") == 1, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.coalesce(F.sum(F.when(F.col("s") == -1, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("n2"),
+        (
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("ps").isNotNull() & (F.col("ps") != F.col("s")), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            + F.when(F.count("*") > 0, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("r"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    mu = 1.0 + 2.0 * n1d * n2d / F.nullif(nd, F.lit(0.0))
+    var = (2.0 * n1d * n2d * (2.0 * n1d * n2d - nd)) / (nd * nd * (nd - 1.0))
+    return c.select(
+        F.col("n1").alias("n_up"),
+        F.col("n2").alias("n_down"),
+        F.col("r").alias("n_runs"),
+        F.round(mu, 6).alias("expected_runs"),
+        F.round(
+            (F.col("r").cast("double") - mu)
+            / F.nullif(F.sqrt(var), F.lit(0.0)),
+            6,
+        ).alias("z"),
+    )

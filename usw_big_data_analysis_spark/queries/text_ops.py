@@ -2232,7 +2232,13 @@ def text_watermark_greenlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    toks = docs.select("doc_id", "source", F.split("text", " ").alias("w"))
+    # size(w) >= 2 guard: Spark's sequence(1, 0) is the DESCENDING [1, 0]
+    # (not empty like DuckDB's generate_series), so a 1-token doc would
+    # probe w[2] and throw — the oracle's generate_series drops such docs,
+    # and this filter matches it exactly.
+    toks = docs.select(
+        "doc_id", "source", F.split("text", " ").alias("w")
+    ).filter("size(w) >= 2")
     bg = toks.select(
         "doc_id",
         "source",
