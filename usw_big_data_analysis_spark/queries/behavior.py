@@ -2103,3 +2103,130 @@ def changepoint_binary_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("var_explained"),
         )
     )
+
+
+# --- seasonal-residual anomaly days (dow expectation + MAD robust z) ---------
+_ASR_Z = 3.5  # Iglewicz-Hoban modified-z cutoff
+
+
+@query(
+    "anomaly_seasonal_residual",
+    oracle=f"""
+    WITH daily AS (
+      SELECT epoch_us(o_orderdate) // {_US_DAY} AS d, count(*) AS x
+      FROM orders GROUP BY d
+    ),
+    dw AS (
+      SELECT d % 7 AS dow, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(count(*) AS BIGINT) AS nd
+      FROM daily GROUP BY d % 7
+    ),
+    res AS (
+      SELECT d, daily.x, dw.dow, sx, nd,
+             CAST(daily.x AS DOUBLE)
+               - CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE) AS r
+      FROM daily JOIN dw ON daily.d % 7 = dw.dow
+    ),
+    rk AS (
+      SELECT a.d,
+             coalesce(sum(CASE WHEN abs(b.r) < abs(a.r) THEN 1 ELSE 0 END), 0)
+               AS n_less,
+             coalesce(sum(CASE WHEN abs(b.r) = abs(a.r) THEN 1 ELSE 0 END), 0)
+               AS n_eq
+      FROM res a, res b GROUP BY a.d
+    ),
+    tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM res),
+    med AS (
+      SELECT min(abs(res.r)) AS mad
+      FROM res JOIN rk ON res.d = rk.d, tt
+      WHERE rk.n_less < (t + 1) // 2 AND rk.n_less + rk.n_eq >= (t + 1) // 2
+    )
+    SELECT res.d AS day, CAST(res.dow AS BIGINT) AS dow,
+           CAST(res.x AS BIGINT) AS n_orders,
+           round(CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE), 6) AS expected,
+           round(res.r, 6) AS resid,
+           round(0.6745 * res.r / nullif(mad, 0.0), 6) AS z_mad
+    FROM res, med
+    WHERE abs(0.6745 * res.r / nullif(mad, 0.0)) > {_ASR_Z}
+    """,
+)
+def anomaly_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Season-aware anomaly days: the day-of-week mean is the expected
+    order count, the residual is robust-scored with the MAD
+    (modified z = 0.6745·r/MAD, flag |z| > {z} — Iglewicz-Hoban), so a
+    globally busy weekday is NOT an anomaly while the same count on a
+    quiet Sunday is. Complements anomaly_zscore/anomaly_mad (global, no
+    seasonal structure) and seasonal_decompose_daily (which estimates the
+    component this query subtracts).
+
+    Exactness: counts are integers, the expectation is one exact-int
+    division, and the MAD is the DISCRETE lower median selected by a
+    triangular less/eq count over the calendar-bounded residual table —
+    no interpolated percentile, so both engines select the identical
+    double. Scale shape: one fact scan to the daily table; everything
+    after is bounded (7-row seasonal join, ~2.4k-row triangular pass).""".format(
+        z=_ASR_Z
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.expr(f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_US_DAY}").alias(
+            "d"
+        )
+    ).agg(F.count("*").alias("x"))
+    dw = daily.groupBy((F.col("d") % 7).alias("dow")).agg(
+        F.sum("x").cast("bigint").alias("sx"),
+        F.count("*").cast("bigint").alias("nd"),
+    )
+    res = daily.join(
+        F.broadcast(dw), daily["d"] % 7 == dw["dow"]
+    ).select(
+        "d",
+        "x",
+        "dow",
+        "sx",
+        "nd",
+        (
+            F.col("x").cast("double")
+            - F.col("sx").cast("double") / F.col("nd").cast("double")
+        ).alias("r"),
+    )
+    rb = res.select(F.col("d").alias("d2"), F.abs(F.col("r")).alias("ar2"))
+    rk = (
+        res.select("d", F.abs(F.col("r")).alias("ar"))
+        .join(F.broadcast(rb), F.lit(True), "cross")
+        .groupBy("d")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("ar2") < F.col("ar"), 1).otherwise(0)), F.lit(0)
+            ).alias("n_less"),
+            F.coalesce(
+                F.sum(F.when(F.col("ar2") == F.col("ar"), 1).otherwise(0)),
+                F.lit(0),
+            ).alias("n_eq"),
+        )
+    )
+    tt = res.agg(F.count("*").cast("bigint").alias("t"))
+    med = (
+        res.join(rk, "d")
+        .crossJoin(F.broadcast(tt))
+        .filter(
+            (F.col("n_less") < F.expr("(t + 1) div 2"))
+            & (F.col("n_less") + F.col("n_eq") >= F.expr("(t + 1) div 2"))
+        )
+        .agg(F.min(F.abs(F.col("r"))).alias("mad"))
+    )
+    z = 0.6745 * F.col("r") / F.nullif(F.col("mad"), F.lit(0.0))
+    return (
+        res.crossJoin(F.broadcast(med))
+        .filter(F.abs(z) > _ASR_Z)
+        .select(
+            F.col("d").alias("day"),
+            F.col("dow").cast("bigint").alias("dow"),
+            F.col("x").cast("bigint").alias("n_orders"),
+            F.round(
+                F.col("sx").cast("double") / F.col("nd").cast("double"), 6
+            ).alias("expected"),
+            F.round(F.col("r"), 6).alias("resid"),
+            F.round(z, 6).alias("z_mad"),
+        )
+    )

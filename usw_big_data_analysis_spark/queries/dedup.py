@@ -2511,3 +2511,142 @@ def stream_dedup_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = result.collect()  # materialize before removing the staging dirs
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, result.schema)
+
+
+# --- b-bit minhash (Li & Koenig 2010) estimation audit -----------------------
+_BB_BITS = 2
+_BB_M = 1 << _BB_BITS  # 4
+_BB_C0 = 1.0 / _BB_M  # collision base rate of independent b-bit coords
+
+
+@query(
+    "minhash_bbit_estimate",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sh9 AS (SELECT doc_id, {_h_sql('s')} % {_MH_P} AS h9 FROM sh),
+    sig AS (
+      SELECT doc_id,
+             {_SIG_COLS}
+      FROM sh9 GROUP BY doc_id
+    ),
+    bands AS (
+      {' UNION ALL '.join(
+        f"SELECT doc_id, {b} AS band, concat(h{2*b}, '_', h{2*b+1}) AS band_key FROM sig"
+        for b in range(_BANDS))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             ({' + '.join(f"CAST(sa.h{j} = sb.h{j} AS INT)" for j in range(_K))})
+               AS m_full,
+             ({' + '.join(f"CAST(sa.h{j} % {_BB_M} = sb.h{j} % {_BB_M} AS INT)"
+                          for j in range(_K))}) AS m_bbit
+      FROM cand c JOIN sig sa ON c.id_a = sa.doc_id
+                  JOIN sig sb ON c.id_b = sb.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT e.id_a, e.id_b,
+           round(CAST(e.m_full AS DOUBLE) / {_K}.0, 6) AS est_full,
+           round((CAST(e.m_bbit AS DOUBLE) / {_K}.0 - {_BB_C0})
+                 / (1.0 - {_BB_C0}), 6) AS est_bbit,
+           round(CAST(coalesce(i.n_common, 0) AS DOUBLE)
+                 / (sa.n + sb.n - coalesce(i.n_common, 0)), 6) AS exact_jaccard,
+           round(abs(CAST(e.m_full AS DOUBLE) / {_K}.0
+                     - CAST(coalesce(i.n_common, 0) AS DOUBLE)
+                       / (sa.n + sb.n - coalesce(i.n_common, 0))), 6) AS err_full,
+           round(abs((CAST(e.m_bbit AS DOUBLE) / {_K}.0 - {_BB_C0})
+                       / (1.0 - {_BB_C0})
+                     - CAST(coalesce(i.n_common, 0) AS DOUBLE)
+                       / (sa.n + sb.n - coalesce(i.n_common, 0))), 6) AS err_bbit
+    FROM est e
+    LEFT JOIN inter i ON e.id_a = i.id_a AND e.id_b = i.id_b
+    JOIN sizes sa ON e.id_a = sa.doc_id
+    JOIN sizes sb ON e.id_b = sb.doc_id
+    """,
+)
+def minhash_bbit_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit minhash (Li & Koenig 2010): keep only the lowest b={b} bits of
+    each of the k={k} minhash coordinates — a {ratio}x signature-storage cut,
+    the lever that makes billion-doc signature matrices fit memory — and
+    estimate Jaccard with the collision-rate correction
+    J = (C - C0)/(1 - C0), C0 = 2^-b, next to the full-width estimate and
+    the exact shingle Jaccard for the same LSH candidate pairs. The audit
+    quantifies exactly what the storage cut costs in estimator variance
+    (est_bbit can go negative on near-disjoint pairs — that is the
+    estimator's documented behavior, not an error). Candidates come from
+    the banded equi-join (never all-pairs); all matching is integer; the
+    correction is one identical double expression per engine.""".format(
+        b=_BB_BITS, k=_K, ratio=60 // _BB_BITS
+    )
+    sig = _sig_frame(spark, sf_dir)
+    bands = _band_frame(spark, sf_dir)
+    buckets = bands.groupBy("band", "band_key").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    )
+    cand = (
+        buckets.select(F.explode(F.expr(_PAIR_EXPR)).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"h{j}").alias(f"a{j}") for j in range(_K)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"h{j}").alias(f"b{j}") for j in range(_K)],
+    )
+    m_full = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("int") for j in range(_K)
+    )
+    m_bbit = sum(
+        (F.col(f"a{j}") % _BB_M == F.col(f"b{j}") % _BB_M).cast("int")
+        for j in range(_K)
+    )
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", m_full.alias("m_full"), m_bbit.alias("m_bbit"))
+    )
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    ef = F.col("m_full").cast("double") / float(_K)
+    eb = (F.col("m_bbit").cast("double") / float(_K) - _BB_C0) / (1.0 - _BB_C0)
+    ex = F.col("n_common_f").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common_f")
+    )
+    return (
+        est.join(inter, ["id_a", "id_b"], "left")
+        .withColumn("n_common_f", F.coalesce(F.col("n_common"), F.lit(0)))
+        .join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(ef, 6).alias("est_full"),
+            F.round(eb, 6).alias("est_bbit"),
+            F.round(ex, 6).alias("exact_jaccard"),
+            F.round(F.abs(ef - ex), 6).alias("err_full"),
+            F.round(F.abs(eb - ex), 6).alias("err_bbit"),
+        )
+    )

@@ -2501,3 +2501,173 @@ def runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z"),
     )
+
+
+# --- Huber robust regression via quantized IRLS -------------------------------
+# y = l_extendedprice on x = l_quantity: OLS start, then two Huber reweight
+# rounds (delta = $20k). The IRLS weight w = min(1, delta/|r|) is QUANTIZED
+# to 1e-6 (an integer 0..1e6) so every weighted sufficient statistic is an
+# exact integer/decimal sum — order-free across engines — and the closed-form
+# 2x2 solve is one identical double expression per round. Betas are rounded
+# 6dp between rounds so both engines feed bit-equal coefficients forward.
+_HUB_DELTA = 20000.0
+_HUB_ROUNDS = 2
+_HUB_WSCALE = 1_000_000
+
+
+def _hub_r(b0: str, b1: str) -> str:
+    # residual in dollars; identical text in both engines
+    return f"(CAST(yc AS DOUBLE) / 100.0 - ({b0} + {b1} * CAST(xi AS DOUBLE)))"
+
+
+def _hub_w(b0: str, b1: str) -> str:
+    r = _hub_r(b0, b1)
+    return (
+        f"(CASE WHEN abs({r}) <= {_HUB_DELTA} THEN 1.0"
+        f" ELSE {_HUB_DELTA} / abs({r}) END)"
+    )
+
+
+def _hub_beta_sql(n: str, sx: str, sy: str, sxx: str, sxy: str) -> tuple[str, str]:
+    """(b1_expr, b0_expr_given_b1) — b1 in dollars/unit, b0 in dollars,
+    from cents-scaled sums; b0 takes the literal ROUNDED b1 column."""
+    b1 = (
+        f"round((CAST({n} AS DOUBLE) * CAST({sxy} AS DOUBLE)"
+        f" - CAST({sx} AS DOUBLE) * CAST({sy} AS DOUBLE))"
+        f" / nullif(CAST({n} AS DOUBLE) * CAST({sxx} AS DOUBLE)"
+        f" - CAST({sx} AS DOUBLE) * CAST({sx} AS DOUBLE), 0.0) / 100.0, 6)"
+    )
+    b0 = (
+        f"round((CAST({sy} AS DOUBLE) / 100.0 - b1 * CAST({sx} AS DOUBLE))"
+        f" / nullif(CAST({n} AS DOUBLE), 0.0), 6)"
+    )
+    return b1, b0
+
+
+def _hub_oracle() -> str:
+    import usw_big_data_analysis_spark.functions.numeric as _N
+
+    b1_0, b0_0 = _hub_beta_sql("n", "sx", "sy", "sxx", "sxy")
+    parts = [
+        f"""li AS (
+      SELECT {_N.sql_iscaled("l_quantity", 0)} AS xi,
+             {_N.sql_iscaled("l_extendedprice", 2)} AS yc
+      FROM lineitem
+    ),
+    s0 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(xi) AS BIGINT) AS sx,
+             CAST(sum(yc) AS BIGINT) AS sy,
+             CAST(sum(CAST(xi * xi AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+             CAST(sum(CAST(xi * yc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy
+      FROM li
+    ),
+    b0a AS (SELECT n, sx, sy, {b1_0} AS b1 FROM s0),
+    br0 AS (SELECT b1, {b0_0} AS b0,
+                   CAST(n AS BIGINT) * {_HUB_WSCALE} AS sum_w6,
+                   CAST(0 AS BIGINT) AS n_down FROM b0a)"""
+    ]
+    for i in range(1, _HUB_ROUNDS + 1):
+        w = _hub_w("b0", "b1")
+        b1_i, b0_i = _hub_beta_sql("sw", "swx", "swy", "swxx", "swxy")
+        parts.append(f"""w{i} AS (
+      SELECT xi, yc, CAST(round({w} * {_HUB_WSCALE}) AS BIGINT) AS wi
+      FROM li, br{i - 1}
+    ),
+    s{i} AS (
+      SELECT CAST(sum(wi) AS DECIMAL(38,0)) AS sw,
+             CAST(sum(CAST(wi * xi AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS swx,
+             CAST(sum(CAST(wi * yc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS swy,
+             CAST(sum(CAST(wi * xi * xi AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS swxx,
+             CAST(sum(CAST(wi * xi * yc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS swxy,
+             CAST(sum(wi) AS BIGINT) AS sum_w6,
+             CAST(sum(CASE WHEN wi < {_HUB_WSCALE} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_down
+      FROM w{i}
+    ),
+    b{i}a AS (SELECT sw, swx, swy, sum_w6, n_down, {b1_i} AS b1 FROM s{i}),
+    br{i} AS (SELECT b1, {b0_i} AS b0, sum_w6, n_down FROM b{i}a)""")
+    sel = "\n    UNION ALL\n    ".join(
+        f"SELECT {i} AS iteration, b0 AS beta0, b1 AS beta1, sum_w6, n_down"
+        f" FROM br{i}"
+        for i in range(_HUB_ROUNDS + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + sel
+
+
+@query("linreg_huber_irls", oracle=_hub_oracle())
+def linreg_huber_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber robust simple regression (extendedprice ~ quantity) by IRLS:
+    OLS seed, then {r} reweight rounds with w = min(1, delta/|residual|),
+    delta = $20k. Emits one row per round (beta0, beta1, total quantized
+    weight, downweighted-row count) so the trajectory itself is the
+    oracle-checked artifact.
+
+    Scale shape: each round is ONE map-side-combined aggregation over the
+    fact — {r1} scans total, chained lazily through broadcast one-row beta
+    frames (no driver collect). Exactness: weights quantized to 1e-6
+    integers, so every weighted moment is an exact DECIMAL sum; the 2x2
+    normal-equation solve happens on correctly-rounded doubles with betas
+    re-rounded 6dp before feeding the next round — bit-equal trajectories
+    in both engines.""".format(r=_HUB_ROUNDS, r1=_HUB_ROUNDS + 1)
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        f"{N.spark_iscaled('l_quantity', 0)} AS xi",
+        f"{N.spark_iscaled('l_extendedprice', 2)} AS yc",
+    )
+    b1_0, b0_0 = _hub_beta_sql("n", "sx", "sy", "sxx", "sxy")
+    s0 = li.selectExpr(
+        "xi", "yc", "CAST(xi AS DECIMAL(38,0)) * xi AS xx",
+        "CAST(xi AS DECIMAL(38,0)) * yc AS xy",
+    ).agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n"),
+        F.expr("CAST(sum(xi) AS BIGINT) AS sx"),
+        F.expr("CAST(sum(yc) AS BIGINT) AS sy"),
+        F.expr("CAST(sum(xx) AS DECIMAL(38,0)) AS sxx"),
+        F.expr("CAST(sum(xy) AS DECIMAL(38,0)) AS sxy"),
+    )
+    br = (
+        s0.selectExpr("n", "sx", "sy", f"{b1_0} AS b1")
+        .selectExpr(
+            "b1",
+            f"{b0_0} AS b0",
+            f"CAST(n AS BIGINT) * {_HUB_WSCALE} AS sum_w6",
+            "CAST(0 AS BIGINT) AS n_down",
+        )
+    )
+    out = [br.selectExpr(
+        "0 AS iteration", "b0 AS beta0", "b1 AS beta1", "sum_w6", "n_down"
+    )]
+    for i in range(1, _HUB_ROUNDS + 1):
+        w = _hub_w("b0", "b1")
+        wi_expr = f"CAST({N.spark_fround_int(f'{w} * {_HUB_WSCALE}')} AS BIGINT)"
+        wtab = li.crossJoin(F.broadcast(br.select("b0", "b1"))).selectExpr(
+            "xi", "yc", f"{wi_expr} AS wi"
+        )
+        s = wtab.selectExpr(
+            "wi",
+            "CAST(wi AS DECIMAL(38,0)) * xi AS wx",
+            "CAST(wi AS DECIMAL(38,0)) * yc AS wy",
+            "CAST(wi AS DECIMAL(38,0)) * xi * xi AS wxx",
+            "CAST(wi AS DECIMAL(38,0)) * xi * yc AS wxy",
+        ).agg(
+            F.expr("CAST(sum(CAST(wi AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sw"),
+            F.expr("CAST(sum(wx) AS DECIMAL(38,0)) AS swx"),
+            F.expr("CAST(sum(wy) AS DECIMAL(38,0)) AS swy"),
+            F.expr("CAST(sum(wxx) AS DECIMAL(38,0)) AS swxx"),
+            F.expr("CAST(sum(wxy) AS DECIMAL(38,0)) AS swxy"),
+            F.expr("CAST(sum(wi) AS BIGINT) AS sum_w6"),
+            F.expr(
+                f"CAST(sum(CASE WHEN wi < {_HUB_WSCALE} THEN 1 ELSE 0 END)"
+                " AS BIGINT) AS n_down"
+            ),
+        )
+        b1_i, b0_i = _hub_beta_sql("sw", "swx", "swy", "swxx", "swxy")
+        br = s.selectExpr(
+            "sw", "swx", "swy", "sum_w6", "n_down", f"{b1_i} AS b1"
+        ).selectExpr("b1", f"{b0_i} AS b0", "sum_w6", "n_down")
+        out.append(br.selectExpr(
+            f"{i} AS iteration", "b0 AS beta0", "b1 AS beta1", "sum_w6", "n_down"
+        ))
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res

@@ -2271,3 +2271,87 @@ def text_watermark_greenlist(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT) AS flagged_ppm"
         ),
     )
+
+
+# --- sentencepiece-style character-coverage table ----------------------------
+_CC_PPM = 9995  # keep chars until cumulative coverage reaches 99.95%
+
+
+@query(
+    "tokenizer_char_coverage",
+    oracle=f"""
+    WITH ch AS (
+      SELECT unnest(string_split(text, '')) AS c FROM documents
+    ),
+    freq AS (SELECT c, CAST(count(*) AS BIGINT) AS n FROM ch GROUP BY c),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM freq),
+    rk AS (
+      SELECT a.c, a.n,
+             coalesce(sum(CASE WHEN b.n > a.n
+                               OR (b.n = a.n AND b.c < a.c)
+                          THEN b.n ELSE 0 END), 0) AS cum_prev,
+             coalesce(sum(CASE WHEN b.n > a.n
+                               OR (b.n = a.n AND b.c < a.c)
+                          THEN 1 ELSE 0 END), 0) + 1 AS rank
+      FROM freq a, freq b GROUP BY a.c, a.n
+    )
+    SELECT c AS ch, n, CAST(rank AS BIGINT) AS rank,
+           round(CAST(cum_prev + n AS DOUBLE) / CAST(total AS DOUBLE), 6)
+             AS coverage,
+           CAST(cum_prev * 10000 < total * {_CC_PPM} AS INT) AS kept_9995
+    FROM rk, tot
+    """,
+)
+def tokenizer_char_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The character-coverage table behind sentencepiece's
+    character_coverage knob: per character, its corpus frequency,
+    frequency rank (ties broken by codepoint), cumulative coverage, and
+    whether it survives a 99.95% coverage cut — the vocabulary-design
+    audit run before training any subword tokenizer (rare chars outside
+    the cut become <unk>/byte-fallback).
+
+    Scale shape: the char explode is linear in corpus bytes and compresses
+    map-side to the bounded alphabet; ranking/cumulation is a triangular
+    pass over that ≤ alphabet-size table. The keep decision is the exact
+    integer comparison cum_prev·10⁴ < total·{_CC_PPM} — no float
+    threshold at the cut boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", "")).alias("c"))
+        .groupBy("c")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = freq.agg(F.sum("n").cast("bigint").alias("total"))
+    b = freq.select(F.col("c").alias("c2"), F.col("n").alias("n2"))
+    before = (F.col("n2") > F.col("n")) | (
+        (F.col("n2") == F.col("n")) & (F.col("c2") < F.col("c"))
+    )
+    rk = (
+        freq.join(F.broadcast(b), F.lit(True), "cross")
+        .groupBy("c", "n")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(before, F.col("n2")).otherwise(0)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("cum_prev"),
+            (
+                F.coalesce(F.sum(F.when(before, 1).otherwise(0)), F.lit(0)) + 1
+            )
+            .cast("bigint")
+            .alias("rank"),
+        )
+    )
+    return rk.crossJoin(F.broadcast(tot)).select(
+        F.col("c").alias("ch"),
+        "n",
+        "rank",
+        F.round(
+            (F.col("cum_prev") + F.col("n")).cast("double")
+            / F.col("total").cast("double"),
+            6,
+        ).alias("coverage"),
+        (F.col("cum_prev") * 10000 < F.col("total") * _CC_PPM)
+        .cast("int")
+        .alias("kept_9995"),
+    )
