@@ -521,3 +521,61 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("cell_n") - F.col("n_exact")).alias("overcount"),
         )
     )
+
+
+# --- actionable skew-salting plan ---------------------------------------------
+# key_skew_audit/key_skew_gini DETECT skew; this op emits the PLAN a shuffle
+# planner consumes: for every key whose group exceeds the target bucket size
+# (n/200, the same threshold family as heavy_hitters_mg), the salt factor
+# ceil(n_k/target) that splits it into near-target sub-buckets, and the
+# resulting worst bucket. Pure integer arithmetic end to end.
+@query(
+    "skew_salt_plan",
+    oracle=f"""
+    WITH keyed AS (SELECT {_SKEW_KEY_SQL} AS pk FROM lineitem),
+    tot AS (
+      SELECT greatest(count(*) // 200, 1) AS target,
+             CAST(count(*) AS BIGINT) AS n_total
+      FROM keyed
+    ),
+    hist AS (SELECT pk, CAST(count(*) AS BIGINT) AS n FROM keyed GROUP BY pk)
+    SELECT pk, n,
+           CAST((n + target - 1) // target AS BIGINT) AS salt_factor,
+           CAST((n + (n + target - 1) // target - 1)
+                // ((n + target - 1) // target) AS BIGINT) AS bucket_after,
+           CAST(target AS BIGINT) AS target_bucket
+    FROM hist, tot
+    WHERE n > target
+    """,
+)
+def skew_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salting plan for the skewed join/agg key domain: every key whose
+    group exceeds the n/200 target bucket gets salt_factor =
+    ceil(n_k/target) (append salt = hash(row) % factor to the key on the
+    big side, explode the small side by factor), and the plan reports the
+    post-salt worst bucket ceil(n_k/factor) — by construction ≤ target
+    + 1 residue. This is the DECISION artifact the salted-join operators
+    (join_salted_skew, dedup_minhash_salted) consume as a constant; here
+    it is computed from the data so the choice is auditable.
+
+    Scale shape: one map-side-combined histogram groupBy (cardinality =
+    key domain), one scalar broadcast; integer arithmetic only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = li.select(F.expr(_SKEW_KEY_SQL).alias("pk"))
+    tot = keyed.agg(
+        F.expr("greatest(count(*) div 200, 1) AS target"),
+        F.expr("CAST(count(*) AS BIGINT) AS n_total"),
+    )
+    hist = keyed.groupBy("pk").agg(F.count("*").cast("bigint").alias("n"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .filter(F.col("n") > F.col("target"))
+        .selectExpr(
+            "pk",
+            "n",
+            "CAST((n + target - 1) div target AS BIGINT) AS salt_factor",
+            "CAST((n + (n + target - 1) div target - 1)"
+            " div ((n + target - 1) div target) AS BIGINT) AS bucket_after",
+            "CAST(target AS BIGINT) AS target_bucket",
+        )
+    )

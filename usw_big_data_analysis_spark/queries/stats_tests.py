@@ -2671,3 +2671,120 @@ def linreg_huber_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in out[1:]:
         res = res.unionByName(o)
     return res
+
+
+# --- difference-in-differences with normal-approximation SE ------------------
+# Completes the experimentation family (ztest, power, CUPED, SPRT) with the
+# observational workhorse: assignment is the deterministic o_custkey % 2
+# hash-split (the same state-free unit split split_modk pins), the period
+# cut is 1996-01-01, and the outcome is order revenue in integer cents.
+_DID_CUT = "1996-01-01"
+
+
+@query(
+    "ab_diff_in_diff",
+    oracle=f"""
+    WITH obs AS (
+      SELECT CAST(o_custkey % 2 AS INT) AS treated,
+             CAST(o_orderdate >= TIMESTAMP '{_DID_CUT}' AS INT) AS post,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS yc
+      FROM orders
+    ),
+    cells AS (
+      SELECT treated, post, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(yc) AS BIGINT) AS s,
+             CAST(sum(CAST(CAST(yc AS DECIMAL(19,0))
+                           * CAST(yc AS DECIMAL(19,0)) AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS ss
+      FROM obs GROUP BY treated, post
+    ),
+    m AS (
+      SELECT treated, post, n,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_d,
+             (CAST(ss AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) - 1.0) / 10000.0 AS var_d
+      FROM cells
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN treated = 1 AND post = 1 THEN mean_d END) AS t_post,
+        max(CASE WHEN treated = 1 AND post = 0 THEN mean_d END) AS t_pre,
+        max(CASE WHEN treated = 0 AND post = 1 THEN mean_d END) AS c_post,
+        max(CASE WHEN treated = 0 AND post = 0 THEN mean_d END) AS c_pre,
+        max(CASE WHEN treated = 1 AND post = 1 THEN var_d / n END) AS v_tp,
+        max(CASE WHEN treated = 1 AND post = 0 THEN var_d / n END) AS v_tr,
+        max(CASE WHEN treated = 0 AND post = 1 THEN var_d / n END) AS v_cp,
+        max(CASE WHEN treated = 0 AND post = 0 THEN var_d / n END) AS v_cr,
+        CAST(sum(n) AS BIGINT) AS n_total
+      FROM m
+    )
+    SELECT n_total,
+           round(t_pre, 6) AS treated_pre, round(t_post, 6) AS treated_post,
+           round(c_pre, 6) AS control_pre, round(c_post, 6) AS control_post,
+           round((t_post - t_pre) - (c_post - c_pre), 6) AS did,
+           round(sqrt(v_tp + v_tr + v_cp + v_cr), 6) AS se,
+           round(((t_post - t_pre) - (c_post - c_pre))
+                 / nullif(sqrt(v_tp + v_tr + v_cp + v_cr), 0.0), 6) AS z
+    FROM wide
+    """,
+)
+def ab_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: hash-split units (o_custkey % 2, the
+    state-free assignment convention), period cut {cut}, outcome = order
+    revenue. DiD = (T_post − T_pre) − (C_post − C_pre) with the
+    independent-cells normal SE √(Σ var_cell/n_cell) and its z.
+
+    Exactness: one fact scan to four cells of integer sufficient
+    statistics (cents sums, DECIMAL squares); every derived double is the
+    identical expression in both engines. Scale shape: a 4-group
+    map-side-combined aggregate — nothing after the scan exceeds 4
+    rows.""".format(cut=_DID_CUT)
+    orders = load_table(spark, sf_dir, "orders")
+    obs = orders.selectExpr(
+        "CAST(o_custkey % 2 AS INT) AS treated",
+        f"CAST(o_orderdate >= CAST('{_DID_CUT}' AS TIMESTAMP_NTZ) AS INT)"
+        " AS post",
+        f"{N.spark_fround_int('o_totalprice * 100')} AS yc",
+    )
+    cells = obs.groupBy("treated", "post").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("yc").cast("bigint").alias("s"),
+        F.sum(
+            (F.col("yc").cast("decimal(19,0)") * F.col("yc").cast("decimal(19,0)"))
+            .cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    m = cells.selectExpr(
+        "treated",
+        "post",
+        "n",
+        "CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_d",
+        "(CAST(ss AS DOUBLE)"
+        " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) - 1.0) / 10000.0 AS var_d",
+    )
+    wide = m.agg(
+        F.expr("max(CASE WHEN treated = 1 AND post = 1 THEN mean_d END) AS t_post"),
+        F.expr("max(CASE WHEN treated = 1 AND post = 0 THEN mean_d END) AS t_pre"),
+        F.expr("max(CASE WHEN treated = 0 AND post = 1 THEN mean_d END) AS c_post"),
+        F.expr("max(CASE WHEN treated = 0 AND post = 0 THEN mean_d END) AS c_pre"),
+        F.expr("max(CASE WHEN treated = 1 AND post = 1 THEN var_d / n END) AS v_tp"),
+        F.expr("max(CASE WHEN treated = 1 AND post = 0 THEN var_d / n END) AS v_tr"),
+        F.expr("max(CASE WHEN treated = 0 AND post = 1 THEN var_d / n END) AS v_cp"),
+        F.expr("max(CASE WHEN treated = 0 AND post = 0 THEN var_d / n END) AS v_cr"),
+        F.expr("CAST(sum(n) AS BIGINT) AS n_total"),
+    )
+    return wide.selectExpr(
+        "n_total",
+        "round(t_pre, 6) AS treated_pre",
+        "round(t_post, 6) AS treated_post",
+        "round(c_pre, 6) AS control_pre",
+        "round(c_post, 6) AS control_post",
+        "round((t_post - t_pre) - (c_post - c_pre), 6) AS did",
+        "round(sqrt(v_tp + v_tr + v_cp + v_cr), 6) AS se",
+        "round(((t_post - t_pre) - (c_post - c_pre))"
+        " / nullif(sqrt(v_tp + v_tr + v_cp + v_cr), 0.0), 6) AS z",
+    )

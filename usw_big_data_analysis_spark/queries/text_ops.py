@@ -2355,3 +2355,117 @@ def tokenizer_char_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("kept_9995"),
     )
+
+
+# --- TextRank keyword scoring (integer-mass, weighted) ------------------------
+# Mihalcea & Tarau 2004: PageRank over the adjacent-word co-occurrence graph,
+# edge-weighted by corpus bigram frequency. Same bit-deterministic integer-
+# mass scheme as graph_ext.pagerank_int (floor-div flows, damped 0.85), with
+# the weighted flow mass*w // wdeg. The word graph is bounded by vocabulary,
+# not corpus size — the iteration state never scales with the fact.
+_TR_MASS = 1_000_000_000
+_TR_ITERS = 4
+
+_TR_EDGE_SQL = """
+    toks AS (
+      SELECT string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+      SELECT CASE WHEN w[i] < w[i+1] THEN w[i] ELSE w[i+1] END AS u,
+             CASE WHEN w[i] < w[i+1] THEN w[i+1] ELSE w[i] END AS v
+      FROM toks, unnest(generate_series(1, len(w) - 1)) t(i)
+      WHERE w[i] <> w[i+1]
+    ),
+    pairs AS (SELECT u, v, CAST(count(*) AS BIGINT) AS wt FROM bg GROUP BY u, v),
+    edges AS (
+      SELECT u AS src, v AS dst, wt FROM pairs
+      UNION ALL SELECT v, u, wt FROM pairs
+    ),
+    wdeg AS (SELECT src, CAST(sum(wt) AS BIGINT) AS d FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS word FROM edges)"""
+
+
+def _textrank_sql() -> str:
+    base = 15 * _TR_MASS // 100
+    ctes = [
+        _TR_EDGE_SQL,
+        f"tr0 AS (SELECT word, CAST({_TR_MASS} AS BIGINT) AS mass FROM nodes)",
+    ]
+    for k in range(_TR_ITERS):
+        ctes.append(f"""tr{k + 1} AS (
+      SELECT n.word,
+             {base} + (85 * coalesce(s.incoming, 0)) // 100 AS mass
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS word, CAST(sum(p.mass * e.wt // wdeg.d) AS BIGINT)
+                 AS incoming
+        FROM tr{k} p
+        JOIN edges e ON p.word = e.src
+        JOIN wdeg ON wdeg.src = p.word
+        GROUP BY e.dst
+      ) s ON n.word = s.word
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT word, CAST(mass AS BIGINT) AS mass FROM tr{_TR_ITERS}"
+    )
+
+
+@query("keywords_textrank", oracle=_textrank_sql())
+def keywords_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scores: damped weighted PageRank over the
+    adjacent-word graph (edge weight = corpus bigram count), {it}
+    iterations in pure integer arithmetic (mass·w // weighted-degree
+    flows, 0.85 damping as 85//100) so the ranking is bit-identical
+    across engines, partitionings, and retries — float PageRank never is.
+
+    Scale shape: ONE corpus scan builds the bigram counts (the wordcount
+    shape — linear explode, map-side-combined groupBy to the bounded
+    vocabulary-pair table); every iteration then joins vocabulary-sized
+    frames only. Overflow bound: mass ≤ nodes·MASS ~ 1e11 and
+    mass·w < 2^63 while total bigram count stays under ~1e8 per pair —
+    document-frequency weights, not raw corpus size, bound w."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("w")).filter("size(w) >= 2")
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> struct("
+                " CASE WHEN element_at(w, i) < element_at(w, i + 1)"
+                "      THEN element_at(w, i) ELSE element_at(w, i + 1) END AS u,"
+                " CASE WHEN element_at(w, i) < element_at(w, i + 1)"
+                "      THEN element_at(w, i + 1) ELSE element_at(w, i) END AS v))"
+            )
+        ).alias("p")
+    ).select("p.u", "p.v").filter("u <> v")
+    pairs = bg.groupBy("u", "v").agg(F.count("*").cast("bigint").alias("wt"))
+    edges = pairs.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "wt"
+    ).unionAll(pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"), "wt"))
+    wdeg = edges.groupBy("src").agg(F.sum("wt").cast("bigint").alias("d"))
+    nodes = edges.select(F.col("src").alias("word")).distinct()
+    # vocabulary-bounded state: cache the graph frames once, then iterate
+    edges = edges.join(wdeg, "src").localCheckpoint(eager=False)
+    base = 15 * _TR_MASS // 100
+    tr = nodes.select("word", F.lit(_TR_MASS).cast("bigint").alias("mass"))
+    for _ in range(_TR_ITERS):
+        incoming = (
+            tr.join(edges, tr["word"] == edges["src"])
+            .select(
+                F.col("dst").alias("word"),
+                F.expr("mass * wt div d").alias("flow"),
+            )
+            .groupBy("word")
+            .agg(F.sum("flow").cast("bigint").alias("incoming"))
+        )
+        tr = nodes.join(incoming, "word", "left").select(
+            "word",
+            (
+                F.lit(base)
+                + F.expr("85 * coalesce(incoming, 0) div 100")
+            )
+            .cast("bigint")
+            .alias("mass"),
+        )
+    return tr
