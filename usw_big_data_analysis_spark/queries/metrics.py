@@ -1689,3 +1689,164 @@ def metric_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_neg"),
         )
     )
+
+
+# --- Platt-scaling recalibration (quantized Newton IRLS) ---------------------
+# metric_calibration/calibration_isotonic MEASURE miscalibration; this op
+# FITS the standard parametric fix: logistic recalibration
+# P(y=1) = sigmoid(alpha + beta * logit(p)) (Platt 1999), by Newton-Raphson
+# on the distinct-score histogram. Each iteration quantizes the per-bin
+# sigmoid and its variance weight to 1e-9 integers so every gradient /
+# Hessian entry is an exact integer/DECIMAL sum (order-free across engines);
+# the 2x2 Newton solve is one identical double expression and the updated
+# (alpha, beta) are re-rounded to 6dp before the next round. exp/ln
+# cross-engine agreement is the same contract logloss/perplexity pin.
+_PLATT_ROUNDS = 5
+_PLATT_DAMP = 0.5  # half-step Newton: undamped steps oscillate off the |z|~14 clamp bins
+_PLATT_E9 = 1_000_000_000
+_PLATT_E6 = 1_000_000
+
+_PLATT_PC = "least(greatest(prob, 0.000001), 0.999999)"
+
+
+def _platt_hist_sql() -> str:
+    return f"""
+      SELECT prob,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CAST(label AS BIGINT)) AS BIGINT) AS pos,
+             CAST(round(ln(({_PLATT_PC}) / (1.0 - ({_PLATT_PC})))
+                        * {_PLATT_E6}) AS BIGINT) AS z9
+      FROM ({_SCORED_SQL}) GROUP BY prob
+    """
+
+
+def _platt_terms(a: str, b: str) -> dict[str, str]:
+    t = f"({a} + {b} * CAST(z9 AS DOUBLE) / {_PLATT_E6}.0)"
+    s = f"(1.0 / (1.0 + exp(-{t})))"
+    w = f"({s} * (1.0 - {s}))"
+    return {"s": s, "w": w}
+
+
+def _platt_step_sql(round_fn) -> tuple[str, str]:
+    """(aggregate select list, beta-update select list) with engine-specific
+    integer rounding via round_fn(expr) -> bigint-rounded string."""
+    terms = _platt_terms("a", "b")
+    se9 = round_fn(f"{terms['s']} * {_PLATT_E9}.0")
+    we9 = round_fn(f"{terms['w']} * {_PLATT_E9}.0")
+    aggs = f"""
+      CAST(sum(CAST(cnt * ({se9}) - pos * {_PLATT_E9} AS DECIMAL(38,0)))
+           AS DECIMAL(38,0)) AS g0i,
+      CAST(sum(CAST(cnt * ({se9}) - pos * {_PLATT_E9} AS DECIMAL(38,0)) * z9)
+           AS DECIMAL(38,0)) AS g1i,
+      CAST(sum(CAST(cnt * ({we9}) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS h00i,
+      CAST(sum(CAST(cnt * ({we9}) AS DECIMAL(38,0)) * z9) AS DECIMAL(38,0))
+        AS h01i,
+      CAST(sum(CAST(cnt * ({we9}) AS DECIMAL(38,0)) * z9 * z9)
+           AS DECIMAL(38,0)) AS h11i,
+      any_value(a) AS a, any_value(b) AS b
+    """
+    upd = f"""
+      round(a - {_PLATT_DAMP} * (CAST(h11i AS DOUBLE) / {_PLATT_E9}.0 / {_PLATT_E6}.0 / {_PLATT_E6}.0
+                   * (CAST(g0i AS DOUBLE) / {_PLATT_E9}.0)
+                 - CAST(h01i AS DOUBLE) / {_PLATT_E9}.0 / {_PLATT_E6}.0
+                   * (CAST(g1i AS DOUBLE) / {_PLATT_E9}.0 / {_PLATT_E6}.0))
+                / nullif(CAST(h00i AS DOUBLE) / {_PLATT_E9}.0
+                           * (CAST(h11i AS DOUBLE) / {_PLATT_E9}.0 / {_PLATT_E6}.0 / {_PLATT_E6}.0)
+                         - (CAST(h01i AS DOUBLE) / {_PLATT_E9}.0 / {_PLATT_E6}.0)
+                           * (CAST(h01i AS DOUBLE) / {_PLATT_E9}.0 / {_PLATT_E6}.0), 0.0), 6)
+        AS a,
+      round(b - {_PLATT_DAMP} * (CAST(h00i AS DOUBLE) / {_PLATT_E9}.0
+                   * (CAST(g1i AS DOUBLE) / {_PLATT_E9}.0 / {_PLATT_E6}.0)
+                 - CAST(h01i AS DOUBLE) / {_PLATT_E9}.0 / {_PLATT_E6}.0
+                   * (CAST(g0i AS DOUBLE) / {_PLATT_E9}.0))
+                / nullif(CAST(h00i AS DOUBLE) / {_PLATT_E9}.0
+                           * (CAST(h11i AS DOUBLE) / {_PLATT_E9}.0 / {_PLATT_E6}.0 / {_PLATT_E6}.0)
+                         - (CAST(h01i AS DOUBLE) / {_PLATT_E9}.0 / {_PLATT_E6}.0)
+                           * (CAST(h01i AS DOUBLE) / {_PLATT_E9}.0 / {_PLATT_E6}.0), 0.0), 6)
+        AS b
+    """
+    return aggs, upd
+
+
+def _platt_oracle() -> str:
+    aggs, upd = _platt_step_sql(
+        lambda e: f"CAST(round({e}) AS BIGINT)"
+    )
+    ctes = [
+        f"hist AS ({_platt_hist_sql()})",
+        "p0 AS (SELECT 0.0 AS a, 1.0 AS b)",
+    ]
+    for i in range(1, _PLATT_ROUNDS + 1):
+        ctes.append(f"s{i} AS (SELECT {aggs} FROM hist, p{i - 1})")
+        ctes.append(f"p{i} AS (SELECT {upd} FROM s{i})")
+    sel = "\n    UNION ALL\n    ".join(
+        f"SELECT {i} AS iteration, round(a, 6) AS alpha, round(b, 6) AS beta"
+        f" FROM p{i}"
+        for i in range(_PLATT_ROUNDS + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + sel
+
+
+@query("metric_platt_recalibration", oracle=_platt_oracle())
+def metric_platt_recalibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Platt-scaling recalibration of the scored table: fit
+    sigmoid(alpha + beta * logit(p)) to the labels by {r} Newton rounds
+    and emit the (alpha, beta) trajectory — beta != 1 / alpha != 0 is the
+    actionable miscalibration verdict (cf. metric_calibration, which only
+    bins the gap). One fact scan builds the <= 1000-row distinct-score
+    histogram; every Newton round is one aggregation OVER THE HISTOGRAM
+    (not the fact), with sigmoid/weight terms quantized to 1e-9 integers
+    so the gradient and Hessian are exact sums in any partitioning.""".format(
+        r=_PLATT_ROUNDS
+    )
+    aggs, upd = _platt_step_sql(N.spark_fround_int)
+    sc = scored_frame(spark, sf_dir)
+    hist = (
+        sc.groupBy("prob")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum("label").cast("bigint").alias("pos"),
+        )
+        .selectExpr(
+            "prob",
+            "cnt",
+            "pos",
+            f"CAST({N.spark_fround_int(f'ln(({_PLATT_PC}) / (1.0 - ({_PLATT_PC}))) * {_PLATT_E6}.0')} AS BIGINT) AS z9",
+        )
+        .localCheckpoint(eager=False)
+    )
+    p = spark.range(1).selectExpr("0.0D AS a", "1.0D AS b")
+    out = [p.selectExpr("0 AS iteration", "round(a, 6) AS alpha", "round(b, 6) AS beta")]
+    agg_exprs = [e.strip() for e in _split_top_level_commas(aggs)]
+    for i in range(1, _PLATT_ROUNDS + 1):
+        s = hist.crossJoin(F.broadcast(p)).agg(
+            *[F.expr(e) for e in agg_exprs]
+        )
+        p = s.selectExpr(*[e.strip() for e in _split_top_level_commas(upd)])
+        out.append(
+            p.selectExpr(
+                f"{i} AS iteration", "round(a, 6) AS alpha", "round(b, 6) AS beta"
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def _split_top_level_commas(s: str) -> list[str]:
+    """Split a SQL select list on commas not nested in parentheses."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        parts.append("".join(cur))
+    return parts

@@ -1559,3 +1559,184 @@ def forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(spct AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000.0D AS mape"
         ),
     )
+
+
+# --- daily open-order backlog via the +1/-1 interval sweep -------------------
+@query(
+    "orders_open_backlog_daily",
+    oracle=f"""
+    WITH opens AS (
+      SELECT epoch_us(o_orderdate) // {_US_DAY} AS day, 1 AS delta
+      FROM orders
+    ),
+    closes AS (
+      SELECT max(epoch_us(l_shipdate)) // {_US_DAY} + 1 AS day, -1 AS delta
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    ev AS (SELECT * FROM opens UNION ALL SELECT * FROM closes),
+    byday AS (
+      SELECT day,
+             CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_opened,
+             CAST(sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_closed,
+             CAST(sum(delta) AS BIGINT) AS d_net
+      FROM ev GROUP BY day
+    )
+    SELECT a.day, a.n_opened, a.n_closed,
+           CAST(sum(b.d_net) AS BIGINT) AS backlog
+    FROM byday a JOIN byday b ON b.day <= a.day
+    GROUP BY a.day, a.n_opened, a.n_closed
+    """,
+)
+def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog (orders placed but not yet fully shipped)
+    by the classic interval sweep: +1 at the order day, −1 the day after
+    the order's LAST line ships, cumulative net over event days. The
+    operational series behind queue-depth/SLA dashboards — and the pattern
+    that answers any "how many intervals cover day d" question without
+    exploding intervals into their covered days.
+
+    Scale shape: the close events come from one per-order max-shipdate agg
+    (map-side combined); the sweep then lives on the calendar-bounded
+    event-day table (~2.5k rows), cumulated by a broadcast triangular
+    join — the fact is scanned twice, never carried per-day. Orders with
+    no lineitem rows (possible in degenerate partitions) simply never
+    close — the open count stays truthful. All integer arithmetic."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    opens = orders.select(
+        F.expr(f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_US_DAY}").alias(
+            "day"
+        ),
+        F.lit(1).alias("delta"),
+    )
+    closes = (
+        li.groupBy("l_orderkey")
+        .agg(
+            (
+                F.expr(f"max(unix_micros(CAST(l_shipdate AS TIMESTAMP))) div {_US_DAY}")
+                + 1
+            ).alias("day")
+        )
+        .select("day", F.lit(-1).alias("delta"))
+    )
+    byday = (
+        opens.unionByName(closes)
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_opened"),
+            F.sum(F.when(F.col("delta") == -1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_closed"),
+            F.sum("delta").cast("bigint").alias("d_net"),
+        )
+    )
+    b = byday.select(F.col("day").alias("day2"), F.col("d_net").alias("dn2"))
+    return (
+        byday.join(F.broadcast(b), F.col("day2") <= F.col("day"))
+        .groupBy("day", "n_opened", "n_closed")
+        .agg(F.sum("dn2").cast("bigint").alias("backlog"))
+    )
+
+
+# --- item-item cosine neighbors (collaborative filtering core) ---------------
+_IIC_K = 3
+
+
+@query(
+    "recsys_item_cosine_topk",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    freq AS (
+      SELECT pk, CAST(count(*) AS BIGINT) AS cnt FROM items GROUP BY pk
+      HAVING count(*) >= 2
+    ),
+    fitems AS (SELECT i.ok, i.pk FROM items i JOIN freq ON i.pk = freq.pk),
+    pairs AS (
+      SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS cooc
+      FROM fitems a JOIN fitems b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk
+    ),
+    sym AS (
+      SELECT pa AS item, pb AS neighbor, cooc FROM pairs
+      UNION ALL SELECT pb, pa, cooc FROM pairs
+    ),
+    scored AS (
+      SELECT s.item, s.neighbor, s.cooc,
+             CAST(s.cooc AS DOUBLE)
+               / sqrt(CAST(fa.cnt AS DOUBLE) * CAST(fb.cnt AS DOUBLE)) AS sim
+      FROM sym s JOIN freq fa ON s.item = fa.pk
+                 JOIN freq fb ON s.neighbor = fb.pk
+    ),
+    rk AS (
+      SELECT item, neighbor, cooc, sim,
+             row_number() OVER (PARTITION BY item
+                                ORDER BY sim DESC, neighbor ASC) AS rk
+      FROM scored
+    )
+    SELECT item, neighbor, cooc, round(sim, 6) AS sim, CAST(rk AS BIGINT) AS rk
+    FROM rk WHERE rk <= {_IIC_K}
+    """,
+)
+def recsys_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: cosine similarity over basket
+    co-occurrence (sim = cooc/√(n_i·n_j)) and each item's top-{k}
+    neighbors — the similarity table an item-to-item recommender serves
+    at request time (Linden et al. 2003). The support ≥ 2 A-priori prune
+    bounds the quadratic pair step to frequent items; similarity is one
+    identical int→double expression so the per-item ranking (tie-break:
+    smaller part key) is engine-stable; the rank window is PARTITIONED by
+    item — parallel at scale, never a global sort.""".format(k=_IIC_K)
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    freq = (
+        items.groupBy("pk")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .filter("cnt >= 2")
+    )
+    fitems = items.join(freq.select("pk"), "pk")
+    a, b = fitems.alias("a"), fitems.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+        .agg(F.count("*").cast("bigint").alias("cooc"))
+    )
+    sym = pairs.select(
+        F.col("pa").alias("item"), F.col("pb").alias("neighbor"), "cooc"
+    ).unionAll(
+        pairs.select(F.col("pb").alias("item"), F.col("pa").alias("neighbor"), "cooc")
+    )
+    scored = (
+        sym.join(
+            F.broadcast(freq.select(F.col("pk").alias("item"), F.col("cnt").alias("ca"))),
+            "item",
+        )
+        .join(
+            F.broadcast(
+                freq.select(F.col("pk").alias("neighbor"), F.col("cnt").alias("cb"))
+            ),
+            "neighbor",
+        )
+        .select(
+            "item",
+            "neighbor",
+            "cooc",
+            (
+                F.col("cooc").cast("double")
+                / F.sqrt(F.col("ca").cast("double") * F.col("cb").cast("double"))
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.col("sim").desc(), F.col("neighbor").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _IIC_K)
+        .select("item", "neighbor", "cooc", F.round("sim", 6).alias("sim"), "rk")
+    )
