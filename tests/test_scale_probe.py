@@ -34,12 +34,19 @@ def test_gate_subset_and_threshold_pinned():
         "embed_ann_ivfpq",
         "tokenizer_bpe_merges",
         "crosstab_margins",
+        # r6-continuation widening (SCALE_PROBE_r06 records all 11 green)
+        "text_watermark_greenlist",
+        "drift_emd_price",
+        "stream_dedup_lsh_ingest",
     ]
     assert probe.GATE_MAX_RATIO == 3.0
     # work-grows-with-corpus exceptions are explicit and measurement-backed
     assert probe.GATE_CEILING == {
         "dedup_minhash_lsh": 4.0,
         "embed_ann_ivfpq": 4.0,
+        # output-bound: the cleaned-corpus result set itself grows 16x
+        # (measured in SCALE_PROBE_r06; see a30ebf2 scope note)
+        "pipeline_docs_clean": 4.0,
     }
     assert set(probe.GATE_CEILING) <= set(probe.GATE_QUERIES)
     assert set(probe.GATE_QUERIES) <= set(probe.QUERIES)

@@ -59,6 +59,11 @@ QUERIES = [
     "pipeline_docs_clean",
     "embed_ann_ivfpq",
     "tokenizer_bpe_merges",
+    # r6 continuation: the gate widened again (watermark scan, EMD drift,
+    # streaming LSH ingest) — keep the full probe a superset of the gate
+    "text_watermark_greenlist",
+    "drift_emd_price",
+    "stream_dedup_lsh_ingest",
 ]
 
 # Regression gate (VERDICT r4 #8, widened per r5 #7): the headline plans

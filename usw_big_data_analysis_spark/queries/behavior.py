@@ -2230,3 +2230,179 @@ def anomaly_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("z_mad"),
         )
     )
+
+
+# --- Harrell's concordance index for a churn-risk marker ---------------------
+# Completes the survival family (KM curve, log-rank test) with the metric
+# that evaluates a RISK MODEL against censored outcomes. Marker: first-week
+# event count (clamped to 20 bins) — the "early engagement predicts
+# retention" score every churn model starts from; concordant = the user who
+# died earlier had LOWER early engagement. The synthetic event stream keeps
+# every user active to within 2 days of the corpus end (KM's 7-day churn
+# window censors EVERYONE — its curve is honestly flat), so the churn
+# definition here is the tightest one the data supports: not seen on the
+# final observed day.
+_CIX_BINS = 20
+_CIX_CENSOR_DAYS = 1
+
+
+@query(
+    "survival_cindex",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             min(epoch_us(ts) // {_US_DAY}) AS d0,
+             max(epoch_us(ts) // {_US_DAY}) AS d1
+      FROM events GROUP BY user_id
+    ),
+    fw AS (
+      SELECT e.user_id,
+             least(CAST(count(*) AS BIGINT), {_CIX_BINS - 1}) AS m
+      FROM events e JOIN per_user p ON e.user_id = p.user_id
+      WHERE epoch_us(e.ts) // {_US_DAY} < p.d0 + 7
+      GROUP BY e.user_id
+    ),
+    g AS (SELECT max(d1) AS dmax FROM per_user),
+    u AS (
+      SELECT CAST(p.d1 - p.d0 AS BIGINT) AS t,
+             CAST(p.d1 <= dmax - {_CIX_CENSOR_DAYS} AS BIGINT) AS died,
+             fw.m
+      FROM per_user p JOIN fw ON p.user_id = fw.user_id CROSS JOIN g
+    ),
+    cells AS (
+      SELECT t, m, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(died) AS BIGINT) AS d
+      FROM u GROUP BY t, m
+    ),
+    grid AS (
+      SELECT ts.t, b.m, coalesce(c.cnt, 0) AS cnt, coalesce(c.d, 0) AS d
+      FROM (SELECT DISTINCT t FROM cells) ts
+      CROSS JOIN (SELECT unnest(generate_series(0, {_CIX_BINS - 1})) AS m) b
+      LEFT JOIN cells c ON c.t = ts.t AND c.m = b.m
+    ),
+    suff AS (
+      SELECT t, m, cnt, d,
+             coalesce(sum(cnt) OVER (PARTITION BY m ORDER BY t
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS s
+      FROM grid
+    ),
+    dom AS (
+      SELECT t, m, cnt, d, s,
+             coalesce(sum(s) OVER (PARTITION BY t ORDER BY m
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS conc,
+             sum(s) OVER (PARTITION BY t) AS comp
+      FROM suff
+    ),
+    agg AS (
+      SELECT CAST(sum(d * conc) AS BIGINT) AS n_conc,
+             CAST(sum(d * s) AS BIGINT) AS n_tie,
+             CAST(sum(d * comp) AS BIGINT) AS n_comp
+      FROM dom
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_users,
+           n_comp AS n_comparable,
+           n_conc AS n_concordant,
+           n_tie AS n_tied_marker,
+           round(CAST(2 * n_conc + n_tie AS DOUBLE)
+                 / nullif(CAST(2 * n_comp AS DOUBLE), 0.0), 6) AS c_index
+    FROM agg
+    """,
+)
+def survival_cindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harrell's concordance index of the first-week-engagement marker
+    against censored user lifetimes: over all comparable pairs (i died at
+    t_i, j still observed past t_i), the fraction where the earlier death
+    had the lower marker (ties count half). The survival-model twin of
+    AUROC — and like the r5 AUROC re-plan, computed WITHOUT any pairwise
+    join: user lifetimes compress to a dense (distinct-lifetime x
+    {b}-bin) grid, a suffix window per bin counts later-observed users,
+    a second window per lifetime accumulates the marker dominance, and
+    three integer sums finish it. Both windows are PARTITIONED (bin /
+    lifetime) with calendar- and constant-bounded partitions — nothing
+    scales with user count after the per-user compression. All counting
+    integer; one division, rounded 6dp.""".format(b=_CIX_BINS)
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) div {_US_DAY}")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    fw = (
+        ev.join(F.broadcast(per_user.select("user_id", "d0")), "user_id")
+        .filter(day < F.col("d0") + 7)
+        .groupBy("user_id")
+        .agg(
+            F.least(F.count("*").cast("bigint"), F.lit(_CIX_BINS - 1)).alias("m")
+        )
+    )
+    g = per_user.agg(F.max("d1").alias("dmax"))
+    u = (
+        per_user.join(fw, "user_id")
+        .crossJoin(F.broadcast(g))
+        .select(
+            (F.col("d1") - F.col("d0")).cast("bigint").alias("t"),
+            (F.col("d1") <= F.col("dmax") - _CIX_CENSOR_DAYS)
+            .cast("bigint")
+            .alias("died"),
+            "m",
+        )
+    )
+    cells = u.groupBy("t", "m").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("died").cast("bigint").alias("d"),
+    )
+    bins = spark.range(_CIX_BINS).select(F.col("id").cast("bigint").alias("m"))
+    grid = (
+        cells.select("t")
+        .distinct()
+        .crossJoin(F.broadcast(bins))
+        .join(cells, ["t", "m"], "left")
+        .select(
+            "t",
+            "m",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+            F.coalesce(F.col("d"), F.lit(0)).alias("d"),
+        )
+    )
+    w_suff = (
+        Window.partitionBy("m")
+        .orderBy("t")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    suff = grid.select(
+        "t",
+        "m",
+        "cnt",
+        "d",
+        F.coalesce(F.sum("cnt").over(w_suff), F.lit(0)).alias("s"),
+    )
+    w_dom = (
+        Window.partitionBy("t")
+        .orderBy("m")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    w_all = Window.partitionBy("t")
+    dom = suff.select(
+        "t",
+        "m",
+        "d",
+        "s",
+        F.coalesce(F.sum("s").over(w_dom), F.lit(0)).alias("conc"),
+        F.sum("s").over(w_all).alias("comp"),
+    )
+    agg = dom.agg(
+        F.sum(F.col("d") * F.col("conc")).cast("bigint").alias("n_conc"),
+        F.sum(F.col("d") * F.col("s")).cast("bigint").alias("n_tie"),
+        F.sum(F.col("d") * F.col("comp")).cast("bigint").alias("n_comp"),
+    )
+    nu = u.agg(F.count("*").cast("bigint").alias("n_users"))
+    return agg.crossJoin(F.broadcast(nu)).select(
+        "n_users",
+        F.col("n_comp").alias("n_comparable"),
+        F.col("n_conc").alias("n_concordant"),
+        F.col("n_tie").alias("n_tied_marker"),
+        F.round(
+            (2 * F.col("n_conc") + F.col("n_tie")).cast("double")
+            / F.nullif((2 * F.col("n_comp")).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("c_index"),
+    )

@@ -2681,3 +2681,90 @@ def embed_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cos.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= _TOPK
     )
+
+
+# --- per-dimension variance audit (dead-dimension pruning) -------------------
+@query(
+    "embed_dim_variance_audit",
+    oracle=f"""
+    WITH expl AS ({_EXPL_SQL}),
+    stats AS (
+      SELECT pos, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(v AS DECIMAL(20,12))) AS DECIMAL(38,12)) AS s,
+             CAST(sum(CAST(v * v AS DECIMAL(20,12))) AS DECIMAL(38,12)) AS ss
+      FROM expl GROUP BY pos
+    ),
+    pv AS (
+      SELECT CAST(pos AS INT) AS pos, n,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_v,
+             (CAST(ss AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             / CAST(n AS DOUBLE) AS var_v
+      FROM stats
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_dims,
+             CAST(sum(CAST(round(var_v, 9) AS DECIMAL(25,12))) AS DOUBLE)
+               AS total_var
+      FROM pv
+    )
+    SELECT pos, n, round(mean_v, 6) AS mean_v, round(var_v, 6) AS var_v,
+           CAST(var_v * CAST(n_dims AS DOUBLE) * 10.0 < total_var AS INT)
+             AS low_var_flag
+    FROM pv, tot
+    """,
+)
+def embed_dim_variance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance of the embedding column with a
+    dead-dimension flag (variance below 10% of the across-dims average) —
+    the audit run before storage-cutting tricks (matryoshka truncation,
+    PQ subspace splits, int8 ranges) that all silently assume every
+    dimension carries signal.
+
+    Scale shape: one posexplode scan compressed map-side to the
+    dimension-bounded stats table; per-dim moments are exact DECIMAL
+    sums, the across-dims total averages 9dp-rounded decimal variances
+    (order-free — the same trick as embed_norm_audit's norm_mean), and
+    the flag is one identical double comparison."""
+    expl = _exploded(spark, sf_dir)
+    stats = expl.groupBy("pos").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("v").cast("decimal(20,12)"))
+        .cast("decimal(38,12)")
+        .alias("s"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(20,12)"))
+        .cast("decimal(38,12)")
+        .alias("ss"),
+    )
+    pv = stats.select(
+        F.col("pos").cast("int").alias("pos"),
+        "n",
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias("mean_v"),
+        (
+            (
+                F.col("ss").cast("double")
+                - F.col("s").cast("double")
+                * F.col("s").cast("double")
+                / F.col("n").cast("double")
+            )
+            / F.col("n").cast("double")
+        ).alias("var_v"),
+    )
+    tot = pv.agg(
+        F.count("*").cast("bigint").alias("n_dims"),
+        F.sum(N.fround(F.col("var_v"), 9).cast("decimal(25,12)"))
+        .cast("double")
+        .alias("total_var"),
+    )
+    return pv.crossJoin(F.broadcast(tot)).select(
+        "pos",
+        "n",
+        F.round("mean_v", 6).alias("mean_v"),
+        F.round("var_v", 6).alias("var_v"),
+        (
+            F.col("var_v") * F.col("n_dims").cast("double") * 10.0
+            < F.col("total_var")
+        )
+        .cast("int")
+        .alias("low_var_flag"),
+    )
