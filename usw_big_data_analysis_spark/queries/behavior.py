@@ -2406,3 +2406,55 @@ def survival_cindex(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("c_index"),
     )
+
+
+# --- MATCH_RECOGNIZE-style journey pattern matching --------------------------
+# The funnel queries count step PRESENCE; this matches an ORDERED pattern
+# with an exclusion: view -> click -> purchase with no error anywhere
+# between the matched steps (the "clean conversion path" question
+# MATCH_RECOGNIZE answers in engines that have it).
+_EPM_PATTERN = "v[^e]*c[^e]*p"
+
+
+@query(
+    "events_pattern_match",
+    oracle=f"""
+    WITH j AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             string_agg(substring(event_type, 1, 1), ''
+                        ORDER BY epoch_us(ts), event_id) AS journey
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST(regexp_matches(journey, '{_EPM_PATTERN}') AS INT) AS matched
+    FROM j
+    """,
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence pattern matching over user journeys: each user's
+    events collapse (ordered by timestamp, event_id as the deterministic
+    tiebreak) into a first-letter journey string; the regex
+    '{_EPM_PATTERN}' asks for a view→click→purchase path with no error
+    between the matched steps — the MATCH_RECOGNIZE question expressed
+    with the engines' common denominator (ordered per-key reduction +
+    regex).
+
+    Scale shape: one fact scan, one per-user shuffle; the collected
+    journey is bounded by per-user activity (the sessionization
+    assumption every per-user reduction here makes), and the regex is a
+    linear scan of it. No cross-user state."""
+    ev = load_table(spark, sf_dir, "events")
+    j = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct("
+            "unix_micros(CAST(ts AS TIMESTAMP)) AS t, event_id AS i,"
+            " substring(event_type, 1, 1) AS c))), s -> s.c), '') AS journey"
+        ),
+    )
+    return j.select(
+        "user_id",
+        "n_events",
+        F.col("journey").rlike(_EPM_PATTERN).cast("int").alias("matched"),
+    )

@@ -2788,3 +2788,259 @@ def ab_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(((t_post - t_pre) - (c_post - c_pre))"
         " / nullif(sqrt(v_tp + v_tr + v_cp + v_cr), 0.0), 6) AS z",
     )
+
+
+# --- ratio-metric A/B comparison via the delta method ------------------------
+# Revenue-per-order is a RATIO of two unit-level quantities; naive per-row
+# t-tests are wrong because the denominator varies by unit. Delta method
+# (the experimentation-platform standard): R = sum(X)/sum(Y) per arm,
+# Var(R) = (var_x - 2R cov + R^2 var_y) / (n * ybar^2).
+@query(
+    "ab_ratio_delta_method",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey, CAST(o_custkey % 2 AS INT) AS arm,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM orders GROUP BY o_custkey
+    ),
+    s AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(CAST(CAST(x AS DECIMAL(19,0))
+                           * CAST(x AS DECIMAL(19,0)) AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS sxx,
+             CAST(sum(CAST(CAST(x AS DECIMAL(19,0))
+                           * CAST(y AS DECIMAL(19,0)) AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS sxy,
+             CAST(sum(CAST(CAST(y AS DECIMAL(19,0))
+                           * CAST(y AS DECIMAL(19,0)) AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS syy
+      FROM per_cust GROUP BY arm
+    ),
+    m AS (
+      SELECT arm, n,
+             CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) / 100.0 AS r,
+             ((CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0)
+              - 2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                * ((CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1.0))
+              + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                * ((CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1.0)))
+             / (CAST(n AS DOUBLE)
+                * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) / 10000.0 AS v
+      FROM s
+    ),
+    wide AS (
+      SELECT max(CASE WHEN arm = 1 THEN r END) AS r_t,
+             max(CASE WHEN arm = 0 THEN r END) AS r_c,
+             max(CASE WHEN arm = 1 THEN v END) AS v_t,
+             max(CASE WHEN arm = 0 THEN v END) AS v_c,
+             max(CASE WHEN arm = 1 THEN n END) AS n_t,
+             max(CASE WHEN arm = 0 THEN n END) AS n_c
+      FROM m
+    )
+    SELECT CAST(n_t AS BIGINT) AS n_treat, CAST(n_c AS BIGINT) AS n_control,
+           round(r_t, 6) AS ratio_treat, round(r_c, 6) AS ratio_control,
+           round(r_t - r_c, 6) AS diff,
+           round(sqrt(v_t + v_c), 6) AS se,
+           round((r_t - r_c) / nullif(sqrt(v_t + v_c), 0.0), 6) AS z
+    FROM wide
+    """,
+)
+def ab_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method comparison of a ratio metric (revenue per order,
+    unit = customer) between the hash-split arms: per-arm R = ΣX/ΣY and
+    Var(R) = (s²_x − 2R·s_xy + R²·s²_y)/(n·ȳ²), then the two-arm z. The
+    correct test when the denominator varies per unit — a per-row t-test
+    on x/y is biased by unit weighting.
+
+    Exactness: per-customer X (cents) and Y (orders) are integers; arm
+    moments are DECIMAL cross-product sums; everything double-valued is
+    the identical expression in both engines. One fact scan → per-unit
+    groupBy → 2-row arm aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.expr("CAST(any_value(o_custkey % 2) AS INT) AS arm"),
+        F.expr(
+            f"CAST(sum({N.spark_fround_int('o_totalprice * 100')}) AS BIGINT) AS x"
+        ),
+        F.expr("CAST(count(*) AS BIGINT) AS y"),
+    )
+    x19 = F.col("x").cast("decimal(19,0)")
+    y19 = F.col("y").cast("decimal(19,0)")
+    s = per_cust.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum((x19 * x19).cast("decimal(38,0)")).cast("decimal(38,0)").alias("sxx"),
+        F.sum((x19 * y19).cast("decimal(38,0)")).cast("decimal(38,0)").alias("sxy"),
+        F.sum((y19 * y19).cast("decimal(38,0)")).cast("decimal(38,0)").alias("syy"),
+    )
+    m = s.selectExpr(
+        "arm",
+        "n",
+        "CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) / 100.0 AS r",
+        """((CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) - 1.0)
+          - 2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+            * ((CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1.0))
+          + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+            * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+            * ((CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1.0)))
+         / (CAST(n AS DOUBLE)
+            * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) / 10000.0 AS v""",
+    )
+    wide = m.agg(
+        F.expr("max(CASE WHEN arm = 1 THEN r END) AS r_t"),
+        F.expr("max(CASE WHEN arm = 0 THEN r END) AS r_c"),
+        F.expr("max(CASE WHEN arm = 1 THEN v END) AS v_t"),
+        F.expr("max(CASE WHEN arm = 0 THEN v END) AS v_c"),
+        F.expr("max(CASE WHEN arm = 1 THEN n END) AS n_t"),
+        F.expr("max(CASE WHEN arm = 0 THEN n END) AS n_c"),
+    )
+    return wide.selectExpr(
+        "CAST(n_t AS BIGINT) AS n_treat",
+        "CAST(n_c AS BIGINT) AS n_control",
+        "round(r_t, 6) AS ratio_treat",
+        "round(r_c, 6) AS ratio_control",
+        "round(r_t - r_c, 6) AS diff",
+        "round(sqrt(v_t + v_c), 6) AS se",
+        "round((r_t - r_c) / nullif(sqrt(v_t + v_c), 0.0), 6) AS z",
+    )
+
+
+# --- TOST equivalence test between the experiment arms -----------------------
+# ab_test_ztest asks "is there a difference?"; TOST (two one-sided tests,
+# Schuirmann 1987) asks the release-gating question "is the difference
+# PROVABLY within +/- delta?" — absence of significance is NOT equivalence.
+_TOST_DELTA = 2000.0  # dollars
+
+
+def _tost_onesided_p(z: str) -> str:
+    """P(Z > z) for a possibly-negative z, via the non-negative-input
+    portable tail (identical literal text both engines)."""
+    return (
+        f"(CASE WHEN {z} >= 0.0 THEN {N.sql_norm_sf(z)}"
+        f" ELSE 1.0 - {N.sql_norm_sf(f'-({z})')} END)"
+    )
+
+
+@query(
+    "ab_tost_equivalence",
+    oracle=f"""
+    WITH obs AS (
+      SELECT CAST(o_custkey % 2 AS INT) AS arm,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS yc
+      FROM orders
+    ),
+    s AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(yc) AS BIGINT) AS sy,
+             CAST(sum(CAST(CAST(yc AS DECIMAL(19,0))
+                           * CAST(yc AS DECIMAL(19,0)) AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS syy
+      FROM obs GROUP BY arm
+    ),
+    m AS (
+      SELECT arm, n, CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_d,
+             (CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) - 1.0) / 10000.0 / CAST(n AS DOUBLE) AS vn
+      FROM s
+    ),
+    wide AS (
+      SELECT max(CASE WHEN arm = 1 THEN mean_d END)
+               - max(CASE WHEN arm = 0 THEN mean_d END) AS diff,
+             sqrt(max(CASE WHEN arm = 1 THEN vn END)
+                  + max(CASE WHEN arm = 0 THEN vn END)) AS se
+      FROM m
+    ),
+    zz AS (
+      SELECT diff, se,
+             (diff + {_TOST_DELTA}) / nullif(se, 0.0) AS z_lower,
+             ({_TOST_DELTA} - diff) / nullif(se, 0.0) AS z_upper
+      FROM wide
+    )
+    SELECT round(diff, 6) AS diff, round(se, 6) AS se,
+           round(z_lower, 6) AS z_lower, round(z_upper, 6) AS z_upper,
+           round(greatest({_tost_onesided_p('z_lower')},
+                          {_tost_onesided_p('z_upper')}), 6) AS p_tost,
+           CAST(greatest({_tost_onesided_p('z_lower')},
+                         {_tost_onesided_p('z_upper')}) < 0.05 AS INT)
+             AS equivalent
+    FROM zz
+    """,
+)
+def ab_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence between the hash-split arms on mean order value,
+    margin ±${d:.0f}: both one-sided z tests must reject (p_tost =
+    max(p_lower, p_upper) < 0.05) to declare the arms equivalent — the
+    release-gating complement to ab_test_ztest, since a non-significant
+    difference is not evidence of no difference. p-values ride the
+    portable Zelen-Severo normal tail (same contract as
+    multiple_test_fdr_bh). One fact scan to two cells of integer/DECIMAL
+    sufficient statistics.""".format(d=_TOST_DELTA)
+    orders = load_table(spark, sf_dir, "orders")
+    obs = orders.selectExpr(
+        "CAST(o_custkey % 2 AS INT) AS arm",
+        f"{N.spark_fround_int('o_totalprice * 100')} AS yc",
+    )
+    y19 = F.col("yc").cast("decimal(19,0)")
+    s = obs.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("yc").cast("bigint").alias("sy"),
+        F.sum((y19 * y19).cast("decimal(38,0)")).cast("decimal(38,0)").alias("syy"),
+    )
+    m = s.selectExpr(
+        "arm",
+        "CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_d",
+        "(CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) - 1.0) / 10000.0 / CAST(n AS DOUBLE) AS vn",
+    )
+    wide = m.agg(
+        F.expr(
+            "max(CASE WHEN arm = 1 THEN mean_d END)"
+            " - max(CASE WHEN arm = 0 THEN mean_d END) AS diff"
+        ),
+        F.expr(
+            "sqrt(max(CASE WHEN arm = 1 THEN vn END)"
+            " + max(CASE WHEN arm = 0 THEN vn END)) AS se"
+        ),
+    )
+    zz = wide.selectExpr(
+        "diff",
+        "se",
+        f"(diff + {_TOST_DELTA}) / nullif(se, 0.0) AS z_lower",
+        f"({_TOST_DELTA} - diff) / nullif(se, 0.0) AS z_upper",
+    )
+
+    def _p(z: str) -> str:
+        return (
+            f"(CASE WHEN {z} >= 0.0 THEN {N.sql_norm_sf(z)}"
+            f" ELSE 1.0 - {N.sql_norm_sf(f'-({z})')} END)"
+        )
+
+    return zz.selectExpr(
+        "round(diff, 6) AS diff",
+        "round(se, 6) AS se",
+        "round(z_lower, 6) AS z_lower",
+        "round(z_upper, 6) AS z_upper",
+        f"round(greatest({_p('z_lower')}, {_p('z_upper')}), 6) AS p_tost",
+        f"CAST(greatest({_p('z_lower')}, {_p('z_upper')}) < 0.05 AS INT)"
+        " AS equivalent",
+    )
