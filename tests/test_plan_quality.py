@@ -250,3 +250,17 @@ def test_connected_components_round_never_broadcasts(spark):
     assert "ShuffledHashJoin" in plan
     assert "BroadcastHashJoin" not in plan
     assert "BroadcastExchange" not in plan
+
+
+def test_partition_evolution_per_generation_pruning(spark, sf_dir):
+    # gen-2 (evolved spec: day + event_type) must prune event_type as a
+    # DIRECTORY filter; gen-1 (day only) can only push it to the row scan.
+    # Both scan shapes appear in the one plan — that asymmetry is the cost
+    # model of partition evolution made visible.
+    import re
+
+    plan = _plan(spark, sf_dir, "sink_partition_evolution")
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("event_type" in pf for pf in pfs), plan[:2000]
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("event_type" in pf for pf in pushed), plan[:2000]

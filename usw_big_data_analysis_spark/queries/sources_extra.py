@@ -530,3 +530,64 @@ def sink_sas_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_qty"),
     )
+
+
+# --- partition-spec evolution across table generations -----------------------
+_PE_CUT = 19737  # epoch-day boundary (2024-01-15) between the two layouts
+
+
+@query(
+    "sink_partition_evolution",
+    oracle=f"""
+    WITH ev AS (
+      SELECT epoch_us(ts) // 86400000000 AS d,
+             event_type, value
+      FROM events
+    )
+    SELECT d, event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM ev
+    WHERE event_type = 'purchase'
+    GROUP BY d, event_type
+    """,
+)
+def sink_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution, the lakehouse mechanic Iceberg's
+    metadata hides: generation 1 (days < epoch day {cut}) lands partitioned by
+    day only; generation 2 evolves the spec to (day, event_type).
+    A query over the full table is the UNION of per-generation scans —
+    each pruned under ITS OWN layout (gen-1 prunes day directories and
+    filters event_type as data; gen-2 prunes both as directories). The
+    result must be indistinguishable from one logical table, which is
+    exactly what the oracle states over the raw events.
+
+    Scale note: partition evolution beats rewrite-the-table precisely
+    because old data keeps its layout — the cost shows up as the weaker
+    pruning on old generations, which this query's two scan shapes make
+    visible (asserted in tests/test_plan_quality.py).""".format(cut=_PE_CUT)
+    from ..sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").alias("d"),
+    )
+    root = os.path.join(_process_tmp(), "usw_q_part_evolution")
+    g1 = os.path.join(root, "gen1")
+    g2 = os.path.join(root, "gen2")
+    ev.filter(F.col("d") < _PE_CUT).write.mode("overwrite").partitionBy(
+        "d"
+    ).parquet(g1)
+    ev.filter(F.col("d") >= _PE_CUT).write.mode("overwrite").partitionBy(
+        "d", "event_type"
+    ).parquet(g2)
+    back1 = spark.read.parquet(g1).filter(F.col("event_type") == "purchase")
+    back2 = spark.read.parquet(g2).filter(F.col("event_type") == "purchase")
+    both = back1.select("d", "event_type", "value").unionByName(
+        back2.select("d", "event_type", "value")
+    )
+    return both.groupBy("d", "event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+    )
