@@ -1250,3 +1250,128 @@ def feature_vif(spark: SparkSession, sf_dir: str) -> DataFrame:
     one = li.agg(*[F.expr(p) for p in _vif_stats_parts()])
     r = one.selectExpr(*_vif_corr_parts())
     return r.selectExpr(_vif_select_sql())
+
+
+# --- mutual information feature screen ----------------------------------------
+# Complements the linear screens (corr_target, prune_corr, feature_vif) and
+# the supervised encoder (woe_iv_encoding) with the model-free dependence
+# measure: MI in nats between a bucketed numeric feature and the class
+# column, plus marginal entropies and normalized MI.
+_FMI_BUCKET = "least(CAST(floor(l_extendedprice / 20000.0) AS BIGINT), 4)"
+
+
+@query(
+    "feature_mutual_info",
+    oracle=f"""
+    WITH cells AS (
+      SELECT {_FMI_BUCKET} AS b, l_returnflag AS y,
+             CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY b, y
+    ),
+    rx AS (SELECT b, CAST(sum(c) AS BIGINT) AS r FROM cells GROUP BY b),
+    sy AS (SELECT y, CAST(sum(c) AS BIGINT) AS s FROM cells GROUP BY y),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+    mi AS (
+      SELECT CAST(sum(CAST(round(
+               CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+               * ln(CAST(n AS DOUBLE) * CAST(c AS DOUBLE)
+                    / (CAST(r AS DOUBLE) * CAST(s AS DOUBLE))), 9)
+             AS DECIMAL(25,12))) AS DOUBLE) AS mi_nats
+      FROM cells JOIN rx USING (b) JOIN sy USING (y), tot
+    ),
+    hx AS (
+      SELECT CAST(sum(CAST(round(
+               -(CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(r AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+             AS DECIMAL(25,12))) AS DOUBLE) AS h_x
+      FROM rx, tot
+    ),
+    hy AS (
+      SELECT CAST(sum(CAST(round(
+               -(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+             AS DECIMAL(25,12))) AS DOUBLE) AS h_y
+      FROM sy, tot
+    )
+    SELECT n, round(mi_nats, 6) AS mi_nats,
+           round(h_x, 6) AS h_x, round(h_y, 6) AS h_y,
+           round(mi_nats / nullif(sqrt(h_x * h_y), 0.0), 6) AS nmi
+    FROM mi, hx, hy, tot
+    """,
+)
+def feature_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between the bucketed price feature and
+    the return flag, with marginal entropies and the sqrt-normalized MI —
+    the model-free dependence screen that catches what Pearson screens
+    (corr_target, prune_corr) miss on non-linear relationships.
+
+    Exactness: the joint table is one map-side-combined groupBy to <= 15
+    integer cells; each plogp/MI term is one identical int→double
+    expression, 9dp-quantized into DECIMAL before summing so the tiny
+    across-cells sums are order-free (the norm_mean convention). One fact
+    scan; everything downstream is constant-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.expr(_FMI_BUCKET).alias("b"), F.col("l_returnflag").alias("y")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    rx = cells.groupBy("b").agg(F.sum("c").cast("bigint").alias("r"))
+    sy = cells.groupBy("y").agg(F.sum("c").cast("bigint").alias("s"))
+    tot = cells.agg(F.sum("c").cast("bigint").alias("n"))
+    nd = F.col("n").cast("double")
+    mi_term = (
+        F.col("c").cast("double")
+        / nd
+        * F.log(
+            nd
+            * F.col("c").cast("double")
+            / (F.col("r").cast("double") * F.col("s").cast("double"))
+        )
+    )
+    mi = (
+        cells.join(F.broadcast(rx), "b")
+        .join(F.broadcast(sy), "y")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(N.fround(mi_term, 9).cast("decimal(25,12)"))
+            .cast("double")
+            .alias("mi_nats")
+        )
+    )
+    hx = rx.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            N.fround(
+                -(F.col("r").cast("double") / nd)
+                * F.log(F.col("r").cast("double") / nd),
+                9,
+            ).cast("decimal(25,12)")
+        )
+        .cast("double")
+        .alias("h_x")
+    )
+    hy = sy.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            N.fround(
+                -(F.col("s").cast("double") / nd)
+                * F.log(F.col("s").cast("double") / nd),
+                9,
+            ).cast("decimal(25,12)")
+        )
+        .cast("double")
+        .alias("h_y")
+    )
+    return (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            F.round("mi_nats", 6).alias("mi_nats"),
+            F.round("h_x", 6).alias("h_x"),
+            F.round("h_y", 6).alias("h_y"),
+            F.round(
+                F.col("mi_nats")
+                / F.nullif(F.sqrt(F.col("h_x") * F.col("h_y")), F.lit(0.0)),
+                6,
+            ).alias("nmi"),
+        )
+    )

@@ -467,3 +467,107 @@ def privacy_dp_mean_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("clip_cents") / 100.0 + F.col("noise")) / F.col("n_true"), 6
         ).alias("mean_released"),
     )
+
+
+# --- local DP: randomized-response frequency estimation -----------------------
+# The privacy family above is CENTRAL DP (trusted aggregator adds noise once);
+# randomized response (Warner 1965, the RAPPOR core) is LOCAL DP — each row
+# lies with calibrated probability before collection, and the aggregator
+# inverts the lie rate. Here the coin is the portable keyed hash, so the
+# mechanism is deterministic, replayable, and oracle-checkable bit-for-bit.
+_RR_P = 0.75  # probability of reporting the true category
+_RR_M = 1_000_000
+_RR_CATS = "('click', 'error', 'purchase', 'signup', 'view')"
+
+
+@query(
+    "privacy_rr_frequency",
+    oracle=f"""
+    WITH coins AS (
+      SELECT event_type AS true_type,
+             {_h_sql("concat_ws('', 'rr:', CAST(event_id AS VARCHAR))")}
+               % {_RR_M} AS u,
+             {_h_sql("concat_ws('', 'rr2:', CAST(event_id AS VARCHAR))")}
+               % 5 AS alt
+      FROM events
+    ),
+    reported AS (
+      SELECT true_type,
+             CASE WHEN u < {int(_RR_P * _RR_M)} THEN true_type
+                  ELSE list_value{_RR_CATS}[alt + 1] END AS rep_type
+      FROM coins
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM reported),
+    obs AS (
+      SELECT rep_type AS event_type, CAST(count(*) AS BIGINT) AS n_reported
+      FROM reported GROUP BY rep_type
+    ),
+    tru AS (
+      SELECT true_type AS event_type, CAST(count(*) AS BIGINT) AS n_true
+      FROM reported GROUP BY true_type
+    )
+    SELECT o.event_type, t.n_true, o.n_reported,
+           round((CAST(o.n_reported AS DOUBLE) / CAST(n AS DOUBLE)
+                  - {(1.0 - _RR_P) / 5.0}) / {_RR_P}, 6) AS est_share,
+           round(abs((CAST(o.n_reported AS DOUBLE) / CAST(n AS DOUBLE)
+                      - {(1.0 - _RR_P) / 5.0}) / {_RR_P}
+                     - CAST(t.n_true AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+             AS abs_err
+    FROM obs o JOIN tru t ON o.event_type = t.event_type, tot
+    """,
+)
+def privacy_rr_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-DP frequency estimation by randomized response: each event
+    reports its true type with p={p} and a hash-uniform category
+    otherwise (epsilon = ln(p/((1-p)/K) * ...) — the Warner/RAPPOR
+    mechanism), and the aggregator inverts the mechanism:
+    share = (obs/n - (1-p)/K)/p. The true histogram rides along as the
+    test-SF referee (at 100 TB only the reported column leaves the
+    device). Hash-Bernoulli coins make the mechanism deterministic —
+    state-free, partition/retry-independent — so the oracle pins the
+    whole pipeline including the privacy noise.""".format(p=_RR_P)
+    ev = load_table(spark, sf_dir, "events")
+    u = _h_spark(
+        F.concat_ws("", F.lit("rr:"), F.col("event_id").cast("string"))
+    ) % _RR_M
+    alt = _h_spark(
+        F.concat_ws("", F.lit("rr2:"), F.col("event_id").cast("string"))
+    ) % 5
+    cats = F.array(
+        F.lit("click"), F.lit("error"), F.lit("purchase"),
+        F.lit("signup"), F.lit("view"),
+    )
+    reported = ev.select(
+        F.col("event_type").alias("true_type"),
+        F.when(u < int(_RR_P * _RR_M), F.col("event_type"))
+        .otherwise(F.element_at(cats, (alt + 1).cast("int")))
+        .alias("rep_type"),
+    )
+    tot = reported.agg(F.count("*").cast("bigint").alias("n"))
+    obs = reported.groupBy(F.col("rep_type").alias("event_type")).agg(
+        F.count("*").cast("bigint").alias("n_reported")
+    )
+    tru = reported.groupBy(F.col("true_type").alias("event_type")).agg(
+        F.count("*").cast("bigint").alias("n_true")
+    )
+    est = (
+        F.col("n_reported").cast("double") / F.col("n").cast("double")
+        - (1.0 - _RR_P) / 5.0
+    ) / _RR_P
+    return (
+        obs.join(tru, "event_type")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n_true",
+            "n_reported",
+            F.round(est, 6).alias("est_share"),
+            F.round(
+                F.abs(
+                    est
+                    - F.col("n_true").cast("double") / F.col("n").cast("double")
+                ),
+                6,
+            ).alias("abs_err"),
+        )
+    )

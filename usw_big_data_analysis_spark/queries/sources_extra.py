@@ -591,3 +591,64 @@ def sink_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
     )
+
+
+# --- multiline quoted CSV scan ------------------------------------------------
+@query(
+    "scan_csv_multiline",
+    oracle="""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(CASE WHEN doc_id % 7 = 0
+                                THEN replace(text, ' ', chr(10))
+                                ELSE text END)) AS BIGINT) AS sum_len
+    FROM documents GROUP BY source
+    """,
+)
+def scan_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-multiline CSV ingestion: every 7th document's text gains
+    embedded newlines (space → LF), the corpus is staged as RFC-4180 CSV
+    (fields with newlines quoted), and Spark reads it back with
+    multiLine=true + an explicit schema. The per-source checksum must
+    equal the oracle's statement over the ORIGINAL table under the same
+    transformation — record-boundary bugs (the classic multiline-CSV
+    failure) shift characters between rows and break the hash.
+
+    Scale note, stated honestly: multiLine CSV is NOT splittable — one
+    file = one task, because record boundaries can't be found mid-file.
+    It belongs at the ingest edge only; the first job should rewrite to
+    parquet. The staging write itself is driver-side on purpose (the
+    fixture IS the file under test, not a distributed sink)."""
+    import csv
+
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))[
+        ["doc_id", "text", "source"]
+    ]
+    content = docs["text"].where(
+        docs["doc_id"] % 7 != 0, docs["text"].str.replace(" ", "\n")
+    )
+    staged = docs.assign(text=content)
+    path = os.path.join(_process_tmp(), "usw_q_multiline.csv")
+    staged.to_csv(
+        path, index=False, quoting=csv.QUOTE_MINIMAL, lineterminator="\r\n"
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("multiLine", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+    return back.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("sum_len"),
+    )
