@@ -653,3 +653,148 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(least(e_us, (h + 1) * {_IV_HOUR_US})"
         f" - greatest(s_us, h * {_IV_HOUR_US}) AS BIGINT) AS overlap_us",
     )
+
+
+# --- spatial radius self-join via grid hashing --------------------------------
+# No all-pairs distance join survives at scale; the standard shape is grid
+# bucketing: hash each point to an r-sized cell, probe only the 3x3 cell
+# neighborhood (which provably contains every pair within r), then apply the
+# exact distance predicate. Coordinates are deterministic hash-uniforms per
+# customer so the op is fixture-independent and oracle-checkable.
+_SPJ_R = 0.02
+_SPJ_M = 1_000_000
+
+
+def _spj_points_sql() -> str:
+    from .dedup import _h_sql
+
+    hx = _h_sql("concat_ws('', 'sx:', CAST(c_custkey AS VARCHAR))")
+    hy = _h_sql("concat_ws('', 'sy:', CAST(c_custkey AS VARCHAR))")
+    return f"""
+      SELECT c_custkey AS id,
+             CAST({hx} % {_SPJ_M} AS DOUBLE) / {_SPJ_M}.0 AS x,
+             CAST({hy} % {_SPJ_M} AS DOUBLE) / {_SPJ_M}.0 AS y
+      FROM customer
+    """
+
+
+@query(
+    "join_spatial_radius",
+    oracle=f"""
+    WITH pts AS ({_spj_points_sql()}),
+    cells AS (
+      SELECT id, x, y,
+             CAST(floor(x / {_SPJ_R}) AS BIGINT) AS cx,
+             CAST(floor(y / {_SPJ_R}) AS BIGINT) AS cy
+      FROM pts
+    ),
+    probe AS (
+      SELECT c.id, c.x, c.y, c.cx + dx.d AS cx, c.cy + dy.d AS cy
+      FROM cells c,
+           (SELECT unnest([-1, 0, 1]) AS d) dx,
+           (SELECT unnest([-1, 0, 1]) AS d) dy
+    ),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS dist
+      FROM probe a JOIN cells b ON a.cx = b.cx AND a.cy = b.cy
+      WHERE a.id < b.id
+    ),
+    hits AS (SELECT * FROM pairs WHERE dist <= {_SPJ_R})
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM pts) AS n_points,
+           (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_candidates,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(sum(CAST(round(dist, 9) AS DECIMAL(25,12))) AS DOUBLE)
+                 / nullif(count(*), 0), 6) AS avg_dist
+    FROM hits
+    """,
+)
+def join_spatial_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius self-join (r = {r}) on hash-uniform customer coordinates via
+    grid hashing: points land in r-sized cells, each point probes only its
+    3x3 cell neighborhood (a superset of all true within-r pairs by the
+    triangle bound), and the exact distance predicate filters. Emits the
+    candidate count next to the hit count — the grid's selectivity audit
+    (candidates ~ 9·n·density vs the n² a naive cross join would scan).
+
+    Scale shape: the probe is a pure equi-join on (cx, cy) — shuffle
+    partitioned by cell, no cross join anywhere; skewed cells would salt
+    exactly like any hot equi-join key (skew_salt_plan's contract). The
+    only doubles are coordinate arithmetic identical in both engines;
+    avg_dist sums 9dp-quantized decimals (order-free).""".format(r=_SPJ_R)
+    from ..functions import numeric as N
+    from .dedup import _h_spark
+
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        (
+            (
+                _h_spark(
+                    F.concat_ws("", F.lit("sx:"), F.col("c_custkey").cast("string"))
+                )
+                % _SPJ_M
+            ).cast("double")
+            / float(_SPJ_M)
+        ).alias("x"),
+        (
+            (
+                _h_spark(
+                    F.concat_ws("", F.lit("sy:"), F.col("c_custkey").cast("string"))
+                )
+                % _SPJ_M
+            ).cast("double")
+            / float(_SPJ_M)
+        ).alias("y"),
+    )
+    cells = pts.select(
+        "id",
+        "x",
+        "y",
+        F.floor(F.col("x") / _SPJ_R).cast("bigint").alias("cx"),
+        F.floor(F.col("y") / _SPJ_R).cast("bigint").alias("cy"),
+    )
+    offs = spark.range(3).selectExpr("CAST(id - 1 AS BIGINT) AS d")
+    probe = (
+        cells.crossJoin(F.broadcast(offs.selectExpr("d AS dx")))
+        .crossJoin(F.broadcast(offs.selectExpr("d AS dy")))
+        .select(
+            "id",
+            "x",
+            "y",
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+        )
+    )
+    b = cells.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        "cx",
+        "cy",
+    )
+    pairs = (
+        probe.join(b, ["cx", "cy"])
+        .filter(F.col("id") < F.col("id_b"))
+        .select(
+            F.sqrt(
+                (F.col("x") - F.col("xb")) * (F.col("x") - F.col("xb"))
+                + (F.col("y") - F.col("yb")) * (F.col("y") - F.col("yb"))
+            ).alias("dist")
+        )
+    )
+    n_pts = pts.agg(F.count("*").cast("bigint").alias("n_points"))
+    n_cand = pairs.agg(F.count("*").cast("bigint").alias("n_candidates"))
+    hits = pairs.filter(F.col("dist") <= _SPJ_R).agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(
+            F.sum(N.fround(F.col("dist"), 9).cast("decimal(25,12)")).cast("double")
+            / F.nullif(F.count("*").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("avg_dist"),
+    )
+    return (
+        n_pts.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(hits))
+        .select("n_points", "n_candidates", "n_pairs", "avg_dist")
+    )

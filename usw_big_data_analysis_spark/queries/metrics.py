@@ -1850,3 +1850,115 @@ def _split_top_level_commas(s: str) -> list[str]:
     if "".join(cur).strip():
         parts.append("".join(cur))
     return parts
+
+
+# --- multilabel classification metrics ----------------------------------------
+# The binary/multiclass metric families above assume one label per row;
+# multilabel (K parallel binary targets) has its own canon: Hamming loss,
+# subset (exact-match) accuracy, micro- and macro-averaged F1. Labels and
+# predictions are deterministic hash bits (prediction = label with a 25%
+# hash-coin bit flip), so the whole suite is integer-exact.
+_ML_K = 3
+
+
+def _ml_bits_sql() -> str:
+    from .dedup import _h_sql
+
+    hy = _h_sql("concat_ws('', 'ml:', CAST(o_orderkey AS VARCHAR))")
+    hf = _h_sql("concat_ws('', 'mf:', CAST(o_orderkey AS VARCHAR))")
+    cols = []
+    for k in range(_ML_K):
+        cols.append(f"CAST(({hy} // {2 ** k}) % 2 AS INT) AS y{k}")
+        cols.append(
+            f"CAST((CAST(({hy} // {2 ** k}) % 2 AS INT)"
+            f" + CAST(({hf} // {4 ** k}) % 4 = 0 AS INT)) % 2 AS INT) AS p{k}"
+        )
+    return "SELECT " + ", ".join(cols) + " FROM orders"
+
+
+def _ml_metric_exprs() -> dict[str, str]:
+    K = _ML_K
+    mism = " + ".join(f"CAST(y{k} <> p{k} AS INT)" for k in range(K))
+    tp = " + ".join(f"sum(CAST(y{k} = 1 AND p{k} = 1 AS BIGINT))" for k in range(K))
+    fp = " + ".join(f"sum(CAST(y{k} = 0 AND p{k} = 1 AS BIGINT))" for k in range(K))
+    fn = " + ".join(f"sum(CAST(y{k} = 1 AND p{k} = 0 AS BIGINT))" for k in range(K))
+    f1s = []
+    for k in range(K):
+        tpk = f"CAST(sum(CAST(y{k} = 1 AND p{k} = 1 AS BIGINT)) AS DOUBLE)"
+        fpk = f"CAST(sum(CAST(y{k} = 0 AND p{k} = 1 AS BIGINT)) AS DOUBLE)"
+        fnk = f"CAST(sum(CAST(y{k} = 1 AND p{k} = 0 AS BIGINT)) AS DOUBLE)"
+        f1s.append(f"(2.0 * {tpk} / nullif(2.0 * {tpk} + {fpk} + {fnk}, 0.0))")
+    return {
+        "n": "CAST(count(*) AS BIGINT) AS n",
+        "hamming": (
+            f"round(CAST(sum({mism}) AS DOUBLE)"
+            f" / (CAST(count(*) AS DOUBLE) * {K}.0), 6) AS hamming_loss"
+        ),
+        "subset": (
+            f"round(CAST(sum(CAST(({mism}) = 0 AS BIGINT)) AS DOUBLE)"
+            " / CAST(count(*) AS DOUBLE), 6) AS subset_accuracy"
+        ),
+        "microp": (
+            f"round(CAST({tp} AS DOUBLE)"
+            f" / nullif(CAST(({tp}) + ({fp}) AS DOUBLE), 0.0), 6)"
+            " AS micro_precision"
+        ),
+        "micror": (
+            f"round(CAST({tp} AS DOUBLE)"
+            f" / nullif(CAST(({tp}) + ({fn}) AS DOUBLE), 0.0), 6) AS micro_recall"
+        ),
+        "microf1": (
+            f"round(2.0 * CAST({tp} AS DOUBLE)"
+            f" / nullif(2.0 * CAST({tp} AS DOUBLE)"
+            f" + CAST({fp} AS DOUBLE) + CAST({fn} AS DOUBLE), 0.0), 6)"
+            " AS micro_f1"
+        ),
+        "macrof1": (
+            f"round(({' + '.join(f1s)}) / {_ML_K}.0, 6) AS macro_f1"
+        ),
+    }
+
+
+@query(
+    "metric_multilabel_suite",
+    oracle=(
+        "SELECT "
+        + ", ".join(_ml_metric_exprs().values())
+        + f" FROM ({_ml_bits_sql()})"
+    ),
+)
+def metric_multilabel_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilabel metric suite over {k} parallel hash-bit targets with
+    hash-coin 25% flip predictions: Hamming loss, exact-match subset
+    accuracy, micro-averaged precision/recall/F1 (counts pooled across
+    labels), macro-F1 (per-label F1s averaged in fixed literal order).
+    Everything but the final divisions is integer counting — one
+    map-side-combined scan, engine- and partitioning-exact.""".format(k=_ML_K)
+    from .dedup import _h_spark
+
+    orders = load_table(spark, sf_dir, "orders")
+    hy = _h_spark(
+        F.concat_ws("", F.lit("ml:"), F.col("o_orderkey").cast("string"))
+    )
+    hf = _h_spark(
+        F.concat_ws("", F.lit("mf:"), F.col("o_orderkey").cast("string"))
+    )
+    cols = []
+    for k in range(_ML_K):
+        # shiftright, not division: h is a 60-bit value, and double `/`
+        # would destroy exactly the low bits these masks read
+        yk = (F.shiftright(hy, k) % 2).cast("int")
+        flip = ((F.shiftright(hf, 2 * k) % 4) == 0).cast("int")
+        cols.append(yk.alias(f"y{k}"))
+        cols.append(((yk + flip) % 2).cast("int").alias(f"p{k}"))
+    bits = orders.select(*cols)
+    exprs = _ml_metric_exprs()
+    return bits.agg(
+        F.expr(exprs["n"]),
+        F.expr(exprs["hamming"]),
+        F.expr(exprs["subset"]),
+        F.expr(exprs["microp"]),
+        F.expr(exprs["micror"]),
+        F.expr(exprs["microf1"]),
+        F.expr(exprs["macrof1"]),
+    )
