@@ -2458,3 +2458,216 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("journey").rlike(_EPM_PATTERN).cast("int").alias("matched"),
     )
+
+
+# --- Markov removal-effect attribution ----------------------------------------
+# attribution_last_touch is position-based; the Markov model (Anderl et al.
+# 2014) credits each channel by its REMOVAL EFFECT: how much the journey
+# conversion probability drops if the channel vanishes (flows into it go to
+# the null absorber — no renormalization). Channels: view/click/signup;
+# purchase absorbs as conversion; error events are not touchpoints and are
+# dropped. The absorbing-chain solve (I-Q)x = b is done in CLOSED FORM by
+# Cramer's rule with Python-generated Leibniz determinants (the feature_vif
+# technique), so there is no iteration and no driver-side linear algebra —
+# the whole model is one expression tree over the 20-cell transition matrix.
+_MKV_STATES = ("s", "v", "c", "g")  # transient: start, view, click, signup
+_MKV_TO = ("v", "c", "g", "p", "n")  # targets: channels + purchase + null
+
+
+def _mkv_det(entries, idx):
+    """Leibniz determinant over the submatrix of `entries` (dict
+    (i, j) -> SQL string) restricted to row/col positions in idx."""
+    import itertools
+
+    k = len(idx)
+    terms = []
+    for perm in itertools.permutations(range(k)):
+        inv = sum(
+            1
+            for a in range(k)
+            for b in range(a + 1, k)
+            if perm[a] > perm[b]
+        )
+        sign = "-" if inv % 2 else "+"
+        prod = " * ".join(entries[(idx[r], idx[perm[r]])] for r in range(k))
+        terms.append(f"{sign} ({prod})")
+    return "(" + " ".join(terms) + ")"
+
+
+def _mkv_exprs():
+    """(channel -> (p_full, p_removed) SQL strings) over the q_/b_ names."""
+    S = _MKV_STATES
+    a = {}
+    for i, si in enumerate(S):
+        for j, sj in enumerate(S):
+            base = f"q_{si}{sj}"
+            a[(i, j)] = (
+                f"(1.0 - {base})" if i == j else f"(0.0 - {base})"
+            )
+    b = {i: f"b_{si}" for i, si in enumerate(S)}
+
+    def cramer(idx):
+        den = _mkv_det(a, idx)
+        num_entries = dict(a)
+        for r in idx:
+            num_entries[(r, idx[0])] = b[r]  # replace the start column
+        num = _mkv_det(num_entries, idx)
+        return f"({num} / nullif({den}, 0.0))"
+
+    full_idx = list(range(len(S)))
+    p_full = cramer(full_idx)
+    removed = {}
+    for m, ch in enumerate(S):
+        if ch == "s":
+            continue
+        removed[ch] = cramer([i for i in full_idx if i != m])
+    return p_full, removed
+
+
+def _mkv_stats_sql(pair_src: str) -> str:
+    """Select list: n_ij counts, r_i totals, q_ij = n_ij/r_i, b_i."""
+    # q entries: transient -> transient (s never a target => q_*s = 0)
+    sel = []
+    for si in _MKV_STATES:
+        r = (
+            "nullif(CAST("
+            + " + ".join(
+                f"sum(CASE WHEN f = '{si}' AND t = '{sj}' THEN 1 ELSE 0 END)"
+                for sj in _MKV_TO
+            )
+            + " AS DOUBLE), 0.0)"
+        )
+        for sj in _MKV_STATES:
+            if sj == "s":
+                sel.append(f"0.0 AS q_{si}{sj}")
+            else:
+                n = (
+                    f"CAST(sum(CASE WHEN f = '{si}' AND t = '{sj}'"
+                    " THEN 1 ELSE 0 END) AS DOUBLE)"
+                )
+                sel.append(f"coalesce({n} / {r}, 0.0) AS q_{si}{sj}")
+        np_ = (
+            f"CAST(sum(CASE WHEN f = '{si}' AND t = 'p'"
+            " THEN 1 ELSE 0 END) AS DOUBLE)"
+        )
+        sel.append(f"coalesce({np_} / {r}, 0.0) AS b_{si}")
+    return f"SELECT {', '.join(sel)} FROM ({pair_src})"
+
+
+_MKV_JOURNEY_SQL = """
+  SELECT user_id,
+         CASE WHEN strpos(j, 'p') > 0
+              THEN 's' || substring(j, 1, strpos(j, 'p'))
+              ELSE 's' || j || 'n' END AS path
+  FROM (
+    SELECT user_id,
+           string_agg(CASE event_type WHEN 'view' THEN 'v'
+                                      WHEN 'click' THEN 'c'
+                                      WHEN 'signup' THEN 'g'
+                                      ELSE 'p' END, ''
+                      ORDER BY epoch_us(ts), event_id) AS j
+    FROM events
+    WHERE event_type IN ('view', 'click', 'signup', 'purchase')
+    GROUP BY user_id
+  )
+"""
+
+_MKV_PAIRS_SQL = f"""
+  SELECT substring(path, i, 1) AS f, substring(path, i + 1, 1) AS t
+  FROM ({_MKV_JOURNEY_SQL}) jj,
+       unnest(generate_series(1, length(path) - 1)) u(i)
+"""
+
+
+def _mkv_oracle() -> str:
+    p_full, removed = _mkv_exprs()
+    return f"""
+    WITH stats AS ({_mkv_stats_sql(_MKV_PAIRS_SQL)})
+    SELECT channel, p_conversion, p_without, removal_effect,
+           round(removal_effect
+                 / nullif(sum(removal_effect) OVER (), 0.0), 6)
+             AS attribution_share
+    FROM (
+      {" UNION ALL ".join(
+        "SELECT '" + {"v": "view", "c": "click", "g": "signup"}[ch]
+        + "' AS channel,"
+        + " round(" + p_full + ", 6) AS p_conversion,"
+        + " round(" + p_rm + ", 6) AS p_without,"
+        + " round(1.0 - " + p_rm + " / nullif(" + p_full + ", 0.0), 6)"
+        + " AS removal_effect FROM stats"
+        for ch, p_rm in removed.items())}
+    )
+    """
+
+
+@query("attribution_markov_removal", oracle=_mkv_oracle())
+def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain attribution with removal effects: user journeys over
+    the view/click/signup touchpoints (truncated at first purchase; error
+    events are not touchpoints) become a first-order transition matrix;
+    conversion probability is the absorbing-chain solve (I-Q)x = b
+    evaluated in CLOSED FORM via Cramer's rule with generated Leibniz
+    determinants (no iteration, no driver linear algebra); each channel's
+    credit is its removal effect 1 - P(conv | channel deleted)/P(conv),
+    normalized into attribution shares.
+
+    Scale shape: one per-user ordered reduction (the journey string),
+    one linear bigram explode, one 20-cell count matrix — the model fit
+    is O(corpus) with a constant-size state. Every q entry is an exact
+    integer ratio; the determinant expressions are identical literal
+    trees in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    j = (
+        ev.filter(
+            F.col("event_type").isin("view", "click", "signup", "purchase")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct("
+                "unix_micros(CAST(ts AS TIMESTAMP)) AS t, event_id AS i,"
+                " CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'"
+                " WHEN 'signup' THEN 'g' ELSE 'p' END AS c))), s -> s.c), '')"
+                " AS j"
+            )
+        )
+        .selectExpr(
+            "CASE WHEN instr(j, 'p') > 0"
+            " THEN concat('s', substring(j, 1, instr(j, 'p')))"
+            " ELSE concat('s', j, 'n') END AS path"
+        )
+    )
+    pairs = j.selectExpr(
+        "explode(transform(sequence(1, length(path) - 1),"
+        " i -> struct(substring(path, i, 1) AS f,"
+        " substring(path, i + 1, 1) AS t))) AS pr"
+    ).select("pr.f", "pr.t")
+    stats_sql = _mkv_stats_sql("__SRC__")
+    sel_list = stats_sql[len("SELECT ") : stats_sql.index(" FROM (")]
+    from .metrics import _split_top_level_commas
+
+    stats = pairs.agg(
+        *[F.expr(e) for e in _split_top_level_commas(sel_list)]
+    )
+    p_full, removed = _mkv_exprs()
+    names = {"v": "view", "c": "click", "g": "signup"}
+    rows = None
+    for ch, p_rm in removed.items():
+        r = stats.selectExpr(
+            f"'{names[ch]}' AS channel",
+            f"round({p_full}, 6) AS p_conversion",
+            f"round({p_rm}, 6) AS p_without",
+            f"round(1.0 - {p_rm} / nullif({p_full}, 0.0), 6)"
+            " AS removal_effect",
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    tot = rows.agg(F.sum("removal_effect").alias("re_tot"))
+    return rows.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        "p_conversion",
+        "p_without",
+        "removal_effect",
+        F.round(
+            F.col("removal_effect") / F.nullif(F.col("re_tot"), F.lit(0.0)), 6
+        ).alias("attribution_share"),
+    )
