@@ -1375,3 +1375,93 @@ def feature_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+# --- empirical-Bayes rate shrinkage (beta-binomial, method of moments) -------
+# The "small denominators lie" fix every per-group rate table needs: fit a
+# beta prior to the observed per-part return rates by method of moments,
+# then shrink each part's rate toward the prior mean in proportion to its
+# evidence: (x + alpha)/(n + alpha + beta). target_encoding_smoothed fixes
+# the same pathology with a HAND-PICKED smoothing constant; here the data
+# chooses it.
+@query(
+    "rate_shrinkage_eb",
+    oracle="""
+    WITH g AS (
+      SELECT l_partkey AS pk, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_returnflag = 'R' AS BIGINT)) AS BIGINT) AS x
+      FROM lineitem GROUP BY l_partkey
+    ),
+    mo AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(CAST(round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 9)
+                           AS DECIMAL(25,12))) AS DOUBLE) AS sp,
+             CAST(sum(CAST(round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                                 * (CAST(x AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+                           AS DECIMAL(25,12))) AS DOUBLE) AS spp
+      FROM g
+    ),
+    prior AS (
+      SELECT k, sp / k AS m,
+             (spp - sp * sp / k) / (k - 1.0) AS v
+      FROM mo
+    ),
+    ab AS (
+      SELECT m, v,
+             greatest(m * (1.0 - m) / nullif(v, 0.0) - 1.0, 0.1) AS s
+      FROM prior
+    )
+    SELECT g.pk, g.n, g.x,
+           round(CAST(g.x AS DOUBLE) / CAST(g.n AS DOUBLE), 6) AS rate_raw,
+           round(m, 6) AS prior_mean,
+           round((CAST(g.x AS DOUBLE) + m * s)
+                 / (CAST(g.n AS DOUBLE) + s), 6) AS rate_shrunk
+    FROM g, ab
+    """,
+)
+def rate_shrinkage_eb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-part return rates: a beta prior is
+    fit by method of moments over the observed rates (prior strength
+    s = m(1-m)/v - 1, floored at 0.1 against a degenerate zero-variance
+    corpus), and each part's rate shrinks toward the prior mean with
+    weight proportional to its evidence. Low-n parts move most — the
+    principled version of target_encoding_smoothed's fixed constant.
+
+    Exactness: per-part counts are integers; the across-parts moment sums
+    quantize each rate to 9dp DECIMAL (order-free); the shrinkage is one
+    identical double expression. One fact scan, one part-keyed groupBy,
+    one broadcast scalar."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum((F.col("l_returnflag") == "R").cast("bigint"))
+        .cast("bigint")
+        .alias("x"),
+    )
+    rate = F.col("x").cast("double") / F.col("n").cast("double")
+    mo = g.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum(N.fround(rate, 9).cast("decimal(25,12)"))
+        .cast("double")
+        .alias("sp"),
+        F.sum(N.fround(rate * rate, 9).cast("decimal(25,12)"))
+        .cast("double")
+        .alias("spp"),
+    )
+    ab = mo.selectExpr(
+        "sp / k AS m",
+        "greatest((sp / k) * (1.0 - sp / k)"
+        " / nullif((spp - sp * sp / k) / (k - 1.0), 0.0) - 1.0, 0.1) AS s",
+    )
+    return g.crossJoin(F.broadcast(ab)).select(
+        "pk",
+        "n",
+        "x",
+        F.round(rate, 6).alias("rate_raw"),
+        F.round(F.col("m"), 6).alias("prior_mean"),
+        F.round(
+            (F.col("x").cast("double") + F.col("m") * F.col("s"))
+            / (F.col("n").cast("double") + F.col("s")),
+            6,
+        ).alias("rate_shrunk"),
+    )

@@ -1740,3 +1740,110 @@ def recsys_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _IIC_K)
         .select("item", "neighbor", "cooc", F.round("sim", 6).alias("sim"), "rk")
     )
+
+
+# --- XYZ demand-volatility classification --------------------------------------
+# ABC (value concentration, abc_classification) and XYZ (demand volatility)
+# are the two axes of the classic inventory segmentation. XYZ classes by the
+# coefficient of variation of monthly demand: X steady (cv < 0.5), Y variable
+# (cv < 1.0), Z erratic.
+@query(
+    "xyz_volatility_class",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT l_partkey AS pk,
+             epoch_us(l_shipdate) // {_US_DAY} // 31 AS m,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY pk, m
+    ),
+    per_part AS (
+      SELECT pk, CAST(count(*) AS BIGINT) AS n_months,
+             CAST(sum(q) AS BIGINT) AS sq,
+             CAST(sum(CAST(q * q AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sqq
+      FROM monthly GROUP BY pk
+      HAVING count(*) >= 2
+    ),
+    cvp AS (
+      SELECT pk, n_months,
+             sqrt(greatest((CAST(sqq AS DOUBLE)
+                   - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)
+                     / CAST(n_months AS DOUBLE))
+                  / (CAST(n_months AS DOUBLE) - 1.0), 0.0))
+             / nullif(CAST(sq AS DOUBLE) / CAST(n_months AS DOUBLE), 0.0) AS cv
+      FROM per_part
+    ),
+    cls AS (
+      SELECT CASE WHEN cv < 0.5 THEN 'X' WHEN cv < 1.0 THEN 'Y'
+                  ELSE 'Z' END AS xyz, cv
+      FROM cvp
+    )
+    SELECT xyz, CAST(count(*) AS BIGINT) AS n_parts,
+           round(CAST(sum(CAST(round(cv, 9) AS DECIMAL(25,12))) AS DOUBLE)
+                 / count(*), 6) AS avg_cv,
+           round(min(cv), 6) AS min_cv, round(max(cv), 6) AS max_cv
+    FROM cls GROUP BY xyz
+    """,
+)
+def xyz_volatility_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ inventory segmentation — the volatility axis that pairs with
+    abc_classification's value axis: per part, the coefficient of
+    variation of monthly shipped quantity classes it X (steady, cv<0.5),
+    Y (variable, cv<1) or Z (erratic). Parts with a single active month
+    have no variance to speak of and are excluded (n_months >= 2).
+
+    Exactness: monthly quantities are integer sums; per-part variance
+    comes from exact DECIMAL moments (guarded against the tiny negative
+    cancellation sqrt would reject); per-class avg_cv sums 9dp-quantized
+    decimals. Two map-side-combined groupBys, nothing wider than the part
+    domain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.expr(
+            f"unix_micros(CAST(l_shipdate AS TIMESTAMP)) div {_US_DAY} div 31"
+        ).alias("m"),
+    ).agg(
+        F.expr(
+            f"CAST(sum({N.spark_fround_int('l_quantity')}) AS BIGINT)"
+        ).alias("q")
+    )
+    per_part = (
+        monthly.groupBy("pk")
+        .agg(
+            F.count("*").cast("bigint").alias("n_months"),
+            F.sum("q").cast("bigint").alias("sq"),
+            F.sum(F.expr("CAST(q AS DECIMAL(38,0)) * q").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("sqq"),
+        )
+        .filter("n_months >= 2")
+    )
+    cv = F.sqrt(
+        F.greatest(
+            (
+                F.col("sqq").cast("double")
+                - F.col("sq").cast("double")
+                * F.col("sq").cast("double")
+                / F.col("n_months").cast("double")
+            )
+            / (F.col("n_months").cast("double") - 1.0),
+            F.lit(0.0),
+        )
+    ) / F.nullif(
+        F.col("sq").cast("double") / F.col("n_months").cast("double"),
+        F.lit(0.0),
+    )
+    cls = per_part.select(
+        F.when(cv < 0.5, "X").when(cv < 1.0, "Y").otherwise("Z").alias("xyz"),
+        cv.alias("cv"),
+    )
+    return cls.groupBy("xyz").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.round(
+            F.sum(N.fround(F.col("cv"), 9).cast("decimal(25,12)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_cv"),
+        F.round(F.min("cv"), 6).alias("min_cv"),
+        F.round(F.max("cv"), 6).alias("max_cv"),
+    )
