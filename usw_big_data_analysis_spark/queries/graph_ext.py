@@ -427,3 +427,77 @@ def graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(min(d) AS BIGINT) AS min_degree"),
         F.expr("CAST(max(d) AS BIGINT) AS max_degree"),
     )
+
+
+# --- degree assortativity coefficient -----------------------------------------
+@query(
+    "graph_assortativity",
+    oracle=f"""
+    WITH {_EDGE_CTES},
+    de AS (
+      SELECT da.d AS dx, db.d AS dy
+      FROM edges e
+      JOIN deg da ON e.src = da.src
+      JOIN deg db ON e.dst = db.src
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+             CAST(sum(CAST(dx * dy AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+             CAST(sum(CAST(dx * dx AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+             CAST(sum(CAST(dy * dy AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+      FROM de
+    )
+    SELECT m AS n_directed_edges,
+           round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / nullif(sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)),
+                          0.0), 6) AS assortativity
+    FROM s
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph (Newman 2002):
+    the Pearson correlation of endpoint degrees over the directed edge
+    list — positive means hubs attach to hubs (social-network shape),
+    negative means hub-and-spoke (technological shape). Tells a graph
+    pipeline whether degree-based partitioning will skew.
+
+    Exactness: endpoint degrees are integers joined onto the edge list;
+    all five sufficient statistics are integer/DECIMAL sums; one double
+    formula at the end. The degree join broadcasts (the degree table is
+    vertex-sized); the edge list is never shuffled wider than itself."""
+    edges = _edges_spark(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("d"))
+    de = (
+        edges.join(
+            F.broadcast(deg.select(F.col("src").alias("u"), F.col("d").alias("dx"))),
+            F.col("src") == F.col("u"),
+        )
+        .join(
+            F.broadcast(deg.select(F.col("src").alias("v"), F.col("d").alias("dy"))),
+            F.col("dst") == F.col("v"),
+        )
+        .select("dx", "dy")
+    )
+    s = de.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sy"),
+        F.sum(F.expr("CAST(dx * dy AS DECIMAL(38,0))")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.expr("CAST(dx * dx AS DECIMAL(38,0))")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.expr("CAST(dy * dy AS DECIMAL(38,0))")).cast("decimal(38,0)").alias("syy"),
+    )
+    return s.selectExpr(
+        "m AS n_directed_edges",
+        """round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / nullif(sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)),
+                    0.0), 6) AS assortativity""",
+    )

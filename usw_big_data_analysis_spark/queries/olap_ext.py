@@ -1847,3 +1847,123 @@ def xyz_volatility_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("cv"), 6).alias("min_cv"),
         F.round(F.max("cv"), 6).alias("max_cv"),
     )
+
+
+# --- exact periodogram at candidate calendar periods --------------------------
+# Which cycle does the daily order series actually carry? DFT power at a
+# few candidate periods. Exactness trick: the only transcendentals are
+# cos/sin(2*pi*k/P) for k < P — a FIXED set of literals per period, so they
+# are precomputed in Python to 12dp and inlined as identical constants in
+# both engines; each term x_d * c[(d % P)] is then quantized to 6dp DECIMAL
+# before summing (order-free), and no engine libm is ever consulted.
+import math as _m
+
+_PGRAM_PERIODS = (5, 7, 11, 30)
+
+
+def _pgram_lits(P: int):
+    cos = [round(_m.cos(2 * _m.pi * k / P), 12) for k in range(P)]
+    sin = [round(_m.sin(2 * _m.pi * k / P), 12) for k in range(P)]
+    return cos, sin
+
+
+def _pgram_case(vals, P: int, var: str) -> str:
+    return (
+        "CASE " + " ".join(
+            f"WHEN {var} % {P} = {k} THEN {vals[k]!r}" for k in range(P)
+        ) + " ELSE 0.0 END"
+    ).replace("'", "")
+
+
+def _pgram_round(engine_round, expr: str) -> str:
+    return engine_round(expr)
+
+
+def _pgram_oracle() -> str:
+    rows = []
+    for P in _PGRAM_PERIODS:
+        cos, sin = _pgram_lits(P)
+        ccase = _pgram_case(cos, P, "d")
+        scase = _pgram_case(sin, P, "d")
+        rows.append(f"""SELECT {P} AS period,
+          CAST(sum(CAST(round(xn * ({ccase}), 6) AS DECIMAL(25,6)))
+               AS DOUBLE) AS a,
+          CAST(sum(CAST(round(xn * ({scase}), 6) AS DECIMAL(25,6)))
+               AS DOUBLE) AS b
+        FROM centered""")
+    return f"""
+    WITH daily AS (
+      SELECT epoch_us(o_orderdate) // {86400000000} AS d,
+             CAST(count(*) AS BIGINT) AS x
+      FROM orders GROUP BY d
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+            FROM daily),
+    centered AS (
+      SELECT d, CAST(n * x - s AS DOUBLE) AS xn FROM daily, tot
+    ),
+    ab AS ({" UNION ALL ".join(rows)}),
+    pw AS (SELECT period, a, b, a * a + b * b AS power FROM ab),
+    tp AS (SELECT CAST(sum(CAST(round(power, 3) AS DECIMAL(38,6))) AS DOUBLE)
+             AS ptot FROM pw)
+    SELECT period, round(a, 3) AS a, round(b, 3) AS b,
+           round(power, 3) AS power,
+           round(power / nullif(ptot, 0.0), 6) AS power_share
+    FROM pw, tp
+    """
+
+
+@query("seasonal_periodogram", oracle=_pgram_oracle())
+def seasonal_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFT power of the (mean-centered, n-scaled) daily order series at
+    candidate periods {periods}: the spectral answer to "is the weekly
+    cycle real, and is it the dominant one?" — cross-checking
+    seasonal_decompose_daily's assumed dow component. All cos/sin values
+    are Python-precomputed literals inlined identically in both engines
+    (no libm divergence possible); every product quantizes to 6dp DECIMAL
+    before the order-free sum. One fact scan to the calendar-bounded
+    daily table; each period is one bounded aggregation.""".format(
+        periods=list(_PGRAM_PERIODS)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+        .alias("d")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    tot = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    centered = daily.crossJoin(F.broadcast(tot)).selectExpr(
+        "d", "CAST(n * x - s AS DOUBLE) AS xn"
+    )
+    ab = None
+    for P in _PGRAM_PERIODS:
+        cos, sin = _pgram_lits(P)
+        ccase = _pgram_case(cos, P, "d")
+        scase = _pgram_case(sin, P, "d")
+        r = centered.agg(
+            F.expr(
+                f"CAST(sum(CAST({N.spark_fround(f'xn * ({ccase})', 6)}"
+                f" AS DECIMAL(25,6))) AS DOUBLE) AS a"
+            ),
+            F.expr(
+                f"CAST(sum(CAST({N.spark_fround(f'xn * ({scase})', 6)}"
+                f" AS DECIMAL(25,6))) AS DOUBLE) AS b"
+            ),
+        ).selectExpr(f"{P} AS period", "a", "b")
+        ab = r if ab is None else ab.unionByName(r)
+    pw = ab.selectExpr("period", "a", "b", "a * a + b * b AS power")
+    tp = pw.agg(
+        F.expr(
+            f"CAST(sum(CAST({N.spark_fround('power', 3)} AS DECIMAL(38,6)))"
+            " AS DOUBLE) AS ptot"
+        )
+    )
+    return pw.crossJoin(F.broadcast(tp)).selectExpr(
+        "period",
+        "round(a, 3) AS a",
+        "round(b, 3) AS b",
+        "round(power, 3) AS power",
+        "round(power / nullif(ptot, 0.0), 6) AS power_share",
+    )
