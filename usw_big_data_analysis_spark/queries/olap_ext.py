@@ -1967,3 +1967,130 @@ def seasonal_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(power, 3) AS power",
         "round(power / nullif(ptot, 0.0), 6) AS power_share",
     )
+
+
+# --- Little's law consistency audit (L = lambda * W) --------------------------
+@query(
+    "ops_littles_law_audit",
+    oracle=f"""
+    WITH iv AS (
+      SELECT o.o_orderkey,
+             epoch_us(o.o_orderdate) // {_US_DAY} AS od,
+             max(epoch_us(l.l_shipdate)) // {_US_DAY} + 1 AS cd
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderkey, od
+    ),
+    span AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(cd - od) AS BIGINT) AS sum_dur,
+             CAST(min(od) AS BIGINT) AS d0, CAST(max(cd) AS BIGINT) AS d1
+      FROM iv
+    ),
+    ev AS (
+      SELECT od AS day, 1 AS delta FROM iv
+      UNION ALL SELECT cd AS day, -1 FROM iv
+    ),
+    byday AS (SELECT day, CAST(sum(delta) AS BIGINT) AS d_net FROM ev
+              GROUP BY day),
+    stepped AS (
+      SELECT a.day,
+             CAST(sum(b.d_net) AS BIGINT) AS backlog,
+             lead(a.day) OVER (ORDER BY a.day) AS next_day
+      FROM byday a JOIN byday b ON b.day <= a.day
+      GROUP BY a.day
+    ),
+    integral AS (
+      SELECT CAST(sum(backlog * (next_day - day)) AS BIGINT) AS area
+      FROM stepped WHERE next_day IS NOT NULL
+    )
+    SELECT n_orders, sum_dur, d1 - d0 AS span_days,
+           round(CAST(area AS DOUBLE) / CAST(d1 - d0 AS DOUBLE), 6) AS l_avg,
+           round(CAST(n_orders AS DOUBLE) / CAST(d1 - d0 AS DOUBLE), 6)
+             AS lambda_rate,
+           round(CAST(sum_dur AS DOUBLE) / CAST(n_orders AS DOUBLE), 6)
+             AS w_avg,
+           round(CAST(area AS DOUBLE) / CAST(sum_dur AS DOUBLE), 6)
+             AS littles_ratio
+    FROM span, integral
+    """,
+)
+def ops_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law (L = λ·W) verified on the order system, the queueing
+    identity every ops dashboard implicitly assumes: time-averaged open
+    orders (the step-function INTEGRAL of the +1/−1 sweep, gap-weighted —
+    not the per-event-day average) against arrival rate × mean time in
+    system. Over the complete horizon the two sides are the same integral
+    computed by two unrelated plans — littles_ratio must be exactly 1 —
+    so the audit pins the whole sweep/duration machinery, the same way
+    dq_referential pins join keys.
+
+    Scale shape: one per-order reduction, then everything lives on the
+    calendar-bounded event-day table (triangular cumulative + one
+    ordered lead over ~2.5k rows in the oracle; the Spark side uses the
+    same bounded triangular joins). All integer until the final
+    divisions."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            orders["o_orderkey"],
+            F.expr(
+                f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_US_DAY}"
+            ).alias("od"),
+        )
+        .agg(
+            (
+                F.expr(
+                    f"max(unix_micros(CAST(l_shipdate AS TIMESTAMP))) div {_US_DAY}"
+                )
+                + 1
+            ).alias("cd")
+        )
+    )
+    span = iv.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.col("cd") - F.col("od")).cast("bigint").alias("sum_dur"),
+        F.min("od").cast("bigint").alias("d0"),
+        F.max("cd").cast("bigint").alias("d1"),
+    )
+    ev = iv.select(F.col("od").alias("day"), F.lit(1).alias("delta")).unionByName(
+        iv.select(F.col("cd").alias("day"), F.lit(-1).alias("delta"))
+    )
+    byday = ev.groupBy("day").agg(F.sum("delta").cast("bigint").alias("d_net"))
+    bd2 = byday.select(F.col("day").alias("day2"), F.col("d_net").alias("dn2"))
+    backlog = (
+        byday.join(F.broadcast(bd2), F.col("day2") <= F.col("day"))
+        .groupBy("day")
+        .agg(F.sum("dn2").cast("bigint").alias("backlog"))
+    )
+    nxt = (
+        byday.select("day")
+        .join(
+            F.broadcast(byday.select(F.col("day").alias("dn"))),
+            F.col("dn") > F.col("day"),
+            "left",
+        )
+        .groupBy("day")
+        .agg(F.min("dn").alias("next_day"))
+    )
+    integral = (
+        backlog.join(nxt, "day")
+        .filter(F.col("next_day").isNotNull())
+        .agg(
+            F.sum(F.col("backlog") * (F.col("next_day") - F.col("day")))
+            .cast("bigint")
+            .alias("area")
+        )
+    )
+    return span.crossJoin(F.broadcast(integral)).selectExpr(
+        "n_orders",
+        "sum_dur",
+        "d1 - d0 AS span_days",
+        "round(CAST(area AS DOUBLE) / CAST(d1 - d0 AS DOUBLE), 6) AS l_avg",
+        "round(CAST(n_orders AS DOUBLE) / CAST(d1 - d0 AS DOUBLE), 6)"
+        " AS lambda_rate",
+        "round(CAST(sum_dur AS DOUBLE) / CAST(n_orders AS DOUBLE), 6) AS w_avg",
+        "round(CAST(area AS DOUBLE) / CAST(sum_dur AS DOUBLE), 6)"
+        " AS littles_ratio",
+    )

@@ -579,3 +579,88 @@ def skew_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(target AS BIGINT) AS target_bucket",
         )
     )
+
+
+# --- HLL audience-overlap audit (inclusion-exclusion on sketches) -------------
+_OVL_CUT = "1996-01-01"
+
+
+@query(
+    "approx_overlap_audit",
+    oracle=f"""
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate < TIMESTAMP '{_OVL_CUT}'),
+    b AS (SELECT DISTINCT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '{_OVL_CUT}'),
+    i AS (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b),
+    u AS (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+           (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b,
+           (SELECT CAST(count(*) AS BIGINT) FROM i) AS n_intersect,
+           (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_union,
+           TRUE AS within_10pct
+    """,
+)
+def approx_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from mergeable sketches: |A∩B| ≈
+    HLL(A) + HLL(B) − HLL(A∪B) (inclusion-exclusion — sketches cannot
+    intersect directly), audited against the exact overlap of early
+    (< {cut}) vs late customer cohorts with a 10% contract the oracle
+    pins TRUE. The verified-approximation shape of this module: at
+    100 TB only the three HLLs run (each a map-side mergeable few-KiB
+    state); the exact distinct/INTERSECT companions are the test-SF
+    referee. Error note: inclusion-exclusion DIFFERENCES the sketch
+    errors, so the relative error on a small intersection can far exceed
+    the per-sketch rsd — the cohorts here overlap heavily on purpose,
+    which is exactly when the estimator is usable.""".format(cut=_OVL_CUT)
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit(_OVL_CUT).cast("timestamp_ntz")
+    a = orders.filter(F.col("o_orderdate") < cut).select("o_custkey")
+    b = orders.filter(F.col("o_orderdate") >= cut).select("o_custkey")
+    u = a.unionByName(b)
+    est = (
+        a.agg(F.approx_count_distinct("o_custkey", 0.02).alias("ea"))
+        .crossJoin(
+            F.broadcast(
+                b.agg(F.approx_count_distinct("o_custkey", 0.02).alias("eb"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                u.agg(F.approx_count_distinct("o_custkey", 0.02).alias("eu"))
+            )
+        )
+    )
+    exact = (
+        a.distinct()
+        .agg(F.count("*").cast("bigint").alias("n_a"))
+        .crossJoin(
+            F.broadcast(b.distinct().agg(F.count("*").cast("bigint").alias("n_b")))
+        )
+        .crossJoin(
+            F.broadcast(
+                a.distinct()
+                .join(b.distinct(), "o_custkey", "left_semi")
+                .agg(F.count("*").cast("bigint").alias("n_intersect"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                u.distinct().agg(F.count("*").cast("bigint").alias("n_union"))
+            )
+        )
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_a",
+        "n_b",
+        "n_intersect",
+        "n_union",
+        (
+            F.abs(
+                (F.col("ea") + F.col("eb") - F.col("eu")).cast("double")
+                - F.col("n_intersect").cast("double")
+            )
+            * 10.0
+            <= F.col("n_intersect").cast("double")
+        ).alias("within_10pct"),
+    )
