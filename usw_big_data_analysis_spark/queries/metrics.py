@@ -1962,3 +1962,130 @@ def metric_multilabel_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(exprs["microf1"]),
         F.expr(exprs["macrof1"]),
     )
+
+
+# --- label-permutation significance test ---------------------------------------
+# "Is the model better than chance?" answered without distributional
+# assumptions: re-score the predictions against K derangements of the label
+# column; the p-value is the rank of the true accuracy among the permuted
+# ones. Permutations are DETERMINISTIC label rotations within hash buckets
+# (shift k inside each id%256 bucket) — state-free, partition-independent,
+# and exactly reproducible in the oracle, unlike an RNG shuffle.
+_LPT_K = 5
+_LPT_B = 256
+
+
+@query(
+    "metric_label_permutation_test",
+    oracle=f"""
+    WITH sc AS (
+      SELECT id, label, pred, CAST(id % {_LPT_B} AS BIGINT) AS b
+      FROM ({_SCORED_SQL})
+    ),
+    rk AS (
+      SELECT id, label, pred, b,
+             row_number() OVER (PARTITION BY b ORDER BY id) AS r,
+             count(*) OVER (PARTITION BY b) AS m
+      FROM sc
+    ),
+    t AS (SELECT CAST(sum(CAST(pred = label AS BIGINT)) AS BIGINT) AS c_true,
+                 CAST(count(*) AS BIGINT) AS n FROM sc),
+    shifted AS (
+      SELECT k.k, a.b, ((a.r - 1 + k.k) % a.m) + 1 AS r2, a.pred
+      FROM rk a, (SELECT unnest(generate_series(1, {_LPT_K})) AS k) k
+    ),
+    perm AS (
+      SELECT s.k,
+             CAST(sum(CAST(s.pred = l.label AS BIGINT)) AS BIGINT) AS c_k
+      FROM shifted s JOIN rk l ON s.b = l.b AND s.r2 = l.r
+      GROUP BY s.k
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_perm,
+             CAST(sum(CAST(c_k >= (SELECT c_true FROM t) AS BIGINT))
+                  AS BIGINT) AS n_ge,
+             CAST(sum(c_k) AS BIGINT) AS c_sum
+      FROM perm
+    )
+    SELECT t.n,
+           round(CAST(t.c_true AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS acc_true,
+           round(CAST(a.c_sum AS DOUBLE)
+                 / (CAST(a.n_perm AS DOUBLE) * CAST(t.n AS DOUBLE)), 6)
+             AS acc_perm_mean,
+           a.n_ge,
+           round(CAST(1 + a.n_ge AS DOUBLE)
+                 / CAST(a.n_perm + 1 AS DOUBLE), 6) AS p_value
+    FROM t, agg a
+    """,
+)
+def metric_label_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test of classifier accuracy: the true accuracy ranked
+    against {k} deterministic within-bucket label rotations (the
+    derangement family a distributed engine can replay exactly — each
+    id%{b} bucket rotates its labels by k). p = (1 + #(perm >= true)) /
+    (K + 1), the standard conservative permutation p-value. All counting
+    integer; the accuracy comparison happens on raw correct-counts so no
+    float enters the decision.
+
+    Scale shape: ranks are windows PARTITIONED by the hash bucket
+    (bounded partitions by construction); the shifted re-score is one
+    equi-join on (bucket, rank) with a {k}x fan-out on the probe side
+    only.""".format(k=_LPT_K, b=_LPT_B)
+    sc = scored_frame(spark, sf_dir).select(
+        "id", "label", "pred", (F.col("id") % _LPT_B).cast("bigint").alias("b")
+    )
+    wb = Window.partitionBy("b").orderBy("id")
+    rk = sc.select(
+        "id",
+        "label",
+        "pred",
+        "b",
+        F.row_number().over(wb).alias("r"),
+        F.count("*").over(Window.partitionBy("b")).alias("m"),
+    )
+    t = sc.agg(
+        F.sum((F.col("pred") == F.col("label")).cast("bigint"))
+        .cast("bigint")
+        .alias("c_true"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    ks = spark.range(1, _LPT_K + 1).select(F.col("id").alias("k"))
+    shifted = rk.crossJoin(F.broadcast(ks)).select(
+        "k",
+        "b",
+        (((F.col("r") - 1 + F.col("k")) % F.col("m")) + 1).alias("r2"),
+        "pred",
+    )
+    labels = rk.select("b", F.col("r").alias("r2"), F.col("label").alias("l2"))
+    perm = (
+        shifted.join(labels, ["b", "r2"])
+        .groupBy("k")
+        .agg(
+            F.sum((F.col("pred") == F.col("l2")).cast("bigint"))
+            .cast("bigint")
+            .alias("c_k")
+        )
+    )
+    agg = perm.crossJoin(F.broadcast(t)).agg(
+        F.count("*").cast("bigint").alias("n_perm"),
+        F.sum((F.col("c_k") >= F.col("c_true")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_ge"),
+        F.sum("c_k").cast("bigint").alias("c_sum"),
+    )
+    return t.crossJoin(F.broadcast(agg)).select(
+        "n",
+        F.round(F.col("c_true").cast("double") / F.col("n").cast("double"), 6)
+        .alias("acc_true"),
+        F.round(
+            F.col("c_sum").cast("double")
+            / (F.col("n_perm").cast("double") * F.col("n").cast("double")),
+            6,
+        ).alias("acc_perm_mean"),
+        "n_ge",
+        F.round(
+            (1 + F.col("n_ge")).cast("double")
+            / (F.col("n_perm") + 1).cast("double"),
+            6,
+        ).alias("p_value"),
+    )

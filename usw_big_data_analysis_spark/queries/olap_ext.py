@@ -2094,3 +2094,143 @@ def ops_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(CAST(area AS DOUBLE) / CAST(sum_dur AS DOUBLE), 6)"
         " AS littles_ratio",
     )
+
+
+# --- Croston intermittent-demand forecast --------------------------------------
+# The smoothing ladder (SES/Holt/HW) assumes a dense series; spare-parts-style
+# INTERMITTENT demand (most months zero) breaks it — SES of mostly-zeros
+# drifts to zero and under-forecasts. Croston (1972) smooths the nonzero
+# demand SIZES and the inter-demand INTERVALS separately (both SES, alpha =
+# 1/2 dyadic like forecast_ses_monthly) and forecasts size/interval. Window:
+# the trailing 16 demand EVENTS per part (dyadic weights stay under 2^15).
+_CRO_W = 16
+
+
+@query(
+    "forecast_croston_intermittent",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT l_partkey AS pk,
+             CAST(strftime(l_shipdate, '%Y') AS BIGINT) * 12
+               + CAST(strftime(l_shipdate, '%m') AS BIGINT) AS mi,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS z
+      FROM lineitem GROUP BY pk, mi
+    ),
+    ranked AS (
+      SELECT pk, mi, z,
+             row_number() OVER (PARTITION BY pk ORDER BY mi DESC) AS rdesc,
+             lag(mi) OVER (PARTITION BY pk ORDER BY mi) AS prev_mi
+      FROM monthly
+    ),
+    win AS (
+      SELECT pk, mi, z, mi - prev_mi AS gap,
+             count(*) OVER (PARTITION BY pk) AS k0
+      FROM ranked WHERE rdesc <= {_CRO_W}
+    ),
+    idx AS (
+      SELECT pk, z, gap,
+             row_number() OVER (PARTITION BY pk ORDER BY mi) AS j,
+             count(*) OVER (PARTITION BY pk) AS k
+      FROM win
+    ),
+    folded AS (
+      SELECT pk, CAST(max(k) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN j = 1 THEN z
+                           ELSE z * (1 << (j - 2)) END) AS BIGINT) AS uz,
+             CAST(sum(CASE WHEN j = 2 THEN gap
+                           WHEN j >= 3 THEN gap * (1 << (j - 3))
+                           ELSE 0 END) AS BIGINT) AS up
+      FROM idx GROUP BY pk
+      HAVING max(k) >= 2
+    )
+    SELECT pk, n_events,
+           round(CAST(uz AS DOUBLE) / CAST(1 << (n_events - 1) AS DOUBLE), 6)
+             AS z_level,
+           round(CAST(up AS DOUBLE) / CAST(1 << (n_events - 2) AS DOUBLE), 6)
+             AS p_level,
+           round((CAST(uz AS DOUBLE) / CAST(1 << (n_events - 1) AS DOUBLE))
+                 / nullif(CAST(up AS DOUBLE)
+                          / CAST(1 << (n_events - 2) AS DOUBLE), 0.0), 6)
+             AS croston_forecast
+    FROM folded
+    """,
+)
+def forecast_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method per part over the trailing {w} demand events:
+    SES (alpha = 1/2, exact dyadic closed form — the forecast_ses_monthly
+    arithmetic) of the nonzero monthly demand sizes, SES of the
+    inter-demand intervals (first event seeds, so k-1 interval terms),
+    forecast = size-level / interval-level in units per month. The
+    intermittent-demand closer of the forecast ladder — SES on the raw
+    sparse series under-forecasts by averaging in the zero months.
+
+    Scale shape: one monthly rollup shuffle, then windows PARTITIONED BY
+    part over at most {w} rows each; all folding is integer shifts until
+    the two final divisions.""".format(w=_CRO_W)
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.expr(
+            "CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT)"
+        ).alias("mi"),
+    ).agg(
+        F.expr(f"CAST(sum({N.spark_fround_int('l_quantity')}) AS BIGINT)").alias(
+            "z"
+        )
+    )
+    w_desc = Window.partitionBy("pk").orderBy(F.col("mi").desc())
+    w_asc = Window.partitionBy("pk").orderBy("mi")
+    ranked = monthly.select(
+        "pk",
+        "mi",
+        "z",
+        F.row_number().over(w_desc).alias("rdesc"),
+        F.lag("mi").over(w_asc).alias("prev_mi"),
+    )
+    win = ranked.filter(F.col("rdesc") <= _CRO_W).select(
+        "pk", "mi", "z", (F.col("mi") - F.col("prev_mi")).alias("gap")
+    )
+    idx = win.select(
+        "pk",
+        "z",
+        "gap",
+        F.row_number().over(Window.partitionBy("pk").orderBy("mi")).alias("j"),
+        F.count("*").over(Window.partitionBy("pk")).alias("k"),
+    )
+    folded = (
+        idx.groupBy("pk")
+        .agg(
+            F.max("k").cast("bigint").alias("n_events"),
+            F.sum(
+                F.when(F.col("j") == 1, F.col("z")).otherwise(
+                    F.col("z") * F.expr("shiftleft(CAST(1 AS BIGINT), j - 2)")
+                )
+            )
+            .cast("bigint")
+            .alias("uz"),
+            F.sum(
+                F.when(F.col("j") == 2, F.col("gap"))
+                .when(
+                    F.col("j") >= 3,
+                    F.col("gap") * F.expr("shiftleft(CAST(1 AS BIGINT), j - 3)"),
+                )
+                .otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("up"),
+        )
+        .filter("n_events >= 2")
+    )
+    zl = F.col("uz").cast("double") / F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), CAST(n_events AS INT) - 1) AS DOUBLE)"
+    )
+    pl = F.col("up").cast("double") / F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), CAST(n_events AS INT) - 2) AS DOUBLE)"
+    )
+    return folded.select(
+        "pk",
+        "n_events",
+        F.round(zl, 6).alias("z_level"),
+        F.round(pl, 6).alias("p_level"),
+        F.round(zl / F.nullif(pl, F.lit(0.0)), 6).alias("croston_forecast"),
+    )
