@@ -2650,3 +2650,73 @@ def minhash_bbit_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(eb - ex), 6).alias("err_bbit"),
         )
     )
+
+
+# --- token savings from near-dup suppression -----------------------------------
+@query(
+    "dedup_token_savings",
+    oracle=f"""
+    WITH pairs AS ({_MINHASH_PAIRS_SQL}),
+    dominated AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+    toks AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(t.n_tok) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dominated,
+           CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN t.n_tok ELSE 0 END)
+                AS BIGINT) AS tokens_saved,
+           CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN t.n_tok ELSE 0 END)
+                * 1000000 // sum(t.n_tok) AS BIGINT) AS savings_ppm
+    FROM toks t LEFT JOIN dominated d ON t.doc_id = d.doc_id
+    GROUP BY t.source
+    """,
+)
+def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The budget question a dedup pass actually answers: how many
+    TRAINING TOKENS does near-dup suppression save, per source? A doc is
+    suppressed when any LSH candidate partner has a smaller id (one-hop
+    first-claim — the same policy stream_dedup_lsh_ingest applies on
+    ingest; full-component pruning is dedup_clusters' job). Savings are
+    reported in exact integer ppm of each source's token budget.
+
+    Scale shape: candidates come from the banded minhash equi-join
+    (never all-pairs); the dominated set is a projection of the pair
+    list; token counting is one linear scan. Integer arithmetic end to
+    end."""
+    bands = _band_frame(spark, sf_dir)
+    buckets = bands.groupBy("band", "band_key").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    )
+    dominated = (
+        buckets.select(F.explode(F.expr(_PAIR_EXPR)).alias("p"))
+        .select(F.col("p.id_b").alias("doc_id"))
+        .distinct()
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    j = toks.join(
+        F.broadcast(dominated.withColumn("dom", F.lit(1))), "doc_id", "left"
+    )
+    return j.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("tokens_total"),
+        F.sum(F.when(F.col("dom").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dominated"),
+        F.sum(F.when(F.col("dom").isNotNull(), F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_saved"),
+        F.expr(
+            "CAST(sum(CASE WHEN dom IS NOT NULL THEN n_tok ELSE 0 END)"
+            " * 1000000 div sum(n_tok) AS BIGINT)"
+        ).alias("savings_ppm"),
+    )

@@ -2768,3 +2768,95 @@ def embed_dim_variance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("low_var_flag"),
     )
+
+
+# --- nearest-centroid (Rocchio) classifier evaluation --------------------------
+# The simplest embedding classifier — per-class mean vectors, assign by
+# nearest centroid — is the standard probe for "are these embeddings
+# linearly separable at all?" before training anything. Train and eval on
+# the full table (resubstitution — the capacity of a 10-centroid model is
+# low enough that this is the conventional quick read).
+@query(
+    "rocchio_centroid_eval",
+    oracle=f"""
+    WITH expl AS ({_EXPL_SQL}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    cent AS (
+      SELECT l.label AS c, e.pos,
+             CAST(sum(CAST(e.v AS DECIMAL(20,12))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS m
+      FROM expl e JOIN lab l ON e.vec_id = l.vec_id
+      GROUP BY l.label, e.pos
+    ),
+    d2 AS (
+      SELECT e.vec_id, c.c,
+             CAST(sum(CAST(round((e.v - c.m) * (e.v - c.m), 12)
+                           AS DECIMAL(25,14))) AS DOUBLE) AS dist2
+      FROM expl e JOIN cent c ON e.pos = c.pos
+      GROUP BY e.vec_id, c.c
+    ),
+    best AS (
+      SELECT vec_id, min(dist2) AS bd FROM d2 GROUP BY vec_id
+    ),
+    pred AS (
+      SELECT d2.vec_id, CAST(min(d2.c) AS INT) AS pred
+      FROM d2 JOIN best ON d2.vec_id = best.vec_id AND d2.dist2 = best.bd
+      GROUP BY d2.vec_id
+    )
+    SELECT CAST(l.label AS INT) AS label, p.pred,
+           CAST(count(*) AS BIGINT) AS n
+    FROM pred p JOIN lab l ON p.vec_id = l.vec_id
+    GROUP BY l.label, p.pred
+    """,
+)
+def rocchio_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification of the embedding table
+    against its own labels, emitted as the confusion matrix — the
+    capacity-1 linear-separability probe run before any classifier
+    training. Centroids are exact decimal per-(class, dim) means; each
+    squared-difference term quantizes to 12dp DECIMAL before the per-pair
+    sum (order-free), so the argmin (tie-break: smallest class) is
+    engine-stable.
+
+    Scale shape: one explode scan to (class x dim) centroid stats
+    (bounded), one broadcast join back (centroid table is class x dim
+    rows), per-vector distance reduction partitioned by vec_id —
+    vectors never pair with vectors."""
+    expl = _exploded(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    lab = emb.select("vec_id", "label")
+    cent = (
+        expl.join(lab, "vec_id")
+        .groupBy(F.col("label").alias("c"), "pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(20,12)")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("m")
+        )
+    )
+    d2 = (
+        expl.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "c")
+        .agg(
+            F.sum(
+                N.fround(
+                    (F.col("v") - F.col("m")) * (F.col("v") - F.col("m")), 12
+                ).cast("decimal(25,14)")
+            )
+            .cast("double")
+            .alias("dist2")
+        )
+    )
+    best = d2.groupBy("vec_id").agg(F.min("dist2").alias("bd"))
+    pred = (
+        d2.join(best, "vec_id")
+        .filter(F.col("dist2") == F.col("bd"))
+        .groupBy("vec_id")
+        .agg(F.min("c").cast("int").alias("pred"))
+    )
+    return (
+        pred.join(lab, "vec_id")
+        .groupBy(F.col("label").cast("int").alias("label"), "pred")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
