@@ -2234,3 +2234,58 @@ def forecast_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(pl, 6).alias("p_level"),
         F.round(zl / F.nullif(pl, F.lit(0.0)), 6).alias("croston_forecast"),
     )
+
+
+# --- distinct-count rollup (the non-decomposable aggregate) --------------------
+@query(
+    "rollup_count_distinct",
+    oracle="""
+    SELECT coalesce(r_name, '__ALL__') AS r_name,
+           coalesce(o_orderpriority, '__ALL__') AS o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, o_orderpriority)
+    """,
+)
+def rollup_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT customer) under ROLLUP — the aggregate that does NOT
+    decompose: a region's distinct customers is not the sum of its
+    priority cells' distinct customers, so unlike rollup_sales the engine
+    cannot reuse child partials. Spark plans this as Expand (one replica
+    of each row per grouping set) + a two-phase distinct aggregate —
+    the honest cost is the grouping-set fan-out, which is why production
+    rollups of distincts switch to mergeable HLL sketches
+    (approx_distinct_audit's contract) past a handful of sets.
+
+    The dimension joins broadcast (region/nation are tiny; customer is
+    the standard dim-side); the fact is scanned once."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    j = (
+        orders.join(
+            customer, orders["o_custkey"] == customer["c_custkey"]
+        )
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return (
+        j.rollup("r_name", "o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+            F.count("*").cast("bigint").alias("n_orders"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("__ALL__")).alias("r_name"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("__ALL__")).alias(
+                "o_orderpriority"
+            ),
+            "n_customers",
+            "n_orders",
+        )
+    )

@@ -2469,3 +2469,165 @@ def keywords_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mass"),
         )
     return tr
+
+
+# --- corpus BLEU between near-neighbor doc pairs --------------------------------
+# The generation-eval metric of record, computed as a corpus statistic:
+# candidate = every 13th document, reference = its successor doc (the
+# fixture's near-dup structure makes these meaningfully overlapping pairs).
+# Modified n-gram precision with per-pair clipping (n = 1..4), brevity
+# penalty, geometric mean — Papineni et al. 2002, corpus-level form.
+_BLEU_N = 4
+_BLEU_MOD = 13
+
+
+def _bleu_ng_sql(src: str, n: int, idcol: str) -> str:
+    return f"""
+      SELECT {idcol} AS pair_id, ng, CAST(count(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT {idcol},
+               array_to_string(w[i:i+{n - 1}], ' ') AS ng
+        FROM (SELECT {idcol}, string_split(text, ' ') AS w FROM {src}),
+             unnest(generate_series(1, len(w) - {n - 1})) t(i)
+      ) GROUP BY {idcol}, ng
+    """
+
+
+def _bleu_oracle() -> str:
+    ctes = [
+        f"""pairs AS (
+      SELECT a.doc_id AS cand_id, b.doc_id AS ref_id
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % {_BLEU_MOD} = 0
+    ),
+    cand AS (SELECT p.cand_id AS pair_id, d.text FROM pairs p
+             JOIN documents d ON d.doc_id = p.cand_id),
+    ref AS (SELECT p.cand_id AS pair_id, d.text FROM pairs p
+            JOIN documents d ON d.doc_id = p.ref_id),
+    lens AS (
+      SELECT CAST(sum(len(string_split(c.text, ' '))) AS BIGINT) AS c_len,
+             CAST(sum(len(string_split(r.text, ' '))) AS BIGINT) AS r_len,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM cand c JOIN ref r ON c.pair_id = r.pair_id
+    )"""
+    ]
+    stats = []
+    for n in range(1, _BLEU_N + 1):
+        ctes.append(f"cng{n} AS ({_bleu_ng_sql('cand', n, 'pair_id')})")
+        ctes.append(f"rng{n} AS ({_bleu_ng_sql('ref', n, 'pair_id')})")
+        ctes.append(f"""m{n} AS (
+      SELECT CAST(sum(least(c.cnt, r.cnt)) AS BIGINT) AS clipped,
+             (SELECT CAST(sum(cnt) AS BIGINT) FROM cng{n}) AS total
+      FROM cng{n} c JOIN rng{n} r
+        ON c.pair_id = r.pair_id AND c.ng = r.ng
+    )""")
+        # Chen & Cherry smoothing-1: zero clipped counts (common at n=4)
+        # fall back to 1/(2*total) instead of NULLing the geometric mean
+        stats.append(
+            f"(CASE WHEN coalesce(m{n}.clipped, 0) > 0"
+            f" THEN CAST(m{n}.clipped AS DOUBLE) / CAST(m{n}.total AS DOUBLE)"
+            f" ELSE 1.0 / (2.0 * CAST(m{n}.total AS DOUBLE)) END)"
+        )
+    logmean = " + ".join(f"ln({s})" for s in stats)
+    bp = "least(1.0, exp(1.0 - CAST(r_len AS DOUBLE) / CAST(c_len AS DOUBLE)))"
+    froms = ", ".join(["lens"] + [f"m{n}" for n in range(1, _BLEU_N + 1)])
+    cols = ", ".join(
+        f"round({s}, 6) AS p{n}" for n, s in enumerate(stats, start=1)
+    )
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT n_pairs, {cols},
+           round({bp}, 6) AS brevity_penalty,
+           round({bp} * exp(({logmean}) / {_BLEU_N}.0), 6) AS bleu
+    FROM {froms}
+    """
+
+
+@query("metric_bleu_pairs", oracle=_bleu_oracle())
+def metric_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus BLEU-{n} of every {mod}th document against its successor:
+    per-pair clipped n-gram matches (modified precision), corpus-pooled
+    numerators/denominators, brevity penalty, geometric mean — the
+    generation-eval metric of record, expressed as joins and integer
+    counting. All matching is exact integer; ln/exp ride the established
+    cross-engine contract.
+
+    Scale shape: each n-gram level is one explode (linear in corpus
+    bytes), one per-(pair, ngram) count, one equi-join on (pair, ngram) —
+    candidate pairs never cross-multiply.""".format(n=_BLEU_N, mod=_BLEU_MOD)
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % _BLEU_MOD == 0).select(
+        F.col("doc_id").alias("cand_id")
+    )
+    pairs = a.join(
+        docs.select((F.col("doc_id") - 1).alias("cand_id"),
+                    F.col("doc_id").alias("ref_id")),
+        "cand_id",
+    )
+    cand = pairs.join(
+        docs.select(F.col("doc_id").alias("cand_id"), "text"), "cand_id"
+    ).select(F.col("cand_id").alias("pair_id"), "text")
+    ref = pairs.join(
+        docs.select(F.col("doc_id").alias("ref_id"), "text"), "ref_id"
+    ).select(F.col("cand_id").alias("pair_id"), "text")
+    lens = (
+        cand.select("pair_id", F.size(F.split("text", " ")).alias("cl"))
+        .join(
+            ref.select("pair_id", F.size(F.split("text", " ")).alias("rl")),
+            "pair_id",
+        )
+        .agg(
+            F.sum("cl").cast("bigint").alias("c_len"),
+            F.sum("rl").cast("bigint").alias("r_len"),
+            F.count("*").cast("bigint").alias("n_pairs"),
+        )
+    )
+
+    def ngrams(df, n):
+        return (
+            df.select(
+                "pair_id",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, size(split(text, ' ')) - {n - 1}),"
+                        f" i -> array_join(slice(split(text, ' '), i, {n}), ' '))"
+                    )
+                ).alias("ng"),
+            )
+            .groupBy("pair_id", "ng")
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+        )
+
+    out = lens
+    pns = []
+    for n in range(1, _BLEU_N + 1):
+        cn = ngrams(cand.filter("size(split(text, ' ')) >= %d" % n), n)
+        rn = ngrams(ref.filter("size(split(text, ' ')) >= %d" % n), n)
+        clipped = (
+            cn.join(
+                rn.select(
+                    "pair_id", "ng", F.col("cnt").alias("rcnt")
+                ),
+                ["pair_id", "ng"],
+            )
+            .agg(
+                F.sum(F.least(F.col("cnt"), F.col("rcnt")))
+                .cast("bigint")
+                .alias(f"clipped{n}")
+            )
+        )
+        total = cn.agg(F.sum("cnt").cast("bigint").alias(f"total{n}"))
+        out = out.crossJoin(F.broadcast(clipped)).crossJoin(F.broadcast(total))
+        pns.append(
+            f"(CASE WHEN coalesce(clipped{n}, 0) > 0"
+            f" THEN CAST(clipped{n} AS DOUBLE) / CAST(total{n} AS DOUBLE)"
+            f" ELSE 1.0 / (2.0 * CAST(total{n} AS DOUBLE)) END)"
+        )
+    bp = "least(1.0, exp(1.0 - CAST(r_len AS DOUBLE) / CAST(c_len AS DOUBLE)))"
+    logmean = " + ".join(f"ln({p})" for p in pns)
+    return out.selectExpr(
+        "n_pairs",
+        *[f"round({p}, 6) AS p{n}" for n, p in enumerate(pns, start=1)],
+        f"round({bp}, 6) AS brevity_penalty",
+        f"round({bp} * exp(({logmean}) / {_BLEU_N}.0), 6) AS bleu",
+    )
