@@ -2289,3 +2289,138 @@ def rollup_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+# --- hierarchical forecast reconciliation (bottom-up vs top-down) --------------
+# Forecasting region series independently and the total independently gives
+# INCOHERENT numbers (children don't sum to the parent). The two classical
+# fixes: bottom-up (total := sum of child levels) and top-down (child :=
+# total level x historical share). SES levels use forecast_ses_monthly's
+# exact dyadic closed form at the latest month, so the coherence gap is an
+# exact INTEGER in U-space (level = U/4096 cents) — no float summation of
+# child forecasts anywhere.
+_FHR_REV = """
+      SELECT r_name,
+             CAST(strftime(o_orderdate, '%Y') AS BIGINT) * 12
+               + CAST(strftime(o_orderdate, '%m') AS BIGINT) AS mi,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, mi
+"""
+
+_FHR_FOLD = """
+      SELECT {key} AS gk, CAST(count(*) AS INT) AS n_w,
+             CAST(sum(cents * (1 << (11 - CAST(m1 - mi AS INT)))) AS BIGINT)
+               + CAST(min_by(cents, mi) AS BIGINT)
+                 * (1 << (12 - CAST(count(*) AS INT))) AS u,
+             CAST(sum(cents) AS BIGINT) AS hist_cents
+      FROM {src}, lastm WHERE mi > m1 - 12 GROUP BY {key}
+"""
+
+
+@query(
+    "forecast_hierarchical_reconcile",
+    oracle=f"""
+    WITH rev AS ({_FHR_REV}),
+    lastm AS (SELECT max(mi) AS m1 FROM rev),
+    per_r AS ({_FHR_FOLD.format(key="r_name", src="rev")}),
+    tot_series AS (
+      SELECT mi, CAST(sum(cents) AS BIGINT) AS cents FROM rev GROUP BY mi
+    ),
+    per_t AS ({_FHR_FOLD.format(key="'__TOTAL__'", src="tot_series")}),
+    shares AS (
+      SELECT r.gk AS r_name, r.u AS u_r, r.hist_cents,
+             t.u AS u_t,
+             (SELECT CAST(sum(u) AS BIGINT) FROM per_r) AS u_bu,
+             (SELECT CAST(sum(hist_cents) AS BIGINT) FROM per_r) AS hist_tot
+      FROM per_r r, per_t t
+    )
+    SELECT r_name,
+           round(CAST(u_r AS DOUBLE) / 4096.0 / 100.0, 6) AS level_region,
+           round(CAST(u_t AS DOUBLE) / 4096.0 / 100.0
+                 * CAST(hist_cents AS DOUBLE) / CAST(hist_tot AS DOUBLE), 6)
+             AS level_topdown,
+           round(CAST(u_t AS DOUBLE) / 4096.0 / 100.0, 6) AS level_total,
+           round(CAST(u_bu AS DOUBLE) / 4096.0 / 100.0, 6) AS level_bottomup,
+           round(CAST(u_bu - u_t AS DOUBLE) / 4096.0 / 100.0, 6)
+             AS coherence_gap
+    FROM shares
+    """,
+)
+def forecast_hierarchical_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical forecast reconciliation over the region → total
+    hierarchy: per-region and total SES levels (the forecast_ses_monthly
+    dyadic closed form at the latest month), the bottom-up total (exact
+    integer sum in U-space — child forecasts are dyadic rationals, so
+    coherence is computed without a single float addition), and the
+    top-down re-allocation by 12-month historical revenue share. The
+    coherence_gap column IS the incoherence the reconciliation removes.
+
+    Scale shape: one fact scan to the (region x month) rollup (dimension
+    joins broadcast); everything after lives on a ≤ 5x12-row table."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy(
+            "r_name",
+            F.expr(
+                "CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)"
+            ).alias("mi"),
+        )
+        .agg(F.expr(f"CAST(sum({_CENTS_S}) AS BIGINT)").alias("cents"))
+    )
+    lastm = rev.agg(F.max("mi").alias("m1"))
+
+    def fold(src: DataFrame, key_expr: str) -> DataFrame:
+        return (
+            src.crossJoin(F.broadcast(lastm))
+            .filter(F.col("mi") > F.col("m1") - 12)
+            .groupBy(F.expr(key_expr).alias("gk"))
+            .agg(
+                F.expr("CAST(count(*) AS INT) AS n_w"),
+                F.expr(
+                    "CAST(sum(cents * shiftleft(CAST(1 AS BIGINT),"
+                    " 11 - CAST(m1 - mi AS INT))) AS BIGINT)"
+                    " + CAST(min_by(cents, mi) AS BIGINT)"
+                    " * shiftleft(CAST(1 AS BIGINT), 12 - CAST(count(*) AS INT))"
+                    " AS u"
+                ),
+                F.expr("CAST(sum(cents) AS BIGINT) AS hist_cents"),
+            )
+        )
+
+    per_r = fold(rev, "r_name")
+    tot_series = rev.groupBy("mi").agg(
+        F.sum("cents").cast("bigint").alias("cents")
+    )
+    per_t = fold(tot_series, "'__TOTAL__'").select(
+        F.col("u").alias("u_t")
+    )
+    bu = per_r.agg(
+        F.sum("u").cast("bigint").alias("u_bu"),
+        F.sum("hist_cents").cast("bigint").alias("hist_tot"),
+    )
+    return (
+        per_r.crossJoin(F.broadcast(per_t))
+        .crossJoin(F.broadcast(bu))
+        .selectExpr(
+            "gk AS r_name",
+            "round(CAST(u AS DOUBLE) / 4096.0 / 100.0, 6) AS level_region",
+            "round(CAST(u_t AS DOUBLE) / 4096.0 / 100.0"
+            " * CAST(hist_cents AS DOUBLE) / CAST(hist_tot AS DOUBLE), 6)"
+            " AS level_topdown",
+            "round(CAST(u_t AS DOUBLE) / 4096.0 / 100.0, 6) AS level_total",
+            "round(CAST(u_bu AS DOUBLE) / 4096.0 / 100.0, 6) AS level_bottomup",
+            "round(CAST(u_bu - u_t AS DOUBLE) / 4096.0 / 100.0, 6)"
+            " AS coherence_gap",
+        )
+    )

@@ -2631,3 +2631,74 @@ def metric_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round({bp}, 6) AS brevity_penalty",
         f"round({bp} * exp(({logmean}) / {_BLEU_N}.0), 6) AS bleu",
     )
+
+
+# --- moving-average type-token ratio (MATTR) -----------------------------------
+# text_lexical_diversity's plain TTR shrinks with document length (types
+# grow sublinearly) — MATTR (Covington & McFall 2010) fixes the bias by
+# averaging the TTR of every W-token sliding window. Docs shorter than W
+# fall back to plain TTR, flagged by the short-doc count.
+_MATTR_W = 50
+
+
+@query(
+    "text_mattr_diversity",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT source,
+             CASE WHEN len(w) >= {_MATTR_W} THEN (
+               SELECT CAST(sum(len(list_distinct(w[i:i+{_MATTR_W - 1}])))
+                           AS DOUBLE)
+               FROM unnest(generate_series(1, len(w) - {_MATTR_W - 1})) t(i)
+             ) / ({_MATTR_W}.0 * (len(w) - {_MATTR_W - 1}))
+             ELSE CAST(len(list_distinct(w)) AS DOUBLE) / len(w) END AS mattr,
+             CAST(len(w) < {_MATTR_W} AS INT) AS short_doc
+      FROM (SELECT source, string_split(text, ' ') AS w FROM documents)
+      WHERE len(w) >= 1
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(short_doc) AS BIGINT) AS n_short,
+           round(CAST(sum(CAST(round(mattr, 9) AS DECIMAL(25,12))) AS DOUBLE)
+                 / count(*), 6) AS mean_mattr
+    FROM per_doc GROUP BY source
+    """,
+)
+def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average type-token ratio (window {w} tokens) per source —
+    the length-unbiased lexical-diversity score that makes sources of
+    different document lengths comparable, unlike the raw TTR of
+    text_lexical_diversity. Sub-window documents fall back to plain TTR
+    and are counted in n_short so the fallback share is visible.
+
+    Scale shape: per-document array work only (the sliding windows are a
+    transform over the token array — linear x W, no explode to rows), one
+    source-keyed aggregate; each doc's MATTR is an exact integer ratio
+    and the per-source mean sums 9dp-quantized decimals.""".format(
+        w=_MATTR_W
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.split("text", " ").alias("w")).filter(
+        "size(w) >= 1"
+    )
+    per_doc = toks.selectExpr(
+        "source",
+        f"""CASE WHEN size(w) >= {_MATTR_W} THEN
+              CAST(aggregate(transform(sequence(1, size(w) - {_MATTR_W - 1}),
+                     i -> size(array_distinct(slice(w, i, {_MATTR_W})))),
+                   0L, (acc, x) -> acc + x) AS DOUBLE)
+              / ({_MATTR_W}.0 * (size(w) - {_MATTR_W - 1}))
+            ELSE CAST(size(array_distinct(w)) AS DOUBLE) / size(w)
+            END AS mattr""",
+        f"CAST(size(w) < {_MATTR_W} AS INT) AS short_doc",
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("short_doc").cast("bigint").alias("n_short"),
+        F.round(
+            F.sum(N.fround(F.col("mattr"), 9).cast("decimal(25,12)")).cast(
+                "double"
+            )
+            / F.count("*"),
+            6,
+        ).alias("mean_mattr"),
+    )
