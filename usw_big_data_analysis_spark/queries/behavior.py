@@ -2671,3 +2671,100 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("removal_effect") / F.nullif(F.col("re_tot"), F.lit(0.0)), 6
         ).alias("attribution_share"),
     )
+
+
+# --- entropy rate of the event-type chain --------------------------------------
+@query(
+    "events_entropy_rate",
+    oracle="""
+    WITH bi AS (
+      SELECT a, b FROM (
+        SELECT event_type AS a,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS b
+        FROM events
+      ) WHERE b IS NOT NULL
+    ),
+    tm AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM bi GROUP BY a, b),
+    rt AS (SELECT a, CAST(sum(c) AS BIGINT) AS r FROM tm GROUP BY a),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM tm),
+    hrate AS (
+      SELECT CAST(sum(CAST(round(
+               -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(c AS DOUBLE) / CAST(r AS DOUBLE)), 9)
+             AS DECIMAL(25,12))) AS DOUBLE) AS h_rate
+      FROM tm JOIN rt USING (a), tot
+    ),
+    hmarg AS (
+      SELECT CAST(sum(CAST(round(
+               -(CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(r AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+             AS DECIMAL(25,12))) AS DOUBLE) AS h_marg
+      FROM rt, tot
+    )
+    SELECT n AS n_transitions,
+           round(h_rate, 6) AS entropy_rate_nats,
+           round(h_marg, 6) AS marginal_entropy_nats,
+           round(1.0 - h_rate / nullif(h_marg, 0.0), 6) AS predictability
+    FROM hrate, hmarg, tot
+    """,
+)
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the per-user event-type chain — how many nats the
+    NEXT event carries given the current one — against the marginal
+    entropy, with predictability = 1 − H_rate/H_marginal (0 = memoryless
+    traffic, 1 = deterministic journeys). The information-theoretic
+    companion to event_transition_matrix (raw probabilities) and
+    user_behavior_entropy (per-user mix): it tells a sessionization or
+    next-event-model effort how much signal sequence order even holds.
+
+    Exactness: transition counts are integers from the user-partitioned
+    lead window; each plogp term quantizes to 9dp DECIMAL before the
+    order-free sum over the ≤ |types|² cells."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    bi = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).filter("b IS NOT NULL")
+    tm = bi.groupBy("a", "b").agg(F.count("*").cast("bigint").alias("c"))
+    rt = tm.groupBy("a").agg(F.sum("c").cast("bigint").alias("r"))
+    tot = tm.agg(F.sum("c").cast("bigint").alias("n"))
+    hrate = (
+        tm.join(F.broadcast(rt), "a")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                N.fround(
+                    -(F.col("c").cast("double") / F.col("n").cast("double"))
+                    * F.log(F.col("c").cast("double") / F.col("r").cast("double")),
+                    9,
+                ).cast("decimal(25,12)")
+            )
+            .cast("double")
+            .alias("h_rate")
+        )
+    )
+    hmarg = rt.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            N.fround(
+                -(F.col("r").cast("double") / F.col("n").cast("double"))
+                * F.log(F.col("r").cast("double") / F.col("n").cast("double")),
+                9,
+            ).cast("decimal(25,12)")
+        )
+        .cast("double")
+        .alias("h_marg")
+    )
+    return (
+        tot.crossJoin(F.broadcast(hrate))
+        .crossJoin(F.broadcast(hmarg))
+        .select(
+            F.col("n").alias("n_transitions"),
+            F.round("h_rate", 6).alias("entropy_rate_nats"),
+            F.round("h_marg", 6).alias("marginal_entropy_nats"),
+            F.round(
+                1.0 - F.col("h_rate") / F.nullif(F.col("h_marg"), F.lit(0.0)), 6
+            ).alias("predictability"),
+        )
+    )

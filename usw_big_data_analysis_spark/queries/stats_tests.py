@@ -3044,3 +3044,86 @@ def ab_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(greatest({_p('z_lower')}, {_p('z_upper')}) < 0.05 AS INT)"
         " AS equivalent",
     )
+
+
+# --- segment-level uplift (two-model difference with CIs) ----------------------
+@query(
+    "ab_uplift_by_segment",
+    oracle="""
+    WITH obs AS (
+      SELECT c_nationkey % 5 AS segment,
+             CAST(o_custkey % 2 AS INT) AS treated,
+             CAST(o_totalprice > 150000.0 AS INT) AS converted
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    cells AS (
+      SELECT segment, treated, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(converted) AS BIGINT) AS x
+      FROM obs GROUP BY segment, treated
+    ),
+    wide AS (
+      SELECT segment,
+             max(CASE WHEN treated = 1 THEN n END) AS n_t,
+             max(CASE WHEN treated = 1 THEN x END) AS x_t,
+             max(CASE WHEN treated = 0 THEN n END) AS n_c,
+             max(CASE WHEN treated = 0 THEN x END) AS x_c
+      FROM cells GROUP BY segment
+    )
+    SELECT CAST(segment AS BIGINT) AS segment, n_t, n_c,
+           round(CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE), 6) AS rate_treat,
+           round(CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6) AS rate_control,
+           round(CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                 - CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6) AS uplift,
+           round(sqrt(
+             (CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE))
+               * (1.0 - CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE))
+               / CAST(n_t AS DOUBLE)
+             + (CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+               * (1.0 - CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+               / CAST(n_c AS DOUBLE)), 6) AS se
+    FROM wide
+    """,
+)
+def ab_uplift_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level uplift readout (the heterogeneous-treatment-effect
+    table a targeting decision consumes): per nation-hash segment, the
+    treated-vs-control conversion difference with its two-proportion SE —
+    where ab_test_ztest reports ONE global effect, this is the
+    per-segment breakdown that decides WHO gets the treatment. Integer
+    cell counts, identical double expressions; one fact scan through the
+    broadcastable customer dimension join."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    obs = orders.join(
+        customer, orders["o_custkey"] == customer["c_custkey"]
+    ).selectExpr(
+        "c_nationkey % 5 AS segment",
+        "CAST(o_custkey % 2 AS INT) AS treated",
+        "CAST(o_totalprice > 150000.0D AS INT) AS converted",
+    )
+    cells = obs.groupBy("segment", "treated").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("x"),
+    )
+    wide = cells.groupBy("segment").agg(
+        F.expr("max(CASE WHEN treated = 1 THEN n END) AS n_t"),
+        F.expr("max(CASE WHEN treated = 1 THEN x END) AS x_t"),
+        F.expr("max(CASE WHEN treated = 0 THEN n END) AS n_c"),
+        F.expr("max(CASE WHEN treated = 0 THEN x END) AS x_c"),
+    )
+    return wide.selectExpr(
+        "CAST(segment AS BIGINT) AS segment",
+        "n_t",
+        "n_c",
+        "round(CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE), 6) AS rate_treat",
+        "round(CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6) AS rate_control",
+        "round(CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE)"
+        " - CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6) AS uplift",
+        """round(sqrt(
+             (CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE))
+               * (1.0 - CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE))
+               / CAST(n_t AS DOUBLE)
+             + (CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+               * (1.0 - CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+               / CAST(n_c AS DOUBLE)), 6) AS se""",
+    )
