@@ -652,3 +652,91 @@ def scan_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum(F.length("text")).cast("bigint").alias("sum_len"),
     )
+
+
+# --- fixed-width (mainframe-style) text ingestion ------------------------------
+_FW_SPEC = (("o_orderkey", 0, 12), ("o_custkey", 12, 12), ("cents", 24, 14))
+
+
+@query(
+    "scan_fixed_width",
+    oracle="""
+    SELECT o_custkey % 10 AS custmod,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders GROUP BY o_custkey % 10
+    """,
+)
+def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width text ingestion — the mainframe/COBOL copybook layout
+    that predates every delimiter: orders staged as zero-padded
+    fixed-offset lines ({spec}), read back with spark.read.text and
+    substring/cast parsing (the standard Spark recipe — there is no
+    fixed-width reader), reduced per customer residue against the oracle
+    over the original table. Offset parsing is pure column expressions
+    inside whole-stage codegen; the text scan splits by line like CSV, so
+    ingestion parallelizes. The staging write is driver-side on purpose
+    (the file IS the fixture under test).""".format(spec=_FW_SPEC)
+    od = pd.read_parquet(os.path.join(sf_dir, "orders.parquet"))[
+        ["o_orderkey", "o_custkey", "o_totalprice"]
+    ]
+    import numpy as np
+
+    cents = np.floor(od["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64")
+    lines = [
+        f"{k:012d}{c:012d}{v:014d}"
+        for k, c, v in zip(od["o_orderkey"], od["o_custkey"], cents)
+    ]
+    path = os.path.join(_process_tmp(), "usw_q_fixed_width.txt")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines))
+    back = spark.read.text(path).selectExpr(
+        "CAST(substring(value, 1, 12) AS BIGINT) AS o_orderkey",
+        "CAST(substring(value, 13, 12) AS BIGINT) AS o_custkey",
+        "CAST(substring(value, 25, 14) AS BIGINT) AS cents",
+    )
+    return back.groupBy((F.col("o_custkey") % 10).alias("custmod")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+
+
+# --- gzip-compressed CSV sink + scan -------------------------------------------
+@query(
+    "sink_csv_gzip",
+    oracle="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def sink_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-at-rest text interchange: documents sunk as gzip CSV
+    (codec=gzip — the wire format most external partners still speak),
+    scanned back with an explicit schema and reduced per language. The
+    honest scale note: gzip text is NOT splittable — each .csv.gz part is
+    one read task, so the WRITER's partitioning decides the reader's
+    parallelism; that coupling (and bzip2/zstd-seekable as the splittable
+    alternatives) is the entire operational story of compressed text at
+    100 TB."""
+    from ..sources import load_table
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(_process_tmp(), "usw_q_csv_gzip")
+    docs.select("doc_id", "lang", "n_chars").write.mode("overwrite").option(
+        "codec", "gzip"
+    ).option("header", True).csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    back = spark.read.schema(schema).option("header", True).csv(path)
+    return back.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
