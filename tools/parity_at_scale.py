@@ -96,6 +96,28 @@ SCALE_KEYS = [
     "cv_corrected_ttest",
     "drift_emd_price",
     "metric_ece",
+    # r6 fourth-continuation additions: the new exactness claims that carry
+    # N/N^2 growth terms (money-sum moments, 2PN rank products, dyadic
+    # folds, Cramer determinants, EB moments, DFT terms)
+    "heavy_hitters_cms",
+    "changepoint_binary_split",
+    "linreg_huber_irls",
+    "metric_ks_separation",
+    "runs_test_daily",
+    "ab_diff_in_diff",
+    "ab_ratio_delta_method",
+    "ab_tost_equivalence",
+    "metric_platt_recalibration",
+    "survival_cindex",
+    "seasonal_periodogram",
+    "ops_littles_law_audit",
+    "feature_mutual_info",
+    "rate_shrinkage_eb",
+    "xyz_volatility_class",
+    "metric_multilabel_suite",
+    "metric_label_permutation_test",
+    "rollup_count_distinct",
+    "forecast_hierarchical_reconcile",
 ]
 
 # FK domain -> the (table, column) pairs that must shift by the SAME span

@@ -2424,3 +2424,101 @@ def forecast_hierarchical_reconcile(spark: SparkSession, sf_dir: str) -> DataFra
             " AS coherence_gap",
         )
     )
+
+
+# --- HLL distinct rollup audit (the scalable path of rollup_count_distinct) ----
+@query(
+    "rollup_distinct_hll_audit",
+    oracle="""
+    SELECT coalesce(r_name, '__ALL__') AS r_name,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+           TRUE AS within_5pct
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name)
+    """,
+)
+def rollup_distinct_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The escape hatch rollup_count_distinct's docstring promises: the
+    same distinct-customer rollup with HLL (rsd 2%) next to the exact
+    count and a 5% contract the oracle pins TRUE. Past a handful of
+    grouping sets the Expand+distinct plan multiplies the shuffle by the
+    set count; the sketch version keeps one mergeable state per cell and
+    the subtotal cells MERGE child sketches instead of re-scanning — the
+    only way distinct rollups survive 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    j = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return (
+        j.rollup("r_name")
+        .agg(
+            F.countDistinct("o_custkey").cast("bigint").alias("n_exact"),
+            F.approx_count_distinct("o_custkey", 0.02).alias("a"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("__ALL__")).alias("r_name"),
+            "n_exact",
+            (F.abs(F.col("a") - F.col("n_exact")) * 20 <= F.col("n_exact")).alias(
+                "within_5pct"
+            ),
+        )
+    )
+
+
+# --- join-strategy planning artifact -------------------------------------------
+# The skew_salt_plan pattern applied to the OTHER join decision: which
+# tables broadcast? The estimator is deterministic (row count x fixed
+# per-type widths — the same class of estimate Catalyst's statistics use),
+# so the plan is oracle-checkable; the 10 MB default threshold is the knob.
+_JSP_WIDTHS = {"bigint": 8, "int": 4, "double": 8, "string": 24, "timestamp": 8}
+_JSP_THRESHOLD = 10 * 1024 * 1024
+_JSP_TABLES = (
+    ("region", 8 + 24),
+    ("nation", 8 + 24 + 8),
+    ("supplier", 8 + 24 + 8),
+    ("customer", 8 + 24 + 8 + 8),
+    ("part", 8 + 24 + 8),
+)
+
+
+@query(
+    "join_strategy_plan",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{t}' AS table_name,
+            CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(count(*) * {w} AS BIGINT) AS est_bytes,
+            CAST(count(*) * {w} <= {_JSP_THRESHOLD} AS INT) AS broadcastable
+        FROM {t}"""
+        for t, w in _JSP_TABLES
+    ),
+)
+def join_strategy_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy planning artifact: per dimension table, the
+    deterministic size estimate (rows x fixed per-type widths — the same
+    estimator class Catalyst's column statistics feed) and the broadcast
+    verdict against the 10 MiB default autoBroadcastJoinThreshold. The
+    skew_salt_plan pattern applied to the other big join decision: make
+    the choice auditable DATA instead of a silent planner heuristic —
+    at 100 TB the customer/part rows cross the threshold and the verdict
+    flips, which is exactly what this artifact is for."""
+    out = None
+    for t, w in _JSP_TABLES:
+        df = load_table(spark, sf_dir, t).agg(
+            F.count("*").cast("bigint").alias("n_rows")
+        )
+        r = df.selectExpr(
+            f"'{t}' AS table_name",
+            "n_rows",
+            f"CAST(n_rows * {w} AS BIGINT) AS est_bytes",
+            f"CAST(n_rows * {w} <= {_JSP_THRESHOLD} AS INT) AS broadcastable",
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
