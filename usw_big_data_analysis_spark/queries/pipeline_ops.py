@@ -973,3 +973,64 @@ def merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(N.fround_int(F.col("total") * 100)).alias("total_cents"),
     )
+
+
+# --- temporal AS OF lookup against the SCD2 history -----------------------------
+@query(
+    "scd2_asof_lookup",
+    oracle="""
+    WITH hist AS (
+      SELECT user_id,
+             epoch_us(ts) AS valid_from_us,
+             coalesce(lead(epoch_us(ts)) OVER w, 9223372036854775807)
+               AS valid_to_us,
+             event_type AS state
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    probes AS (
+      SELECT user_id,
+             (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS asof_us
+      FROM events GROUP BY user_id
+    )
+    SELECT p.user_id, p.asof_us, h.state,
+           h.valid_from_us, h.valid_to_us
+    FROM probes p JOIN hist h
+      ON p.user_id = h.user_id
+     AND h.valid_from_us <= p.asof_us AND p.asof_us < h.valid_to_us
+    """,
+)
+def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal AS OF lookup — the query an SCD2 history table exists to
+    answer: for each user, the state that was valid at a probe instant
+    (the midpoint of their activity). The interval-stabbing join is an
+    equi-join on the key with the validity predicate applied WITHIN each
+    key's bounded interval list — the scalable form; a raw interval range
+    join without the key would explode. Exactly one row per probe by the
+    SCD2 invariant (intervals partition the timeline), which the pytest
+    golden pins.
+
+    Everything is integer microseconds; no timezone or sentinel-date
+    arithmetic anywhere (the open interval closes with bigint max)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead(F.expr("unix_micros(ts)")).over(w)
+    hist = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("valid_from_us"),
+        F.coalesce(nxt, F.lit(9223372036854775807)).alias("valid_to_us"),
+        F.col("event_type").alias("state"),
+    )
+    probes = ev.groupBy("user_id").agg(
+        F.expr(
+            "(min(unix_micros(ts)) + max(unix_micros(ts))) div 2"
+        ).alias("asof_us")
+    )
+    return (
+        probes.join(hist, "user_id")
+        .filter(
+            (F.col("valid_from_us") <= F.col("asof_us"))
+            & (F.col("asof_us") < F.col("valid_to_us"))
+        )
+        .select("user_id", "asof_us", "state", "valid_from_us", "valid_to_us")
+    )
