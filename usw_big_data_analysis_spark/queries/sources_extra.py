@@ -582,8 +582,33 @@ def sink_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.filter(F.col("d") >= _PE_CUT).write.mode("overwrite").partitionBy(
         "d", "event_type"
     ).parquet(g2)
-    back1 = spark.read.parquet(g1).filter(F.col("event_type") == "purchase")
-    back2 = spark.read.parquet(g2).filter(F.col("event_type") == "purchase")
+    # explicit schemas: a degenerate corpus can leave one generation EMPTY
+    # (only _SUCCESS in the dir), where schema inference hard-fails; with
+    # the schema pinned, an empty generation is just an empty frame
+    from pyspark.sql import types as T
+
+    base = [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+    s1 = T.StructType(
+        base
+        + [T.StructField("event_type", T.StringType()),
+           T.StructField("d", T.LongType())]
+    )
+    s2 = T.StructType(
+        base
+        + [T.StructField("d", T.LongType()),
+           T.StructField("event_type", T.StringType())]
+    )
+    back1 = (
+        spark.read.schema(s1).parquet(g1)
+        .filter(F.col("event_type") == "purchase")
+    )
+    back2 = (
+        spark.read.schema(s2).parquet(g2)
+        .filter(F.col("event_type") == "purchase")
+    )
     both = back1.select("d", "event_type", "value").unionByName(
         back2.select("d", "event_type", "value")
     )
