@@ -2522,3 +2522,158 @@ def join_strategy_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = r if out is None else out.unionByName(r)
     return out
+
+
+# --- supplier scorecard (weighted z-score composite) ---------------------------
+# The vendor-management artifact: each supplier scored on revenue (up is
+# good), ship latency and discount depth (down is good), z-scored across
+# the supplier population and combined with fixed business weights; top 10
+# by composite. The z-standardization is what makes KPIs of different
+# units commensurable — the same reason ML pipelines standardize features.
+_SSC_W = (0.5, -0.3, -0.2)  # revenue, latency, discount weights
+
+
+@query(
+    "supplier_scorecard",
+    oracle=f"""
+    WITH kpi AS (
+      SELECT l_suppkey AS sk,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c,
+             CAST(sum(epoch_us(l_shipdate) // 86400000000
+                      - epoch_us(o_orderdate) // 86400000000) AS BIGINT)
+               AS lat_days,
+             CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+               AS disc_c,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY l_suppkey
+    ),
+    vals AS (
+      SELECT sk,
+             CAST(rev_c AS DOUBLE) / 100.0 AS rev,
+             CAST(lat_days AS DOUBLE) / CAST(n AS DOUBLE) AS lat,
+             CAST(disc_c AS DOUBLE) / CAST(n AS DOUBLE) AS disc
+      FROM kpi
+    ),
+    mo AS (
+      SELECT CAST(count(*) AS DOUBLE) AS k,
+             {" , ".join(
+               f"CAST(sum(CAST(round({c}, 6) AS DECIMAL(30,9))) AS DOUBLE) AS s_{c},"
+               f" CAST(sum(CAST(round({c} * {c}, {q}) AS DECIMAL(30,9))) AS DOUBLE) AS ss_{c}"
+               for c, q in (("rev", 0), ("lat", 6), ("disc", 9)))}
+      FROM vals
+    ),
+    z AS (
+      SELECT sk, rev, lat, disc,
+             {" , ".join(
+               f"({c} - s_{c} / k) / nullif(sqrt(greatest(ss_{c} / k"
+               f" - (s_{c} / k) * (s_{c} / k), 0.0)), 0.0) AS z_{c}"
+               for c in ("rev", "lat", "disc"))}
+      FROM vals, mo
+    )
+    SELECT sk AS s_suppkey, round(rev, 2) AS revenue,
+           round(lat, 6) AS avg_latency_days, round(disc, 6) AS avg_discount,
+           round(z_rev, 6) AS z_revenue, round(z_lat, 6) AS z_latency,
+           round(z_disc, 6) AS z_discount,
+           round({_SSC_W[0]} * z_rev + {_SSC_W[1]} * z_lat
+                 + {_SSC_W[2]} * z_disc, 6) AS composite
+    FROM z
+    ORDER BY {_SSC_W[0]} * z_rev + {_SSC_W[1]} * z_lat
+             + {_SSC_W[2]} * z_disc DESC, sk ASC
+    LIMIT 10
+    """,
+)
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 supplier scorecard: revenue, mean ship latency, mean
+    discount depth per supplier, z-scored across the supplier population
+    (population std from 6dp-quantized decimal moments — order-free) and
+    combined with the fixed business weights {w}. Ordering uses
+    TakeOrderedAndProject on the bit-identical composite (tie-break:
+    supplier key) — no global sort materializes.
+
+    Scale shape: one fact-join scan (orders side carries only the date)
+    compressed to supplier-keyed KPIs; the population moments are one
+    supplier-table aggregate broadcast back.""".format(w=_SSC_W)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    kpi = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(F.col("l_suppkey").alias("sk"))
+        .agg(
+            F.expr(
+                f"CAST(sum({N.spark_fround_int('l_extendedprice * 100')}) AS BIGINT)"
+            ).alias("rev_c"),
+            F.expr(
+                f"CAST(sum(unix_micros(CAST(l_shipdate AS TIMESTAMP)) div {_US_DAY}"
+                f" - unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_US_DAY})"
+                " AS BIGINT)"
+            ).alias("lat_days"),
+            F.expr(
+                f"CAST(sum({N.spark_fround_int('l_discount * 100')}) AS BIGINT)"
+            ).alias("disc_c"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+    vals = kpi.selectExpr(
+        "sk",
+        "CAST(rev_c AS DOUBLE) / 100.0 AS rev",
+        "CAST(lat_days AS DOUBLE) / CAST(n AS DOUBLE) AS lat",
+        "CAST(disc_c AS DOUBLE) / CAST(n AS DOUBLE) AS disc",
+    )
+    mo = vals.agg(
+        F.count("*").cast("double").alias("k"),
+        *[
+            a
+            for c in ("rev", "lat", "disc")
+            for a in (
+                F.sum(N.fround(F.col(c), 6).cast("decimal(30,9)"))
+                .cast("double")
+                .alias(f"s_{c}"),
+                # per-KPI square scales: revenue^2 at 6dp would overflow
+                # fround's 2^63 integer stage, while discount^2 at 0dp
+                # would quantize to zero — scale to each KPI's magnitude
+                F.sum(
+                    N.fround(
+                        F.col(c) * F.col(c),
+                        {"rev": 0, "lat": 6, "disc": 9}[c],
+                    ).cast("decimal(30,9)")
+                )
+                .cast("double")
+                .alias(f"ss_{c}"),
+            )
+        ],
+    )
+    z = vals.crossJoin(F.broadcast(mo)).selectExpr(
+        "sk",
+        "rev",
+        "lat",
+        "disc",
+        *[
+            f"({c} - s_{c} / k) / nullif(sqrt(greatest(ss_{c} / k"
+            f" - (s_{c} / k) * (s_{c} / k), 0.0)), 0.0) AS z_{c}"
+            for c in ("rev", "lat", "disc")
+        ],
+    )
+    comp = (
+        F.lit(_SSC_W[0]) * F.col("z_rev")
+        + F.lit(_SSC_W[1]) * F.col("z_lat")
+        + F.lit(_SSC_W[2]) * F.col("z_disc")
+    )
+    return (
+        z.withColumn("composite_raw", comp)
+        .orderBy(F.col("composite_raw").desc(), F.col("sk").asc())
+        .limit(10)
+        .select(
+            F.col("sk").alias("s_suppkey"),
+            F.round("rev", 2).alias("revenue"),
+            F.round("lat", 6).alias("avg_latency_days"),
+            F.round("disc", 6).alias("avg_discount"),
+            F.round("z_rev", 6).alias("z_revenue"),
+            F.round("z_lat", 6).alias("z_latency"),
+            F.round("z_disc", 6).alias("z_discount"),
+            F.round("composite_raw", 6).alias("composite"),
+        )
+    )
