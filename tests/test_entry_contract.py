@@ -52,11 +52,12 @@ def test_bench_headline_keys_registered():
             assert name in oracles, f"{name} lost its oracle (ratio would vanish)"
 
 
-def test_r06_rotation_front_loads_fresh_families():
-    """The driver samples queries() in iteration order; r06's window must
-    open with the never-driver-checked priority families (VERDICT r5 #1:
-    forecast, TPC-H tail, behavior/session, olap rollup/window, lakehouse,
-    stats extras) — every key in the 50-key window must be fresh."""
+def test_r07_rotation_front_loads_fresh_families():
+    """The driver samples queries() in iteration order; r07's window must
+    open with the never-driver-checked priority families (VERDICT r6 #1:
+    the round-7 additions, then text/token extensions, embed audits,
+    stats-test extensions, storage/incremental, sketch audits) — every key
+    in the 50-key window must be fresh."""
     from usw_big_data_analysis_spark.registry import (
         _DRIVER_CHECKED,
         _PRIORITY_FRESH,
@@ -68,8 +69,9 @@ def test_r06_rotation_front_loads_fresh_families():
     assert all(k not in _DRIVER_CHECKED for k in window)
     # the window is exactly the head of the priority list
     assert window == [k for k in _PRIORITY_FRESH if k not in _DRIVER_CHECKED][:50]
-    assert window[0].startswith("forecast_")
-    assert "q22_global_sales" in window  # the TPC-H tail gets driver rows
+    # the round-7 reference-parity additions get driver rows immediately
+    assert window[:3] == ["encode_onehot", "cv_loo", "cv_leave_p_out"]
+    assert "mview_incremental" in window  # storage/incremental gets rows
 
 
 def test_registry_hygiene():

@@ -2327,7 +2327,10 @@ def survival_cindex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(day).alias("d0"), F.max(day).alias("d1")
     )
     fw = (
-        ev.join(F.broadcast(per_user.select("user_id", "d0")), "user_id")
+        # plain shuffle equi-join: per_user has one row per user and grows
+        # with data size, so a forced broadcast would OOM at large SF
+        # (ADVICE r6); the planner may still broadcast when it fits.
+        ev.join(per_user.select("user_id", "d0"), "user_id")
         .filter(day < F.col("d0") + 7)
         .groupBy("user_id")
         .agg(

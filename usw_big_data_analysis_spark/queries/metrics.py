@@ -2089,3 +2089,213 @@ def metric_label_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame
             6,
         ).alias("p_value"),
     )
+
+
+# --- E26/E27: leave-one-out & leave-p-out CV --------------------------------
+# Reference: iris_analysis/CV_iris_analysis.ipynb:329-331 (LeaveOneOut()) and
+# :377-379 (LeavePOut(p=2)) — two of the five CV protocols its study
+# compares. sklearn materializes n (resp. C(n,2)) train/test splits and
+# refits per split; that is the one shape that cannot survive scale. Both
+# keys instead exploit the closed form of the protocol under a
+# nearest-centroid model on the account-balance feature (classes =
+# c_mktsegment, x = acctbal in integer cents): removing the test point(s)
+# from a class centroid is arithmetic on the class (count, sum) pair —
+# n' = n − [y=c], S' = S − x·[y=c] — so EVERY fold's fit is recovered from
+# ONE aggregation of the full table. cv_loo therefore runs true LOO over
+# ALL rows in O(N) (no sampling, no per-fold refits: 150k folds at sf1.0
+# cost one groupBy + one broadcast of a 5-row stats frame); cv_leave_p_out
+# enumerates the C(n,2) pairwise splits the way the reference does —
+# combinatorial by definition — on a deterministic bounded sample
+# (c_custkey ≤ 100, TPC-H keys are dense from 1), keeping the key
+# scale-invariant at any SF.
+#
+# Exactness: cents are integers (fround_int / round-cast twins), the
+# adjusted distance |x·n' − S'| / n' has an exact-bigint numerator < 2^53
+# (|x| < 1e6 cents, N ≤ ~1e7 rows within the documented envelope) and an
+# exact-int denominator, so the IEEE division is correctly rounded and
+# bit-identical in both engines; argmin ties break on class name asc via
+# struct-min (Spark) / row_number (DuckDB) over the same (dist, class) key.
+_CV_LOO_BASE_SQL = """
+  SELECT c_custkey AS id, c_mktsegment AS y,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS x
+  FROM customer
+"""
+
+
+def _cv_loo_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_mktsegment").alias("y"),
+        N.fround_int(F.col("c_acctbal") * 100).alias("x"),
+    )
+
+
+@query(
+    "cv_loo",
+    oracle=f"""
+    WITH base AS ({_CV_LOO_BASE_SQL}),
+    stats AS (
+      SELECT y AS cls, CAST(count(*) AS BIGINT) AS n, sum(x) AS s
+      FROM base GROUP BY y
+    ),
+    cand AS (
+      SELECT b.id, b.y, st.cls,
+             CAST(abs(b.x * (st.n - CAST(b.y = st.cls AS BIGINT))
+                      - (st.s - b.x * CAST(b.y = st.cls AS BIGINT))) AS DOUBLE)
+               / CAST(st.n - CAST(b.y = st.cls AS BIGINT) AS DOUBLE) AS dist
+      FROM base b CROSS JOIN stats st
+      WHERE st.n - CAST(b.y = st.cls AS BIGINT) > 0
+    ),
+    pred AS (
+      SELECT id, y, cls AS pred,
+             row_number() OVER (PARTITION BY id ORDER BY dist, cls) AS rn
+      FROM cand
+    )
+    SELECT y, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(pred = y AS BIGINT)) AS BIGINT) AS n_correct,
+           round(CAST(sum(CAST(pred = y AS BIGINT)) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS accuracy
+    FROM pred WHERE rn = 1
+    GROUP BY y
+    """,
+)
+def cv_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact leave-one-out CV of a nearest-centroid classifier over the FULL
+    table in one pass: per-class (n, Σx) fits every fold at once via the
+    exclusion identity, candidate distances ride a 5-row broadcast, and the
+    per-row argmin is a map-side-combinable struct-min groupBy (no window,
+    no per-fold refit). Output = per-class LOO accuracy."""
+    base = _cv_loo_base(spark, sf_dir)
+    stats = base.groupBy(F.col("y").alias("cls")).agg(
+        F.count("*").cast("bigint").alias("n"), F.sum("x").alias("s")
+    )
+    excl = (F.col("y") == F.col("cls")).cast("bigint")
+    nn = F.col("n") - excl
+    ss = F.col("s") - F.col("x") * excl
+    cand = (
+        base.crossJoin(F.broadcast(stats))
+        .withColumn("nn", nn)
+        .withColumn("dist", F.abs(F.col("x") * F.col("nn") - ss).cast("double") / F.col("nn").cast("double"))
+        .filter(F.col("nn") > 0)
+    )
+    pred = cand.groupBy("id", "y").agg(
+        F.min(F.struct(F.col("dist"), F.col("cls"))).getField("cls").alias("pred")
+    )
+    hit = (F.col("pred") == F.col("y")).cast("bigint")
+    return pred.groupBy("y").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(hit).cast("bigint").alias("n_correct"),
+        F.round(
+            F.sum(hit).cast("double") / F.count("*").cast("double"), 6
+        ).alias("accuracy"),
+    )
+
+
+_LPO_N = 100  # deterministic sample: c_custkey <= 100 (dense keys from 1)
+
+
+@query(
+    "cv_leave_p_out",
+    oracle=f"""
+    WITH base AS (
+      SELECT c_custkey AS id, c_mktsegment AS y,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS x
+      FROM customer WHERE c_custkey <= {_LPO_N}
+    ),
+    stats AS (
+      SELECT y AS cls, CAST(count(*) AS BIGINT) AS n, sum(x) AS s
+      FROM base GROUP BY y
+    ),
+    pairs AS (
+      SELECT a.id AS ia, a.y AS ya, a.x AS xa,
+             b.id AS ib, b.y AS yb, b.x AS xb
+      FROM base a JOIN base b ON a.id < b.id
+    ),
+    cand AS (
+      SELECT p.ia, p.ib, p.ya, p.yb, st.cls,
+             st.n - CAST(p.ya = st.cls AS BIGINT)
+                  - CAST(p.yb = st.cls AS BIGINT) AS nn,
+             st.s - p.xa * CAST(p.ya = st.cls AS BIGINT)
+                  - p.xb * CAST(p.yb = st.cls AS BIGINT) AS ss,
+             p.xa, p.xb
+      FROM pairs p CROSS JOIN stats st
+    ),
+    scored AS (
+      SELECT ia, ib, ya, yb, cls,
+             CAST(abs(xa * nn - ss) AS DOUBLE) / CAST(nn AS DOUBLE) AS da,
+             CAST(abs(xb * nn - ss) AS DOUBLE) / CAST(nn AS DOUBLE) AS db
+      FROM cand WHERE nn > 0
+    ),
+    pred AS (
+      SELECT ia, ib, ya, yb,
+             first(cls ORDER BY da, cls) AS pa,
+             first(cls ORDER BY db, cls) AS pb
+      FROM scored GROUP BY ia, ib, ya, yb
+    ),
+    evals AS (
+      SELECT ya AS y, CAST(pa = ya AS BIGINT) AS hit FROM pred
+      UNION ALL
+      SELECT yb AS y, CAST(pb = yb AS BIGINT) AS hit FROM pred
+    )
+    SELECT y, CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(sum(hit) AS BIGINT) AS n_correct,
+           round(CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS accuracy
+    FROM evals GROUP BY y
+    """,
+)
+def cv_leave_p_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LeavePOut(p=2) exactly as the reference's protocol defines it — every
+    one of the C(n,2) test pairs is scored — via the same exclusion identity
+    as cv_loo, so each split's 'refit' is two subtractions from the global
+    class stats. The sample is a fixed deterministic prefix (c_custkey ≤
+    {n}: pushdown-pruned scan, bounded at any SF) because LPO is
+    combinatorial by definition; the pair join is a bounded broadcast
+    nested loop, never data-sized. Output = per-class accuracy over all
+    2·C(n,2) element evaluations.""".format(n=_LPO_N)
+    base = _cv_loo_base(spark, sf_dir).filter(F.col("id") <= _LPO_N)
+    stats = base.groupBy(F.col("y").alias("cls")).agg(
+        F.count("*").cast("bigint").alias("n"), F.sum("x").alias("s")
+    )
+    a = base.select(
+        F.col("id").alias("ia"), F.col("y").alias("ya"), F.col("x").alias("xa")
+    )
+    b = base.select(
+        F.col("id").alias("ib"), F.col("y").alias("yb"), F.col("x").alias("xb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
+    ea = (F.col("ya") == F.col("cls")).cast("bigint")
+    eb = (F.col("yb") == F.col("cls")).cast("bigint")
+    cand = (
+        pairs.crossJoin(F.broadcast(stats))
+        .withColumn("nn", F.col("n") - ea - eb)
+        .withColumn("ss", F.col("s") - F.col("xa") * ea - F.col("xb") * eb)
+        .filter(F.col("nn") > 0)
+    )
+    scored = cand.select(
+        "ia", "ib", "ya", "yb", "cls",
+        (F.abs(F.col("xa") * F.col("nn") - F.col("ss")).cast("double")
+         / F.col("nn").cast("double")).alias("da"),
+        (F.abs(F.col("xb") * F.col("nn") - F.col("ss")).cast("double")
+         / F.col("nn").cast("double")).alias("db"),
+    )
+    pred = scored.groupBy("ia", "ib", "ya", "yb").agg(
+        F.min(F.struct(F.col("da"), F.col("cls"))).getField("cls").alias("pa"),
+        F.min(F.struct(F.col("db"), F.col("cls"))).getField("cls").alias("pb"),
+    )
+    evals = pred.select(
+        F.col("ya").alias("y"), (F.col("pa") == F.col("ya")).cast("bigint").alias("hit")
+    ).unionAll(
+        pred.select(
+            F.col("yb").alias("y"),
+            (F.col("pb") == F.col("yb")).cast("bigint").alias("hit"),
+        )
+    )
+    return evals.groupBy("y").agg(
+        F.count("*").cast("bigint").alias("n_eval"),
+        F.sum("hit").cast("bigint").alias("n_correct"),
+        F.round(
+            F.sum("hit").cast("double") / F.count("*").cast("double"), 6
+        ).alias("accuracy"),
+    )

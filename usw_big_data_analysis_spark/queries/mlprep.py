@@ -1465,3 +1465,60 @@ def rate_shrinkage_eb(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rate_shrunk"),
     )
+
+
+# --- M16: one-hot encoding (pd.get_dummies) ----------------------------------
+# Reference: final-assignment/experiments/comparison/
+# compare_ensemble_with_without_dt.py:81-82, legacy/overfitting_experiment.py:
+# 134-135, legacy/ensemble_best_models.py:96 — pd.get_dummies(X) before the
+# ensemble fits. get_dummies derives the dummy columns from the DATA
+# (sorted distinct categories), so the Spark side fits the category list
+# first (a bounded-domain distinct, collected — c_mktsegment has 5 values at
+# every SF) and generates one `(col = cat)::int` expression per category:
+# a pure when-block that stays inside whole-stage codegen, no pivot shuffle.
+# The oracle enumerates the same TPC-H segment domain statically. Output is
+# the per-nation dummy-column sums (scale-sane: 25 rows at any SF) plus the
+# row count — equal sums over every dummy ⇔ equal encodings row-by-row up
+# to permutation within nation, which is what the hash compare needs.
+_OH_SEGMENTS = (
+    "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY",
+)
+
+
+@query(
+    "encode_onehot",
+    oracle="""
+    SELECT c_nationkey AS nationkey,
+           CAST(count(*) AS BIGINT) AS n,
+           {cols}
+    FROM customer
+    GROUP BY c_nationkey
+    """.format(
+        cols=",\n           ".join(
+            f"CAST(sum(CAST(c_mktsegment = '{s}' AS INT)) AS BIGINT)"
+            f" AS mkt_{s.lower()}"
+            for s in _OH_SEGMENTS
+        )
+    ),
+)
+def encode_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pd.get_dummies fidelity: fit = sorted distinct categories (collected;
+    the category domain is bounded by definition of one-hot — a column whose
+    distinct count scales with data has no dummy representation), transform =
+    one generated indicator expression per category. The fit collect is a
+    5-row scalar frame, never the fact table; the transform is expression-only
+    (codegen), so the encode adds zero shuffles before the nation rollup."""
+    cust = load_table(spark, sf_dir, "customer")
+    cats = [
+        r[0]
+        for r in cust.select("c_mktsegment").distinct().orderBy("c_mktsegment").collect()
+    ]
+    dummies = [
+        (F.col("c_mktsegment") == c).cast("int").alias(f"mkt_{c.lower()}")
+        for c in cats
+    ]
+    enc = cust.select(F.col("c_nationkey").alias("nationkey"), *dummies)
+    return enc.groupBy("nationkey").agg(
+        F.count("*").cast("bigint").alias("n"),
+        *[F.sum(f"mkt_{c.lower()}").cast("bigint").alias(f"mkt_{c.lower()}") for c in cats],
+    )

@@ -1714,14 +1714,15 @@ def recsys_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("pb").alias("item"), F.col("pa").alias("neighbor"), "cooc")
     )
     scored = (
+        # no broadcast hint: freq spans the part domain, which scales with
+        # SF (ADVICE r6) — these are plain equi-joins; AQE broadcasts them
+        # automatically while they fit under autoBroadcastJoinThreshold.
         sym.join(
-            F.broadcast(freq.select(F.col("pk").alias("item"), F.col("cnt").alias("ca"))),
+            freq.select(F.col("pk").alias("item"), F.col("cnt").alias("ca")),
             "item",
         )
         .join(
-            F.broadcast(
-                freq.select(F.col("pk").alias("neighbor"), F.col("cnt").alias("cb"))
-            ),
+            freq.select(F.col("pk").alias("neighbor"), F.col("cnt").alias("cb")),
             "neighbor",
         )
         .select(
@@ -2466,6 +2467,13 @@ def rollup_distinct_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.coalesce(F.col("r_name"), F.lit("__ALL__")).alias("r_name"),
             "n_exact",
+            # The oracle pins this flag TRUE, so it is an asserted accuracy
+            # invariant, not an oracle-compared value: the Spark side derives
+            # it from approx_count_distinct (HLL++, deterministic given the
+            # pinned pyspark==4.1.2 xxhash64 seed). If a Spark upgrade
+            # changes the sketch implementation and the 5% contract ever
+            # fails, that is a genuine accuracy regression to investigate —
+            # not a parity artifact (ADVICE r6).
             (F.abs(F.col("a") - F.col("n_exact")) * 20 <= F.col("n_exact")).alias(
                 "within_5pct"
             ),

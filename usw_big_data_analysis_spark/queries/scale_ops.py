@@ -65,6 +65,8 @@ def approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "col_name",
         "n_exact",
+        # Oracle pins TRUE ⇒ asserted accuracy invariant, deterministic
+        # under pinned pyspark==4.1.2 HLL++ (see rollup_distinct_hll_audit).
         (F.abs(F.col("a") - F.col("n_exact")) * 20 <= F.col("n_exact")).alias(
             "within_5pct"
         ),
@@ -655,6 +657,10 @@ def approx_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         "n_intersect",
         "n_union",
+        # Oracle pins TRUE ⇒ asserted accuracy invariant (see the
+        # rollup_distinct_hll_audit note): deterministic under the pinned
+        # pyspark==4.1.2 HLL++; a flip after a Spark upgrade is a real
+        # accuracy regression, not a parity artifact (ADVICE r6).
         (
             F.abs(
                 (F.col("ea") + F.col("eb") - F.col("eu")).cast("double")

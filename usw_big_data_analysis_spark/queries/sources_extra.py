@@ -709,6 +709,12 @@ def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     cents = np.floor(od["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64")
+    # Python f-string widths WIDEN (never truncate) past the field size,
+    # which would silently shift every later offset in the row — assert the
+    # domains fit the declared widths before staging (ADVICE r6).
+    assert od["o_orderkey"].max() < 10**12, "o_orderkey exceeds 12-char field"
+    assert od["o_custkey"].max() < 10**12, "o_custkey exceeds 12-char field"
+    assert cents.max() < 10**14, "totalprice cents exceed 14-char field"
     lines = [
         f"{k:012d}{c:012d}{v:014d}"
         for k, c, v in zip(od["o_orderkey"], od["o_custkey"], cents)

@@ -2427,8 +2427,6 @@ def runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     the predecessor sign rides ONE broadcast triangular pass (sign packed
     into max(2·d2 + [s2>0]) so no second join is needed) — no
     unpartitioned window anywhere."""
-    from ..operators.bounded_seq import exclusive_prefix_sums  # noqa: F401
-
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(
         F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").alias(
