@@ -193,8 +193,43 @@ def test_fold_auroc_matches_numpy_property(spark):
         )
         row = _auroc_rank_agg(df).collect()[0]
         auc = round(
-            (row["rank_sum_pos"] - row["npos"] * (row["npos"] + 1) / 2.0)
-            / (row["npos"] * row["nneg"]),
+            (int(row["rank_sum2"]) - row["npos"] * (row["npos"] + 1))
+            / (2 * row["npos"] * row["nneg"]),
             6,
         )
         assert (auc, row["npos"], row["nneg"]) == want, name
+
+
+def test_fold_auroc_exact_past_double_mantissa(spark):
+    """VERDICT r6 #2 fixture: a synthetic distinct-score count table whose
+    rank sum exceeds 2^53 — the old half-integer double accumulation would
+    lose low bits here; the DECIMAL(38,0) lanes must match an exact
+    arbitrary-precision Python computation bit-for-bit."""
+    import numpy as np
+
+    from usw_big_data_analysis_spark.queries.metrics import (
+        _auroc_rank_from_counts,
+    )
+
+    rng = np.random.RandomState(11)
+    probs = np.sort(rng.choice(10**6, size=200, replace=False))
+    t = rng.randint(10**7, 10**8, size=200).astype(np.int64)
+    tp = (t * rng.rand(200)).astype(np.int64)
+    vb = spark.createDataFrame(
+        [(int(p), int(a), int(b)) for p, a, b in zip(probs, t, tp)],
+        "prob bigint, t bigint, tp bigint",
+    )
+    row = _auroc_rank_from_counts(vb).collect()[0]
+    # exact python mirror in unbounded ints (doubled half-unit ranks)
+    cum = 0
+    rs2 = 0
+    for ti, tpi in zip(t.tolist(), tp.tolist()):
+        rs2 += tpi * (2 * cum + ti + 1)
+        cum += ti
+    npos = int(tp.sum())
+    ntot = int(t.sum())
+    assert rs2 > 2**53  # the fixture really is past the double mantissa
+    assert float(rs2) != rs2  # a double accumulation could not hold it
+    assert int(row["rank_sum2"]) == rs2
+    assert row["npos"] == npos
+    assert row["nneg"] == ntot - npos

@@ -111,8 +111,11 @@ def metric_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- E10: ROC-AUC via average ranks (src/utils/metrics.py:16) ---------------
 # AUC = (Σ ranks of positives − n⁺(n⁺+1)/2) / (n⁺ n⁻), average ranks for
-# ties — the exact Mann-Whitney identity sklearn uses. Rank sums are
-# half-integers < 2^52 ⇒ exact in double regardless of order.
+# ties — the exact Mann-Whitney identity sklearn uses. All rank arithmetic
+# runs in DOUBLED half-units (2·rank, so ties average to integers) and
+# accumulates in DECIMAL(38,0) Spark-side / int128 oracle-side, so the rank
+# sum is exact for ANY npos·N < ~1e38 — no 2^53 double-mantissa bound
+# (VERDICT r6 #2 removed the old half-integer double accumulation).
 #
 # Quantization contract (enforced in BOTH engines, not assumed): scores are
 # ranked at _PROB_SCALE decimals. That bounds the distinct-prob table to
@@ -122,28 +125,52 @@ def metric_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # any model's meaningful score resolution (sklearn's roc_auc_score ties at
 # float64, but AUC differences under 1e-6 in score space are noise).
 _PROB_SCALE = 6
-_RANKED_SQL = f"""
+# oracle twin: r2 = 2·rank + (ties − 1) = doubled average rank, an integer;
+# DuckDB sums bigints in int128, so the rank sum is exact at any scale.
+_RANKED2_SQL = f"""
   SELECT label,
-         rank() OVER (ORDER BY round(prob, {_PROB_SCALE}))
-           + (count(*) OVER (PARTITION BY round(prob, {_PROB_SCALE})) - 1) / 2.0
-           AS r_avg
+         2 * rank() OVER (ORDER BY round(prob, {_PROB_SCALE}))
+           + count(*) OVER (PARTITION BY round(prob, {_PROB_SCALE})) - 1
+           AS r2
   FROM ({_SCORED_SQL})
+"""
+# shared oracle tail: exact integer numerator, one double division — the
+# identical expression Spark builds from (rank_sum2, npos, nneg)
+_AUROC_FROM_R2_SQL = """
+      SELECT sum(CASE WHEN label = 1 THEN r2 END) AS rs2,
+             CAST(sum(CAST(label = 1 AS BIGINT)) AS BIGINT) AS npos,
+             CAST(sum(CAST(label = 0 AS BIGINT)) AS BIGINT) AS nneg
+      FROM r
 """
 
 _RANK_BUCKETS = 1024
 
 
-def _auroc_rank_agg(s: DataFrame) -> DataFrame:
-    """One-row (rank_sum_pos, npos, nneg) as a LINEAR chain of three
-    aggregations — no window, no checkpoint, no branch reuse (VERDICT r4
-    #2 fused the old two-phase prefix-sum's group/bucket stages; this
-    goes further and removes the window exchange too):
+def _auroc_counts(s: DataFrame) -> DataFrame:
+    """Stage 1 of the rank agg: per-distinct-quantized-score (t, tp) counts
+    — the only fact-scale stage, fully parallel, map-side combined.
 
-      1. groupBy(quantized prob): per-distinct-score (t, tp) counts —
-         the only fact-scale stage, fully parallel, map-side combined.
+    Integer quantization key: q = floor(prob*10^s + 0.5) is exactly
+    DuckDB's round(prob, s) for non-negative doubles (std::round is
+    multiply-then-half-away there), maps 1:1 onto the oracle's distinct
+    rounded probs (q/10^s are distinct doubles for distinct q), and keeps
+    the group key a BIGINT — no per-row BigDecimal boxing (Spark's double
+    round), cheaper group hashing, and bucket assignment becomes a pure
+    integer DIV (any monotone function of q preserves the rank order)."""
+    _Q = 10**_PROB_SCALE
+    return s.groupBy(
+        F.expr(f"CAST(FLOOR(prob * {_Q} + 0.5D) AS BIGINT)").alias("prob")
+    ).agg(F.expr("count(*) AS t"), F.expr("CAST(sum(label) AS BIGINT) AS tp"))
+
+
+def _auroc_rank_from_counts(vb: DataFrame) -> DataFrame:
+    """Stages 2-3 of the rank agg, over a (prob, t, tp) distinct-score
+    count table: one-row (rank_sum2, npos, nneg) where rank_sum2 is the
+    EXACT doubled rank sum of positives (2·Σ r_avg), a DECIMAL(38,0).
+
       2. groupBy(bucket): probabilities live in [0,1] so the bucket is a
          literal expression (no min/max pass). Each bucket's IN-BUCKET
-         rank contribution is a sorted-array fold
+         doubled rank contribution is a sorted-array fold
          (array_sort(collect_list) + aggregate()) over its ≤
          ceil(10^_PROB_SCALE/_RANK_BUCKETS) distinct scores — bounded by
          the quantization contract, evaluated JVM-side per group.
@@ -151,31 +178,21 @@ def _auroc_rank_agg(s: DataFrame) -> DataFrame:
          cross-bucket offsets (exclusive prefix of bucket totals) with
          the local terms.
 
-    rank_sum_pos = Σ_b (offset_b · tp_b + local_b); every term is an
-    integer or half-integer, so double sums are exact and
-    order-independent — bit-identical to row-level rank() in any engine —
-    WHILE npos · N < 2^53 (the largest accumulated term is offset·tp ≈
-    npos·N half-units; beyond ~2^26 fact rows the half-integers exceed the
-    double mantissa and parity would need the two-lane bigint split of
-    isum_aggs, the documented upgrade path).
+    rank_sum2 = Σ_b (2·offset_b · tp_b + local2_b) with
+    local2 = Σ_x tp_x · (2·cum_below + t_x + 1) — every term an INTEGER
+    accumulated in DECIMAL(38,0), so the sum is exact and order-independent
+    (bit-identical to row-level rank() in any engine) for any npos·N below
+    ~10^38: the old npos·N < 2^53 half-integer-double bound is gone
+    (VERDICT r6 #2; the >2^53 golden lives in tests/test_rank_ops.py).
+    Cursor bounds: cum/off are row counts (< 2^63 always); the per-term
+    products run in decimal.
     No window ever sees a table whose size grows with the fact, and the
     plan is one job of three stages with a single fact-scale shuffle."""
-    # Integer quantization key: q = floor(prob*10^s + 0.5) is exactly
-    # DuckDB's round(prob, s) for non-negative doubles (std::round is
-    # multiply-then-half-away there), maps 1:1 onto the oracle's distinct
-    # rounded probs (q/10^s are distinct doubles for distinct q), and keeps
-    # the group key a BIGINT — no per-row BigDecimal boxing (Spark's double
-    # round), cheaper group hashing, and bucket assignment becomes a pure
-    # integer DIV (any monotone function of q preserves the rank order).
     _Q = 10**_PROB_SCALE
     _BW = _Q // _RANK_BUCKETS + 1  # ceil: q in [0, 10^s] -> b in [0, 1023]
-    vb = (
-        s.groupBy(F.expr(f"CAST(FLOOR(prob * {_Q} + 0.5D) AS BIGINT)").alias("prob"))
-        .agg(F.expr("count(*) AS t"), F.expr("CAST(sum(label) AS BIGINT) AS tp"))
-        .withColumn("b", F.expr(f"CAST(prob DIV {_BW} AS INT)"))
-    )
-    # in-bucket rank contribution: running cum of t over scores ascending;
-    # each score adds tp · (cum_below + (t+1)/2)
+    vb = vb.withColumn("b", F.expr(f"CAST(prob DIV {_BW} AS INT)"))
+    # in-bucket doubled rank contribution: running cum of t over scores
+    # ascending; each score adds tp · (2·cum_below + t + 1)
     bucket = vb.groupBy("b").agg(
         F.expr("sum(t) AS tb"),
         F.expr("CAST(sum(tp) AS BIGINT) AS tpb"),
@@ -183,29 +200,33 @@ def _auroc_rank_agg(s: DataFrame) -> DataFrame:
             """
             aggregate(
               array_sort(collect_list(struct(prob, t, tp))),
-              struct(CAST(0 AS BIGINT) AS cum, CAST(0.0D AS DOUBLE) AS acc),
+              struct(CAST(0 AS BIGINT) AS cum,
+                     CAST(0 AS DECIMAL(38,0)) AS acc),
               (s, x) -> struct(
                 s.cum + x.t,
-                s.acc + CAST(x.tp AS DOUBLE)
-                        * (CAST(s.cum AS DOUBLE)
-                           + (CAST(x.t AS DOUBLE) + 1.0D) / 2.0D)),
+                CAST(s.acc + CAST(x.tp AS DECIMAL(38,0))
+                        * CAST(2 * s.cum + x.t + 1 AS DECIMAL(38,0))
+                     AS DECIMAL(38,0))),
               s -> s.acc
-            ) AS local
+            ) AS local2
             """
         ),
     )
     # cross-bucket: offset_b = Σ_{b'<b} tb' folded over the sorted
-    # ≤_RANK_BUCKETS bucket rows; rank_sum_pos = Σ_b offset_b·tpb + local_b
+    # ≤_RANK_BUCKETS bucket rows; rank_sum2 = Σ_b 2·offset_b·tpb + local2_b
     z = bucket.agg(
         F.expr(
             """
             aggregate(
-              array_sort(collect_list(struct(b, tb, tpb, local))),
-              struct(CAST(0 AS BIGINT) AS off, CAST(0.0D AS DOUBLE) AS rs,
+              array_sort(collect_list(struct(b, tb, tpb, local2))),
+              struct(CAST(0 AS BIGINT) AS off,
+                     CAST(0 AS DECIMAL(38,0)) AS rs2,
                      CAST(0 AS BIGINT) AS np, CAST(0 AS BIGINT) AS nt),
               (s, x) -> struct(
                 s.off + x.tb,
-                s.rs + CAST(x.tpb AS DOUBLE) * CAST(s.off AS DOUBLE) + x.local,
+                CAST(s.rs2 + CAST(x.tpb AS DECIMAL(38,0))
+                        * CAST(2 * s.off AS DECIMAL(38,0)) + x.local2
+                     AS DECIMAL(38,0)),
                 s.np + x.tpb, s.nt + x.tb),
               s -> s
             ) AS z
@@ -213,24 +234,44 @@ def _auroc_rank_agg(s: DataFrame) -> DataFrame:
         )
     )
     return z.select(
-        F.col("z.rs").alias("rank_sum_pos"),
+        F.col("z.rs2").alias("rank_sum2"),
         F.col("z.np").alias("npos"),
         (F.col("z.nt") - F.col("z.np")).alias("nneg"),
+    )
+
+
+def _auroc_rank_agg(s: DataFrame) -> DataFrame:
+    """One-row (rank_sum2, npos, nneg) as a LINEAR chain of three
+    aggregations — no window, no checkpoint, no branch reuse (VERDICT r4
+    #2 fused the old two-phase prefix-sum's group/bucket stages; this
+    goes further and removes the window exchange too). See
+    _auroc_counts / _auroc_rank_from_counts for the stage contracts."""
+    return _auroc_rank_from_counts(_auroc_counts(s))
+
+
+def _auroc_expr() -> "F.Column":
+    """AUC from (rank_sum2, npos, nneg): exact integer numerator
+    rank_sum2 − npos(npos+1) in decimal, ONE double division — the
+    bit-identical twin of the oracle's CAST(rs2 - npos*(npos+1) AS DOUBLE)
+    / (2.0 * npos * nneg)."""
+    num = F.col("rank_sum2") - F.col("npos").cast("decimal(38,0)") * (
+        F.col("npos") + 1
+    ).cast("decimal(38,0)")
+    return num.cast("double") / (
+        F.lit(2.0) * F.col("npos").cast("double") * F.col("nneg").cast("double")
     )
 
 
 @query(
     "metric_auroc",
     oracle=f"""
-    WITH r AS ({_RANKED_SQL}),
+    WITH r AS ({_RANKED2_SQL}),
     s AS (
-      SELECT sum(CASE WHEN label = 1 THEN r_avg END) AS rank_sum_pos,
-             CAST(sum(CAST(label = 1 AS BIGINT)) AS BIGINT) AS npos,
-             CAST(sum(CAST(label = 0 AS BIGINT)) AS BIGINT) AS nneg
-      FROM r
+      {_AUROC_FROM_R2_SQL}
     )
-    SELECT round((rank_sum_pos - npos * (npos + 1) / 2.0)
-                 / (CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE)), 6) AS auroc,
+    SELECT round(CAST(rs2 - npos * (npos + 1) AS DOUBLE)
+                 / (2.0 * CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE)), 6)
+             AS auroc,
            npos, nneg
     FROM s
     """,
@@ -239,14 +280,12 @@ def metric_auroc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-compressed AUROC: quantize to _PROB_SCALE decimals (the contract
     is IN the plan, not a comment — round bounds the distinct table), group
     by distinct score, then the bucketed sorted-array folds in
-    _auroc_rank_agg compute mean ranks with no window at all. Each score's
-    mean rank = (#rows below) + (ties+1)/2; rank sums are exact
-    half-integers, so this is identical to ranking every row."""
+    _auroc_rank_agg compute doubled mean ranks with no window at all. Each
+    score's doubled mean rank = 2·(#rows below) + ties + 1; rank sums are
+    exact integers in DECIMAL(38,0) (int128 in the oracle), so this is
+    identical to ranking every row at ANY fact scale."""
     agg = _auroc_rank_agg(scored_frame(spark, sf_dir))
-    auc = (F.col("rank_sum_pos") - F.col("npos") * (F.col("npos") + 1) / 2.0) / (
-        F.col("npos").cast("double") * F.col("nneg").cast("double")
-    )
-    return agg.select(F.round(auc, 6).alias("auroc"), "npos", "nneg")
+    return agg.select(F.round(_auroc_expr(), 6).alias("auroc"), "npos", "nneg")
 
 
 # --- E11: confusion matrix (teamProject/utils/evaluation.py:83-92) ----------
@@ -347,19 +386,18 @@ def threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     "score_combined",
     oracle=f"""
     WITH c AS ({_CONF_SQL}),
-    r AS ({_RANKED_SQL}),
+    r AS ({_RANKED2_SQL}),
     a AS (
-      SELECT sum(CASE WHEN label = 1 THEN r_avg END) AS rank_sum_pos,
-             CAST(sum(CAST(label = 1 AS BIGINT)) AS BIGINT) AS npos,
-             CAST(sum(CAST(label = 0 AS BIGINT)) AS BIGINT) AS nneg
-      FROM r
+      {_AUROC_FROM_R2_SQL}
     )
     SELECT round(2.0 * c.tp / nullif(2.0 * c.tp + c.fp + c.fn, 0), 6) AS f1,
-           round((a.rank_sum_pos - a.npos * (a.npos + 1) / 2.0)
-                 / (CAST(a.npos AS DOUBLE) * CAST(a.nneg AS DOUBLE)), 6) AS auroc,
+           round(CAST(a.rs2 - a.npos * (a.npos + 1) AS DOUBLE)
+                 / (2.0 * CAST(a.npos AS DOUBLE) * CAST(a.nneg AS DOUBLE)), 6)
+             AS auroc,
            round((2.0 * c.tp / nullif(2.0 * c.tp + c.fp + c.fn, 0)
-                + (a.rank_sum_pos - a.npos * (a.npos + 1) / 2.0)
-                  / (CAST(a.npos AS DOUBLE) * CAST(a.nneg AS DOUBLE))) / 2.0, 6) AS score
+                + CAST(a.rs2 - a.npos * (a.npos + 1) AS DOUBLE)
+                  / (2.0 * CAST(a.npos AS DOUBLE) * CAST(a.nneg AS DOUBLE)))
+                 / 2.0, 6) AS score
     FROM c CROSS JOIN a
     """,
 )
@@ -374,9 +412,7 @@ def score_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = _auroc_rank_agg(s)
     j = c.crossJoin(a)
     f1 = 2.0 * F.col("tp") / F.nullif(2.0 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(0))
-    auc = (F.col("rank_sum_pos") - F.col("npos") * (F.col("npos") + 1) / 2.0) / (
-        F.col("npos").cast("double") * F.col("nneg").cast("double")
-    )
+    auc = _auroc_expr()
     return j.select(
         F.round(f1, 6).alias("f1"),
         F.round(auc, 6).alias("auroc"),
