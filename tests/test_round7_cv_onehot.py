@@ -106,6 +106,30 @@ def test_loo_and_kfold_agree_on_protocol_counts(spark, sf_dir):
     assert folds.groupby(df["y"]).count().to_dict() == per_class
 
 
+def test_cv_kfold_plain_matches_per_fold_refits(spark, sf_dir):
+    from usw_big_data_analysis_spark.queries.metrics import cv_kfold_plain
+
+    got = {r["fold"]: r for r in cv_kfold_plain(spark, sf_dir).collect()}
+
+    df = _load(sf_dir)
+    df["fold"] = (df["id"] % 5).astype(int)
+    classes = sorted(df["y"].unique())
+    # literal KFold: refit the centroids on the 4 train folds per fold
+    for f in sorted(df["fold"].unique()):
+        tr = df[df["fold"] != f]
+        va = df[df["fold"] == f]
+        n = {c: int((tr["y"] == c).sum()) for c in classes}
+        s = {c: int(tr.loc[tr["y"] == c, "x"].sum()) for c in classes}
+        correct = sum(
+            1
+            for _, row in va.iterrows()
+            if _nearest_centroid_pred(row["x"], classes, n, s) == row["y"]
+        )
+        assert got[f]["n_val"] == len(va)
+        assert got[f]["n_correct"] == correct, f
+        assert got[f]["accuracy"] == round(correct / len(va), 6)
+
+
 def test_encode_onehot_matches_get_dummies(spark, sf_dir):
     from usw_big_data_analysis_spark.queries.mlprep import encode_onehot
 

@@ -2335,3 +2335,94 @@ def cv_leave_p_out(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("hit").cast("double") / F.count("*").cast("double"), 6
         ).alias("accuracy"),
     )
+
+
+# --- E28: plain (unstratified) K-fold cross_val_score ------------------------
+# Reference: iris_analysis/CV_iris_analysis.ipynb (KFold cell) and
+# teamProject/models.ipynb (`cross_val_score`) — the unstratified variant of
+# E3 plus the per-fold score vector cross_val_score returns. Folds are the
+# deterministic key-modulo assignment (seeded shuffles don't reproduce
+# across engines; split_modk precedent), and the k per-fold nearest-centroid
+# fits reuse the cv_loo exclusion algebra at fold granularity: train stats
+# for fold f = per-class totals minus that class's fold-f cell, so ALL k
+# fits come out of ONE (class x fold) aggregation — 25 rows — instead of k
+# passes over the data.
+@query(
+    "cv_kfold_plain",
+    oracle=f"""
+    WITH base AS (
+      SELECT c_custkey AS id, c_mktsegment AS y,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS x,
+             CAST(c_custkey % 5 AS INT) AS fold
+      FROM customer
+    ),
+    cells AS (
+      SELECT y AS cls, fold, CAST(count(*) AS BIGINT) AS n, sum(x) AS s
+      FROM base GROUP BY y, fold
+    ),
+    totals AS (
+      SELECT cls, CAST(sum(n) AS BIGINT) AS n_tot, sum(s) AS s_tot
+      FROM cells GROUP BY cls
+    ),
+    tstats AS (
+      SELECT c.fold, c.cls, t.n_tot - c.n AS nn, t.s_tot - c.s AS ss
+      FROM cells c JOIN totals t ON c.cls = t.cls
+    ),
+    cand AS (
+      SELECT b.id, b.y, b.fold, ts.cls,
+             CAST(abs(b.x * ts.nn - ts.ss) AS DOUBLE) / CAST(ts.nn AS DOUBLE)
+               AS dist
+      FROM base b JOIN tstats ts ON b.fold = ts.fold
+      WHERE ts.nn > 0
+    ),
+    pred AS (
+      SELECT id, y, fold,
+             first(cls ORDER BY dist, cls) AS p
+      FROM cand GROUP BY id, y, fold
+    )
+    SELECT fold, CAST(count(*) AS BIGINT) AS n_val,
+           CAST(sum(CAST(p = y AS BIGINT)) AS BIGINT) AS n_correct,
+           round(CAST(sum(CAST(p = y AS BIGINT)) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS accuracy
+    FROM pred GROUP BY fold
+    """,
+)
+def cv_kfold_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cross_val_score(cv=KFold(5)): per-fold validation accuracy of the
+    nearest-centroid model, all five fits recovered from one (class, fold)
+    aggregation via complement subtraction — one fact scan, a 25-row
+    broadcast, a per-row argmin groupBy; nothing refits per fold."""
+    base = _cv_loo_base(spark, sf_dir).withColumn(
+        "fold", (F.col("id") % 5).cast("int")
+    )
+    cells = base.groupBy(F.col("y").alias("cls"), "fold").agg(
+        F.count("*").cast("bigint").alias("n"), F.sum("x").alias("s")
+    )
+    totals = cells.groupBy("cls").agg(
+        F.sum("n").cast("bigint").alias("n_tot"), F.sum("s").alias("s_tot")
+    )
+    tstats = cells.join(totals, "cls").select(
+        "fold", "cls",
+        (F.col("n_tot") - F.col("n")).alias("nn"),
+        (F.col("s_tot") - F.col("s")).alias("ss"),
+    )
+    cand = (
+        base.join(F.broadcast(tstats), "fold")
+        .filter(F.col("nn") > 0)
+        .select(
+            "id", "y", "fold", "cls",
+            (F.abs(F.col("x") * F.col("nn") - F.col("ss")).cast("double")
+             / F.col("nn").cast("double")).alias("dist"),
+        )
+    )
+    pred = cand.groupBy("id", "y", "fold").agg(
+        F.min(F.struct(F.col("dist"), F.col("cls"))).getField("cls").alias("p")
+    )
+    hit = (F.col("p") == F.col("y")).cast("bigint")
+    return pred.groupBy("fold").agg(
+        F.count("*").cast("bigint").alias("n_val"),
+        F.sum(hit).cast("bigint").alias("n_correct"),
+        F.round(
+            F.sum(hit).cast("double") / F.count("*").cast("double"), 6
+        ).alias("accuracy"),
+    )

@@ -116,8 +116,8 @@ _PINNED_FIRST: tuple[str, ...] = ()
 # zero-driver-row families — text/token extensions, embed audits, stats-test
 # extensions, storage/incremental, and the approximate-sketch audits.
 _PRIORITY_FRESH: tuple[str, ...] = (
-    # round-7 additions (3)
-    'encode_onehot', 'cv_loo', 'cv_leave_p_out',
+    # round-7 additions (4)
+    'encode_onehot', 'cv_loo', 'cv_leave_p_out', 'cv_kfold_plain',
     # text/token extensions (8, zero driver rows)
     'tokenizer_unigram_viterbi', 'tokenizer_wordpiece_apply',
     'tokenizer_char_coverage', 'retrieval_mrr_recall', 'metric_bleu_pairs',
