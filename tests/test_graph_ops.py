@@ -36,3 +36,26 @@ def test_chain_and_disjoint_components(spark):
 def test_direction_and_duplicate_edges_irrelevant(spark):
     got = _cc(spark, [(5, 4), (4, 5), (4, 3), (5, 3), (3, 2)])
     assert got == {2: 2, 3: 2, 4: 2, 5: 2}
+
+
+def test_long_chain_converges_logarithmically(spark):
+    """r7 pointer-jump upgrade: a 300-node path has diameter 299 — plain
+    min-label propagation needs 299 rounds (the old 25-round cap would now
+    raise rather than return partial clusters); propagate+jump must close
+    it within the default max_rounds and label every node with the chain
+    head."""
+    n = 300
+    got = _cc(spark, [(i, i + 1) for i in range(n)])
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_nonconvergence_raises_not_partial(spark):
+    """With max_rounds too small the operator must fail loudly — silent
+    partial clusters would corrupt a dedup keep-list downstream."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "s bigint, d bigint"
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(df, "s", "d", max_rounds=2)

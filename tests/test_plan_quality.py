@@ -250,6 +250,14 @@ def test_connected_components_round_never_broadcasts(spark):
     assert "ShuffledHashJoin" in plan
     assert "BroadcastHashJoin" not in plan
     assert "BroadcastExchange" not in plan
+    # the pointer-jump half (r7) shares the constraint: the label table is
+    # node-cardinality on both sides of its self-join
+    from usw_big_data_analysis_spark.operators.graph_ops import _pj_round
+
+    plan2 = explain_formatted(_pj_round(_cc_round(edges, labels)))
+    assert "ShuffledHashJoin" in plan2
+    assert "BroadcastHashJoin" not in plan2
+    assert "BroadcastExchange" not in plan2
 
 
 def test_partition_evolution_per_generation_pruning(spark, sf_dir):

@@ -118,6 +118,65 @@ SCALE_KEYS = [
     "metric_label_permutation_test",
     "rollup_count_distinct",
     "forecast_hierarchical_reconcile",
+    # r7 widening (VERDICT r6 #8): the dedup/embed eval keys and OLAP
+    # extensions — each runs in seconds-to-a-minute at 10x; the recursive-
+    # CTE-oracle keys (dedup_clusters, preference_pairs_cluster,
+    # word_cooccurrence_clusters) stay excluded for the documented
+    # oracle-cost reason above.
+    # dedup eval + extras
+    "dedup_lsh_recall",
+    "dedup_bcubed_eval",
+    "dedup_ari_eval",
+    "dedup_containment",
+    "dedup_ngram_jaccard",
+    "dedup_pair_evidence",
+    "dedup_keep_priority",
+    "dedup_rate_by_source",
+    "dedup_cross_source_overlap",
+    "dedup_incremental_bands",
+    "dedup_span_c4",
+    "dedup_two_stage_funnel",
+    "dedup_simhash_hamming",
+    "dedup_block_hash",
+    "dedup_cluster_size_dist",
+    "minhash_bbit_estimate",
+    "minhash_jaccard_estimate",
+    "dedup_token_savings",
+    # embed / ANN family at a 10x corpus
+    "embed_cosine_topk",
+    "embed_ann_lsh",
+    "embed_ann_multiprobe",
+    "embed_ann_multitable",
+    "embed_ann_ivf",
+    "embed_ann_ivfpq",
+    "embed_ann_recall",
+    "embed_lsh_tuning_curve",
+    "embed_pq_train",
+    "embed_pq_assign",
+    "embed_pq_search",
+    "embed_ivf_cell_stats",
+    "embed_norm_audit",
+    "embed_quantize_int8",
+    "embed_jl_projection_audit",
+    # OLAP extensions
+    "semi_join_returned",
+    "melt_unpivot",
+    "first_last_order",
+    "agg_filter_clause",
+    "pivot_dynamic",
+    "abc_classification",
+    "trending_items",
+    "orders_seasonal_index",
+    "sla_breach_rate",
+    "duplicate_order_detection",
+    "orders_open_backlog_daily",
+    "supplier_scorecard",
+    # round-7 additions (cv_loo's O(N) closed form is exactly the claim a
+    # decade-up run should exercise)
+    "encode_onehot",
+    "cv_loo",
+    "cv_leave_p_out",
+    "cv_kfold_plain",
 ]
 
 # FK domain -> the (table, column) pairs that must shift by the SAME span

@@ -10,17 +10,21 @@ expression, but it maps cleanly onto DataFrame joins:
           hash-join + hash-agg per round — ordinary shuffles, fully
           parallel) until a fixpoint.
 
-Min-label propagation converges in O(component diameter) rounds; near-dup
-clusters are shallow (pairs share a bucket, diameters 2-4), so 3-5 rounds
-in practice. For adversarial long-chain graphs, switch the round body to
-large-star/small-star (Kiveris et al., "Connected Components in MapReduce
-and Beyond", SoCC'14 — public) for O(log n) rounds; the driver loop and
-convergence check below stay identical.
+Plain min-label propagation converges in O(component diameter) rounds;
+near-dup clusters are shallow (pairs share a bucket, diameters 2-4), so a
+handful of rounds in practice. Each iteration here chains a PROPAGATE
+round (neighbor min) with a POINTER-JUMP round (label := label(label) —
+the compression half of large-star/small-star, Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14, public): the distance a
+minimum label has travelled roughly doubles per iteration, so adversarial
+long-chain graphs converge in O(log diameter) iterations instead of
+O(diameter) — a 10^6-node path needs ~20 iterations, not 10^6 (r7 upgrade;
+previously documented as the escape hatch, now the default).
 
-Each round ends in ``localCheckpoint`` — without it the lineage doubles per
-iteration and the planner re-executes the whole history (on a cluster,
-use reliable ``checkpoint`` so a lost executor can't drop the truncated
-lineage).
+Each iteration ends in ``localCheckpoint`` — without it the lineage
+doubles per iteration and the planner re-executes the whole history (on a
+cluster, use reliable ``checkpoint`` so a lost executor can't drop the
+truncated lineage).
 """
 
 from __future__ import annotations
@@ -34,7 +38,10 @@ def connected_components(
 ) -> DataFrame:
     """(``node``, ``component``) for every node appearing in ``edges``
     (undirected; pass each pair once in either direction). ``component``
-    is the smallest node id reachable from ``node``."""
+    is the smallest node id reachable from ``node``. Raises RuntimeError
+    if the labels have not reached a fixpoint within ``max_rounds``
+    iterations (2^max_rounds-diameter components — never in practice)
+    rather than silently returning partial clusters."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -46,11 +53,15 @@ def connected_components(
     )
 
     for _ in range(max_rounds):
-        updated = _cc_round(sym, labels).localCheckpoint()
+        updated = _pj_round(_cc_round(sym, labels)).localCheckpoint()
         changed = updated.filter("__shrunk").count()
         labels = updated.drop("__shrunk")
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixpoint within {max_rounds} iterations"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 
@@ -77,4 +88,26 @@ def _cc_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
         "node",
         F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
         (F.coalesce("nbr_min", "label") < F.col("label")).alias("__shrunk"),
+    )
+
+
+def _pj_round(labels: DataFrame) -> DataFrame:
+    """Pointer-jump half of the iteration: label := label(label), ORing the
+    change flag into ``__shrunk``. Every label value is itself a node in
+    ``labels`` (labels only ever take existing node ids, monotonically
+    non-increasing), so the lookup is a plain self equi-join — shuffle_hash
+    for the same no-driver-broadcast reason as ``_cc_round``. Invariants
+    preserved: label(node) stays a reachable node id (label(label) is
+    reachable via label) and never increases (label(L) <= L for all L)."""
+    parent = labels.select(
+        F.col("node").alias("p_node"), F.col("label").alias("p_label")
+    )
+    return labels.join(
+        parent.hint("shuffle_hash"), labels["label"] == parent["p_node"], "left"
+    ).select(
+        "node",
+        F.coalesce("p_label", "label").alias("label"),
+        (
+            F.col("__shrunk") | (F.coalesce("p_label", "label") < F.col("label"))
+        ).alias("__shrunk"),
     )
