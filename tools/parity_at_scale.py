@@ -123,10 +123,14 @@ SCALE_KEYS = [
     # CTE-oracle keys (dedup_clusters, preference_pairs_cluster,
     # word_cooccurrence_clusters) stay excluded for the documented
     # oracle-cost reason above.
-    # dedup eval + extras
+    # dedup eval + extras. dedup_ari_eval / dedup_bcubed_eval /
+    # dedup_cluster_size_dist are NOT here: their oracles walk the LSH edge
+    # list with the same recursive min-label CTE as dedup_clusters —
+    # super-linear in the ~10M-pair 10x edge list (measured: >15 min on one
+    # key before the r7 sweep was restarted without them). The Spark side
+    # of that family rides connected_components, which is gate-covered by
+    # the 16x probe and the long-chain pytest goldens.
     "dedup_lsh_recall",
-    "dedup_bcubed_eval",
-    "dedup_ari_eval",
     "dedup_containment",
     "dedup_ngram_jaccard",
     "dedup_pair_evidence",
@@ -138,7 +142,6 @@ SCALE_KEYS = [
     "dedup_two_stage_funnel",
     "dedup_simhash_hamming",
     "dedup_block_hash",
-    "dedup_cluster_size_dist",
     "minhash_bbit_estimate",
     "minhash_jaccard_estimate",
     "dedup_token_savings",
