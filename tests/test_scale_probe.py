@@ -40,14 +40,10 @@ def test_gate_subset_and_threshold_pinned():
         "stream_dedup_lsh_ingest",
     ]
     assert probe.GATE_MAX_RATIO == 3.0
-    # work-grows-with-corpus exceptions are explicit and measurement-backed
-    assert probe.GATE_CEILING == {
-        "dedup_minhash_lsh": 4.0,
-        "embed_ann_ivfpq": 4.0,
-        # output-bound: the cleaned-corpus result set itself grows 16x
-        # (measured in SCALE_PROBE_r06; see a30ebf2 scope note)
-        "pipeline_docs_clean": 4.0,
-    }
+    # VERDICT r6 #6: the gate is UNIFORM — the former work-grows-with-corpus
+    # ceilings all measure under the default bound, so any reappearing
+    # per-query headroom is a regression in this pin, not a tuning knob
+    assert probe.GATE_CEILING == {}
     assert set(probe.GATE_CEILING) <= set(probe.GATE_QUERIES)
     assert set(probe.GATE_QUERIES) <= set(probe.QUERIES)
 
