@@ -263,7 +263,11 @@ def main() -> None:
     # regression guard (VERDICT r3 #9, loader fixed per ADVICE r4): compare
     # to the newest recorded BENCH_r*.json. Each series (cold / prepared) is
     # compared only when the prior record carries the same methodology tag —
-    # min-of-3 vs median-of-5 prepared estimators aren't comparable.
+    # min-of-3 vs median-of-5 prepared estimators aren't comparable — AND the
+    # same scale factor (an sf1.0 run vs an sf0.1 record would flag every
+    # query as a 10x "regression").
+    sf_str = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_value = float(sf_str) if sf_str.replace(".", "").isdigit() else sf_str
     regressions: dict[str, dict[str, float]] = {}
     try:
         import glob
@@ -271,7 +275,8 @@ def main() -> None:
         prior = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
         if prior:
             prev = _load_prev_bench(prior[-1])
-            regressions = _regressions(prev, times, prepared)
+            if prev.get("sf") == sf_value:
+                regressions = _regressions(prev, times, prepared)
     except (OSError, ValueError, TypeError, KeyError, AttributeError):
         pass  # bench must never fail on a malformed prior record
 
@@ -290,7 +295,6 @@ def main() -> None:
     total_spark = round(sum(t for n, t in times.items() if n in duck), 3)
     total_duck = round(sum(duck.values()), 3)
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # prepared ratio covers only declarative plans: a SELF_MATERIALIZING
     # trainer's prepared_s re-executes a stale already-trained plan (its
     # real work happened at build time) while its DuckDB oracle re-trains
@@ -315,7 +319,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "rows_only_total_s": rows_only_total,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_value,
                 "methodology": METHODOLOGY,
                 "prepared_methodology": PREPARED_METHODOLOGY,
                 "duck_s": duck,

@@ -130,6 +130,50 @@ def test_cv_kfold_plain_matches_per_fold_refits(spark, sf_dir):
         assert got[f]["accuracy"] == round(correct / len(va), 6)
 
 
+def test_cv_multi_metric_matches_per_fold_refits(spark, sf_dir):
+    """cross_validate multi-scorer return: per-fold accuracy and macro
+    precision/recall/F1 mirrored with literal per-fold refits plus the
+    sklearn zero_division=0 macro formulas."""
+    from usw_big_data_analysis_spark.queries.metrics import cv_multi_metric
+
+    got = {r["fold"]: r for r in cv_multi_metric(spark, sf_dir).collect()}
+
+    df = _load(sf_dir)
+    df["fold"] = (df["id"] % 5).astype(int)
+    classes = sorted(df["y"].unique())
+    for f in sorted(df["fold"].unique()):
+        tr = df[df["fold"] != f]
+        va = df[df["fold"] == f]
+        n = {c: int((tr["y"] == c).sum()) for c in classes}
+        s = {c: int(tr.loc[tr["y"] == c, "x"].sum()) for c in classes}
+        preds = [
+            _nearest_centroid_pred(row["x"], classes, n, s)
+            for _, row in va.iterrows()
+        ]
+        truth = list(va["y"])
+        correct = sum(1 for p, t in zip(preds, truth) if p == t)
+        assert got[f]["n_val"] == len(va)
+        assert got[f]["accuracy"] == round(correct / len(va), 6)
+        # per-class P/R/F1 with zero_division=0, then e9-quantized macro
+        # means (the engine's order-free sum form)
+        p9 = r9 = f9 = 0
+        domain = sorted(set(preds) | set(truth))
+        for c in domain:
+            tp = sum(1 for p, t in zip(preds, truth) if p == c and t == c)
+            pcnt = sum(1 for p in preds if p == c)
+            tcnt = sum(1 for t in truth if t == c)
+            prec = tp / pcnt if pcnt else 0.0
+            rec = tp / tcnt if tcnt else 0.0
+            f1 = 2 * prec * rec / (prec + rec) if prec + rec > 0 else 0.0
+            p9 += round(prec * 10**9)
+            r9 += round(rec * 10**9)
+            f9 += round(f1 * 10**9)
+        k = len(domain)
+        assert got[f]["precision_macro"] == round(p9 / (k * 1e9), 6), f
+        assert got[f]["recall_macro"] == round(r9 / (k * 1e9), 6), f
+        assert got[f]["f1_macro"] == round(f9 / (k * 1e9), 6), f
+
+
 def test_encode_onehot_matches_get_dummies(spark, sf_dir):
     from usw_big_data_analysis_spark.queries.mlprep import encode_onehot
 

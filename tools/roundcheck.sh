@@ -8,26 +8,32 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 TAG="${1:-local}"
 
-echo "== 1/6 entry smoke =="
+echo "== 1/8 entry smoke =="
 python -c "
 import __spark_entry__ as e
 from usw_big_data_analysis_spark.session import get_spark
 df = e.entry(get_spark('smoke')); print(len(df.collect()), df.schema.simpleString())" 2>/dev/null
 
-echo "== 2/6 full pytest =="
+echo "== 2/8 full pytest =="
 python -m pytest tests/ -q
 
-echo "== 3/6 full-registry parity @ sf0.01 (the driver gate scale) =="
+echo "== 3/8 full-registry parity @ sf0.01 (the driver gate scale) =="
 python tools/parity.py --sf-dir /root/testdata/sf0.01 2>/dev/null | tail -1
 
-echo "== 4/6 full-registry parity @ sf0.1 (artifact) =="
+echo "== 4/8 full-registry parity @ sf0.1 (artifact) =="
 python tools/parity.py --sf-dir /root/testdata/sf0.1 \
   --json "PARITY_SF01_${TAG}.json" 2>/dev/null | tail -1
 
-echo "== 5/6 scale-probe gate (16x splittability, ratio<=3) =="
+echo "== 5/8 scale-probe gate (16x splittability, ratio<=3) =="
 python tools/scale_probe.py --gate 2>/dev/null | tee "SCALE_PROBE_${TAG}.json"
 
-echo "== 6/6 bench @ sf0.1 =="
+echo "== 6/8 bench @ sf0.1 =="
 python bench.py 2>/dev/null
+
+echo "== 7/8 one-decade-up parity (10x consistent-key fixture) =="
+python tools/parity_at_scale.py --json "PARITY_SF10_${TAG}.json" 2>/dev/null | tail -1
+
+echo "== 8/8 one-decade-up bench point (sf1.0, VERDICT r6 #9) =="
+python tools/bench_at_scale.py --json "BENCH_SF10_${TAG}.json" 2>/dev/null | tail -1
 
 echo "== roundcheck ${TAG}: ALL GREEN =="

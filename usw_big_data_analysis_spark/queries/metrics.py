@@ -2346,10 +2346,9 @@ def cv_leave_p_out(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fits reuse the cv_loo exclusion algebra at fold granularity: train stats
 # for fold f = per-class totals minus that class's fold-f cell, so ALL k
 # fits come out of ONE (class x fold) aggregation — 25 rows — instead of k
-# passes over the data.
-@query(
-    "cv_kfold_plain",
-    oracle=f"""
+# passes over the data. The CTE chain through pred(id, y, fold, p) is shared
+# with cv_multi_metric (the cross_validate multi-scorer return, E29).
+_CV_KFOLD_PRED_CTES = """
     WITH base AS (
       SELECT c_custkey AS id, c_mktsegment AS y,
              CAST(round(c_acctbal * 100) AS BIGINT) AS x,
@@ -2380,18 +2379,12 @@ def cv_leave_p_out(spark: SparkSession, sf_dir: str) -> DataFrame:
              first(cls ORDER BY dist, cls) AS p
       FROM cand GROUP BY id, y, fold
     )
-    SELECT fold, CAST(count(*) AS BIGINT) AS n_val,
-           CAST(sum(CAST(p = y AS BIGINT)) AS BIGINT) AS n_correct,
-           round(CAST(sum(CAST(p = y AS BIGINT)) AS DOUBLE)
-                 / CAST(count(*) AS DOUBLE), 6) AS accuracy
-    FROM pred GROUP BY fold
-    """,
-)
-def cv_kfold_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """cross_val_score(cv=KFold(5)): per-fold validation accuracy of the
-    nearest-centroid model, all five fits recovered from one (class, fold)
-    aggregation via complement subtraction — one fact scan, a 25-row
-    broadcast, a per-row argmin groupBy; nothing refits per fold."""
+"""
+
+
+def _cv_kfold_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _CV_KFOLD_PRED_CTES: per-fold nearest-centroid
+    predictions pred(id, y, fold, p) from ONE (class, fold) aggregation."""
     base = _cv_loo_base(spark, sf_dir).withColumn(
         "fold", (F.col("id") % 5).cast("int")
     )
@@ -2415,9 +2408,28 @@ def cv_kfold_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
              / F.col("nn").cast("double")).alias("dist"),
         )
     )
-    pred = cand.groupBy("id", "y", "fold").agg(
+    return cand.groupBy("id", "y", "fold").agg(
         F.min(F.struct(F.col("dist"), F.col("cls"))).getField("cls").alias("p")
     )
+
+
+@query(
+    "cv_kfold_plain",
+    oracle=f"""
+    {_CV_KFOLD_PRED_CTES}
+    SELECT fold, CAST(count(*) AS BIGINT) AS n_val,
+           CAST(sum(CAST(p = y AS BIGINT)) AS BIGINT) AS n_correct,
+           round(CAST(sum(CAST(p = y AS BIGINT)) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS accuracy
+    FROM pred GROUP BY fold
+    """,
+)
+def cv_kfold_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cross_val_score(cv=KFold(5)): per-fold validation accuracy of the
+    nearest-centroid model, all five fits recovered from one (class, fold)
+    aggregation via complement subtraction — one fact scan, a 25-row
+    broadcast, a per-row argmin groupBy; nothing refits per fold."""
+    pred = _cv_kfold_pred(spark, sf_dir)
     hit = (F.col("p") == F.col("y")).cast("bigint")
     return pred.groupBy("fold").agg(
         F.count("*").cast("bigint").alias("n_val"),
@@ -2425,4 +2437,151 @@ def cv_kfold_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(hit).cast("double") / F.count("*").cast("double"), 6
         ).alias("accuracy"),
+    )
+
+
+# --- E29: cross_validate with multiple scorers --------------------------------
+# Reference: CV_iris_analysis.ipynb compares CV protocols with
+# cross_validate(scoring=[...]) returning a per-fold score table per metric;
+# teamProject/models.ipynb reports accuracy + macro F1 per fold. Per-class
+# precision/recall come from two bounded groupBys of pred (by predicted and
+# by true class — no 5x row blowup, no cross join against the fact), outer-
+# joined on the (fold, class) scaffold; macro averages quantize each
+# per-class metric to an e9 bigint first (fround_int both engines) so the
+# 5-term sum is order-free and the division back is one correctly-rounded
+# IEEE op — bit-identical across engines.
+@query(
+    "cv_multi_metric",
+    oracle=f"""
+    {_CV_KFOLD_PRED_CTES},
+    ppred AS (
+      SELECT fold, p AS cls, CAST(count(*) AS BIGINT) AS pcnt,
+             CAST(sum(CAST(p = y AS BIGINT)) AS BIGINT) AS tp
+      FROM pred GROUP BY fold, p
+    ),
+    ptrue AS (
+      SELECT fold, y AS cls, CAST(count(*) AS BIGINT) AS tcnt
+      FROM pred GROUP BY fold, y
+    ),
+    conf AS (
+      SELECT coalesce(a.fold, b.fold) AS fold,
+             coalesce(a.cls, b.cls) AS cls,
+             coalesce(a.pcnt, 0) AS pcnt, coalesce(a.tp, 0) AS tp,
+             coalesce(b.tcnt, 0) AS tcnt
+      FROM ppred a FULL OUTER JOIN ptrue b
+        ON a.fold = b.fold AND a.cls = b.cls
+    ),
+    percls AS (
+      SELECT fold,
+             CASE WHEN pcnt > 0
+                  THEN CAST(tp AS DOUBLE) / CAST(pcnt AS DOUBLE)
+                  ELSE 0.0 END AS prec,
+             CASE WHEN tcnt > 0
+                  THEN CAST(tp AS DOUBLE) / CAST(tcnt AS DOUBLE)
+                  ELSE 0.0 END AS rec
+      FROM conf
+    ),
+    q AS (
+      SELECT fold,
+             CAST(round(prec * 1000000000) AS BIGINT) AS p9,
+             CAST(round(rec * 1000000000) AS BIGINT) AS r9,
+             CAST(round(CASE WHEN prec + rec > 0
+                             THEN 2.0 * prec * rec / (prec + rec)
+                             ELSE 0.0 END * 1000000000) AS BIGINT) AS f9
+      FROM percls
+    ),
+    acc AS (
+      SELECT fold, CAST(count(*) AS BIGINT) AS n_val,
+             round(CAST(sum(CAST(p = y AS BIGINT)) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE), 6) AS accuracy
+      FROM pred GROUP BY fold
+    ),
+    mac AS (
+      SELECT fold,
+             round(CAST(sum(p9) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * 1000000000.0), 6)
+               AS precision_macro,
+             round(CAST(sum(r9) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * 1000000000.0), 6)
+               AS recall_macro,
+             round(CAST(sum(f9) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * 1000000000.0), 6)
+               AS f1_macro
+      FROM q GROUP BY fold
+    )
+    SELECT a.fold, a.n_val, a.accuracy,
+           m.precision_macro, m.recall_macro, m.f1_macro
+    FROM acc a JOIN mac m ON a.fold = m.fold
+    """,
+)
+def cv_multi_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cross_validate(cv=KFold(5), scoring=[accuracy, precision_macro,
+    recall_macro, f1_macro]): the multi-scorer per-fold table. One fold-pred
+    pass (shared with cv_kfold_plain), then two bounded groupBys (by
+    predicted / by true class) outer-joined on (fold, class) — the macro
+    averages never rescan the fact."""
+    pred = _cv_kfold_pred(spark, sf_dir)
+    ppred = pred.groupBy("fold", F.col("p").alias("cls")).agg(
+        F.count("*").cast("bigint").alias("pcnt"),
+        F.sum((F.col("p") == F.col("y")).cast("bigint"))
+        .cast("bigint")
+        .alias("tp"),
+    )
+    ptrue = pred.groupBy("fold", F.col("y").alias("cls")).agg(
+        F.count("*").cast("bigint").alias("tcnt")
+    )
+    conf = (
+        ppred.join(ptrue, ["fold", "cls"], "full_outer")
+        .select(
+            "fold", "cls",
+            F.coalesce("pcnt", F.lit(0)).alias("pcnt"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            F.coalesce("tcnt", F.lit(0)).alias("tcnt"),
+        )
+    )
+    prec = F.when(
+        F.col("pcnt") > 0,
+        F.col("tp").cast("double") / F.col("pcnt").cast("double"),
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("tcnt") > 0,
+        F.col("tp").cast("double") / F.col("tcnt").cast("double"),
+    ).otherwise(F.lit(0.0))
+    percls = conf.select("fold", prec.alias("prec"), rec.alias("rec"))
+    f1 = F.when(
+        F.col("prec") + F.col("rec") > 0,
+        F.lit(2.0) * F.col("prec") * F.col("rec")
+        / (F.col("prec") + F.col("rec")),
+    ).otherwise(F.lit(0.0))
+    e9 = 1_000_000_000
+    q = percls.select(
+        "fold",
+        N.fround_int(F.col("prec") * e9).alias("p9"),
+        N.fround_int(F.col("rec") * e9).alias("r9"),
+        N.fround_int(f1 * e9).alias("f9"),
+    )
+    mac = q.groupBy("fold").agg(
+        *[
+            F.round(
+                F.sum(c).cast("double")
+                / (F.count("*").cast("double") * F.lit(float(e9))),
+                6,
+            ).alias(n)
+            for c, n in [
+                ("p9", "precision_macro"),
+                ("r9", "recall_macro"),
+                ("f9", "f1_macro"),
+            ]
+        ]
+    )
+    hit = (F.col("p") == F.col("y")).cast("bigint")
+    acc = pred.groupBy("fold").agg(
+        F.count("*").cast("bigint").alias("n_val"),
+        F.round(
+            F.sum(hit).cast("double") / F.count("*").cast("double"), 6
+        ).alias("accuracy"),
+    )
+    return acc.join(mac, "fold").select(
+        "fold", "n_val", "accuracy",
+        "precision_macro", "recall_macro", "f1_macro",
     )
