@@ -180,6 +180,7 @@ SCALE_KEYS = [
     "cv_loo",
     "cv_leave_p_out",
     "cv_kfold_plain",
+    "cv_multi_metric",
 ]
 
 # FK domain -> the (table, column) pairs that must shift by the SAME span
