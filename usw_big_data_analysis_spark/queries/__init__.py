@@ -42,6 +42,7 @@ for _mod_name in (
     "tpch_ext2",
     "metrics",
     "model_compare",
+    "preference_ops",
     "stats_tests",
     "mlprep",
     "dedup",
