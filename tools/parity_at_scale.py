@@ -181,6 +181,13 @@ SCALE_KEYS = [
     "cv_leave_p_out",
     "cv_kfold_plain",
     "cv_multi_metric",
+    # preference/arena family (r7): the bounded-pair-matrix claim — MM
+    # iteration cost set by the player domain, not the corpus — is exactly
+    # what a decade-up run should exercise. The connectivity key stays out:
+    # its oracle walks the pair graph with the recursive min-label CTE
+    # (same exclusion reason as dedup_clusters).
+    "preference_winrate_matrix",
+    "preference_bradley_terry",
 ]
 
 # FK domain -> the (table, column) pairs that must shift by the SAME span
