@@ -1069,8 +1069,11 @@ def select_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w"),
     )
     pool = (
+        # plain equi-join on word: the importance-weight table spans the
+        # VOCABULARY, which grows with the corpus (ADVICE r6 class — never
+        # force-broadcast an unbounded frame); AQE broadcasts while small.
         tok.filter(~is_t)
-        .join(F.broadcast(wts), "word")
+        .join(wts, "word")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_tok"), F.sum("w").alias("w_sum"))
     )

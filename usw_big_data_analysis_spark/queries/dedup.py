@@ -946,8 +946,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard for quote/boilerplate inclusion.
 
     Same scale shape as dedup_ngram_jaccard: intersection counts from the
-    shingle equi-join (bounded per-doc shingle fanout), sizes broadcast
-    back; no all-pairs stage. At 100 TB the candidate pairs come from the
+    shingle equi-join (bounded per-doc shingle fanout), sizes equi-joined
+    back (AQE broadcasts while they fit); no all-pairs stage. At 100 TB the candidate pairs come from the
     MinHash bands first (dedup_minhash_lsh) and this exact containment
     scores only candidates."""
     sh = _shingles(spark, sf_dir)
@@ -964,8 +964,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     scored = (
-        inter.join(F.broadcast(sa), F.col("id_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("id_b") == F.col("sb.doc_id"))
+        # plain equi-joins: sizes has one row per DOC and grows with the
+        # corpus, so a forced broadcast would OOM at large SF (the ADVICE
+        # r6 per-user-frame class); AQE still broadcasts while it fits.
+        inter.join(sa, F.col("id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
         .selectExpr(
             "id_a",
             "id_b",
@@ -1477,7 +1480,7 @@ def dedup_pair_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: candidates come from the banded pipeline (never
     all-pairs); exact scores are computed ONLY for candidates (the
     intersection join restricts through the pair list via the LEFT
-    join); doc sizes broadcast."""
+    join); doc sizes equi-joined back (no forced broadcast)."""
     pairs = dedup_minhash_lsh(spark, sf_dir)
     sh = _shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -1494,9 +1497,11 @@ def dedup_pair_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.selectExpr("doc_id AS id_a", "n AS na")
     sb = sizes.selectExpr("doc_id AS id_b", "n AS nb")
     return (
+        # per-doc sizes: plain equi-joins, never a forced broadcast
+        # (ADVICE r6 class — the frame scales with the corpus)
         pairs.join(inter, ["id_a", "id_b"], "left")
-        .join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
         .selectExpr(
             "id_a",
             "id_b",
@@ -2703,9 +2708,10 @@ def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
     )
-    j = toks.join(
-        F.broadcast(dominated.withColumn("dom", F.lit(1))), "doc_id", "left"
-    )
+    # plain equi-join: dominated is a per-doc id set that scales with the
+    # near-dup rate x corpus — forced broadcast would OOM at large SF
+    # (ADVICE r6 class); AQE broadcasts while it fits.
+    j = toks.join(dominated.withColumn("dom", F.lit(1)), "doc_id", "left")
     return j.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("tokens_total"),

@@ -961,8 +961,10 @@ def merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = spark.read.parquet(base_p)
     dels = spark.read.parquet(del_p)
     log = spark.read.parquet(log_p)
+    # no broadcast hint: the delete log scales with the CDC batch, not a
+    # fixed domain (ADVICE r6 class); AQE broadcasts while it fits.
     live_base = base.join(
-        F.broadcast(dels), base.o_orderkey == dels.key, "left_anti"
+        dels, base.o_orderkey == dels.key, "left_anti"
     ).select(
         F.col("o_orderkey").alias("key"),
         F.col("o_totalprice").alias("total"),
