@@ -38,6 +38,8 @@ def test_gate_subset_and_threshold_pinned():
         "text_watermark_greenlist",
         "drift_emd_price",
         "stream_dedup_lsh_ingest",
+        # r7: preference family's bounded-pair-matrix claim
+        "preference_bradley_terry",
     ]
     assert probe.GATE_MAX_RATIO == 3.0
     # VERDICT r6 #6: the gate is UNIFORM — the former work-grows-with-corpus

@@ -64,6 +64,9 @@ QUERIES = [
     "text_watermark_greenlist",
     "drift_emd_price",
     "stream_dedup_lsh_ingest",
+    # r7: MM iterations on the domain-bounded pair matrix — 16x facts must
+    # only grow the one groupBy(order, brand) scan, never the iteration cost
+    "preference_bradley_terry",
 ]
 
 # Regression gate (VERDICT r4 #8, widened per r5 #7): the headline plans
@@ -87,6 +90,8 @@ GATE_QUERIES = [
     "text_watermark_greenlist",
     "drift_emd_price",
     "stream_dedup_lsh_ingest",
+    # r7: the preference family's bounded-matrix scaling claim
+    "preference_bradley_terry",
 ]
 # Uniform gate for every query (VERDICT r6 #6 deleted the per-query 4.0x
 # ceilings: all former beneficiaries measure under the default bound, so
