@@ -1072,6 +1072,128 @@ def quality_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Krippendorff's alpha (nominal, variable ratings per unit) ---------------
+# Fleiss (above) requires a FIXED rater count per item; real annotation
+# tables don't have that — raters skip items, redundancy varies. Alpha is
+# the standard reliability metric under missing ratings, and it needs only
+# per-(unit, value) counts:
+#   sum_{c!=k} o_ck = sum_u (m_u^2 - sum_c n_uc^2)/(m_u - 1)   [pairable units]
+#   n_c = sum_u n_uc,  n = sum_u m_u
+#   D_o = that sum / n,  D_e = (n^2 - sum_c n_c^2) / (n(n-1))
+#   alpha = 1 - D_o/D_e      (Krippendorff 2004, nominal metric)
+# Fixture mapping: units are user-days, "ratings" the event types within
+# one — the same shape as an (item, label) annotation table.
+@query(
+    "quality_krippendorff_alpha",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, event_type AS v,
+             CAST(count(*) AS BIGINT) AS nuv
+      FROM events GROUP BY user_id, CAST(ts AS DATE), event_type
+    ),
+    m AS (
+      SELECT user_id, d, CAST(sum(nuv) AS BIGINT) AS mu,
+             CAST(sum(nuv * nuv) AS BIGINT) AS s2
+      FROM u GROUP BY user_id, d
+    ),
+    p AS (SELECT * FROM m WHERE mu >= 2),
+    g AS (
+      SELECT CAST(sum(CAST(CAST(round((CAST(mu * mu - s2 AS DOUBLE)
+                                       / CAST(mu - 1 AS DOUBLE))
+                                      * 1000000000) AS BIGINT)
+                           AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS do9,
+             CAST(sum(mu) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_units
+      FROM p
+    ),
+    nc AS (
+      SELECT u.v, CAST(sum(u.nuv) AS BIGINT) AS c
+      FROM u JOIN p ON u.user_id = p.user_id AND u.d = p.d
+      GROUP BY u.v
+    ),
+    e AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_values,
+             CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS sc2
+      FROM nc
+    ),
+    f AS (
+      SELECT g.n_units, g.n, e.n_values,
+             (CAST(g.do9 AS DOUBLE) / CAST(1000000000 AS DOUBLE))
+               / CAST(g.n AS DOUBLE) AS d_o,
+             CAST(CAST(g.n AS DECIMAL(38,0)) * g.n - e.sc2 AS DOUBLE)
+               / (CAST(g.n AS DOUBLE) * CAST(g.n - 1 AS DOUBLE)) AS d_e
+      FROM g, e
+    )
+    SELECT n_units, n AS n_ratings, n_values,
+           round(d_o, 6) AS d_o, round(d_e, 6) AS d_e,
+           CASE WHEN d_e = 0.0 THEN NULL
+                ELSE round(1.0 - d_o / d_e, 6) END AS alpha
+    FROM f
+    """,
+)
+def quality_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal) over the user-day x event-type
+    "annotation" table — inter-rater reliability that, unlike Fleiss
+    (quality_rater_agreement), tolerates a VARIABLE number of ratings per
+    unit, which is what real labeling pipelines produce.
+
+    Scale shape: two map-side-combined groupBys (unit x value, then unit),
+    one equi-join of the value counts back to the pairable-unit set, and
+    two scalar aggregates — shuffle ∝ distinct (unit, value), never raw
+    events past the first combine. Exactness: the only per-unit division
+    is quantized to 1e-9 and summed as DECIMAL(38,0) (order-free, no 2^63
+    ceiling at any corpus size); everything else is exact integers until
+    the final double ops both engines execute in the same order. alpha is
+    NULL when D_e = 0 (single observed value leaves it undefined)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.selectExpr("user_id", "CAST(ts AS DATE) AS d", "event_type AS v")
+        .groupBy("user_id", "d", "v")
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS nuv"))
+    )
+    m = u.groupBy("user_id", "d").agg(
+        F.expr("CAST(sum(nuv) AS BIGINT) AS mu"),
+        F.expr("CAST(sum(nuv * nuv) AS BIGINT) AS s2"),
+    )
+    p = m.filter("mu >= 2")
+    g = p.agg(
+        F.expr(
+            "CAST(sum(CAST(CAST(round((CAST(mu * mu - s2 AS DOUBLE)"
+            " / CAST(mu - 1 AS DOUBLE)) * 1000000000) AS BIGINT)"
+            " AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS do9"
+        ),
+        F.expr("CAST(sum(mu) AS BIGINT) AS n"),
+        F.expr("CAST(count(*) AS BIGINT) AS n_units"),
+    )
+    nc = (
+        u.join(p.select("user_id", "d"), ["user_id", "d"])
+        .groupBy("v")
+        .agg(F.expr("CAST(sum(nuv) AS BIGINT) AS c"))
+    )
+    e = nc.agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_values"),
+        F.expr("CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS sc2"),
+    )
+    f = g.crossJoin(F.broadcast(e)).selectExpr(
+        "n_units",
+        "n",
+        "n_values",
+        "(CAST(do9 AS DOUBLE) / CAST(1000000000 AS DOUBLE))"
+        " / CAST(n AS DOUBLE) AS d_o",
+        "CAST(CAST(n AS DECIMAL(38,0)) * n - sc2 AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS d_e",
+    )
+    return f.selectExpr(
+        "n_units",
+        "n AS n_ratings",
+        "n_values",
+        "round(d_o, 6) AS d_o",
+        "round(d_e, 6) AS d_e",
+        "CASE WHEN d_e = 0.0D THEN NULL"
+        " ELSE round(1.0D - d_o / d_e, 6) END AS alpha",
+    )
+
+
 # --- no-split bin packing: next-fit arrival vs next-fit-decreasing -----------
 # pack_context_windows measures the concatenate-then-CUT packer (documents
 # may straddle context boundaries). The no-split packer is its loss-mask-

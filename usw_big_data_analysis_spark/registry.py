@@ -116,10 +116,11 @@ _PINNED_FIRST: tuple[str, ...] = ()
 # zero-driver-row families — text/token extensions, embed audits, stats-test
 # extensions, storage/incremental, and the approximate-sketch audits.
 _PRIORITY_FRESH: tuple[str, ...] = (
-    # round-7 additions (8)
+    # round-7 additions (9)
     'encode_onehot', 'cv_loo', 'cv_leave_p_out', 'cv_kfold_plain',
     'cv_multi_metric', 'preference_winrate_matrix',
     'preference_bradley_terry', 'preference_graph_connectivity',
+    'quality_krippendorff_alpha',
     # text/token extensions (8, zero driver rows)
     'tokenizer_unigram_viterbi', 'tokenizer_wordpiece_apply',
     'tokenizer_char_coverage', 'retrieval_mrr_recall', 'metric_bleu_pairs',
