@@ -188,6 +188,13 @@ SCALE_KEYS = [
     # (same exclusion reason as dedup_clusters).
     "preference_winrate_matrix",
     "preference_bradley_terry",
+    # round-7 second wave: DPO pair mining (per-order window), pass@k
+    # (one groupBy over 10x attempts), HRW reshard audit (explode x
+    # shard-count over 10x docs) — all linear-shuffle claims worth a
+    # decade-up check.
+    "preference_dpo_pairs",
+    "metric_pass_at_k",
+    "shard_rebalance_cost",
 ]
 
 # FK domain -> the (table, column) pairs that must shift by the SAME span

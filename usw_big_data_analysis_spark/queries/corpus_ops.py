@@ -1163,3 +1163,108 @@ def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.slice(F.col("toks"), start.cast("int"), size))
         ).alias("chunk_hash"),
     )
+
+
+# --- shard-topology rebalance cost -------------------------------------------
+# Rendezvous (highest-random-weight) hashing vs plain mod-N when the shard
+# count changes. HRW moves only the keys whose argmax lands on a new shard
+# (expected (M-N)/M of the corpus); mod-N remaps almost everything. The
+# weight is the portable md5 hash, quantized to 55 bits so the packed
+# (weight, shard) tie-break key stays inside a signed 64-bit integer.
+_RB_OLD, _RB_NEW = 8, 10
+_RB_Q = 1 << 55
+
+
+@query(
+    "shard_rebalance_cost",
+    oracle=f"""
+    WITH e AS (
+      SELECT doc_id, s,
+             ({_h_sql("concat('rv:', CAST(doc_id AS VARCHAR), ':', CAST(s AS VARCHAR))")}
+              % {_RB_Q}) * 16 + (15 - s) AS k
+      FROM documents, generate_series(0, {_RB_NEW - 1}) AS t(s)
+    ),
+    a AS (
+      SELECT doc_id,
+             15 - CAST(max(CASE WHEN s < {_RB_OLD} THEN k END) % 16 AS INT)
+               AS s_old,
+             15 - CAST(max(k) % 16 AS INT) AS s_new
+      FROM e GROUP BY doc_id
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CAST(s_old <> s_new AS INT)) AS BIGINT) AS mv_hrw,
+             CAST(sum(CAST(doc_id % {_RB_OLD} <> doc_id % {_RB_NEW} AS INT))
+                  AS BIGINT) AS mv_mod
+      FROM a
+    )
+    SELECT 'rendezvous' AS strategy, n_docs, mv_hrw AS n_moved,
+           CAST(mv_hrw * 1000000 // n_docs AS BIGINT) AS moved_ppm FROM m
+    UNION ALL
+    SELECT 'mod', n_docs, mv_mod,
+           CAST(mv_mod * 1000000 // n_docs AS BIGINT) FROM m
+    """,
+)
+def shard_rebalance_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-topology rebalance audit: how much of the corpus moves when
+    the shard count grows {_RB_OLD}->{_RB_NEW}, under rendezvous (HRW)
+    hashing vs the naive doc_id mod N. Companion to `shard_assignment`
+    (which fixes ONE topology): at 100 TB a reshard is a full-corpus
+    rewrite, so the assignment function's stability under topology change
+    is a first-order storage-cost knob. HRW's argmax-of-hash moves only
+    keys whose winning shard is one of the new ones (expected (M-N)/M
+    ~ 200000 ppm here); mod-N remaps ~(1 - 1/lcm(N,M)/...) — nearly
+    everything — which the readout makes concrete.
+
+    Scale shape: one explode by the constant shard count (x{_RB_NEW} rows,
+    map-side), ONE map-side-combinable groupBy(doc_id) whose max() packs
+    (55-bit weight, shard) into a single bigint — argmax with a
+    deterministic smaller-shard tie-break, no window, no self-join — then
+    a scalar aggregate. Shuffle volume is docs x {_RB_NEW} packed
+    bigints; nothing quadratic, nothing driver-side. Reference analogue:
+    the train/test file split (teamProject/sap.py:31-42) scaled to a
+    sharded corpus layout."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    e = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_RB_NEW - 1))).alias("s"),
+    )
+    k = (
+        _h_spark(
+            F.concat(
+                F.lit("rv:"),
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("s").cast("string"),
+            )
+        )
+        % _RB_Q
+    ) * 16 + (F.lit(15) - F.col("s"))
+    a = (
+        e.select("doc_id", "s", k.alias("k"))
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                f"15 - CAST(max(CASE WHEN s < {_RB_OLD} THEN k END) % 16"
+                " AS INT) AS s_old"
+            ),
+            F.expr("15 - CAST(max(k) % 16 AS INT) AS s_new"),
+        )
+    )
+    m = a.agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_docs"),
+        F.expr("CAST(sum(CAST(s_old <> s_new AS INT)) AS BIGINT) AS mv_hrw"),
+        F.expr(
+            f"CAST(sum(CAST(doc_id % {_RB_OLD} <> doc_id % {_RB_NEW} AS INT))"
+            " AS BIGINT) AS mv_mod"
+        ),
+    )
+    return m.selectExpr(
+        "stack(2, 'rendezvous', mv_hrw, 'mod', mv_mod) AS (strategy, n_moved)",
+        "n_docs",
+    ).selectExpr(
+        "strategy",
+        "n_docs",
+        "n_moved",
+        "CAST(n_moved * 1000000 div n_docs AS BIGINT) AS moved_ppm",
+    )

@@ -2585,3 +2585,101 @@ def cv_multi_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fold", "n_val", "accuracy",
         "precision_macro", "recall_macro", "f1_macro",
     )
+
+
+# --- pass@k estimator (code-eval style) --------------------------------------
+# Unbiased pass@k (Chen et al., HumanEval): per problem with n attempts and
+# c successes, pass@k = 1 - C(n-c,k)/C(n,k), computed as the fixed-order
+# product prod_{i<k} (n-c-i)/(n-i). The product is <= 10 IEEE double
+# operations in literal order, identical in both engines; each per-problem
+# value is quantized to e9 BEFORE the cross-problem mean so the aggregate is
+# order-free integer arithmetic.
+_PAK_KS = (1, 5, 10)
+_PAK_MIN_N = 10  # estimator needs n >= k for every reported k
+
+
+def _pak_p9(k: int) -> str:
+    """e9-quantized pass@k over columns (n, c) — valid Spark SQL + DuckDB."""
+    prod = " * ".join(
+        f"(CAST(n - c - {i} AS DOUBLE) / CAST(n - {i} AS DOUBLE))"
+        for i in range(k)
+    )
+    return (
+        f"CAST(floor((CASE WHEN n - c < {k} THEN CAST(1.0 AS DOUBLE)"
+        f" ELSE CAST(1.0 AS DOUBLE) - ({prod}) END) * 1e9 + 0.5) AS BIGINT)"
+    )
+
+
+@query(
+    "metric_pass_at_k",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(value > 60.0 AS INT)) AS BIGINT) AS c
+      FROM events GROUP BY user_id HAVING count(*) >= {_PAK_MIN_N}
+    ),
+    s AS (
+      SELECT {_pak_p9(1)} AS p1, {_pak_p9(5)} AS p5, {_pak_p9(10)} AS p10
+      FROM p
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_problems,
+             CAST(sum(p1) AS BIGINT) AS s1,
+             CAST(sum(p5) AS BIGINT) AS s5,
+             CAST(sum(p10) AS BIGINT) AS s10
+      FROM s
+    )
+    SELECT 1 AS k, n_problems, s1 AS sum_p9,
+           CAST(floor(s1 * 1.0 / n_problems + 0.5) AS BIGINT) AS mean_p9
+    FROM t
+    UNION ALL
+    SELECT 5, n_problems, s5,
+           CAST(floor(s5 * 1.0 / n_problems + 0.5) AS BIGINT) FROM t
+    UNION ALL
+    SELECT 10, n_problems, s10,
+           CAST(floor(s10 * 1.0 / n_problems + 0.5) AS BIGINT) FROM t
+    """,
+)
+def metric_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@k over a problems-x-attempts table (problem = user, attempt =
+    event, success = value > 60) for k in {_PAK_KS} — THE functional-
+    correctness metric for code-generation eval sets (HumanEval/MBPP),
+    using the unbiased estimator 1 - C(n-c,k)/C(n,k) rather than the
+    biased empirical mean of min(1, c/k-ish) resamples. Problems with
+    fewer than {_PAK_MIN_N} attempts are excluded so the estimator is
+    defined for every reported k.
+
+    Scale shape: ONE map-side-combined groupBy(problem) over the attempt
+    facts, then a <= |problems|-row projection computing all three k's in
+    one pass and a single scalar aggregate — no window, no join, no
+    second fact scan; the 3-row readout is a stack over one aggregate
+    row. Cross-engine exactness: the estimator product is a fixed-order
+    chain of <= 10 double ops (bit-identical in both engines); per-problem
+    values are e9-quantized before summation so the mean is order-free
+    integer arithmetic — the same convention as cv_multi_metric."""
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.groupBy("user_id")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT) AS n"),
+            F.expr("CAST(sum(CAST(value > 60.0 AS INT)) AS BIGINT) AS c"),
+        )
+        .filter(f"n >= {_PAK_MIN_N}")
+    )
+    s = p.selectExpr(
+        f"{_pak_p9(1)} AS p1", f"{_pak_p9(5)} AS p5", f"{_pak_p9(10)} AS p10"
+    )
+    t = s.agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_problems"),
+        F.expr("CAST(sum(p1) AS BIGINT) AS s1"),
+        F.expr("CAST(sum(p5) AS BIGINT) AS s5"),
+        F.expr("CAST(sum(p10) AS BIGINT) AS s10"),
+    )
+    return t.selectExpr(
+        "stack(3, 1, s1, 5, s5, 10, s10) AS (k, sum_p9)", "n_problems"
+    ).selectExpr(
+        "k",
+        "n_problems",
+        "sum_p9",
+        "CAST(floor(sum_p9 * 1.0 / n_problems + 0.5) AS BIGINT) AS mean_p9",
+    )

@@ -366,3 +366,93 @@ def preference_graph_connectivity(spark: SparkSession, sf_dir: str) -> DataFrame
             "largest_component",
         )
     )
+
+
+# --- DPO-style (chosen, rejected) pair construction --------------------------
+@query(
+    "preference_dpo_pairs",
+    oracle="""
+    WITH ob AS (
+      SELECT l_orderkey, p_brand,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY l_orderkey, p_brand
+    ),
+    rk AS (
+      SELECT l_orderkey, p_brand, cents,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY cents DESC, p_brand) AS rn_top,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY cents ASC, p_brand) AS rn_bot
+      FROM ob
+    )
+    SELECT l_orderkey AS prompt_id,
+           max(CASE WHEN rn_top = 1 THEN p_brand END) AS chosen,
+           max(CASE WHEN rn_bot = 1 THEN p_brand END) AS rejected,
+           CAST(max(cents) - min(cents) AS BIGINT) AS margin_cents,
+           CAST(count(*) AS BIGINT) AS n_responses
+    FROM rk GROUP BY l_orderkey
+    HAVING count(*) >= 2 AND max(cents) - min(cents) > 0
+    """,
+)
+def preference_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO training-pair construction: per prompt (order), pair the
+    highest-scoring response (brand by exact-cents basket spend) against
+    the lowest-scoring one, keeping only prompts with >= 2 distinct
+    responses and a strictly positive preference margin — the
+    (prompt, chosen, rejected, margin) table a direct-preference-
+    optimization loader consumes, with the margin available for
+    margin-weighted variants (IPO/margin-DPO). Ties at either end break
+    to the lexicographically smaller brand, so the pairing is fully
+    deterministic; zero-margin prompts (no expressible preference) are
+    dropped rather than emitted as coin flips.
+
+    Scale shape: one map-side-combined groupBy(order, brand) fact
+    shuffle, one window PARTITIONED by order (two sort orders over the
+    same exchange — never a global sort), one groupBy(order) re-using
+    the same partitioning. Output is ~one row per multi-response prompt;
+    nothing quadratic, no driver state. Extends the preference family's
+    match mining (_matrix) from top-2 podium pairs to best-vs-worst
+    training pairs. Reference analogue: the pairwise model-comparison
+    layer (teamProject/models.ipynb) recast as pair *generation*."""
+    from pyspark.sql import Window
+
+    from ..functions import numeric as N
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .groupBy("l_orderkey", "p_brand")
+        .agg(F.expr(f"sum({N.spark_iscaled('l_extendedprice', 2)}) AS cents"))
+    )
+    w_top = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("cents"), F.asc("p_brand")
+    )
+    w_bot = Window.partitionBy("l_orderkey").orderBy(
+        F.asc("cents"), F.asc("p_brand")
+    )
+    rk = ob.select(
+        "l_orderkey",
+        "p_brand",
+        "cents",
+        F.row_number().over(w_top).alias("rn_top"),
+        F.row_number().over(w_bot).alias("rn_bot"),
+    )
+    return (
+        rk.groupBy("l_orderkey")
+        .agg(
+            F.expr("max(CASE WHEN rn_top = 1 THEN p_brand END) AS chosen"),
+            F.expr("max(CASE WHEN rn_bot = 1 THEN p_brand END) AS rejected"),
+            F.expr("CAST(max(cents) - min(cents) AS BIGINT) AS margin_cents"),
+            F.expr("CAST(count(*) AS BIGINT) AS n_responses"),
+        )
+        .filter("n_responses >= 2 AND margin_cents > 0")
+        .selectExpr(
+            "l_orderkey AS prompt_id",
+            "chosen",
+            "rejected",
+            "margin_cents",
+            "n_responses",
+        )
+    )
