@@ -71,8 +71,9 @@ def test_r07_rotation_front_loads_fresh_families():
     assert window == [k for k in _PRIORITY_FRESH if k not in _DRIVER_CHECKED][:50]
     # the round-7 additions get driver rows immediately: the second-wave
     # pipeline keys first, then the reference-parity CV/onehot keys
-    assert window[:6] == [
+    assert window[:7] == [
         "preference_dpo_pairs", "metric_pass_at_k", "shard_rebalance_cost",
+        "mixture_annealing_plan",
         "encode_onehot", "cv_loo", "cv_leave_p_out",
     ]
     assert "mview_incremental" in window  # storage/incremental gets rows

@@ -129,3 +129,47 @@ def test_shard_rebalance_python_loop(spark, sf_dir):
     assert rows["rendezvous"]["n_moved"] < rows["mod"]["n_moved"]
     expected_ppm = (_RB_NEW - _RB_OLD) * 1_000_000 // _RB_NEW
     assert abs(rows["rendezvous"]["moved_ppm"] - expected_ppm) < 100_000
+
+
+def test_annealing_plan_pandas_mirror(spark, sf_dir):
+    from usw_big_data_analysis_spark.queries.corpus_ops import (
+        _ANN_ANNEAL,
+        _ANN_MAIN,
+        mixture_annealing_plan,
+    )
+
+    got = {
+        r["source"]: r for r in mixture_annealing_plan(spark, sf_dir).collect()
+    }
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    toks = docs["text"].str.split(" ")
+    n_tok = toks.str.len().astype("int64")
+    n_types = toks.apply(lambda t: len(set(t)))
+    score = (
+        n_tok.clip(upper=50) * 40 // 50
+        + (n_types * 100 // n_tok) * 40 // 100
+        + (docs["lang"] == "en").astype("int64") * 20
+    )
+    per = pd.DataFrame(
+        {"source": docs["source"], "n_tok": n_tok, "ok": (score >= 60)}
+    ).groupby("source").agg(n_tok=("n_tok", "sum"), n=("ok", "size"), np=("ok", "sum"))
+    per["qual_pm"] = per["np"] * 1000 // per["n"]
+    tot, wsum = per["n_tok"].sum(), (per["n_tok"] * per["qual_pm"]).sum()
+
+    assert set(got) == set(per.index)
+    total_alloc = 0
+    for src, row in per.iterrows():
+        g = got[src]
+        assert g["n_tok"] == row["n_tok"]
+        assert g["qual_pm"] == row["qual_pm"]
+        assert g["main_tok"] == _ANN_MAIN * row["n_tok"] // tot
+        assert g["anneal_tok"] == (
+            _ANN_ANNEAL * (row["n_tok"] * row["qual_pm"]) // wsum
+        )
+        assert g["epochs"] == pytest.approx(
+            (g["main_tok"] + g["anneal_tok"]) / row["n_tok"], abs=1e-6
+        )
+        total_alloc += g["main_tok"] + g["anneal_tok"]
+    # floor-division allocations never exceed the budget
+    assert total_alloc <= _ANN_MAIN + _ANN_ANNEAL

@@ -195,6 +195,7 @@ SCALE_KEYS = [
     "preference_dpo_pairs",
     "metric_pass_at_k",
     "shard_rebalance_cost",
+    "mixture_annealing_plan",
 ]
 
 # FK domain -> the (table, column) pairs that must shift by the SAME span

@@ -1268,3 +1268,109 @@ def shard_rebalance_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_moved",
         "CAST(n_moved * 1000000 div n_docs AS BIGINT) AS moved_ppm",
     )
+
+
+# --- two-phase (main + annealing) mixture plan -------------------------------
+# Llama-3 / MiniCPM style: the bulk of the token budget is allocated
+# proportionally to source size, but the final ~10% ("annealing" phase) is
+# re-weighted toward high-quality sources. Quality is the same deterministic
+# per-doc gate score as corpus_source_cap_audit, collapsed to a per-source
+# pass rate in integer per-mille.
+_ANN_BUDGET = 200_000           # total training-token budget
+_ANN_FRAC_PM = 100              # annealing share, per mille (10%)
+_ANN_MAIN = _ANN_BUDGET * (1000 - _ANN_FRAC_PM) // 1000
+_ANN_ANNEAL = _ANN_BUDGET - _ANN_MAIN
+
+
+@query(
+    "mixture_annealing_plan",
+    oracle=f"""
+    WITH sc AS (
+      SELECT source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(least(CAST(len(string_split(text, ' ')) AS BIGINT), 50)
+                    * 40 // 50
+                  + (CAST(len(list_distinct(string_split(text, ' ')))
+                          AS BIGINT) * 100
+                     // CAST(len(string_split(text, ' ')) AS BIGINT))
+                    * 40 // 100
+                  + CAST(lang = 'en' AS INT) * 20 AS BIGINT) AS score
+      FROM documents
+    ),
+    s AS (
+      SELECT source,
+             CAST(sum(n_tok) AS BIGINT) AS n_tok,
+             CAST(sum(CAST(score >= 60 AS INT)) * 1000 // count(*)
+                  AS BIGINT) AS qual_pm
+      FROM sc GROUP BY source
+    ),
+    t AS (
+      SELECT CAST(sum(n_tok) AS BIGINT) AS tot_tok,
+             CAST(sum(n_tok * qual_pm) AS BIGINT) AS wsum
+      FROM s
+    )
+    SELECT s.source, s.n_tok, s.qual_pm,
+           CAST({_ANN_MAIN} * s.n_tok // t.tot_tok AS BIGINT) AS main_tok,
+           CAST({_ANN_ANNEAL} * (s.n_tok * s.qual_pm) // t.wsum
+                AS BIGINT) AS anneal_tok,
+           round(CAST({_ANN_MAIN} * s.n_tok // t.tot_tok
+                      + {_ANN_ANNEAL} * (s.n_tok * s.qual_pm) // t.wsum
+                      AS DOUBLE) / CAST(s.n_tok AS DOUBLE), 6) AS epochs
+    FROM s CROSS JOIN t
+    """,
+)
+def mixture_annealing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase data-mixture plan: {_ANN_MAIN} main-phase tokens allocated
+    proportionally to source size, plus {_ANN_ANNEAL} annealing-phase
+    tokens ({_ANN_FRAC_PM} per mille of the budget) re-weighted by
+    size x quality-pass-rate — the end-of-training high-quality upsample
+    (Llama-3 annealing / MiniCPM decay-phase mix). Completes the mixture
+    family: `mixture_epochs_plan` is single-phase temperature scaling;
+    this is the two-phase schedule with a quality-gated second phase, and
+    the per-source epochs column is the over-repetition audit across both
+    phases combined.
+
+    Scale shape: ONE map-side-combined groupBy(source) over the facts
+    computing token totals and gate pass-rates together; all allocation
+    arithmetic runs on the |sources|-bounded table against one broadcast
+    totals row. Exactness: pure integer arithmetic (per-mille rates,
+    floor-div allocations — weight products stay under 2^63 for corpora
+    to ~10^12 tokens x per-mille quality); the only double is the final
+    6dp epochs readout. Reference analogue: the class-rebalancing sample
+    plan (experiments/target_eda.py) recast as a training-phase
+    schedule."""
+    docs = load_table(spark, sf_dir, "documents")
+    sc = docs.selectExpr(
+        "source",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n_tok",
+        "CAST(size(array_distinct(split(text, ' '))) AS BIGINT) AS n_types",
+        "CAST(lang = 'en' AS INT) AS is_en",
+    ).selectExpr(
+        "source",
+        "n_tok",
+        "CAST(least(n_tok, 50) * 40 div 50"
+        " + (n_types * 100 div n_tok) * 40 div 100"
+        " + is_en * 20 AS BIGINT) AS score",
+    )
+    s = sc.groupBy("source").agg(
+        F.expr("CAST(sum(n_tok) AS BIGINT) AS n_tok"),
+        F.expr(
+            "CAST(sum(CAST(score >= 60 AS INT)) * 1000 div count(*)"
+            " AS BIGINT) AS qual_pm"
+        ),
+    )
+    t = s.agg(
+        F.expr("CAST(sum(n_tok) AS BIGINT) AS tot_tok"),
+        F.expr("CAST(sum(n_tok * qual_pm) AS BIGINT) AS wsum"),
+    )
+    return s.crossJoin(F.broadcast(t)).selectExpr(
+        "source",
+        "n_tok",
+        "qual_pm",
+        f"CAST({_ANN_MAIN} * n_tok div tot_tok AS BIGINT) AS main_tok",
+        f"CAST({_ANN_ANNEAL} * (n_tok * qual_pm) div wsum AS BIGINT)"
+        " AS anneal_tok",
+        f"round(CAST({_ANN_MAIN} * n_tok div tot_tok"
+        f" + {_ANN_ANNEAL} * (n_tok * qual_pm) div wsum"
+        " AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS epochs",
+    )

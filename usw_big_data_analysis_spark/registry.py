@@ -116,8 +116,9 @@ _PINNED_FIRST: tuple[str, ...] = ()
 # zero-driver-row families — text/token extensions, embed audits, stats-test
 # extensions, storage/incremental, and the approximate-sketch audits.
 _PRIORITY_FRESH: tuple[str, ...] = (
-    # round-7 additions (12)
+    # round-7 additions (13)
     'preference_dpo_pairs', 'metric_pass_at_k', 'shard_rebalance_cost',
+    'mixture_annealing_plan',
     'encode_onehot', 'cv_loo', 'cv_leave_p_out', 'cv_kfold_plain',
     'cv_multi_metric', 'preference_winrate_matrix',
     'preference_bradley_terry', 'preference_graph_connectivity',
@@ -137,11 +138,11 @@ _PRIORITY_FRESH: tuple[str, ...] = (
     'theil_sen_slope', 'multiple_test_fdr_bh', 'anomaly_mad', 'linreg_ridge_2f',
     'trend_cochran_armitage', 'bartlett_test', 'mood_median_test',
     'ab_sequential_sprt', 'runs_test_daily', 'linreg_huber_irls',
-    'ab_diff_in_diff',
     # storage / incremental (3)
     'nested_array_roundtrip', 'mview_incremental', 'mview_moments_merge',
     # remaining AB extensions (tail; spill to r08 if the window is full)
-    'ab_ratio_delta_method', 'ab_tost_equivalence', 'ab_uplift_by_segment',
+    'ab_diff_in_diff', 'ab_ratio_delta_method', 'ab_tost_equivalence',
+    'ab_uplift_by_segment',
     # approximate-sketch / scale audits (8; the tail past 50 spills to r08)
     'approx_distinct_audit', 'approx_percentile_audit', 'heavy_hitters_mg',
     'heavy_hitters_cms', 'stratified_sample_neyman', 'freq_items_audit',
