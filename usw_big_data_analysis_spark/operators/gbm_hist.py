@@ -30,10 +30,18 @@ bit-identical under any partitioning, executor count, or task retry.
 Driver-side gain math runs on those exact integer sums.
 
 Scale notes (100 TB): per round the plan touches the checkpointed binned
-frame ``depth + 2`` times (level histograms + leaf aggregate + metric), each
-a full map-side-combined aggregation with a shuffle of only the bounded
-histogram; the margin column is re-materialized once per round
-(localCheckpoint) so lineage stays O(1) instead of O(rounds). Driver memory
+frame ``depth`` times — one map-side-combined histogram aggregation per
+tree level, each shuffling only the bounded histogram. The round's
+train-logloss sum rides the level-0 histogram scan as one extra
+conditional aggregate (each row contributes its integer logloss term
+exactly once, under its features[0] struct), and leaf G/H/n derive
+driver-side from the last level's histograms (children partition the
+parent's split-feature bins; sums are exact BIGINT adds) — the separate
+full-scan metric and leaf-aggregate jobs of the r1-r6 form are gone
+(optimization r07, guide §1.2/§2.3). The margin column is re-materialized
+once per round (localCheckpoint) so lineage stays O(1) instead of
+O(rounds); the final round skips the checkpoint because its frame feeds
+exactly one consumer (the closing logloss pass). Driver memory
 holds only histograms and the model. Deeper trees / more features only widen
 the bounded shuffle, never the data motion.
 """
@@ -155,12 +163,8 @@ def train_gbm(
             .withColumn(
                 "hi", fround_int(F.col("p") * (1.0 - F.col("p")) * _GSCALE)
             )
-            .withColumn("node", F.lit(0))
-        )
-
-        # per-round train logloss (exact integer-scaled sum -> deterministic)
-        ll = work.agg(
-            F.sum(
+            .withColumn(
+                "lli",
                 fround_int(
                     -(
                         F.col("y") * F.log(F.greatest(F.col("p"), F.lit(1e-15)))
@@ -168,16 +172,16 @@ def train_gbm(
                         * F.log(F.greatest(1.0 - F.col("p"), F.lit(1e-15)))
                     )
                     * _GSCALE
-                )
-            ).alias("s"),
-            F.count("*").alias("n"),
-        ).first()
-        model.append(
-            ModelRow(t, -1, "metric", "train_logloss", -1, 0.0,
-                     round(ll["s"] / _GSCALE / ll["n"], 9), ll["n"])
+                ),
+            )
+            .withColumn("node", F.lit(0))
         )
 
-        splits: dict[int, tuple] = {}
+        # the last executed level's histograms + splits: leaves derive from
+        # these driver-side (G/H/n are additive over bins), so no separate
+        # full-scan leaf aggregate job is needed
+        last_by_node: dict[int, dict] = {}
+        last_level_splits: dict[int, tuple] = {}
         for _level in range(depth):
             pairs = F.explode(
                 F.array(
@@ -189,16 +193,38 @@ def train_gbm(
                     ]
                 )
             ).alias("fb")
+            # level 0 piggybacks the round's train-logloss sum on the same
+            # scan: each row contributes its lli exactly once (under its
+            # features[0] struct), so the conditional sum over the histogram
+            # groups is the exact row-level integer sum
+            ll_agg = (
+                [
+                    F.sum(
+                        F.when(F.col("fb.f") == features[0], F.col("lli"))
+                        .otherwise(F.lit(0))
+                    ).alias("ll")
+                ]
+                if _level == 0
+                else []
+            )
             hist_rows = (
-                work.select("node", "gi", "hi", pairs)
+                work.select("node", "gi", "hi", "lli", pairs)
                 .groupBy("node", "fb.f", "fb.b")
                 .agg(
                     F.sum("gi").alias("g"),
                     F.sum("hi").alias("h"),
                     F.count("*").alias("n"),
+                    *ll_agg,
                 )
                 .collect()
             )
+            if _level == 0:
+                ll_s = sum(r["ll"] for r in hist_rows)
+                ll_n = sum(r["n"] for r in hist_rows if r["f"] == features[0])
+                model.append(
+                    ModelRow(t, -1, "metric", "train_logloss", -1, 0.0,
+                             round(ll_s / _GSCALE / ll_n, 9), ll_n)
+                )
             by_node: dict[int, dict] = {}
             for r in hist_rows:
                 by_node.setdefault(r["node"], {})[(r["f"], r["b"])] = (
@@ -211,7 +237,9 @@ def train_gbm(
                 s = _best_split(by_node[node], node, features, lam)
                 if s is not None and s[2] > 1e-12:
                     level_splits[node] = s
+            last_by_node, last_level_splits = by_node, level_splits
             if not level_splits:
+                last_level_splits = {}
                 break
             route = F.col("node")
             for node, (f, b, gain, tg, th, tn) in level_splits.items():
@@ -225,27 +253,50 @@ def train_gbm(
                     ).otherwise(F.lit(2 * node + 2)),
                 ).otherwise(route)
             work = work.withColumn("node", route)
-            splits.update(level_splits)
 
-        leaf_rows = work.groupBy("node").agg(
-            F.sum("gi").alias("g"),
-            F.sum("hi").alias("h"),
-            F.count("*").alias("n"),
-        ).collect()
+        # leaf stats derived from the last level's histograms: a split
+        # node's children partition its (f*, ·) histogram at the split bin;
+        # an unsplit live node keeps its own totals (any one feature's bins
+        # sum to the node). All sums are exact BIGINT adds — bit-identical
+        # to the aggregate job they replace.
+        leaf_stats: dict[int, tuple[int, int, int]] = {}
+        for node in sorted(last_by_node):
+            hist = last_by_node[node]
+            if node in last_level_splits:
+                f_s, b_s = last_level_splits[node][0], last_level_splits[node][1]
+                lg = sum(hist[(f_s, b)][0] for b in range(b_s + 1) if (f_s, b) in hist)
+                lh = sum(hist[(f_s, b)][1] for b in range(b_s + 1) if (f_s, b) in hist)
+                ln = sum(hist[(f_s, b)][2] for b in range(b_s + 1) if (f_s, b) in hist)
+                tg = sum(v[0] for (f, _), v in hist.items() if f == f_s)
+                th = sum(v[1] for (f, _), v in hist.items() if f == f_s)
+                tn = sum(v[2] for (f, _), v in hist.items() if f == f_s)
+                leaf_stats[2 * node + 1] = (lg, lh, ln)
+                leaf_stats[2 * node + 2] = (tg - lg, th - lh, tn - ln)
+            else:
+                f0 = features[0]
+                leaf_stats[node] = (
+                    sum(v[0] for (f, _), v in hist.items() if f == f0),
+                    sum(v[1] for (f, _), v in hist.items() if f == f0),
+                    sum(v[2] for (f, _), v in hist.items() if f == f0),
+                )
         upd = F.lit(0.0)
-        for r in sorted(leaf_rows, key=lambda r: r["node"]):
-            if r["node"] in splits:  # routed past — not a leaf
-                continue
-            w = -lr * (r["g"] / _GSCALE) / (r["h"] / _GSCALE + lam)
+        for node in sorted(leaf_stats):
+            g, h, n = leaf_stats[node]
+            w = -lr * (g / _GSCALE) / (h / _GSCALE + lam)
             model.append(
-                ModelRow(t, r["node"], "leaf", "", -1, 0.0, round(w, 9), r["n"])
+                ModelRow(t, node, "leaf", "", -1, 0.0, round(w, 9), n)
             )
-            upd = F.when(F.col("node") == r["node"], F.lit(w)).otherwise(upd)
+            upd = F.when(F.col("node") == node, F.lit(w)).otherwise(upd)
         cur = work.select(
             "y",
             *[f"b_{f}" for f in features],
             (F.col("score") + upd).alias("score"),
-        ).localCheckpoint()
+        )
+        if t < n_rounds - 1:
+            # truncate lineage between rounds; the final round's frame is
+            # consumed exactly once (the closing logloss pass), so
+            # materializing it would cost a full extra pass for nothing
+            cur = cur.localCheckpoint()
 
     # final logloss after the last round's update
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score")))
