@@ -34,22 +34,39 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    edges: DataFrame, src: str, dst: str, max_rounds: int = 25
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_rounds: int = 25,
+    edges_unique: bool = False,
 ) -> DataFrame:
     """(``node``, ``component``) for every node appearing in ``edges``
     (undirected; pass each pair once in either direction). ``component``
     is the smallest node id reachable from ``node``. Raises RuntimeError
     if the labels have not reached a fixpoint within ``max_rounds``
     iterations (2^max_rounds-diameter components — never in practice)
-    rather than silently returning partial clusters."""
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
+    rather than silently returning partial clusters.
+
+    ``edges_unique=True`` asserts the caller passes each undirected pair
+    exactly once (e.g. deduped ``a < b`` pairs): the symmetrized edge list
+    is then duplicate-free by construction and the dedup shuffle is
+    skipped (optimization r07, guide §2.4 — every current caller feeds
+    groupBy/distinct output)."""
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
+    if not edges_unique:
+        sym = sym.distinct()
     sym = sym.localCheckpoint()
-    labels = (
-        sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+    # seed label = min(self, min neighbor): the same one-groupBy shuffle the
+    # old node-distinct init cost, but it IS the first propagate round —
+    # shallow near-dup clusters (star around the min id) start AT the
+    # fixpoint and converge one full iteration (3 joins + checkpoint +
+    # count) earlier. The fixpoint itself is unchanged: labels only ever
+    # decrease toward the component minimum (optimization r07, guide §1.2).
+    labels = sym.groupBy("a").agg(F.min("b").alias("nb")).select(
+        F.col("a").alias("node"),
+        F.least(F.col("a"), F.col("nb")).alias("label"),
     )
 
     for _ in range(max_rounds):

@@ -632,7 +632,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph_ops import connected_components
 
     pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
-    comp = connected_components(pairs, "id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b", edges_unique=True)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return docs.join(comp, docs["doc_id"] == comp["node"], "left").select(
         "doc_id", F.coalesce("component", "doc_id").alias("cluster_id")
@@ -2154,7 +2154,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph_ops import connected_components
 
     pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b").localCheckpoint()
-    comp = connected_components(pairs, "id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b", edges_unique=True)
     deg = (
         pairs.select(F.col("id_a").alias("node"))
         .unionAll(pairs.select(F.col("id_b").alias("node")))

@@ -337,7 +337,7 @@ def preference_graph_connectivity(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..operators.graph_ops import connected_components
 
     mat = _matrix(spark, sf_dir).localCheckpoint()
-    cc = connected_components(mat.select("i", "j"), "i", "j")
+    cc = connected_components(mat.select("i", "j"), "i", "j", edges_unique=True)
     pl_cs = cc.agg(
         F.expr("CAST(count(*) AS BIGINT) AS n_players"),
         F.expr("CAST(count(DISTINCT component) AS BIGINT) AS n_components"),

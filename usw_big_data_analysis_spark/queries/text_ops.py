@@ -1709,7 +1709,7 @@ def word_cooccurrence_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("least(w1, w2) AS a", "greatest(w1, w2) AS b")
         .distinct()
     )
-    comp = connected_components(sel, "a", "b")
+    comp = connected_components(sel, "a", "b", edges_unique=True)
     sizes = comp.groupBy("component").agg(
         F.expr("CAST(count(*) AS BIGINT) AS sz")
     )
