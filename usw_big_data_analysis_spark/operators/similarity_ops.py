@@ -131,3 +131,133 @@ def cosine_topk_vectorized(
         .filter(F.col("rn") <= k)
         .select("qid", "cid", N.fround(F.col("cosine"), 6).alias("cosine"), "rn")
     )
+
+
+_IVFPQ_CAND_SCHEMA = StructType(
+    [
+        StructField("qid", LongType()),
+        StructField("cid", LongType()),
+        StructField("adc_d2", DoubleType()),
+    ]
+)
+
+
+def _fround_np(x: np.ndarray, scale: int) -> np.ndarray:
+    """numpy twin of functions.numeric.fround (half away from zero at
+    ``scale`` decimals) — np.round is half-even and would differ."""
+    s = float(10**scale)
+    y = x * s
+    return np.where(y >= 0, np.floor(y + 0.5), np.ceil(y - 0.5)) / s
+
+
+def ivfpq_vectorized(
+    emb: DataFrame,
+    ncells: int,
+    nprobe: int,
+    nq: int,
+    pq_codes: int,
+    topk: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC (coarse cells + PQ asymmetric-distance lookup) with the whole
+    per-vector arithmetic as numpy batch kernels — the throughput twin of
+    ``queries.similarity.embed_ann_ivfpq(exact=True)``.
+
+    The exact path builds the cell assignment and the per-(vec, subspace,
+    code) distance table as a 64-dims x ``pq_codes`` row explosion through a
+    broadcast join and a fact-scale groupBy; at sf0.1 that one aggregation
+    is ~2/3 of the query's wall time. Here the bounded head of the corpus
+    (centroids ∪ codebook ∪ queries — ``max(ncells, pq_codes, nq)`` rows by
+    construction) is collected once and closed over, and one mapInPandas
+    pass computes per batch: the cell argmax, the PQ code argmin per
+    subspace, and each probed query's ADC sum — guide §4.2 (hand whole
+    batches to native kernels) + §8 (decide with small rows, move big rows
+    once). Per partition only the ≤ topk best candidates per query leave
+    the executor; the final exact window ranks those few rows.
+
+    Bit-compatibility is the same contract as ``cosine_topk_vectorized``'s
+    ``exact_int`` mode: every product/square is quantized with
+    ``_round_half_up_e12`` — exactly the DECIMAL(2x,12) cast the exact plan
+    applies per element — and summed as int64 (fixture bound: |v| < 1 ⇒
+    the 8-subspace ADC sum < 9e13 « 2^53, so every int is double-exact).
+    Cell choice (ccos desc, cell asc) maps onto np.argmax's first-max rule
+    after the same 6-dp half-away rounding; code choice (d2 asc, code asc)
+    onto np.argmin. The emitted adc_d2 doubles are bit-identical to the
+    decimal plan's, so the final (adc_d2, cid) ranking is too."""
+    head_n = max(ncells, pq_codes, nq)
+    head = {
+        int(r[id_col]): np.array(r[vec_col], dtype=np.float64)
+        for r in emb.filter(F.col(id_col) < head_n)
+        .select(id_col, vec_col)
+        .collect()
+    }
+    cent = np.stack([head[i] for i in range(ncells)])
+    cb = np.stack([head[i] for i in range(pq_codes)])
+    qm = np.stack([head[i] for i in range(nq)])
+    dims = cent.shape[1]
+    nsub = dims // 8
+
+    def _nrm(m: np.ndarray) -> np.ndarray:
+        return np.sqrt(_round_half_up_e12(m * m).sum(axis=1) / 1e12)
+
+    cnrm = _nrm(cent)
+    qnrm = _nrm(qm)
+    qdots = _round_half_up_e12(qm[:, None, :] * cent[None, :, :]).sum(axis=2) / 1e12
+    qcos = _fround_np(qdots / np.outer(qnrm, cnrm), 6)
+    probe_cells = [
+        np.lexsort((np.arange(ncells), -qcos[qi]))[:nprobe] for qi in range(nq)
+    ]
+    # query LUT: int64 subspace distances, (nq, nsub, pq_codes)
+    qd2 = (
+        _round_half_up_e12((qm[:, None, :] - cb[None, :, :]) ** 2)
+        .reshape(nq, pq_codes, nsub, 8)
+        .sum(axis=3)
+        .transpose(0, 2, 1)
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sub_idx = np.arange(nsub)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            dots = (
+                _round_half_up_e12(c_mat[:, None, :] * cent[None, :, :]).sum(axis=2)
+                / 1e12
+            )
+            ccos = _fround_np(dots / np.outer(_nrm(c_mat), cnrm), 6)
+            cell = np.argmax(ccos, axis=1)  # first max = (ccos desc, cell asc)
+            d2 = (
+                _round_half_up_e12((c_mat[:, None, :] - cb[None, :, :]) ** 2)
+                .reshape(len(c_ids), pq_codes, nsub, 8)
+                .sum(axis=3)
+                .transpose(0, 2, 1)
+            )
+            codes = np.argmin(d2, axis=2)  # first min = (d2 asc, code asc)
+            out_q, out_c, out_d = [], [], []
+            for qi in range(nq):
+                mask = np.isin(cell, probe_cells[qi]) & (c_ids != qi)
+                if not mask.any():
+                    continue
+                sel = np.nonzero(mask)[0]
+                adc = qd2[qi][sub_idx[None, :], codes[sel]].sum(axis=1)
+                order = np.lexsort((c_ids[sel], adc))[:topk]
+                out_q.extend([qi] * len(order))
+                out_c.extend(c_ids[sel][order].tolist())
+                out_d.extend((adc[order] / 1e12).tolist())
+            if out_q:
+                yield pd.DataFrame(
+                    {"qid": out_q, "cid": out_c, "adc_d2": out_d}
+                )
+
+    cand = emb.select(id_col, vec_col).mapInPandas(score, _IVFPQ_CAND_SCHEMA)
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("qid").orderBy("adc_d2", "cid")
+    return (
+        cand.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= topk)
+        .select("qid", "cid", N.fround(F.col("adc_d2"), 6).alias("adc_d2"), "rn")
+    )

@@ -2215,6 +2215,24 @@ def embed_ann_ivfpq(
     decimal accumulation is ~3x a double sum. The registered/oracle path
     stays exact; result equivalence of the two forms is pinned in
     tests/test_similarity_ops.py."""
+    if not exact:
+        # bench variant (optimization r07): the whole per-vector arithmetic
+        # (cell argmax, PQ code argmin, ADC lookup-sum) as numpy batch
+        # kernels in ONE mapInPandas pass over the corpus — replaces the
+        # two fact-scale explode+groupBy aggregations below (guide §4.2).
+        # Same quantized integer arithmetic, bit-identical result; pinned
+        # by tests/test_similarity_ops.py::test_ivfpq_fast_variant_matches_exact.
+        from ..operators.similarity_ops import ivfpq_vectorized
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        return ivfpq_vectorized(
+            emb,
+            ncells=_NCELLS,
+            nprobe=_NPROBE,
+            nq=_NQ,
+            pq_codes=_PQ_CODES,
+            topk=_TOPK,
+        )
     dec20 = "decimal(20,12)" if exact else "double"
     dec25 = "decimal(25,12)" if exact else "double"
     expl = _exploded(spark, sf_dir)
@@ -2253,8 +2271,15 @@ def embed_ann_ivfpq(
     probes = ranked.filter(
         (F.col("crn") <= _NPROBE) & (F.col("vec_id") < _NQ)
     ).select(F.col("vec_id").alias("qid"), "cell")
-    cand = probes.join(assign, "cell").filter(F.col("qid") != F.col("cid")).select(
-        "qid", "cid"
+    # probes is bounded by the QUERY set (nq x nprobe rows), not the corpus
+    # — broadcast it so the corpus-scale assign side is neither shuffled
+    # nor sorted (was a SortMergeJoin with an exchange on every assign row;
+    # optimization r07, guide §3.1)
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cell")
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid")
     )
     cb = expl.filter(F.col("vec_id") < _PQ_CODES).select(
         F.col("vec_id").alias("code"), "pos", F.col("v").alias("cv")
@@ -2282,7 +2307,10 @@ def embed_ann_ivfpq(
         F.col("vec_id").alias("qid"), "subspace", "code", "d2"
     )
     adc = (
-        cand.join(codes, "cid")
+        # both sides are corpus-scale (cand ~ probed-cell members, codes =
+        # 8 rows/vec) so neither is broadcastable; shuffle_hash skips the
+        # two per-partition sorts a sort-merge would add (guide §3.1)
+        cand.join(codes.hint("shuffle_hash"), "cid")
         .join(F.broadcast(lut), ["qid", "subspace", "code"])
         .groupBy("qid", "cid")
         .agg(F.sum("d2").cast("double").alias("adc_d2"))
