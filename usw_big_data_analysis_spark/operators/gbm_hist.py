@@ -136,6 +136,19 @@ def _best_split(hist: dict, node: int, features: list[str], lam: float):
     return best
 
 
+# Scoped planner settings for the training loop: every shuffle inside it
+# is a bounded histogram (<= 2^depth * |features| * N_BINS rows), so the
+# static plan is already optimal and AQE's stage-by-stage re-planning only
+# adds one scheduling barrier per histogram collect (~20% of sf0.1 train
+# wall; optimization r07, guide §1.2 step 3). A handful of reduce
+# partitions is plenty for few-hundred-row shuffles at any scale. Both are
+# restored after training — the overrides never leak into caller queries.
+_TRAIN_CONF = {
+    "spark.sql.adaptive.enabled": "false",
+    "spark.sql.shuffle.partitions": "4",
+}
+
+
 def train_gbm(
     df: DataFrame,
     features: list[str],
@@ -144,10 +157,51 @@ def train_gbm(
     depth: int = 2,
     lr: float = 0.3,
     lam: float = 1.0,
+    checkpoint_every: int = 0,
+) -> GbmModel:
+    """Train the boosted ensemble (scoped-conf wrapper around
+    ``_train_gbm`` — see ``_TRAIN_CONF``). The trained model is
+    bit-identical under any of these settings because histogram sums are
+    order-independent BIGINT adds (asserted in tests/test_gbm_hist.py)."""
+    sess = df.sparkSession
+    saved = {k: sess.conf.get(k, None) for k in _TRAIN_CONF}
+    for k, v in _TRAIN_CONF.items():
+        sess.conf.set(k, v)
+    try:
+        return _train_gbm(
+            df, features, label, n_rounds, depth, lr, lam, checkpoint_every
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sess.conf.unset(k)
+            else:
+                sess.conf.set(k, v)
+
+
+def _train_gbm(
+    df: DataFrame,
+    features: list[str],
+    label: str,
+    n_rounds: int,
+    depth: int,
+    lr: float,
+    lam: float,
+    checkpoint_every: int,
 ) -> GbmModel:
     """Train the boosted ensemble; returns the model (dump rows: splits
     with gains, leaves with values, one train-logloss metric row per
-    round; plus the training bin edges for scoring)."""
+    round; plus the training bin edges for scoring).
+
+    ``checkpoint_every``: re-materialize the margin frame every K rounds
+    (0 = never). Each skipped checkpoint saves one full materialization
+    pass + scheduling round-trip; the cost is that later histogram scans
+    re-evaluate the accumulated routing/update CASE chains from the
+    binned base — pure codegen'd column arithmetic, no extra I/O or
+    shuffle, growing linearly in rounds. For the few-round configs the
+    registered queries train, never checkpointing measures strictly
+    faster (optimization r07); hundred-round production runs should set
+    K≈10-20 so per-scan expression cost stays bounded."""
     binned, bins = _bin_frame(df, features, label)
     if binned is None:  # empty training frame — no model, no metric rows
         return GbmModel([], {})
@@ -292,10 +346,10 @@ def train_gbm(
             *[f"b_{f}" for f in features],
             (F.col("score") + upd).alias("score"),
         )
-        if t < n_rounds - 1:
-            # truncate lineage between rounds; the final round's frame is
-            # consumed exactly once (the closing logloss pass), so
-            # materializing it would cost a full extra pass for nothing
+        if checkpoint_every and t < n_rounds - 1 and (t + 1) % checkpoint_every == 0:
+            # truncate lineage; the final round's frame is consumed exactly
+            # once (the closing logloss pass), so materializing it would
+            # cost a full extra pass for nothing
             cur = cur.localCheckpoint()
 
     # final logloss after the last round's update
