@@ -71,9 +71,12 @@ def connected_components(
 
     for _ in range(max_rounds):
         updated = _pj_round(_cc_round(sym, labels)).localCheckpoint()
-        changed = updated.filter("__shrunk").count()
+        # fixpoint test only needs EXISTENCE of a shrunk label: isEmpty is
+        # a limit-1 probe over the checkpointed blocks, not a full count
+        # (optimization r07, guide §1.4 — count forces the whole scan)
+        converged = updated.filter("__shrunk").isEmpty()
         labels = updated.drop("__shrunk")
-        if changed == 0:
+        if converged:
             break
     else:
         raise RuntimeError(
