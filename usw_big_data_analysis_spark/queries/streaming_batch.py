@@ -106,15 +106,21 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min): lag → new-session flag → running
     session counter → per-session aggregates. One shuffle on user_id; the
     streaming twin uses session_window(ts, '30 minutes')."""
-    ev = load_table(spark, sf_dir, "events")
-    tsd = F.col("ts").cast("double")
-    order = Window.partitionBy("user_id").orderBy(tsd, "event_id")
-    gap = tsd - F.lag(tsd).over(order)
+    # materialize tsd BEFORE the first window: ordering both windows by the
+    # same named column (not once by the cast-expression, once by the
+    # column) lets Spark see the sort orders as identical and plan ONE Sort
+    # under both Window nodes instead of re-sorting between them
+    # (optimization r07, guide §2.4 — 2 Sorts -> 1, same single exchange)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", F.col("ts").cast("double").alias("tsd")
+    )
+    order = Window.partitionBy("user_id").orderBy("tsd", "event_id")
+    gap = F.col("tsd") - F.lag("tsd").over(order)
     new_session = F.when(
         gap.isNull() | (gap > 1800), F.lit(1)
     ).otherwise(F.lit(0))
     t = ev.select(
-        "user_id", "event_id", "value", tsd.alias("tsd"), new_session.alias("ns")
+        "user_id", "event_id", "value", "tsd", new_session.alias("ns")
     )
     run = Window.partitionBy("user_id").orderBy("tsd", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
