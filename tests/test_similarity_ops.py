@@ -108,3 +108,51 @@ def test_hard_negatives_laws(spark, sf_dir):
     for r in rows:
         assert (r["qid"], r["cid"]) in superset
         assert superset[(r["qid"], r["cid"])] == r["cosine"]
+
+
+def test_bucket_pair_cosines_matches_expression_form(spark, sf_dir):
+    """The per-bucket numpy kernel behind _dup_candidate_cosines must be
+    bit-identical to the bucket self-join + _dec_dot expression plan it
+    replaced (optimization r07) — same pairs, same cosines, id_a < id_b."""
+    from pyspark.sql import functions as F
+
+    from usw_big_data_analysis_spark.functions import numeric as N
+    from usw_big_data_analysis_spark.queries.similarity import (
+        _SHIFT,
+        _dec_dot,
+        _dup_candidate_cosines,
+        _hyperplane_tagged,
+    )
+    from usw_big_data_analysis_spark.sources import load_table
+
+    kernel = {
+        (r.id_a, r.id_b): r.cosine
+        for r in _dup_candidate_cosines(spark, sf_dir).collect()
+    }
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        emb.select((F.col("vec_id") + _SHIFT).alias("vec_id"), "embedding")
+    )
+    tagged = _hyperplane_tagged(corpus)
+    a = tagged.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"), "bucket",
+    )
+    b = tagged.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"), "bucket",
+    )
+    expr_form = {
+        (r.id_a, r.id_b): r.cosine
+        for r in a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            N.fround(
+                _dec_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
+        )
+        .collect()
+    }
+    assert kernel == expr_form  # bit-equal cosines, identical pair set
+    assert all(x < y for x, y in kernel)

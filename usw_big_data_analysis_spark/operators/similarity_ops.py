@@ -36,6 +36,17 @@ _RESULT_SCHEMA = StructType(
 )
 
 
+def _fround_int_np(y: np.ndarray) -> np.ndarray:
+    """Exact numpy twin of functions.numeric.fround_int: half away from
+    zero via sign·(floor(|y|) + [|y|−floor(|y|) ≥ 0.5]) — the fractional
+    part is IEEE-exact (Sterbenz), so this matches BigDecimal HALF_UP /
+    DuckDB's std::round bit-for-bit for |y| < 2^53, including the
+    near-half doubles where the naive floor(y+0.5) form rounds early."""
+    a = np.abs(y)
+    f = np.floor(a)
+    return (np.sign(y) * (f + (a - f >= 0.5))).astype(np.int64)
+
+
 def _round_half_up_e12(p: np.ndarray) -> np.ndarray:
     """Mirror Spark's F.round(x * 1e12, 0) (HALF_UP, away from zero) — the
     elementwise product quantization of queries/similarity._dec_dot — so
@@ -261,3 +272,68 @@ def ivfpq_vectorized(
         .filter(F.col("rn") <= topk)
         .select("qid", "cid", N.fround(F.col("adc_d2"), 6).alias("adc_d2"), "rn")
     )
+
+
+_PAIR_COS_SCHEMA = "id_a long, id_b long, cosine double"
+
+
+def bucket_pair_cosines(
+    tagged: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """(id_a, id_b, cosine) for every intra-bucket pair (id_a < id_b) of a
+    bucket-tagged embedding frame — the vectorized twin of the
+    explode/self-join/decimal-fold candidate plan.
+
+    The relational form carried one row per (pair, position): at B buckets
+    it shuffles and folds |corpus|²/B · dims rows through an interpreted
+    64-element integer aggregate per pair (~26s at sf0.1 for 4k vectors /
+    16 buckets). Here ONE shuffle groups each bucket (guide §4.2): the
+    kernel stacks the bucket's vectors, computes norms and all pairwise
+    dots as numpy batch ops, and emits only the (pair, cosine) rows.
+
+    Bit-compatibility: every product is quantized with ``_fround_int_np``
+    — the exact numpy twin of the DECIMAL(20,12) per-element cast both
+    the Spark expression form and the DuckDB oracle apply — then summed
+    as int64 (64 products of |v|<1 vectors stay < 2^53, so the sum is
+    double-exact); dot = intsum/1e12, cosine = fround(dot/(na·nb), 6),
+    the identical operation order. Oracle parity is therefore exact, not
+    approximate.
+
+    Scale shape: one shuffle of (id, vector, bucket); per-task memory is
+    O(bucket_size · dims). Pathologically hot buckets need the salted
+    sub-bucket treatment (dedup_minhash_salted's trick) before this
+    kernel — same caveat as any bucketed all-pairs scheme."""
+
+    def gen(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"id_a": np.array([], np.int64),
+                 "id_b": np.array([], np.int64),
+                 "cosine": np.array([], np.float64)}
+            )
+        ids = pdf[id_col].to_numpy(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+        nrm = np.sqrt(_fround_int_np(m * m * 1e12).sum(axis=1) / 1e12)
+        out_a, out_b, out_c = [], [], []
+        for i in range(n - 1):
+            tail = m[i + 1:]
+            dots = _fround_int_np(m[i][None, :] * tail * 1e12).sum(axis=1) / 1e12
+            cos = _fround_np(dots / (nrm[i] * nrm[i + 1:]), 6)
+            out_a.append(np.full(n - 1 - i, ids[i], dtype=np.int64))
+            out_b.append(ids[i + 1:])
+            out_c.append(cos)
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a),
+             "id_b": np.concatenate(out_b),
+             "cosine": np.concatenate(out_c)}
+        )
+
+    return tagged.select(id_col, vec_col, bucket_col).groupBy(
+        bucket_col
+    ).applyInPandas(gen, _PAIR_COS_SCHEMA)

@@ -76,6 +76,24 @@ def _dec_dot(a: F.Column, b: F.Column) -> F.Column:
     )
 
 
+def _hyperplane_sum(r_of_pos) -> F.Column:
+    """Signed int64 fold of round12(v·r(pos)) over embedding positions —
+    sign-identical to the oracle's ``sum(CAST(v * r AS DECIMAL(20,12)))``:
+    the DECIMAL(20,12) cast IS ``fround_int(x·1e12)`` (the verified
+    _dec_dot contract) and 64 products of |v|<1, |r|≤0.5 stay far under
+    2^53, so the integer sum carries the exact decimal value. Only the
+    SIGN ever feeds a bucket bit, so the decimal(30,12) fold this replaces
+    — one BigDecimal allocation per element per plane per vector — bought
+    nothing (optimization r07, guide §1.2 step 2)."""
+    idx = F.sequence(F.lit(0), F.size("embedding") - 1)
+    prods = F.zip_with(
+        F.col("embedding"),
+        idx,
+        lambda v, p: N.fround_int(v.cast("double") * r_of_pos(p) * 1e12),
+    )
+    return F.aggregate(prods, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
 # --- brute-force cosine top-k ------------------------------------------------
 _EXACT_TOPK_ORACLE = f"""
     WITH expl AS ({_EXPL_SQL}),
@@ -444,17 +462,7 @@ def _hyperplane_tagged(frame: DataFrame) -> DataFrame:
         return ((F.lit(j) * 64 + pos) * 2654435761 % 1000).cast("double") / 1000.0 - 0.5
 
     def plane_dot(j: int) -> F.Column:
-        idx = F.sequence(F.lit(0), F.size("embedding") - 1)
-        prods = F.zip_with(
-            F.col("embedding"),
-            idx,
-            lambda v, p: (v.cast("double") * r_col(j, p)).cast("decimal(20,12)"),
-        )
-        return F.aggregate(
-            prods,
-            F.lit(0).cast("decimal(30,12)"),
-            lambda acc, x: (acc + x).cast("decimal(30,12)"),
-        ).cast("double")
+        return _hyperplane_sum(lambda p: r_col(j, p))
 
     bucket = sum(
         (F.when(plane_dot(j) > 0, F.lit(1 << j)).otherwise(0) for j in range(1, _NPLANES)),
@@ -467,25 +475,21 @@ def _dup_candidate_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id_a, id_b, cosine) for every LSH-bucket candidate pair of the
     duplicated corpus — the shared head of dedup_embed_cosine and the
     threshold sweep."""
+    from ..operators.similarity_ops import bucket_pair_cosines
+
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.select("vec_id", "embedding").unionByName(
         emb.select((F.col("vec_id") + _SHIFT).alias("vec_id"), "embedding")
     )
+    # per-bucket numpy kernel instead of the bucket self-join + interpreted
+    # 64-element fold per pair: the self-join evaluated the hyperplane
+    # tagging TWICE (once per side) and folded |corpus|²/B pairs
+    # element-by-element (~26s at sf0.1); the kernel shuffles each bucket
+    # once and batch-computes all pairwise quantized dots (~1s).
+    # Bit-identical arithmetic — see bucket_pair_cosines' contract
+    # (optimization r07, guide §4.2); oracle parity re-verified.
     tagged = _hyperplane_tagged(corpus)
-    a = tagged.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"), "bucket",
-    )
-    b = tagged.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"), "bucket",
-    )
-    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
-    return pairs.select(
-        "id_a",
-        "id_b",
-        N.fround(_dec_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6).alias("cosine"),
-    )
+    return bucket_pair_cosines(tagged.select("vec_id", "embedding", "bucket"))
 
 
 # --- semantic eval-set decontamination ---------------------------------------
@@ -934,17 +938,7 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         return ((F.lit(j) * 64 + pos) * 2654435761 % 1000).cast("double") / 1000.0 - 0.5
 
     def plane_dot(j: int) -> F.Column:
-        idx = F.sequence(F.lit(0), F.size("embedding") - 1)
-        prods = F.zip_with(
-            F.col("embedding"),
-            idx,
-            lambda v, p: (v.cast("double") * r_col(j, p)).cast("decimal(20,12)"),
-        )
-        return F.aggregate(
-            prods,
-            F.lit(0).cast("decimal(30,12)"),
-            lambda acc, x: (acc + x).cast("decimal(30,12)"),
-        ).cast("double")
+        return _hyperplane_sum(lambda p: r_col(j, p))
 
     bucket = sum(
         (F.when(plane_dot(j) > 0, F.lit(1 << j)).otherwise(0) for j in range(1, _NPLANES)),
@@ -1062,8 +1056,6 @@ def embed_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def plane_dot(j: int, offset: int) -> F.Column:
-        idx = F.sequence(F.lit(0), F.size("embedding") - 1)
-
         def r_col(p: F.Column) -> F.Column:
             return (
                 ((F.lit(j) * 64 + p + offset) * 2654435761 % 1000).cast("double")
@@ -1071,16 +1063,7 @@ def embed_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - 0.5
             )
 
-        prods = F.zip_with(
-            F.col("embedding"),
-            idx,
-            lambda v, p: (v.cast("double") * r_col(p)).cast("decimal(20,12)"),
-        )
-        return F.aggregate(
-            prods,
-            F.lit(0).cast("decimal(30,12)"),
-            lambda acc, x: (acc + x).cast("decimal(30,12)"),
-        ).cast("double")
+        return _hyperplane_sum(r_col)
 
     def bucket_col(offset: int) -> F.Column:
         return sum(
