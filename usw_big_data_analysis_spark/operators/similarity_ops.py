@@ -337,3 +337,47 @@ def bucket_pair_cosines(
     return tagged.select(id_col, vec_col, bucket_col).groupBy(
         bucket_col
     ).applyInPandas(gen, _PAIR_COS_SCHEMA)
+
+
+def cell_dup_ids(
+    assigned: DataFrame,
+    scale: float,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """SemDeDup's within-cell duplicate flags as a per-cell numpy kernel:
+    (dup_id) = every id_b that has some same-cell partner id_a < id_b with
+    round6(cos) ≥ tau — the vectorized twin of the exploded
+    pair-join/groupBy plan (which pushed |cell|²·dims/2 rows through a
+    join + decimal aggregate; ~15s at sf0.1).
+
+    Bit-compatibility with queries/clustering.embed_semdedup's integer
+    recipe: components quantize per element as fround_int(v·scale) (int64),
+    dots/norms are exact int64 sums (|xi| ≤ scale=1e6 ⇒ 64 products ≤
+    6.4e13 « 2^63, double-exact), cosine = fround(dot/(na·nb), 6) — the
+    same operation order, so the ≥ tau verdicts are identical, not
+    approximate. Per-task memory O(cell_size · dims); size K so cells stay
+    bounded (SemDeDup's own regime) — same caveat as bucket_pair_cosines."""
+
+    def gen(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"dup_id": np.array([], np.int64)})
+        ids = pdf[id_col].to_numpy(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+        xi = _fround_int_np(m * scale)
+        nx = np.sqrt((xi * xi).sum(axis=1).astype(np.float64))
+        dup = np.zeros(n, dtype=bool)
+        for i in range(n - 1):
+            dots = (xi[i][None, :] * xi[i + 1:]).sum(axis=1).astype(np.float64)
+            cos = _fround_np(dots / (nx[i] * nx[i + 1:]), 6)
+            dup[i + 1:] |= cos >= tau
+        return pd.DataFrame({"dup_id": ids[dup]})
+
+    return assigned.select(id_col, vec_col, cell_col).groupBy(
+        cell_col
+    ).applyInPandas(gen, "dup_id long")

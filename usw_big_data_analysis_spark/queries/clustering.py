@@ -286,35 +286,15 @@ def embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cell"), "pos", F.col("xi").alias("cv")
     )
     a1 = _assign(expl, vn, cent).select("vec_id", "cell")
-    pe = expl.join(a1, "vec_id")
-    x = pe.select(
-        "cell", F.col("vec_id").alias("id_a"), "pos", F.col("xi").alias("xa")
-    )
-    y = pe.select(
-        F.col("cell").alias("cell2"),
-        F.col("vec_id").alias("id_b"),
-        F.col("pos").alias("pos2"),
-        F.col("xi").alias("xb"),
-    )
-    pr = (
-        x.join(
-            y,
-            (F.col("cell") == F.col("cell2"))
-            & (F.col("pos") == F.col("pos2"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
-        .groupBy("cell", "id_a", "id_b")
-        .agg(F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xb")).cast("double").alias("dot"))
-    )
-    na = vn.select(F.col("vec_id").alias("id_a"), F.col("nx").alias("na"))
-    nb = vn.select(F.col("vec_id").alias("id_b"), F.col("nx").alias("nb"))
-    dup = (
-        pr.join(na, "id_a")
-        .join(nb, "id_b")
-        .filter(F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6) >= _SD_TAU)
-        .select(F.col("id_b").alias("dup_id"))
-        .distinct()
-    )
+    # within-cell dups via the per-cell numpy kernel instead of the
+    # exploded pair self-join (|cell|²·dims/2 rows through a join +
+    # decimal groupBy, ~15s at sf0.1 → ~1s): identical integer recipe —
+    # see cell_dup_ids' bit-compatibility contract (optimization r07,
+    # guide §4.2); oracle parity re-verified at sf0.01 + sf0.1.
+    from ..operators.similarity_ops import cell_dup_ids
+
+    assigned = corpus.join(a1, "vec_id")
+    dup = cell_dup_ids(assigned, _SCALE, _SD_TAU)
     return a1.join(
         dup, a1["vec_id"] == dup["dup_id"], "left"
     ).select("vec_id", "cell", F.col("dup_id").isNull().alias("keep"))
