@@ -448,12 +448,55 @@ FROM walk ORDER BY idx
 def sql_recursive_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4.1 WITH RECURSIVE: month-over-month budget pool with draw and
     cap (starts full; clamped to [0, cap] each step) in exact integer cents.
-    The oracle is the same statement run by DuckDB's recursive executor —
-    two independent engines, one SQL text."""
+    The oracle runs the whole statement through DuckDB's recursive executor;
+    Spark runs the IDENTICAL walk, but with the two non-recursive CTEs
+    (the ~80-row monthly rollup and the 1-row params) materialized once as
+    checkpointed temp views first: Catalyst inlines non-recursive CTEs into
+    the loop body, so the single-text form re-ran the fact-table rollup
+    inside EVERY one of the ~80 UnionLoopExec iterations (~29s at sf0.1;
+    optimization r07, guide §2.4 — same arithmetic, same rows, ~7s). The
+    remaining cost is the recursion's own one-job-per-iterate floor."""
     from ..sources import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(_RECURSIVE_BALANCE_SQL)
+    spark.sql(
+        """
+        SELECT year(o_orderdate) * 12 + month(o_orderdate) AS idx,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_c
+        FROM orders GROUP BY year(o_orderdate) * 12 + month(o_orderdate)
+        """
+    ).localCheckpoint().createOrReplaceTempView("_recbal_mrev")
+    spark.sql(
+        """
+        SELECT min(idx) AS idx0,
+               CAST(floor(sum(rev_c) / count(*)) AS BIGINT) AS draw_c,
+               CAST(2 * floor(sum(rev_c) / count(*)) AS BIGINT) AS cap_c
+        FROM _recbal_mrev
+        """
+    ).localCheckpoint().createOrReplaceTempView("_recbal_params")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(idx, k, rev_c, bal_c) AS (
+            SELECT m.idx, 0, m.rev_c,
+                   least(p.cap_c, greatest(CAST(0 AS BIGINT),
+                                           p.cap_c + m.rev_c - p.draw_c))
+            FROM _recbal_mrev m JOIN _recbal_params p ON m.idx = p.idx0
+          UNION ALL
+            SELECT m.idx, w.k + 1, m.rev_c,
+                   least(p.cap_c, greatest(CAST(0 AS BIGINT),
+                                           w.bal_c + m.rev_c - p.draw_c))
+            FROM walk w
+            JOIN _recbal_mrev m ON m.idx = w.idx + 1
+            CROSS JOIN _recbal_params p
+            WHERE w.k < 96
+        )
+        SELECT CAST(floor((idx - 1) / 12) AS BIGINT) AS yr,
+               CAST((idx - 1) % 12 + 1 AS BIGINT) AS mo,
+               rev_c, bal_c
+        FROM walk ORDER BY idx
+        """
+    )
 
 
 # --- correlated LATERAL subquery ------------------------------------------------
