@@ -131,3 +131,221 @@ def _pj_round(labels: DataFrame) -> DataFrame:
             F.col("__shrunk") | (F.coalesce("p_label", "label") < F.col("label"))
         ).alias("__shrunk"),
     )
+
+
+def wedge_pair_counts(
+    edges: DataFrame,
+    min_common: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    drop_linked: bool = True,
+    buckets: int | None = None,
+    top_k_jaccard: int | None = None,
+) -> DataFrame:
+    """Common-neighbor counts ``(u, v, n_common)`` for unordered node pairs
+    of a DISTINCT symmetric edge list (duplicate edges would double-count,
+    exactly as in the join form this replaces), replacing the edges⋈edges
+    wedge self-join + pair groupBy (optimization r07, guide §2.2/§2.4/§4.2).
+
+    Why not the join: the join form pushes Σ deg(w)·(deg(w)−1)/2 wedge rows
+    (147.8M at sf0.1) into a hash aggregate with ~|candidate pairs| (101M)
+    groups. Partial aggregation removes almost nothing (mean pair
+    multiplicity 1.46, scattered), so the aggregate is 101M random-access
+    hash-map inserts — measured 57-136s at sf0.1 across partial/final,
+    pre-repartitioned and windowed variants. Per-row Arrow transport of the
+    147M pairs into Python is no better (~2M rows/s measured, 65-80s).
+
+    This plan never materializes a wedge as a row anywhere:
+
+    - Kernel 1 (``mapInPandas`` over edges hash-partitioned by ``dst``):
+      lexsort groups each neighborhood once, emits every sorted u<v pair
+      via triangular indices, then bucket-sorts the pairs by ``u % B`` and
+      ships each bucket's pairs as TWO BINARY CELLS (``tobytes`` of the
+      little-endian int64 arrays). The Arrow boundary carries a few
+      thousand blob rows, not 147M element rows; list columns are avoided
+      deliberately (Arrow converts object-dtype lists per element).
+    - One JVM shuffle co-locates blob rows by bucket. Because bucket is a
+      pure function of ``u``, every occurrence of a pair lands in one
+      bucket, so a local count IS the exact global count.
+    - Kernel 2 (cogrouped ``applyInPandas`` of pair blobs with the edge
+      rows of the same ``src % B`` bucket): decode blobs, densely remap
+      local ids (so key packing never overflows at any id scale), ONE
+      sequential sort + run-length encode for exact counts — no hash map
+      at any scale — then prune ``< min_common`` and (``drop_linked``)
+      already-linked pairs via sorted membership against the co-shipped
+      edges, so the caller needs no 30M-row anti-join afterwards.
+
+    ``top_k_jaccard=K`` additionally pushes a per-bucket top-K by
+    ``(round6(n_common/(deg(u)+deg(v)-n_common)) DESC, u, v)`` into kernel
+    2, so only K rows per bucket cross back to the JVM instead of every
+    surviving pair (32.5M rows at sf0.1, ~16s of Arrow transport on this
+    host). Degrees ride the cogroup's right side, replicated to every
+    bucket (``kind=1`` rows). The selection key replicates Spark's
+    ``round(x, 6)`` double semantics exactly: fast path
+    ``floor(x·1e6 + 0.5)``, and any element within 8 ULPs of a rounding
+    boundary is re-rounded through ``Decimal(repr(x))`` — the same
+    shortest-decimal-string HALF_UP walk ``BigDecimal.valueOf`` performs —
+    so bucket-local rank agrees with the caller's final SQL ordering and
+    the global top-K is provably a subset of the per-bucket top-Ks.
+    Callers recompute the jaccard value in SQL over the ≤ B·K survivors;
+    the kernel's key is used for selection only.
+
+    Scale contract: work ∝ Σ deg² like the join it replaces; per-task
+    memory is bounded by the kernel-1 chunk size (4M pairs) and by
+    wedges-per-bucket in kernel 2; B derives from
+    ``spark.sql.shuffle.partitions`` (scale it with the cluster, not the
+    data constant); the support prune upstream bounds neighborhood sizes.
+    Degree replication is O(|V|·B) rows — the right regime for dense
+    graphs where surviving pairs ≫ |V|·B (here 32.5M ≫ 2.6M, and the gap
+    widens with density); for sparse graphs leave ``top_k_jaccard`` unset
+    and join degrees after.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pandas as pd
+
+    _Q6 = Decimal("0.000001")
+    spark = edges.sparkSession
+    B = buckets or 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
+    mc = int(min_common)
+
+    def _blob_rows(u, v):
+        b = u % B
+        order = np.argsort(b)
+        u, v, b = u[order], v[order], b[order]
+        bb = np.r_[np.flatnonzero(np.r_[True, b[1:] != b[:-1]]), b.size]
+        return pd.DataFrame(
+            {
+                "bucket": [int(b[bb[i]]) for i in range(bb.size - 1)],
+                "ub": [
+                    np.ascontiguousarray(u[bb[i]:bb[i + 1]], "<i8").tobytes()
+                    for i in range(bb.size - 1)
+                ],
+                "vb": [
+                    np.ascontiguousarray(v[bb[i]:bb[i + 1]], "<i8").tobytes()
+                    for i in range(bb.size - 1)
+                ],
+            }
+        )
+
+    def gen_pair_blobs(batches):
+        frames = [f for f in batches if len(f)]
+        if not frames:
+            return
+        s = np.concatenate([f[src].to_numpy(np.int64) for f in frames])
+        d = np.concatenate([f[dst].to_numpy(np.int64) for f in frames])
+        order = np.lexsort((s, d))
+        s, d = s[order], d[order]
+        bnd = np.r_[np.flatnonzero(np.r_[True, d[1:] != d[:-1]]), d.size]
+        us, vs, pending = [], [], 0
+        for i in range(bnd.size - 1):
+            grp = s[bnd[i]:bnd[i + 1]]
+            if grp.size < 2:
+                continue
+            iu, iv = np.triu_indices(grp.size, 1)
+            us.append(grp[iu])
+            vs.append(grp[iv])
+            pending += iu.size
+            if pending >= 4_000_000:
+                yield _blob_rows(np.concatenate(us), np.concatenate(vs))
+                us, vs, pending = [], [], 0
+        if pending:
+            yield _blob_rows(np.concatenate(us), np.concatenate(vs))
+
+    pair_blobs = (
+        edges.select(F.col(src).alias(src), F.col(dst).alias(dst))
+        .repartition(dst)
+        .mapInPandas(gen_pair_blobs, "bucket long, ub binary, vb binary")
+    )
+
+    empty = pd.DataFrame(
+        {
+            "u": np.array([], np.int64),
+            "v": np.array([], np.int64),
+            "n_common": np.array([], np.int64),
+        }
+    )
+
+    def _round6_scaled(j0):
+        """int64 key equal to 1e6 · round(j0, 6) under Spark's Round-on-
+        double semantics (BigDecimal.valueOf → shortest decimal string →
+        setScale(6, HALF_UP)). Fast path is exact except within a few ULPs
+        of a .5·1e-6 boundary; those go through Decimal(repr(x)) — the
+        same shortest-string walk the JVM performs."""
+        y = j0 * 1e6
+        k = np.floor(y + 0.5)
+        bdist = np.abs((y + 0.5) - np.round(y + 0.5))
+        for i in np.flatnonzero(bdist <= 8 * np.spacing(y + 0.5)):
+            k[i] = float(
+                Decimal(repr(float(j0[i]))).quantize(_Q6, rounding=ROUND_HALF_UP)
+                * 1_000_000
+            )
+        return k.astype(np.int64)
+
+    def count_bucket(key, pairs_pdf, edges_pdf):
+        if len(pairs_pdf) == 0:
+            return empty
+        u = np.concatenate([np.frombuffer(x, "<i8") for x in pairs_pdf["ub"]])
+        v = np.concatenate([np.frombuffer(x, "<i8") for x in pairs_pdf["vb"]])
+        kind = edges_pdf["kind"].to_numpy(np.int64)
+        es = edges_pdf["a"].to_numpy(np.int64)[kind == 0]
+        ed = edges_pdf["b"].to_numpy(np.int64)[kind == 0]
+        uu = np.unique(np.concatenate([u, es]))
+        vv = np.unique(np.concatenate([v, ed]))
+        nv = np.int64(vv.size)
+        pk = np.searchsorted(uu, u) * nv + np.searchsorted(vv, v)
+        pk.sort()
+        idx = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]])
+        cnt = np.diff(np.r_[idx, pk.size])
+        keep = cnt >= mc
+        kk, cc = pk[idx[keep]], cnt[keep]
+        if drop_linked and es.size:
+            ek = np.searchsorted(uu, es) * nv + np.searchsorted(vv, ed)
+            unl = ~np.isin(kk, ek)
+            kk, cc = kk[unl], cc[unl]
+        ufin, vfin = uu[kk // nv], vv[kk % nv]
+        if top_k_jaccard is not None and ufin.size > top_k_jaccard:
+            nodes = edges_pdf["a"].to_numpy(np.int64)[kind == 1]
+            degs = edges_pdf["b"].to_numpy(np.int64)[kind == 1]
+            nord = np.argsort(nodes)
+            nodes, degs = nodes[nord], degs[nord]
+            du = degs[np.searchsorted(nodes, ufin)]
+            dv = degs[np.searchsorted(nodes, vfin)]
+            j0 = cc.astype(np.float64) / (du + dv - cc).astype(np.float64)
+            rk = _round6_scaled(j0)
+            sel = np.lexsort((vfin, ufin, -rk))[:top_k_jaccard]
+            sel.sort()
+            ufin, vfin, cc = ufin[sel], vfin[sel], cc[sel]
+        return pd.DataFrame(
+            {"u": ufin, "v": vfin, "n_common": cc.astype(np.int64)}
+        )
+
+    ebuck = edges.select(
+        (F.col(src) % B).alias("bucket"),
+        F.col(src).alias("a"),
+        F.col(dst).alias("b"),
+        F.lit(0).cast("long").alias("kind"),
+    )
+    if top_k_jaccard is not None:
+        deg_rep = (
+            edges.groupBy(F.col(src).alias("a"))
+            .agg(F.count("*").cast("long").alias("b"))
+            .select(
+                F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("bucket"),
+                "a",
+                "b",
+            )
+            .select(
+                F.col("bucket").cast("long").alias("bucket"),
+                "a",
+                "b",
+                F.lit(1).cast("long").alias("kind"),
+            )
+        )
+        ebuck = ebuck.unionByName(deg_rep)
+    return (
+        pair_blobs.groupBy("bucket")
+        .cogroup(ebuck.groupBy("bucket"))
+        .applyInPandas(count_bucket, "u long, v long, n_common long")
+    )

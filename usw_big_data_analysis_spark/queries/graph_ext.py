@@ -367,17 +367,21 @@ def graph_link_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     never |V|²); existing edges drop via an anti-join; degrees broadcast
     back. The common-neighbor count from the wedge groupBy IS the
     intersection size, so no second set operation runs."""
+    from ..operators.graph_ops import wedge_pair_counts
+
     edges = _edges_spark(spark, sf_dir).localCheckpoint()
     deg = edges.groupBy("src").agg(F.expr("count(*) AS d"))
-    a, b = edges.alias("a"), edges.alias("b")
-    wedges = (
-        a.join(b, (F.col("a.dst") == F.col("b.dst")) & (F.col("a.src") < F.col("b.src")))
-        .groupBy(F.col("a.src").alias("u"), F.col("b.src").alias("v"))
-        .agg(F.expr("count(*) AS n_common"))
-        .filter(f"n_common >= {_LP_MIN_COMMON}")
+    # wedge self-join + 101M-group pair aggregate + 33M-row anti-join
+    # replaced by the blob-kernel plan (see wedge_pair_counts' contract:
+    # same wedge set, exact counts, >= min_common / linked-pair / local
+    # top-100 prunes all run inside the bucket kernel, so only ≤100 rows
+    # per bucket cross back to the JVM) — optimization r07, guide
+    # §2.2/§4.2; parity re-verified vs the join-form oracle at sf0.01 +
+    # sf0.1. The jaccard VALUE below is still computed in SQL; the kernel
+    # key is selection-only and replicates round(x, 6) exactly.
+    notlinked = wedge_pair_counts(
+        edges, min_common=_LP_MIN_COMMON, top_k_jaccard=100
     )
-    linked = edges.selectExpr("src AS u", "dst AS v")
-    notlinked = wedges.join(linked, ["u", "v"], "left_anti")
     du = deg.selectExpr("src AS u", "d AS du")
     dv = deg.selectExpr("src AS v", "d AS dv")
     return (
