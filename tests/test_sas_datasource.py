@@ -51,12 +51,23 @@ def test_meta_counts(sas_file):
     assert len(meta.data_page_indices) == math.ceil(len(vals) / rows_per_page)
 
 
-def test_datasource_one_partition_per_page(spark, sas_file):
+def test_datasource_page_range_partitions(spark, sas_file):
+    """r07: partitions are page RANGES sized from maxPartitionBytes (pages
+    stay the split atoms). Forcing maxPartitionBytes down to one page must
+    recover exactly one partition per page; the default must still fan out
+    to more than one task for a multi-page file."""
     path, vals, labs = sas_file
     register(spark)
-    df = spark.read.format("sas_lite").load(path)
     meta = read_meta(path)
-    assert df.rdd.getNumPartitions() == len(meta.data_page_indices)
+    per_page = (
+        spark.read.format("sas_lite")
+        .option("max_partition_bytes", str(meta.page_size))
+        .load(path)
+    )
+    assert per_page.rdd.getNumPartitions() == len(meta.data_page_indices)
+    df = spark.read.format("sas_lite").load(path)
+    nparts = df.rdd.getNumPartitions()
+    assert 1 < nparts <= len(meta.data_page_indices)
     got = df.agg(
         F.count("*").alias("n"),
         F.round(F.sum(F.col("v").cast("decimal(25,6)")), 6).alias("s"),

@@ -417,7 +417,7 @@ def scan_sas_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from ..sources.sas7bdat_lite import write_sas7bdat
-    from ..sources.sas_datasource import register
+    from ..sources.sas_datasource import read_sas_lite, register
 
     qty = pd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"))[
         ["l_linenumber", "l_quantity"]
@@ -439,7 +439,7 @@ def scan_sas_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_sas7bdat(part, ["line_no", "qty_raw"], [line, raw], page_size=16384)
         os.replace(part, dest)
     register(spark)
-    landed = spark.read.format("sas_lite").load(dest)
+    landed = read_sas_lite(spark, dest)
     cleaned = landed.select(
         (F.col("line_no").cast("int") % 4).alias("bucket"),
         F.when(F.col("qty_raw") == ".", None)
@@ -493,7 +493,7 @@ def sink_sas_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     page-partitioned sas_lite reader and SAS '.'-sentinel-cleaned — a
     full write→read round trip over genuine SAS format, both directions
     distributed."""
-    from ..sources.sas_datasource import register
+    from ..sources.sas_datasource import read_sas_lite, register
 
     register(spark)
     li = load_table(spark, sf_dir, "lineitem")
@@ -514,7 +514,7 @@ def sink_sas_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mode("overwrite")
         .save()
     )
-    back = spark.read.format("sas_lite").load(dest)
+    back = read_sas_lite(spark, dest)
     cleaned = back.select(
         (F.col("line_no").cast("int") % 3).alias("bucket"),
         F.when(F.col("qty_raw") == ".", None)

@@ -125,6 +125,50 @@ def encode_rowmat(
     return rowmat
 
 
+def encode_rowmat_arrow(table, spec, col_meta) -> np.ndarray:
+    """Arrow-native twin of ``encode_rowmat`` for the distributed writer
+    (optimization r07, guide §4.1): builds the (nrows, row_length) byte
+    matrix straight from a pyarrow Table's buffers — no ``to_pylist``, no
+    per-row ljust loop. Strings are space-padded by scattering the
+    concatenated utf-8 data buffer through a column-index < length mask
+    (row-major boolean assignment preserves per-row order); nulls become
+    all-blank (the SAS missing character value), identical to the
+    per-row path. Width overflow still raises."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    nrows = table.num_rows
+    row_length = sum(w for _, w, _ in col_meta)
+    rowmat = np.zeros((nrows, row_length), dtype=np.uint8)
+    for (coff, cwidth, ctype), (name, _w) in zip(col_meta, spec):
+        col = table.column(name)
+        if ctype == 1:
+            a = col.to_numpy(zero_copy_only=False).astype("<f8")
+            rowmat[:, coff : coff + 8] = a.view(np.uint8).reshape(nrows, 8)
+            continue
+        arr = pc.fill_null(pc.cast(col, pa.string()), "").combine_chunks()
+        offs = np.frombuffer(arr.buffers()[1], dtype="<i4")[
+            arr.offset : arr.offset + nrows + 1
+        ]
+        dbuf = arr.buffers()[2]
+        data = (
+            np.frombuffer(dbuf, dtype=np.uint8)
+            if dbuf is not None
+            else np.empty(0, np.uint8)
+        )
+        lens = np.diff(offs)
+        if lens.size and int(lens.max()) > cwidth:
+            bad = int(np.argmax(lens))
+            raise ValueError(
+                f"string {arr[bad].as_py()!r} exceeds declared width {cwidth}"
+            )
+        block = np.full((nrows, cwidth), 0x20, dtype=np.uint8)
+        mask = np.arange(cwidth)[None, :] < lens[:, None]
+        block[mask] = data[offs[0] : offs[-1]] if nrows else data[:0]
+        rowmat[:, coff : coff + cwidth] = block
+    return rowmat
+
+
 def build_header(page_size: int, n_pages: int) -> bytes:
     hdr = bytearray(_HEADER_SIZE)
     hdr[0:32] = _MAGIC

@@ -150,6 +150,74 @@ def read_page_columns(
     return out
 
 
+def read_page_range_batch(path: str, meta: SasMeta, start: int, end: int):
+    """Decode the contiguous data pages [start, end) into ONE Arrow
+    RecordBatch with a single file read and no per-row Python work
+    (optimization r07, guide §4.1). Row bodies from every page in the
+    range are stacked into one byte matrix; float columns are a view
+    reinterpret; string columns strip their trailing-space padding by
+    scattering through a column-index < length mask and build the Arrow
+    utf-8 array directly from the (offsets, data) buffers — semantics
+    identical to the per-row ``rstrip(b' ').decode('utf-8')`` path
+    (padding is trailing 0x20 only, which never occurs inside a utf-8
+    multibyte sequence)."""
+    import pyarrow as pa
+
+    if not (1 <= start < end <= meta.n_pages):
+        raise ValueError(f"bad page range [{start}, {end})")
+    with open(path, "rb") as f:
+        f.seek(meta.header_size + start * meta.page_size)
+        blob = np.frombuffer(
+            f.read((end - start) * meta.page_size), dtype=np.uint8
+        )
+    bodies = []
+    for p in range(end - start):
+        page = blob[p * meta.page_size : (p + 1) * meta.page_size]
+        ptype = int(page[_PAGE_BIT_OFFSET]) | (int(page[_PAGE_BIT_OFFSET + 1]) << 8)
+        if ptype != _PAGE_TYPE_DATA:
+            raise ValueError(
+                f"page {start + p} is not a DATA page (type {ptype})"
+            )
+        nrows = int(page[_PAGE_BIT_OFFSET + 2]) | (
+            int(page[_PAGE_BIT_OFFSET + 3]) << 8
+        )
+        lo = _PAGE_BIT_OFFSET + 8
+        bodies.append(
+            page[lo : lo + nrows * meta.row_length].reshape(
+                nrows, meta.row_length
+            )
+        )
+    body = bodies[0] if len(bodies) == 1 else np.vstack(bodies)
+    n = body.shape[0]
+    arrays, names = [], []
+    for c in meta.columns:
+        sl = body[:, c.row_offset : c.row_offset + c.width]
+        if c.ctype == 1:
+            arrays.append(
+                pa.array(np.ascontiguousarray(sl).view("<f8").ravel())
+            )
+        else:
+            sl = np.ascontiguousarray(sl)
+            nonspace = sl != 0x20
+            first_from_right = np.argmax(nonspace[:, ::-1], axis=1)
+            lens = np.where(
+                nonspace.any(axis=1), c.width - first_from_right, 0
+            ).astype("<i4")
+            mask = np.arange(c.width, dtype=np.int32)[None, :] < lens[:, None]
+            data = sl[mask]
+            offs = np.zeros(n + 1, dtype="<i4")
+            np.cumsum(lens, out=offs[1:])
+            arrays.append(
+                pa.Array.from_buffers(
+                    pa.utf8(),
+                    n,
+                    [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(data.tobytes())],
+                )
+            )
+        names.append(c.name)
+    return pa.RecordBatch.from_arrays(arrays, names)
+
+
 def read_frame(path: str) -> dict[str, np.ndarray]:
     """Whole-file convenience (tests): concatenate every data page."""
     meta = read_meta(path)
