@@ -593,9 +593,13 @@ def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented 100 TB swap, same as `describe`); the clip join broadcasts
     the tiny per-type bounds."""
     ev = load_table(spark, sf_dir, "events")
+    # one array-percentile buffer per group instead of two (r07, §2.3)
     q = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.05)").alias("p5"),
-        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.expr("percentile(value, array(0.05D, 0.95D))").alias("qq")
+    ).select(
+        "event_type",
+        F.col("qq")[0].alias("p5"),
+        F.col("qq")[1].alias("p95"),
     )
     j = ev.join(F.broadcast(q), "event_type")
     clipped = F.greatest(F.least(F.col("value"), F.col("p95")), F.col("p5"))
