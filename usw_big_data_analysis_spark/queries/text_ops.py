@@ -1975,14 +1975,13 @@ def tokenizer_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: per-piece corpus usage (occurrence-weighted) + distinct words
     containing it, top-30.
 
-    Scale shape: the munch loop runs over the DISTINCT-word table (the
-    corpus vocabulary — bounded far below the corpus at any scale; the
-    same compression BPE training uses), with the literal vocab broadcast
-    into every step's equi-join; the raw corpus is touched exactly once
-    (word-frequency groupBy) and piece counts re-weight by word frequency
-    at the end. The loop unrolls ``_WP_MAXW`` plan-side steps — each step
-    consumes >= 1 character, so words up to that length segment fully;
-    candidate generation explodes <= ``_WP_MAXP`` prefixes per live word.
+    Scale shape: the munch runs over the DISTINCT-word table (the corpus
+    vocabulary — bounded far below the corpus at any scale; the same
+    compression BPE training uses) as a compile-free python kernel with
+    the literal vocab in its closure; the raw corpus is touched exactly
+    once (word-frequency groupBy) and piece counts re-weight by word
+    frequency at the end. ``_WP_MAXW`` bounds the walk — each step
+    consumes >= 1 character, so words up to that length segment fully.
     Oracle: the same munch as a DuckDB recursive CTE (correlated
     longest-match subqueries), weighted identically."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1993,68 +1992,62 @@ def tokenizer_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("count(*) AS freq"))
     )
 
-    # The vocab is a LITERAL, so the whole munch compiles to ONE per-row
-    # expression over the distinct-word table — no joins, no iterative
-    # shuffles, fully inside codegen. Two parts:
-    #   1. `bl`: per-position best-match length via transform(sequence...)
-    #      — longest match at position p is a length-descending CASE over
-    #      IN-lists (split by raw length and initial/continuation role);
-    #      the lambda is a single expression evaluated per element at
-    #      RUNTIME, so plan size stays constant.
-    #   2. the greedy walk as an aggregate() fold over MAXW step indices,
-    #      carrying (pos, pieces) in a struct accumulator.
-    # (A join-per-step formulation costs 8 shuffle rounds / 15-35s on this
-    # fixture; a chained-projection unroll inlines the position arithmetic
-    # multiplicatively and hangs Catalyst. This shape is a map-only pass
-    # at any corpus scale.)
-    by_len: dict[tuple[bool, int], list[str]] = {}
+    # The munch runs as a compile-free python kernel over the DISTINCT
+    # word table. History (r07, §1.3/§4): the previous all-Catalyst form
+    # (per-position best-match lengths via transform(sequence...) + an
+    # aggregate() fold) was a map-only plan, but its CASE-forest compiled
+    # for ~10s of driver-side janino per cold run — CollapseProject
+    # inlined the position array into every fold reference, and a
+    # pieces-IS-NOT-NULL filter had been pushed below the word aggregate,
+    # re-evaluating the munch per corpus TOKEN. The kernel sees only the
+    # corpus VOCABULARY (bounded at any corpus scale — the same
+    # compression BPE training relies on); the raw corpus is still
+    # touched exactly once, in the word-frequency groupBy. A
+    # join-per-step formulation costs 8 shuffle rounds / 15-35s on this
+    # fixture; oracle parity re-verified at sf0.01 + sf0.1.
+    by_len: dict[tuple[bool, int], set] = {}
     for p in _WP_VOCAB:
         cont, raw = p.startswith("##"), p.removeprefix("##")
-        by_len.setdefault((cont, len(raw)), []).append(raw)
+        by_len.setdefault((cont, len(raw)), set()).add(raw)
 
-    def match_len(pos: str, cont: bool) -> str:
-        whens = []
-        for l in range(_WP_MAXP, 0, -1):
-            raws = by_len.get((cont, l))
-            if not raws:
-                continue
-            inlist = ", ".join(f"'{r}'" for r in sorted(raws))
-            whens.append(f"WHEN substr(word, {pos}, {l}) IN ({inlist}) THEN {l}")
-        return "CASE " + " ".join(whens) + " END"
+    def munch(batches):
+        # exact twin of the SQL fold it replaced: greedy longest match,
+        # _WP_MAXW bounded steps, a position with no match jumps past the
+        # end WITHOUT appending (so such words emit their matched prefix,
+        # identically to the fold's finish lambda)
+        import pandas as pd
 
-    seg = wf.selectExpr(
-        "word",
-        "freq",
-        f"transform(sequence(1, length(word)),"
-        f" p -> CASE WHEN p = 1 THEN ({match_len('p', False)})"
-        f" ELSE ({match_len('p', True)}) END) AS bl",
-    ).selectExpr(
-        "word",
-        "freq",
-        f"""
-        aggregate(
-          sequence(1, {_WP_MAXW}),
-          struct(1 AS pos, CAST(array() AS ARRAY<STRING>) AS pieces),
-          (acc, i) -> CASE WHEN acc.pos > length(word) THEN acc
-            ELSE struct(
-              CAST(acc.pos + coalesce(bl[acc.pos - 1], {_WP_MAXW + 1}) AS INT)
-                AS pos,
-              CASE WHEN bl[acc.pos - 1] IS NULL THEN acc.pieces
-                   ELSE array_append(acc.pieces,
-                     CASE WHEN acc.pos = 1
-                          THEN substr(word, acc.pos, bl[acc.pos - 1])
-                          ELSE '##' || substr(word, acc.pos, bl[acc.pos - 1])
-                     END)
-              END AS pieces)
-            END,
-          acc -> CASE WHEN acc.pos > length(word) THEN acc.pieces END
-        ) AS pieces
-        """,
-    )
+        for pdf in batches:
+            out_w: list = []
+            out_f: list = []
+            out_p: list = []
+            for w, fq in zip(pdf["word"], pdf["freq"]):
+                pos, pieces = 1, []
+                for _step in range(_WP_MAXW):
+                    if pos > len(w):
+                        break
+                    best = 0
+                    for ln in range(_WP_MAXP, 0, -1):
+                        raws = by_len.get((pos > 1, ln))
+                        if raws and w[pos - 1 : pos - 1 + ln] in raws:
+                            best = ln
+                            break
+                    if best == 0:
+                        pos += _WP_MAXW + 1
+                    else:
+                        piece = w[pos - 1 : pos - 1 + best]
+                        pieces.append(piece if pos == 1 else "##" + piece)
+                        pos += best
+                if pos > len(w):
+                    for piece in pieces:
+                        out_w.append(w)
+                        out_f.append(fq)
+                        out_p.append(piece)
+            yield pd.DataFrame({"word": out_w, "freq": out_f, "piece": out_p})
+
+    exploded = wf.mapInPandas(munch, "word string, freq long, piece string")
     return (
-        seg.filter("pieces IS NOT NULL")
-        .select("word", "freq", F.explode("pieces").alias("piece"))
-        .groupBy("piece")
+        exploded.groupBy("piece")
         .agg(
             F.expr("CAST(sum(freq) AS BIGINT) AS uses"),
             F.expr("CAST(count(DISTINCT word) AS BIGINT) AS n_words"),
