@@ -446,50 +446,76 @@ FROM walk ORDER BY idx
 
 @query("sql_recursive_capped_balance", oracle=_RECURSIVE_BALANCE_SQL)
 def sql_recursive_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark 4.1 WITH RECURSIVE: month-over-month budget pool with draw and
-    cap (starts full; clamped to [0, cap] each step) in exact integer cents.
-    The oracle runs the whole statement through DuckDB's recursive executor;
-    Spark runs the IDENTICAL walk, but with the two non-recursive CTEs
-    (the ~80-row monthly rollup and the 1-row params) materialized once as
-    checkpointed temp views first: Catalyst inlines non-recursive CTEs into
-    the loop body, so the single-text form re-ran the fact-table rollup
-    inside EVERY one of the ~80 UnionLoopExec iterations (~29s at sf0.1;
-    optimization r07, guide §2.4 — same arithmetic, same rows, ~7s). The
-    remaining cost is the recursion's own one-job-per-iterate floor."""
+    """Month-over-month budget pool with draw and cap (starts full; clamped
+    to [0, cap] each step) in exact integer cents. The clamp makes the
+    recurrence non-associative, so no window/prefix-sum form exists; the
+    oracle runs DuckDB's recursive executor over the statement above.
+
+    Spark runs the IDENTICAL walk as ONE sequential ``aggregate()`` fold
+    over the sorted monthly array instead of WITH RECURSIVE: the recursion
+    iterates over a BOUNDED series (~80 calendar months regardless of fact
+    size), yet UnionLoopExec schedules one Spark job per iterate — an ~8s
+    pure-scheduling floor at any scale (measured 8.3-9.9s steady at sf0.1
+    even with the non-recursive CTEs pre-materialized; the single-text form
+    was ~29s because Catalyst additionally inlined the fact rollup into
+    every iterate). The fold runs the same clamp chain element-by-element
+    inside one expression — same BIGINT arithmetic, same gap/k<96 stop
+    rules (a sorted strictly-increasing idx array can never resume after a
+    gap, so "skip element" ≡ "recursion stopped"), same rows — in a single
+    job (~0.3s; optimization r07, guide §2.4). The heavy work stays the
+    ordinary map-side-combined monthly rollup."""
     from ..sources import register_views
 
     register_views(spark, sf_dir)
-    spark.sql(
-        """
-        SELECT year(o_orderdate) * 12 + month(o_orderdate) AS idx,
-               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
-                    AS BIGINT) AS rev_c
-        FROM orders GROUP BY year(o_orderdate) * 12 + month(o_orderdate)
-        """
-    ).localCheckpoint().createOrReplaceTempView("_recbal_mrev")
-    spark.sql(
-        """
-        SELECT min(idx) AS idx0,
-               CAST(floor(sum(rev_c) / count(*)) AS BIGINT) AS draw_c,
-               CAST(2 * floor(sum(rev_c) / count(*)) AS BIGINT) AS cap_c
-        FROM _recbal_mrev
-        """
-    ).localCheckpoint().createOrReplaceTempView("_recbal_params")
     return spark.sql(
         """
-        WITH RECURSIVE walk(idx, k, rev_c, bal_c) AS (
-            SELECT m.idx, 0, m.rev_c,
-                   least(p.cap_c, greatest(CAST(0 AS BIGINT),
-                                           p.cap_c + m.rev_c - p.draw_c))
-            FROM _recbal_mrev m JOIN _recbal_params p ON m.idx = p.idx0
-          UNION ALL
-            SELECT m.idx, w.k + 1, m.rev_c,
-                   least(p.cap_c, greatest(CAST(0 AS BIGINT),
-                                           w.bal_c + m.rev_c - p.draw_c))
-            FROM walk w
-            JOIN _recbal_mrev m ON m.idx = w.idx + 1
-            CROSS JOIN _recbal_params p
-            WHERE w.k < 96
+        WITH mrev AS (
+          SELECT year(o_orderdate) * 12 + month(o_orderdate) AS idx,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS rev_c
+          FROM orders GROUP BY year(o_orderdate) * 12 + month(o_orderdate)
+        ),
+        packed AS (
+          SELECT sort_array(collect_list(struct(idx, rev_c))) AS a,
+                 CAST(floor(sum(rev_c) / count(*)) AS BIGINT) AS draw_c,
+                 CAST(2 * floor(sum(rev_c) / count(*)) AS BIGINT) AS cap_c
+          FROM mrev
+        ),
+        walk AS (
+          SELECT inline(IF(
+            size(a) = 0,
+            CAST(array() AS
+                 ARRAY<STRUCT<idx: INT, rev_c: BIGINT, bal_c: BIGINT>>),
+            aggregate(
+            slice(a, 2, greatest(0, size(a) - 1)),
+            struct(
+              array(struct(
+                a[0].idx AS idx, a[0].rev_c AS rev_c,
+                least(cap_c, greatest(CAST(0 AS BIGINT),
+                                      cap_c + a[0].rev_c - draw_c)) AS bal_c
+              )) AS out,
+              0 AS k,
+              a[0].idx AS prev_idx,
+              least(cap_c, greatest(CAST(0 AS BIGINT),
+                                    cap_c + a[0].rev_c - draw_c)) AS bal
+            ),
+            (acc, x) -> IF(
+              x.idx = acc.prev_idx + 1 AND acc.k < 96,
+              struct(
+                concat(acc.out, array(struct(
+                  x.idx AS idx, x.rev_c AS rev_c,
+                  least(cap_c, greatest(CAST(0 AS BIGINT),
+                                        acc.bal + x.rev_c - draw_c)) AS bal_c
+                ))) AS out,
+                acc.k + 1 AS k,
+                x.idx AS prev_idx,
+                least(cap_c, greatest(CAST(0 AS BIGINT),
+                                      acc.bal + x.rev_c - draw_c)) AS bal
+              ),
+              acc
+            ),
+            acc -> acc.out
+          ))) FROM packed
         )
         SELECT CAST(floor((idx - 1) / 12) AS BIGINT) AS yr,
                CAST((idx - 1) % 12 + 1 AS BIGINT) AS mo,
