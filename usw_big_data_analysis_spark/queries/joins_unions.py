@@ -491,64 +491,90 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The as-of join executed through the COGROUPED Arrow interface:
-    clicks and purchases cogroup by user and each group pair merges with
-    pandas.merge_asof inside the UDF — the per-key escape hatch for
-    temporal logic the relational union-and-carry operator (join_asof)
-    can't host (model scoring between the match and the emit, say).
-    Same semantics, independently verified: the oracle is DuckDB's
-    native ASOF JOIN, and the relational twin covers the plan-quality
-    side. Output is a per-user match summary (counts + id checksum), so
-    the comparison pins every match without hashing wide rows.
+    """The as-of join executed through the COGROUPED Arrow interface —
+    the per-key escape hatch for temporal logic the relational
+    union-and-carry operator (join_asof) can't host (model scoring
+    between the match and the emit, say). Same semantics, independently
+    verified: the oracle is DuckDB's native ASOF JOIN, and the relational
+    twin covers the plan-quality side. Output is a per-user match summary
+    (counts + id checksum), so the comparison pins every matched row
+    without hashing wide rows.
 
-    Scale shape: ONE hash shuffle of each side on user_id; each group
-    pair is an Arrow batch; no global sort."""
+    Cogroup key is ``pmod(user_id, B)`` (B = shuffle partitions,
+    scale-adaptive), NOT the raw user_id: cogrouped ``applyInPandas``
+    pays per-GROUP Arrow framing + Python dispatch, so per-user groups
+    put the whole query's cost in group overhead (~12s at sf0.1 with
+    merge_asof per user; still ~7s after switching the inner merge to
+    numpy). Bucketing users B-ways amortizes that overhead ~N_users/B
+    times while keeping every user's rows in exactly one group — the
+    per-user merge inside the kernel is the IDENTICAL stable-sort +
+    ``searchsorted(right_ts, ts, 'right')-1`` backward as-of, run per
+    user slice of the lexsorted bucket (optimization r07, guide §4.2).
+
+    Scale shape: ONE hash shuffle of each side on the bucket key; each
+    bucket pair is an Arrow batch; no global sort."""
     import numpy as np
     import pandas as pd
 
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
     ev = load_table(spark, sf_dir, "events")
-    clicks = ev.filter("event_type = 'click'").select("user_id", "ts")
-    purchases = ev.filter("event_type = 'purchase'").select(
-        "user_id", "ts", "event_id"
+    clicks = (
+        ev.filter("event_type = 'click'")
+        .select("user_id", "ts")
+        .withColumn("b", F.pmod("user_id", F.lit(n_buckets)))
+    )
+    purchases = (
+        ev.filter("event_type = 'purchase'")
+        .select("user_id", "ts", "event_id")
+        .withColumn("b", F.pmod("user_id", F.lit(n_buckets)))
     )
 
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        # the cogrouped form calls this once per USER, so per-call cost is
-        # the whole query's cost at high user cardinality: ~12s at sf0.1
-        # with pandas.merge_asof machinery per tiny group. The backward
-        # as-of match IS searchsorted(right_ts, ts, 'right')-1 on the
-        # sorted right side — same matches, ~10x less per-call overhead
-        # (optimization r07, guide §4.2: numpy inside the UDF).
         if not len(left):
             return pd.DataFrame(
                 {"user_id": [], "n_clicks": [], "n_matched": [],
                  "sum_purchase_ids": []}
             )
-        uid = int(left["user_id"].iloc[0])
-        n_clicks = len(left)
-        if len(right):
-            lts = left["ts"].to_numpy()
-            rts = right["ts"].to_numpy()
-            order = np.argsort(rts, kind="stable")
-            rid = right["event_id"].to_numpy()[order]
-            idx = np.searchsorted(rts[order], lts, side="right") - 1
-            matched = idx >= 0
-            n_matched = int(matched.sum())
-            sum_ids = int(rid[idx[matched]].sum())
-        else:
-            n_matched, sum_ids = 0, 0
+        lu = left["user_id"].to_numpy()
+        lts = left["ts"].to_numpy()
+        lo = np.argsort(lu, kind="stable")
+        lu, lts = lu[lo], lts[lo]
+        users, lstarts = np.unique(lu, return_index=True)
+        lends = np.append(lstarts[1:], len(lu))
+        ru = right["user_id"].to_numpy()
+        rts = right["ts"].to_numpy()
+        rid = right["event_id"].to_numpy()
+        # lexsort is stable: within (user, ts) ties the original row order
+        # survives, exactly like the per-user stable argsort this replaces
+        ro = np.lexsort((rts, ru))
+        ru, rts, rid = ru[ro], rts[ro], rid[ro]
+        rstarts = np.searchsorted(ru, users, side="left")
+        rends = np.searchsorted(ru, users, side="right")
+        out_n, out_m, out_s = [], [], []
+        for i in range(len(users)):
+            seg_ts = lts[lstarts[i]:lends[i]]
+            r_ts = rts[rstarts[i]:rends[i]]
+            if len(r_ts):
+                idx = np.searchsorted(r_ts, seg_ts, side="right") - 1
+                matched = idx >= 0
+                out_m.append(int(matched.sum()))
+                out_s.append(int(rid[rstarts[i]:rends[i]][idx[matched]].sum()))
+            else:
+                out_m.append(0)
+                out_s.append(0)
+            out_n.append(int(lends[i] - lstarts[i]))
         return pd.DataFrame(
             {
-                "user_id": [uid],
-                "n_clicks": [n_clicks],
-                "n_matched": [n_matched],
-                "sum_purchase_ids": [sum_ids],
+                "user_id": users.astype("int64"),
+                "n_clicks": out_n,
+                "n_matched": out_m,
+                "sum_purchase_ids": out_s,
             }
         )
 
     return (
-        clicks.groupBy("user_id")
-        .cogroup(purchases.groupBy("user_id"))
+        clicks.groupBy("b")
+        .cogroup(purchases.groupBy("b"))
         .applyInPandas(
             merge,
             "user_id long, n_clicks long, n_matched long,"
