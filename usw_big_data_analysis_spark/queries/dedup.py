@@ -1167,37 +1167,62 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: signature pass is the dedup_simhash aggregate; blocking
     explodes x{_SH_BANDS}; bucket sizes concentrate ~n/16 per band key —
     salt the key like dedup_minhash_salted under boilerplate skew."""
-    sh = dedup_simhash(spark, sf_dir).withColumnRenamed("simhash", "sh")
-    bands = sh.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {_SH_BANDS - 1}),"
-                f" b -> struct(b AS b, shiftright(sh, b * 4) & 15 AS key))"
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.b", "bk.key")
-    a, c = bands.alias("a"), bands.alias("c")
-    cand = (
-        a.join(
-            c,
-            (F.col("a.b") == F.col("c.b"))
-            & (F.col("a.key") == F.col("c.key"))
-            & (F.col("a.doc_id") < F.col("c.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("c.doc_id").alias("id_b"))
-        .distinct()
+    # Value-space pairing (optimization r07, guide §2.3/§2.4): signatures
+    # live in a 2^16 space, so pair the DISTINCT SIGNATURE VALUES, not the
+    # docs. The doc-level band self-join built ~50M candidate pair rows at
+    # sf0.1 (bucket size ~n/16 per 4-bit band key, x4 bands) and then paid
+    # a 50M-row DISTINCT plus two fact joins — all to rediscover relations
+    # that are a pure function of the <=65536 distinct values. Instead:
+    # enumerate each distinct value's exact Hamming-<=3 neighborhood by
+    # XOR mask (sum C(16,1..3) = 696 masks), keep neighbors that exist
+    # (broadcast hash semi-join), and expand the surviving VALUE pairs
+    # back to doc pairs — which is output-sized by definition. Every
+    # unordered value pair is generated exactly once (from its smaller
+    # value), so no distinct pass exists anywhere; hamming <= radius holds
+    # by construction, identical to the band-blocked join + bit_count
+    # filter it replaces (parity re-verified at sf0.01 + sf0.1).
+    sh = dedup_simhash(spark, sf_dir).withColumnRenamed(
+        "simhash", "sh"
+    ).localCheckpoint()  # 2 uses below; signature pass runs once
+    vals = sh.select("sh").distinct()
+    masks = (
+        spark.range(1, 1 << (4 * _SH_BANDS))
+        .filter(f"bit_count(id) <= {_SH_RADIUS}")
+        .select(F.col("id").cast("int").alias("m"))
     )
-    x = sh.selectExpr("doc_id AS id_a", "sh AS sh_a")
-    y = sh.selectExpr("doc_id AS id_b", "sh AS sh_b")
-    return (
-        cand.join(x, "id_a")
-        .join(y, "id_b")
+    cand_vals = (
+        vals.crossJoin(F.broadcast(masks))
+        .select(F.col("sh").alias("va"), F.expr("sh ^ m").alias("vb"))
+        .filter("vb > va")
+        .join(
+            F.broadcast(vals.selectExpr("sh AS vb")), "vb", "semi"
+        )
+    )
+    x = sh.selectExpr("doc_id AS id_x", "sh AS va")
+    y = sh.selectExpr("doc_id AS id_y", "sh AS vb")
+    cross = (
+        cand_vals.join(x, "va")
+        .join(y, "vb")
         .selectExpr(
-            "id_a", "id_b", "CAST(bit_count(sh_a ^ sh_b) AS INT) AS hamming"
+            "least(id_x, id_y) AS id_a",
+            "greatest(id_x, id_y) AS id_b",
+            "CAST(bit_count(va ^ vb) AS INT) AS hamming",
         )
-        .filter(f"hamming <= {_SH_RADIUS}")
     )
+    p, q = sh.alias("p"), sh.alias("q")
+    diag = (
+        p.join(
+            q,
+            (F.col("p.sh") == F.col("q.sh"))
+            & (F.col("p.doc_id") < F.col("q.doc_id")),
+        )
+        .selectExpr(
+            "p.doc_id AS id_a",
+            "q.doc_id AS id_b",
+            "CAST(0 AS INT) AS hamming",
+        )
+    )
+    return cross.unionAll(diag)
 
 
 # --- near-dup cluster size distribution --------------------------------------
