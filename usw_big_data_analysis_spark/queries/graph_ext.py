@@ -230,10 +230,21 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count of the co-purchase graph via the oriented
-    (a<b) edge list: wedges e1(u<v)⋈e2(v<w) closed by e3(u,w). Orientation
-    counts each triangle exactly once AND caps the wedge fan-out by
-    ordering through the middle vertex — the standard distributed triangle
-    join. Support prune keeps the edge set near-linear in orders."""
+    (a<b) edge list: each oriented edge (u,v) counts its closing third
+    vertices as |N⁺(u) ∩ N⁺(v)| over per-node ORIENTED ADJACENCY ARRAYS
+    (``array_intersect`` on distinct neighbor sets — a triangle a<b<c is
+    counted exactly once, at edge (a,b) with witness c).
+
+    The wedge-join form this replaces (e1(u<v)⋈e2(v<w) closed by an
+    e3(u,w) join) materialized and SHUFFLED 49M wedge rows into the
+    closure join at sf0.1 while the edge list is only 1.2M rows; the
+    adjacency form does the same Σdeg² element comparisons inside a
+    per-row JVM set intersection, so the only shuffles are the 1.2M-row
+    edge list and the node-keyed adjacency build — ~50x fewer shuffle
+    bytes, same count (optimization r07, guide §2.3/§2.4; 6.0s → ~1s).
+    The oriented edge list is localCheckpointed: both plan uses (edge
+    stream + adjacency build) reuse one co-order join + distinct pass.
+    Support prune keeps the edge set near-linear in orders."""
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
@@ -245,13 +256,23 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
         .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
         .distinct()
+        .localCheckpoint()
     )
-    e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
-    tri = e1.join(e2, F.col("e1.v") == F.col("e2.u")).join(
-        e3,
-        (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+    adj = o.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
+    au = adj.selectExpr("u", "nbrs AS nbrs_u")
+    av = adj.selectExpr("u AS v", "nbrs AS nbrs_v")
+    closed = (
+        o.join(au, "u")
+        .join(av, "v")
+        .select(
+            F.size(F.array_intersect("nbrs_u", "nbrs_v")).alias("n_closing")
+        )
     )
-    return tri.agg(F.count("*").alias("n_triangles"))
+    return closed.agg(
+        F.coalesce(F.sum("n_closing"), F.lit(0))
+        .cast("long")
+        .alias("n_triangles")
+    )
 
 
 # --- bounded BFS layers from a source node -----------------------------------
