@@ -443,7 +443,12 @@ def kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(r).alias("rnd"),
             )
         )
-        cands = cands.unionByName(sel)
+        # materialize the ≤ 1+L·r-row candidate set each round: without
+        # this the round-r plan re-derives EVERY earlier round's dists →
+        # dmin → phi → selection from scratch wherever cands appears
+        # (the final best-assignment pass paid ~R² corpus scans instead
+        # of R+1; optimization r07, guide §2.4/§5 — 5.3s → 0.6s steady)
+        cands = cands.unionByName(sel).localCheckpoint()
 
     best = (
         dists(cands)
