@@ -54,11 +54,16 @@ def approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     both estimates per column, melted via stack. (rsd buys sketch size:
     0.5% needed a ~10 MiB task binary; 2% is a few KiB per column.)"""
     li = load_table(spark, sf_dir, "lineitem")
-    aggs = []
-    for c in _ADC_COLS:
-        aggs.append(F.approx_count_distinct(c, 0.02).alias(f"a_{c}"))
-        aggs.append(F.countDistinct(c).alias(f"e_{c}"))
-    wide = li.agg(*aggs)
+    # two 1-row aggregations, cross-joined: mixing the HLL sketches into
+    # the same Aggregate as the multi-column countDistinct makes Catalyst
+    # plan ALL of it through the distinct-Expand (4 streams x fact rows,
+    # sketches re-evaluated per expanded row) — measured 4.9s combined vs
+    # 0.95s + 0.66s split at sf0.1 (optimization r07, guide §1.1/§2.4)
+    wide_a = li.agg(
+        *[F.approx_count_distinct(c, 0.02).alias(f"a_{c}") for c in _ADC_COLS]
+    )
+    wide_e = li.agg(*[F.countDistinct(c).alias(f"e_{c}") for c in _ADC_COLS])
+    wide = wide_a.crossJoin(wide_e)
     stack = ", ".join(f"'{c}', a_{c}, e_{c}" for c in _ADC_COLS)
     return wide.select(
         F.expr(f"stack({len(_ADC_COLS)}, {stack}) AS (col_name, a, n_exact)")
