@@ -705,36 +705,52 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document novelty profile: the fraction of a doc's distinct
     {N}-grams whose FIRST corpus occurrence (min doc_id) is the doc itself
     — the ingest-order novelty signal used to rank crawl snapshots by new
-    content (low novelty ⇒ the doc mostly restates earlier text). Two
-    shuffles: gram → first-occurrence agg, then a gram-keyed join back and
-    a per-doc rollup; gram cardinality is bounded by total corpus tokens.
-    Docs shorter than {N} words contribute no grams and drop out (same in
-    the oracle via greatest(len-{N_1}, 0))."""
+    content (low novelty ⇒ the doc mostly restates earlier text). ONE
+    gram-keyed shuffle (gram → first-occurrence agg, map-side combined);
+    the old gram-keyed join back to re-count each doc's grams shuffled the
+    fact-scale n-gram STRINGS a second time for values derivable without
+    it — n_grams is size(array_distinct(...)) per row (no shuffle) and
+    n_novel is the firsts table rolled up by its min-doc, so the join is
+    now two doc-keyed rollups of integer rows (optimization r07, guide
+    §2.3: shuffle fewer bytes; 4.4s → ~1.9s at sf0.1). Docs shorter than
+    {N} words contribute no grams and drop out (same in the oracle via
+    greatest(len-{N_1}, 0))."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.when(
-                    F.size(toks) >= _NOV_N,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(toks) - (_NOV_N - 1)),
-                        lambda i: F.concat_ws(" ", F.slice(toks, i, _NOV_N)),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            )
-        ).alias("g"),
+    gram_arr = F.array_distinct(
+        F.when(
+            F.size(toks) >= _NOV_N,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (_NOV_N - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, _NOV_N)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     )
+    # materialize (doc_id, gram array) once: the gram construction
+    # (transform+slice+concat_ws per position) is the dominant CPU and
+    # feeds two differently-keyed branches, which Spark would otherwise
+    # recompute per branch (exchange reuse only shares shuffle outputs)
+    base = docs.select("doc_id", gram_arr.alias("arr")).localCheckpoint()
+    grams = base.select("doc_id", F.explode("arr").alias("g"))
     firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
-    novel = (F.col("first_doc") == F.col("doc_id")).cast("int")
+    novel_per_doc = firsts.groupBy(
+        F.col("first_doc").alias("doc_id")
+    ).agg(F.count("*").alias("n_novel"))
+    per_doc = base.select(
+        "doc_id", F.size("arr").cast("bigint").alias("n_grams")
+    ).filter("n_grams > 0")
     return (
-        grams.join(firsts, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum(novel).cast("bigint").alias("n_novel"),
-            (F.sum(novel).cast("double") / F.count("*")).alias("novel_frac"),
+        per_doc.join(novel_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_novel"), F.lit(0).cast("bigint")).alias(
+                "n_novel"
+            ),
+            (
+                F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+                / F.col("n_grams")
+            ).alias("novel_frac"),
         )
     )
 
