@@ -2458,14 +2458,31 @@ def rollup_distinct_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
     )
-    return (
+    # exact and HLL rollups split into two aggregations joined on the
+    # coalesced cell key: one Aggregate holding both the distinct count
+    # and the sketch routes everything through the distinct-Expand
+    # (measured 1.42s combined vs 0.34s + 0.48s apart at sf0.1 — the
+    # same pathology as approx_distinct_audit; optimization r07, §1.1)
+    ex = (
         j.rollup("r_name")
-        .agg(
-            F.countDistinct("o_custkey").cast("bigint").alias("n_exact"),
-            F.approx_count_distinct("o_custkey", 0.02).alias("a"),
-        )
+        .agg(F.countDistinct("o_custkey").cast("bigint").alias("n_exact"))
         .select(
             F.coalesce(F.col("r_name"), F.lit("__ALL__")).alias("r_name"),
+            "n_exact",
+        )
+    )
+    ap = (
+        j.rollup("r_name")
+        .agg(F.approx_count_distinct("o_custkey", 0.02).alias("a"))
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("__ALL__")).alias("r_name"),
+            "a",
+        )
+    )
+    return (
+        ex.join(ap, "r_name")
+        .select(
+            "r_name",
             "n_exact",
             # The oracle pins this flag TRUE, so it is an asserted accuracy
             # invariant, not an oracle-compared value: the Spark side derives
