@@ -48,6 +48,28 @@ def test_exclusive_prefix_matches_window(spark):
     assert got == want
 
 
+def test_exclusive_prefix_count_as_matches_rank(spark):
+    # count_as shares the one triangular join (optimization r07): the
+    # emitted strictly-smaller-key count must equal row_number()-1
+    h = _hist(spark)
+    got = {
+        r["b"]: (r["prev_c"], r["nprev"])
+        for r in exclusive_prefix_sums(
+            h, "b", ["c"], count_as="nprev"
+        ).collect()
+    }
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["b"]: (r["pc"], r["rk"] - 1)
+        for r in h.select(
+            "b",
+            F.coalesce(F.sum("c").over(w), F.lit(0)).alias("pc"),
+            F.row_number().over(Window.orderBy("b")).alias("rk"),
+        ).collect()
+    }
+    assert got == want
+
+
 def test_dense_codes_matches_dense_rank(spark):
     df = spark.createDataFrame(
         [("b",), ("a",), ("c",), ("b",), ("a",)], "v string"

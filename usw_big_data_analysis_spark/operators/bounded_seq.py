@@ -27,12 +27,21 @@ from pyspark.sql import functions as F
 
 
 def exclusive_prefix_sums(
-    df: DataFrame, key: str, sum_cols: Sequence[str], prefix: str = "prev_"
+    df: DataFrame,
+    key: str,
+    sum_cols: Sequence[str],
+    prefix: str = "prev_",
+    count_as: str | None = None,
 ) -> DataFrame:
     """Return ``(key, prev_<c>…)``: for each row of ``df`` (whose ``key`` is
     unique and orderable), the sum of each ``sum_cols`` entry over all rows
     with a strictly smaller key — i.e. ``sum(c) OVER (ORDER BY key ROWS
     UNBOUNDED PRECEDING TO -1)`` — as a broadcast triangular join.
+
+    ``count_as`` additionally emits the strictly-smaller-key row COUNT
+    (bigint; 0 for the first row) under that name, sharing the one
+    triangular join — callers that need both a running sum and a rank no
+    longer pay the triangle twice (optimization r07).
 
     Empty prefixes yield a typed zero (matching the windowed
     ``coalesce(sum(...) OVER …, 0)`` convention).
@@ -42,11 +51,14 @@ def exclusive_prefix_sums(
         F.col(key).alias("__pk"),
         *[F.col(c).alias(f"__pv_{c}") for c in sum_cols],
     )
+    aggs = [F.sum(f"__pv_{c}").alias(f"{prefix}{c}") for c in sum_cols]
+    if count_as is not None:
+        aggs.append(F.count("__pk").cast("bigint").alias(count_as))
     summed = (
         df.select(key)
         .join(F.broadcast(right), F.col("__pk") < F.col(key), "left")
         .groupBy(key)
-        .agg(*[F.sum(f"__pv_{c}").alias(f"{prefix}{c}") for c in sum_cols])
+        .agg(*aggs)
     )
     return summed.select(
         key,
@@ -57,6 +69,7 @@ def exclusive_prefix_sums(
             ).alias(f"{prefix}{c}")
             for c in sum_cols
         ],
+        *([F.col(count_as)] if count_as is not None else []),
     )
 
 

@@ -2027,19 +2027,15 @@ def changepoint_binary_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = daily.withColumn(
         "vv", F.expr("CAST(v AS DECIMAL(38,0)) * v").cast("decimal(38,0)")
     )
-    cum = exclusive_prefix_sums(daily, "d", ["v", "vv"]).join(daily, "d")
-    # rn (1-based rank of d) via the same triangular count — bounded table
-    rn = (
-        daily.select("d")
-        .join(
-            F.broadcast(daily.select(F.col("d").alias("d2"))),
-            F.col("d2") < F.col("d"),
-            "left",
-        )
-        .groupBy("d")
-        .agg((F.count("d2") + 1).cast("bigint").alias("rn"))
+    # one triangular join carries the prefix sums AND the 1-based rank
+    # (count_as) — previously a second identical triangle + join built rn
+    # separately (optimization r07, guide §2.4)
+    cum = (
+        exclusive_prefix_sums(daily, "d", ["v", "vv"], count_as="__pc")
+        .join(daily, "d")
+        .withColumn("rn", (F.col("__pc") + 1).cast("bigint"))
+        .drop("__pc")
     )
-    cum = cum.join(rn, "d")
     tot = daily.agg(
         F.count("*").cast("bigint").alias("t"),
         F.sum("v").cast("bigint").alias("s"),
@@ -2071,6 +2067,11 @@ def changepoint_binary_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s") - (F.col("prev_v") + F.col("v"))).cast("bigint").alias("s_r"),
             cost.alias("cost"),
         )
+        # cand feeds THREE consumers (global min, the argmin pick, the
+        # final projection); without materializing this bounded
+        # calendar-day table each consumer re-ran the fact rollup and the
+        # triangular prefix from scratch (optimization r07, guide §2.4)
+        .localCheckpoint()
     )
     m = cand.agg(F.min("cost").alias("best_cost"))
     pick = (
