@@ -689,25 +689,37 @@ def corr_target(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def quantiles_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inherently two-pass (quartiles, then outlier counts); pass 2 joins the
-    tiny quartile table back (broadcast) — no second shuffle of the fact.
-    Quartiles via the bucketed two-phase operator (no percentile() value
-    buffer — see operators/percentile_ops.py)."""
+    """ONE fact pass (a per-(col, value) count aggregate, map-side
+    combined, materialized); quartiles AND outlier counts then run over
+    the distinct-value table — the quartiles via the bucketed two-phase
+    operator in ``counts=True`` mode (no percentile() value buffer — see
+    operators/percentile_ops.py), the outlier tally as a
+    count-weighted sum against the broadcast quartiles. Previously the
+    fact melt was re-scanned by every percentile phase plus the outlier
+    pass (optimization r07, guide §2.3/§2.4; 2.6s → ~0.9s at sf0.1)."""
     from ..operators.percentile_ops import bucketed_exact_percentiles
 
     melted = _melt_lineitem(spark, sf_dir)
-    q = bucketed_exact_percentiles(melted, [0.25, 0.75]).select(
+    c = (
+        melted.groupBy("col_name", "x")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()
+    )
+    q = bucketed_exact_percentiles(c, [0.25, 0.75], counts=True).select(
         "col_name", F.col("p_0").alias("q1"), F.col("p_1").alias("q3")
     )
     iqr = F.col("q3") - F.col("q1")
-    joined = melted.join(F.broadcast(q), "col_name")
+    joined = c.join(F.broadcast(q), "col_name")
     return joined.groupBy("col_name", "q1", "q3").agg(
         F.sum(
-            (
+            F.when(
                 (F.col("x") < F.col("q1") - 1.5 * iqr)
-                | (F.col("x") > F.col("q3") + 1.5 * iqr)
-            ).cast("bigint")
-        ).alias("n_outliers")
+                | (F.col("x") > F.col("q3") + 1.5 * iqr),
+                F.col("cnt"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_outliers")
     ).select("col_name", "q1", "q3", iqr.alias("iqr"), "n_outliers")
 
 

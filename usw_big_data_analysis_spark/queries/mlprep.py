@@ -845,10 +845,13 @@ def drift_ks_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'l_discount', l_discount, 'l_tax', l_tax) AS (col_name, x)",
         "CAST(l_orderkey % 4 = 0 AS INT) AS g",
     )
+    # materialized: c feeds the ECDF window AND the per-column totals —
+    # two differently-keyed consumers that otherwise each re-run the
+    # fact melt + conditional-count aggregate (optimization r07, §2.4)
     c = melt.groupBy("col_name", "x").agg(
         F.expr("CAST(sum(1 - g) AS BIGINT) AS c1"),
         F.expr("CAST(sum(g) AS BIGINT) AS c2"),
-    )
+    ).localCheckpoint()
     w = Window.partitionBy("col_name").orderBy("x").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
