@@ -226,14 +226,26 @@ def scale_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scale_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    # one array-percentile aggregate instead of three scalar ones: the
-    # exact percentile buffer (full value multiset per partition) is
-    # built and merged ONCE, not per-quantile — bit-identical quantiles,
-    # 8.4s -> 3.0s at sf0.1 (optimization r07, guide §2.3)
-    fit = li.agg(
-        F.expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").alias("q")
-    ).select(
-        F.col("q")[1].alias("med"), (F.col("q")[2] - F.col("q")[0]).alias("iqr")
+    # one array-percentile aggregate instead of three scalar ones (the
+    # exact percentile buffer is built and merged ONCE — 8.4s -> 3.0s at
+    # sf0.1), fed per-DISTINCT-VALUE counts via percentile's frequency
+    # argument: the buffer is itself a value→count map, so the map-side
+    # combined pre-count collapses fact rows before the buffer merge
+    # (2.3s -> 1.5s fit; bit-identical quantiles — optimization r07,
+    # guide §2.3)
+    fit = (
+        li.groupBy("l_extendedprice")
+        .agg(F.count("*").alias("cnt"))
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice,"
+                " array(0.25D, 0.5D, 0.75D), cnt)"
+            ).alias("q")
+        )
+        .select(
+            F.col("q")[1].alias("med"),
+            (F.col("q")[2] - F.col("q")[0]).alias("iqr"),
+        )
     )
     z = li.crossJoin(F.broadcast(fit)).select(
         "l_returnflag",
