@@ -541,6 +541,17 @@ def cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         lu, lts = lu[lo], lts[lo]
         users, lstarts = np.unique(lu, return_index=True)
         lends = np.append(lstarts[1:], len(lu))
+        if not len(right):
+            # a side absent from the whole bucket arrives as a
+            # COLUMN-LESS empty frame — guard before touching columns
+            return pd.DataFrame(
+                {
+                    "user_id": users.astype("int64"),
+                    "n_clicks": (lends - lstarts).astype("int64"),
+                    "n_matched": 0,
+                    "sum_purchase_ids": 0,
+                }
+            )
         ru = right["user_id"].to_numpy()
         rts = right["ts"].to_numpy()
         rid = right["event_id"].to_numpy()
