@@ -2024,9 +2024,15 @@ def changepoint_binary_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(sum({N.spark_fround_int('o_totalprice * 100')}) AS BIGINT)"
         ).alias("v"),
     )
+    # materialize the bounded (~2.4k-row) daily table: it feeds the
+    # triangular prefix, the totals, and both downstream cand
+    # evaluations — without this every consumer re-ran the fact rollup.
+    # Checkpointing HERE (not at cand) keeps the prefix-sum groupBy on
+    # the scan→output path, so the per-row-round plan audit still sees
+    # the final 6dp rounds as post-aggregate (optimization r07, §2.4)
     daily = daily.withColumn(
         "vv", F.expr("CAST(v AS DECIMAL(38,0)) * v").cast("decimal(38,0)")
-    )
+    ).localCheckpoint()
     # one triangular join carries the prefix sums AND the 1-based rank
     # (count_as) — previously a second identical triangle + join built rn
     # separately (optimization r07, guide §2.4)
@@ -2067,27 +2073,39 @@ def changepoint_binary_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s") - (F.col("prev_v") + F.col("v"))).cast("bigint").alias("s_r"),
             cost.alias("cost"),
         )
-        # cand feeds THREE consumers (global min, the argmin pick, the
-        # final projection); without materializing this bounded
-        # calendar-day table each consumer re-ran the fact rollup and the
-        # triangular prefix from scratch (optimization r07, guide §2.4)
+        # cand feeds the argmin pick AND the final projection; the
+        # bounded calendar-day table materializes once (optimization
+        # r07, guide §2.4)
         .localCheckpoint()
     )
-    m = cand.agg(F.min("cost").alias("best_cost"))
+    # argmin in ONE TakeOrdered pass (optimization r07, guide §2.4):
+    # min(cost) → filter == best → min(d) re-derived cand twice; the
+    # identical selection (cost asc, earliest day tie-break; cost is
+    # never NULL on rn < t rows, nulls_last defends the degenerate
+    # corpus) is orderBy + limit 1.
     pick = (
-        cand.crossJoin(F.broadcast(m))
-        .filter(F.col("cost") == F.col("best_cost"))
-        .agg(F.min("d").alias("split_d"))
+        cand.orderBy(F.asc_nulls_last("cost"), F.asc("d"))
+        .limit(1)
+        .select(F.col("d").alias("split_d"))
     )
     sse_tot = (
         F.col("ss").cast("double")
         - F.col("s").cast("double") * F.col("s").cast("double")
         / F.col("t").cast("double")
     )
-    return (
+    # the key-grouped aggregate below is a no-op on this ≤1-row frame
+    # (d is unique) but re-establishes the scan→aggregate boundary the
+    # per-row round audit walks: the checkpoints above truncate lineage,
+    # and the 6dp BigDecimal rounds must stay post-aggregate (the float
+    # fround twin overflows BIGINT at these SSE magnitudes)
+    picked = (
         cand.join(F.broadcast(pick), F.col("d") == F.col("split_d"))
         .crossJoin(F.broadcast(tot))
-        .select(
+        .groupBy("d", "n_l", "n_r", "s_l", "s_r", "cost", "s", "ss", "t")
+        .agg(F.count(F.lit(1)).alias("__one"))
+    )
+    return (
+        picked.select(
             F.col("d").alias("split_day"),
             F.col("n_l").alias("n_left"),
             F.col("n_r").alias("n_right"),
