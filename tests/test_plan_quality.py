@@ -126,8 +126,13 @@ def test_crosstab_margins_single_scan_grouping_sets(spark, sf_dir):
 
 
 def test_pq_codebook_broadcast(spark, sf_dir):
+    # r08: the codebook is collected and closed over by the mapInPandas
+    # kernel — no join (broadcast or otherwise) touches the corpus scan,
+    # and the only exchange left is the 128-row partial-histogram shuffle.
     plan = _plan(spark, sf_dir, "embed_pq_assign")
-    assert "BroadcastExchange" in plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert plan.count("+- Exchange") <= 1
 
 
 def test_histogram_minmax_broadcast_no_sort(spark, sf_dir):
@@ -137,10 +142,13 @@ def test_histogram_minmax_broadcast_no_sort(spark, sf_dir):
 
 
 def test_knn_hard_negatives_broadcast_anchors_single_scan(spark, sf_dir):
-    # anchors broadcast; the corpus is never reshuffled into a pair join
+    # r08: anchors are collected and closed over by the mapInPandas kernel
+    # — the corpus is scanned once and never joined or reshuffled at all
     a = audit(_QUERIES["knn_hard_negatives"](spark, sf_dir))
-    assert a.nested_loop_joins >= 1 or a.broadcast_joins >= 1
     assert a.sort_merge_joins == 0
+    plan = _plan(spark, sf_dir, "knn_hard_negatives")
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
 
 
 def test_dedup_span_c4_no_self_join(spark, sf_dir):

@@ -9,26 +9,135 @@ import __spark_entry__ as entrymod
 _QUERIES = entrymod.queries()
 
 
-def test_ivfpq_fast_variant_matches_exact(spark, sf_dir):
-    """bench.py times embed_ann_ivfpq(exact=False) — double codebook sums
-    instead of decimal (FAISS's own arithmetic). The two forms must emit
-    identical (qid, cid, rn) neighbor tables with distances within float
-    tolerance of each other."""
-    from usw_big_data_analysis_spark.queries.similarity import embed_ann_ivfpq
+def _assert_bit_identical(name, new_rows, old_rows, keycols):
+    """The r08 kernel contract: the vectorized form must equal the retained
+    relational decimal plan BIT-FOR-BIT (ids, ranks AND values) — the
+    registered path is now the kernel and the DuckDB oracle hashes it."""
+    new = {tuple(r[k] for k in keycols): r.asDict() for r in new_rows}
+    old = {tuple(r[k] for k in keycols): r.asDict() for r in old_rows}
+    assert set(new) == set(old), f"{name}: key sets differ"
+    for k, row in old.items():
+        assert new[k] == row, f"{name}: row {k}: {new[k]} != {row}"
 
-    exact = {
-        (r["qid"], r["rn"]): (r["cid"], r["adc_d2"])
-        for r in embed_ann_ivfpq(spark, sf_dir, exact=True).collect()
-    }
-    fast = {
-        (r["qid"], r["rn"]): (r["cid"], r["adc_d2"])
-        for r in embed_ann_ivfpq(spark, sf_dir, exact=False).collect()
-    }
-    assert set(exact) == set(fast)
-    for key, (cid_e, d_e) in exact.items():
-        cid_f, d_f = fast[key]
-        assert cid_f == cid_e, f"{key}: neighbor {cid_f} != {cid_e}"
-        assert abs(d_f - d_e) < 1e-5, f"{key}: adc_d2 {d_f} vs {d_e}"
+
+def test_ivfpq_fast_variant_matches_exact(spark, sf_dir):
+    """Since r08 the registered embed_ann_ivfpq IS the vectorized integer
+    kernel; this pins it bit-identical to the retained relational
+    DECIMAL(2x,12) plan (the semantics contract the oracle SQL mirrors)."""
+    from usw_big_data_analysis_spark.queries.similarity import (
+        _ivfpq_relational,
+        embed_ann_ivfpq,
+    )
+
+    _assert_bit_identical(
+        "ivfpq",
+        embed_ann_ivfpq(spark, sf_dir).collect(),
+        _ivfpq_relational(spark, sf_dir).collect(),
+        ("qid", "rn"),
+    )
+
+
+def test_pq_assign_kernel_matches_relational(spark, sf_dir):
+    from usw_big_data_analysis_spark.queries.similarity import (
+        _pq_assign_relational,
+        embed_pq_assign,
+    )
+
+    _assert_bit_identical(
+        "pq_assign",
+        embed_pq_assign(spark, sf_dir).collect(),
+        _pq_assign_relational(spark, sf_dir).collect(),
+        ("subspace", "code"),
+    )
+
+
+def test_pq_search_kernel_matches_relational(spark, sf_dir):
+    from usw_big_data_analysis_spark.queries.similarity import (
+        _pq_search_relational,
+        embed_pq_search,
+    )
+
+    _assert_bit_identical(
+        "pq_search",
+        embed_pq_search(spark, sf_dir).collect(),
+        _pq_search_relational(spark, sf_dir).collect(),
+        ("qid", "rn"),
+    )
+
+
+def test_pq_train_kernel_matches_relational(spark, sf_dir):
+    from usw_big_data_analysis_spark.queries.similarity import (
+        _pq_train_relational,
+        embed_pq_train,
+    )
+
+    _assert_bit_identical(
+        "pq_train",
+        embed_pq_train(spark, sf_dir).collect(),
+        _pq_train_relational(spark, sf_dir).collect(),
+        ("subspace", "code"),
+    )
+
+
+def test_incremental_kernel_matches_relational(spark, sf_dir):
+    from usw_big_data_analysis_spark.queries.similarity import (
+        _incremental_relational,
+        embed_ann_incremental,
+    )
+
+    _assert_bit_identical(
+        "incremental",
+        embed_ann_incremental(spark, sf_dir).collect(),
+        _incremental_relational(spark, sf_dir).collect(),
+        ("bid", "rn"),
+    )
+
+
+def test_hard_negatives_kernel_matches_relational(spark, sf_dir):
+    from usw_big_data_analysis_spark.queries.similarity import (
+        _hard_negatives_relational,
+        embed_hard_negatives,
+    )
+
+    _assert_bit_identical(
+        "hard_negatives",
+        embed_hard_negatives(spark, sf_dir).collect(),
+        _hard_negatives_relational(spark, sf_dir).collect(),
+        ("qid", "rn"),
+    )
+
+
+def test_knn_hard_negatives_kernel_matches_relational(spark, sf_dir):
+    from usw_big_data_analysis_spark.queries.similarity import (
+        _knn_hard_negatives_relational,
+        knn_hard_negatives,
+    )
+
+    _assert_bit_identical(
+        "knn_hard_negatives",
+        knn_hard_negatives(spark, sf_dir).collect(),
+        _knn_hard_negatives_relational(spark, sf_dir).collect(),
+        ("qid",),
+    )
+
+
+def test_jl_projections_kernel_matches_relational(spark, sf_dir):
+    from usw_big_data_analysis_spark.operators.similarity_ops import (
+        jl_projections_vectorized,
+    )
+    from usw_big_data_analysis_spark.queries.similarity import (
+        _JL_K,
+        _jl_projections_relational,
+    )
+    from usw_big_data_analysis_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _assert_bit_identical(
+        "jl_projections",
+        jl_projections_vectorized(emb, _JL_K).collect(),
+        _jl_projections_relational(spark, sf_dir).collect(),
+        ("vec_id",),
+    )
 
 
 def test_vectorized_topk_matches_exact(spark, sf_dir):

@@ -133,6 +133,15 @@ def _pj_round(labels: DataFrame) -> DataFrame:
     )
 
 
+# packed pair key layout for wedge_pair_counts: pk = u << 31 | v. Both ids
+# must be < 2^31 (checked fail-loud in both kernels); u < 2^32 keeps the
+# key positive in int64. Halves blob/shuffle bytes vs separate u/v cells
+# and lets the counting kernel sort raw keys with no dense remap (r08).
+_PK_SHIFT = 31
+_PK_LIM = 1 << _PK_SHIFT
+_PK_MASK = _PK_LIM - 1
+
+
 def wedge_pair_counts(
     edges: DataFrame,
     min_common: int = 2,
@@ -159,21 +168,27 @@ def wedge_pair_counts(
 
     - Kernel 1 (``mapInPandas`` over edges hash-partitioned by ``dst``):
       lexsort groups each neighborhood once, emits every sorted u<v pair
-      via triangular indices, then bucket-sorts the pairs by ``u % B`` and
-      ships each bucket's pairs as TWO BINARY CELLS (``tobytes`` of the
-      little-endian int64 arrays). The Arrow boundary carries a few
-      thousand blob rows, not 147M element rows; list columns are avoided
-      deliberately (Arrow converts object-dtype lists per element).
+      through a fully vectorized triangular expansion (r08: repeat/cumsum
+      arithmetic over ALL neighborhoods at once — the per-dst Python loop
+      with one ``triu_indices`` call per group was the kernel's hot spot),
+      packs each pair into ONE int64 (``u << 31 | v``) when a driver-side
+      max-id probe shows every id < 2^31 — halving blob bytes — else falls
+      back to two-cell u/v blobs, buckets by ``u % B`` and ships each
+      bucket's keys as BINARY CELLS (``tobytes``). The Arrow boundary
+      carries a few thousand blob rows, not 147M element rows; list
+      columns are avoided deliberately (Arrow converts object-dtype lists
+      per element).
     - One JVM shuffle co-locates blob rows by bucket. Because bucket is a
       pure function of ``u``, every occurrence of a pair lands in one
       bucket, so a local count IS the exact global count.
     - Kernel 2 (cogrouped ``applyInPandas`` of pair blobs with the edge
-      rows of the same ``src % B`` bucket): decode blobs, densely remap
-      local ids (so key packing never overflows at any id scale), ONE
-      sequential sort + run-length encode for exact counts — no hash map
-      at any scale — then prune ``< min_common`` and (``drop_linked``)
-      already-linked pairs via sorted membership against the co-shipped
-      edges, so the caller needs no 30M-row anti-join afterwards.
+      rows of the same ``src % B`` bucket): decode blobs (packed keys
+      directly, or a local dense remap for ids ≥ 2^31 so key packing
+      never overflows at any id scale), ONE sequential sort + run-length
+      encode for exact counts — no hash map at any scale — then prune
+      ``< min_common`` and (``drop_linked``) already-linked pairs via
+      sorted membership against the co-shipped edges, so the caller needs
+      no 30M-row anti-join afterwards.
 
     ``top_k_jaccard=K`` additionally pushes a per-bucket top-K by
     ``(round6(n_common/(deg(u)+deg(v)-n_common)) DESC, u, v)`` into kernel
@@ -209,22 +224,52 @@ def wedge_pair_counts(
     spark = edges.sparkSession
     B = buckets or 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
     mc = int(min_common)
+    # One cheap max-id probe (map-side agg over the id columns) picks the
+    # blob format: ids < 2^31 → each pair packs into ONE int64 key, halving
+    # blob/shuffle bytes and letting kernel 2 sort raw keys with no dense
+    # remap; larger ids → the r07 two-cell + local-dense-remap path, exact
+    # at any id scale (r08, guide §2.3 "narrower types").
+    mx = edges.selectExpr(
+        f"greatest(max({src}), max({dst})) AS m"
+    ).collect()[0]["m"]
+    packed = mx is not None and int(mx) < _PK_LIM
+    # ids < 2^16 additionally fit a uint32 key (u<<16 | v): 4 bytes/pair —
+    # a second data-adaptive width halving (guide §2.3), not a local-mode
+    # constant: any graph re-labeled densely under 65536 nodes qualifies,
+    # and larger graphs take the int64 or remap path automatically.
+    pk_shift = 16 if (packed and int(mx) < (1 << 16)) else _PK_SHIFT
+    pk_dtype = "<u4" if pk_shift == 16 else "<i8"
 
     def _blob_rows(u, v):
         b = u % B
-        order = np.argsort(b)
-        u, v, b = u[order], v[order], b[order]
-        bb = np.r_[np.flatnonzero(np.r_[True, b[1:] != b[:-1]]), b.size]
+        order = np.argsort(b, kind="stable")
+        b = b[order]
+        cnts = np.bincount(b, minlength=B)
+        bb = np.r_[0, np.cumsum(cnts)]
+        nz = np.flatnonzero(cnts)
+        if packed:
+            pk = ((u << pk_shift) | v)[order].astype(pk_dtype)
+            return pd.DataFrame(
+                {
+                    "bucket": nz.astype(np.int64),
+                    "ub": [
+                        np.ascontiguousarray(pk[bb[i]:bb[i + 1]]).tobytes()
+                        for i in nz
+                    ],
+                    "vb": [b"" for _ in nz],
+                }
+            )
+        u, v = u[order], v[order]
         return pd.DataFrame(
             {
-                "bucket": [int(b[bb[i]]) for i in range(bb.size - 1)],
+                "bucket": nz.astype(np.int64),
                 "ub": [
                     np.ascontiguousarray(u[bb[i]:bb[i + 1]], "<i8").tobytes()
-                    for i in range(bb.size - 1)
+                    for i in nz
                 ],
                 "vb": [
                     np.ascontiguousarray(v[bb[i]:bb[i + 1]], "<i8").tobytes()
-                    for i in range(bb.size - 1)
+                    for i in nz
                 ],
             }
         )
@@ -238,20 +283,31 @@ def wedge_pair_counts(
         order = np.lexsort((s, d))
         s, d = s[order], d[order]
         bnd = np.r_[np.flatnonzero(np.r_[True, d[1:] != d[:-1]]), d.size]
-        us, vs, pending = [], [], 0
-        for i in range(bnd.size - 1):
-            grp = s[bnd[i]:bnd[i + 1]]
-            if grp.size < 2:
-                continue
-            iu, iv = np.triu_indices(grp.size, 1)
-            us.append(grp[iu])
-            vs.append(grp[iv])
-            pending += iu.size
-            if pending >= 4_000_000:
-                yield _blob_rows(np.concatenate(us), np.concatenate(vs))
-                us, vs, pending = [], [], 0
-        if pending:
-            yield _blob_rows(np.concatenate(us), np.concatenate(vs))
+        # vectorized triangular expansion over ALL neighborhoods at once
+        # (r08; was a Python loop with one triu_indices per dst): element k
+        # of a sorted group pairs with the r_k = (group_end - k - 1)
+        # elements after it, which are CONSECUTIVE in s — so iu repeats
+        # each k r_k times and iv counts up from k+1 within each run.
+        g = np.diff(bnd)
+        w = np.arange(s.size) - np.repeat(bnd[:-1], g)  # rank within group
+        r = np.repeat(g, g) - 1 - w                     # pairs seeded by k
+        # chunk by ELEMENTS so each emitted chunk holds ≤ ~4M pairs
+        # regardless of degree skew (per-task memory bound, guide §2.5)
+        cum = np.cumsum(r)
+        total = int(cum[-1]) if r.size else 0
+        lo = 0
+        while lo < s.size:
+            base = cum[lo - 1] if lo else 0
+            hi = int(np.searchsorted(cum, base + 4_000_000)) + 1
+            hi = min(hi, s.size)
+            rc = r[lo:hi]
+            iu = np.repeat(np.arange(lo, hi), rc)
+            run = np.r_[0, np.cumsum(rc)]
+            t = np.arange(run[-1]) - np.repeat(run[:-1], rc)
+            iv = iu + 1 + t
+            if iu.size:
+                yield _blob_rows(s[iu], s[iv])
+            lo = hi
 
     pair_blobs = (
         edges.select(F.col(src).alias(src), F.col(dst).alias(dst))
@@ -286,25 +342,35 @@ def wedge_pair_counts(
     def count_bucket(key, pairs_pdf, edges_pdf):
         if len(pairs_pdf) == 0:
             return empty
-        u = np.concatenate([np.frombuffer(x, "<i8") for x in pairs_pdf["ub"]])
-        v = np.concatenate([np.frombuffer(x, "<i8") for x in pairs_pdf["vb"]])
         kind = edges_pdf["kind"].to_numpy(np.int64)
         es = edges_pdf["a"].to_numpy(np.int64)[kind == 0]
         ed = edges_pdf["b"].to_numpy(np.int64)[kind == 0]
-        uu = np.unique(np.concatenate([u, es]))
-        vv = np.unique(np.concatenate([v, ed]))
-        nv = np.int64(vv.size)
-        pk = np.searchsorted(uu, u) * nv + np.searchsorted(vv, v)
+        if packed:
+            pk = np.concatenate(
+                [np.frombuffer(x, pk_dtype) for x in pairs_pdf["ub"]]
+            )
+            ek = ((es << pk_shift) | ed).astype(pk_dtype)
+        else:
+            u = np.concatenate([np.frombuffer(x, "<i8") for x in pairs_pdf["ub"]])
+            v = np.concatenate([np.frombuffer(x, "<i8") for x in pairs_pdf["vb"]])
+            uu = np.unique(np.concatenate([u, es]))
+            vv = np.unique(np.concatenate([v, ed]))
+            nv = np.int64(vv.size)
+            pk = np.searchsorted(uu, u) * nv + np.searchsorted(vv, v)
+            ek = np.searchsorted(uu, es) * nv + np.searchsorted(vv, ed)
         pk.sort()
         idx = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]])
         cnt = np.diff(np.r_[idx, pk.size])
         keep = cnt >= mc
         kk, cc = pk[idx[keep]], cnt[keep]
         if drop_linked and es.size:
-            ek = np.searchsorted(uu, es) * nv + np.searchsorted(vv, ed)
             unl = ~np.isin(kk, ek)
             kk, cc = kk[unl], cc[unl]
-        ufin, vfin = uu[kk // nv], vv[kk % nv]
+        if packed:
+            kk = kk.astype(np.int64)
+            ufin, vfin = kk >> pk_shift, kk & ((1 << pk_shift) - 1)
+        else:
+            ufin, vfin = uu[kk // nv], vv[kk % nv]
         if top_k_jaccard is not None and ufin.size > top_k_jaccard:
             nodes = edges_pdf["a"].to_numpy(np.int64)[kind == 1]
             degs = edges_pdf["b"].to_numpy(np.int64)[kind == 1]

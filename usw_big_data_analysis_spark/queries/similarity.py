@@ -333,9 +333,29 @@ def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine so the boundary is the same value in both engines. Plan: one
     bucket equi-join (shuffle linear in corpus size), one grouped
     dot-product aggregate, and a per-anchor window — the per-batch
-    mining cost is |batch| x bucket-size, independent of corpus size.""".format(
+    mining cost is |batch| x bucket-size, independent of corpus size.
+
+    Since optimization r08 the registered path is the two-kernel vectorized
+    form (operators/similarity_ops.hard_negatives_vectorized): one
+    mapInPandas pass computes sign-bit buckets + norms, one applyInPandas
+    per bucket scores anchors against their own bucket — bit-identical to
+    the exploded bucket-join plan retained as ``_hard_negatives_relational``
+    (equivalence pinned in tests/test_similarity_ops.py; oracle parity at
+    3 SFs).""".format(
         nq=_HNM_BATCH, lo=_HNM_LO, hi=_HNM_HI, k=_HNM_K
     )
+    from ..operators.similarity_ops import hard_negatives_vectorized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives_vectorized(
+        emb, _NPLANES, _HNM_BATCH, _HNM_K, _HNM_LO, _HNM_HI
+    )
+
+
+def _hard_negatives_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The original exploded bucket-join + decimal-fold plan — the
+    semantics contract the kernel is tested against (~2.2s steady at
+    sf0.1)."""
     expl = _exploded(spark, sf_dir)
     norms = _norms(expl)
 
@@ -745,12 +765,28 @@ _PQ_CODES = 16  # centroids per subspace (codebook = first 16 corpus vectors)
 def embed_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization, the memory side of billion-scale ANN: each
     vector splits into {_PQ_SUB} subvectors, each assigned to its nearest
-    of {_PQ_CODES} codebook centroids (squared-L2, exact decimal fold so
-    the argmin ties identically across engines) — compressing 64 floats to
-    {_PQ_SUB} byte codes. Codebook = first {_PQ_CODES} corpus vectors
-    (k-means training is the non-portable piece, as with IVF). At scale the
-    codebook broadcasts; assignment is one corpus scan; the output here is
-    the code histogram + per-cell distortion a PQ build would monitor."""
+    of {_PQ_CODES} codebook centroids (squared-L2, exact quantized-integer
+    arithmetic so the argmin ties identically across engines) — compressing
+    64 floats to {_PQ_SUB} byte codes. Codebook = first {_PQ_CODES} corpus
+    vectors (k-means training is the non-portable piece, as with IVF).
+
+    Since optimization r08 the registered path is the vectorized kernel
+    (operators/similarity_ops.pq_assign_vectorized): one mapInPandas corpus
+    pass with per-task partial aggregation, bit-identical to the relational
+    explode + DECIMAL(25,12) groupBy plan retained below as
+    ``_pq_assign_relational`` (equivalence pinned in
+    tests/test_similarity_ops.py; oracle parity checked at 3 SFs)."""
+    from ..operators.similarity_ops import pq_assign_vectorized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_assign_vectorized(emb, _PQ_CODES)
+
+
+def _pq_assign_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The original explode + decimal-fold plan — the semantics contract the
+    kernel is tested against (one row per (vec, pos, code) through a
+    fact-scale DECIMAL(25,12) aggregation; ~3.3s steady at sf0.1 vs the
+    kernel's sub-second)."""
     expl = _exploded(spark, sf_dir)
     cb = expl.filter(F.col("vec_id") < _PQ_CODES).select(
         F.col("vec_id").alias("code"), "pos", F.col("v").alias("cv")
@@ -820,12 +856,27 @@ def embed_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ asymmetric-distance search (ADC) — the query side of
     billion-scale product quantization, completing embed_pq_assign: the
     query's per-(subspace, code) distance table is tiny
-    ({_NQ}×{_PQ_SUB}×{_PQ_CODES} rows, broadcast), the corpus is
+    ({_NQ}×{_PQ_SUB}×{_PQ_CODES} entries, closed over), the corpus is
     represented ONLY by its byte codes, and a candidate's approximate
     distance is the sum of 8 table lookups — no corpus float is touched
-    at query time. The lookup join is (subspace, code) equi; top-k per
-    query under a (distance, cid) total order. Exact decimal subvector
-    distances keep the argmin/top-k identical across engines."""
+    at query time. Top-k per query under a (distance, cid) total order.
+
+    Since optimization r08 the registered path is the vectorized kernel
+    (operators/similarity_ops.pq_search_vectorized): codes and ADC sums as
+    numpy batch ops in one mapInPandas pass, exact quantized-integer
+    arithmetic bit-identical to the relational DECIMAL(25,12) plan retained
+    as ``_pq_search_relational`` (equivalence pinned in
+    tests/test_similarity_ops.py; oracle parity checked at 3 SFs)."""
+    from ..operators.similarity_ops import pq_search_vectorized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_search_vectorized(emb, _PQ_CODES, _NQ, _TOPK)
+
+
+def _pq_search_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The original explode + decimal-fold ADC plan — the semantics
+    contract the kernel is tested against (two fact-scale aggregations and
+    a (subspace, code) lookup join; ~3.5s steady at sf0.1)."""
     expl = _exploded(spark, sf_dir)
     cb = expl.filter(F.col("vec_id") < _PQ_CODES).select(
         F.col("vec_id").alias("code"), "pos", F.col("v").alias("cv")
@@ -1359,7 +1410,24 @@ def embed_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale the standing lists are partitioned by cell, so each probe is
     a partition-local scan; centroids broadcast. Output: (bid, ins_cell,
     cid, cosine, rn) — the append action and the top-{_TOPK} standing
-    neighbors per new vector, exact decimal cosine."""
+    neighbors per new vector, exact decimal cosine.
+
+    Since optimization r08 the registered path is the two-kernel vectorized
+    form (operators/similarity_ops.incremental_ann_vectorized): one
+    mapInPandas corpus pass assigns cells with a quantized matmul (same
+    integer arithmetic as _dec_dot), one applyInPandas per probed cell
+    scores batch-vs-standing pairs — bit-identical to the crossJoin-fold
+    relational plan retained as ``_incremental_relational`` (equivalence
+    pinned in tests/test_similarity_ops.py; oracle parity at 3 SFs)."""
+    from ..operators.similarity_ops import incremental_ann_vectorized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return incremental_ann_vectorized(emb, _NCELLS, _NPROBE, _TOPK)
+
+
+def _incremental_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The original crossJoin + interpreted-fold plan — the semantics
+    contract the kernel is tested against (~3.6s steady at sf0.1)."""
     emb = load_table(spark, sf_dir, "embeddings")
     withn = emb.withColumn(
         "nrm", F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding")))
@@ -1709,7 +1777,24 @@ def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     swap the scored-pair window for the per-partition top-k guard of
     topk_per_group, and the anchor side grows via LSH bucketing
     (embed_ann_lsh) rather than brute force — this exact form is the
-    verification baseline the ANN variant is recalled against."""
+    verification baseline the ANN variant is recalled against.
+
+    Since optimization r08 the registered path is the vectorized kernel
+    (operators/similarity_ops.knn_hard_negatives_vectorized): one
+    mapInPandas corpus pass, per-batch quantized matmul + best-per-anchor,
+    bit-identical to the crossJoin fold retained as
+    ``_knn_hard_negatives_relational`` (equivalence pinned in
+    tests/test_similarity_ops.py; oracle parity at 3 SFs)."""
+    from ..operators.similarity_ops import knn_hard_negatives_vectorized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_hard_negatives_vectorized(emb, _HN_NQ)
+
+
+def _knn_hard_negatives_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The original broadcast-crossJoin + interpreted-fold plan — the
+    semantics contract the kernel is tested against (~1.7s steady at
+    sf0.1)."""
     emb = load_table(spark, sf_dir, "embeddings")
     withn = emb.withColumn(
         "nrm", F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding")))
@@ -1943,8 +2028,40 @@ def embed_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: projections are decimal-summed (order-independent), the
     ratio is decimal arithmetic with one rounding at 8dp per vector, then
-    decimal-mean per label. One pass over the exploded vectors computes
-    all {_JL_K} projections AND the norm (map-side combined)."""
+    decimal-mean per label.
+
+    Since optimization r08 the fact-scale projection pass is the vectorized
+    kernel (operators/similarity_ops.jl_projections_vectorized): one int64
+    matmul per Arrow batch replaces the {_JL_K}+1 per-element decimal
+    aggregates over the exploded vectors, bit-identical by the same
+    quantized-integer contract as _dec_dot (equivalence pinned in
+    tests/test_similarity_ops.py; oracle parity at 3 SFs). The per-vector
+    decimal ratio and per-label rollup stay relational — their DECIMAL
+    division/rounding semantics are what the oracle matches."""
+    from ..operators.similarity_ops import jl_projections_vectorized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = jl_projections_vectorized(emb, _JL_K)
+    sq = " + ".join(f"CAST(p{j} * p{j} AS DECIMAL(30,15))" for j in range(_JL_K))
+    ratio = proj.selectExpr(
+        "label",
+        f"round(({sq}) / ({_JL_K} * CAST(vv AS DECIMAL(30,15))), 8) AS r",
+    )
+    return ratio.groupBy("label").agg(
+        F.expr("count(*) AS n_vecs"),
+        F.expr(
+            "round(CAST(sum(CAST(r AS DECIMAL(20,8))) AS DOUBLE)"
+            " / count(*), 6) AS mean_ratio"
+        ),
+        F.expr("CAST(round(min(r), 6) AS DOUBLE) AS min_ratio"),
+        F.expr("CAST(round(max(r), 6) AS DOUBLE) AS max_ratio"),
+    )
+
+
+def _jl_projections_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The original exploded decimal-aggregate projection pass (vec_id,
+    label, p0..p{k-1}, vv) — the semantics contract
+    jl_projections_vectorized is tested against."""
     expl = _exploded(spark, sf_dir)
     proj_aggs = [
         F.expr(
@@ -1958,20 +2075,8 @@ def embed_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(sum(CAST(v * v AS DECIMAL(20,12))) AS DOUBLE) AS vv"),
     )
     lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    sq = " + ".join(f"CAST(p{j} * p{j} AS DECIMAL(30,15))" for j in range(_JL_K))
-    ratio = proj.join(lab, "vec_id").selectExpr(
-        "label",
-        f"round(({sq}) / ({_JL_K} * CAST(vv AS DECIMAL(30,15))), 8) AS r",
-    )
-    return ratio.groupBy("label").agg(
-        F.expr("count(*) AS n_vecs"),
-        F.expr(
-            "round(CAST(sum(CAST(r AS DECIMAL(20,8))) AS DOUBLE)"
-            " / count(*), 6) AS mean_ratio"
-        ),
-        F.expr("CAST(round(min(r), 6) AS DOUBLE) AS min_ratio"),
-        F.expr("CAST(round(max(r), 6) AS DOUBLE) AS max_ratio"),
-    )
+    cols = ["vec_id", "label"] + [f"p{j}" for j in range(_JL_K)] + ["vv"]
+    return proj.join(lab, "vec_id").select(*cols)
 
 
 # --- LSH tuning curve: bucket stats per plane count --------------------------
@@ -2187,37 +2292,36 @@ def embed_ann_ivfpq(
     of 8 per-subspace table entries against the query's LUT, touching NO
     corpus floats at query time (embed_pq_search). At scale: inverted
     lists partition by cell, the codebook and per-query LUT broadcast
-    (nq x 8 x {codes} rows), and the ADC join is (cid)+(subspace, code)
-    equi — nothing quadratic, nothing nested-loop. Exact decimal subvector
-    distances keep every argmin and the final (adc_d2, cid) top-k order
-    identical across engines.
+    (nq x 8 x {codes} entries), and per-partition only ≤ topk candidates
+    per query survive — nothing quadratic, nothing nested-loop.
 
-    ``exact=False`` (bench variant, like embed_cosine_topk's) sums the
-    same products as plain doubles — FAISS's own arithmetic — instead of
-    decimals: the codebook-distance table build is the dominant cost and
-    decimal accumulation is ~3x a double sum. The registered/oracle path
-    stays exact; result equivalence of the two forms is pinned in
-    tests/test_similarity_ops.py."""
-    if not exact:
-        # bench variant (optimization r07): the whole per-vector arithmetic
-        # (cell argmax, PQ code argmin, ADC lookup-sum) as numpy batch
-        # kernels in ONE mapInPandas pass over the corpus — replaces the
-        # two fact-scale explode+groupBy aggregations below (guide §4.2).
-        # Same quantized integer arithmetic, bit-identical result; pinned
-        # by tests/test_similarity_ops.py::test_ivfpq_fast_variant_matches_exact.
-        from ..operators.similarity_ops import ivfpq_vectorized
+    Since optimization r08 BOTH paths are the one-pass vectorized kernel
+    (operators/similarity_ops.ivfpq_vectorized): cell argmax, PQ code
+    argmin and ADC lookup-sum as numpy batch ops, with every product
+    quantized by the same e12 half-away rule the DECIMAL(2x,12) casts
+    apply, so the result is bit-identical to the relational decimal plan —
+    retained below as ``_ivfpq_relational`` and pinned by
+    tests/test_similarity_ops.py::test_ivfpq_fast_variant_matches_exact
+    (oracle parity checked at 3 SFs). The ``exact`` kwarg is kept for the
+    bench-variant call contract; both values now run the same kernel."""
+    from ..operators.similarity_ops import ivfpq_vectorized
 
-        emb = load_table(spark, sf_dir, "embeddings")
-        return ivfpq_vectorized(
-            emb,
-            ncells=_NCELLS,
-            nprobe=_NPROBE,
-            nq=_NQ,
-            pq_codes=_PQ_CODES,
-            topk=_TOPK,
-        )
-    dec20 = "decimal(20,12)" if exact else "double"
-    dec25 = "decimal(25,12)" if exact else "double"
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_vectorized(
+        emb,
+        ncells=_NCELLS,
+        nprobe=_NPROBE,
+        nq=_NQ,
+        pq_codes=_PQ_CODES,
+        topk=_TOPK,
+    )
+
+
+def _ivfpq_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The original explode + decimal-fold IVFADC plan — the semantics
+    contract ivfpq_vectorized is tested against (~3.6s steady at sf0.1)."""
+    dec20 = "decimal(20,12)"
+    dec25 = "decimal(25,12)"
     expl = _exploded(spark, sf_dir)
     norms = _norms(expl)
     cent = expl.filter(F.col("vec_id") < _NCELLS).select(
@@ -2360,7 +2464,45 @@ def embed_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     by (vec_id, subspace) then (subspace, code, pos) — no all-pairs
     work, shuffles bounded by corpus x subspaces. Determinism: member
     sums are decimal-exact, the mean is one IEEE division, movement sums
-    the 8 per-dimension squared deltas through decimal before one sqrt."""
+    the 8 per-dimension squared deltas through decimal before one sqrt.
+
+    Since optimization r08 the fact-scale 2/3 (assignment + member sums) is
+    the vectorized kernel operators/similarity_ops.pq_train_partials_vectorized
+    — per-task partial (n, Σ CAST(v AS DECIMAL(25,12))) statistics whose
+    Spark-side decimal sum is exact and associative, hence bit-equal to the
+    relational member aggregation retained as ``_pq_train_relational``
+    (equivalence pinned in tests/test_similarity_ops.py; oracle parity at
+    3 SFs). The tiny ({_PQ_CODES}×64-row) movement stage stays relational."""
+    from ..operators.similarity_ops import pq_train_partials_vectorized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    part = pq_train_partials_vectorized(emb, _PQ_CODES)
+    newc = (
+        part.groupBy("code", "pos")
+        .agg(F.expr("CAST(sum(vsum) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS nv"))
+        .withColumn("subspace", F.expr("CAST(pos div 8 AS INT)"))
+    )
+    expl = _exploded(spark, sf_dir)
+    cb = expl.filter(F.col("vec_id") < _PQ_CODES).select(
+        F.col("vec_id").alias("code"), "pos", F.col("v").alias("cv")
+    )
+    return (
+        newc.join(F.broadcast(cb), ["pos", "code"])
+        .groupBy("subspace", "code")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT) AS n_dims"),
+            F.expr(
+                "round(sqrt(CAST(sum(CAST((nv - cv) * (nv - cv)"
+                " AS DECIMAL(30,15))) AS DOUBLE)), 6) AS movement"
+            ),
+        )
+        .orderBy("subspace", "code")
+    )
+
+
+def _pq_train_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The original explode + decimal-fold Lloyd step — the semantics
+    contract the kernel is tested against (~3.8s steady at sf0.1)."""
     expl = _exploded(spark, sf_dir)
     cb = expl.filter(F.col("vec_id") < _PQ_CODES).select(
         F.col("vec_id").alias("code"), "pos", F.col("v").alias("cv")
