@@ -311,6 +311,46 @@ def main() -> None:
     rows_only_total = round(
         sum(t for n, t in times.items() if n not in duck), 3
     )
+    # The driver archives only the TAIL (last ~2000 chars) of bench stdout;
+    # in r7 the full line exceeded that and the archived copy lost its head,
+    # silently disabling the round-over-round comparison (PERF_r07
+    # prev_bench_ok=false, geomean null). The stdout line now carries ONLY
+    # the fields the driver reads (metric/value/unit/queries/sf + the
+    # aggregate ratios) and stays well under 1500 chars; everything verbose
+    # (per-query duck/ratio/plan_build/prepared maps, floor notes,
+    # methodology strings) moves to the BENCH_SIDECAR_LOCAL.json sidecar —
+    # measurement metadata, rewritten on every run (VERDICT r7 item 2).
+    sidecar = {
+        "methodology": METHODOLOGY,
+        "prepared_methodology": PREPARED_METHODOLOGY,
+        "duck_methodology": DUCK_METHODOLOGY,
+        "duck_s": duck,
+        "ratio": ratio,
+        "plan_build_s": plan_build,
+        "prepared_s": prepared,
+        # per-query floors accepted after re-plan attempts (VERDICT r6 #5):
+        # ratios here are Spark fixed overhead at this SF, not plan defects
+        # — the absolute gap closes with data size
+        "floor_notes": {
+            "crosstab_margins": (
+                "plan is already minimal (scan->expand(2 sets)->"
+                "partial agg->1 exchange->final agg); a pre-agg-"
+                "before-expand variant measured 4x SLOWER at sf0.1 "
+                "(0.67s vs 0.17s, r7). Remaining ratio is 2-stage "
+                "scheduling floor vs DuckDB's ~0.01s; 16x-data "
+                "standalone ratio is 0.93"
+            ),
+        },
+    }
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_SIDECAR_LOCAL.json"),
+            "w",
+        ) as fh:
+            json.dump(sidecar, fh, indent=1)
+    except OSError as exc:  # read-only checkout: keep the one-line contract
+        print(f"[bench] sidecar write failed: {exc}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -320,37 +360,17 @@ def main() -> None:
                 "queries": times,
                 "rows_only_total_s": rows_only_total,
                 "sf": sf_value,
-                "methodology": METHODOLOGY,
-                "prepared_methodology": PREPARED_METHODOLOGY,
-                "duck_s": duck,
-                "ratio": ratio,
                 "duck_total_s": total_duck,
                 "total_ratio": round(total_spark / total_duck, 2)
                 if total_duck
                 else None,
-                "plan_build_s": plan_build,
                 "regressions_vs_prev": regressions,
-                "prepared_s": prepared,
                 "prepared_total_s": round(sum(prepared.values()), 3),
                 "prepared_total_ratio": round(
                     prepared_comparable / prepared_duck, 2
                 )
                 if prepared_duck
                 else None,
-                "duck_methodology": DUCK_METHODOLOGY,
-                # per-query floors accepted after re-plan attempts (VERDICT
-                # r6 #5): ratios here are Spark fixed overhead at this SF,
-                # not plan defects — the absolute gap closes with data size
-                "floor_notes": {
-                    "crosstab_margins": (
-                        "plan is already minimal (scan->expand(2 sets)->"
-                        "partial agg->1 exchange->final agg); a pre-agg-"
-                        "before-expand variant measured 4x SLOWER at sf0.1 "
-                        "(0.67s vs 0.17s, r7). Remaining ratio is 2-stage "
-                        "scheduling floor vs DuckDB's ~0.01s; 16x-data "
-                        "standalone ratio is 0.93"
-                    ),
-                },
             }
         )
     )
