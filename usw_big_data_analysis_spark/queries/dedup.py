@@ -234,6 +234,28 @@ def _bands_of(docs: DataFrame) -> DataFrame:
     return _bands_of_sig(_sig_of(_shingles_of(docs)))
 
 
+def _cand_intersections(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Shared-shingle counts (id_a, id_b, n_common) restricted to a
+    CANDIDATE pair list — replaces the fact-scale shingle self-join, which
+    paired EVERY co-shingling doc (Σ shingle-freq² rows shuffled and
+    sorted as strings) only for the caller's left join to discard all
+    non-candidates (optimization r08, guide §3.2 — prune the big side
+    with the selective set before any shuffle). The LSH pair list is tiny
+    (~2k rows at sf0.1), so broadcasting it (and the ≤ |cand|·|shingles
+    per doc| expansion) keeps the corpus shingle scan shuffle-free; values
+    are identical because the equi-join on s per (id_a, id_b) counts the
+    same multiset matches the self-join grouped."""
+    sh_a = sh.select(F.col("doc_id").alias("id_a"), "s")
+    sh_b = sh.select(F.col("doc_id").alias("id_b"), "s")
+    left = F.broadcast(cand.select("id_a", "id_b")).join(sh_a, "id_a")
+    return (
+        F.broadcast(left)
+        .join(sh_b, ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+
+
 @query("dedup_minhash_lsh", oracle=_MINHASH_PAIRS_SQL)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH candidate pairs; the candidate join is on
@@ -437,17 +459,10 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = _shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
+    # exact intersections only for the LSH candidates (r08): the global
+    # shingle self-join shuffled/sorted Σ freq² string-keyed rows and the
+    # left join below threw all non-candidates away
+    inter = _cand_intersections(cand, sh)
     szs_a = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
     szs_b = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
     nc = F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
@@ -1509,16 +1524,9 @@ def dedup_pair_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_lsh(spark, sf_dir)
     sh = _shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
+    # exact intersections only for the candidate pairs (r08, see
+    # _cand_intersections)
+    inter = _cand_intersections(pairs, sh)
     sa = sizes.selectExpr("doc_id AS id_a", "n AS na")
     sb = sizes.selectExpr("doc_id AS id_b", "n AS nb")
     return (
@@ -2649,17 +2657,9 @@ def minhash_bbit_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = _shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
+    # exact intersections only for the LSH candidates (r08, see
+    # _cand_intersections)
+    inter = _cand_intersections(cand, sh)
     ef = F.col("m_full").cast("double") / float(_K)
     eb = (F.col("m_bbit").cast("double") / float(_K) - _BB_C0) / (1.0 - _BB_C0)
     ex = F.col("n_common_f").cast("double") / (
